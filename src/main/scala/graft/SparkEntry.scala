@@ -4,6 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.dns.DnsAnalog
+import graft.operators.{AsOfMatch, GroupingSetCounter}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Each entry in [[queries]] is one operator from SURVEY.md §2 (or a
@@ -22,12 +25,16 @@ import org.apache.spark.sql.types._
   */
 object SparkEntry {
 
+  private case class Q(name: String,
+                       fn: (SparkSession, String) => DataFrame,
+                       sql: Option[String])
+
   /** Exact 2-dp decimal view of a double money/quantity column. */
   private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_lineitem_agg")(spark, "/root/testdata/sf0.001")
+    queries("q2_query_groupingsets")(spark, "/root/testdata/sf0.001")
 
   // ---------------------------------------------------------------------
   // q1 — pricing-summary aggregation (TPC-H Q1 shape): the reference's
@@ -64,14 +71,174 @@ object SparkEntry {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_lineitem_agg" -> q1LineitemAgg,
+  // ---------------------------------------------------------------------
+  // q2/q3 — the reference's core operator: multi-grouping-set dedup count
+  // with __ANY__ sentinel (A1/A2, aggregator.go:240-330), on the events→DNS
+  // analog mapping. One Expand + one shuffle (see GroupingSetCounter).
+  // ---------------------------------------------------------------------
+  private def q2QueryGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    GroupingSetCounter(DnsAnalog.queries(Tables.events(spark, dir)),
+      fixed = Seq("identity"), address = Seq("query_address"),
+      question = Seq("question_name", "question_type"), tsCol = "ts")
+
+  private val q2Sql =
+    s"""${DnsAnalog.oracleCte}
+      |SELECT identity,
+      |  CASE WHEN GROUPING(query_address)=1 THEN '__ANY__' ELSE query_address END AS query_address,
+      |  CASE WHEN GROUPING(question_name)=1 THEN '__ANY__' ELSE question_name END AS question_name,
+      |  CASE WHEN GROUPING(question_type)=1 THEN '__ANY__' ELSE question_type END AS question_type,
+      |  COUNT(*) AS counter, MIN(ts) AS first_seen
+      |FROM dns
+      |GROUP BY GROUPING SETS ((identity, query_address, question_name, question_type),
+      |                        (identity, query_address),
+      |                        (identity, question_name, question_type))""".stripMargin
+
+  private def q3ResponseGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    GroupingSetCounter(
+      DnsAnalog.responses(Tables.events(spark, dir)).filter(!col("is_success")),
+      fixed = Seq("identity", "response_status"), address = Seq("query_address"),
+      question = Seq("question_name", "question_type"), tsCol = "ts")
+
+  private val q3Sql =
+    s"""${DnsAnalog.oracleCte}
+      |SELECT identity, response_status,
+      |  CASE WHEN GROUPING(query_address)=1 THEN '__ANY__' ELSE query_address END AS query_address,
+      |  CASE WHEN GROUPING(question_name)=1 THEN '__ANY__' ELSE question_name END AS question_name,
+      |  CASE WHEN GROUPING(question_type)=1 THEN '__ANY__' ELSE question_type END AS question_type,
+      |  COUNT(*) AS counter, MIN(ts) AS first_seen
+      |FROM dns
+      |WHERE response_status <> 'NOERROR'
+      |GROUP BY GROUPING SETS ((identity, response_status, query_address, question_name, question_type),
+      |                        (identity, response_status, query_address),
+      |                        (identity, response_status, question_name, question_type))""".stripMargin
+
+  // q4 — pass-through mode (A3, Aggregate=false, aggregator.go:556-586):
+  // the identity plan, one output row per input with counter=1.
+  private def q4Passthrough(spark: SparkSession, dir: String): DataFrame =
+    DnsAnalog.responses(Tables.events(spark, dir)).select(
+      col("ts").as("response_time"), col("identity"), col("response_status"),
+      col("query_address"), col("question_name"), col("question_type"),
+      col("counter"))
+
+  private val q4Sql =
+    s"""${DnsAnalog.oracleCte}
+      |SELECT ts AS response_time, identity, response_status, query_address,
+      |       question_name, question_type, CAST(1 AS BIGINT) AS counter
+      |FROM dns""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q5/q6 — query↔response latency matching (SURVEY §2.6) + per-identity
+  // average (A4), batch analog: as-of match via one window pass (AsOfMatch).
+  // clicks play queries, purchases play responses, user_id is the match key.
+  // ---------------------------------------------------------------------
+  private def q5Deltas(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+    AsOfMatch.deltas(ev, keyCols = Seq("user_id"), tsCol = "ts",
+        tieBreak = "event_id",
+        isQuery = col("event_type") === "click",
+        isResponse = col("event_type") === "purchase")
+      .select(concat(lit("srv"), (col("user_id") % 4).cast("string")).as("identity"),
+        col("ts").as("response_time"), col("delta_us"))
+  }
+
+  private val q5MatchCte =
+    """WITH m AS (
+      |  SELECT user_id, ts, event_type,
+      |         last_value(CASE WHEN event_type='click' THEN ts END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS qts
+      |  FROM events WHERE event_type IN ('click','purchase')),
+      |deltas AS (
+      |  SELECT 'srv' || CAST(user_id % 4 AS VARCHAR) AS identity,
+      |         ts AS response_time,
+      |         epoch_us(ts) - epoch_us(qts) AS delta_us
+      |  FROM m WHERE event_type='purchase' AND qts IS NOT NULL)""".stripMargin
+
+  private val q5Sql = s"$q5MatchCte\nSELECT identity, response_time, delta_us FROM deltas"
+
+  private def q6LatencyAvg(spark: SparkSession, dir: String): DataFrame =
+    AsOfMatch.avgByIdentity(q5Deltas(spark, dir), "identity")
+
+  private val q6Sql =
+    s"""$q5MatchCte
+      |SELECT identity,
+      |       CAST(FLOOR(SUM(delta_us) * 1.0 / COUNT(*)) AS BIGINT) AS avg_delta_us,
+      |       COUNT(*) AS n_samples
+      |FROM deltas GROUP BY identity""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q7–q10 — the documented downstream query surface (SURVEY §2.9,
+  // doc/quickstart.md:97-154): top-k, time-bucketed series, latency series.
+  // ---------------------------------------------------------------------
+  private def q7TopAddresses(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id").cast("string").as("query_address"))
+      .agg(count(lit(1)).as("counter"))
+      .orderBy(desc("counter"), asc("query_address"))
+      .limit(10)
+
+  private val q7Sql =
+    """SELECT CAST(user_id AS VARCHAR) AS query_address, COUNT(*) AS counter
+      |FROM events GROUP BY 1 ORDER BY counter DESC, query_address LIMIT 10""".stripMargin
+
+  private def q8TopNxdomain(spark: SparkSession, dir: String): DataFrame =
+    DnsAnalog.responses(Tables.events(spark, dir))
+      .filter(col("response_status") === "NXDOMAIN")
+      .groupBy(concat_ws(" ", col("question_name"), col("question_type")).as("name_type"))
+      .agg(count(lit(1)).as("counter"))
+      .orderBy(desc("counter"), asc("name_type"))
+      .limit(10)
+
+  private val q8Sql =
+    s"""${DnsAnalog.oracleCte}
+      |SELECT question_name || ' ' || question_type AS name_type, COUNT(*) AS counter
+      |FROM dns WHERE response_status = 'NXDOMAIN'
+      |GROUP BY 1 ORDER BY counter DESC, name_type LIMIT 10""".stripMargin
+
+  private def q9NonOkTimeseries(spark: SparkSession, dir: String): DataFrame =
+    DnsAnalog.responses(Tables.events(spark, dir))
+      .filter(!col("is_success"))
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("response_status"))
+      .agg(count(lit(1)).as("counter"))
+
+  private val q9Sql =
+    s"""${DnsAnalog.oracleCte}
+      |SELECT date_trunc('hour', ts) AS bucket, response_status, COUNT(*) AS counter
+      |FROM dns WHERE response_status <> 'NOERROR' GROUP BY 1, 2""".stripMargin
+
+  private def q10LatencyTimeseries(spark: SparkSession, dir: String): DataFrame =
+    q5Deltas(spark, dir)
+      .groupBy(date_trunc("hour", col("response_time")).as("bucket"), col("identity"))
+      .agg(floor(sum(col("delta_us")) / count(lit(1))).as("avg_delta_us"))
+
+  private val q10Sql =
+    s"""$q5MatchCte
+      |SELECT date_trunc('hour', response_time) AS bucket, identity,
+      |       CAST(FLOOR(SUM(delta_us) * 1.0 / COUNT(*)) AS BIGINT) AS avg_delta_us
+      |FROM deltas GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+
+  private val registry: Seq[Q] = Seq(
+    Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
+    Q("q2_query_groupingsets", q2QueryGroupingSets, Some(q2Sql)),
+    Q("q3_response_groupingsets", q3ResponseGroupingSets, Some(q3Sql)),
+    Q("q4_passthrough", q4Passthrough, Some(q4Sql)),
+    Q("q5_latency_deltas", q5Deltas, Some(q5Sql)),
+    Q("q6_latency_avg", q6LatencyAvg, Some(q6Sql)),
+    Q("q7_top_addresses", q7TopAddresses, Some(q7Sql)),
+    Q("q8_top_nxdomain", q8TopNxdomain, Some(q8Sql)),
+    Q("q9_nonok_timeseries", q9NonOkTimeseries, Some(q9Sql)),
+    Q("q10_latency_timeseries", q10LatencyTimeseries, Some(q10Sql)),
   )
+
+  /** One entry per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "q1_lineitem_agg" -> q1Sql,
-  )
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.sql.map(q.name -> _)).toMap
 }

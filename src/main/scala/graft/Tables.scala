@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Parquet table loader for the driver testdata layout (`TESTDATA.md`):
   * one parquet file per table under an sf directory. Filters and column
@@ -8,8 +9,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * select/filter on the returned DataFrame, never pre-collect.
   */
 object Tables {
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    // reader rejects; read nanos as Long and convert below (values are
+    // µs-aligned in the driver testdata, so the conversion is lossless).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
 
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
   def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
