@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.dns.DnsAnalog
+import graft.functions.{DnsNames, IpFunctions}
 import graft.operators.{AsOfMatch, GroupingSetCounter}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -219,6 +220,54 @@ object SparkEntry {
       |FROM deltas GROUP BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q11–q13 — the source-path scalar/generator operators (SURVEY §2.2/2.3):
+  // P2 IP rendering as a codegen'd Catalyst expression, P3/P4 code→name
+  // tables, F1 questions-explode. Exercised on synthetic inputs derived from
+  // events/documents; the oracle recomputes the same values independently.
+  // ---------------------------------------------------------------------
+  private def q11IpRender(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(col("event_id"),
+      IpFunctions.ipv4_string((col("event_id") * lit(2654435761L)) % lit(4294967296L))
+        .as("ip"))
+
+  private val q11Sql =
+    """SELECT event_id,
+      |  CAST((x // 16777216) % 256 AS VARCHAR) || '.' || CAST((x // 65536) % 256 AS VARCHAR)
+      |    || '.' || CAST((x // 256) % 256 AS VARCHAR) || '.' || CAST(x % 256 AS VARCHAR) AS ip
+      |FROM (SELECT event_id, (event_id * 2654435761) % 4294967296 AS x FROM events)""".stripMargin
+
+  private def q12DnsNames(spark: SparkSession, dir: String): DataFrame = {
+    val m = col("user_id") % 7
+    val qcode = when(m === 0, 1).when(m === 1, 5).when(m === 2, 15)
+      .when(m === 3, 16).when(m === 4, 28).when(m === 5, 65).otherwise(9999)
+    val rcode = when(col("value") < 2, 0).when(col("value") < 10, 3).otherwise(2)
+    Tables.events(spark, dir).select(col("event_id"),
+      DnsNames.qtype_name(qcode).as("qtype_name"),
+      DnsNames.rcode_name(rcode).as("rcode_name"))
+  }
+
+  private val q12Sql =
+    """SELECT event_id,
+      |  CASE user_id % 7 WHEN 0 THEN 'A' WHEN 1 THEN 'CNAME' WHEN 2 THEN 'MX'
+      |       WHEN 3 THEN 'TXT' WHEN 4 THEN 'AAAA' WHEN 5 THEN 'HTTPS'
+      |       ELSE 'TYPE9999' END AS qtype_name,
+      |  CASE WHEN value < 2 THEN 'NOERROR' WHEN value < 10 THEN 'NXDOMAIN'
+      |       ELSE 'SERVFAIL' END AS rcode_name
+      |FROM events""".stripMargin
+
+  private def q13ExplodeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token")).limit(20)
+
+  private val q13Sql =
+    """SELECT token, COUNT(*) AS n FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+      |WHERE token <> '' GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -231,6 +280,9 @@ object SparkEntry {
     Q("q8_top_nxdomain", q8TopNxdomain, Some(q8Sql)),
     Q("q9_nonok_timeseries", q9NonOkTimeseries, Some(q9Sql)),
     Q("q10_latency_timeseries", q10LatencyTimeseries, Some(q10Sql)),
+    Q("q11_ip_render", q11IpRender, Some(q11Sql)),
+    Q("q12_dns_names", q12DnsNames, Some(q12Sql)),
+    Q("q13_explode_tokens", q13ExplodeTokens, Some(q13Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
