@@ -268,6 +268,89 @@ object SparkEntry {
       |WHERE token <> '' GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q14–q16 — the relational surface Spark gives for free over the output
+  // tables (SURVEY §2.10: the reference answers these downstream; our engine
+  // exposes them as first-class operators): star-schema join with broadcast
+  // dims, window-function top-n per group, gap-based sessionization (the
+  // batch form of a session window).
+  // ---------------------------------------------------------------------
+  private def q14JoinEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    // nation/region are tiny at any SF (25/5 rows) -> broadcast; customer
+    // scales with SF -> shuffle hash/sort-merge picked by Catalyst+AQE.
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+           count(lit(1)).as("n_orders"))
+  }
+
+  private val q14Sql =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin
+
+  private def q15WindowTopn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+  }
+
+  private val q15Sql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t WHERE rn <= 3""".stripMargin
+
+  private def q16Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 48L * 3600 * 1000000 // 48h inactivity closes a session
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+             unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_no", sum(col("new_sess"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+  }
+
+  private val q16Sql =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts,
+      |         CAST(SUM(CASE WHEN prev_ts IS NULL
+      |                    OR epoch_us(ts) - epoch_us(prev_ts) > 172800000000
+      |                  THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+      |  FROM g)
+      |SELECT user_id, session_no, COUNT(*) AS n_events,
+      |       MIN(ts) AS session_start, MAX(ts) AS session_end
+      |FROM s GROUP BY user_id, session_no""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -283,6 +366,9 @@ object SparkEntry {
     Q("q11_ip_render", q11IpRender, Some(q11Sql)),
     Q("q12_dns_names", q12DnsNames, Some(q12Sql)),
     Q("q13_explode_tokens", q13ExplodeTokens, Some(q13Sql)),
+    Q("q14_join_enrich", q14JoinEnrich, Some(q14Sql)),
+    Q("q15_window_topn", q15WindowTopn, Some(q15Sql)),
+    Q("q16_sessionize", q16Sessionize, Some(q16Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
