@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.dns.DnsAnalog
 import graft.functions.{DnsNames, IpFunctions}
-import graft.operators.{AsOfMatch, GroupingSetCounter}
+import graft.operators.{AsOfMatch, Dedup, GroupingSetCounter, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -351,6 +351,96 @@ object SparkEntry {
       |FROM s GROUP BY user_id, session_no""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q17–q21 — training-data pipeline text operators over `documents`:
+  // token/quality stats, language ID, canonical fingerprint, exact dedup,
+  // n-gram-Jaccard near-dup via inverted-index join (operators/TextAnalysis,
+  // operators/Dedup). All pure codegen'd column expressions, no UDFs.
+  // ---------------------------------------------------------------------
+  private def q17TextStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(spark, dir).select(col("doc_id"),
+      TextAnalysis.tokenCount(t).as("n_tokens"),
+      TextAnalysis.bpeTokenCount(t).as("n_bpe_tokens"),
+      TextAnalysis.punctRatio(t).as("punct_ratio"),
+      TextAnalysis.avgTokenLen(t).as("avg_token_len"),
+      TextAnalysis.stopwordRatio(t).as("stopword_ratio"),
+      TextAnalysis.qualityScore(t).as("quality"))
+  }
+
+  private val q17Sql =
+    """WITH t AS (SELECT doc_id, text,
+      |             list_filter(string_split(text,' '), x -> x <> '') AS toks,
+      |             CASE WHEN length(text)=0 THEN 0.0
+      |                  ELSE length(regexp_replace(text,'[^.,!?;:]','','g'))*1.0/length(text)
+      |             END AS pr
+      |           FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+      |  pr AS punct_ratio,
+      |  CASE WHEN len(toks)=0 THEN 0.0
+      |       ELSE list_sum(list_transform(toks, x -> length(x)))*1.0/len(toks) END AS avg_token_len,
+      |  CASE WHEN len(toks)=0 THEN 0.0
+      |       ELSE len(list_filter(toks, x -> list_contains(['the','and','of','to','in','a','is'], x)))*1.0/len(toks) END AS stopword_ratio,
+      |  LEAST(1.0, len(toks)/100.0) * (1.0 - pr) AS quality
+      |FROM t""".stripMargin
+
+  private def q18LangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+
+  // Generated from the same marker table as TextAnalysis.langId — no drift.
+  private val q18Sql = {
+    val scores = TextAnalysis.LangMarkers.map { case (lang, words) =>
+      val s = words.map(w => s"(CASE WHEN contains(p, ' $w ') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      (lang, s"s_$lang", s"$s AS s_$lang")
+    }
+    val langs = scores.map(_._1)
+    val chain = langs.init.zipWithIndex.map { case (lang, i) =>
+      val rest = langs.drop(i + 1).map(l => s"s_$lang >= s_$l").mkString(" AND ")
+      s"WHEN $rest THEN '$lang'"
+    }.mkString(" ")
+    s"""WITH s AS (SELECT doc_id, ${scores.map(_._3).mkString(", ")}
+       |           FROM (SELECT doc_id, ' ' || text || ' ' AS p FROM documents))
+       |SELECT doc_id, CASE $chain ELSE '${langs.last}' END AS lang_pred FROM s""".stripMargin
+  }
+
+  private def q19Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+
+  private val q19Sql =
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
+      |                          '\s+', ' ', 'g'))) AS fp
+      |FROM documents""".stripMargin
+
+  private def q20DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir), "doc_id", "text")
+
+  private val q20Sql =
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
+      |FROM documents GROUP BY 1""".stripMargin
+
+  private def q21NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
+      n = 3, threshold = 0.5)
+
+  private val q21Sql =
+    """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
+      |sh AS (SELECT DISTINCT doc_id AS doc, sg FROM (
+      |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+      |    THEN list_transform(generate_series(1, len(tk)-2), i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])
+      |    ELSE [] END) AS sg FROM t)),
+      |sz AS (SELECT doc, count(*) AS s FROM sh GROUP BY 1),
+      |i AS (SELECT a.doc AS x, b.doc AS y, count(*) AS c
+      |      FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc < b.doc GROUP BY 1, 2)
+      |SELECT x AS doc_a, y AS doc_b, c*1.0/(sa.s + sb.s - c) AS jaccard
+      |FROM i JOIN sz sa ON i.x = sa.doc JOIN sz sb ON i.y = sb.doc
+      |WHERE c*1.0/(sa.s + sb.s - c) >= 0.5""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -369,6 +459,11 @@ object SparkEntry {
     Q("q14_join_enrich", q14JoinEnrich, Some(q14Sql)),
     Q("q15_window_topn", q15WindowTopn, Some(q15Sql)),
     Q("q16_sessionize", q16Sessionize, Some(q16Sql)),
+    Q("q17_text_stats", q17TextStats, Some(q17Sql)),
+    Q("q18_langid", q18LangId, Some(q18Sql)),
+    Q("q19_fingerprint", q19Fingerprint, Some(q19Sql)),
+    Q("q20_dedup_exact", q20DedupExact, Some(q20Sql)),
+    Q("q21_ngram_jaccard", q21NgramJaccard, Some(q21Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline, built
+  * entirely from codegen'd `org.apache.spark.sql.functions` (no UDFs in the
+  * hot path — every expression stays inside WholeStageCodegen and is
+  * column-prunable/pushdown-friendly at the parquet scan).
+  */
+object TextAnalysis {
+
+  /** Non-empty whitespace tokens. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+
+  /** Sliding n-token shingles ("n-grams of tokens"), the unit for
+    * near-duplicate detection; empty when the doc has fewer than n tokens. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val tk = tokens(text)
+    when(size(tk) >= n,
+      transform(sequence(lit(1), size(tk) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(tk, i + lit(k))): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count: alpha runs, digit runs, single symbols. */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0))).cast("long")
+
+  /** Punctuation-character share of all characters (0 when empty). */
+  def punctRatio(text: Column): Column = {
+    val punct = length(regexp_replace(text, "[^.,!?;:]", ""))
+    when(length(text) === 0, 0.0).otherwise(punct * lit(1.0) / length(text))
+  }
+
+  /** Mean token length (0 when no tokens). */
+  def avgTokenLen(text: Column): Column = {
+    val tk = tokens(text)
+    val total = aggregate(tk, lit(0), (acc, t) => acc + length(t))
+    when(size(tk) === 0, 0.0).otherwise(total * lit(1.0) / size(tk))
+  }
+
+  val EnglishStopwords: Seq[String] = Seq("the", "and", "of", "to", "in", "a", "is")
+
+  /** Share of tokens that are (English) stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val tk = tokens(text)
+    val sw = size(filter(tk, t => array_contains(typedLit(EnglishStopwords), t)))
+    when(size(tk) === 0, 0.0).otherwise(sw * lit(1.0) / size(tk))
+  }
+
+  /** Composite quality score in [0,1]: length credit × cleanliness. A
+    * deterministic linear form (no exp/log — bit-identical across engines). */
+  def qualityScore(text: Column): Column =
+    least(lit(1.0), tokenCount(text) / lit(100.0)) * (lit(1.0) - punctRatio(text))
+
+  /** Language-marker word lists (distinct across languages on purpose). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "es" -> Seq("el", "la", "que", "los", "una"),
+    "fr" -> Seq("le", "les", "des", "une", "est"),
+    "de" -> Seq("der", "die", "und", "nicht", "ist"),
+    "zh" -> Seq("的", "是", "不", "了", "在"))
+
+  /** N-gram-heuristic language ID: count marker-word hits per language,
+    * argmax with fixed priority order (en>es>fr>de>zh) on ties. */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val scores = LangMarkers.map { case (lang, words) =>
+      lang -> words.map(w =>
+        when(padded.contains(s" $w "), 1).otherwise(0)).reduce(_ + _)
+    }
+    scores.zipWithIndex.init.foldRight(lit(scores.last._1): Column) {
+      (elem, acc) =>
+        val ((lang, s), i) = elem
+        val rest = scores.drop(i + 1).map(_._2)
+        when(rest.map(r => s >= r).reduce(_ && _), lang).otherwise(acc)
+    }
+  }
+
+  /** Canonical-form document fingerprint: lowercase, strip punctuation,
+    * collapse whitespace, md5. Equal fingerprints ⇒ same canonical text. */
+  def fingerprint(text: Column): Column = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(text), "[.,!?;:]", ""), "\\s+", " "))
+    md5(norm.cast("binary"))
+  }
+}
