@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.dns.DnsAnalog
 import graft.functions.{DnsNames, IpFunctions}
-import graft.operators.{AsOfMatch, Dedup, GroupingSetCounter, TextAnalysis}
+import graft.operators.{AsOfMatch, Dedup, GroupingSetCounter, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -441,6 +441,66 @@ object SparkEntry {
       |WHERE c*1.0/(sa.s + sb.s - c) >= 0.5""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q22–q24 — similarity search over embeddings (operators/Similarity):
+  // exact brute-force top-k, LSH-bucketed ANN (the scale path), and
+  // embedding-cosine near-dup pairs. Cosine is a codegen'd native
+  // expression; the DuckDB oracle reproduces the identical left-to-right
+  // double accumulation via list_reduce (verified bit-exact).
+  // ---------------------------------------------------------------------
+  /** DuckDB cosine with the same op order as functions.VectorOps.cosine. */
+  private def duckCosine(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)" +
+      s" / (sqrt(list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)), (x,y) -> x+y))" +
+      s" * sqrt(list_reduce(list_transform(generate_series(1, len($b)), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)))"
+
+  private def duckBucket(e: String, bits: Int = 6): String =
+    "CAST(" + (0 until bits)
+      .map(i => s"(CASE WHEN $e[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ") + " AS BIGINT)"
+
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+
+  private def probes(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+
+  private def q22KnnBruteforce(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnBruteForce(corpus(spark, dir), probes(spark, dir), k = 5)
+
+  private val q22Sql =
+    s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 3),
+      |s AS (SELECT probe_id, e.vec_id, ${duckCosine("pe", "e.embedding")} AS cosine
+      |      FROM p, embeddings e WHERE e.vec_id <> p.probe_id),
+      |r AS (SELECT probe_id, vec_id, cosine,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rn
+      |      FROM s)
+      |SELECT probe_id, vec_id, cosine, rn FROM r WHERE rn <= 5""".stripMargin
+
+  private def q23AnnLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.annLshBucketed(corpus(spark, dir), probes(spark, dir), k = 3)
+
+  private val q23Sql =
+    s"""WITH eb AS (SELECT vec_id, embedding, ${duckBucket("embedding")} AS bucket FROM embeddings),
+      |p AS (SELECT vec_id AS probe_id, embedding AS pe, bucket AS pbucket FROM eb WHERE vec_id < 3),
+      |s AS (SELECT probe_id, e.vec_id, ${duckCosine("pe", "e.embedding")} AS cosine
+      |      FROM p JOIN eb e ON e.bucket = p.pbucket AND e.vec_id <> p.probe_id),
+      |r AS (SELECT probe_id, vec_id, cosine,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rn
+      |      FROM s)
+      |SELECT probe_id, vec_id, cosine, rn FROM r WHERE rn <= 3""".stripMargin
+
+  private def q24EmbeddingDedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingCosinePairs(corpus(spark, dir), threshold = 0.4)
+
+  private val q24Sql =
+    s"""SELECT vec_a, vec_b, cosine FROM (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |         ${duckCosine("a.embedding", "b.embedding")} AS cosine
+      |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id) t
+      |WHERE cosine >= 0.4""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -464,6 +524,9 @@ object SparkEntry {
     Q("q19_fingerprint", q19Fingerprint, Some(q19Sql)),
     Q("q20_dedup_exact", q20DedupExact, Some(q20Sql)),
     Q("q21_ngram_jaccard", q21NgramJaccard, Some(q21Sql)),
+    Q("q22_knn_bruteforce", q22KnnBruteforce, Some(q22Sql)),
+    Q("q23_ann_lsh", q23AnnLsh, Some(q23Sql)),
+    Q("q24_embedding_dedup", q24EmbeddingDedup, Some(q24Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
