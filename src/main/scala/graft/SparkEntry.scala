@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.dns.DnsAnalog
+import graft.codec.{DnsWire, DnstapCodec}
+import graft.dns.{DnsAnalog, DnstapRows}
 import graft.functions.{DnsNames, IpFunctions}
 import graft.operators.{AsOfMatch, Dedup, GroupingSetCounter, Similarity, TextAnalysis}
 
@@ -501,6 +502,61 @@ object SparkEntry {
       |WHERE cosine >= 0.4""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q25 — end-to-end dnstap codec drive (S3/S4 + P1–P8 + F1): events rows
+  // are rendered into real dnstap protobuf frames (ProtoWriter + DNS wire
+  // encoder), then decoded back through the full source path
+  // (DnstapCodec.decode → DnsWire.parse → DnstapRows.toQueryRows). The
+  // oracle recomputes the expected rows directly from events — any codec
+  // bug breaks the hash match. Deserialization is inherently row-wise, so
+  // this is a typed Dataset map (the one sanctioned non-columnar stage,
+  // SURVEY §4 "custom work").
+  // ---------------------------------------------------------------------
+  private def q25DnstapPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qtypeCodes = Array(1, 5, 15, 16, 28, 65, 9999)
+    val frames = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").as("k"))
+      .as[(Long, java.sql.Timestamp, Long, String, String)]
+      .map { case (eventId, ts, userId, eventType, k) =>
+        val addr = Array(
+          ((userId >> 24) & 0xff).toByte, ((userId >> 16) & 0xff).toByte,
+          ((userId >> 8) & 0xff).toByte, (userId & 0xff).toByte)
+        val wire = DnsWire.encode((eventId % 65536).toInt, 0, isResponse = false,
+          Seq(DnsWire.Question(s"q$k.example.com.", qtypeCodes((userId % 7).toInt))))
+        val inst = ts.toInstant
+        DnstapCodec.encode(DnstapCodec.Frame(DnstapCodec.TypeMessage, Some(eventType),
+          Some(DnstapCodec.Message(DnstapCodec.ClientQuery,
+            queryAddress = Some(addr),
+            queryPort = Some((1024 + userId % 60000).toInt),
+            queryTimeSec = Some(inst.getEpochSecond),
+            queryTimeNsec = Some(inst.getNano),
+            queryMessage = Some(wire)))))
+      }
+    frames
+      .flatMap(b => DnstapCodec.decode(b).toSeq.flatMap(f => DnstapRows.toQueryRows(f)))
+      .select(col("queryTime").as("query_time"), col("identity"),
+        col("queryAddress").as("query_address"), col("queryPort").as("query_port"),
+        col("questionName").as("question_name"), col("questionType").as("question_type"),
+        col("id").cast("long").as("id"), col("counter"))
+  }
+
+  private val q25Sql =
+    """SELECT ts AS query_time, event_type AS identity,
+      |  CAST((user_id // 16777216) % 256 AS VARCHAR) || '.' ||
+      |    CAST((user_id // 65536) % 256 AS VARCHAR) || '.' ||
+      |    CAST((user_id // 256) % 256 AS VARCHAR) || '.' ||
+      |    CAST(user_id % 256 AS VARCHAR) AS query_address,
+      |  CAST(1024 + user_id % 60000 AS INTEGER) AS query_port,
+      |  'q' || json_extract_string(props, '$.k') || '.example.com.' AS question_name,
+      |  CASE user_id % 7 WHEN 0 THEN 'A' WHEN 1 THEN 'CNAME' WHEN 2 THEN 'MX'
+      |       WHEN 3 THEN 'TXT' WHEN 4 THEN 'AAAA' WHEN 5 THEN 'HTTPS'
+      |       ELSE 'TYPE9999' END AS question_type,
+      |  event_id % 65536 AS id,
+      |  CAST(1 AS BIGINT) AS counter
+      |FROM events""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -527,6 +583,7 @@ object SparkEntry {
     Q("q22_knn_bruteforce", q22KnnBruteforce, Some(q22Sql)),
     Q("q23_ann_lsh", q23AnnLsh, Some(q23Sql)),
     Q("q24_embedding_dedup", q24EmbeddingDedup, Some(q24Sql)),
+    Q("q25_dnstap_pipeline", q25DnstapPipeline, Some(q25Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
