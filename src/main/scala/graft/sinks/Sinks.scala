@@ -1,0 +1,93 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
+
+/** Micro-batch sinks (K1–K3, /root/reference/src/clickhouse/clickhouse.go).
+  *
+  * The reference's sink is a ClickHouse columnar-insert writer with
+  * config-driven column projection (empty configured name drops the
+  * column), a linear-backoff retry queue capped at 16 batches (overflow =
+  * silent data loss). Our equivalents:
+  *   - projection: `ColumnProjection.apply` — a `select`, so Catalyst
+  *     prunes the dropped columns all the way into the upstream plan (O3);
+  *   - delivery: `RetryingSink` retries with the reference's backoff
+  *     schedule but then FAILS the batch instead of dropping data — Spark's
+  *     checkpointed micro-batch retry is a strict upgrade over drop-on-
+  *     overflow (SURVEY O8 recommendation);
+  *   - targets: parquet append (the lake-native default), an in-memory
+  *     collector for tests, and a JDBC writer for real ClickHouse
+  *     deployments (`clickhouse-jdbc` on the classpath; not exercisable in
+  *     this offline environment).
+  */
+trait BatchSink extends Serializable {
+  def write(df: DataFrame, batchId: Long): Unit
+}
+
+/** Config-driven output projection: (sourceColumn → outputName); empty
+  * output name drops the column, mirroring clickhouse.go:124-137. */
+final case class ColumnProjection(mapping: Seq[(String, String)]) {
+  def apply(df: DataFrame): DataFrame = {
+    val cols = mapping.collect { case (src, out) if out.nonEmpty => col(src).as(out) }
+    if (cols.isEmpty) df else df.select(cols: _*)
+  }
+}
+object ColumnProjection {
+  val identity: ColumnProjection = ColumnProjection(Nil)
+}
+
+final class ParquetAppendSink(path: String,
+                              projection: ColumnProjection = ColumnProjection.identity)
+    extends BatchSink {
+  override def write(df: DataFrame, batchId: Long): Unit =
+    projection(df).write.mode("append").parquet(path)
+}
+
+/** JDBC batch writer (ClickHouse via clickhouse-jdbc, or any JDBC store). */
+final class JdbcBatchSink(url: String, table: String,
+                          options: Map[String, String] = Map.empty,
+                          projection: ColumnProjection = ColumnProjection.identity)
+    extends BatchSink {
+  override def write(df: DataFrame, batchId: Long): Unit =
+    projection(df).write.mode("append")
+      .format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .options(options)
+      .save()
+}
+
+/** Test sink: collects projected rows on the driver. */
+final class CollectingSink(projection: ColumnProjection = ColumnProjection.identity)
+    extends BatchSink {
+  private val buf = new scala.collection.mutable.ArrayBuffer[Row]()
+  @volatile var columns: Seq[String] = Nil
+  override def write(df: DataFrame, batchId: Long): Unit = {
+    val p = projection(df)
+    val rows = p.collect()
+    buf.synchronized { buf ++= rows; columns = p.columns.toSeq }
+  }
+  def rows: Seq[Row] = buf.synchronized { buf.toVector }
+  def clear(): Unit = buf.synchronized { buf.clear() }
+}
+
+/** Linear-backoff retry decorator (reference schedule: +`stepMs` per
+  * failure up to `maxMs`, clickhouse.go:39-40,361-413) that surfaces the
+  * failure after `maxAttempts` instead of dropping data. */
+final class RetryingSink(inner: BatchSink, maxAttempts: Int = 5,
+                         stepMs: Long = 10000, maxMs: Long = 300000,
+                         sleep: Long => Unit = Thread.sleep)
+    extends BatchSink {
+  override def write(df: DataFrame, batchId: Long): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try { inner.write(df, batchId); done = true }
+      catch {
+        case e: Exception =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw e
+          sleep(math.min(stepMs * attempt, maxMs))
+      }
+    }
+  }
+}
