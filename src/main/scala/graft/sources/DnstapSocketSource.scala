@@ -1,0 +1,245 @@
+package graft.sources
+
+import java.net.{StandardProtocolFamily, UnixDomainSocketAddress}
+import java.nio.channels.{Channels, ClosedChannelException, ServerSocketChannel, SocketChannel}
+import java.nio.file.{Files, Paths}
+import java.util
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Streaming DataSourceV2 for the reference's dnstap unix-socket source
+  * (S1/S2, /root/reference/src/dnstap/dnstap.go:90-210): listens on a unix
+  * domain socket, a pool of reader threads drains accepted connections
+  * through the frame-streams codec, and each micro-batch serves the frames
+  * buffered since the last trigger.
+  *
+  * ```
+  * spark.readStream.format("graft-dnstap")
+  *   .option("path", "/run/dnstap.sock")
+  *   .option("readers", 4)                 // reference Dnstap.Readers, max 32
+  *   .option("maxFramesPerTrigger", 10000) // admission control (O10)
+  *   .load()                               // schema: value BINARY
+  * ```
+  *
+  * Like Spark's own socket source this is a non-replayable edge source:
+  * frames are buffered on the driver between triggers and dropped once the
+  * batch commits, so an unclean restart loses in-flight frames — exactly
+  * the reference's durability model (SURVEY §3: channels and maps are
+  * memory-only). For replayable ingestion, front it with a log and use the
+  * file/Kafka source instead. The socket bind retries with the reference's
+  * exponential schedule (wait*2+1 capped at 60 s, dnstap.go:112-124).
+  */
+final class DnstapSocketDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-dnstap"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    DnstapSocketSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new DnstapSocketTable
+}
+
+object DnstapSocketSource {
+  val Schema: StructType = StructType(Seq(StructField("value", BinaryType)))
+  /** Reference cap on the reader pool (dnstap.go:38). */
+  val MaxReaders = 32
+}
+
+final class DnstapSocketTable extends Table with SupportsRead {
+  override def name(): String = "graft-dnstap-socket"
+  override def schema(): StructType = DnstapSocketSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new DnstapSocketScan(options)
+}
+
+final class DnstapSocketScan(options: CaseInsensitiveStringMap) extends Scan {
+  override def readSchema(): StructType = DnstapSocketSource.Schema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-dnstap source requires option 'path'"))
+    val readers = math.min(
+      Option(options.get("readers")).map(_.toInt).getOrElse(1),
+      DnstapSocketSource.MaxReaders)
+    val maxFrames = Option(options.get("maxFramesPerTrigger")).map(_.toLong)
+    val maxFrameBytes = Option(options.get("maxFrameBytes")).map(_.toInt)
+      .getOrElse(FrameStreams.DefaultMaxFrameBytes)
+    new DnstapSocketMicroBatchStream(path, readers, maxFrames, maxFrameBytes)
+  }
+}
+
+final case class FrameOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+final class DnstapSocketMicroBatchStream(path: String, readers: Int,
+                                         maxFramesPerTrigger: Option[Long],
+                                         maxFrameBytes: Int)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  // Frame buffer: frames(i) holds offset firstOffset + i. Committed
+  // prefixes are trimmed (the agg channel analog, bounded by commit pace).
+  private val frames = mutable.ArrayBuffer.empty[Array[Byte]]
+  private var firstOffset = 0L
+  private val lock = new Object
+
+  private val server = new FrameSocketServer(path, readers, maxFrameBytes,
+    frame => lock.synchronized { frames += frame })
+  server.start()
+
+  private def endOffset: Long = lock.synchronized(firstOffset + frames.length)
+
+  override def initialOffset(): Offset = FrameOffset(0L)
+  override def deserializeOffset(json: String): Offset = FrameOffset(json.toLong)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFramesPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("use latestOffset(Offset, ReadLimit)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val end = endOffset
+    val from = start.asInstanceOf[FrameOffset].n
+    val capped = limit match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        math.min(end, from + r.maxRows())
+      case _ => end
+    }
+    FrameOffset(capped)
+  }
+
+  override def reportLatestOffset(): Offset = FrameOffset(endOffset)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FrameOffset].n
+    val e = end.asInstanceOf[FrameOffset].n
+    val slice = lock.synchronized {
+      // A restart past trimmed data serves what remains (non-replayable).
+      val lo = math.max(s, firstOffset)
+      frames.slice((lo - firstOffset).toInt, (e - firstOffset).toInt).toArray
+    }
+    if (slice.isEmpty) Array.empty
+    else {
+      // one partition per reader thread's worth of frames, capped at the
+      // pool size — downstream parse/explode parallelism follows O9
+      val nSplits = math.max(1, math.min(readers, slice.length))
+      val chunk = (slice.length + nSplits - 1) / nSplits
+      slice.grouped(chunk).map(g => FramesPartition(g): InputPartition).toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = FrameReaderFactory
+
+  override def commit(end: Offset): Unit = lock.synchronized {
+    val e = end.asInstanceOf[FrameOffset].n
+    if (e > firstOffset) {
+      frames.dropInPlace((e - firstOffset).toInt)
+      firstOffset = e
+    }
+  }
+
+  override def stop(): Unit = server.close()
+}
+
+final case class FramesPartition(frames: Array[Array[Byte]]) extends InputPartition
+
+object FrameReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val fs = partition.asInstanceOf[FramesPartition].frames
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < fs.length }
+      override def get(): InternalRow = new GenericInternalRow(Array[Any](fs(i)))
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Driver-side unix-socket listener + reader pool (S1/S2). Accepted
+  * connections queue up; `readers` threads pull one connection at a time
+  * and pump its frame-streams data frames into `emit` — the exact shape of
+  * the reference's ConnChannel + reader workers (dnstap.go:140-210). */
+final class FrameSocketServer(path: String, readers: Int, maxFrameBytes: Int,
+                              emit: Array[Byte] => Unit) extends AutoCloseable {
+
+  private val address = UnixDomainSocketAddress.of(path)
+  @volatile private var closed = false
+  private var channel: ServerSocketChannel = _
+  private val pending = new ConcurrentLinkedQueue[SocketChannel]()
+  private val threads = mutable.ArrayBuffer.empty[Thread]
+  private val bound = new CountDownLatch(1)
+
+  def start(): Unit = {
+    val acceptor = new Thread(() => {
+      // exponential bind retry: wait = wait*2+1 capped at 60 s
+      var waitSec = 0L
+      var ch: ServerSocketChannel = null
+      while (ch == null && !closed) {
+        try {
+          Files.deleteIfExists(Paths.get(path))
+          ch = ServerSocketChannel.open(StandardProtocolFamily.UNIX)
+          ch.bind(address)
+        } catch {
+          case _: java.io.IOException =>
+            waitSec = math.min(waitSec * 2 + 1, 60L)
+            Thread.sleep(waitSec * 1000)
+        }
+      }
+      channel = ch
+      bound.countDown()
+      try {
+        while (!closed) pending.add(ch.accept())
+      } catch {
+        case _: ClosedChannelException => ()
+        case _: java.io.IOException if closed => ()
+      }
+    }, s"graft-dnstap-acceptor")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    threads += acceptor
+
+    (0 until math.max(1, readers)).foreach { i =>
+      val t = new Thread(() => {
+        while (!closed) {
+          val conn = pending.poll()
+          if (conn == null) Thread.sleep(10)
+          else {
+            try {
+              val in = Channels.newInputStream(conn)
+              val out = Channels.newOutputStream(conn)
+              val r = new FrameStreams.Reader(in, Some(out), maxFrameBytes)
+              var frame = r.next()
+              while (frame.isDefined) { emit(frame.get); frame = r.next() }
+            } catch {
+              case _: Exception => () // bad peer: drop the connection
+            } finally conn.close()
+          }
+        }
+      }, s"graft-dnstap-reader-$i")
+      t.setDaemon(true)
+      t.start()
+      threads += t
+    }
+  }
+
+  /** Test hook: block until the socket is bound and accepting. */
+  def awaitBound(): Unit = bound.await()
+
+  override def close(): Unit = {
+    closed = true
+    if (channel != null) channel.close()
+    Files.deleteIfExists(Paths.get(path))
+  }
+}
