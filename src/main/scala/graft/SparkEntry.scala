@@ -557,6 +557,83 @@ object SparkEntry {
       |FROM events""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q26–q28 — sketch-based dedup (operators/Dedup): MinHash signatures +
+  // banded LSH candidates with exact-Jaccard verify, and 32-bit SimHash
+  // fingerprints + hamming-distance pairs via byte-band blocking. Oracle
+  // SQL is generated from the same coefficient tables as the Scala
+  // operators, over the shared dialect-portable base hash
+  // (first 8 hex chars of md5 as an integer).
+  // ---------------------------------------------------------------------
+  private val shingleCte =
+    """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
+      |sh AS (SELECT DISTINCT doc_id AS doc, sg FROM (
+      |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+      |    THEN list_transform(generate_series(1, len(tk)-2), i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])
+      |    ELSE [] END) AS sg FROM t))""".stripMargin
+
+  private def q26MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minHashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
+      n = 3, rowsPerBand = 3, threshold = 0.3)
+
+  private val q26Sql = {
+    val p = Dedup.MinHashP
+    val minExprs = Dedup.MinHashCoeffs.zipWithIndex
+      .map { case ((a, b), i) => s"MIN((h*$a+$b)%$p) AS m$i" }.mkString(", ")
+    val bandSelects = (0 until Dedup.MinHashCoeffs.length / 3).map { bi =>
+      val cat = (0 until 3).map(j => s"CAST(m${bi * 3 + j} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc, $bi AS band, $cat AS bv FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""$shingleCte,
+      |h AS (SELECT doc, CAST(('0x' || substr(md5(sg),1,8)) AS BIGINT) % $p AS h FROM sh),
+      |sig AS (SELECT doc, $minExprs FROM h GROUP BY doc),
+      |bands AS ($bandSelects),
+      |cand AS (SELECT DISTINCT a.doc AS x, b.doc AS y FROM bands a
+      |         JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc < b.doc),
+      |sz AS (SELECT doc, count(*) AS s FROM sh GROUP BY doc),
+      |i AS (SELECT x, y, count(*) AS c FROM cand
+      |      JOIN sh sa ON sa.doc = x JOIN sh sb ON sb.doc = y AND sa.sg = sb.sg
+      |      GROUP BY x, y)
+      |SELECT x AS doc_a, y AS doc_b, c*1.0/(za.s + zb.s - c) AS jaccard
+      |FROM i JOIN sz za ON x = za.doc JOIN sz zb ON y = zb.doc
+      |WHERE c*1.0/(za.s + zb.s - c) >= 0.3""".stripMargin
+  }
+
+  private val simhashCte = {
+    val sums = (0 until 32)
+      .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+    val bits = (0 until 32)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""WITH tk AS (SELECT DISTINCT doc_id,
+      |              unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok
+      |            FROM documents),
+      |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok),1,8)) AS BIGINT) AS h FROM tk),
+      |s AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+      |sim AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM s)""".stripMargin
+  }
+
+  private def q27Simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simHash(Tables.documents(spark, dir), "doc_id", "text")
+
+  private val q27Sql = s"$simhashCte\nSELECT doc_id, simhash FROM sim"
+
+  private def q28SimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(Tables.documents(spark, dir), "doc_id", "text",
+      maxHamming = 3)
+
+  private val q28Sql =
+    s"""$simhashCte,
+      |bands AS (SELECT doc_id, simhash, band, (simhash >> (band*8)) & 255 AS bv
+      |          FROM sim CROSS JOIN (SELECT unnest([0,1,2,3]) AS band)),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |                a.simhash AS sa, b.simhash AS sb
+      |         FROM bands a JOIN bands b
+      |           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -584,6 +661,9 @@ object SparkEntry {
     Q("q23_ann_lsh", q23AnnLsh, Some(q23Sql)),
     Q("q24_embedding_dedup", q24EmbeddingDedup, Some(q24Sql)),
     Q("q25_dnstap_pipeline", q25DnstapPipeline, Some(q25Sql)),
+    Q("q26_minhash_lsh", q26MinhashLsh, Some(q26Sql)),
+    Q("q27_simhash", q27Simhash, Some(q27Sql)),
+    Q("q28_simhash_pairs", q28SimhashPairs, Some(q28Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
