@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import graft.codec.{DnsWire, DnstapCodec}
 import graft.dns.{DnsAnalog, DnstapRows}
 import graft.functions.{DnsNames, IpFunctions}
-import graft.operators.{AsOfMatch, Dedup, GroupingSetCounter, Similarity, TextAnalysis}
+import graft.operators.{AsOfMatch, Dedup, GroupingSetCounter, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -634,6 +634,54 @@ object SparkEntry {
       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q29–q31 — multimodal binary-column plumbing (operators/Multimodal):
+  // documents are packed into a deterministic fake media container
+  // (binary column), then decoded back through batch-wise partition maps
+  // (metadata extract, feature extract, frame sampling). The oracle
+  // recomputes every output directly from the source text, so any bug in
+  // the binary round-trip breaks the hash match.
+  // ---------------------------------------------------------------------
+  private def mediaOf(spark: SparkSession, dir: String) =
+    Multimodal.attachMedia(Tables.documents(spark, dir))
+
+  private def q29MediaMetadata(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractMetadata(mediaOf(spark, dir)).toDF()
+
+  private val q29Sql =
+    """SELECT doc_id, 'grft' AS format,
+      |  CAST(64 + doc_id % 1024 AS INTEGER) AS width,
+      |  CAST(64 + (doc_id * 7) % 768 AS INTEGER) AS height,
+      |  CAST(16 + strlen(text) AS BIGINT) AS n_bytes
+      |FROM documents""".stripMargin
+
+  private def q30MediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(mediaOf(spark, dir)).toDF()
+
+  private val q30Sql =
+    """WITH f AS (SELECT doc_id, strlen(text) AS pl,
+      |             COALESCE(list_sum(list_transform(string_split(text,''), c -> ord(c))), 0) AS cps,
+      |             length(text) AS n_cp
+      |           FROM documents)
+      |SELECT doc_id, CAST(16 + pl AS BIGINT) AS n_bytes,
+      |  CAST((pl + 255) // 256 AS BIGINT) AS n_frames,
+      |  CAST(cps % 1000000007 AS BIGINT) AS checksum,
+      |  CAST(CASE WHEN n_cp = 0 THEN 0 ELSE cps // n_cp END AS BIGINT) AS avg_codepoint
+      |FROM f""".stripMargin
+
+  private def q31FrameSample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(mediaOf(spark, dir), every = 2).toDF()
+
+  private val q31Sql =
+    """WITH f AS (SELECT doc_id, strlen(text) AS pl,
+      |             (strlen(text) + 255) // 256 AS nf
+      |           FROM documents),
+      |x AS (SELECT doc_id, pl, unnest(generate_series(0, nf - 1, 2)) AS i FROM f)
+      |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+      |  CAST(16 + i * 256 AS BIGINT) AS frame_off,
+      |  CAST(LEAST(256, pl - i * 256) AS BIGINT) AS frame_len
+      |FROM x""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -664,6 +712,9 @@ object SparkEntry {
     Q("q26_minhash_lsh", q26MinhashLsh, Some(q26Sql)),
     Q("q27_simhash", q27Simhash, Some(q27Sql)),
     Q("q28_simhash_pairs", q28SimhashPairs, Some(q28Sql)),
+    Q("q29_media_metadata", q29MediaMetadata, Some(q29Sql)),
+    Q("q30_media_features", q30MediaFeatures, Some(q30Sql)),
+    Q("q31_frame_sample", q31FrameSample, Some(q31Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
