@@ -1,0 +1,68 @@
+package graft.config
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftConfigSpec extends AnyFunSuite {
+
+  test("empty config yields the reference defaults") {
+    val c = GraftConfig.fromToml("")
+    assert(c == GraftConfig.defaults)
+    assert(c.writeIntervalSecs == 20 && c.readers == 1)
+    assert(c.clientResponseTimeSamples == false)
+    assert(c.pipelineConfig.sampleIntervalSecs == 10) // WriteInterval/2 derived
+  }
+
+  test("present keys patch defaults; absent keys keep them") {
+    val c = GraftConfig.fromToml(
+      """LogLevel = "debug"  # trailing comment
+        |[Aggregator]
+        |WriteInterval = "45s"
+        |Aggregate = false
+        |[Dnstap]
+        |Readers = 8
+        |ClientResponseTimeSamples = true
+        |[ClickHouse]
+        |Hosts = "ch1:9440,ch2:9440"
+        |QuestionTypeColumn = ""
+        |""".stripMargin)
+    assert(c.logLevel == "debug")
+    assert(c.writeIntervalSecs == 45 && !c.aggregate)
+    assert(c.readers == 8 && c.clientResponseTimeSamples)
+    assert(c.hosts == "ch1:9440,ch2:9440")
+    assert(c.nonOkClientResponses) // untouched default
+    val p = c.pipelineConfig
+    assert(!p.aggregate && p.writeIntervalSecs == 45 && p.clientResponseTimeSamples)
+  }
+
+  test("empty column name drops the column from the projection (K1)") {
+    val c = GraftConfig.fromToml(
+      """[ClickHouse]
+        |QuestionNameColumn = ""
+        |QuestionTypeColumn = ""
+        |QueryAddressColumn = "client"
+        |""".stripMargin)
+    assert(c.queryProjection.mapping.filter(_._2.nonEmpty).map(_._1) ==
+      Seq("queryTime", "identity", "queryAddress", "counter"))
+    assert(c.queryProjection.mapping.toMap.apply("queryAddress") == "client")
+  }
+
+  test("durations parse in ms/s/m/h") {
+    assert(Toml.durationSecs("1500ms") == 1)
+    assert(Toml.durationSecs("20s") == 20)
+    assert(Toml.durationSecs("5m") == 300)
+    assert(Toml.durationSecs("1h") == 3600)
+    intercept[IllegalArgumentException](Toml.durationSecs("20x"))
+  }
+
+  test("malformed lines and values are rejected") {
+    intercept[IllegalArgumentException](Toml.parse("not a kv line"))
+    intercept[IllegalArgumentException](GraftConfig.fromToml(
+      "[Dnstap]\nReaders = \"many\""))
+  }
+
+  test("socket options feed the graft-dnstap source") {
+    val c = GraftConfig.fromToml(
+      "[Dnstap]\nUnixSocket = \"/tmp/d.sock\"\nReaders = 4")
+    assert(c.socketOptions == Map("path" -> "/tmp/d.sock", "readers" -> "4"))
+  }
+}
