@@ -585,14 +585,14 @@ object SparkEntry {
       s"SELECT doc, $bi AS band, $cat AS bv FROM sig"
     }.mkString(" UNION ALL ")
     s"""$shingleCte,
-      |h AS (SELECT doc, CAST(('0x' || substr(md5(sg),1,8)) AS BIGINT) % $p AS h FROM sh),
-      |sig AS (SELECT doc, $minExprs FROM h GROUP BY doc),
+      |hh AS (SELECT DISTINCT doc, CAST(('0x' || substr(md5(sg),1,15)) AS BIGINT) AS h FROM sh),
+      |sig AS (SELECT doc, $minExprs FROM (SELECT doc, h % $p AS h FROM hh) GROUP BY doc),
       |bands AS ($bandSelects),
       |cand AS (SELECT DISTINCT a.doc AS x, b.doc AS y FROM bands a
       |         JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc < b.doc),
-      |sz AS (SELECT doc, count(*) AS s FROM sh GROUP BY doc),
+      |sz AS (SELECT doc, count(*) AS s FROM hh GROUP BY doc),
       |i AS (SELECT x, y, count(*) AS c FROM cand
-      |      JOIN sh sa ON sa.doc = x JOIN sh sb ON sb.doc = y AND sa.sg = sb.sg
+      |      JOIN hh sa ON sa.doc = x JOIN hh sb ON sb.doc = y AND sa.h = sb.h
       |      GROUP BY x, y)
       |SELECT x AS doc_a, y AS doc_b, c*1.0/(za.s + zb.s - c) AS jaccard
       |FROM i JOIN sz za ON x = za.doc JOIN sz zb ON y = zb.doc

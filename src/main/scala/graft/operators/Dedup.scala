@@ -32,26 +32,36 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         maxShingleDf: Long = 0L): DataFrame = {
+    // 64-bit shingle hashes, not shingle strings, flow through the joins
+    // (collision probability ~n²/2^65 — negligible at any corpus size).
     val sh0 = df
-      .select(col(idCol).as("doc"), explode(TextAnalysis.shingles(col(textCol), n)).as("sg"))
+      .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col("doc"),
+        explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("sg"))
+      .select(col("doc"), xxhash64(col("sg")).as("h"))
       .distinct()
     val sh =
       if (maxShingleDf <= 0) sh0
       else {
-        val dfreq = sh0.groupBy("sg").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxShingleDf).select("sg")
-        sh0.join(dfreq, "sg")
+        val dfreq = sh0.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDf).select("h")
+        sh0.join(dfreq, "h")
       }
+    // carry each doc's shingle-set size into the index so the exact
+    // size-ratio bound (jaccard >= t ⇒ min(sz) >= t*max(sz)) prunes pairs
+    // inside the join itself, before any pair reaches the aggregation
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.sg") === col("b.sg") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+    val idx = sh.join(sizes, "doc")
+    idx.as("a")
+      .join(idx.as("b"),
+        col("a.h") === col("b.h") && col("a.doc") < col("b.doc") &&
+          least(col("a.sz"), col("b.sz")) >=
+            lit(threshold) * greatest(col("a.sz"), col("b.sz")))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"))
       .agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc"))
       .select(col("doc_a"), col("doc_b"),
-        (col("c") * lit(1.0) / (col("sa.sz") + col("sb.sz") - col("c"))).as("jaccard"))
+        (col("c") * lit(1.0) / (col("sza") + col("szb") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -64,6 +74,12 @@ object Dedup {
   /** Dialect-portable 32-bit content hash. */
   def baseHash32(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** Dialect-portable 60-bit content hash (15 hex chars of md5): wide
+    * enough that join-key collisions are negligible at any corpus size,
+    * small enough to stay a positive BIGINT in every dialect. */
+  def baseHash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
   /** Mersenne prime 2^31-1: universal-hash modulus small enough that
     * `a*h+b` stays inside 63 bits for 31-bit `a`, `h`. */
@@ -91,14 +107,19 @@ object Dedup {
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, rowsPerBand: Int = 3,
                       threshold: Double = 0.3): DataFrame = {
+    // shingle strings are hashed once (60-bit, oracle-reproducible) and
+    // never flow further: signatures, sizes, and the verify join all work
+    // on the hash — at scale only fixed-width keys shuffle
     val sh = df
-      .select(col(idCol).as("doc"), explode(TextAnalysis.shingles(col(textCol), n)).as("sg"))
+      .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col("doc"),
+        explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("sg"))
+      .select(col("doc"), baseHash60(col("sg")).as("h"))
       .distinct()
-    val hashed = sh.select(col("doc"), (baseHash32(col("sg")) % MinHashP).as("h"))
     val mins = MinHashCoeffs.zipWithIndex.map { case ((a, b), i) =>
-      min((col("h") * lit(a) + lit(b)) % lit(MinHashP)).as(s"m$i")
+      min((col("h") % lit(MinHashP) * lit(a) + lit(b)) % lit(MinHashP)).as(s"m$i")
     }
-    val sig = hashed.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
+    val sig = sh.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
     val nBands = MinHashCoeffs.length / rowsPerBand
     val bandCols = (0 until nBands).map { bIdx =>
       concat_ws(",",
@@ -112,38 +133,41 @@ object Dedup {
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
-    // exact verify restricted to candidates (bounded by LSH recall)
+    // exact verify restricted to candidates (bounded by LSH recall), with
+    // the size-ratio bound (jaccard >= t ⇒ min(sz) >= t*max(sz)) applied
+    // before intersections are counted
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc") && col("sa.sg") === col("sb.sg"))
-      .groupBy(col("doc_a"), col("doc_b"))
+    val idx = sh.join(sizes, "doc")
+    cand
+      .join(idx.as("sa"), col("doc_a") === col("sa.doc"))
+      .join(idx.as("sb"),
+        col("doc_b") === col("sb.doc") && col("sa.h") === col("sb.h") &&
+          least(col("sa.sz"), col("sb.sz")) >=
+            lit(threshold) * greatest(col("sa.sz"), col("sb.sz")))
+      .groupBy(col("doc_a"), col("doc_b"),
+        col("sa.sz").as("sza"), col("sb.sz").as("szb"))
       .agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.as("za"), col("doc_a") === col("za.doc"))
-      .join(sizes.as("zb"), col("doc_b") === col("zb.doc"))
       .select(col("doc_a"), col("doc_b"),
-        (col("c") * lit(1.0) / (col("za.sz") + col("zb.sz") - col("c"))).as("jaccard"))
+        (col("c") * lit(1.0) / (col("sza") + col("szb") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
   /** 32-bit SimHash over distinct whitespace tokens: bit j of the
     * fingerprint is set when more token hashes have bit j set than clear.
-    * One explode + one hash-aggregate (32 map-side sums); docs with no
-    * tokens produce no fingerprint. */
+    * Fully narrow: tokens are deduped, hashed, and bit-summed inside one
+    * row via higher-order array functions — no explode, no shuffle, no
+    * aggregation state. Docs with no tokens produce no fingerprint. */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df
-      .select(col(idCol).as("doc_id"), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .distinct()
-      .select(col("doc_id"), baseHash32(col("tok")).as("h"))
-    val sums = (0 until 32).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"s$j")
-    }
-    toks.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+    val bitSum = (j: Int) => aggregate(col("__h"), lit(0L), (acc, h) =>
+      acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+    df.select(col(idCol).as("doc_id"),
+        array_distinct(TextAnalysis.tokens(col(textCol))).as("__tk"))
+      .filter(size(col("__tk")) > 0)
+      .select(col("doc_id"),
+        transform(col("__tk"), t => baseHash32(t)).as("__h"))
       .select(col("doc_id"),
         (0 until 32).map(j =>
-          when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          when(bitSum(j) > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
 
@@ -154,21 +178,27 @@ object Dedup {
     * candidates only. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    def byteBand(sim: Column, b: Int): Column =
+      shiftright(sim, 8 * b).bitwiseAND(lit(255L))
     val s = simHash(df, idCol, textCol)
     val banded = s.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L))): _*))
+      posexplode(array((0 until 4).map(byteBand(col("simhash"), _)): _*))
         .as(Seq("band", "bv")))
+    // canonical-band join: a pair meets only in its FIRST agreeing band
+    // (all lower bands must differ), so each pair is emitted exactly once
+    // and the dedup shuffle a distinct() would need disappears. The
+    // popcount filter runs inside the join, before anything shuffles on.
+    val lowerBandsDiffer = (0 until 3).map { j =>
+      col("a.band") <= j ||
+        byteBand(col("a.simhash"), j) =!= byteBand(col("b.simhash"), j)
+    }.reduce(_ && _)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") && lowerBandsDiffer &&
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxHamming)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
-      .distinct()
-      .withColumn("hamming",
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long")
+          .as("hamming"))
   }
 }

@@ -14,15 +14,22 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))
 
-  /** Sliding n-token shingles ("n-grams of tokens"), the unit for
-    * near-duplicate detection; empty when the doc has fewer than n tokens. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val tk = tokens(text)
+  /** Shingles from an already-materialized token array column.
+    *
+    * Callers that feed a generator should project `tokens(text)` into a
+    * real column first and pass that attribute here: the split+filter then
+    * runs once per row instead of once per `element_at` (the inlined form
+    * is O(tokens²) per document — measured 10× slower at sf0.1). */
+  def shinglesOfTokens(tk: Column, n: Int): Column =
     when(size(tk) >= n,
       transform(sequence(lit(1), size(tk) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(k => element_at(tk, i + lit(k))): _*)))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Sliding n-token shingles ("n-grams of tokens"), the unit for
+    * near-duplicate detection; empty when the doc has fewer than n tokens. */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesOfTokens(tokens(text), n)
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
