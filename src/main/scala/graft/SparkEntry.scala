@@ -682,6 +682,87 @@ object SparkEntry {
       |FROM x""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q32–q34 — analytics depth: exact per-group percentiles by rank
+  // selection (integer-deterministic, no interpolation-formula drift
+  // between engines), df-normalized term relevance ranking (TF-IDF shape
+  // without log(), which is not bit-portable), and dedup as row selection
+  // (the surviving corpus, not just the duplicate report).
+  // ---------------------------------------------------------------------
+  private def q32LatencyPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byId = Window.partitionBy(col("identity"))
+    val w = byId.orderBy(col("delta_us"))
+    q5Deltas(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(byId))
+      .groupBy(col("identity"))
+      .agg(
+        max(when(col("rn") === floor((col("n") - 1) * 0.5) + 1, col("delta_us")))
+          .as("p50_us"),
+        max(when(col("rn") === floor((col("n") - 1) * 0.95) + 1, col("delta_us")))
+          .as("p95_us"),
+        count(lit(1)).as("n_samples"))
+  }
+
+  private val q32Sql =
+    s"""$q5MatchCte,
+      |r AS (SELECT identity, delta_us,
+      |        ROW_NUMBER() OVER (PARTITION BY identity ORDER BY delta_us) AS rn,
+      |        COUNT(*) OVER (PARTITION BY identity) AS n
+      |      FROM deltas)
+      |SELECT identity,
+      |  MAX(CASE WHEN rn = FLOOR((n-1) * 0.5) + 1 THEN delta_us END) AS p50_us,
+      |  MAX(CASE WHEN rn = FLOOR((n-1) * 0.95) + 1 THEN delta_us END) AS p95_us,
+      |  COUNT(*) AS n_samples
+      |FROM r GROUP BY identity""".stripMargin
+
+  private def q33Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, dir).select(col("doc_id")).distinct().count()
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("score"), asc("tok"))
+    tf.join(broadcast(dfreq), "tok") // term dictionary: broadcast-sized
+      .withColumn("score", col("tf") * lit(nDocs.toDouble) / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("tok"), col("score"), col("rank"))
+  }
+
+  private val q33Sql =
+    """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok
+      |              FROM documents),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+      |s AS (SELECT doc_id, tf.tok, tf * 1.0 * n_docs / df AS score
+      |      FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN n),
+      |r AS (SELECT doc_id, tok, score,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS BIGINT) AS rank
+      |      FROM s)
+      |SELECT doc_id, tok, score, rank FROM r WHERE rank <= 3""".stripMargin
+
+  private def q34DedupKeep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("content_hash"))
+    Tables.documents(spark, dir)
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keeper"))
+      .select(col("doc_id"), col("content_hash"))
+  }
+
+  private val q34Sql =
+    """SELECT doc_id, content_hash FROM (
+      |  SELECT doc_id, md5(text) AS content_hash,
+      |         MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+      |  FROM documents) t
+      |WHERE doc_id = keeper""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -715,6 +796,9 @@ object SparkEntry {
     Q("q29_media_metadata", q29MediaMetadata, Some(q29Sql)),
     Q("q30_media_features", q30MediaFeatures, Some(q30Sql)),
     Q("q31_frame_sample", q31FrameSample, Some(q31Sql)),
+    Q("q32_latency_percentiles", q32LatencyPercentiles, Some(q32Sql)),
+    Q("q33_tfidf", q33Tfidf, Some(q33Sql)),
+    Q("q34_dedup_keep", q34DedupKeep, Some(q34Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
