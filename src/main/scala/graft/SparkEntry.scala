@@ -763,6 +763,52 @@ object SparkEntry {
       |WHERE doc_id = keeper""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q35/q36 — native event-time windowing (the streaming pipeline uses
+  // processing-time triggers per the reference's W1/W2; these exercise the
+  // event-time operators Spark adds on top): tumbling window() and
+  // gap-based session_window(), both batch-checkable against the oracle
+  // (session semantics mirror q16's manual window-function form).
+  // ---------------------------------------------------------------------
+  private def q35TumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).cast("double").as("sum_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  private val q35Sql =
+    """SELECT time_bucket(INTERVAL 6 HOUR, ts) AS w_start,
+      |       time_bucket(INTERVAL 6 HOUR, ts) + INTERVAL 6 HOUR AS w_end,
+      |       event_type, COUNT(*) AS n,
+      |       CAST(SUM(value) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2, 3""".stripMargin
+
+  private def q36SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "48 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
+  // session_window closes after 48h inactivity; its window.start is the
+  // first event's ts — identical to q16's lag-based session derivation.
+  private val q36Sql =
+    """WITH g AS (
+      |  SELECT user_id, ts,
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts,
+      |         CAST(SUM(CASE WHEN prev_ts IS NULL
+      |                    OR epoch_us(ts) - epoch_us(prev_ts) > 172800000000
+      |                  THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY ts
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+      |  FROM g)
+      |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, session_no""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -799,6 +845,8 @@ object SparkEntry {
     Q("q32_latency_percentiles", q32LatencyPercentiles, Some(q32Sql)),
     Q("q33_tfidf", q33Tfidf, Some(q33Sql)),
     Q("q34_dedup_keep", q34DedupKeep, Some(q34Sql)),
+    Q("q35_tumbling_window", q35TumblingWindow, Some(q35Sql)),
+    Q("q36_session_window", q36SessionWindow, Some(q36Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+
+case class Ev(ts: Timestamp, user: String, v: Long)
+
+class EventWindowsSpec extends SparkSpec {
+
+  private def t(min: Int) = new Timestamp(3600_000L + min * 60_000L)
+
+  test("watermarked tumbling windows emit on close and drop late data") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = EventWindows.tumbling(mem.toDF(), "ts", Seq("user"),
+      windowLen = "10 minutes", watermark = "5 minutes", sumCol = Some("v"))
+    val query = out.writeStream.format("memory").queryName("ev_windows")
+      .outputMode("append").start()
+    try {
+      // window [60,70): two events for alice, one for bob
+      mem.addData(Ev(t(2), "alice", 10), Ev(t(4), "bob", 5), Ev(t(9), "alice", 1))
+      query.processAllAvailable()
+      // nothing emitted yet: watermark hasn't passed the window end
+      assert(spark.sql("SELECT * FROM ev_windows").count() == 0)
+
+      // advance event time far enough to close [60,70), then try a late row
+      mem.addData(Ev(t(31), "carol", 7))
+      query.processAllAvailable()
+      mem.addData(Ev(t(3), "alice", 100)) // behind the watermark: dropped
+      query.processAllAvailable()
+
+      val rows = spark.sql(
+        "SELECT user, n, sum_v FROM ev_windows WHERE w_start = timestamp'1970-01-01 01:00:00'")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set(("alice", 2L, 11L), ("bob", 1L, 5L)))
+    } finally query.stop()
+  }
+
+  test("same operator runs in batch mode with identical shape") {
+    import spark.implicits._
+    val batch = Seq(Ev(t(2), "alice", 10), Ev(t(4), "bob", 5)).toDF()
+    val out = EventWindows.tumbling(batch, "ts", Seq("user"),
+      "10 minutes", "5 minutes", Some("v"))
+    assert(out.columns.toSeq == Seq("w_start", "w_end", "user", "n", "sum_v"))
+    assert(out.count() == 2)
+  }
+}
