@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.config.GraftConfig
+import graft.sinks.{BatchSink, JdbcBatchSink, ParquetAppendSink}
+import graft.streaming.DnstapPipeline
+
+/** Process entry point — the reference's `main.go` wiring as a Spark app:
+  * read the TOML config, listen on the dnstap unix socket, run the
+  * streaming pipeline, deliver to the configured sinks.
+  *
+  * ```
+  * spark-submit --class graft.Main graft.jar /etc/dnstap2clickhouse.conf
+  * ```
+  *
+  * Sink selection: when `GRAFT_JDBC_URL` is set, batches insert into the
+  * configured ClickHouse tables over JDBC (clickhouse-jdbc on the
+  * classpath); otherwise they append to parquet under `GRAFT_OUTPUT_DIR`
+  * (lake-native default), one directory per configured table name.
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val confPath = args.headOption.getOrElse("/etc/dnstap2clickhouse.conf")
+    val cfg =
+      if (Files.exists(Paths.get(confPath)))
+        GraftConfig.fromToml(Files.readString(Paths.get(confPath)))
+      else GraftConfig.defaults
+    val spark = SparkSession.builder()
+      .appName("graft-dnstap")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+      .getOrCreate()
+    val queries = GraftApp.start(spark, cfg,
+      outputDir = sys.env.getOrElse("GRAFT_OUTPUT_DIR", "/var/lib/graft/out"),
+      checkpointDir = sys.env.getOrElse("GRAFT_CHECKPOINT_DIR", "/var/lib/graft/ckpt"),
+      jdbcUrl = sys.env.get("GRAFT_JDBC_URL"))
+    queries.foreach(_.awaitTermination())
+  }
+}
+
+object GraftApp {
+
+  /** Wire config → socket source → pipeline → sinks; returns the running
+    * streaming queries (one per enabled cadence). */
+  def start(spark: SparkSession, cfg: GraftConfig, outputDir: String,
+            checkpointDir: String, jdbcUrl: Option[String] = None,
+            instantTriggers: Boolean = false): Seq[StreamingQuery] = {
+    import spark.implicits._
+    val frames = spark.readStream.format("graft-dnstap")
+      .options(cfg.socketOptions)
+      .load()
+      .select("value").as[Array[Byte]]
+
+    def sink(table: String, projection: graft.sinks.ColumnProjection): BatchSink =
+      jdbcUrl match {
+        case Some(url) => new JdbcBatchSink(url, s"${cfg.database}.$table",
+          Map("user" -> cfg.username, "password" -> cfg.password), projection)
+        case None => new ParquetAppendSink(s"$outputDir/$table", projection)
+      }
+
+    DnstapPipeline.start(spark, frames, cfg.pipelineConfig,
+      DnstapPipeline.Sinks(
+        queries = sink(cfg.queryTable, cfg.queryProjection),
+        responses = sink(cfg.responseTable, cfg.responseProjection),
+        samples = sink(cfg.queryResponseTimeTable, cfg.sampleProjection)),
+      checkpointRoot = checkpointDir,
+      instantTriggers = instantTriggers)
+  }
+}

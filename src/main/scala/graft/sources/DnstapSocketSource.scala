@@ -94,9 +94,12 @@ final class DnstapSocketMicroBatchStream(path: String, readers: Int,
   private var firstOffset = 0L
   private val lock = new Object
 
-  private val server = new FrameSocketServer(path, readers, maxFrameBytes,
+  // attach (not own) the listener: several streaming queries over the same
+  // socket path — e.g. the pipeline's W1 and W2 branches — share one bound
+  // server, each keeping its own offset-tracked buffer (the reference's
+  // one-listener / N-consumers shape)
+  private val server = FrameSocketServer.attach(path, readers, maxFrameBytes)(
     frame => lock.synchronized { frames += frame })
-  server.start()
 
   private def endOffset: Long = lock.synchronized(firstOffset + frames.length)
 
@@ -165,6 +168,49 @@ object FrameReaderFactory extends PartitionReaderFactory {
       override def close(): Unit = ()
     }
   }
+}
+
+object FrameSocketServer {
+  private final case class Shared(server: FrameSocketServer,
+      consumers: java.util.concurrent.CopyOnWriteArrayList[Array[Byte] => Unit],
+      var refs: Int)
+  private val registry = mutable.Map.empty[String, Shared]
+
+  /** Handle for one attached consumer; closing the last one closes the
+    * underlying listener. */
+  final class Handle private[FrameSocketServer] (path: String,
+      consumer: Array[Byte] => Unit) extends AutoCloseable {
+    override def close(): Unit = FrameSocketServer.detach(path, consumer)
+  }
+
+  /** Bind (or join) the listener on `path` and register a frame consumer;
+    * every attached consumer sees every frame from attach time on. */
+  def attach(path: String, readers: Int, maxFrameBytes: Int)
+            (consumer: Array[Byte] => Unit): Handle = synchronized {
+    val shared = registry.getOrElseUpdate(path, {
+      val consumers =
+        new java.util.concurrent.CopyOnWriteArrayList[Array[Byte] => Unit]()
+      val server = new FrameSocketServer(path, readers, maxFrameBytes,
+        frame => consumers.forEach(c => c(frame)))
+      server.start()
+      Shared(server, consumers, 0)
+    })
+    shared.consumers.add(consumer)
+    shared.refs += 1
+    new Handle(path, consumer)
+  }
+
+  private def detach(path: String, consumer: Array[Byte] => Unit): Unit =
+    synchronized {
+      registry.get(path).foreach { shared =>
+        shared.consumers.remove(consumer)
+        shared.refs -= 1
+        if (shared.refs <= 0) {
+          shared.server.close()
+          registry.remove(path)
+        }
+      }
+    }
 }
 
 /** Driver-side unix-socket listener + reader pool (S1/S2). Accepted

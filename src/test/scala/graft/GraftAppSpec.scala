@@ -1,0 +1,98 @@
+package graft
+
+import java.net.UnixDomainSocketAddress
+import java.nio.channels.{Channels, SocketChannel}
+import java.nio.file.{Files, Paths}
+
+import graft.codec.{DnsWire, DnstapCodec}
+import graft.config.GraftConfig
+import graft.sources.FrameStreams
+
+/** Full-system drive: TOML config → GraftApp (socket source → pipeline →
+  * projected parquet sinks), frames pushed through a real unix socket —
+  * the reference's deployment shape end to end. */
+class GraftAppSpec extends SparkSpec {
+
+  private def frame(isResponse: Boolean, addr: Array[Byte], port: Int,
+                    id: Int, qname: String, rcode: Int, sec: Long): Array[Byte] = {
+    val wire = DnsWire.encode(id, rcode, isResponse,
+      Seq(DnsWire.Question(qname, 1)))
+    val msg =
+      if (isResponse)
+        DnstapCodec.Message(DnstapCodec.ClientResponse, queryAddress = Some(addr),
+          queryPort = Some(port), responseTimeSec = Some(sec),
+          responseTimeNsec = Some(0), responseMessage = Some(wire))
+      else
+        DnstapCodec.Message(DnstapCodec.ClientQuery, queryAddress = Some(addr),
+          queryPort = Some(port), queryTimeSec = Some(sec),
+          queryTimeNsec = Some(0), queryMessage = Some(wire))
+    DnstapCodec.encode(DnstapCodec.Frame(DnstapCodec.TypeMessage,
+      Some("srv1"), Some(msg)))
+  }
+
+  test("config-driven app: socket frames land in projected parquet tables") {
+    val root = Files.createTempDirectory("graft-app")
+    val sock = root.resolve("d.sock").toString
+    val cfg = GraftConfig.fromToml(
+      s"""[Dnstap]
+         |UnixSocket = "$sock"
+         |Readers = 2
+         |[ClickHouse]
+         |QueryTable = "q_out"
+         |QueryAddressColumn = "client"
+         |QuestionTypeColumn = ""
+         |""".stripMargin)
+
+    val queries = GraftApp.start(spark, cfg,
+      outputDir = s"$root/out", checkpointDir = s"$root/ckpt",
+      instantTriggers = true)
+    try {
+      // wait for the socket, then stream frames like a dnstap emitter
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (!Files.exists(Paths.get(sock)) && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val conn = SocketChannel.open(UnixDomainSocketAddress.of(sock))
+      val out = Channels.newOutputStream(conn)
+      FrameStreams.writeControlFrame(out, FrameStreams.ControlStart,
+        Seq(FrameStreams.ContentTypeDnstap))
+      val a = Array[Byte](10, 0, 0, 1)
+      FrameStreams.writeDataFrame(out,
+        frame(isResponse = false, a, 1000, 1, "x.example.", 0, 1000L))
+      FrameStreams.writeDataFrame(out,
+        frame(isResponse = true, a, 1000, 1, "x.example.", 3, 1001L))
+      FrameStreams.writeControlFrame(out, FrameStreams.ControlStop)
+      conn.close()
+
+      // poll the query table (grouping-set agg -> 3 rows for one key)
+      val qDir = s"$root/out/q_out"
+      def rows() =
+        if (Files.exists(Paths.get(qDir)) &&
+            Files.list(Paths.get(qDir)).anyMatch(_.toString.endsWith(".parquet")))
+          spark.read.parquet(qDir).collect()
+        else Array.empty[org.apache.spark.sql.Row]
+      val end = System.nanoTime() + 90L * 1000000000L
+      while (rows().length < 3 && System.nanoTime() < end) Thread.sleep(200)
+
+      val got = rows()
+      // projection applied: renamed address column, dropped question type
+      assert(got.head.schema.fieldNames.toSeq ==
+        Seq("queryTime", "identity", "client", "questionName", "counter"))
+      assert(got.map(r => (r.getAs[String]("identity"), r.getAs[String]("client"),
+        r.getAs[String]("questionName"), r.getAs[Long]("counter"))).toSet ==
+        Set(("srv1", "10.0.0.1", "x.example.", 1L),
+            ("srv1", "10.0.0.1", "__ANY__", 1L),
+            ("srv1", "__ANY__", "x.example.", 1L)))
+
+      // response table got the NXDOMAIN row under its default name
+      val rDir = s"$root/out/clientResponse"
+      val rEnd = System.nanoTime() + 60L * 1000000000L
+      def rCount() =
+        if (Files.exists(Paths.get(rDir)) &&
+            Files.list(Paths.get(rDir)).anyMatch(_.toString.endsWith(".parquet")))
+          spark.read.parquet(rDir).count()
+        else 0L
+      while (rCount() < 3 && System.nanoTime() < rEnd) Thread.sleep(200)
+      assert(rCount() == 3)
+    } finally queries.foreach(_.stop())
+  }
+}
