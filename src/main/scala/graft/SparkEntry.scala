@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import graft.codec.{DnsWire, DnstapCodec}
 import graft.dns.{DnsAnalog, DnstapRows}
 import graft.functions.{DnsNames, IpFunctions}
-import graft.operators.{AsOfMatch, Dedup, GroupingSetCounter, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOfMatch, Dedup, GroupingSetCounter, Multimodal, Similarity, SkewAgg, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -809,6 +809,20 @@ object SparkEntry {
       |FROM s GROUP BY user_id, session_no""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q37 — salted two-phase aggregation (operators/SkewAgg): identical
+  // result to a direct groupBy (the oracle is the plain GROUP BY), but no
+  // single reducer owns a hot key. Integer aggregates only — salted
+  // double-summation would reorder float addition.
+  // ---------------------------------------------------------------------
+  private def q37SaltedAddrCounts(spark: SparkSession, dir: String): DataFrame =
+    SkewAgg.countSumBy(DnsAnalog.queries(Tables.events(spark, dir)),
+      keys = Seq("query_address"), sumCols = Nil, salts = 8)
+
+  private val q37Sql =
+    s"""${DnsAnalog.oracleCte}
+      |SELECT query_address, COUNT(*) AS n FROM dns GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -847,6 +861,7 @@ object SparkEntry {
     Q("q34_dedup_keep", q34DedupKeep, Some(q34Sql)),
     Q("q35_tumbling_window", q35TumblingWindow, Some(q35Sql)),
     Q("q36_session_window", q36SessionWindow, Some(q36Sql)),
+    Q("q37_salted_addr_counts", q37SaltedAddrCounts, Some(q37Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
