@@ -823,6 +823,24 @@ object SparkEntry {
       |SELECT query_address, COUNT(*) AS n FROM dns GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q38 — set operations (SURVEY §2.10: relational surface Spark adds over
+  // the reference's tables): clients that queried but never hit NXDOMAIN,
+  // via EXCEPT (distinct set difference).
+  // ---------------------------------------------------------------------
+  private def q38CleanClients(spark: SparkSession, dir: String): DataFrame = {
+    val dns = DnsAnalog.responses(Tables.events(spark, dir))
+    dns.select(col("query_address"))
+      .except(dns.filter(col("response_status") === "NXDOMAIN")
+        .select(col("query_address")))
+  }
+
+  private val q38Sql =
+    s"""${DnsAnalog.oracleCte}
+      |SELECT query_address FROM dns
+      |EXCEPT
+      |SELECT query_address FROM dns WHERE response_status = 'NXDOMAIN'""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -862,6 +880,7 @@ object SparkEntry {
     Q("q35_tumbling_window", q35TumblingWindow, Some(q35Sql)),
     Q("q36_session_window", q36SessionWindow, Some(q36Sql)),
     Q("q37_salted_addr_counts", q37SaltedAddrCounts, Some(q37Sql)),
+    Q("q38_clean_clients", q38CleanClients, Some(q38Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
