@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CosineSimilarity, IpBytesString, Ipv4String}
+
+/** SQL surface for the engine's native Catalyst expressions: register via
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (cluster-wide) or
+  * `GraftExtensions.register(spark)` (programmatic), then:
+  *
+  * ```sql
+  * SELECT ip_v4_string(CAST(167772161 AS BIGINT)),   -- '10.0.0.1'
+  *        ip_bytes_string(addr_bytes),               -- v4/v6 render (P2)
+  *        cosine_similarity(vec_a, vec_b)            -- codegen'd float[] cosine
+  * ```
+  *
+  * All three are whole-stage-codegen expressions — the SQL route costs the
+  * same as the DataFrame column functions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  val descriptions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("ip_v4_string"),
+      info("ip_v4_string", "ip_v4_string(bigint) - dotted-quad render"),
+      (args: Seq[Expression]) => Ipv4String(args.head)),
+    (FunctionIdentifier("ip_bytes_string"),
+      info("ip_bytes_string", "ip_bytes_string(binary) - v4/v6 address render"),
+      (args: Seq[Expression]) => IpBytesString(args.head)),
+    (FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity", "cosine_similarity(array<float>, array<float>)"),
+      (args: Seq[Expression]) => CosineSimilarity(args.head, args(1))))
+
+  /** Register into an already-running session. */
+  def register(spark: SparkSession): Unit =
+    descriptions.foreach { case (ident, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, inf, builder)
+    }
+}

@@ -1,0 +1,23 @@
+package graft
+
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("native expressions are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT ip_v4_string(CAST(167772161 AS BIGINT)) AS a,
+        |       ip_bytes_string(CAST(x'0a000001' AS BINARY)) AS b,
+        |       cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                         array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c
+        |""".stripMargin).collect().head
+    assert(r.getString(0) == "10.0.0.1")
+    assert(r.getString(1) == "10.0.0.1")
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("extensions class injects the same functions at session build") {
+    // same builders the spark.sql.extensions conf path would inject
+    assert(GraftExtensions.descriptions.map(_._1.funcName).sorted ==
+      Seq("cosine_similarity", "ip_bytes_string", "ip_v4_string"))
+  }
+}
