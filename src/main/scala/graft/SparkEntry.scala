@@ -841,6 +841,57 @@ object SparkEntry {
       |SELECT query_address FROM dns WHERE response_status = 'NXDOMAIN'""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q39/q40 — IVF coarse-quantizer ANN (operators/Similarity.annIvf) and
+  // the ROLLUP aggregation surface (reference's fixed 3-set grouping is
+  // q2/q3; Spark exposes full rollup/cube for free — SURVEY §2.10).
+  // ---------------------------------------------------------------------
+  private def q39AnnIvf(spark: SparkSession, dir: String): DataFrame =
+    Similarity.annIvf(corpus(spark, dir), probes(spark, dir), k = 3, nCells = 8)
+
+  private val q39Sql =
+    s"""WITH c AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 8),
+      |ca AS (SELECT vec_id, embedding, cell FROM (
+      |  SELECT e.vec_id, e.embedding, c.cell,
+      |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |           ORDER BY ${duckCosine("e.embedding", "ce")} DESC, c.cell) AS crn
+      |  FROM embeddings e CROSS JOIN c) WHERE crn = 1),
+      |p0 AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 3),
+      |pa AS (SELECT probe_id, pe, cell AS pcell FROM (
+      |  SELECT p0.probe_id, p0.pe, c.cell,
+      |         ROW_NUMBER() OVER (PARTITION BY p0.probe_id
+      |           ORDER BY ${duckCosine("pe", "ce")} DESC, c.cell) AS crn
+      |  FROM p0 CROSS JOIN c) WHERE crn = 1),
+      |s AS (SELECT probe_id, ca.vec_id, ${duckCosine("pe", "ca.embedding")} AS cosine
+      |      FROM pa JOIN ca ON ca.cell = pa.pcell AND ca.vec_id <> pa.probe_id),
+      |r AS (SELECT probe_id, vec_id, cosine,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rn
+      |      FROM s)
+      |SELECT probe_id, vec_id, cosine, rn FROM r WHERE rn <= 3""".stripMargin
+
+  private def q40RollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  private val q40Sql =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -881,6 +932,8 @@ object SparkEntry {
     Q("q36_session_window", q36SessionWindow, Some(q36Sql)),
     Q("q37_salted_addr_counts", q37SaltedAddrCounts, Some(q37Sql)),
     Q("q38_clean_clients", q38CleanClients, Some(q38Sql)),
+    Q("q39_ann_ivf", q39AnnIvf, Some(q39Sql)),
+    Q("q40_rollup_revenue", q40RollupRevenue, Some(q40Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
