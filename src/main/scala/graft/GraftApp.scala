@@ -33,6 +33,11 @@ object Main {
       .appName("graft-dnstap")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+      // matcher state scales off-heap and restarts incrementally: RocksDB
+      // provider instead of the default in-memory HDFS-backed map
+      .config("spark.sql.streaming.stateStore.providerClass",
+        sys.env.getOrElse("SPARK_GRAFT_STATESTORE",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
       .getOrCreate()
     val queries = GraftApp.start(spark, cfg,
       outputDir = sys.env.getOrElse("GRAFT_OUTPUT_DIR", "/var/lib/graft/out"),

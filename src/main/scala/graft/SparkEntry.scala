@@ -892,6 +892,28 @@ object SparkEntry {
       |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q41 — pivot (cross-tab): response-status counts per identity. Spark
+  // plans a pivot with explicit values as a single aggregation pass.
+  // ---------------------------------------------------------------------
+  private def q41PivotStatus(spark: SparkSession, dir: String): DataFrame =
+    DnsAnalog.responses(Tables.events(spark, dir))
+      .groupBy(col("identity"))
+      .pivot("response_status", Seq("NOERROR", "NXDOMAIN", "SERVFAIL"))
+      .agg(count(lit(1)))
+      .select(col("identity"),
+        coalesce(col("NOERROR"), lit(0L)).as("n_noerror"),
+        coalesce(col("NXDOMAIN"), lit(0L)).as("n_nxdomain"),
+        coalesce(col("SERVFAIL"), lit(0L)).as("n_servfail"))
+
+  private val q41Sql =
+    s"""${DnsAnalog.oracleCte}
+      |SELECT identity,
+      |  COUNT(CASE WHEN response_status = 'NOERROR' THEN 1 END) AS n_noerror,
+      |  COUNT(CASE WHEN response_status = 'NXDOMAIN' THEN 1 END) AS n_nxdomain,
+      |  COUNT(CASE WHEN response_status = 'SERVFAIL' THEN 1 END) AS n_servfail
+      |FROM dns GROUP BY identity""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -934,6 +956,7 @@ object SparkEntry {
     Q("q38_clean_clients", q38CleanClients, Some(q38Sql)),
     Q("q39_ann_ivf", q39AnnIvf, Some(q39Sql)),
     Q("q40_rollup_revenue", q40RollupRevenue, Some(q40Sql)),
+    Q("q41_pivot_status", q41PivotStatus, Some(q41Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
