@@ -29,17 +29,24 @@ object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
+  private def arity(name: String, n: Int)(b: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression = { args =>
+    require(args.length == n,
+      s"$name expects $n argument(s), got ${args.length}")
+    b(args)
+  }
+
   val descriptions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("ip_v4_string"),
       info("ip_v4_string", "ip_v4_string(bigint) - dotted-quad render"),
-      (args: Seq[Expression]) => Ipv4String(args.head)),
+      arity("ip_v4_string", 1)(args => Ipv4String(args.head))),
     (FunctionIdentifier("ip_bytes_string"),
       info("ip_bytes_string", "ip_bytes_string(binary) - v4/v6 address render"),
-      (args: Seq[Expression]) => IpBytesString(args.head)),
+      arity("ip_bytes_string", 1)(args => IpBytesString(args.head))),
     (FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity", "cosine_similarity(array<float>, array<float>)"),
-      (args: Seq[Expression]) => CosineSimilarity(args.head, args(1))))
+      arity("cosine_similarity", 2)(args => CosineSimilarity(args.head, args(1)))))
 
   /** Register into an already-running session. */
   def register(spark: SparkSession): Unit =

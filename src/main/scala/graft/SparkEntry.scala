@@ -187,7 +187,7 @@ object SparkEntry {
   private def q8TopNxdomain(spark: SparkSession, dir: String): DataFrame =
     DnsAnalog.responses(Tables.events(spark, dir))
       .filter(col("response_status") === "NXDOMAIN")
-      .groupBy(concat_ws(" ", col("question_name"), col("question_type")).as("name_type"))
+      .groupBy(concat(col("question_name"), lit(" "), col("question_type")).as("name_type"))
       .agg(count(lit(1)).as("counter"))
       .orderBy(desc("counter"), asc("name_type"))
       .limit(10)
@@ -258,8 +258,7 @@ object SparkEntry {
 
   private def q13ExplodeTokens(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(explode(split(col("text"), " ")).as("token"))
-      .filter(col("token") =!= "")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("token")).limit(20)
 

@@ -60,7 +60,13 @@ object Multimodal {
     if (media.length < HeaderBytes) return None
     val buf = ByteBuffer.wrap(media)
     if (buf.getInt() != Magic) None
-    else Some((buf.getInt(), buf.getInt(), buf.getInt()))
+    else {
+      val (w, h, payloadLen) = (buf.getInt(), buf.getInt(), buf.getInt())
+      // a truncated/corrupt container whose declared length exceeds the
+      // actual bytes must drop, not crash the downstream payload read
+      if (payloadLen < 0 || HeaderBytes.toLong + payloadLen > media.length) None
+      else Some((w, h, payloadLen))
+    }
   }
 
   /** documents(doc_id, text, …) → (doc_id, media BINARY). */

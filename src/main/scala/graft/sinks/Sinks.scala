@@ -29,6 +29,10 @@ trait BatchSink extends Serializable {
 final case class ColumnProjection(mapping: Seq[(String, String)]) {
   def apply(df: DataFrame): DataFrame = {
     val cols = mapping.collect { case (src, out) if out.nonEmpty => col(src).as(out) }
+    // Nil mapping = identity; a mapping that drops EVERY column is a
+    // misconfiguration — surfacing it beats silently writing all columns
+    require(mapping.isEmpty || cols.nonEmpty,
+      "column projection drops every configured column")
     if (cols.isEmpty) df else df.select(cols: _*)
   }
 }

@@ -103,8 +103,22 @@ final class DnstapSocketMicroBatchStream(path: String, readers: Int,
 
   private def endOffset: Long = lock.synchronized(firstOffset + frames.length)
 
+  /** Checkpoint-restart rebase: our buffer restarts at offset 0, but a
+    * recovered checkpoint resumes from a much larger offset. Adopting the
+    * recovered numbering for the fresh buffer keeps post-restart frames
+    * servable (only in-flight-at-crash data is lost — the documented
+    * non-replayable contract); without it, the first commit would wipe
+    * every frame buffered since the restart. */
+  private def rebaseTo(offset: Long): Unit = lock.synchronized {
+    if (offset > firstOffset + frames.length) firstOffset = offset
+  }
+
   override def initialOffset(): Offset = FrameOffset(0L)
-  override def deserializeOffset(json: String): Offset = FrameOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val n = json.toLong
+    rebaseTo(n)
+    FrameOffset(n)
+  }
 
   override def getDefaultReadLimit: ReadLimit =
     maxFramesPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
@@ -113,14 +127,15 @@ final class DnstapSocketMicroBatchStream(path: String, readers: Int,
     throw new UnsupportedOperationException("use latestOffset(Offset, ReadLimit)")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val end = endOffset
     val from = start.asInstanceOf[FrameOffset].n
+    rebaseTo(from)
+    val end = endOffset
     val capped = limit match {
       case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
         math.min(end, from + r.maxRows())
       case _ => end
     }
-    FrameOffset(capped)
+    FrameOffset(math.max(capped, from))
   }
 
   override def reportLatestOffset(): Offset = FrameOffset(endOffset)
@@ -148,8 +163,10 @@ final class DnstapSocketMicroBatchStream(path: String, readers: Int,
   override def commit(end: Offset): Unit = lock.synchronized {
     val e = end.asInstanceOf[FrameOffset].n
     if (e > firstOffset) {
-      frames.dropInPlace((e - firstOffset).toInt)
-      firstOffset = e
+      // trim only frames actually covered by the committed range; a commit
+      // beyond the buffer (recovered checkpoint) rebases without dropping
+      frames.dropInPlace(math.min(e - firstOffset, frames.length.toLong).toInt)
+      firstOffset = math.max(firstOffset, e)
     }
   }
 
@@ -222,8 +239,10 @@ final class FrameSocketServer(path: String, readers: Int, maxFrameBytes: Int,
 
   private val address = UnixDomainSocketAddress.of(path)
   @volatile private var closed = false
-  private var channel: ServerSocketChannel = _
+  @volatile private var channel: ServerSocketChannel = _
   private val pending = new ConcurrentLinkedQueue[SocketChannel]()
+  private val active =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SocketChannel]()
   private val threads = mutable.ArrayBuffer.empty[Thread]
   private val bound = new CountDownLatch(1)
 
@@ -262,15 +281,16 @@ final class FrameSocketServer(path: String, readers: Int, maxFrameBytes: Int,
           val conn = pending.poll()
           if (conn == null) Thread.sleep(10)
           else {
+            active.add(conn)
             try {
               val in = Channels.newInputStream(conn)
               val out = Channels.newOutputStream(conn)
               val r = new FrameStreams.Reader(in, Some(out), maxFrameBytes)
               var frame = r.next()
-              while (frame.isDefined) { emit(frame.get); frame = r.next() }
+              while (frame.isDefined && !closed) { emit(frame.get); frame = r.next() }
             } catch {
               case _: Exception => () // bad peer: drop the connection
-            } finally conn.close()
+            } finally { active.remove(conn); conn.close() }
           }
         }
       }, s"graft-dnstap-reader-$i")
@@ -285,7 +305,17 @@ final class FrameSocketServer(path: String, readers: Int, maxFrameBytes: Int,
 
   override def close(): Unit = {
     closed = true
+    // wait for the acceptor to publish the channel so a close() racing the
+    // bind cannot orphan a live listener (bind retry loop exits on closed)
+    bound.await(2, java.util.concurrent.TimeUnit.SECONDS)
     if (channel != null) channel.close()
+    // unblock reader threads parked in readInt() on live connections
+    active.forEach(c => try c.close() catch { case _: Exception => () })
+    var c = pending.poll()
+    while (c != null) {
+      try c.close() catch { case _: Exception => () }
+      c = pending.poll()
+    }
     Files.deleteIfExists(Paths.get(path))
   }
 }

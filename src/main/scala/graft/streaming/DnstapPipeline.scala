@@ -4,7 +4,7 @@ import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
 
 import graft.codec.DnstapCodec
 import graft.dns.DnstapRows
@@ -75,27 +75,32 @@ object DnstapPipeline {
     val queries = Seq.newBuilder[StreamingQuery]
 
     if (needAgg) {
+      val bothBranches = cfg.clientQueries && cfg.nonOkClientResponses
       val q = frames.writeStream
         .queryName("graft-dnstap-agg")
         .option("checkpointLocation", s"$checkpointRoot/agg")
         .trigger(trigger(cfg.writeIntervalSecs))
         .foreachBatch { (batch: Dataset[Array[Byte]], batchId: Long) =>
-          if (cfg.clientQueries) {
-            val rows = batch
-              .flatMap(b => DnstapCodec.decode(b).toSeq.flatMap(DnstapRows.toQueryRows(_)))
-              .toDF()
-            sinks.queries.write(aggregateQueries(rows, cfg), batchId)
-          }
-          if (cfg.nonOkClientResponses) {
-            // keepSuccess=false here is Fl4+Fl5: NOERROR rows never reach
-            // the aggregation branch even when the sample branch keeps them
-            // (that branch decodes its own stream below).
-            val rows = batch
-              .flatMap(b => DnstapCodec.decode(b).toSeq
-                .flatMap(DnstapRows.toResponseRows(_, keepSuccess = false)))
-              .toDF()
-            sinks.responses.write(aggregateResponses(rows, cfg), batchId)
-          }
+          // decode each raw frame once per trigger; when both branches are
+          // enabled the decoded frames are cached so the response pass
+          // doesn't re-run protobuf+DNS-wire parsing over the same bytes
+          val decoded = batch.flatMap(b => DnstapCodec.decode(b).toSeq)
+          val persisted = if (bothBranches) decoded.persist() else decoded
+          try {
+            if (cfg.clientQueries) {
+              val rows = persisted.flatMap(DnstapRows.toQueryRows(_)).toDF()
+              sinks.queries.write(aggregateQueries(rows, cfg), batchId)
+            }
+            if (cfg.nonOkClientResponses) {
+              // keepSuccess=false here is Fl4+Fl5: NOERROR rows never reach
+              // the aggregation branch even when the sample branch keeps
+              // them (that branch decodes its own stream below).
+              val rows = persisted
+                .flatMap(DnstapRows.toResponseRows(_, keepSuccess = false))
+                .toDF()
+              sinks.responses.write(aggregateResponses(rows, cfg), batchId)
+            }
+          } finally if (bothBranches) { persisted.unpersist(); () }
         }
         .start()
       queries += q
@@ -152,6 +157,20 @@ object DnstapPipeline {
           } finally persisted.unpersist()
         }
         .start()
+      // drop the sampler registry entry when this run's query terminates
+      // (prevents unbounded growth across pipeline restarts in one driver)
+      spark.streams.addListener(new StreamingQueryListener {
+        override def onQueryStarted(
+            e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == q.id) {
+            AdaptiveSampler.registry.remove(samplerKey)
+            spark.streams.removeListener(this)
+          }
+      })
       queries += q
     }
 

@@ -14,6 +14,10 @@ class MultimodalCodecSpec extends AnyFunSuite {
   test("foreign bytes fail decode (wrong magic / truncated)") {
     assert(Multimodal.decodeHeader("not a media file".getBytes).isEmpty)
     assert(Multimodal.decodeHeader(Array[Byte](1, 2, 3)).isEmpty)
+    // valid magic but the declared payload exceeds the actual bytes:
+    // must drop (decode error), not crash the payload read downstream
+    val truncated = Multimodal.encodeMedia(1L, "hello").dropRight(3)
+    assert(Multimodal.decodeHeader(truncated).isEmpty)
   }
 }
 
