@@ -60,12 +60,17 @@ object GraftApp {
       .load()
       .select("value").as[Array[Byte]]
 
-    def sink(table: String, projection: graft.sinks.ColumnProjection): BatchSink =
-      jdbcUrl match {
+    def sink(table: String, projection: graft.sinks.ColumnProjection): BatchSink = {
+      val inner: BatchSink = jdbcUrl match {
         case Some(url) => new JdbcBatchSink(url, s"${cfg.database}.$table",
           Map("user" -> cfg.username, "password" -> cfg.password), projection)
         case None => new ParquetAppendSink(s"$outputDir/$table", projection)
       }
+      // K3: reference backoff schedule in-process; past maxAttempts the
+      // batch fails and Spark's checkpointed micro-batch retry takes over
+      // (a strict upgrade over the reference's drop-on-overflow)
+      new graft.sinks.RetryingSink(inner, maxAttempts = 3)
+    }
 
     DnstapPipeline.start(spark, frames, cfg.pipelineConfig,
       DnstapPipeline.Sinks(

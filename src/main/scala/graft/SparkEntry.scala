@@ -912,6 +912,20 @@ object SparkEntry {
       |  COUNT(CASE WHEN response_status = 'SERVFAIL' THEN 1 END) AS n_servfail
       |FROM dns GROUP BY identity""".stripMargin
 
+  // q42 — INTERSECT: addresses that produced both NXDOMAIN and SERVFAIL.
+  private def q42RepeatOffenders(spark: SparkSession, dir: String): DataFrame = {
+    val dns = DnsAnalog.responses(Tables.events(spark, dir))
+    dns.filter(col("response_status") === "NXDOMAIN").select(col("query_address"))
+      .intersect(dns.filter(col("response_status") === "SERVFAIL")
+        .select(col("query_address")))
+  }
+
+  private val q42Sql =
+    s"""${DnsAnalog.oracleCte}
+      |SELECT query_address FROM dns WHERE response_status = 'NXDOMAIN'
+      |INTERSECT
+      |SELECT query_address FROM dns WHERE response_status = 'SERVFAIL'""".stripMargin
+
   // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
@@ -956,6 +970,7 @@ object SparkEntry {
     Q("q39_ann_ivf", q39AnnIvf, Some(q39Sql)),
     Q("q40_rollup_revenue", q40RollupRevenue, Some(q40Sql)),
     Q("q41_pivot_status", q41PivotStatus, Some(q41Sql)),
+    Q("q42_repeat_offenders", q42RepeatOffenders, Some(q42Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
