@@ -43,7 +43,10 @@ object Main {
       outputDir = sys.env.getOrElse("GRAFT_OUTPUT_DIR", "/var/lib/graft/out"),
       checkpointDir = sys.env.getOrElse("GRAFT_CHECKPOINT_DIR", "/var/lib/graft/ckpt"),
       jdbcUrl = sys.env.get("GRAFT_JDBC_URL"))
-    queries.foreach(_.awaitTermination())
+    val stats = graft.streaming.StatsReporter.attach(spark,
+      Set("graft-dnstap-agg", "graft-dnstap-samples"))
+    try queries.foreach(_.awaitTermination())
+    finally stats.close()
   }
 }
 

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Periodic pipeline stats with the reference's decaying cadence
+  * (/root/reference/src/main.go:155-164): first report after 10 s, each
+  * interval then grows by half (`interval += interval/2`) until the 4 h
+  * cap — chatty at startup, quiet in steady state.
+  *
+  * Counters come from Spark's own per-batch progress events (rows in /
+  * rows written per query), so the reporter is a pure observer — no hooks
+  * inside operators.
+  */
+object StatsReporter {
+
+  final case class Schedule(initialSecs: Long = 10,
+                            capSecs: Long = 4L * 3600) {
+    /** next interval after `current`: +half, capped (main.go:160-162). */
+    def next(current: Long): Long =
+      if (current < capSecs) math.min(current + current / 2, capSecs)
+      else current
+  }
+
+  final class Counters {
+    val inputRows = new AtomicLong
+    val batches = new AtomicLong
+  }
+
+  /** Attach a stats thread + listener for the given query names; returns
+    * a handle that stops both. */
+  def attach(spark: SparkSession, queryNames: Set[String],
+             schedule: Schedule = Schedule(),
+             log: String => Unit = null): AutoCloseable = {
+    val sink: String => Unit =
+      if (log != null) log else new Logging {
+        def info(m: String): Unit = logInfo(m)
+      }.info
+    val counters = new Counters
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (queryNames.contains(e.progress.name)) {
+          counters.inputRows.addAndGet(e.progress.numInputRows)
+          counters.batches.incrementAndGet()
+          ()
+        }
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+
+    @volatile var closed = false
+    val t = new Thread(() => {
+      var interval = schedule.initialSecs
+      while (!closed) {
+        try Thread.sleep(interval * 1000)
+        catch { case _: InterruptedException => () }
+        if (!closed) {
+          sink(s"graft stats: batches=${counters.batches.get} " +
+            s"inputRows=${counters.inputRows.get} nextIntervalSecs=" +
+            schedule.next(interval))
+          interval = schedule.next(interval)
+        }
+      }
+    }, "graft-stats")
+    t.setDaemon(true)
+    t.start()
+
+    () => {
+      closed = true
+      t.interrupt()
+      spark.streams.removeListener(listener)
+    }
+  }
+}
