@@ -926,6 +926,28 @@ object SparkEntry {
       |INTERSECT
       |SELECT query_address FROM dns WHERE response_status = 'SERVFAIL'""".stripMargin
 
+  // q43 — ranking-function variants beyond row_number (q15): dense_rank of
+  // question popularity per identity, with percent-free integer semantics.
+  private def q43DenseRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = DnsAnalog.queries(Tables.events(spark, dir))
+      .groupBy(col("identity"), col("question_name"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("identity")).orderBy(desc("n"), asc("question_name"))
+    counts
+      .withColumn("dr", dense_rank().over(w).cast("long"))
+      .filter(col("dr") <= 5)
+  }
+
+  private val q43Sql =
+    s"""${DnsAnalog.oracleCte}
+      |SELECT identity, question_name, n, dr FROM (
+      |  SELECT identity, question_name, COUNT(*) AS n,
+      |         CAST(DENSE_RANK() OVER (PARTITION BY identity
+      |           ORDER BY COUNT(*) DESC, question_name) AS BIGINT) AS dr
+      |  FROM dns GROUP BY identity, question_name) t
+      |WHERE dr <= 5""".stripMargin
+
   // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
@@ -971,6 +993,7 @@ object SparkEntry {
     Q("q40_rollup_revenue", q40RollupRevenue, Some(q40Sql)),
     Q("q41_pivot_status", q41PivotStatus, Some(q41Sql)),
     Q("q42_repeat_offenders", q42RepeatOffenders, Some(q42Sql)),
+    Q("q43_dense_rank", q43DenseRank, Some(q43Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

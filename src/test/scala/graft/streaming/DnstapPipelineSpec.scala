@@ -124,6 +124,22 @@ class DnstapPipelineSpec extends SparkSpec {
     assert(samples == Seq(("ns1", 1166666L, 1L)))
   }
 
+  test("adaptive sampling wires the feedback loop and cleans its registry") {
+    val sSink = new CollectingSink()
+    run(DnstapPipeline.Config(clientQueries = false,
+        nonOkClientResponses = false, adaptiveSampling = true),
+      DnstapPipeline.Sinks(new CollectingSink(), new CollectingSink(), sSink)) {
+      sSink.rows.nonEmpty
+    }
+    // mask starts at 0 (accept-all): same matches as the passthrough run
+    assert(sSink.rows.map(_.getAs[Long]("responseTimeMicroSec")) == Seq(1166666L))
+    // termination listener removes this run's sampler from the registry
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (!AdaptiveSampler.registry.isEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(AdaptiveSampler.registry.isEmpty)
+  }
+
   test("disabling every branch is rejected like the reference Init") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
