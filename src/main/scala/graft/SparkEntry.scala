@@ -948,6 +948,17 @@ object SparkEntry {
       |  FROM dns GROUP BY identity, question_name) t
       |WHERE dr <= 5""".stripMargin
 
+  // q44 — approximate distinct counts (HyperLogLog++): the only viable
+  // distinct-cardinality shape at 100 TB (exact distinct shuffles every
+  // key; HLL shuffles fixed-size sketches). Not oracle-expressible —
+  // registered without SQL, so the driver records the weaker rows>0 check.
+  private def q44ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    DnsAnalog.queries(Tables.events(spark, dir))
+      .groupBy(col("identity"))
+      .agg(approx_count_distinct(col("query_address"), rsd = 0.01)
+        .as("approx_addrs"),
+        count(lit(1)).as("n_rows"))
+
   // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
@@ -994,6 +1005,7 @@ object SparkEntry {
     Q("q41_pivot_status", q41PivotStatus, Some(q41Sql)),
     Q("q42_repeat_offenders", q42RepeatOffenders, Some(q42Sql)),
     Q("q43_dense_rank", q43DenseRank, Some(q43Sql)),
+    Q("q44_approx_distinct", q44ApproxDistinct, None),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
