@@ -40,6 +40,31 @@ class EventWindowsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("driver events table streams through the file source into windows") {
+    // the file-stream source needs a directory: stage the driver table
+    val src = java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ev-stream")
+    java.nio.file.Files.copy(src, dir.resolve("events.parquet"))
+    // events carries TIMESTAMP(NANOS): read nanos as long (as Tables does)
+    // and convert to a microsecond timestamp inside the stream
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val out = EventWindows.tumbling(stream, "ts", Seq("event_type"),
+      windowLen = "1 hour", watermark = "1 minute")
+    val query = out.writeStream.format("memory").queryName("ev_file_stream")
+      .outputMode("update").start()
+    try {
+      query.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM ev_file_stream").collect()(0).getLong(0)
+      assert(n > 0) // windows materialized from the parquet-backed stream
+    } finally query.stop()
+  }
+
   test("same operator runs in batch mode with identical shape") {
     import spark.implicits._
     val batch = Seq(Ev(t(2), "alice", 10), Ev(t(4), "bob", 5)).toDF()
