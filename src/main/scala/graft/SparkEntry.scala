@@ -687,20 +687,36 @@ object SparkEntry {
   // without log(), which is not bit-portable), and dedup as row selection
   // (the surviving corpus, not just the duplicate report).
   // ---------------------------------------------------------------------
+  // Exact percentiles WITHOUT a per-identity window: a window partitioned
+  // by a 4-value key puts every identity's full delta set in one task's
+  // sort — a single-reducer bottleneck at scale. Instead: two-phase rank
+  // selection. Phase 1 histograms (identity, delta_us) — a hash aggregate
+  // with map-side combine, parallel across all 32+ partitions. Phase 2
+  // folds each identity's SORTED histogram once (single aggregate() pass)
+  // to pick the values at the p50/p95 ranks. State per identity is
+  // #distinct-values, not #rows; at 100 TB you'd bucket delta_us first
+  // (e.g. floor to ms) to bound it — the selection fold is unchanged.
   private def q32LatencyPercentiles(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byId = Window.partitionBy(col("identity"))
-    val w = byId.orderBy(col("delta_us"))
-    q5Deltas(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(byId))
-      .groupBy(col("identity"))
-      .agg(
-        max(when(col("rn") === floor((col("n") - 1) * 0.5) + 1, col("delta_us")))
-          .as("p50_us"),
-        max(when(col("rn") === floor((col("n") - 1) * 0.95) + 1, col("delta_us")))
-          .as("p95_us"),
-        count(lit(1)).as("n_samples"))
+    val hist = q5Deltas(spark, dir)
+      .groupBy(col("identity"), col("delta_us"))
+      .agg(count(lit(1)).as("cnt"))
+    // value at rank r (1-based) = first histogram entry whose cumulative
+    // count reaches r; one left-to-right fold over the sorted histogram
+    def rankSelect(h: Column, rank: Column): Column =
+      aggregate(h,
+        struct(lit(0L).as("cum"), lit(null).cast("long").as("v")),
+        (acc, x) => struct(
+          (acc("cum") + x("cnt")).as("cum"),
+          when(acc("v").isNull && acc("cum") + x("cnt") >= rank, x("delta_us"))
+            .otherwise(acc("v")).as("v")),
+        acc => acc("v"))
+    hist.groupBy(col("identity"))
+      .agg(sum(col("cnt")).as("n"),
+        sort_array(collect_list(struct(col("delta_us"), col("cnt")))).as("h"))
+      .select(col("identity"),
+        rankSelect(col("h"), floor((col("n") - 1) * 0.5) + 1).as("p50_us"),
+        rankSelect(col("h"), floor((col("n") - 1) * 0.95) + 1).as("p95_us"),
+        col("n").as("n_samples"))
   }
 
   private val q32Sql =
@@ -721,11 +737,16 @@ object SparkEntry {
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val nDocs = Tables.documents(spark, dir).select(col("doc_id")).distinct().count()
+    // corpus size rides the plan as a broadcast 1-row aggregate — building
+    // this query runs NO job (an eager count() here would execute one every
+    // time the plan is constructed)
+    val nDocs = Tables.documents(spark, dir)
+      .agg(countDistinct(col("doc_id")).cast("double").as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(desc("score"), asc("tok"))
     tf.join(broadcast(dfreq), "tok") // term dictionary: broadcast-sized
-      .withColumn("score", col("tf") * lit(nDocs.toDouble) / col("df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * col("n_docs") / col("df"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select(col("doc_id"), col("tok"), col("score"), col("rank"))

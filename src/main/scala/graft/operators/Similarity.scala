@@ -75,12 +75,38 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
   }
 
-  /** Embedding-cosine near-duplicate pairs (brute force, i<j). The scale
-    * path blocks by [[graft.functions.VectorFunctions.signBucket]] first;
-    * this exact variant is the recall oracle for it. */
+  /** Embedding-cosine near-duplicate pairs (brute force, i<j).
+    *
+    * TEST-ONLY recall oracle: a pure inequality join plans as a
+    * nested-loop/cartesian — O(n²) at any scale. Production dedup goes
+    * through [[embeddingCosinePairsBucketed]]; this form exists so tests
+    * can measure that path's recall on small corpora. */
   def embeddingCosinePairs(corpus: DataFrame, threshold: Double): DataFrame = {
     val b = corpus.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
     corpus.join(b, col("vec_id") < col("vec_b"))
+      .select(col("vec_id").as("vec_a"), col("vec_b"),
+        VectorFunctions.cosine_similarity(col("embedding"), col("eb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Embedding-cosine near-duplicate pairs, sign-bucket blocked — the
+    * scale path. Both sides are keyed by the hyperplane-LSH bucket of
+    * [[graft.functions.VectorFunctions.signBucket]], so candidate
+    * generation is an equi-join: only vectors in the same bucket ever
+    * pair, and each of the 2^bits buckets is an independent shuffle
+    * partition. Cost drops from O(n²) to O(sum of bucket²) — with the
+    * recall trade that a pair split across buckets (some leading
+    * dimension flips sign) is missed; high-cosine pairs rarely are,
+    * and [[embeddingCosinePairs]] measures exactly that recall in tests.
+    * `bits` tunes the cost/recall trade: +1 bit halves expected bucket
+    * size (quartering pair-generation work) and lowers recall. */
+  def embeddingCosinePairsBucketed(corpus: DataFrame, threshold: Double,
+                                   bits: Int = 6): DataFrame = {
+    val a = corpus.select(col("vec_id"), col("embedding"),
+      VectorFunctions.signBucket(col("embedding"), bits).as("bucket"))
+    val b = a.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("bucket").as("bucket_b"))
+    a.join(b, col("bucket") === col("bucket_b") && col("vec_id") < col("vec_b"))
       .select(col("vec_id").as("vec_a"), col("vec_b"),
         VectorFunctions.cosine_similarity(col("embedding"), col("eb")).as("cosine"))
       .filter(col("cosine") >= threshold)
