@@ -10,7 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered = SparkEntry.benchQueries.toSeq.sortBy(_._1)
     // untimed warm pass (disable with SPARK_GRAFT_WARM_PASS=0): JIT +
     // codegen + parquet footers paid up front so the timed pass measures
     // steady-state query cost, not first-touch JVM machinery

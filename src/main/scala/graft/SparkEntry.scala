@@ -981,6 +981,48 @@ object SparkEntry {
         count(lit(1)).as("n_rows"))
 
   // ---------------------------------------------------------------------
+  // q45 — embedding near-dup pairs, multi-table hyperplane-LSH blocked:
+  // the production-scale sibling of q24 (which stays registered as the
+  // exact recall oracle but is excluded from the bench headline — its
+  // inequality join is a cartesian by construction). Candidates come from
+  // a (table, bucket) equi-join over 8 tables × 4 sign bits of fixed
+  // random hyperplanes; the oracle recomputes the identical buckets from
+  // the same HyperPlanes coefficient table (q26 MinHashCoeffs pattern),
+  // with the same left-to-right double accumulation — bit-exact.
+  // ---------------------------------------------------------------------
+  private def q45EmbeddingDedupLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingCosinePairsBucketed(corpus(spark, dir), threshold = 0.4)
+
+  /** DuckDB form of VectorFunctions.hyperplaneBucket over the same fixed
+    * coefficients: integer-valued plane entries make every product exact,
+    * and `t1 + t2 + ...` associates left like the Scala dot loop. */
+  private def duckHyperplaneBucket(e: String, tbl: Int, bits: Int): String = {
+    val bitExprs = (0 until bits).map { i =>
+      val plane = graft.functions.VectorFunctions.HyperPlanes(tbl * bits + i)
+      val dot = plane.zipWithIndex.map { case (c, j) =>
+        s"CAST($e[${j + 1}] AS DOUBLE)*(${c.toDouble})"
+      }.mkString(" + ")
+      s"(CASE WHEN $dot > 0 THEN ${1L << i} ELSE 0 END)"
+    }
+    "CAST(" + bitExprs.mkString(" + ") + " AS BIGINT)"
+  }
+
+  private val q45Sql = {
+    val tables = 8
+    val bits = 4
+    val bucketCols = (0 until tables)
+      .map(t => s"${duckHyperplaneBucket("embedding", t, bits)} AS b$t")
+      .mkString(", ")
+    val anyTable = (0 until tables).map(t => s"a.b$t = b.b$t").mkString(" OR ")
+    s"""WITH eb AS (SELECT vec_id, embedding, $bucketCols FROM embeddings)
+      |SELECT vec_a, vec_b, cosine FROM (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |         ${duckCosine("a.embedding", "b.embedding")} AS cosine
+      |  FROM eb a JOIN eb b ON a.vec_id < b.vec_id AND ($anyTable)) t
+      |WHERE cosine >= 0.4""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -1027,11 +1069,20 @@ object SparkEntry {
     Q("q42_repeat_offenders", q42RepeatOffenders, Some(q42Sql)),
     Q("q43_dense_rank", q43DenseRank, Some(q43Sql)),
     Q("q44_approx_distinct", q44ApproxDistinct, None),
+    Q("q45_embedding_dedup_lsh", q45EmbeddingDedupLsh, Some(q45Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
+
+  /** The bench headline set: every query except q24, whose all-pairs
+    * inequality join is a cartesian BY DESIGN (it is the exact recall
+    * oracle for q45's LSH-bucketed scale path and stays in the
+    * correctness gate; timing a deliberate O(n²) baseline would only
+    * measure the baseline). */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queries - "q24_embedding_dedup"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -62,9 +62,37 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Dot product of two ARRAY<FLOAT> columns — same codegen'd shape as
+  * [[CosineSimilarity]]; used with constant hyperplane literals for LSH
+  * bucketing (the literal array folds into the generated loop). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def ok(t: DataType) = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product requires ARRAY<FLOAT> inputs, got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_product"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
 object VectorFunctions {
   def cosine_similarity(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  def dot_product(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
 
   /** Sign-bit LSH bucket from the first `bits` dimensions — the coarse
     * quantizer for bucketed ANN (hyperplane LSH with axis-aligned planes).
@@ -73,4 +101,30 @@ object VectorFunctions {
     (0 until bits).map(i =>
       when(element_at(e, i + 1) > lit(0f), lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
+
+  /** Fixed random hyperplanes for sign-LSH over up to 64-dim embeddings:
+    * small INTEGER-VALUED coefficients, so every product float×coeff is an
+    * exact double and the left-to-right dot accumulation is bit-identical
+    * in any engine (the DuckDB oracle regenerates the same sum from these
+    * very values — the q26 MinHashCoeffs pattern). Seeded, never changes
+    * across runs/replays. 48 planes cover up to e.g. 12 tables × 4 bits. */
+  val HyperPlanes: Array[Array[Float]] = {
+    val rnd = new scala.util.Random(0x9e3779b9L)
+    Array.fill(48, 64)((rnd.nextInt(17) - 8).toFloat)
+  }
+
+  /** Hash-table `tbl`'s LSH bucket of an ARRAY<FLOAT> column: `bits` sign
+    * bits of dot products against fixed random hyperplanes (planes
+    * `tbl*bits until tbl*bits+bits` of [[HyperPlanes]]). Random hyperplanes
+    * rather than leading-dimension signs: bucket balance then depends only
+    * on the data's spread along random directions, not on correlated or
+    * zero-heavy leading dims. */
+  def hyperplaneBucket(e: Column, tbl: Int, bits: Int): Column = {
+    require(tbl * bits + bits <= HyperPlanes.length,
+      s"tables*bits exceeds the ${HyperPlanes.length} fixed hyperplanes")
+    (0 until bits).map { i =>
+      val plane = typedlit(HyperPlanes(tbl * bits + i).toSeq)
+      when(dot_product(e, plane) > lit(0d), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
 }

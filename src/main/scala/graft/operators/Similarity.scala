@@ -89,26 +89,50 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
-  /** Embedding-cosine near-duplicate pairs, sign-bucket blocked — the
-    * scale path. Both sides are keyed by the hyperplane-LSH bucket of
-    * [[graft.functions.VectorFunctions.signBucket]], so candidate
-    * generation is an equi-join: only vectors in the same bucket ever
-    * pair, and each of the 2^bits buckets is an independent shuffle
-    * partition. Cost drops from O(n²) to O(sum of bucket²) — with the
-    * recall trade that a pair split across buckets (some leading
-    * dimension flips sign) is missed; high-cosine pairs rarely are,
-    * and [[embeddingCosinePairs]] measures exactly that recall in tests.
-    * `bits` tunes the cost/recall trade: +1 bit halves expected bucket
-    * size (quartering pair-generation work) and lowers recall. */
+  /** Embedding-cosine near-duplicate pairs, LSH-bucket blocked — the
+    * scale path: multi-table random-hyperplane LSH (standard sign-LSH
+    * with OR-amplification). Each of `tables` hash tables buckets every
+    * vector by `bits` sign bits of dot products against fixed random
+    * hyperplanes ([[graft.functions.VectorFunctions.hyperplaneBucket]]);
+    * a pair is a candidate iff it collides in ANY table. Candidate
+    * generation is a pure (table, bucket) equi-join — only same-bucket
+    * vectors ever meet, so per-table cost is O(Σ bucket²), and each
+    * bucket is an independent shuffle partition. Random hyperplanes (not
+    * leading-dim signs) keep buckets balanced regardless of correlated or
+    * zero-heavy leading dimensions.
+    *
+    * A pair colliding in several tables is emitted exactly once — by its
+    * FIRST agreeing table (all lower tables' buckets must differ, the
+    * [[Dedup.simHashPairs]] canonical-band trick) — so no distinct()
+    * dedup shuffle is needed and the cosine filter runs inside the join.
+    *
+    * Tuning (P[two vectors with cosine c agree on one plane] is
+    * 1 − arccos(c)/π): +1 bit halves expected bucket size (quartering
+    * per-table join work) and lowers per-table recall; +1 table buys
+    * recall (1−(1−p^bits)^tables) linearly in cost. Recall vs the exact
+    * [[embeddingCosinePairs]] is measured in SimilaritySpec. */
   def embeddingCosinePairsBucketed(corpus: DataFrame, threshold: Double,
-                                   bits: Int = 6): DataFrame = {
-    val a = corpus.select(col("vec_id"), col("embedding"),
-      VectorFunctions.signBucket(col("embedding"), bits).as("bucket"))
-    val b = a.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-      col("bucket").as("bucket_b"))
-    a.join(b, col("bucket") === col("bucket_b") && col("vec_id") < col("vec_b"))
-      .select(col("vec_id").as("vec_a"), col("vec_b"),
-        VectorFunctions.cosine_similarity(col("embedding"), col("eb")).as("cosine"))
+                                   bits: Int = 4, tables: Int = 8): DataFrame = {
+    // project the per-table bucket array BEFORE the generator: posexplode
+    // over an inline-computed array would re-evaluate all `tables` bucket
+    // sums per generated row
+    val withBkts = corpus.select(col("vec_id"), col("embedding"),
+      array((0 until tables).map(t =>
+        VectorFunctions.hyperplaneBucket(col("embedding"), t, bits)): _*)
+        .as("bkts"))
+    val banded = withBkts.select(col("vec_id"), col("embedding"), col("bkts"),
+      posexplode(col("bkts")).as(Seq("tbl", "bucket")))
+    val lowerTablesDiffer = (0 until tables - 1).map { j =>
+      col("a.tbl") <= j ||
+        element_at(col("a.bkts"), j + 1) =!= element_at(col("b.bkts"), j + 1)
+    }.reduce(_ && _)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id") && lowerTablesDiffer)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        VectorFunctions.cosine_similarity(col("a.embedding"), col("b.embedding"))
+          .as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

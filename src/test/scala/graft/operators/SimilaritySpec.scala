@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.functions.VectorFunctions
+
+/** The LSH-bucketed embedding near-dup scale path (q45) against its exact
+  * all-pairs recall oracle (q24's form), on the sf0.01 driver corpus. */
+class SimilaritySpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.01"
+  private lazy val corpus =
+    Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select(col("vec_a"), col("vec_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("bucketed pairs are a subset of exact pairs with identical cosines") {
+    val exact = Similarity.embeddingCosinePairs(corpus, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bucketed = Similarity.embeddingCosinePairsBucketed(corpus, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // LSH only PRUNES candidates: every surviving pair must exist in the
+    // exact set with a bit-identical cosine (same codegen'd kernel)
+    bucketed.foreach { case (pair, cos) =>
+      assert(exact.contains(pair), s"pair $pair not in exact result")
+      assert(exact(pair) == cos, s"cosine drift for $pair")
+    }
+  }
+
+  test("bucketed recall is acceptable at the threshold and near-total above it") {
+    val exactDf = Similarity.embeddingCosinePairs(corpus, threshold = 0.4)
+    val exact = pairSet(exactDf)
+    val got = pairSet(
+      Similarity.embeddingCosinePairsBucketed(corpus, threshold = 0.4))
+    assert(exact.nonEmpty)
+    val recall = (exact & got).size.toDouble / exact.size
+    // the sf corpus' near-dup pairs sit right AT the threshold (median
+    // cosine ≈ 0.42) — the hardest case for sign-LSH, where a hyperplane
+    // splits a pair with p ≈ arccos(0.4)/π ≈ 0.37 per bit
+    assert(recall >= 0.60, s"threshold-edge recall $recall < 0.60")
+    // pairs comfortably above the threshold (the ones dedup must not
+    // miss) collide with much higher probability
+    val strong = pairSet(exactDf.filter(col("cosine") >= 0.45))
+    if (strong.nonEmpty) {
+      val strongRecall = (strong & got).size.toDouble / strong.size
+      assert(strongRecall >= recall,
+        s"strong-pair recall $strongRecall below overall $recall")
+    }
+  }
+
+  test("random hyperplanes spread the corpus across buckets in every table") {
+    val tables = 8
+    val bits = 4
+    val withBkts = corpus.select(col("vec_id"),
+      array((0 until tables).map(t =>
+        VectorFunctions.hyperplaneBucket(col("embedding"), t, bits)): _*)
+        .as("bkts"))
+    val n = corpus.count()
+    (0 until tables).foreach { t =>
+      val sizes = withBkts
+        .groupBy(element_at(col("bkts"), t + 1).as("bucket"))
+        .agg(count(lit(1)).as("sz"))
+        .collect().map(_.getAs[Long]("sz"))
+      // no degenerate pile-up: the largest of the 2^bits buckets holds
+      // under half the corpus (uniform would be ~1/16)
+      assert(sizes.max < n / 2, s"table $t: largest bucket ${sizes.max} of $n")
+      assert(sizes.length >= (1 << bits) / 2, s"table $t: only ${sizes.length} buckets in use")
+    }
+  }
+}
