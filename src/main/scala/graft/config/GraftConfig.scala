@@ -123,7 +123,32 @@ final case class GraftConfig(
 
   /** graft-dnstap source options (S1/S2). */
   def socketOptions: Map[String, String] =
-    Map("path" -> unixSocket, "readers" -> readers.toString)
+    Map("path" -> unixSocket, "readers" -> readers.toString,
+      "readTimeoutSecs" -> readTimeoutSecs.toString)
+
+  /** K4 (clickhouse.go:86-114): the ClickHouse connection surface as a
+    * JDBC URL. `Hosts` is the reference's comma-separated `host:port`
+    * list, which clickhouse-jdbc accepts verbatim as a multi-endpoint
+    * authority (failover order = list order, like the Go client's Addr). */
+  def jdbcConnectionUrl: String = s"jdbc:clickhouse://$hosts/$database"
+
+  /** K4 connection options for the JDBC writer, mirroring the Go client's
+    * ConnOptions: Auth → user/password, Secure → ssl with
+    * InsecureSkipVerify → sslmode NONE (skip cert verification) vs STRICT,
+    * and the reference's always-on LZ4 wire compression + 5 s dial /
+    * 60 s max-execution timeouts. */
+  def jdbcConnectionOptions: Map[String, String] = {
+    val base = Map(
+      "user" -> username,
+      "password" -> password,
+      "compress_algorithm" -> "lz4",
+      "connection_timeout" -> "5000",
+      "max_execution_time" -> "60")
+    if (secure)
+      base ++ Map("ssl" -> "true",
+        "sslmode" -> (if (insecureSkipVerify) "NONE" else "STRICT"))
+    else base
+  }
 
   /** K1 projections: logical pipeline column → configured output name;
     * an empty configured name prunes the column all the way up the plan. */

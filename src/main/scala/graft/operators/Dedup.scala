@@ -27,11 +27,20 @@ object Dedup {
     * via inverted-index join + per-pair intersection count.
     *
     * @param maxShingleDf drop shingles appearing in more than this many
-    *        docs (0 = keep all): skew guard for degenerate content.
+    *        docs (0 = keep all): skew guard for degenerate content. A
+    *        shingle shared by k docs contributes k² candidate rows to the
+    *        inverted-index join, so one viral boilerplate shingle turns
+    *        the whole query quadratic — the cap bounds per-key fan-out.
+    * @param maxShingleDfFrac like maxShingleDf but as a fraction of the
+    *        corpus size (0 = off), for SF-independent registrations. The
+    *        corpus count rides the plan as a broadcast 1-row aggregate —
+    *        building the query runs no job, and the threshold scales with
+    *        the data instead of going stale.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
-                        maxShingleDf: Long = 0L): DataFrame = {
+                        maxShingleDf: Long = 0L,
+                        maxShingleDfFrac: Double = 0.0): DataFrame = {
     // 64-bit shingle hashes, not shingle strings, flow through the joins
     // (collision probability ~n²/2^65 — negligible at any corpus size).
     val sh0 = df
@@ -40,12 +49,25 @@ object Dedup {
         explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("sg"))
       .select(col("doc"), xxhash64(col("sg")).as("h"))
       .distinct()
+    // df cap via a window count over h — NOT a separate aggregate+join,
+    // which would recompute the whole tokenize/explode/distinct subtree
+    // and shuffle it a second time. The window shuffles the inverted
+    // index on h once (the partitioning the candidate join wants anyway);
+    // a viral shingle costs k linear rows in one task here instead of the
+    // k² join rows the cap then prevents.
     val sh =
-      if (maxShingleDf <= 0) sh0
+      if (maxShingleDf <= 0 && maxShingleDfFrac <= 0) sh0
       else {
-        val dfreq = sh0.groupBy("h").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxShingleDf).select("h")
-        sh0.join(dfreq, "h")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+        val withDf = sh0.withColumn("__df", count(lit(1)).over(w))
+        val capped =
+          if (maxShingleDfFrac > 0) {
+            val nDocs = df.agg(countDistinct(col(idCol)).as("__n"))
+            withDf.crossJoin(broadcast(nDocs))
+              .filter(col("__df") <= ceil(col("__n") * maxShingleDfFrac))
+              .drop("__n")
+          } else withDf.filter(col("__df") <= maxShingleDf)
+        capped.drop("__df")
       }
     // carry each doc's shingle-set size into the index so the exact
     // size-ratio bound (jaccard >= t ⇒ min(sz) >= t*max(sz)) prunes pairs

@@ -40,11 +40,22 @@ object ColumnProjection {
   val identity: ColumnProjection = ColumnProjection(Nil)
 }
 
+/** Parquet table sink, idempotent under micro-batch replay: rows land in
+  * a `__batch_id=<id>` partition and a replayed (df, batchId) OVERWRITES
+  * exactly its own partition (dynamic partition overwrite), so a batch
+  * retried after a partial append yields its rows once. The partition
+  * column doubles as delivery lineage; every other partition is untouched
+  * by a replay. A plain mode("append") here would double-write on every
+  * foreachBatch retry. */
 final class ParquetAppendSink(path: String,
                               projection: ColumnProjection = ColumnProjection.identity)
     extends BatchSink {
   override def write(df: DataFrame, batchId: Long): Unit =
-    projection(df).write.mode("append").parquet(path)
+    projection(df).withColumn("__batch_id", org.apache.spark.sql.functions.lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch_id")
+      .parquet(path)
 }
 
 /** JDBC batch writer (ClickHouse via clickhouse-jdbc, or any JDBC store). */
@@ -72,6 +83,27 @@ final class CollectingSink(projection: ColumnProjection = ColumnProjection.ident
   }
   def rows: Seq[Row] = buf.synchronized { buf.toVector }
   def clear(): Unit = buf.synchronized { buf.clear() }
+}
+
+/** Row-level delivery policy (clickhouse.go:190-205): the reference's
+  * QUERY writer skips rows its driver rejects (`batch.Append` error →
+  * log + continue) and still sends the rest, while the response/sample
+  * writers abort the whole batch on error. This decorator reproduces the
+  * query-side policy declaratively: rows failing `valid` are diverted to
+  * an optional dead-letter sink (an upgrade over the reference's
+  * log-and-lose) and the remainder is delivered. Abort-on-error batches
+  * are simply the undecorated [[BatchSink]]. */
+final class RowSkippingSink(inner: BatchSink,
+                            valid: org.apache.spark.sql.Column,
+                            deadLetter: Option[BatchSink] = None)
+    extends BatchSink {
+  override def write(df: DataFrame, batchId: Long): Unit = {
+    deadLetter.foreach { dl =>
+      val bad = df.filter(!valid)
+      if (!bad.isEmpty) dl.write(bad, batchId)
+    }
+    inner.write(df.filter(valid), batchId)
+  }
 }
 
 /** Linear-backoff retry decorator (reference schedule: +`stepMs` per

@@ -75,7 +75,14 @@ final class DnstapSocketScan(options: CaseInsensitiveStringMap) extends Scan {
     val maxFrames = Option(options.get("maxFramesPerTrigger")).map(_.toLong)
     val maxFrameBytes = Option(options.get("maxFrameBytes")).map(_.toInt)
       .getOrElse(FrameStreams.DefaultMaxFrameBytes)
-    new DnstapSocketMicroBatchStream(path, readers, maxFrames, maxFrameBytes)
+    // reference Dnstap.ReadTimeout (toml.go:75, applied dnstap.go:193-198):
+    // a connection delivering no frame within the timeout is dropped,
+    // freeing its pooled reader. 0 disables; GraftConfig supplies the
+    // reference default (5 s) through socketOptions.
+    val readTimeoutSecs = Option(options.get("readTimeoutSecs")).map(_.toInt)
+      .getOrElse(0)
+    new DnstapSocketMicroBatchStream(path, readers, maxFrames, maxFrameBytes,
+      readTimeoutSecs)
   }
 }
 
@@ -85,7 +92,8 @@ final case class FrameOffset(n: Long) extends Offset {
 
 final class DnstapSocketMicroBatchStream(path: String, readers: Int,
                                          maxFramesPerTrigger: Option[Long],
-                                         maxFrameBytes: Int)
+                                         maxFrameBytes: Int,
+                                         readTimeoutSecs: Int = 0)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   // Frame buffer: frames(i) holds offset firstOffset + i. Committed
@@ -98,8 +106,8 @@ final class DnstapSocketMicroBatchStream(path: String, readers: Int,
   // socket path — e.g. the pipeline's W1 and W2 branches — share one bound
   // server, each keeping its own offset-tracked buffer (the reference's
   // one-listener / N-consumers shape)
-  private val server = FrameSocketServer.attach(path, readers, maxFrameBytes)(
-    frame => lock.synchronized { frames += frame })
+  private val server = FrameSocketServer.attach(path, readers, maxFrameBytes,
+    readTimeoutSecs)(frame => lock.synchronized { frames += frame })
 
   private def endOffset: Long = lock.synchronized(firstOffset + frames.length)
 
@@ -201,14 +209,17 @@ object FrameSocketServer {
   }
 
   /** Bind (or join) the listener on `path` and register a frame consumer;
-    * every attached consumer sees every frame from attach time on. */
-  def attach(path: String, readers: Int, maxFrameBytes: Int)
+    * every attached consumer sees every frame from attach time on. The
+    * first attacher's reader/timeout settings configure the shared
+    * listener. */
+  def attach(path: String, readers: Int, maxFrameBytes: Int,
+             readTimeoutSecs: Int = 0)
             (consumer: Array[Byte] => Unit): Handle = synchronized {
     val shared = registry.getOrElseUpdate(path, {
       val consumers =
         new java.util.concurrent.CopyOnWriteArrayList[Array[Byte] => Unit]()
       val server = new FrameSocketServer(path, readers, maxFrameBytes,
-        frame => consumers.forEach(c => c(frame)))
+        frame => consumers.forEach(c => c(frame)), readTimeoutSecs)
       server.start()
       Shared(server, consumers, 0)
     })
@@ -233,16 +244,26 @@ object FrameSocketServer {
 /** Driver-side unix-socket listener + reader pool (S1/S2). Accepted
   * connections queue up; `readers` threads pull one connection at a time
   * and pump its frame-streams data frames into `emit` — the exact shape of
-  * the reference's ConnChannel + reader workers (dnstap.go:140-210). */
+  * the reference's ConnChannel + reader workers (dnstap.go:140-210).
+  *
+  * `readTimeoutSecs` > 0 applies the reference's per-read deadline
+  * (Dnstap.ReadTimeout, dnstap.go:193-198): a connection that delivers no
+  * frame within the window is closed, and the pooled reader blocked on it
+  * moves to the next queued connection. Blocking NIO channel reads have no
+  * native soTimeout, so the deadline is enforced by a watchdog that closes
+  * stale channels — the in-flight read then fails over to the drop path. */
 final class FrameSocketServer(path: String, readers: Int, maxFrameBytes: Int,
-                              emit: Array[Byte] => Unit) extends AutoCloseable {
+                              emit: Array[Byte] => Unit,
+                              readTimeoutSecs: Int = 0) extends AutoCloseable {
 
   private val address = UnixDomainSocketAddress.of(path)
   @volatile private var closed = false
   @volatile private var channel: ServerSocketChannel = _
   private val pending = new ConcurrentLinkedQueue[SocketChannel]()
+  // active connection → nanoTime of its last delivered frame (the read
+  // deadline baseline)
   private val active =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[SocketChannel]()
+    new java.util.concurrent.ConcurrentHashMap[SocketChannel, java.lang.Long]()
   private val threads = mutable.ArrayBuffer.empty[Thread]
   private val bound = new CountDownLatch(1)
 
@@ -281,15 +302,20 @@ final class FrameSocketServer(path: String, readers: Int, maxFrameBytes: Int,
           val conn = pending.poll()
           if (conn == null) Thread.sleep(10)
           else {
-            active.add(conn)
+            active.put(conn, java.lang.Long.valueOf(System.nanoTime()))
             try {
               val in = Channels.newInputStream(conn)
               val out = Channels.newOutputStream(conn)
               val r = new FrameStreams.Reader(in, Some(out), maxFrameBytes)
               var frame = r.next()
-              while (frame.isDefined && !closed) { emit(frame.get); frame = r.next() }
+              while (frame.isDefined && !closed) {
+                // progress resets the read deadline (per-read, not per-conn)
+                active.put(conn, java.lang.Long.valueOf(System.nanoTime()))
+                emit(frame.get)
+                frame = r.next()
+              }
             } catch {
-              case _: Exception => () // bad peer: drop the connection
+              case _: Exception => () // bad/stalled peer: drop the connection
             } finally { active.remove(conn); conn.close() }
           }
         }
@@ -297,6 +323,23 @@ final class FrameSocketServer(path: String, readers: Int, maxFrameBytes: Int,
       t.setDaemon(true)
       t.start()
       threads += t
+    }
+
+    if (readTimeoutSecs > 0) {
+      val timeoutNanos = readTimeoutSecs * 1000000000L
+      val w = new Thread(() => {
+        while (!closed) {
+          Thread.sleep(math.max(100L, readTimeoutSecs * 250L))
+          val cutoff = System.nanoTime() - timeoutNanos
+          active.forEach { (conn, last) =>
+            if (last < cutoff) try conn.close()
+            catch { case _: Exception => () }
+          }
+        }
+      }, "graft-dnstap-read-timeout")
+      w.setDaemon(true)
+      w.start()
+      threads += w
     }
   }
 
@@ -310,7 +353,7 @@ final class FrameSocketServer(path: String, readers: Int, maxFrameBytes: Int,
     bound.await(2, java.util.concurrent.TimeUnit.SECONDS)
     if (channel != null) channel.close()
     // unblock reader threads parked in readInt() on live connections
-    active.forEach(c => try c.close() catch { case _: Exception => () })
+    active.forEach((c, _) => try c.close() catch { case _: Exception => () })
     var c = pending.poll()
     while (c != null) {
       try c.close() catch { case _: Exception => () }

@@ -30,6 +30,32 @@ class GraftAppSpec extends SparkSpec {
       Some("srv1"), Some(msg)))
   }
 
+  test("K4: [ClickHouse] connection block builds the multi-host TLS JDBC surface") {
+    val cfg = GraftConfig.fromToml(
+      """[ClickHouse]
+        |Hosts = "ch1.internal:9440,ch2.internal:9440"
+        |Database = "dns"
+        |Username = "graft"
+        |Password = "s3cret"
+        |Secure = true
+        |InsecureSkipVerify = true
+        |""".stripMargin)
+    // multi-host authority, verbatim host order (failover order)
+    assert(cfg.jdbcConnectionUrl ==
+      "jdbc:clickhouse://ch1.internal:9440,ch2.internal:9440/dns")
+    val opts = cfg.jdbcConnectionOptions
+    assert(opts("user") == "graft" && opts("password") == "s3cret")
+    assert(opts("ssl") == "true" && opts("sslmode") == "NONE")
+    assert(opts("compress_algorithm") == "lz4")
+    // strict verification when InsecureSkipVerify is off; no ssl keys at all
+    // when Secure is off (the driver would otherwise attempt TLS setup)
+    val strict = GraftConfig.fromToml("[ClickHouse]\nSecure = true\n")
+    assert(strict.jdbcConnectionOptions("sslmode") == "STRICT")
+    val plain = GraftConfig.defaults
+    assert(!plain.jdbcConnectionOptions.contains("ssl"))
+    assert(plain.jdbcConnectionUrl == "jdbc:clickhouse://localhost:9000/default")
+  }
+
   test("config-driven app: socket frames land in projected parquet tables") {
     val root = Files.createTempDirectory("graft-app")
     val sock = root.resolve("d.sock").toString
@@ -63,20 +89,33 @@ class GraftAppSpec extends SparkSpec {
       FrameStreams.writeControlFrame(out, FrameStreams.ControlStop)
       conn.close()
 
-      // poll the query table (grouping-set agg -> 3 rows for one key)
+      // poll the query table (grouping-set agg -> 3 rows for one key);
+      // data files live under __batch_id=N partition dirs — walk the tree
+      def hasParquet(dir: String): Boolean = {
+        val p = Paths.get(dir)
+        if (!Files.exists(p)) false
+        else {
+          val s = Files.walk(p)
+          // in-flight task attempts under _temporary don't count: the
+          // reader ignores them, so a read would still see no data
+          try s.anyMatch(f => f.toString.endsWith(".parquet") &&
+            !f.toString.contains("_temporary"))
+          finally s.close()
+        }
+      }
       val qDir = s"$root/out/q_out"
       def rows() =
-        if (Files.exists(Paths.get(qDir)) &&
-            Files.list(Paths.get(qDir)).anyMatch(_.toString.endsWith(".parquet")))
-          spark.read.parquet(qDir).collect()
+        if (hasParquet(qDir)) spark.read.parquet(qDir).collect()
         else Array.empty[org.apache.spark.sql.Row]
       val end = System.nanoTime() + 90L * 1000000000L
       while (rows().length < 3 && System.nanoTime() < end) Thread.sleep(200)
 
       val got = rows()
-      // projection applied: renamed address column, dropped question type
+      // projection applied: renamed address column, dropped question type;
+      // __batch_id is the idempotent sink's delivery-lineage partition
       assert(got.head.schema.fieldNames.toSeq ==
-        Seq("queryTime", "identity", "client", "questionName", "counter"))
+        Seq("queryTime", "identity", "client", "questionName", "counter",
+          "__batch_id"))
       assert(got.map(r => (r.getAs[String]("identity"), r.getAs[String]("client"),
         r.getAs[String]("questionName"), r.getAs[Long]("counter"))).toSet ==
         Set(("srv1", "10.0.0.1", "x.example.", 1L),
@@ -87,9 +126,7 @@ class GraftAppSpec extends SparkSpec {
       val rDir = s"$root/out/clientResponse"
       val rEnd = System.nanoTime() + 60L * 1000000000L
       def rCount() =
-        if (Files.exists(Paths.get(rDir)) &&
-            Files.list(Paths.get(rDir)).anyMatch(_.toString.endsWith(".parquet")))
-          spark.read.parquet(rDir).count()
+        if (hasParquet(rDir)) spark.read.parquet(rDir).count()
         else 0L
       while (rCount() < 3 && System.nanoTime() < rEnd) Thread.sleep(200)
       assert(rCount() == 3)

@@ -62,7 +62,8 @@ class GraftConfigSpec extends AnyFunSuite {
 
   test("socket options feed the graft-dnstap source") {
     val c = GraftConfig.fromToml(
-      "[Dnstap]\nUnixSocket = \"/tmp/d.sock\"\nReaders = 4")
-    assert(c.socketOptions == Map("path" -> "/tmp/d.sock", "readers" -> "4"))
+      "[Dnstap]\nUnixSocket = \"/tmp/d.sock\"\nReaders = 4\nReadTimeout = \"20s\"")
+    assert(c.socketOptions == Map("path" -> "/tmp/d.sock", "readers" -> "4",
+      "readTimeoutSecs" -> "20"))
   }
 }

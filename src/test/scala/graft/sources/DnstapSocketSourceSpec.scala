@@ -62,6 +62,41 @@ class FrameStreamsSpec extends AnyFunSuite {
   }
 }
 
+class FrameSocketServerSpec extends AnyFunSuite {
+  test("ReadTimeout frees a reader pinned by a stalled connection") {
+    val sock = Files.createTempDirectory("graft-rt").resolve("d.sock").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Byte]]()
+    // single reader + 1 s read deadline (Dnstap.ReadTimeout): without the
+    // deadline, the stalled first connection pins the pool forever
+    val server = new FrameSocketServer(sock, readers = 1,
+      maxFrameBytes = FrameStreams.DefaultMaxFrameBytes,
+      emit = f => got.add(f.toSeq), readTimeoutSecs = 1)
+    server.start()
+    try {
+      server.awaitBound()
+      val stalled = SocketChannel.open(UnixDomainSocketAddress.of(sock))
+      val sOut = Channels.newOutputStream(stalled)
+      FrameStreams.writeControlFrame(sOut, FrameStreams.ControlStart,
+        Seq(FrameStreams.ContentTypeDnstap))
+      // ... and then nothing: the peer hangs without sending a frame
+
+      val healthy = SocketChannel.open(UnixDomainSocketAddress.of(sock))
+      val hOut = Channels.newOutputStream(healthy)
+      FrameStreams.writeControlFrame(hOut, FrameStreams.ControlStart,
+        Seq(FrameStreams.ContentTypeDnstap))
+      FrameStreams.writeDataFrame(hOut, Array[Byte](42))
+      FrameStreams.writeControlFrame(hOut, FrameStreams.ControlStop)
+
+      // the healthy connection's frame must arrive once the watchdog drops
+      // the stalled one (deadline 1 s; allow generous scheduling slack)
+      val deadline = System.nanoTime() + 15L * 1000000000L
+      while (got.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(got.peek() == Seq[Byte](42))
+      stalled.close(); healthy.close()
+    } finally server.close()
+  }
+}
+
 class DnstapSocketSourceSpec extends SparkSpec {
 
   private def connectWithRetry(path: String): SocketChannel = {
