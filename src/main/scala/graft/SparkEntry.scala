@@ -1031,6 +1031,17 @@ object SparkEntry {
       |WHERE cosine >= 0.4""".stripMargin
   }
 
+  // q46 — IVF ANN with Lloyd-trained (spherical k-means) centroids: the
+  // production quantizer for q39's machinery. Training is an explicit
+  // bounded action (hash-sampled collect + driver-local Lloyd, see
+  // Similarity.trainIvfCentroids); the trained centroids ride the search
+  // plan as a broadcast literal table. Lloyd isn't expressible in the SQL
+  // oracle → registered rows-only (like q44); recall vs both the exact
+  // top-k and the first-N quantizer is asserted in SimilaritySpec.
+  private def q46AnnIvfKmeans(spark: SparkSession, dir: String): DataFrame =
+    Similarity.annIvfKmeans(corpus(spark, dir), probes(spark, dir),
+      k = 3, nCells = 8)
+
   // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
@@ -1079,6 +1090,7 @@ object SparkEntry {
     Q("q43_dense_rank", q43DenseRank, Some(q43Sql)),
     Q("q44_approx_distinct", q44ApproxDistinct, None),
     Q("q45_embedding_dedup_lsh", q45EmbeddingDedupLsh, Some(q45Sql)),
+    Q("q46_ann_ivf_kmeans", q46AnnIvfKmeans, None),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -47,15 +47,23 @@ object Similarity {
 
   /** IVF-style ANN: the corpus is partitioned into cells by nearest
     * centroid, and each probe scores only its own cell — the coarse
-    * quantizer of a classic IVF index. Centroids here are a deterministic
-    * sample (the first `nCells` corpus vectors); a real pipeline would
-    * k-means them, but the assignment/search machinery — broadcast
-    * centroids, one narrow argmax pass per side, cell-equi-join — is
-    * identical, and at 100 TB each executor scores |corpus|/nCells. */
+    * quantizer of a classic IVF index. This entry point uses the
+    * deterministic first-`nCells` centroids (oracle-reproducible in SQL);
+    * [[annIvfKmeans]] is the trained variant. The assignment/search
+    * machinery — broadcast centroids, one narrow argmax pass per side,
+    * cell-equi-join — is shared, and at 100 TB each executor scores
+    * |corpus|/nCells. */
   def annIvf(corpus: DataFrame, probes: DataFrame, k: Int,
              nCells: Int = 8): DataFrame = {
     val cents = corpus.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("embedding").as("ce"))
+    annIvfWithCentroids(corpus, probes, k, cents)
+  }
+
+  /** IVF search against an explicit (broadcastable) centroid table
+    * `(cell BIGINT, ce ARRAY<FLOAT>)`. */
+  def annIvfWithCentroids(corpus: DataFrame, probes: DataFrame, k: Int,
+                          cents: DataFrame): DataFrame = {
     def assign(df: DataFrame, id: String, emb: String): DataFrame = {
       val w = Window.partitionBy(col(id)).orderBy(desc("ccos"), asc("cell"))
       df.crossJoin(broadcast(cents))
@@ -73,6 +81,78 @@ object Similarity {
         VectorFunctions.cosine_similarity(col("pe"), col("embedding")).as("cosine"))
     val w = Window.partitionBy(col("probe_id")).orderBy(desc("cosine"), asc("vec_id"))
     scored.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
+  }
+
+  /** Spherical k-means centroids for the IVF quantizer: a few Lloyd
+    * iterations over a bounded, deterministic hash-sample of the corpus,
+    * computed on the driver. EXPLICIT TRAINING ACTION: calling this runs
+    * a job (one bounded collect) — it is index construction, not a lazy
+    * query plan; the returned centroids then ride every search plan as a
+    * broadcast literal table. At 100 TB the sample filter
+    * (xxhash64(vec_id) spread + limit) reads a vanishing fraction of the
+    * corpus, and Lloyd on `sampleN` driver-local vectors is millisecond
+    * work — the standard coarse-quantizer training shape (IVF trains on a
+    * sample, never the full corpus).
+    *
+    * Cosine geometry: members are L2-normalized before averaging and the
+    * mean is re-normalized (spherical k-means), so "nearest centroid by
+    * cosine" is the metric being optimized. Empty cells keep their
+    * previous centroid. Deterministic: hash-ordered sample, fixed
+    * iteration count, left-to-right accumulation. */
+  def trainIvfCentroids(corpus: DataFrame, nCells: Int, iters: Int = 5,
+                        sampleN: Int = 4096): Array[Array[Float]] = {
+    val sample: Array[Array[Float]] = corpus
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("__h", xxhash64(col("vec_id")))
+      .orderBy(col("__h"))
+      .limit(sampleN)
+      .select(col("embedding"))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.length >= nCells, s"sample ${sample.length} < $nCells cells")
+    def normalize(v: Array[Double]): Array[Double] = {
+      var n = 0.0; var i = 0
+      while (i < v.length) { n += v(i) * v(i); i += 1 }
+      val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
+      v.map(_ * inv)
+    }
+    val unit = sample.map(v => normalize(v.map(_.toDouble)))
+    var cents: Array[Array[Double]] = unit.take(nCells).map(_.clone())
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(nCells)(new Array[Double](cents(0).length))
+      val counts = new Array[Int](nCells)
+      unit.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < nCells) {
+          var dot = 0.0; var i = 0
+          while (i < v.length) { dot += v(i) * cents(c)(i); i += 1 }
+          if (dot > bestDot) { bestDot = dot; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old else normalize(sums(c))
+      }
+    }
+    cents.map(_.map(_.toFloat))
+  }
+
+  /** IVF ANN with Lloyd-trained centroids (see [[trainIvfCentroids]] for
+    * the training-action contract). */
+  def annIvfKmeans(corpus: DataFrame, probes: DataFrame, k: Int,
+                   nCells: Int = 8, iters: Int = 5,
+                   sampleN: Int = 4096): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val trained = trainIvfCentroids(corpus, nCells, iters, sampleN)
+    val cents = trained.zipWithIndex
+      .map { case (ce, cell) => (cell.toLong, ce) }.toSeq
+      .toDF("cell", "ce")
+    annIvfWithCentroids(corpus, probes, k, cents)
   }
 
   /** Embedding-cosine near-duplicate pairs (brute force, i<j).

@@ -8,13 +8,19 @@ import java.util.concurrent.ConcurrentHashMap
   * a random reference value under a widening/narrowing bit mask.
   *
   * Control law (reference semantics, re-based for a scalable state store):
-  * after each sample interval, if the interval produced more than
-  * `maxSamplesPerInterval` matches the mask widens by one bit (halving the
-  * sample rate); fewer than `minSamplesPerInterval` narrows it. The
-  * reference additionally widens on state-map overflow — its map is
-  * hard-capped at 8 in-flight entries; our state store is horizontally
-  * scalable so that trigger is intentionally absent (documented divergence,
-  * SURVEY §2.6 option 2).
+  * after each sample interval the mask widens by one bit (halving the
+  * sample rate) when the interval produced more than
+  * `maxSamplesPerInterval` matches OR the matcher's pending state exceeds
+  * `maxPendingState` — the reference's overflow trigger
+  * (`QueryResponseTimeSampleMapSizeExceeds`, aggregator.go:339-351,
+  * 455-467): its map is hard-capped at 8 in-flight entries and insert
+  * rejections force a widen even when the match rate is low. Our state
+  * store is horizontally partitioned, so the analog pressure signal is
+  * the streaming query's `stateOperators.numRowsTotal` (unmatched entries
+  * awaiting a partner or the TTL purge), with a much larger bound. The
+  * mask narrows only when there was NO state pressure this interval and
+  * fewer than `minSamplesPerInterval` matches — exactly the reference's
+  * `MapSizeExceeds == 0` guard.
   *
   * The driver updates the mask between micro-batches (foreachBatch runs on
   * the driver); executors read it through [[AdaptiveSampler.registry]] —
@@ -24,7 +30,8 @@ import java.util.concurrent.ConcurrentHashMap
 final class AdaptiveSampler(seed: Long = System.nanoTime(),
                             minSamplesPerInterval: Long = 32,
                             maxSamplesPerInterval: Long = 256,
-                            maxMaskBits: Int = 16) extends Serializable {
+                            maxMaskBits: Int = 16,
+                            maxPendingState: Long = 4096) extends Serializable {
   private val matchValue: Int = new java.util.Random(seed).nextInt(1 << 16)
   @volatile private var maskBits: Int = 0
 
@@ -33,10 +40,20 @@ final class AdaptiveSampler(seed: Long = System.nanoTime(),
     (id & mask) == (matchValue & mask)
   }
 
-  /** Driver-side feedback step, once per sample interval. */
-  def observeInterval(samples: Long): Unit = {
-    if (samples > maxSamplesPerInterval && maskBits < maxMaskBits) maskBits += 1
-    else if (samples < minSamplesPerInterval && maskBits > 0) maskBits -= 1
+  /** Driver-side feedback step, once per sample interval.
+    *
+    * @param samples      matches produced in the interval
+    * @param pendingState unmatched entries held by the matcher (id-churn
+    *        pressure: queries that never met a response accumulate here
+    *        until TTL; the overflow-widen bounds that growth between
+    *        purges, aggregator.go:455-467)
+    */
+  def observeInterval(samples: Long, pendingState: Long = 0L): Unit = {
+    val overflow = pendingState > maxPendingState
+    if ((overflow || samples > maxSamplesPerInterval) && maskBits < maxMaskBits)
+      maskBits += 1
+    else if (!overflow && samples < minSamplesPerInterval && maskBits > 0)
+      maskBits -= 1
   }
 
   def currentMaskBits: Int = maskBits

@@ -129,6 +129,11 @@ object DnstapPipeline {
       val matched =
         LatencyMatcher.samples(spark, events, cfg.sampleIntervalSecs * 1000L)
 
+      // handle for reading our own progress from inside foreachBatch
+      // (assigned right after start(); batch 0 sees null → no pressure)
+      val qRef =
+        new java.util.concurrent.atomic.AtomicReference[StreamingQuery]()
+
       val q = matched.writeStream
         .queryName("graft-dnstap-samples")
         .option("checkpointLocation", s"$checkpointRoot/samples")
@@ -152,11 +157,21 @@ object DnstapPipeline {
                 col("responseTimeMicroSec"), lit(1L).as("counter")), batchId)
             AdaptiveSampler.registry.get(samplerKey) match {
               case null => ()
-              case s    => s.observeInterval(total)
+              case s =>
+                // O5 overflow feedback: the matcher's in-flight state size
+                // from the last completed trigger's progress (one-interval
+                // lag — the reference also reads its overflow counter once
+                // per interval, aggregator.go:455-483)
+                val pending = Option(qRef.get())
+                  .flatMap(query => Option(query.lastProgress))
+                  .map(_.stateOperators.map(_.numRowsTotal).sum)
+                  .getOrElse(0L)
+                s.observeInterval(total, pending)
             }
           } finally persisted.unpersist()
         }
         .start()
+      qRef.set(q)
       // drop the sampler registry entry when this run's query terminates
       // (prevents unbounded growth across pipeline restarts in one driver)
       spark.streams.addListener(new StreamingQueryListener {

@@ -51,6 +51,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("Lloyd-trained IVF centroids beat the first-N quantizer on recall") {
+    // HELD-OUT probes: ids ≥ 100 never coincide with first-N centroid
+    // vectors (ids < nCells), whose own cells would otherwise flatter the
+    // untrained quantizer's recall
+    val probes = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") >= 100 && col("vec_id") < 150)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    def topkSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("probe_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topkSet(Similarity.knnBruteForce(corpus, probes, k = 5))
+    val firstN = topkSet(Similarity.annIvf(corpus, probes, k = 5, nCells = 8))
+    val kmeans = topkSet(
+      Similarity.annIvfKmeans(corpus, probes, k = 5, nCells = 8))
+    def recall(got: Set[(Long, Long)]) = (exact & got).size.toDouble / exact.size
+    val (rF, rK) = (recall(firstN), recall(kmeans))
+    // trained cells follow the data distribution; first-N cells are
+    // whatever vectors happened to carry the lowest ids
+    assert(rK >= rF, s"kmeans recall $rK below first-N $rF")
+    assert(rK >= 0.25, s"kmeans recall $rK unreasonably low")
+    // determinism: training twice yields identical centroids
+    val c1 = Similarity.trainIvfCentroids(corpus, nCells = 8)
+    val c2 = Similarity.trainIvfCentroids(corpus, nCells = 8)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+  }
+
   test("random hyperplanes spread the corpus across buckets in every table") {
     val tables = 8
     val bits = 4

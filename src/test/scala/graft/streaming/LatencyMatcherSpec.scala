@@ -84,6 +84,23 @@ class AdaptiveSamplerSpec extends AnyFunSuite {
     s.observeInterval(10); assert(s.currentMaskBits == 0)
     s.observeInterval(10); assert(s.currentMaskBits == 0) // clamped
   }
+  test("state pressure widens the mask even when the match rate is low") {
+    // the reference's overflow trigger (aggregator.go:455-467): id-churn
+    // fills the matcher with unmatched entries while producing few
+    // samples — sample count alone would never widen
+    val s = new AdaptiveSampler(seed = 1, maxMaskBits = 4, maxPendingState = 100)
+    s.observeInterval(samples = 5, pendingState = 101)
+    assert(s.currentMaskBits == 1)
+    s.observeInterval(samples = 5, pendingState = 5000)
+    assert(s.currentMaskBits == 2)
+    // pressure gone, starved: narrowing resumes (MapSizeExceeds==0 guard)
+    s.observeInterval(samples = 5, pendingState = 100)
+    assert(s.currentMaskBits == 1)
+    // pressure present blocks the narrow branch by widening instead
+    s.observeInterval(samples = 5, pendingState = 101)
+    assert(s.currentMaskBits == 2)
+  }
+
   test("each widening halves the accepted id population") {
     val s = new AdaptiveSampler(seed = 42, maxMaskBits = 16)
     def rate = (0 until 65536).count(s.accepts)
