@@ -11,6 +11,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ordered = SparkEntry.benchQueries.toSeq.sortBy(_._1)
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+
+    /** min-of-N timing of every bench query against one sf directory. */
+    def timeAll(dir: String): Seq[(String, Double)] = ordered.map {
+      case (name, fn) =>
+        val best = (0 until math.max(1, iters)).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, dir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        name -> best
+    }
+    def toJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+
     // untimed warm pass (disable with SPARK_GRAFT_WARM_PASS=0): JIT +
     // codegen + parquet footers paid up front so the timed pass measures
     // steady-state query cost, not first-touch JVM machinery
@@ -20,19 +35,30 @@ object Bench {
       }
     // fixed name order: stable timing attribution across rounds; min of
     // `iters` timed runs damps scheduler noise in the reported numbers
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
-    val results = ordered.map { case (name, fn) =>
-      val best = (0 until math.max(1, iters)).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      name -> best
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val results = timeAll(sfDir)
+
+    // scaling probe: re-time against a smaller SF and report the per-query
+    // hi/lo time ratio — the sf0.1-only numbers cannot distinguish an
+    // O(n log n) plan from a quadratic one, the ratio across 10x data can.
+    // Default on (vs sf0.01) unless the primary IS the small SF; override
+    // dir with SPARK_GRAFT_SCALING_DIR, disable with SPARK_GRAFT_SCALING_DIR=0.
+    val scalingDir = sys.env.getOrElse("SPARK_GRAFT_SCALING_DIR",
+      if (sfDir.contains("sf0.01") || sfDir.contains("sf0.001")) "0"
+      else "/root/testdata/sf0.01")
+    val scalingJson =
+      if (scalingDir == "0" || !new java.io.File(scalingDir).isDirectory) ""
+      else {
+        val lo = timeAll(scalingDir)
+        val loMap = lo.toMap
+        val ratios = results.map { case (name, hi) =>
+          val l = loMap.getOrElse(name, -1.0)
+          name -> (if (l > 0 && hi > 0) hi / l else -1.0)
+        }
+        s""","scaling":{"dir":"$scalingDir","queries":${toJson(lo)},"ratio_vs_primary":${toJson(ratios)}}"""
+      }
+
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"$scalingJson}""")
     spark.stop()
   }
 }

@@ -705,8 +705,22 @@ object SparkEntry {
   // to pick the values at the p50/p95 ranks. State per identity is
   // #distinct-values, not #rows; at 100 TB you'd bucket delta_us first
   // (e.g. floor to ms) to bound it — the selection fold is unchanged.
-  private def q32LatencyPercentiles(spark: SparkSession, dir: String): DataFrame = {
-    val hist = q5Deltas(spark, dir)
+  private def q32LatencyPercentiles(spark: SparkSession, dir: String): DataFrame =
+    latencyPercentilesByRank(spark, dir, bucketUs = 1L)
+
+  /** Shared percentile engine; `bucketUs` > 1 floors deltas to the bucket
+    * (e.g. 1000 = millisecond resolution) BEFORE the histogram, bounding
+    * per-identity aggregation state to range/bucketUs distinct values no
+    * matter how many rows flow in — the realizable 100 TB path (q47).
+    * bucketUs = 1 keeps microsecond-exact semantics (q32). */
+  private def latencyPercentilesByRank(spark: SparkSession, dir: String,
+                                       bucketUs: Long): DataFrame = {
+    val raw = q5Deltas(spark, dir)
+    val deltas =
+      if (bucketUs <= 1L) raw
+      else raw.withColumn("delta_us",
+        (floor(col("delta_us") / bucketUs) * bucketUs).cast("long"))
+    val hist = deltas
       .groupBy(col("identity"), col("delta_us"))
       .agg(count(lit(1)).as("cnt"))
     // value at rank r (1-based) = first histogram entry whose cumulative
@@ -728,17 +742,25 @@ object SparkEntry {
         col("n").as("n_samples"))
   }
 
-  private val q32Sql =
+  /** Rank-selection percentile oracle over `deltas`, with optional
+    * bucketing mirrored from latencyPercentilesByRank. */
+  private def percentileSql(bucketUs: Long): String = {
+    val d =
+      if (bucketUs <= 1L) "deltas"
+      else s"(SELECT identity, CAST(FLOOR(delta_us / $bucketUs) * $bucketUs AS BIGINT) AS delta_us FROM deltas)"
     s"""$q5MatchCte,
       |r AS (SELECT identity, delta_us,
       |        ROW_NUMBER() OVER (PARTITION BY identity ORDER BY delta_us) AS rn,
       |        COUNT(*) OVER (PARTITION BY identity) AS n
-      |      FROM deltas)
+      |      FROM $d AS db)
       |SELECT identity,
       |  MAX(CASE WHEN rn = FLOOR((n-1) * 0.5) + 1 THEN delta_us END) AS p50_us,
       |  MAX(CASE WHEN rn = FLOOR((n-1) * 0.95) + 1 THEN delta_us END) AS p95_us,
       |  COUNT(*) AS n_samples
       |FROM r GROUP BY identity""".stripMargin
+  }
+
+  private val q32Sql = percentileSql(1L)
 
   private def q33Tfidf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1031,6 +1053,16 @@ object SparkEntry {
       |WHERE cosine >= 0.4""".stripMargin
   }
 
+  // q47 — the percentile engine's bounded-state scale mode: deltas floored
+  // to milliseconds before the histogram, so per-identity aggregation
+  // state is at most range/1000 distinct buckets regardless of row volume
+  // (the documented 100 TB mitigation for q32, now a first-class
+  // oracle-checked query rather than a comment).
+  private def q47LatencyPercentilesMs(spark: SparkSession, dir: String): DataFrame =
+    latencyPercentilesByRank(spark, dir, bucketUs = 1000L)
+
+  private val q47Sql = percentileSql(1000L)
+
   // q46 — IVF ANN with Lloyd-trained (spherical k-means) centroids: the
   // production quantizer for q39's machinery. Training is an explicit
   // bounded action (hash-sampled collect + driver-local Lloyd, see
@@ -1091,6 +1123,7 @@ object SparkEntry {
     Q("q44_approx_distinct", q44ApproxDistinct, None),
     Q("q45_embedding_dedup_lsh", q45EmbeddingDedupLsh, Some(q45Sql)),
     Q("q46_ann_ivf_kmeans", q46AnnIvfKmeans, None),
+    Q("q47_latency_percentiles_ms", q47LatencyPercentilesMs, Some(q47Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
