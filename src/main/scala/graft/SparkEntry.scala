@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import graft.codec.{DnsWire, DnstapCodec}
 import graft.dns.{DnsAnalog, DnstapRows}
 import graft.functions.{DnsNames, IpFunctions}
-import graft.operators.{AsOfMatch, Dedup, GroupingSetCounter, Multimodal, Similarity, SkewAgg, TextAnalysis}
+import graft.operators.{AsOfMatch, Dedup, GroupingSetCounter, Multimodal, Sampling, Similarity, SkewAgg, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -899,7 +899,10 @@ object SparkEntry {
   private def q39AnnIvf(spark: SparkSession, dir: String): DataFrame =
     Similarity.annIvf(corpus(spark, dir), probes(spark, dir), k = 3, nCells = 8)
 
-  private val q39Sql =
+  /** IVF oracle with first-N centroids; nprobe > 1 lets a probe search
+    * its nprobe nearest cells (multi-probe — corpus stays single-cell, so
+    * no pair can duplicate). */
+  private def ivfSql(nprobe: Int): String =
     s"""WITH c AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 8),
       |ca AS (SELECT vec_id, embedding, cell FROM (
       |  SELECT e.vec_id, e.embedding, c.cell,
@@ -911,13 +914,15 @@ object SparkEntry {
       |  SELECT p0.probe_id, p0.pe, c.cell,
       |         ROW_NUMBER() OVER (PARTITION BY p0.probe_id
       |           ORDER BY ${duckCosine("pe", "ce")} DESC, c.cell) AS crn
-      |  FROM p0 CROSS JOIN c) WHERE crn = 1),
+      |  FROM p0 CROSS JOIN c) WHERE crn <= $nprobe),
       |s AS (SELECT probe_id, ca.vec_id, ${duckCosine("pe", "ca.embedding")} AS cosine
       |      FROM pa JOIN ca ON ca.cell = pa.pcell AND ca.vec_id <> pa.probe_id),
       |r AS (SELECT probe_id, vec_id, cosine,
       |        CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rn
       |      FROM s)
       |SELECT probe_id, vec_id, cosine, rn FROM r WHERE rn <= 3""".stripMargin
+
+  private val q39Sql = ivfSql(1)
 
   private def q40RollupRevenue(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
@@ -1063,6 +1068,77 @@ object SparkEntry {
 
   private val q47Sql = percentileSql(1000L)
 
+  // ---------------------------------------------------------------------
+  // q48 — dedup clustering: connected components over the n-gram-Jaccard
+  // pair graph (q21's edges), collapsing transitive duplicate chains
+  // (A~B, B~C ⇒ one group even though A and C were never compared) to a
+  // per-document component label. Spark side is iterative min-label
+  // propagation (Dedup.connectedComponents); the oracle is DuckDB's
+  // recursive CTE computing min reachable id — two utterly different
+  // fixpoint engines agreeing bit-for-bit. The Jaccard graph (not the
+  // SimHash one) is the edge set because a transitive-closure ORACLE is
+  // only tractable on a sparse graph: this corpus's SimHash pairs form a
+  // 4497-doc quasi-clique at sf0.1 whose closure is quadratic — the
+  // Spark propagation handles it fine (O(E) per round), but certifying
+  // it in SQL would take the oracle minutes.
+  // ---------------------------------------------------------------------
+  private def q48DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val edges = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxShingleDfFrac = 0.1)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    Dedup.connectedComponents(docs.select(col("doc_id").as("id")), edges)
+      .select(col("id").as("doc_id"), col("component"))
+  }
+
+  private val q48Sql = {
+    // q21's pair pipeline verbatim as the edge CTE, then min-label closure
+    val pairCtes = q21Sql
+      .stripPrefix("WITH ")
+      .substring(0, q21Sql.indexOf("\nSELECT") - "WITH ".length)
+    s"""WITH RECURSIVE $pairCtes,
+      |p AS (SELECT x AS src, y AS dst
+      |      FROM i JOIN sz sa ON i.x = sa.doc JOIN sz sb ON i.y = sb.doc
+      |      WHERE c*1.0/(sa.s + sb.s - c) >= 0.5),
+      |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+      |r(v, l) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.l FROM r JOIN e ON e.src = r.v WHERE r.l < e.dst)
+      |SELECT v AS doc_id, MIN(l) AS component FROM r GROUP BY v""".stripMargin
+  }
+
+  // q49 — multi-probe IVF: the recall knob of a production IVF index
+  // (probe the 2 nearest cells instead of 1; cost ×nprobe, recall →
+  // brute force as nprobe → nCells). First-N centroids keep it
+  // oracle-exact.
+  private def q49AnnIvfMultiprobe(spark: SparkSession, dir: String): DataFrame =
+    Similarity.annIvf(corpus(spark, dir), probes(spark, dir), k = 3,
+      nCells = 8, nprobe = 2)
+
+  private val q49Sql = ivfSql(2)
+
+  // q50 — stratified deterministic sampling: rebalance the training mix
+  // by language (downsample the dominant strata, keep the rest) with an
+  // RNG-free hash predicate — replay-stable and exactly reproducible by
+  // the oracle, which no rand()-based sample can certify.
+  private def q50StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+    Sampling.stratifiedHashSample(langs, "doc_id", "lang_pred",
+      Map("en" -> 40, "es" -> 70), defaultPct = 100)
+  }
+
+  private val q50Sql =
+    s"""WITH langs AS (
+      |$q18Sql
+      |),
+      |h AS (SELECT doc_id, lang_pred,
+      |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS hv
+      |      FROM langs)
+      |SELECT doc_id, lang_pred FROM h
+      |WHERE hv < (CASE lang_pred WHEN 'en' THEN 40 WHEN 'es' THEN 70 ELSE 100 END)""".stripMargin
+
   // q46 — IVF ANN with Lloyd-trained (spherical k-means) centroids: the
   // production quantizer for q39's machinery. Training is an explicit
   // bounded action (hash-sampled collect + driver-local Lloyd, see
@@ -1124,6 +1200,9 @@ object SparkEntry {
     Q("q45_embedding_dedup_lsh", q45EmbeddingDedupLsh, Some(q45Sql)),
     Q("q46_ann_ivf_kmeans", q46AnnIvfKmeans, None),
     Q("q47_latency_percentiles_ms", q47LatencyPercentilesMs, Some(q47Sql)),
+    Q("q48_dedup_clusters", q48DedupClusters, Some(q48Sql)),
+    Q("q49_ann_ivf_multiprobe", q49AnnIvfMultiprobe, Some(q49Sql)),
+    Q("q50_stratified_sample", q50StratifiedSample, Some(q50Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -174,6 +174,65 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over a near-duplicate pair graph: the step that
+    * turns pairwise dedup output (q21/q26/q28/q45) into dedup GROUPS, so
+    * each component keeps exactly one document. Component label = the
+    * minimum node id reachable through any chain of pairs (A~B, B~C ⇒
+    * {A,B,C} collapse together even though A and C were never compared).
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes min(own label, neighbors' labels); converges in O(graph
+    * diameter) rounds. Dedup graphs are near-degenerate (tiny cliques and
+    * chains), so 3–5 rounds close almost any real corpus; `maxIters`
+    * bounds the pathological chain. ITERATIVE OPERATOR: each round is a
+    * Spark job over the edge join (driver loops, data never leaves
+    * executors); per-round results are localCheckpoint()ed so lineage
+    * stays O(1) instead of O(rounds). Convergence is detected by the
+    * monotone label-sum invariant: labels only ever decrease, so an
+    * unchanged sum means a fixpoint — one cheap 1-row aggregate per round
+    * instead of a changed-rows join. At 100 TB each round is one shuffle
+    * on node id (the large-star/small-star optimization of Kiveris et al.
+    * drops in here if diameters ever grow).
+    *
+    * @param nodes one column `id` (every doc, so singletons label
+    *        themselves)
+    * @param edges columns `src`, `dst` (undirected pairs, any order)
+    * @return (id, component) with component = min id in the component
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          maxIters: Int = 20): DataFrame = {
+    // materialize the (possibly expensive) edge pipeline ONCE — every
+    // propagation round joins against it, and without this the whole
+    // upstream pair-generation subtree would re-run per round
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("component"))
+      .localCheckpoint()
+    var lastSum = labels.agg(sum(col("component"))).head().getLong(0)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      // neighbor minimum via one shuffle: edge (src,dst) contributes
+      // label(src) as a candidate for dst
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("component")).as("ncomp"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("ncomp"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      val s = next.agg(sum(col("component"))).head().getLong(0)
+      converged = s == lastSum
+      lastSum = s
+      labels = next
+      it += 1
+    }
+    labels
+  }
+
   /** 32-bit SimHash over distinct whitespace tokens: bit j of the
     * fingerprint is set when more token hashes have bit j set than clear.
     * Fully narrow: tokens are deduped, hashed, and bit-summed inside one

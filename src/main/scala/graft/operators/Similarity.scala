@@ -54,26 +54,33 @@ object Similarity {
     * cell-equi-join — is shared, and at 100 TB each executor scores
     * |corpus|/nCells. */
   def annIvf(corpus: DataFrame, probes: DataFrame, k: Int,
-             nCells: Int = 8): DataFrame = {
+             nCells: Int = 8, nprobe: Int = 1): DataFrame = {
     val cents = corpus.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("embedding").as("ce"))
-    annIvfWithCentroids(corpus, probes, k, cents)
+    annIvfWithCentroids(corpus, probes, k, cents, nprobe)
   }
 
   /** IVF search against an explicit (broadcastable) centroid table
-    * `(cell BIGINT, ce ARRAY<FLOAT>)`. */
+    * `(cell BIGINT, ce ARRAY<FLOAT>)`. `nprobe` > 1 is multi-probe
+    * search: each probe fans out to its `nprobe` nearest cells (corpus
+    * vectors stay single-assigned), the standard IVF recall knob — cost
+    * grows linearly in nprobe, recall approaches brute force as nprobe →
+    * nCells. The cell equi-join shape is unchanged; a probe appearing
+    * under several cells cannot duplicate an output pair because each
+    * corpus vector lives in exactly one cell. */
   def annIvfWithCentroids(corpus: DataFrame, probes: DataFrame, k: Int,
-                          cents: DataFrame): DataFrame = {
-    def assign(df: DataFrame, id: String, emb: String): DataFrame = {
+                          cents: DataFrame, nprobe: Int = 1): DataFrame = {
+    def assign(df: DataFrame, id: String, emb: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(col(id)).orderBy(desc("ccos"), asc("cell"))
       df.crossJoin(broadcast(cents))
         .withColumn("ccos", VectorFunctions.cosine_similarity(col(emb), col("ce")))
         .withColumn("crn", row_number().over(w))
-        .filter(col("crn") === 1)
+        .filter(col("crn") <= keep)
         .drop("ce", "ccos", "crn")
     }
-    val ca = assign(corpus, "vec_id", "embedding")
-    val pa = assign(probes, "probe_id", "pe").withColumnRenamed("cell", "pcell")
+    val ca = assign(corpus, "vec_id", "embedding", 1)
+    val pa = assign(probes, "probe_id", "pe", math.max(1, nprobe))
+      .withColumnRenamed("cell", "pcell")
     val scored = ca
       .join(broadcast(pa), col("cell") === col("pcell") &&
         col("vec_id") =!= col("probe_id"))
@@ -145,14 +152,14 @@ object Similarity {
     * the training-action contract). */
   def annIvfKmeans(corpus: DataFrame, probes: DataFrame, k: Int,
                    nCells: Int = 8, iters: Int = 5,
-                   sampleN: Int = 4096): DataFrame = {
+                   sampleN: Int = 4096, nprobe: Int = 1): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val trained = trainIvfCentroids(corpus, nCells, iters, sampleN)
     val cents = trained.zipWithIndex
       .map { case (ce, cell) => (cell.toLong, ce) }.toSeq
       .toDF("cell", "ce")
-    annIvfWithCentroids(corpus, probes, k, cents)
+    annIvfWithCentroids(corpus, probes, k, cents, nprobe)
   }
 
   /** Embedding-cosine near-duplicate pairs (brute force, i<j).

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Connected components over duplicate-pair graphs (Dedup.connectedComponents). */
+class DedupClusterSpec extends SparkSpec {
+
+  private def run(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val n = nodes.toDF("id")
+    val e = edges.toDF("src", "dst")
+    Dedup.connectedComponents(n, e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chains collapse transitively; singletons label themselves") {
+    // 1-2, 2-3 form one group even though 1 and 3 never paired; 4 is alone
+    val got = run(Seq(1L, 2L, 3L, 4L), Seq((1L, 2L), (2L, 3L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+  }
+
+  test("cycles and reversed edge order converge to the component minimum") {
+    val got = run(Seq(5L, 6L, 7L, 8L, 9L),
+      Seq((7L, 6L), (6L, 5L), (5L, 7L), (9L, 8L)))
+    assert(got == Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 8L))
+  }
+
+  test("a long chain needs multiple propagation rounds and still closes") {
+    val n = 12L
+    val got = run(0L to n, (0L until n).map(i => (i, i + 1)))
+    assert(got.values.toSet == Set(0L))
+  }
+
+  test("every component label is a member of its own component") {
+    val edges = Seq((10L, 11L), (11L, 12L), (20L, 21L), (30L, 31L), (31L, 32L), (32L, 30L))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct :+ 99L
+    val got = run(nodes, edges)
+    got.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keySet.contains(label))
+      assert(label == members.keySet.min)
+    }
+  }
+}

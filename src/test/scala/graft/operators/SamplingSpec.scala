@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+
+  test("hash sample is deterministic, rate-accurate, and a subset chain") {
+    import spark.implicits._
+    val df = (0L until 2000L).toDF("id")
+    val s30a = Sampling.hashSample(df, "id", 30).collect().map(_.getLong(0)).toSet
+    val s30b = Sampling.hashSample(df, "id", 30).collect().map(_.getLong(0)).toSet
+    assert(s30a == s30b) // no RNG: identical under re-execution
+    // md5 is uniform: 30% ± a few points on 2000 ids
+    assert(math.abs(s30a.size / 2000.0 - 0.30) < 0.05)
+    // rates nest: the 30% sample is a subset of the 60% sample — stable
+    // sample growth, the property rand() sampling cannot give
+    val s60 = Sampling.hashSample(df, "id", 60).collect().map(_.getLong(0)).toSet
+    assert(s30a.subsetOf(s60))
+  }
+
+  test("stratified sample applies per-stratum rates") {
+    import spark.implicits._
+    val df = (0L until 3000L).map(i => (i, if (i % 3 == 0) "en" else "rare"))
+      .toDF("id", "lang")
+    val kept = Sampling.stratifiedHashSample(df, "id", "lang",
+      Map("en" -> 20), defaultPct = 100).collect()
+    val (en, rare) = kept.partition(_.getString(1) == "en")
+    assert(rare.length == 2000) // 100%: every rare row survives
+    assert(math.abs(en.length / 1000.0 - 0.20) < 0.06)
+  }
+}

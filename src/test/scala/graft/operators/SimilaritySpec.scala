@@ -77,6 +77,25 @@ class SimilaritySpec extends SparkSpec {
     assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
   }
 
+  test("multi-probe IVF recall rises monotonically toward brute force") {
+    val probes = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") >= 100 && col("vec_id") < 150)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    def topkSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("probe_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topkSet(Similarity.knnBruteForce(corpus, probes, k = 5))
+    def recall(np: Int) = {
+      val s = topkSet(Similarity.annIvf(corpus, probes, k = 5, nCells = 8,
+        nprobe = np))
+      (exact & s).size.toDouble / exact.size
+    }
+    val (r1, r2, r8) = (recall(1), recall(2), recall(8))
+    assert(r1 <= r2 && r2 <= r8, s"recall not monotone: $r1 / $r2 / $r8")
+    // probing every cell IS brute force
+    assert(r8 == 1.0, s"nprobe=nCells recall $r8 != 1.0")
+  }
+
   test("random hyperplanes spread the corpus across buckets in every table") {
     val tables = 8
     val bits = 4
