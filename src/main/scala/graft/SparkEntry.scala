@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import graft.codec.{DnsWire, DnstapCodec}
 import graft.dns.{DnsAnalog, DnstapRows}
 import graft.functions.{DnsNames, IpFunctions}
-import graft.operators.{AsOfMatch, Dedup, GroupingSetCounter, Multimodal, Sampling, Similarity, SkewAgg, TextAnalysis}
+import graft.operators.{AsOfMatch, Dedup, GroupingSetCounter, Multimodal, Packing, Sampling, Similarity, SkewAgg, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1150,6 +1150,18 @@ object SparkEntry {
     Similarity.annIvfKmeans(corpus(spark, dir), probes(spark, dir),
       k = 3, nCells = 8)
 
+  // q51 — sequence packing (operators/Packing): documents greedily packed
+  // into fixed-token-capacity training sequences, first-fit decreasing
+  // per hash partition. Pack assignment depends on Spark's hash
+  // partitioning, which no SQL oracle can reproduce → rows-only check;
+  // the packing invariants (capacity, tiling offsets, waste bound) are
+  // asserted in PackingSpec instead.
+  private def q51SequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.bpeTokenCount(col("text")).as("n_tokens"))
+    Packing.packSequences(toks, "doc_id", "n_tokens", capacity = 256)
+  }
+
   // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
@@ -1203,6 +1215,7 @@ object SparkEntry {
     Q("q48_dedup_clusters", q48DedupClusters, Some(q48Sql)),
     Q("q49_ann_ivf_multiprobe", q49AnnIvfMultiprobe, Some(q49Sql)),
     Q("q50_stratified_sample", q50StratifiedSample, Some(q50Sql)),
+    Q("q51_sequence_packing", q51SequencePacking, None),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class PackingSpec extends SparkSpec {
+
+  private def pack(lens: Seq[Long], capacity: Long, parts: Int = 2) = {
+    import spark.implicits._
+    val df = lens.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+      .toDF("doc_id", "n_tokens")
+    Packing.packSequences(df, "doc_id", "n_tokens", capacity, parts)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+  }
+
+  test("every doc packed exactly once; packs respect capacity; offsets tile") {
+    val lens = Seq[Long](100, 90, 80, 60, 50, 40, 30, 20, 10, 5, 5, 5)
+    val out = pack(lens, capacity = 128)
+    assert(out.map(_._1).sorted.toSeq == (0L until 12L))
+    out.groupBy(_._2).foreach { case (_, docs) =>
+      assert(docs.map(_._4).sum <= 128)
+      // offsets are the cumulative lengths in assignment order: sorted by
+      // offset they tile [0, used) without overlap
+      val sorted = docs.sortBy(_._3)
+      sorted.foldLeft(0L) { case (expect, (_, _, off, len)) =>
+        assert(off == expect); expect + len
+      }
+    }
+  }
+
+  test("oversize docs get singleton packs; packing is deterministic") {
+    val lens = Seq[Long](500, 100, 100)
+    val a = pack(lens, capacity = 128)
+    assert(a.find(_._1 == 0L).get._3 == 0L)
+    assert(a.groupBy(_._2)(a.find(_._1 == 0L).get._2).length == 1)
+    val b = pack(lens, capacity = 128)
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+  }
+
+  test("first-fit waste bound: under twice the ideal pack count") {
+    val rnd = new scala.util.Random(7)
+    val lens = Seq.fill(500)(rnd.nextInt(100).toLong + 1)
+    val capacity = 256L
+    val out = pack(lens, capacity, parts = 4)
+    val ideal = math.ceil(lens.sum.toDouble / capacity).toLong
+    val packs = out.map(_._2).distinct.length
+    // first-fit leaves at most one under-half-full pack per partition
+    assert(packs < 2 * ideal + 4, s"$packs packs vs ideal $ideal")
+  }
+}
