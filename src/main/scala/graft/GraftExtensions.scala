@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, IpBytesString, Ipv4String}
+import graft.functions.{CosineSimilarity, DotProduct, IpBytesString, Ipv4String}
 
 /** SQL surface for the engine's native Catalyst expressions: register via
   * `--conf spark.sql.extensions=graft.GraftExtensions` (cluster-wide) or
@@ -46,7 +46,10 @@ object GraftExtensions {
       arity("ip_bytes_string", 1)(args => IpBytesString(args.head))),
     (FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity", "cosine_similarity(array<float>, array<float>)"),
-      arity("cosine_similarity", 2)(args => CosineSimilarity(args.head, args(1)))))
+      arity("cosine_similarity", 2)(args => CosineSimilarity(args.head, args(1)))),
+    (FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(array<float>, array<float>)"),
+      arity("dot_product", 2)(args => DotProduct(args.head, args(1)))))
 
   /** Register into an already-running session. */
   def register(spark: SparkSession): Unit =

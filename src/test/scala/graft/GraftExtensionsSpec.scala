@@ -18,6 +18,15 @@ class GraftExtensionsSpec extends SparkSpec {
   test("extensions class injects the same functions at session build") {
     // same builders the spark.sql.extensions conf path would inject
     assert(GraftExtensions.descriptions.map(_._1.funcName).sorted ==
-      Seq("cosine_similarity", "ip_bytes_string", "ip_v4_string"))
+      Seq("cosine_similarity", "dot_product", "ip_bytes_string", "ip_v4_string"))
+  }
+
+  test("dot_product from SQL matches the expected arithmetic") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT dot_product(array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)),
+        |                   array(CAST(4.0 AS FLOAT), CAST(-1.0 AS FLOAT))) AS d
+        |""".stripMargin).collect().head
+    assert(r.getDouble(0) == 5.0)
   }
 }
