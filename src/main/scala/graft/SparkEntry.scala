@@ -1091,8 +1091,10 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("component"))
   }
 
-  private val q48Sql = {
-    // q21's pair pipeline verbatim as the edge CTE, then min-label closure
+  /** Shared recursive min-label closure over the q21 pair graph (edge
+    * CTEs verbatim from q21Sql; recursion pruned to labels that can still
+    * win: a label ≥ dst always loses to dst's own id). */
+  private val q48Closure = {
     val pairCtes = q21Sql
       .stripPrefix("WITH ")
       .substring(0, q21Sql.indexOf("\nSELECT") - "WITH ".length)
@@ -1104,9 +1106,23 @@ object SparkEntry {
       |r(v, l) AS (
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
-      |  SELECT e.dst, r.l FROM r JOIN e ON e.src = r.v WHERE r.l < e.dst)
-      |SELECT v AS doc_id, MIN(l) AS component FROM r GROUP BY v""".stripMargin
+      |  SELECT e.dst, r.l FROM r JOIN e ON e.src = r.v WHERE r.l < e.dst)""".stripMargin
   }
+
+  private val q48Sql =
+    s"$q48Closure\nSELECT v AS doc_id, MIN(l) AS component FROM r GROUP BY v"
+
+  // q52 — the end of the dedup story: the corpus that SURVIVES transitive
+  // near-dup collapse (one keeper — the minimum id — per q48 component).
+  // Composes clustering with keep-selection exactly like a production
+  // pipeline would feed training data.
+  private def q52TransitiveDedupKeep(spark: SparkSession, dir: String): DataFrame =
+    q48DedupClusters(spark, dir)
+      .filter(col("doc_id") === col("component"))
+      .select(col("doc_id"))
+
+  private val q52Sql =
+    s"$q48Closure\nSELECT v AS doc_id FROM r GROUP BY v HAVING v = MIN(l)"
 
   // q49 — multi-probe IVF: the recall knob of a production IVF index
   // (probe the 2 nearest cells instead of 1; cost ×nprobe, recall →
@@ -1216,6 +1232,7 @@ object SparkEntry {
     Q("q49_ann_ivf_multiprobe", q49AnnIvfMultiprobe, Some(q49Sql)),
     Q("q50_stratified_sample", q50StratifiedSample, Some(q50Sql)),
     Q("q51_sequence_packing", q51SequencePacking, None),
+    Q("q52_transitive_dedup_keep", q52TransitiveDedupKeep, Some(q52Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -16,6 +16,44 @@ import org.apache.spark.sql.functions._
   */
 object EventWindows {
 
+  /** Event-time windowed multi-grouping-set counter: the reference's core
+    * A1 aggregation (GroupingSetCounter semantics, `__ANY__` sentinel) as
+    * a watermarked tumbling-window streaming aggregation — the event-time
+    * upgrade of the pipeline's processing-time clear-on-flush cadence:
+    * late rows inside the watermark still land in their true window, and
+    * a window's rows emit once, when the watermark passes it (append
+    * mode), rather than once per flush interval.
+    *
+    * Same single-Expand plan as the batch operator (one shuffle, map-side
+    * partial agg); streaming state is keyed by (window, expanded keys)
+    * and bounded by the watermark. Works identically over a batch frame
+    * (no watermark state, same results) — asserted in EventWindowsSpec.
+    */
+  def groupingSetCounts(events: DataFrame, tsCol: String, windowLen: String,
+                        watermark: String, fixed: Seq[String],
+                        address: Seq[String], question: Seq[String]): DataFrame = {
+    val all = fixed ++ address ++ question
+    val collapsible = address ++ question
+    val win = window(col(tsCol), windowLen)
+    val sets: Seq[Seq[Column]] = Seq(all, fixed ++ address, fixed ++ question)
+      .map(s => win +: s.map(col))
+    val aggs = count(lit(1)).as("counter") +: min(col(tsCol)).as("first_seen") +:
+      collapsible.map(c => grouping(col(c)).as(s"__g_$c"))
+    val stream = if (events.isStreaming) events.withWatermark(tsCol, watermark)
+                 else events
+    stream
+      .groupingSets(sets, win +: all.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("w_start") +: col("window.end").as("w_end") +:
+        (fixed.map(col) ++
+          // collapsed keys render as STRING so the sentinel unifies with
+          // any key type without an ANSI cast failure
+          collapsible.map(c =>
+            when(col(s"__g_$c") === 1, lit(graft.operators.GroupingSetCounter.AnyTag))
+              .otherwise(col(c).cast("string")).as(c)) ++
+          Seq(col("counter"), col("first_seen"))): _*)
+  }
+
   /** Tumbling event-time window with per-key counts and an optional sum.
     * Works identically over batch and streaming frames (same plan shape;
     * streaming adds watermark state). */

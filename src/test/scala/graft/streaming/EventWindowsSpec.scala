@@ -65,6 +65,42 @@ class EventWindowsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming grouping sets: one Expand under a watermark, __ANY__ emitted on close") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = EventWindows.groupingSetCounts(mem.toDF(), "ts",
+      windowLen = "10 minutes", watermark = "5 minutes",
+      fixed = Nil, address = Seq("user"), question = Seq("v"))
+    val query = out.writeStream.format("memory").queryName("ev_gs")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(t(2), "alice", 10), Ev(t(4), "alice", 7), Ev(t(6), "bob", 10))
+      query.processAllAvailable()
+      mem.addData(Ev(t(31), "carol", 1)) // advance watermark past [60,70)
+      query.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT user, v, counter FROM ev_gs
+          |WHERE w_start = timestamp'1970-01-01 01:00:00'""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      // ungrouped + by-address (__ANY__ question) + by-question (__ANY__ address)
+      assert(rows == Set(
+        ("alice", "10", 1L), ("alice", "7", 1L), ("bob", "10", 1L),
+        ("alice", "__ANY__", 2L), ("bob", "__ANY__", 1L),
+        ("__ANY__", "10", 2L), ("__ANY__", "7", 1L)))
+    } finally query.stop()
+  }
+
+  test("grouping sets over a batch frame produce identical set semantics") {
+    import spark.implicits._
+    val batch = Seq(Ev(t(2), "alice", 10), Ev(t(4), "alice", 7)).toDF()
+    val out = EventWindows.groupingSetCounts(batch, "ts", "10 minutes",
+      "5 minutes", Nil, Seq("user"), Seq("v"))
+    assert(out.columns.toSeq ==
+      Seq("w_start", "w_end", "user", "v", "counter", "first_seen"))
+    assert(out.count() == 5) // 2 ungrouped + 1 by-address + 2 by-question
+  }
+
   test("same operator runs in batch mode with identical shape") {
     import spark.implicits._
     val batch = Seq(Ev(t(2), "alice", 10), Ev(t(4), "bob", 5)).toDF()
