@@ -51,6 +51,14 @@ object Main {
           Some(cfg.jdbcConnectionUrl) else None))
     val stats = graft.streaming.StatsReporter.attach(spark,
       Set("graft-dnstap-agg", "graft-dnstap-samples"))
+    // reference main.go:95-115: SIGTERM/SIGQUIT/SIGABRT/SIGINT cancel the
+    // context and every component drains. The Spark analog is a JVM
+    // shutdown hook that stops the streaming queries first — each stop
+    // finishes cleanly at the checkpoint, so the next start resumes
+    // without replayed or lost committed batches.
+    sys.addShutdownHook {
+      queries.foreach(q => try q.stop() catch { case _: Exception => () })
+    }
     try queries.foreach(_.awaitTermination())
     finally stats.close()
   }

@@ -64,6 +64,22 @@ class SinksSpec extends SparkSpec {
     assert(dead.rows.size == 1)
   }
 
+  test("ClickHouse DDL derives from config: renames apply, drops vanish") {
+    import graft.config.GraftConfig
+    val cfg = GraftConfig.fromToml(
+      "[ClickHouse]\nQueryTable = \"q\"\nQueryAddressColumn = \"client\"\nQuestionTypeColumn = \"\"\n")
+    val ddl = ClickHouseDdl.queryTable(cfg)
+    assert(ddl.startsWith("CREATE TABLE q (") )
+    assert(ddl.contains("client String"))
+    assert(!ddl.contains("questionType"))
+    assert(ddl.contains("counter UInt64"))
+    // sample table follows the quickstart's LowCardinality identity
+    val sample = ClickHouseDdl.sampleTable(GraftConfig.defaults)
+    assert(sample.contains("identity LowCardinality(String)"))
+    assert(sample.contains("queryResponseTimeDelta UInt64"))
+    assert(ClickHouseDdl.all(GraftConfig.defaults).size == 3)
+  }
+
   test("column projection renames and drops; identity passes through") {
     import spark.implicits._
     val df = Seq((1L, "x", 2L)).toDF("a", "b", "c")
