@@ -48,6 +48,13 @@ object Bench {
     val scalingJson =
       if (scalingDir == "0" || !new java.io.File(scalingDir).isDirectory) ""
       else {
+        // warm the secondary SF too — the primary got a dedicated warm
+        // pass, and an unwarmed lo (footer reads, plan compilation in
+        // the timed run) would deflate exactly the ratio this exists
+        // to measure
+        ordered.foreach { case (_, fn) =>
+          try fn(spark, scalingDir).count() catch { case _: Throwable => () }
+        }
         val lo = timeAll(scalingDir)
         val loMap = lo.toMap
         val ratios = results.map { case (name, hi) =>

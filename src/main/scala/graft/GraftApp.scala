@@ -53,9 +53,12 @@ object Main {
       Set("graft-dnstap-agg", "graft-dnstap-samples"))
     // reference main.go:95-115: SIGTERM/SIGQUIT/SIGABRT/SIGINT cancel the
     // context and every component drains. The Spark analog is a JVM
-    // shutdown hook that stops the streaming queries first — each stop
-    // finishes cleanly at the checkpoint, so the next start resumes
-    // without replayed or lost committed batches.
+    // shutdown hook asking each streaming query to stop. BEST-EFFORT:
+    // JVM shutdown hooks run concurrently, so Spark's own context-
+    // teardown hook can race a mid-batch stop — a batch interrupted at
+    // the wrong moment is REPLAYED on the next start, which is safe
+    // precisely because every sink is replay-idempotent (batchId
+    // partition overwrite / checkpointed micro-batch retry).
     sys.addShutdownHook {
       queries.foreach(q => try q.stop() catch { case _: Exception => () })
     }
@@ -79,10 +82,16 @@ object GraftApp {
 
     def sink(table: String, projection: graft.sinks.ColumnProjection): BatchSink = {
       val inner: BatchSink = jdbcUrl match {
-        // K4: the whole [ClickHouse] connection block (multi-host, TLS,
-        // skip-verify, LZ4, auth) rides along as JDBC options
-        case Some(url) => new JdbcBatchSink(url, s"${cfg.database}.$table",
-          cfg.jdbcConnectionOptions, projection)
+        // K4: against ClickHouse the whole [ClickHouse] connection block
+        // (multi-host, TLS, skip-verify, LZ4, timeouts) rides along as
+        // JDBC options; any other JDBC store gets credentials only —
+        // foreign drivers may reject unknown properties
+        case Some(url) =>
+          val opts =
+            if (url.startsWith("jdbc:clickhouse:") || url.startsWith("jdbc:ch:"))
+              cfg.jdbcConnectionOptions
+            else cfg.jdbcAuthOptions
+          new JdbcBatchSink(url, s"${cfg.database}.$table", opts, projection)
         case None => new ParquetAppendSink(s"$outputDir/$table", projection)
       }
       // K3: reference backoff schedule in-process; past maxAttempts the

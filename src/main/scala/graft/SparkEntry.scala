@@ -432,8 +432,10 @@ object SparkEntry {
     Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
       n = 3, threshold = 0.5, maxShingleDfFrac = 0.1)
 
-  private val q21Sql =
-    """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
+  /** q21's pair-pipeline CTE block, shared verbatim by the q48/q52
+    * clustering oracles (appended after WITH / WITH RECURSIVE). */
+  private val q21PairCtes =
+    """t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
       |sh0 AS (SELECT DISTINCT doc_id AS doc, sg FROM (
       |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
       |    THEN list_transform(generate_series(1, len(tk)-2), i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])
@@ -444,7 +446,10 @@ object SparkEntry {
       |       CROSS JOIN nd WHERE df <= CEIL(n * 0.1)),
       |sz AS (SELECT doc, count(*) AS s FROM sh GROUP BY 1),
       |i AS (SELECT a.doc AS x, b.doc AS y, count(*) AS c
-      |      FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc < b.doc GROUP BY 1, 2)
+      |      FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc < b.doc GROUP BY 1, 2)""".stripMargin
+
+  private val q21Sql =
+    s"""WITH $q21PairCtes
       |SELECT x AS doc_a, y AS doc_b, c*1.0/(sa.s + sb.s - c) AS jaccard
       |FROM i JOIN sz sa ON i.x = sa.doc JOIN sz sb ON i.y = sb.doc
       |WHERE c*1.0/(sa.s + sb.s - c) >= 0.5""".stripMargin
@@ -1035,8 +1040,12 @@ object SparkEntry {
   private def duckHyperplaneBucket(e: String, tbl: Int, bits: Int): String = {
     val bitExprs = (0 until bits).map { i =>
       val plane = graft.functions.VectorFunctions.HyperPlanes(tbl * bits + i)
+      // COALESCE: embeddings shorter than the 64-dim plane contribute 0
+      // for the missing dims, matching the Scala dot's min-length loop
+      // (without it one NULL index would null the whole sum and collapse
+      // every bucket to 0)
       val dot = plane.zipWithIndex.map { case (c, j) =>
-        s"CAST($e[${j + 1}] AS DOUBLE)*(${c.toDouble})"
+        s"COALESCE(CAST($e[${j + 1}] AS DOUBLE),0.0)*(${c.toDouble})"
       }.mkString(" + ")
       s"(CASE WHEN $dot > 0 THEN ${1L << i} ELSE 0 END)"
     }
@@ -1091,14 +1100,11 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("component"))
   }
 
-  /** Shared recursive min-label closure over the q21 pair graph (edge
-    * CTEs verbatim from q21Sql; recursion pruned to labels that can still
-    * win: a label ≥ dst always loses to dst's own id). */
-  private val q48Closure = {
-    val pairCtes = q21Sql
-      .stripPrefix("WITH ")
-      .substring(0, q21Sql.indexOf("\nSELECT") - "WITH ".length)
-    s"""WITH RECURSIVE $pairCtes,
+  /** Shared recursive min-label closure over the q21 pair graph (same
+    * edge CTEs; recursion pruned to labels that can still win: a label ≥
+    * dst always loses to dst's own id). */
+  private val q48Closure =
+    s"""WITH RECURSIVE $q21PairCtes,
       |p AS (SELECT x AS src, y AS dst
       |      FROM i JOIN sz sa ON i.x = sa.doc JOIN sz sb ON i.y = sb.doc
       |      WHERE c*1.0/(sa.s + sb.s - c) >= 0.5),
@@ -1107,7 +1113,6 @@ object SparkEntry {
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
       |  SELECT e.dst, r.l FROM r JOIN e ON e.src = r.v WHERE r.l < e.dst)""".stripMargin
-  }
 
   private val q48Sql =
     s"$q48Closure\nSELECT v AS doc_id, MIN(l) AS component FROM r GROUP BY v"

@@ -128,27 +128,50 @@ final case class GraftConfig(
 
   /** K4 (clickhouse.go:86-114): the ClickHouse connection surface as a
     * JDBC URL. `Hosts` is the reference's comma-separated `host:port`
-    * list, which clickhouse-jdbc accepts verbatim as a multi-endpoint
-    * authority (failover order = list order, like the Go client's Addr). */
-  def jdbcConnectionUrl: String = s"jdbc:clickhouse://$hosts/$database"
+    * list; clickhouse-jdbc accepts the same multi-endpoint authority
+    * (failover order = list order, like the Go client's Addr) — BUT the
+    * reference speaks the native TCP protocol (ports 9000 / 9440-secure)
+    * while clickhouse-jdbc speaks HTTP(S) (8123 / 8443), so a verbatim
+    * reference config would hit the native port with HTTP and every
+    * insert would fail. The well-known native ports are therefore
+    * translated to their HTTP(S) siblings; any other port passes
+    * through untouched. */
+  def jdbcConnectionUrl: String = {
+    val mapped = hosts.split(',').map(_.trim).map { h =>
+      h.lastIndexOf(':') match {
+        case -1 => h
+        case i => h.substring(i + 1) match {
+          case "9000" => h.substring(0, i) + ":8123"
+          case "9440" => h.substring(0, i) + ":8443"
+          case _ => h
+        }
+      }
+    }
+    s"jdbc:clickhouse://${mapped.mkString(",")}/$database"
+  }
 
-  /** K4 connection options for the JDBC writer, mirroring the Go client's
-    * ConnOptions: Auth → user/password, Secure → ssl with
-    * InsecureSkipVerify → sslmode NONE (skip cert verification) vs STRICT,
-    * and the reference's always-on LZ4 wire compression + 5 s dial /
-    * 60 s max-execution timeouts. */
+  /** K4 connection options for the CLICKHOUSE JDBC writer, mirroring the
+    * Go client's ConnOptions: Auth → user/password, Secure → ssl with
+    * InsecureSkipVerify → sslmode NONE (skip cert verification) vs
+    * STRICT, the reference's always-on LZ4 wire compression, its 5 s
+    * dial timeout (clickhouse-jdbc key `connect_timeout`, milliseconds)
+    * and 60 s max_execution_time server setting. ClickHouse-specific —
+    * a generic JDBC target gets [[jdbcAuthOptions]] only. */
   def jdbcConnectionOptions: Map[String, String] = {
-    val base = Map(
-      "user" -> username,
-      "password" -> password,
+    val base = jdbcAuthOptions ++ Map(
       "compress_algorithm" -> "lz4",
-      "connection_timeout" -> "5000",
+      "connect_timeout" -> "5000",
       "max_execution_time" -> "60")
     if (secure)
       base ++ Map("ssl" -> "true",
         "sslmode" -> (if (insecureSkipVerify) "NONE" else "STRICT"))
     else base
   }
+
+  /** Driver-agnostic credentials, for a user-supplied GRAFT_JDBC_URL
+    * pointing at any JDBC store. */
+  def jdbcAuthOptions: Map[String, String] =
+    Map("user" -> username, "password" -> password)
 
   /** K1 projections: logical pipeline column → configured output name;
     * an empty configured name prunes the column all the way up the plan. */

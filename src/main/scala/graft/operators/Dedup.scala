@@ -207,10 +207,15 @@ object Dedup {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
+    // sum() over zero rows is null: an empty corpus converges immediately
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("component"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
     var labels = nodes.select(col("id"), col("id").as("component"))
       .localCheckpoint()
-    var lastSum = labels.agg(sum(col("component"))).head().getLong(0)
-    var converged = false
+    var lastSum = labelSum(labels)
+    var converged = labels.isEmpty
     var it = 0
     while (!converged && it < maxIters) {
       // neighbor minimum via one shuffle: edge (src,dst) contributes
@@ -224,12 +229,20 @@ object Dedup {
           least(col("component"), coalesce(col("ncomp"), col("component")))
             .as("component"))
         .localCheckpoint()
-      val s = next.agg(sum(col("component"))).head().getLong(0)
+      val s = labelSum(next)
       converged = s == lastSum
       lastSum = s
       labels = next
       it += 1
     }
+    // silent wrong answers are worse than failure: an unconverged result
+    // would give one component two different labels with nothing to
+    // distinguish it from an engine bug
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIters rounds — " +
+          "graph diameter exceeds the bound; raise maxIters (propagation " +
+          "needs O(diameter) rounds) or pre-contract with large-star/small-star")
     labels
   }
 

@@ -209,10 +209,12 @@ object Similarity {
         .as("bkts"))
     val banded = withBkts.select(col("vec_id"), col("embedding"), col("bkts"),
       posexplode(col("bkts")).as(Seq("tbl", "bucket")))
+    // foldLeft, not reduce: tables=1 has no lower tables and the
+    // canonical condition degenerates to `true` (plain single-table LSH)
     val lowerTablesDiffer = (0 until tables - 1).map { j =>
       col("a.tbl") <= j ||
         element_at(col("a.bkts"), j + 1) =!= element_at(col("b.bkts"), j + 1)
-    }.reduce(_ && _)
+    }.foldLeft(lit(true))(_ && _)
     banded.as("a")
       .join(banded.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&

@@ -98,11 +98,17 @@ final class RowSkippingSink(inner: BatchSink,
                             deadLetter: Option[BatchSink] = None)
     extends BatchSink {
   override def write(df: DataFrame, batchId: Long): Unit = {
-    deadLetter.foreach { dl =>
-      val bad = df.filter(!valid)
-      if (!bad.isEmpty) dl.write(bad, batchId)
-    }
-    inner.write(df.filter(valid), batchId)
+    // the upstream plan (decode + aggregation on the streaming hot path)
+    // must not re-execute once per consumer: cache the batch, run the
+    // cheap emptiness probe and both writes against the cached frame
+    val persisted = df.persist()
+    try {
+      deadLetter.foreach { dl =>
+        val bad = persisted.filter(!valid)
+        if (!bad.isEmpty) dl.write(bad, batchId)
+      }
+      inner.write(persisted.filter(valid), batchId)
+    } finally { persisted.unpersist(); () }
   }
 }
 

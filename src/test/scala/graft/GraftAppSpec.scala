@@ -40,20 +40,28 @@ class GraftAppSpec extends SparkSpec {
         |Secure = true
         |InsecureSkipVerify = true
         |""".stripMargin)
-    // multi-host authority, verbatim host order (failover order)
+    // multi-host authority, host order preserved (failover order), and
+    // the reference's NATIVE-protocol ports translated to the HTTP(S)
+    // ports clickhouse-jdbc actually speaks (9440-secure → 8443)
     assert(cfg.jdbcConnectionUrl ==
-      "jdbc:clickhouse://ch1.internal:9440,ch2.internal:9440/dns")
+      "jdbc:clickhouse://ch1.internal:8443,ch2.internal:8443/dns")
     val opts = cfg.jdbcConnectionOptions
     assert(opts("user") == "graft" && opts("password") == "s3cret")
     assert(opts("ssl") == "true" && opts("sslmode") == "NONE")
     assert(opts("compress_algorithm") == "lz4")
+    assert(opts("connect_timeout") == "5000")
     // strict verification when InsecureSkipVerify is off; no ssl keys at all
     // when Secure is off (the driver would otherwise attempt TLS setup)
     val strict = GraftConfig.fromToml("[ClickHouse]\nSecure = true\n")
     assert(strict.jdbcConnectionOptions("sslmode") == "STRICT")
     val plain = GraftConfig.defaults
     assert(!plain.jdbcConnectionOptions.contains("ssl"))
-    assert(plain.jdbcConnectionUrl == "jdbc:clickhouse://localhost:9000/default")
+    // default native 9000 → HTTP 8123; unknown ports pass through
+    assert(plain.jdbcConnectionUrl == "jdbc:clickhouse://localhost:8123/default")
+    val custom = GraftConfig.fromToml("[ClickHouse]\nHosts = \"ch:8123\"\n")
+    assert(custom.jdbcConnectionUrl == "jdbc:clickhouse://ch:8123/default")
+    // generic JDBC targets get credentials only
+    assert(plain.jdbcAuthOptions == Map("user" -> "default", "password" -> ""))
   }
 
   test("config-driven app: socket frames land in projected parquet tables") {
