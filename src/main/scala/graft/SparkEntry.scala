@@ -467,11 +467,6 @@ object SparkEntry {
       s" / (sqrt(list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)), (x,y) -> x+y))" +
       s" * sqrt(list_reduce(list_transform(generate_series(1, len($b)), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)))"
 
-  private def duckBucket(e: String, bits: Int = 6): String =
-    "CAST(" + (0 until bits)
-      .map(i => s"(CASE WHEN $e[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
-      .mkString(" + ") + " AS BIGINT)"
-
   private def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
 
@@ -495,7 +490,7 @@ object SparkEntry {
     Similarity.annLshBucketed(corpus(spark, dir), probes(spark, dir), k = 3)
 
   private val q23Sql =
-    s"""WITH eb AS (SELECT vec_id, embedding, ${duckBucket("embedding")} AS bucket FROM embeddings),
+    s"""WITH eb AS (SELECT vec_id, embedding, ${duckHyperplaneBucket("embedding", 0, 6)} AS bucket FROM embeddings),
       |p AS (SELECT vec_id AS probe_id, embedding AS pe, bucket AS pbucket FROM eb WHERE vec_id < 3),
       |s AS (SELECT probe_id, e.vec_id, ${duckCosine("pe", "e.embedding")} AS cosine
       |      FROM p JOIN eb e ON e.bucket = p.pbucket AND e.vec_id <> p.probe_id),

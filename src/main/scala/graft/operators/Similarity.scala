@@ -29,13 +29,17 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
   }
 
-  /** Approximate top-k: candidates restricted to the probe's LSH bucket. */
+  /** Approximate top-k: candidates restricted to the probe's LSH bucket.
+    * Buckets come from fixed RANDOM hyperplanes (not leading-dim signs),
+    * so bucket balance doesn't depend on correlated or zero-heavy
+    * leading dimensions — same rationale as
+    * [[embeddingCosinePairsBucketed]]. */
   def annLshBucketed(corpus: DataFrame, probes: DataFrame, k: Int,
                      bits: Int = 6): DataFrame = {
     val cb = corpus.withColumn("bucket",
-      VectorFunctions.signBucket(col("embedding"), bits))
+      VectorFunctions.hyperplaneBucket(col("embedding"), 0, bits))
     val pb = probes.withColumn("pbucket",
-      VectorFunctions.signBucket(col("pe"), bits))
+      VectorFunctions.hyperplaneBucket(col("pe"), 0, bits))
     val scored = cb
       .join(broadcast(pb), col("bucket") === col("pbucket") &&
         col("vec_id") =!= col("probe_id"))

@@ -64,6 +64,32 @@ class SinksSpec extends SparkSpec {
     assert(dead.rows.size == 1)
   }
 
+  test("compaction collapses per-batch partitions into few files, rows intact") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-compact")
+    val dir = s"$root/t"
+    val sink = new ParquetAppendSink(dir)
+    (0L until 6L).foreach { b =>
+      sink.write(Seq((b * 2, s"v$b"), (b * 2 + 1, s"w$b")).toDF("id", "v"), b)
+    }
+    def parquetFiles(p: String): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try s.filter(f => f.toString.endsWith(".parquet")).count() finally s.close()
+    }
+    val before = parquetFiles(dir)
+    assert(before >= 6) // one+ file per batch partition
+    // compact only closed batches (0..4); batch 5 stays replayable
+    val out = s"$root/compacted"
+    val n = Compaction.compact(spark, dir, out, maxBatchId = 4L, targetFiles = 1)
+    assert(n == 10)
+    assert(parquetFiles(out) == 1)
+    val rows = spark.read.parquet(out).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(rows == (0L until 10L))
+    // lineage survives as a plain column
+    assert(spark.read.parquet(out).columns.contains("__batch_id"))
+  }
+
   test("ClickHouse DDL derives from config: renames apply, drops vanish") {
     import graft.config.GraftConfig
     val cfg = GraftConfig.fromToml(
