@@ -1155,6 +1155,26 @@ object SparkEntry {
       |SELECT doc_id, lang_pred FROM h
       |WHERE hv < (CASE lang_pred WHEN 'en' THEN 40 WHEN 'es' THEN 70 ELSE 100 END)""".stripMargin
 
+  // q53 — per-group deterministic cap: at most N docs per predicted
+  // language, chosen by hash rank (a pure function of the data, so the
+  // oracle certifies the exact kept set — "at most N per domain" is the
+  // standard training-mix balancing step).
+  private def q53PerGroupCap(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+    Sampling.capPerGroup(langs, "doc_id", "lang_pred", n = 25)
+  }
+
+  private val q53Sql =
+    s"""WITH langs AS (
+      |$q18Sql
+      |),
+      |r AS (SELECT doc_id, lang_pred,
+      |        ROW_NUMBER() OVER (PARTITION BY lang_pred
+      |          ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT), doc_id) AS rk
+      |      FROM langs)
+      |SELECT doc_id, lang_pred FROM r WHERE rk <= 25""".stripMargin
+
   // q46 — IVF ANN with Lloyd-trained (spherical k-means) centroids: the
   // production quantizer for q39's machinery. Training is an explicit
   // bounded action (hash-sampled collect + driver-local Lloyd, see
@@ -1233,6 +1253,7 @@ object SparkEntry {
     Q("q50_stratified_sample", q50StratifiedSample, Some(q50Sql)),
     Q("q51_sequence_packing", q51SequencePacking, None),
     Q("q52_transitive_dedup_keep", q52TransitiveDedupKeep, Some(q52Sql)),
+    Q("q53_per_group_cap", q53PerGroupCap, Some(q53Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

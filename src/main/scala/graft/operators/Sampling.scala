@@ -25,6 +25,24 @@ object Sampling {
                  denom: Int = 100): DataFrame =
     df.filter(hashSamplePredicate(col(idCol), num, denom))
 
+  /** Deterministic per-group cap: keep at most `n` rows per group,
+    * chosen by hash order (not arrival order, which is
+    * partitioning-dependent) — the "at most N documents per domain /
+    * source / language" balancing step of a training-data mix. One
+    * shuffle on the group key; the hash rank makes the kept set a pure
+    * function of the data, so replay/retry/engine all agree (the DuckDB
+    * oracle reproduces it row-for-row). Ties are impossible: the rank
+    * order is (hash, id), and ids are unique. */
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String,
+                  n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(Dedup.baseHash32(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
   /** Stratified variant: per-stratum keep rates (percent), e.g. keep 50%
     * of English but 100% of low-resource languages — the standard
     * training-mix rebalance. Unlisted strata fall back to `defaultPct`.

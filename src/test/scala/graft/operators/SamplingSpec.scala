@@ -20,6 +20,24 @@ class SamplingSpec extends SparkSpec {
     assert(s30a.subsetOf(s60))
   }
 
+  test("per-group cap keeps at most n per group, deterministically") {
+    import spark.implicits._
+    val df = (0L until 900L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val capped = Sampling.capPerGroup(df, "id", "grp", n = 10)
+    val byGroup = capped.collect().map(r => (r.getString(1), r.getLong(0)))
+      .groupBy(_._1)
+    assert(byGroup.keySet == Set("g0", "g1", "g2"))
+    byGroup.values.foreach(g => assert(g.length == 10))
+    // determinism: same kept set on re-execution
+    val again = Sampling.capPerGroup(df, "id", "grp", n = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == capped.collect().map(_.getLong(0)).toSet)
+    // a group smaller than the cap survives whole
+    val small = Sampling.capPerGroup(
+      Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "grp"), "id", "grp", 5)
+    assert(small.count() == 3)
+  }
+
   test("stratified sample applies per-stratum rates") {
     import spark.implicits._
     val df = (0L until 3000L).map(i => (i, if (i % 3 == 0) "en" else "rare"))
