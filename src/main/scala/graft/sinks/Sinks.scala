@@ -58,7 +58,16 @@ final class ParquetAppendSink(path: String,
       .parquet(path)
 }
 
-/** JDBC batch writer (ClickHouse via clickhouse-jdbc, or any JDBC store). */
+/** JDBC batch writer (ClickHouse via clickhouse-jdbc, or any JDBC store).
+  *
+  * Replay caveat: JDBC INSERT is append-only, so unlike
+  * [[ParquetAppendSink]] a micro-batch replayed after a mid-write crash
+  * can double-insert (the reference has the same at-least-once window,
+  * clickhouse.go:206-214). The ClickHouse-native remedy is table-side:
+  * ReplacingMergeTree keyed on the row identity (or a materialized
+  * `__batch_id`) collapses replayed rows at merge time; exactly-once
+  * without table support would need a batch-id ledger transactionally
+  * co-committed with the insert, which plain JDBC cannot express. */
 final class JdbcBatchSink(url: String, table: String,
                           options: Map[String, String] = Map.empty,
                           projection: ColumnProjection = ColumnProjection.identity)
