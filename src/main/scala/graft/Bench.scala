@@ -13,15 +13,18 @@ object Bench {
     val ordered = SparkEntry.benchQueries.toSeq.sortBy(_._1)
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
 
-    /** min-of-N timing of every bench query against one sf directory. */
+    /** min-of-N timing of every bench query against one sf directory.
+      * A run that throws contributes no timing; a query whose every run
+      * failed records the -1 sentinel so it can't deflate the headline
+      * total or the scaling ratio while looking like a fast query. */
     def timeAll(dir: String): Seq[(String, Double)] = ordered.map {
       case (name, fn) =>
-        val best = (0 until math.max(1, iters)).map { _ =>
+        val good = (0 until math.max(1, iters)).flatMap { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, dir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
-        }.min
-        name -> best
+          try { fn(spark, dir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case _: Throwable => None }
+        }
+        name -> (if (good.isEmpty) -1.0 else good.min)
     }
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -64,8 +67,12 @@ object Bench {
         s""","scaling":{"dir":"$scalingDir","queries":${toJson(lo)},"ratio_vs_primary":${toJson(ratios)}}"""
       }
 
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"$scalingJson}""")
+    val failed = results.collect { case (name, v) if v < 0 => name }
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val errorsJson =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"$errorsJson$scalingJson}""")
     spark.stop()
   }
 }

@@ -135,17 +135,35 @@ final case class GraftConfig(
     * reference config would hit the native port with HTTP and every
     * insert would fail. The well-known native ports are therefore
     * translated to their HTTP(S) siblings; any other port passes
-    * through untouched. */
+    * through untouched. Host forms: `host`, `host:port`,
+    * `[v6addr]:port`, and bare IPv6 (2+ colons, no bracket — never
+    * mistaken for host:port; it gets bracketed for the URL authority).
+    * A portless host is pinned to the explicit HTTP(S) default rather
+    * than left to the driver's mood. */
   def jdbcConnectionUrl: String = {
+    val httpDefault = if (secure) "8443" else "8123"
     val mapped = hosts.split(',').map(_.trim).map { h =>
-      h.lastIndexOf(':') match {
-        case -1 => h
-        case i => h.substring(i + 1) match {
-          case "9000" => h.substring(0, i) + ":8123"
-          case "9440" => h.substring(0, i) + ":8443"
-          case _ => h
+      // split authority → (host, Some(port)); bare IPv6 has no port
+      val (hostPart, portPart) =
+        if (h.startsWith("[")) h.indexOf("]:") match {
+          case -1 => (h, None)
+          case i => (h.substring(0, i + 1), Some(h.substring(i + 2)))
         }
+        else if (h.count(_ == ':') == 1) {
+          val i = h.indexOf(':')
+          (h.substring(0, i), Some(h.substring(i + 1)))
+        }
+        else (h, None)
+      val bracketed =
+        if (!hostPart.startsWith("[") && hostPart.contains(':')) s"[$hostPart]"
+        else hostPart
+      val port = portPart match {
+        case Some("9000") => "8123"
+        case Some("9440") => "8443"
+        case Some(p) => p
+        case None => httpDefault
       }
+      s"$bracketed:$port"
     }
     s"jdbc:clickhouse://${mapped.mkString(",")}/$database"
   }

@@ -42,17 +42,69 @@ object Packing {
       .as[(Long, Long)]
       .mapPartitions { it =>
         val pid = TaskContext.getPartitionId().toLong
-        // open packs: used tokens per local pack index
-        val used = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val ff = new FirstFit(capacity)
         it.map { case (id, len) =>
-          var p = 0
-          while (p < used.length && used(p) + len > capacity) p += 1
-          if (p == used.length) used += 0L
-          val offset = used(p)
-          used(p) += math.max(len, 1L)
+          val (p, offset) = ff.place(len)
           (id, (pid << 32) | p.toLong, offset, len)
         }
       }
       .toDF("doc_id", "pack_id", "pack_offset", "doc_tokens")
+  }
+
+  /** First-fit over open packs via a max-segment-tree on remaining
+    * capacity: `place` finds the LEFTMOST pack with room in O(log P)
+    * instead of scanning every pack ever opened, so a partition of n
+    * docs packs in O(n log n) rather than the quadratic O(n·P) the
+    * naive scan degrades to when most docs are near capacity — while
+    * producing bit-for-bit the same assignment as the linear first-fit
+    * scan (same pack indices, same offsets).
+    *
+    * Leaves hold each open pack's remaining capacity (-1 = not yet
+    * opened, which can never satisfy a `len >= 0` query); inner nodes
+    * hold the subtree max, so descending "left child if its max fits"
+    * lands on the leftmost fitting pack. A pack holding an oversize doc
+    * goes capacity-negative and correctly rejects everything after,
+    * including zero-length docs — matching the scan's
+    * `used + len > capacity` arithmetic exactly. */
+  private final class FirstFit(capacity: Long) {
+    private var size = 16 // leaf slots (power of two)
+    private var tree = Array.fill(2 * size)(-1L)
+    private var packs = 0 // packs opened so far
+
+    private def grow(): Unit = {
+      val ns = size * 2
+      val nt = Array.fill(2 * ns)(-1L)
+      System.arraycopy(tree, size, nt, ns, size)
+      var i = ns - 1
+      while (i >= 1) { nt(i) = math.max(nt(2 * i), nt(2 * i + 1)); i -= 1 }
+      size = ns
+      tree = nt
+    }
+
+    private def update(p: Int, v: Long): Unit = {
+      var i = size + p
+      tree(i) = v
+      i /= 2
+      while (i >= 1) { tree(i) = math.max(tree(2 * i), tree(2 * i + 1)); i /= 2 }
+    }
+
+    /** Assign one doc; returns (local pack index, offset within pack). */
+    def place(len: Long): (Int, Long) = {
+      val p =
+        if (packs == 0 || tree(1) < len) { // no open pack fits: open one
+          if (packs == size) grow()
+          val np = packs
+          packs += 1
+          update(np, capacity)
+          np
+        } else {
+          var i = 1
+          while (i < size) i = if (tree(2 * i) >= len) 2 * i else 2 * i + 1
+          i - size
+        }
+      val remaining = tree(size + p)
+      update(p, remaining - math.max(len, 1L))
+      (p, capacity - remaining)
+    }
   }
 }

@@ -198,6 +198,7 @@ object FrameReaderFactory extends PartitionReaderFactory {
 object FrameSocketServer {
   private final case class Shared(server: FrameSocketServer,
       consumers: java.util.concurrent.CopyOnWriteArrayList[Array[Byte] => Unit],
+      readers: Int, maxFrameBytes: Int, readTimeoutSecs: Int,
       var refs: Int)
   private val registry = mutable.Map.empty[String, Shared]
 
@@ -211,7 +212,9 @@ object FrameSocketServer {
   /** Bind (or join) the listener on `path` and register a frame consumer;
     * every attached consumer sees every frame from attach time on. The
     * first attacher's reader/timeout settings configure the shared
-    * listener. */
+    * listener; a later attacher asking for different settings gets the
+    * established ones, and the mismatch is logged so two branches
+    * configured inconsistently don't fail silent. */
   def attach(path: String, readers: Int, maxFrameBytes: Int,
              readTimeoutSecs: Int = 0)
             (consumer: Array[Byte] => Unit): Handle = synchronized {
@@ -221,8 +224,16 @@ object FrameSocketServer {
       val server = new FrameSocketServer(path, readers, maxFrameBytes,
         frame => consumers.forEach(c => c(frame)), readTimeoutSecs)
       server.start()
-      Shared(server, consumers, 0)
+      Shared(server, consumers, readers, maxFrameBytes, readTimeoutSecs, 0)
     })
+    if (shared.readers != readers || shared.maxFrameBytes != maxFrameBytes ||
+        shared.readTimeoutSecs != readTimeoutSecs)
+      System.err.println(
+        s"[graft-dnstap] WARN: attach($path) requested readers=$readers " +
+        s"maxFrameBytes=$maxFrameBytes readTimeoutSecs=$readTimeoutSecs but the " +
+        s"shared listener is already configured with readers=${shared.readers} " +
+        s"maxFrameBytes=${shared.maxFrameBytes} " +
+        s"readTimeoutSecs=${shared.readTimeoutSecs}; keeping the established settings")
     shared.consumers.add(consumer)
     shared.refs += 1
     new Handle(path, consumer)
@@ -248,7 +259,7 @@ object FrameSocketServer {
   *
   * `readTimeoutSecs` > 0 applies the reference's per-read deadline
   * (Dnstap.ReadTimeout, dnstap.go:193-198): a connection that delivers no
-  * frame within the window is closed, and the pooled reader blocked on it
+  * BYTES within the window is closed, and the pooled reader blocked on it
   * moves to the next queued connection. Blocking NIO channel reads have no
   * native soTimeout, so the deadline is enforced by a watchdog that closes
   * stale channels — the in-flight read then fails over to the drop path. */
@@ -304,13 +315,25 @@ final class FrameSocketServer(path: String, readers: Int, maxFrameBytes: Int,
           else {
             active.put(conn, java.lang.Long.valueOf(System.nanoTime()))
             try {
-              val in = Channels.newInputStream(conn)
+              // any byte progress resets the read deadline (matching the
+              // reference's per-Read-call deadline, dnstap.go:193-198): a
+              // peer trickling one large frame slowly is still live, only
+              // a fully silent one times out
+              val in = new java.io.FilterInputStream(
+                  Channels.newInputStream(conn)) {
+                private def touch(n: Int): Int = {
+                  if (n >= 0)
+                    active.put(conn, java.lang.Long.valueOf(System.nanoTime()))
+                  n
+                }
+                override def read(): Int = touch(super.read())
+                override def read(b: Array[Byte], off: Int, len: Int): Int =
+                  touch(super.read(b, off, len))
+              }
               val out = Channels.newOutputStream(conn)
               val r = new FrameStreams.Reader(in, Some(out), maxFrameBytes)
               var frame = r.next()
               while (frame.isDefined && !closed) {
-                // progress resets the read deadline (per-read, not per-conn)
-                active.put(conn, java.lang.Long.valueOf(System.nanoTime()))
                 emit(frame.get)
                 frame = r.next()
               }

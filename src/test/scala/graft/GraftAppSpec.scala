@@ -60,6 +60,20 @@ class GraftAppSpec extends SparkSpec {
     assert(plain.jdbcConnectionUrl == "jdbc:clickhouse://localhost:8123/default")
     val custom = GraftConfig.fromToml("[ClickHouse]\nHosts = \"ch:8123\"\n")
     assert(custom.jdbcConnectionUrl == "jdbc:clickhouse://ch:8123/default")
+    // a portless host gets the explicit HTTP(S) default for its scheme,
+    // not whatever the driver happens to assume
+    val portless = GraftConfig.fromToml("[ClickHouse]\nHosts = \"ch\"\n")
+    assert(portless.jdbcConnectionUrl == "jdbc:clickhouse://ch:8123/default")
+    val portlessTls = GraftConfig.fromToml(
+      "[ClickHouse]\nHosts = \"ch\"\nSecure = true\n")
+    assert(portlessTls.jdbcConnectionUrl == "jdbc:clickhouse://ch:8443/default")
+    // IPv6: bracketed host:port keeps its port (native → HTTP mapped);
+    // a bare IPv6 literal is a HOST — its last hextet is not a port —
+    // and gets bracketed + defaulted
+    val v6 = GraftConfig.fromToml(
+      "[ClickHouse]\nHosts = \"[2001:db8::1]:9000,2001:db8::2\"\n")
+    assert(v6.jdbcConnectionUrl ==
+      "jdbc:clickhouse://[2001:db8::1]:8123,[2001:db8::2]:8123/default")
     // generic JDBC targets get credentials only
     assert(plain.jdbcAuthOptions == Map("user" -> "default", "password" -> ""))
   }

@@ -37,6 +37,28 @@ class PackingSpec extends SparkSpec {
     assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
   }
 
+  test("segment-tree first-fit matches the naive linear scan bit-for-bit") {
+    // one partition so assignment order is the global (len desc, id asc)
+    // sort; the naive scan below is the O(n·P) loop the tree replaced
+    val rnd = new scala.util.Random(11)
+    val lens = Seq.fill(400)(rnd.nextInt(140).toLong) :+ 500L :+ 0L
+    val capacity = 128L
+    val out = pack(lens, capacity, parts = 1).map(r => (r._1, r._2, r._3)).toSet
+
+    val used = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val expected = lens.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+      .sortBy { case (id, l) => (-l, id) }
+      .map { case (id, len) =>
+        var p = 0
+        while (p < used.length && used(p) + len > capacity) p += 1
+        if (p == used.length) used += 0L
+        val off = used(p)
+        used(p) += math.max(len, 1L)
+        (id, p.toLong, off)
+      }.toSet
+    assert(out == expected)
+  }
+
   test("first-fit waste bound: under twice the ideal pack count") {
     val rnd = new scala.util.Random(7)
     val lens = Seq.fill(500)(rnd.nextInt(100).toLong + 1)

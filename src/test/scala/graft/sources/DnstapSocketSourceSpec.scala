@@ -95,6 +95,35 @@ class FrameSocketServerSpec extends AnyFunSuite {
       stalled.close(); healthy.close()
     } finally server.close()
   }
+
+  test("ReadTimeout spares a slow-but-live peer: byte progress resets the deadline") {
+    val sock = Files.createTempDirectory("graft-rt2").resolve("d.sock").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Byte]]()
+    val server = new FrameSocketServer(sock, readers = 1,
+      maxFrameBytes = FrameStreams.DefaultMaxFrameBytes,
+      emit = f => got.add(f.toSeq), readTimeoutSecs = 1)
+    server.start()
+    try {
+      server.awaitBound()
+      val conn = SocketChannel.open(UnixDomainSocketAddress.of(sock))
+      val out = Channels.newOutputStream(conn)
+      FrameStreams.writeControlFrame(out, FrameStreams.ControlStart,
+        Seq(FrameStreams.ContentTypeDnstap))
+      // dribble one data frame a byte at a time for ~3 s — well past the
+      // 1 s deadline in total, but every byte is progress, so the
+      // watchdog must not cut the connection (the reference's per-Read
+      // deadline semantics, dnstap.go:193-198)
+      val payload = Array[Byte](1, 2, 3, 4, 5, 6)
+      val framed = java.nio.ByteBuffer.allocate(4 + payload.length)
+        .putInt(payload.length).put(payload).array()
+      framed.foreach { b => out.write(b); out.flush(); Thread.sleep(300) }
+      FrameStreams.writeControlFrame(out, FrameStreams.ControlStop)
+      val deadline = System.nanoTime() + 15L * 1000000000L
+      while (got.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(got.peek() == payload.toSeq)
+      conn.close()
+    } finally server.close()
+  }
 }
 
 class DnstapSocketSourceSpec extends SparkSpec {
