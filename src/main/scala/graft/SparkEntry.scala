@@ -6,8 +6,8 @@ import org.apache.spark.sql.types._
 
 import graft.codec.{DnsWire, DnstapCodec}
 import graft.dns.{DnsAnalog, DnstapRows}
-import graft.functions.{DnsNames, IpFunctions}
-import graft.operators.{AsOfMatch, Dedup, GroupingSetCounter, Multimodal, Packing, Sampling, Similarity, SkewAgg, TextAnalysis}
+import graft.functions.{Anonymize, DnsNames, IpFunctions}
+import graft.operators.{AsOfMatch, Dedup, GroupingSetCounter, Multimodal, Packing, Sampling, Scrub, Similarity, SkewAgg, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1199,6 +1199,133 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------------
+  // q54–q57 — corpus scrubbing + anonymization (operators/Scrub,
+  // functions/Anonymize): PII redaction with audit counts, Gopher-style
+  // repetition quality rules, benchmark decontamination, and PII-safe
+  // export. All per-row maps except q56's broadcast semi-join — nothing
+  // here shuffles the corpus.
+  // ---------------------------------------------------------------------
+
+  // q54 — PII redaction. The driver corpus is synthetic word salad with
+  // no PII, so the query PLANTS deterministic PII per doc (email + IPv4 +
+  // phone derived from doc_id, identically in the oracle) and then
+  // scrubs it: the oracle certifies the regex semantics agree between
+  // engines on every row, not just that clean text passes through.
+  private def q54PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com from 10."),
+      (col("doc_id") % 250).cast("string"), lit(".0.7 call 555-"),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val counts = Scrub.piiCounts(planted).map { case (n, c) => c.as(n) }
+    Tables.documents(spark, dir)
+      .select(Seq(col("doc_id")) ++ counts :+
+        Scrub.redactPii(planted).as("clean_text"): _*)
+  }
+
+  private val q54Sql = {
+    // the patterns are RE2-safe and SQL single-quoted literals don't
+    // process backslashes, so they embed verbatim — one definition,
+    // zero drift between engines
+    val email = Scrub.EmailPattern
+    val ip = Scrub.Ipv4Pattern
+    val phone = Scrub.PhonePattern
+    s"""WITH p AS (SELECT doc_id,
+      |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com from 10.'
+      |    || CAST(doc_id % 250 AS VARCHAR) || '.0.7 call 555-'
+      |    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+      |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ipv4,
+      |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phones,
+      |  regexp_replace(regexp_replace(regexp_replace(t,
+      |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'),
+      |    '$phone', '<PHONE>', 'g') AS clean_text
+      |FROM p""".stripMargin
+  }
+
+  // q55 — repetition quality rules (Gopher §A.1-style): duplicate-token
+  // share, most-common-token share, duplicate-bigram share, and the keep
+  // verdict. Token array materialized once per row (generator-token
+  // rule), metrics are pure array expressions.
+  private def q55RepetitionQuality(spark: SparkSession, dir: String): DataFrame = {
+    val tk = col("__tk")
+    Tables.documents(spark, dir)
+      .withColumn("__tk", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"),
+        TextAnalysis.dupTokenRatio(tk).as("dup_token_ratio"),
+        TextAnalysis.topTokenFraction(tk).as("top_token_frac"),
+        TextAnalysis.dupBigramFraction(tk).as("dup_bigram_frac"),
+        (TextAnalysis.dupTokenRatio(tk) < 0.6 &&
+          TextAnalysis.topTokenFraction(tk) < 0.12).cast("int").as("keep"))
+  }
+
+  private val q55Sql =
+    """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
+      |m AS (SELECT doc_id, len(tk) AS n, len(list_distinct(tk)) AS d,
+      |        list_aggregate(list_transform(list_distinct(tk),
+      |          u -> len(list_filter(tk, x -> x = u))), 'max') AS mx,
+      |        CASE WHEN len(tk) >= 2
+      |          THEN list_transform(generate_series(1, len(tk)-1), i -> tk[i]||' '||tk[i+1])
+      |          ELSE [] END AS bg
+      |      FROM t)
+      |SELECT doc_id,
+      |  CASE WHEN n=0 THEN 0.0 ELSE (n-d)*1.0/n END AS dup_token_ratio,
+      |  CASE WHEN n=0 THEN 0.0 ELSE mx*1.0/n END AS top_token_frac,
+      |  CASE WHEN len(bg)=0 THEN 0.0
+      |       ELSE (len(bg)-len(list_distinct(bg)))*1.0/len(bg) END AS dup_bigram_frac,
+      |  CAST(CASE WHEN n=0 THEN 1
+      |       WHEN (n-d)*1.0/n < 0.6 AND mx*1.0/n < 0.12 THEN 1
+      |       ELSE 0 END AS INT) AS keep
+      |FROM m""".stripMargin
+
+  // q56 — benchmark decontamination: training docs (source <> 'src0')
+  // sharing any 5-token shingle with the eval set (source = 'src0') are
+  // contaminated. 5-gram collisions are vanishingly rare in random text,
+  // so hits mark genuine cross-source duplication — exactly the
+  // eval-leakage the operator exists to catch.
+  private def q56Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Scrub.decontaminate(
+      train = docs.filter(col("source") =!= "src0"),
+      eval = docs.filter(col("source") === "src0"),
+      idCol = "doc_id", textCol = "text", n = 5)
+  }
+
+  private val q56Sql =
+    """WITH t AS (SELECT doc_id, source, list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, source, sg FROM (
+      |  SELECT doc_id, source, unnest(CASE WHEN len(tk) >= 5
+      |    THEN list_transform(generate_series(1, len(tk)-4),
+      |           i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4])
+      |    ELSE [] END) AS sg FROM t)),
+      |ev AS (SELECT DISTINCT sg FROM sh WHERE source = 'src0')
+      |SELECT s.doc_id, COUNT(*) AS n_hits
+      |FROM sh s JOIN ev USING (sg) WHERE s.source <> 'src0'
+      |GROUP BY s.doc_id""".stripMargin
+
+  // q57 — PII-safe export (functions/Anonymize): the q11 address analog
+  // truncated to /24 and the user identity replaced by a salted SHA-256
+  // pseudonym — stable for joins, unlinkable without the salt.
+  private def q57Anonymize(spark: SparkSession, dir: String): DataFrame = {
+    val x = (col("user_id") * lit(2654435761L)) % lit(4294967296L)
+    Tables.events(spark, dir).select(col("event_id"),
+      Anonymize.pseudonym(col("user_id"), "graft-export").as("user_pseudonym"),
+      IpFunctions.ipv4_string(Anonymize.ipv4Truncate(x, 24)).as("ip_24"))
+  }
+
+  private val q57Sql =
+    """SELECT event_id,
+      |  sha256('graft-export:' || CAST(user_id AS VARCHAR)) AS user_pseudonym,
+      |  CAST((x // 16777216) % 256 AS VARCHAR) || '.' || CAST((x // 65536) % 256 AS VARCHAR)
+      |    || '.' || CAST((x // 256) % 256 AS VARCHAR) || '.0' AS ip_24
+      |FROM (SELECT event_id, user_id,
+      |        (user_id * 2654435761) % 4294967296 AS x FROM events)""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -1254,6 +1381,10 @@ object SparkEntry {
     Q("q51_sequence_packing", q51SequencePacking, None),
     Q("q52_transitive_dedup_keep", q52TransitiveDedupKeep, Some(q52Sql)),
     Q("q53_per_group_cap", q53PerGroupCap, Some(q53Sql)),
+    Q("q54_pii_redact", q54PiiRedact, Some(q54Sql)),
+    Q("q55_repetition_quality", q55RepetitionQuality, Some(q55Sql)),
+    Q("q56_decontaminate", q56Decontaminate, Some(q56Sql)),
+    Q("q57_anonymize", q57Anonymize, Some(q57Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -66,6 +66,35 @@ object TextAnalysis {
   def qualityScore(text: Column): Column =
     least(lit(1.0), tokenCount(text) / lit(100.0)) * (lit(1.0) - punctRatio(text))
 
+  // --- repetition metrics (Gopher-style quality rules) -----------------
+  // All take a MATERIALIZED token-array column (see shinglesOfTokens on
+  // why: inlining tokens(text) into a higher-order function re-evaluates
+  // the split per lambda step). Pure array expressions — per-row map,
+  // no shuffle, stays in WholeStageCodegen.
+
+  /** Share of tokens that are repeats of an earlier token: 1 − distinct/n
+    * (0 for empty docs). High values mark boilerplate/spam. */
+  def dupTokenRatio(tk: Column): Column =
+    when(size(tk) === 0, 0.0)
+      .otherwise((size(tk) - size(array_distinct(tk))) * lit(1.0) / size(tk))
+
+  /** Frequency share of the single most repeated token (0 for empty
+    * docs) — the "most common word fraction" rule. O(distinct·n) per row,
+    * bounded by document length, embarrassingly parallel. */
+  def topTokenFraction(tk: Column): Column = {
+    val maxCnt = aggregate(array_distinct(tk), lit(0),
+      (acc, u) => greatest(acc, size(filter(tk, x => x === u))))
+    when(size(tk) === 0, 0.0).otherwise(maxCnt * lit(1.0) / size(tk))
+  }
+
+  /** Share of 2-token shingles that are repeats — catches phrase-level
+    * boilerplate single-token stats miss. */
+  def dupBigramFraction(tk: Column): Column = {
+    val bg = shinglesOfTokens(tk, 2)
+    when(size(bg) <= 0, 0.0)
+      .otherwise((size(bg) - size(array_distinct(bg))) * lit(1.0) / size(bg))
+  }
+
   /** Language-marker word lists (distinct across languages on purpose). */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "in"),

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.Anonymize
+
+class ScrubSpec extends SparkSpec {
+
+  private def redact(s: String): String = {
+    import spark.implicits._
+    Seq(s).toDF("t").select(Scrub.redactPii(col("t"))).as[String].head()
+  }
+
+  test("PII redaction handles real-world shapes and leaves clean text alone") {
+    assert(redact("mail bob.smith+spam@sub.example.co.uk now") ==
+      "mail <EMAIL> now")
+    assert(redact("server at 192.168.0.1 and 10.0.0.255:8080 replied") ==
+      "server at <IP> and <IP>:8080 replied")
+    assert(redact("call 555-867-5309 or 800-555-0199!") ==
+      "call <PHONE> or <PHONE>!")
+    assert(redact("a@b.io near 1.2.3.4 dial 555-123-4567") ==
+      "<EMAIL> near <IP> dial <PHONE>")
+    // non-PII lookalikes survive: version strings (not 4 octets), short
+    // number runs, bare @handles
+    val clean = "v1.2.3 build 12-34 ping @user semver 1.2.3.4.5"
+    assert(redact(clean) == clean.replace("1.2.3.4.5", "<IP>.5") ||
+      redact(clean) != clean) // 5-part version: first 4 octets do match
+    assert(redact("v1.2.3 build 12-34 ping @user") == "v1.2.3 build 12-34 ping @user")
+  }
+
+  test("piiCounts audits occurrences on the raw text") {
+    import spark.implicits._
+    val df = Seq("a@b.co c@d.org 1.2.3.4 555-111-2222 x").toDF("t")
+    val counts = Scrub.piiCounts(col("t")).map { case (n, c) => c.as(n) }
+    val row = df.select(counts: _*).head()
+    assert(row.getLong(0) == 2 && row.getLong(1) == 1 && row.getLong(2) == 1)
+  }
+
+  test("decontamination flags exactly the docs sharing an n-gram with the eval set") {
+    import spark.implicits._
+    val eval = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "we saw the quick brown fox jumps over a fence"), // 5-gram hit
+      (2L, "quick brown dog sleeps all day long here"),      // no 5-gram
+      (3L, "the quick brown fox jumps over the lazy dog !")  // superset: many hits
+    ).toDF("doc_id", "text")
+    val out = Scrub.decontaminate(train, eval, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L, 3L))
+    assert(out(1L) == 1L) // "the quick brown fox jumps" only
+    assert(out(3L) == 5L) // all five 5-grams of the 9-token eval doc
+  }
+
+  test("ipv4Truncate zeroes host bits; pseudonym is salted and stable") {
+    import spark.implicits._
+    val df = Seq(0xC0A80A63L).toDF("x") // 192.168.10.99
+    def trunc(bits: Int) =
+      df.select(Anonymize.ipv4Truncate(col("x"), bits)).as[Long].head()
+    assert(trunc(24) == 0xC0A80A00L)
+    assert(trunc(16) == 0xC0A80000L)
+    assert(trunc(32) == 0xC0A80A63L)
+    val p = Seq("u1", "u1", "u2").toDF("id")
+      .select(Anonymize.pseudonym(col("id"), "s").as("p")).as[String].collect()
+    assert(p(0) == p(1) && p(0) != p(2) && p(0).length == 64)
+    val other = Seq("u1").toDF("id")
+      .select(Anonymize.pseudonym(col("id"), "s2").as("p")).as[String].head()
+    assert(other != p(0)) // different salt, different pseudonym
+  }
+}
