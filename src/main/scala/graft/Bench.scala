@@ -26,8 +26,12 @@ object Bench {
         }
         name -> (if (good.isEmpty) -1.0 else good.min)
     }
+    // 4 decimal places (0.1 ms resolution): keeps the per-query detail
+    // lines far under the driver's ~2 KB tail-capture window
     def toJson(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      rs.map { case (k, v) =>
+        s"\"" + k + "\":" + BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      }.mkString("{", ",", "}")
 
     // untimed warm pass (disable with SPARK_GRAFT_WARM_PASS=0): JIT +
     // codegen + parquet footers paid up front so the timed pass measures
@@ -48,31 +52,36 @@ object Bench {
     val scalingDir = sys.env.getOrElse("SPARK_GRAFT_SCALING_DIR",
       if (sfDir.contains("sf0.01") || sfDir.contains("sf0.001")) "0"
       else "/root/testdata/sf0.01")
-    val scalingJson =
-      if (scalingDir == "0" || !new java.io.File(scalingDir).isDirectory) ""
-      else {
-        // warm the secondary SF too — the primary got a dedicated warm
-        // pass, and an unwarmed lo (footer reads, plan compilation in
-        // the timed run) would deflate exactly the ratio this exists
-        // to measure
-        ordered.foreach { case (_, fn) =>
-          try fn(spark, scalingDir).count() catch { case _: Throwable => () }
-        }
-        val lo = timeAll(scalingDir)
-        val loMap = lo.toMap
-        val ratios = results.map { case (name, hi) =>
-          val l = loMap.getOrElse(name, -1.0)
-          name -> (if (l > 0 && hi > 0) hi / l else -1.0)
-        }
-        s""","scaling":{"dir":"$scalingDir","queries":${toJson(lo)},"ratio_vs_primary":${toJson(ratios)}}"""
+    // Detail lines print FIRST, each as its own JSON line; the compact
+    // headline prints LAST. The driver keeps only the tail of stdout
+    // (~2 KB), so the one line that must survive — the headline — has to
+    // be final and small; the big per-query / scaling maps are earlier
+    // lines that the tail window may or may not retain.
+    println(s"""{"detail":"queries","sf":"$sfDir","queries":${toJson(results)}}""")
+    if (scalingDir != "0" && new java.io.File(scalingDir).isDirectory) {
+      // warm the secondary SF too — the primary got a dedicated warm
+      // pass, and an unwarmed lo (footer reads, plan compilation in
+      // the timed run) would deflate exactly the ratio this exists
+      // to measure
+      ordered.foreach { case (_, fn) =>
+        try fn(spark, scalingDir).count() catch { case _: Throwable => () }
       }
+      val lo = timeAll(scalingDir)
+      val loMap = lo.toMap
+      val ratios = results.map { case (name, hi) =>
+        val l = loMap.getOrElse(name, -1.0)
+        name -> (if (l > 0 && hi > 0) hi / l else -1.0)
+      }
+      println(s"""{"detail":"scaling","dir":"$scalingDir","queries":${toJson(lo)}}""")
+      println(s"""{"detail":"ratio_vs_primary","queries":${toJson(ratios)}}""")
+    }
 
     val failed = results.collect { case (name, v) if v < 0 => name }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val errorsJson =
-      if (failed.isEmpty) ""
-      else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"$errorsJson$scalingJson}""")
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(3)
+    val errorsJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val totalStr = BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"errors":$errorsJson,"slowest":${toJson(slowest)}}""")
     spark.stop()
   }
 }

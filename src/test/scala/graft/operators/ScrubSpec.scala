@@ -42,14 +42,14 @@ class ScrubSpec extends SparkSpec {
     val eval = Seq((100L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")
     val train = Seq(
-      (1L, "we saw the quick brown fox jumps over a fence"), // 5-gram hit
+      (1L, "we saw the quick brown fox jumps over a fence"), // two 5-gram hits
       (2L, "quick brown dog sleeps all day long here"),      // no 5-gram
       (3L, "the quick brown fox jumps over the lazy dog !")  // superset: many hits
     ).toDF("doc_id", "text")
     val out = Scrub.decontaminate(train, eval, "doc_id", "text", n = 5)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.keySet == Set(1L, 3L))
-    assert(out(1L) == 1L) // "the quick brown fox jumps" only
+    assert(out(1L) == 2L) // "the quick brown fox jumps" + "quick brown fox jumps over"
     assert(out(3L) == 5L) // all five 5-grams of the 9-token eval doc
   }
 
