@@ -775,7 +775,12 @@ object SparkEntry {
       .agg(countDistinct(col("doc_id")).cast("double").as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(desc("score"), asc("tok"))
-    tf.join(broadcast(dfreq), "tok") // term dictionary: broadcast-sized
+    // No broadcast hint on dfreq: a web-scale vocabulary (hundreds of
+    // millions of terms) blows past any broadcast cap, and tf/dfreq share
+    // the `tok` shuffle key anyway — AQE still picks broadcast at small
+    // SF on its own. The 1-row nDocs aggregate stays hinted: it is
+    // constant-sized at any scale.
+    tf.join(dfreq, "tok")
       .crossJoin(broadcast(nDocs))
       .withColumn("score", col("tf") * col("n_docs") / col("df"))
       .withColumn("rank", row_number().over(w).cast("long"))

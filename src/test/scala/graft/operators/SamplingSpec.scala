@@ -38,6 +38,33 @@ class SamplingSpec extends SparkSpec {
     assert(small.count() == 3)
   }
 
+  test("two-phase cap equals the global hash-rank definition") {
+    import spark.implicits._
+    // skewed groups: g0 has 700 rows, g1 200, g2 100 — exercises whole
+    // buckets kept, whole buckets dropped, and the boundary bucket
+    val df = (0L until 1000L)
+      .map(i => (i, if (i < 700) "g0" else if (i < 900) "g1" else "g2"))
+      .toDF("id", "grp")
+    // reference: the single-window global rank (the definition)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+      .orderBy(Dedup.baseHash32(col("id").cast("string")), col("id"))
+    val expect = df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= 37).drop("__rk")
+      .collect().map(_.getLong(0)).toSet
+    // tiny bucket count forces many rows per bucket → boundary-bucket
+    // tiebreak does real work; default bucket count must agree too
+    for (b <- Seq(4, 16, 1024)) {
+      val got = Sampling.capPerGroup(df, "id", "grp", n = 37, buckets = b)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == expect, s"buckets=$b diverged from global rank")
+    }
+    // null group key survives (null-safe join)
+    val withNull = Seq((1L, "x"), (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String])).toDF("id", "grp")
+    assert(Sampling.capPerGroup(withNull, "id", "grp", 1).count() == 2L)
+  }
+
   test("stratified sample applies per-stratum rates") {
     import spark.implicits._
     val df = (0L until 3000L).map(i => (i, if (i % 3 == 0) "en" else "rare"))
