@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.util.concurrent.ConcurrentHashMap
-
 /** Feedback-controlled sampling of the latency matcher (O5, reference
   * `isSample`/`tuneMask`, /root/reference/src/aggregator/aggregator.go:
   * 332-337,455-483): a row participates iff its DNS transaction id matches
@@ -22,23 +20,33 @@ import java.util.concurrent.ConcurrentHashMap
   * fewer than `minSamplesPerInterval` matches — exactly the reference's
   * `MapSizeExceeds == 0` guard.
   *
-  * The driver updates the mask between micro-batches (foreachBatch runs on
-  * the driver); executors read it through [[AdaptiveSampler.registry]] —
-  * same-JVM visible in local mode. On a multi-node cluster the mask would
-  * ride a per-batch config/broadcast refresh instead.
+  * Multi-node distribution: this class holds DRIVER-side control state
+  * only. Executors never see the instance — they evaluate
+  * [[AdaptiveSampler.accepts(id:Int,maskBits:Int,matchValue:Int)*]] with
+  * a `matchValue` frozen into the task closure (it never changes after
+  * construction) and the current `maskBits` read per task from a Spark
+  * local property (`TaskContext.getLocalProperty`). The pipeline's
+  * `foreachBatch` runs on the query's stream-execution thread — the same
+  * thread that submits the next micro-batch's jobs — so
+  * `SparkContext.setLocalProperty` there rides normal task serialization
+  * to every executor on the next trigger, matching the reference's
+  * between-interval update cadence (aggregator.go:455-483) on a real
+  * cluster, not just a shared JVM. After a checkpoint restart the
+  * property is unset for the first interval, so the mask re-opens to 0
+  * and re-tunes — the reference behaves the same way on process restart.
   */
 final class AdaptiveSampler(seed: Long = System.nanoTime(),
                             minSamplesPerInterval: Long = 32,
                             maxSamplesPerInterval: Long = 256,
                             maxMaskBits: Int = 16,
                             maxPendingState: Long = 4096) extends Serializable {
-  private val matchValue: Int = new java.util.Random(seed).nextInt(1 << 16)
+  /** Reference value the masked transaction id must equal; fixed at
+    * construction, safe to freeze into executor closures. */
+  val matchValue: Int = new java.util.Random(seed).nextInt(1 << 16)
   @volatile private var maskBits: Int = 0
 
-  def accepts(id: Int): Boolean = {
-    val mask = (1 << maskBits) - 1
-    (id & mask) == (matchValue & mask)
-  }
+  def accepts(id: Int): Boolean =
+    AdaptiveSampler.accepts(id, maskBits, matchValue)
 
   /** Driver-side feedback step, once per sample interval.
     *
@@ -61,10 +69,21 @@ final class AdaptiveSampler(seed: Long = System.nanoTime(),
 }
 
 object AdaptiveSampler {
-  /** Executor-visible registry (local-mode shared JVM). */
-  val registry = new ConcurrentHashMap[String, AdaptiveSampler]()
+  /** Pure executor-side membership test: mask 0 matches every id. */
+  def accepts(id: Int, maskBits: Int, matchValue: Int): Boolean = {
+    val mask = (1 << maskBits) - 1
+    (id & mask) == (matchValue & mask)
+  }
 
-  /** An always-pass sampler (mask 0 matches every id). */
-  def passthrough: AdaptiveSampler =
-    new AdaptiveSampler(seed = 0, maxMaskBits = 0)
+  /** Read the mask width a driver published for `propKey`, from inside a
+    * task (0 — sample everything — when unset: batch 0, restarts, or
+    * non-task callers). */
+  def maskBitsFromTask(propKey: String): Int = {
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc == null) 0
+    else {
+      val v = tc.getLocalProperty(propKey)
+      if (v == null) 0 else v.toInt
+    }
+  }
 }

@@ -4,7 +4,7 @@ import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.codec.DnstapCodec
 import graft.dns.DnstapRows
@@ -107,14 +107,18 @@ object DnstapPipeline {
     }
 
     if (cfg.clientResponseTimeSamples) {
-      val samplerKey = s"graft-sampler-${UUID.randomUUID()}"
+      // O5 control state lives on the DRIVER only (inside foreachBatch);
+      // executors get the fixed matchValue via closure capture and the
+      // current mask width via a Spark local property that travels with
+      // every task — multi-node correct, no shared-JVM registry.
       val sampler =
-        if (cfg.adaptiveSampling) new AdaptiveSampler(cfg.samplerSeed)
-        else AdaptiveSampler.passthrough
-      AdaptiveSampler.registry.put(samplerKey, sampler)
+        if (cfg.adaptiveSampling) Some(new AdaptiveSampler(cfg.samplerSeed))
+        else None
+      val maskProp = s"graft.sampler.maskBits.${UUID.randomUUID()}"
+      val matchValue = sampler.map(_.matchValue).getOrElse(0)
 
       val events: Dataset[LatencyMatcher.MatchEvent] = frames.flatMap { b =>
-        val s = AdaptiveSampler.registry.get(samplerKey)
+        val bits = AdaptiveSampler.maskBitsFromTask(maskProp)
         DnstapCodec.decode(b).toSeq.flatMap { f =>
           val qs = DnstapRows.toQueryRows(f).map(r =>
             LatencyMatcher.MatchEvent(r.identity, r.queryAddress, r.queryPort,
@@ -122,7 +126,7 @@ object DnstapPipeline {
           val rs = DnstapRows.toResponseRows(f, keepSuccess = true).map(r =>
             LatencyMatcher.MatchEvent(r.identity, r.queryAddress, r.queryPort,
               r.id, LatencyMatcher.micros(r.responseTime), isResponse = true))
-          (qs ++ rs).filter(e => s == null || s.accepts(e.id))
+          (qs ++ rs).filter(e => AdaptiveSampler.accepts(e.id, bits, matchValue))
         }
       }
 
@@ -155,37 +159,27 @@ object DnstapPipeline {
             sinks.samples.write(
               persisted.select(col("responseTime"), col("identity"),
                 col("responseTimeMicroSec"), lit(1L).as("counter")), batchId)
-            AdaptiveSampler.registry.get(samplerKey) match {
-              case null => ()
-              case s =>
-                // O5 overflow feedback: the matcher's in-flight state size
-                // from the last completed trigger's progress (one-interval
-                // lag — the reference also reads its overflow counter once
-                // per interval, aggregator.go:455-483)
-                val pending = Option(qRef.get())
-                  .flatMap(query => Option(query.lastProgress))
-                  .map(_.stateOperators.map(_.numRowsTotal).sum)
-                  .getOrElse(0L)
-                s.observeInterval(total, pending)
+            sampler.foreach { s =>
+              // O5 overflow feedback: the matcher's in-flight state size
+              // from the last completed trigger's progress (one-interval
+              // lag — the reference also reads its overflow counter once
+              // per interval, aggregator.go:455-483)
+              val pending = Option(qRef.get())
+                .flatMap(query => Option(query.lastProgress))
+                .map(_.stateOperators.map(_.numRowsTotal).sum)
+                .getOrElse(0L)
+              s.observeInterval(total, pending)
+              // Publish the (possibly re-tuned) mask for the NEXT trigger:
+              // foreachBatch runs on this query's stream-execution thread,
+              // the thread that submits the next micro-batch's jobs, so a
+              // local property set here reaches every executor task.
+              spark.sparkContext
+                .setLocalProperty(maskProp, s.currentMaskBits.toString)
             }
           } finally persisted.unpersist()
         }
         .start()
       qRef.set(q)
-      // drop the sampler registry entry when this run's query terminates
-      // (prevents unbounded growth across pipeline restarts in one driver)
-      spark.streams.addListener(new StreamingQueryListener {
-        override def onQueryStarted(
-            e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-        override def onQueryProgress(
-            e: StreamingQueryListener.QueryProgressEvent): Unit = ()
-        override def onQueryTerminated(
-            e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-          if (e.id == q.id) {
-            AdaptiveSampler.registry.remove(samplerKey)
-            spark.streams.removeListener(this)
-          }
-      })
       queries += q
     }
 

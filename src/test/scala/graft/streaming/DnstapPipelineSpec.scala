@@ -124,7 +124,7 @@ class DnstapPipelineSpec extends SparkSpec {
     assert(samples == Seq(("ns1", 1166666L, 1L)))
   }
 
-  test("adaptive sampling wires the feedback loop and cleans its registry") {
+  test("adaptive sampling wires the feedback loop (no executor-side registry)") {
     val sSink = new CollectingSink()
     run(DnstapPipeline.Config(clientQueries = false,
         nonOkClientResponses = false, adaptiveSampling = true),
@@ -133,11 +133,43 @@ class DnstapPipelineSpec extends SparkSpec {
     }
     // mask starts at 0 (accept-all): same matches as the passthrough run
     assert(sSink.rows.map(_.getAs[Long]("responseTimeMicroSec")) == Seq(1166666L))
-    // termination listener removes this run's sampler from the registry
-    val deadline = System.nanoTime() + 30L * 1000000000L
-    while (!AdaptiveSampler.registry.isEmpty && System.nanoTime() < deadline)
-      Thread.sleep(100)
-    assert(AdaptiveSampler.registry.isEmpty)
+  }
+
+  test("mask set in foreachBatch reaches the NEXT batch's executor tasks") {
+    // The multi-node channel for O5: foreachBatch runs on the query's
+    // stream-execution thread — the thread that submits the next
+    // micro-batch's jobs — so a local property set there is serialized
+    // into every task of the following trigger. This drives the mechanism
+    // end to end WITHOUT any shared-JVM registry: the map side reads the
+    // property via TaskContext exactly like DnstapPipeline's flatMap.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val propKey = "graft.sampler.maskBits.spec"
+    val mem = MemoryStream[Int]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int)]()
+    val ckpt = Files.createTempDirectory("graft-maskprop-spec").toString
+    val ds = mem.toDS().mapPartitions { it =>
+      val bits = AdaptiveSampler.maskBitsFromTask(propKey)
+      it.map(i => (i, bits))
+    }
+    val q = ds.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Int, Int)],
+                       batchId: Long) =>
+        batch.collect().foreach { case (_, bits) => seen.add(batchId -> bits) }
+        // pretend the control loop widened the mask this interval
+        spark.sparkContext.setLocalProperty(propKey, (batchId + 1).toString)
+      }
+      .start()
+    try {
+      mem.addData(1)
+      q.processAllAvailable()
+      mem.addData(2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val byBatch = seen.toArray(Array.empty[(Long, Int)]).toMap
+    assert(byBatch(0L) == 0) // unset before the first feedback step
+    assert(byBatch(1L) == 1) // the value published by batch 0's foreachBatch
   }
 
   test("disabling every branch is rejected like the reference Init") {
