@@ -33,6 +33,9 @@ object Main {
       if (Files.exists(Paths.get(confPath)))
         GraftConfig.fromToml(Files.readString(Paths.get(confPath)))
       else GraftConfig.defaults
+    // reference toml.go:193: print the patched running config at startup
+    // (Password elided) so deployments can audit what actually took effect
+    println(cfg.renderEffective())
     val spark = SparkSession.builder()
       .appName("graft-dnstap")
       .config("spark.sql.shuffle.partitions",

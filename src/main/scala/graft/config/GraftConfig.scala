@@ -191,6 +191,47 @@ final case class GraftConfig(
   def jdbcAuthOptions: Map[String, String] =
     Map("user" -> username, "password" -> password)
 
+  /** Effective-config audit surface (toml.go:96-122,193: the reference
+    * reflection-prints every patched field as `Config <Section> <Field>:
+    * <value>` at startup, eliding `Password`). Same line shape and field
+    * names here, so an operator diffing logs between the two engines sees
+    * the same running config. */
+  def renderEffective(prefix: String = "Config"): String = {
+    val fields: Seq[(String, Any)] = Seq(
+      "LogLevel" -> logLevel,
+      "Aggregator WriteInterval" -> writeIntervalSecs,
+      "Aggregator ResponseTimeAggregationInterval" -> responseTimeAggregationIntervalSecs,
+      "Aggregator Aggregate" -> aggregate,
+      "Aggregator WriteUngrouped" -> writeUngrouped,
+      "Aggregator GroupbyQueryAddress" -> groupbyQueryAddress,
+      "Aggregator GroupbyQuestion" -> groupbyQuestion,
+      "Dnstap UnixSocket" -> unixSocket,
+      "Dnstap ReadTimeout" -> readTimeoutSecs,
+      "Dnstap Readers" -> readers,
+      "Dnstap ClientQueries" -> clientQueries,
+      "Dnstap NonOkClientResponses" -> nonOkClientResponses,
+      "Dnstap ClientResponseTimeSamples" -> clientResponseTimeSamples,
+      "ClickHouse Hosts" -> hosts,
+      "ClickHouse Secure" -> secure,
+      "ClickHouse InsecureSkipVerify" -> insecureSkipVerify,
+      "ClickHouse Username" -> username,
+      // Password elided, toml.go:119-121
+      "ClickHouse Database" -> database,
+      "ClickHouse QueryTable" -> queryTable,
+      "ClickHouse ResponseTable" -> responseTable,
+      "ClickHouse QueryResponseTimeTable" -> queryResponseTimeTable,
+      "ClickHouse QueryTimeColumn" -> queryTimeColumn,
+      "ClickHouse ResponseTimeColumn" -> responseTimeColumn,
+      "ClickHouse QueryResponseTimeDeltaColumn" -> queryResponseTimeDeltaColumn,
+      "ClickHouse ResponseStatusColumn" -> responseStatusColumn,
+      "ClickHouse IdentityColumn" -> identityColumn,
+      "ClickHouse QueryAddressColumn" -> queryAddressColumn,
+      "ClickHouse QuestionNameColumn" -> questionNameColumn,
+      "ClickHouse QuestionTypeColumn" -> questionTypeColumn,
+      "ClickHouse CounterColumn" -> counterColumn)
+    fields.map { case (k, v) => s"$prefix $k: $v" }.mkString("\n")
+  }
+
   /** K1 projections: logical pipeline column → configured output name;
     * an empty configured name prunes the column all the way up the plan. */
   def queryProjection: ColumnProjection = ColumnProjection(Seq(

@@ -34,6 +34,29 @@ class GraftConfigSpec extends AnyFunSuite {
     assert(!p.aggregate && p.writeIntervalSecs == 45 && p.clientResponseTimeSamples)
   }
 
+  test("effective config renders reference-shaped audit lines, password elided") {
+    val c = GraftConfig.fromToml(
+      """LogLevel = "debug"
+        |[Aggregator]
+        |WriteInterval = "45s"
+        |[ClickHouse]
+        |Hosts = "ch1:9440"
+        |Password = "s3cret"
+        |""".stripMargin)
+    val lines = c.renderEffective().linesIterator.toSeq
+    // patched values render, absent keys show their defaults
+    assert(lines.contains("Config LogLevel: debug"))
+    assert(lines.contains("Config Aggregator WriteInterval: 45"))
+    assert(lines.contains("Config ClickHouse Hosts: ch1:9440"))
+    assert(lines.contains("Config Dnstap Readers: 1"))
+    // reference toml.go:119-121: Password never printed
+    assert(!c.renderEffective().contains("s3cret"))
+    assert(!lines.exists(_.contains("Password")))
+    // every line carries the prefix; one line per non-password field
+    assert(lines.forall(_.startsWith("Config ")))
+    assert(lines.size == 30)
+  }
+
   test("empty column name drops the column from the projection (K1)") {
     val c = GraftConfig.fromToml(
       """[ClickHouse]

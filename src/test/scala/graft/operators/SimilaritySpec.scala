@@ -96,6 +96,23 @@ class SimilaritySpec extends SparkSpec {
     assert(r8 == 1.0, s"nprobe=nCells recall $r8 != 1.0")
   }
 
+  test("knnBruteForce rejects a probe side past the broadcast bound") {
+    val probes = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    // construction runs no job; the guard fires with the query
+    val guarded = Similarity.knnBruteForce(corpus, probes, k = 3, maxProbes = 10)
+    val e = intercept[Exception] { guarded.count() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("maxProbes")),
+      s"expected the maxProbes guard, got: $e")
+    // under the bound the same plan runs fine
+    assert(Similarity.knnBruteForce(corpus, probes, k = 3, maxProbes = 50)
+      .count() > 0)
+  }
+
   test("random hyperplanes spread the corpus across buckets in every table") {
     val tables = 8
     val bits = 4
