@@ -2,23 +2,43 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Plan-inspection tool: prints the formatted physical plan of one or all
-  * SparkEntry queries. Usage: runMain graft.Explain <sfDir> [queryName...]
+/** Plan-audit tool: print the formatted physical plan (and optionally the
+  * measured wall time) of any registered query.
+  *
+  * {{{
+  * sbt "runMain graft.Explain q53_per_group_cap /root/testdata/sf0.1 time"
+  * }}}
+  *
+  * The 100 TB review loop: after a query goes oracle-green, read its plan
+  * here — pushed filters reach the scan, small sides broadcast, no
+  * cartesian products, no single-reducer windows — and only then call it
+  * done.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = if (args.length > 1) args.tail.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    require(args.nonEmpty,
+      "usage: Explain <queryName> [sfDir] [time] — queryName 'all' lists")
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val time = args.contains("time")
+    if (name == "all") { SparkEntry.queries.keys.toSeq.sorted.foreach(println); return }
+    val fn = SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown query $name — run with 'all' to list"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    names.foreach { n =>
-      println(s"========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = fn(spark, sfDir)
+    df.explain("formatted")
+    if (time) {
+      df.count() // warm: footers, codegen, broadcast
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(f"[explain] $name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
     spark.stop()
   }

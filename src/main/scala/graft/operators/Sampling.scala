@@ -44,13 +44,15 @@ object Sampling {
     *     preserves hash order — map-side combined, at most
     *     groups x `buckets` rows ever shuffle;
     *  2. a running sum over each group's <= `buckets` counts (bounded
-    *     window state) classifies whole buckets: buckets entirely below
-    *     the group's rank-n threshold pass with NO sort, buckets
-    *     entirely above are dropped, and only the single boundary
-    *     bucket per group — expected group_size/`buckets` rows — is
-    *     exactly ranked by (hash, id) within a (group, bucket) window.
+    *     window state) gives each bucket its strictly-below row count;
+    *     `below >= n` drops whole buckets BEFORE any sort, leaving at
+    *     most n + one boundary bucket (~group_size/`buckets` rows) per
+    *     group, which a (group, bucket) window ranks by (hash, id) —
+    *     `rank <= n - below` is then exact for boundary rows and
+    *     trivially true for rows of fully-kept buckets.
     *
-    * No task ever sorts more than ~group_size/`buckets` rows, so the
+    * One scan, one bounded histogram shuffle, and one window whose
+    * partitions never exceed ~n + group_size/`buckets` rows, so the
     * operator survives a 100 TB corpus with 5 languages. The kept set is
     * bit-identical to the global-rank definition. */
   def capPerGroup(df: DataFrame, idCol: String, groupCol: String,
@@ -73,23 +75,19 @@ object Sampling {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val cum = counts.withColumn("__below",
       coalesce(sum(col("__cnt")).over(wc), lit(0L)))
-    val joined = withB.join(cum,
-      withB(groupCol) <=> cum("__g") && withB("__bk") === cum("__b"))
-    val keptWhole = joined.filter(col("__below") + col("__cnt") <= n)
-    val boundary = joined
-      .filter(col("__below") < n && col("__below") + col("__cnt") > n)
-    // Exact tiebreak only inside the boundary bucket: the window
-    // partitions on (group, bucket), so its sort holds the boundary
-    // bucket's rows only, not the whole group.
+    // `below < n` prunes whole buckets past the rank-n threshold before
+    // the sort; the surviving window partitions on (group, bucket) and so
+    // holds at most the fully-kept rows (< n) plus one boundary bucket.
+    val joined = withB
+      .join(cum, withB(groupCol) <=> cum("__g") && withB("__bk") === cum("__b"))
+      .filter(col("__below") < n)
     val wb = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol), col("__bk"))
       .orderBy(col("__hv"), col(idCol))
-    val boundaryKept = boundary
+    joined
       .withColumn("__rk", row_number().over(wb))
       .filter(col("__rk") <= lit(n.toLong) - col("__below"))
-      .drop("__rk")
-    keptWhole.union(boundaryKept)
-      .drop("__hv", "__bk", "__g", "__b", "__cnt", "__below")
+      .drop("__rk", "__hv", "__bk", "__g", "__b", "__cnt", "__below")
   }
 
   /** Stratified variant: per-stratum keep rates (percent), e.g. keep 50%
