@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import graft.codec.{DnsWire, DnstapCodec}
 import graft.dns.{DnsAnalog, DnstapRows}
 import graft.functions.{Anonymize, DnsNames, IpFunctions}
-import graft.operators.{AsOfMatch, Dedup, GroupingSetCounter, Multimodal, Packing, Sampling, Scrub, Similarity, SkewAgg, TextAnalysis}
+import graft.operators.{AsOfMatch, CorpusStats, Dedup, GroupingSetCounter, Multimodal, Packing, Sampling, Scrub, Similarity, SkewAgg, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1330,6 +1330,60 @@ object SparkEntry {
       |FROM (SELECT event_id, user_id,
       |        (user_id * 2654435761) % 4294967296 AS x FROM events)""".stripMargin
 
+  // q58 — token-rarity quality stats (operators/CorpusStats): the
+  // integer-exact unigram-LM proxy — occurrences of corpus-rare tokens
+  // per doc, in basis points. The vocabulary is never broadcast or
+  // collected: two token-keyed shuffles and one doc-keyed aggregation.
+  private def q58RareTokens(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.rareTokenStats(Tables.documents(spark, dir),
+      "doc_id", "text", rareBelow = 10L)
+
+  private val q58Sql =
+    """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok
+      |              FROM documents),
+      |cf AS (SELECT tok, COUNT(*) AS cf FROM toks GROUP BY 1)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN cf < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+      |  CAST(FLOOR(SUM(CASE WHEN cf < 10 THEN 1 ELSE 0 END) * 10000 / COUNT(*)) AS BIGINT) AS rare_bp
+      |FROM toks JOIN cf USING (tok)
+      |GROUP BY doc_id""".stripMargin
+
+  // q59 — deterministic shard balance report (operators/Sampling): hash
+  // sharding a 100 TB corpus for an N-way training job, with the cheap
+  // preflight aggregation that catches a skewed shard before the GPUs do.
+  private def q59ShardStats(spark: SparkSession, dir: String): DataFrame =
+    Sampling.shardStats(Tables.documents(spark, dir),
+      "doc_id", "n_chars", nShards = 16)
+
+  private val q59Sql =
+    """WITH h AS (SELECT doc_id, n_chars,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS shard
+      |  FROM documents)
+      |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_weight,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM h GROUP BY 1""".stripMargin
+
+  // q60 — cross-source duplication matrix (operators/CorpusStats):
+  // distinct shared 5-gram shingles per source pair — mirror/leakage
+  // analytics at n-gram granularity. Shingle hashes shuffle, never text;
+  // per-shingle fan-out bounded by sources².
+  private def q60SourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.sourceOverlap(Tables.documents(spark, dir),
+      "text", "source", n = 5)
+
+  private val q60Sql =
+    """WITH t AS (SELECT source, list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
+      |sh AS (SELECT DISTINCT source, sg FROM (
+      |  SELECT source, unnest(CASE WHEN len(tk) >= 5
+      |    THEN list_transform(generate_series(1, len(tk)-4),
+      |           i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4])
+      |    ELSE [] END) AS sg FROM t))
+      |SELECT a.source AS src_a, b.source AS src_b,
+      |  CAST(COUNT(*) AS BIGINT) AS shared_shingles
+      |FROM sh a JOIN sh b ON a.sg = b.sg AND a.source < b.source
+      |GROUP BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
@@ -1390,6 +1444,9 @@ object SparkEntry {
     Q("q55_repetition_quality", q55RepetitionQuality, Some(q55Sql)),
     Q("q56_decontaminate", q56Decontaminate, Some(q56Sql)),
     Q("q57_anonymize", q57Anonymize, Some(q57Sql)),
+    Q("q58_rare_tokens", q58RareTokens, Some(q58Sql)),
+    Q("q59_shard_stats", q59ShardStats, Some(q59Sql)),
+    Q("q60_source_overlap", q60SourceOverlap, Some(q60Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level curation analytics for a training-data pipeline: token
+  * rarity scoring (a unigram-LM perplexity proxy that stays integer-exact)
+  * and cross-source duplication overlap.
+  *
+  * Scale notes (the 100 TB story):
+  *   - rarity scoring is two token-keyed shuffles (frequency count, then
+  *     frequency join-back) + one doc-keyed aggregation — the vocabulary
+  *     is NEVER broadcast or collected, so a web-scale term dictionary
+  *     flows through ordinary hash partitioning;
+  *   - source overlap joins 16-byte digests, not bodies, and its per-key
+  *     fan-out is bounded by the number of sources squared (sources are
+  *     O(dozens) in practice), so no digest can go quadratic in |docs|.
+  */
+object CorpusStats {
+
+  /** Per-document token-rarity stats: a quality signal in the spirit of a
+    * unigram language model (documents dominated by corpus-rare tokens are
+    * disproportionately OCR noise / gibberish; documents with none are
+    * boilerplate-heavy). All integer arithmetic — no log() — so the result
+    * is bit-portable across engines (see q58's DuckDB oracle).
+    *
+    * Output: (id, n_tokens, n_rare, rare_bp) where `n_rare` counts token
+    * OCCURRENCES whose corpus-wide frequency is below `rareBelow` and
+    * `rare_bp` = floor(n_rare * 10000 / n_tokens) basis points. Documents
+    * with zero tokens produce no row (they have no token occurrences). */
+  def rareTokenStats(df: DataFrame, idCol: String, textCol: String,
+                     rareBelow: Long = 10L): DataFrame = {
+    // materialize the token array before exploding — inlining tokens()
+    // into the generator re-evaluates the split per element (O(tokens²))
+    val toks = df
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), explode(col("__tk")).as("__tok"))
+    val cf = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__cf"))
+    toks.join(cf, "__tok")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__cf") < rareBelow, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_bp", floor(col("n_rare") * 10000 / col("n_tokens")))
+  }
+
+  /** Cross-source duplication matrix: for each unordered source pair, how
+    * many distinct n-token shingles appear in BOTH — the "is source B
+    * scraping the same sites as source A / leaking the eval set" curation
+    * question, at n-gram rather than whole-document granularity (exact
+    * mirrors rarely survive re-crawling; shared shingles do). Join side is
+    * the distinct (shingle-hash, source) projection — 8-byte hashes
+    * shuffle, never text (collisions ~n²/2^65, the q21 idiom) — and
+    * per-shingle fan-out is bounded by sources², never |docs|². */
+  def sourceOverlap(df: DataFrame, textCol: String, srcCol: String,
+                    n: Int = 5): DataFrame = {
+    val sh = df
+      .select(col(srcCol).as("__src"),
+        TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col("__src"),
+        explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("__sg"))
+      .select(col("__src"), xxhash64(col("__sg")).as("__h"))
+      .distinct()
+    sh.as("a")
+      .join(sh.as("b"), col("a.__h") === col("b.__h") &&
+        col("a.__src") < col("b.__src"))
+      .groupBy(col("a.__src").as("src_a"), col("b.__src").as("src_b"))
+      .agg(count(lit(1)).as("shared_shingles"))
+  }
+}

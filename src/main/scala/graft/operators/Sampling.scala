@@ -90,6 +90,37 @@ object Sampling {
       .drop("__rk", "__hv", "__bk", "__g", "__b", "__cnt", "__below")
   }
 
+  /** Deterministic shard id in [0, nShards): hash(id) mod n. Shard
+    * membership is a pure function of the data — the shard a document
+    * trains in never depends on partitioning, retries, or engine — and
+    * the modulo is portable SQL (the DuckDB oracle reproduces it). */
+  def shardId(id: Column, nShards: Int): Column =
+    pmod(Dedup.baseHash32(id.cast("string")), lit(nShards))
+
+  /** Per-shard balance report: row count, total weight (e.g. chars or
+    * tokens — what actually bounds a training step), id range. One
+    * map-side-combined aggregation over nShards keys; at 100 TB this is
+    * the cheap preflight that catches a skewed shard before a 1000-GPU
+    * job does. */
+  def shardStats(df: DataFrame, idCol: String, weightCol: String,
+                 nShards: Int): DataFrame =
+    df.groupBy(shardId(col(idCol), nShards).as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(weightCol)).as("total_weight"),
+        min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
+
+  /** Write the corpus as `nShards` hash-sharded parquet directories
+    * (`shard=K/`). The explicit repartition ON the shard column aligns
+    * tasks with output directories: each task writes one shard's single
+    * file run instead of every task spraying a file into every shard
+    * directory (nShards × tasks small files — the classic partitioned-
+    * write mistake at scale). */
+  def writeSharded(df: DataFrame, idCol: String, nShards: Int,
+                   path: String): Unit =
+    df.withColumn("shard", shardId(col(idCol), nShards))
+      .repartition(nShards, col("shard"))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+
   /** Stratified variant: per-stratum keep rates (percent), e.g. keep 50%
     * of English but 100% of low-resource languages — the standard
     * training-mix rebalance. Unlisted strata fall back to `defaultPct`.

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class CorpusStatsSpec extends SparkSpec {
+
+  test("rare-token stats count occurrences under the frequency threshold") {
+    import spark.implicits._
+    // corpus frequencies: "a" x4, "b" x2, "c" x1  (rareBelow = 2 → only
+    // "c" and "b"? no: cf(b)=2 is NOT < 2; only cf(c)=1 is rare)
+    val df = Seq(
+      (1L, "a a b c"),
+      (2L, "a a b")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.rareTokenStats(df, "doc_id", "text", rareBelow = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == ((4L, 1L, 2500L))) // "c" is the only rare occurrence
+    assert(out(2L) == ((3L, 0L, 0L)))
+    // a doc with no tokens yields no row (documented)
+    val empty = CorpusStats.rareTokenStats(
+      Seq((1L, ""), (2L, "x")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(empty.collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
+  test("source overlap counts distinct shared shingles per source pair") {
+    import spark.implicits._
+    val shared = "one two three four five" // the one 5-gram both share
+    val df = Seq(
+      (1L, s"$shared six", "sA"),   // shingles: one..five, two..six
+      (2L, s"zz $shared", "sB"),    // shingles: zz..four, one..five
+      (3L, "totally different text with no shingle overlap here", "sC")
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusStats.sourceOverlap(df, "text", "source", n = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out == Map(("sA", "sB") -> 1L)) // sC shares nothing → no row
+    // duplicate docs within ONE source don't inflate the count (distinct)
+    val dup = df.union(Seq((4L, s"$shared six", "sA"))
+      .toDF("doc_id", "text", "source"))
+    val out2 = CorpusStats.sourceOverlap(dup, "text", "source", n = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out2 == Map(("sA", "sB") -> 1L))
+  }
+}

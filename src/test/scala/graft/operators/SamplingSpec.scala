@@ -65,6 +65,42 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.capPerGroup(withNull, "id", "grp", 1).count() == 2L)
   }
 
+  test("hash shards partition the corpus and stats balance it") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i => (i, i % 7 + 1)).toDF("id", "w")
+    val stats = Sampling.shardStats(df, "id", "w", nShards = 16).collect()
+    // every row lands in exactly one shard; totals reconcile
+    assert(stats.map(_.getLong(1)).sum == 2000L)
+    assert(stats.map(_.getLong(2)).sum == (0L until 2000L).map(_ % 7 + 1).sum)
+    assert(stats.map(_.getLong(0)).toSet.subsetOf((0L until 16L).toSet))
+    // md5 is uniform: no shard more than 2x the mean
+    assert(stats.map(_.getLong(1)).max < 2 * 2000 / 16)
+    // membership is deterministic: shardId is a pure function of id
+    val s1 = df.select(Sampling.shardId(col("id"), 16)).collect().map(_.getLong(0))
+    val s2 = df.select(Sampling.shardId(col("id"), 16)).collect().map(_.getLong(0))
+    assert(s1.sameElements(s2))
+  }
+
+  test("writeSharded lays out one directory per shard, round-trips, no file spray") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val df = (0L until 500L).map(i => (i, s"doc$i")).toDF("id", "text")
+    Sampling.writeSharded(df, "id", nShards = 8, path = dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 500L)
+    // shard column survives as partition column and matches shardId
+    val bad = back.filter(Sampling.shardId(col("id"), 8) =!= col("shard")).count()
+    assert(bad == 0L)
+    // repartition-aligned write: each shard directory holds ONE data file,
+    // not one per input task
+    val shardDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("shard="))
+    assert(shardDirs.length == 8)
+    shardDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName} has ${files.length} files")
+    }
+  }
+
   test("stratified sample applies per-stratum rates") {
     import spark.implicits._
     val df = (0L until 3000L).map(i => (i, if (i % 3 == 0) "en" else "rare"))
