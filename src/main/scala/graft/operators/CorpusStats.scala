@@ -47,10 +47,12 @@ object CorpusStats {
     * many distinct n-token shingles appear in BOTH — the "is source B
     * scraping the same sites as source A / leaking the eval set" curation
     * question, at n-gram rather than whole-document granularity (exact
-    * mirrors rarely survive re-crawling; shared shingles do). Join side is
-    * the distinct (shingle-hash, source) projection — 8-byte hashes
-    * shuffle, never text (collisions ~n²/2^65, the q21 idiom) — and
-    * per-shingle fan-out is bounded by sources², never |docs|². */
+    * mirrors rarely survive re-crawling; shared shingles do). 8-byte
+    * shingle hashes shuffle, never text (collisions ~n²/2^65, the q21
+    * idiom). No self-join: ONE shingle-keyed aggregation collects each
+    * shingle's source set (bounded by the source count, O(dozens)), and
+    * unordered pairs are emitted by a pure array expression — per-shingle
+    * cost is sources², never |docs|². */
   def sourceOverlap(df: DataFrame, textCol: String, srcCol: String,
                     n: Int = 5): DataFrame = {
     val sh = df
@@ -60,10 +62,16 @@ object CorpusStats {
         explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("__sg"))
       .select(col("__src"), xxhash64(col("__sg")).as("__h"))
       .distinct()
-    sh.as("a")
-      .join(sh.as("b"), col("a.__h") === col("b.__h") &&
-        col("a.__src") < col("b.__src"))
-      .groupBy(col("a.__src").as("src_a"), col("b.__src").as("src_b"))
+    // sorted source set per shingle → (a, b) pairs with a < b by position
+    val pairs = flatten(transform(col("__ss"), (x, i) =>
+      transform(slice(col("__ss"), i + lit(2),
+          greatest(size(col("__ss")) - i - 1, lit(0))),
+        y => struct(x.as("a"), y.as("b")))))
+    sh.groupBy(col("__h"))
+      .agg(sort_array(collect_set(col("__src"))).as("__ss"))
+      .filter(size(col("__ss")) >= 2)
+      .select(explode(pairs).as("__p"))
+      .groupBy(col("__p.a").as("src_a"), col("__p.b").as("src_b"))
       .agg(count(lit(1)).as("shared_shingles"))
   }
 }
