@@ -43,6 +43,12 @@ object Dedup {
                         maxShingleDfFrac: Double = 0.0): DataFrame = {
     // 64-bit shingle hashes, not shingle strings, flow through the joins
     // (collision probability ~n²/2^65 — negligible at any corpus size).
+    // NOTE (measured at sf0.1): a "narrow" variant that per-doc-dedups
+    // with array_distinct(transform(..xxhash64..)) before the explode —
+    // saving the distinct shuffle — benches 3.4× SLOWER here: projection
+    // collapse re-evaluates the shingle array per consumer and the
+    // unreduced stream hits the df-cap window exchange. Keep the explode
+    // + distinct form.
     val sh0 = df
       .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("__tk"))
       .select(col("doc"),
@@ -212,7 +218,12 @@ object Dedup {
       val r = df.agg(sum(col("component"))).head()
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
-    var labels = nodes.select(col("id"), col("id").as("component"))
+    // propagate ONLY over nodes that touch an edge: singletons can never
+    // change label, so carrying them through every round just inflates
+    // each iteration's join — on a near-dup graph the active set is a
+    // tiny fraction of the corpus. Singletons re-attach in one final join.
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
       .localCheckpoint()
     var lastSum = labelSum(labels)
     var converged = labels.isEmpty
@@ -224,11 +235,14 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("component")).as("ncomp"))
+      // lazy checkpoint: the convergence-sum action below is what
+      // materializes it — one job per round instead of an eager
+      // checkpoint job plus the aggregation job
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("ncomp"), col("component")))
             .as("component"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val s = labelSum(next)
       converged = s == lastSum
       lastSum = s
@@ -243,7 +257,12 @@ object Dedup {
         s"connected components did not converge in $maxIters rounds — " +
           "graph diameter exceeds the bound; raise maxIters (propagation " +
           "needs O(diameter) rounds) or pre-contract with large-star/small-star")
-    labels
+    // singletons (and any node absent from the edge set) label themselves;
+    // edge endpoints outside `nodes` are dropped by the left join's frame
+    nodes.select(col("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"))
   }
 
   /** 32-bit SimHash over distinct whitespace tokens: bit j of the
