@@ -1384,6 +1384,73 @@ object SparkEntry {
       |FROM sh a JOIN sh b ON a.sg = b.sg AND a.source < b.source
       |GROUP BY 1, 2""".stripMargin
 
+  // q61 — incremental ingestion dedup (operators/Dedup): a ~10% hash
+  // slice plays the "new crawl batch", the rest the existing corpus;
+  // batch docs near-duplicating the corpus are flagged WITHOUT a corpus
+  // self-join. The asymmetric inverted-index probe is the shape that
+  // admits a daily drop against a 100 TB corpus.
+  private def q61IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val slice = pmod(Dedup.baseHash32(col("doc_id").cast("string")), lit(10))
+    Dedup.incrementalJaccardPairs(
+      corpus = docs.filter(slice =!= 0),
+      batch = docs.filter(slice === 0),
+      idCol = "doc_id", textCol = "text", n = 3, threshold = 0.5)
+  }
+
+  private val q61Sql =
+    """WITH t AS (SELECT doc_id,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS hv,
+      |    list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id AS doc, hv, sg FROM (
+      |  SELECT doc_id, hv, unnest(CASE WHEN len(tk) >= 3
+      |    THEN list_transform(generate_series(1, len(tk)-2), i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])
+      |    ELSE [] END) AS sg FROM t)),
+      |sz AS (SELECT doc, count(*) AS s FROM sh0 GROUP BY 1),
+      |i AS (SELECT b.doc AS x, c.doc AS y, count(*) AS cnt
+      |      FROM sh0 b JOIN sh0 c ON b.sg = c.sg AND b.hv = 0 AND c.hv <> 0
+      |      GROUP BY 1, 2)
+      |SELECT x AS batch_doc, y AS corpus_doc,
+      |  cnt*1.0/(sa.s + sb.s - cnt) AS jaccard
+      |FROM i JOIN sz sa ON i.x = sa.doc JOIN sz sb ON i.y = sb.doc
+      |WHERE cnt*1.0/(sa.s + sb.s - cnt) >= 0.5""".stripMargin
+
+  // q62 — deterministic train/val/test split (operators/Sampling): hash-
+  // range labels that never move a document between splits as the corpus
+  // grows — eval stays eval forever.
+  private def q62Split(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"),
+      Sampling.splitLabel(col("doc_id"),
+        Seq("val" -> 10, "test" -> 10), rest = "train").as("split"))
+
+  private val q62Sql =
+    """SELECT doc_id,
+      |  CASE WHEN hv < 10 THEN 'val' WHEN hv < 20 THEN 'test'
+      |       ELSE 'train' END AS split
+      |FROM (SELECT doc_id,
+      |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS hv
+      |      FROM documents)""".stripMargin
+
+  // q63 — epoch-weighted mixture expansion (operators/Sampling): English
+  // seen 1.4 times per run, Chinese subsampled to 0.3, everything else
+  // exactly once — the source-weighting step that turns a curated corpus
+  // into an actual training mix. Row-local generate, no shuffle.
+  private def q63EpochMix(spark: SparkSession, dir: String): DataFrame =
+    Sampling.epochExpand(
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+      "doc_id", "lang", Map("en" -> 140, "zh" -> 30), defaultCenti = 100)
+
+  private val q63Sql =
+    """WITH h AS (SELECT doc_id, lang,
+      |    CASE lang WHEN 'en' THEN 140 WHEN 'zh' THEN 30 ELSE 100 END AS centi,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS hv
+      |  FROM documents),
+      |c AS (SELECT doc_id, lang,
+      |        centi // 100 + CASE WHEN hv < centi % 100 THEN 1 ELSE 0 END AS n
+      |      FROM h)
+      |SELECT doc_id, lang, CAST(unnest(generate_series(1, CAST(n AS BIGINT))) AS BIGINT) AS copy
+      |FROM c WHERE n >= 1""".stripMargin
+
   // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
@@ -1447,6 +1514,9 @@ object SparkEntry {
     Q("q58_rare_tokens", q58RareTokens, Some(q58Sql)),
     Q("q59_shard_stats", q59ShardStats, Some(q59Sql)),
     Q("q60_source_overlap", q60SourceOverlap, Some(q60Sql)),
+    Q("q61_incremental_dedup", q61IncrementalDedup, Some(q61Sql)),
+    Q("q62_split", q62Split, Some(q62Sql)),
+    Q("q63_epoch_mix", q63EpochMix, Some(q63Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

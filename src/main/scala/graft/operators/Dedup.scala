@@ -93,6 +93,47 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Near-duplicate pairs of a NEW batch against an EXISTING corpus —
+    * incremental ingestion dedup: a fresh crawl drop is admitted only
+    * where it doesn't near-duplicate what the corpus already holds,
+    * WITHOUT ever re-deduping the corpus against itself (no corpus
+    * self-join — the asymmetric join's cost is |batch shingles| probing
+    * the corpus index, not |corpus|²). Same inverted-index shape and
+    * in-join size-ratio prune as [[ngramJaccardPairs]]; for skew caps on
+    * degenerate shingles, pre-filter the inputs or use the symmetric
+    * operator's df-cap machinery.
+    *
+    * @return (batch_doc, corpus_doc, jaccard) with jaccard >= threshold
+    */
+  def incrementalJaccardPairs(corpus: DataFrame, batch: DataFrame,
+                              idCol: String, textCol: String,
+                              n: Int = 3,
+                              threshold: Double = 0.5): DataFrame = {
+    def index(df: DataFrame): DataFrame = {
+      val sh = df
+        .select(col(idCol).as("doc"),
+          TextAnalysis.tokens(col(textCol)).as("__tk"))
+        .select(col("doc"),
+          explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("sg"))
+        .select(col("doc"), xxhash64(col("sg")).as("h"))
+        .distinct()
+      val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+      sh.join(sizes, "doc")
+    }
+    index(batch).as("b")
+      .join(index(corpus).as("c"),
+        col("b.h") === col("c.h") &&
+          least(col("b.sz"), col("c.sz")) >=
+            lit(threshold) * greatest(col("b.sz"), col("c.sz")))
+      .groupBy(col("b.doc").as("batch_doc"), col("c.doc").as("corpus_doc"),
+        col("b.sz").as("szb"), col("c.sz").as("szc"))
+      .agg(count(lit(1)).as("__c"))
+      .select(col("batch_doc"), col("corpus_doc"),
+        (col("__c") * lit(1.0) / (col("szb") + col("szc") - col("__c")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   // -------------------------------------------------------------------
   // MinHash + LSH and SimHash — the sketch-based scale paths. Both build
   // on a 32-bit base hash chosen to be reproducible in any SQL dialect

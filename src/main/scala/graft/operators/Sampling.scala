@@ -121,6 +121,50 @@ object Sampling {
       .repartition(nShards, col("shard"))
       .write.partitionBy("shard").mode("overwrite").parquet(path)
 
+  /** Deterministic train/val/test (or any K-way) split label: hash
+    * buckets 0..99 are carved into contiguous ranges by percent weight,
+    * in the order given; leftover buckets fall to `rest`. A document's
+    * split never depends on partitioning or corpus growth — adding data
+    * never moves an old doc between splits (the property a rand() split
+    * lacks, and the one that keeps eval sets eval forever). */
+  def splitLabel(id: Column, weights: Seq[(String, Int)],
+                 rest: String = "train"): Column = {
+    require(weights.map(_._2).sum <= 100 && weights.forall(_._2 > 0),
+      "split weights are positive percents summing to <= 100")
+    val hv = pmod(Dedup.baseHash32(id.cast("string")), lit(100))
+    val (expr, _) = weights.foldLeft((lit(rest): Column, 0)) {
+      case ((acc, lo), (label, w)) =>
+        (when(hv >= lo && hv < lo + w, label).otherwise(acc), lo + w)
+    }
+    expr
+  }
+
+  /** Epoch-weighted mixture expansion: emit each document `factor` times,
+    * where factor is a per-stratum epoch count in hundredths (140 = 1.4
+    * epochs, 30 = 0.3). The integer part replicates every doc; the
+    * fractional part replicates a deterministic hash slice — so factor
+    * 140 means every doc once plus a 40% slice again, and factor 30
+    * SUBSAMPLES to a 30% slice. This is the "source X is seen 1.4 times
+    * per training run" mixture step. Output adds a `copy` ordinal
+    * (1-based). Pure row-local generate after one scan — no shuffle; the
+    * output multiplies rows by the mean factor, which the caller chose. */
+  def epochExpand(df: DataFrame, idCol: String, stratumCol: String,
+                  factorCentiByStratum: Map[String, Int],
+                  defaultCenti: Int = 100): DataFrame = {
+    val centi = factorCentiByStratum.foldLeft(lit(defaultCenti)) {
+      case (acc, (stratum, f)) =>
+        when(col(stratumCol) === stratum, lit(f)).otherwise(acc)
+    }
+    val hv = pmod(Dedup.baseHash32(col(idCol).cast("string")), lit(100))
+    val copies = (centi / lit(100)).cast("long") +
+      when(hv < pmod(centi, lit(100)), 1L).otherwise(0L)
+    df.withColumn("__n", copies)
+      .withColumn("copy",
+        explode(when(col("__n") >= 1, sequence(lit(1L), col("__n")))
+          .otherwise(array().cast("array<bigint>"))))
+      .drop("__n")
+  }
+
   /** Stratified variant: per-stratum keep rates (percent), e.g. keep 50%
     * of English but 100% of low-resource languages — the standard
     * training-mix rebalance. Unlisted strata fall back to `defaultPct`.

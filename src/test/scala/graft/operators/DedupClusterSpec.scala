@@ -15,6 +15,25 @@ class DedupClusterSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  test("incremental dedup flags only batch-vs-corpus pairs, never corpus self-pairs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // corpus-internal dup of 1
+      (3L, "totally unrelated corpus content here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta zeta"), // near-dup of 1 and 2
+      (11L, "fresh novel text nothing shared")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalJaccardPairs(corpus, batch,
+        "doc_id", "text", n = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 10 shares shingles "alpha beta gamma","beta gamma delta" with 1 and 2:
+    // jaccard 2/4 = 0.5 each; the corpus 1~2 self-dup is NOT emitted
+    assert(out == Set((10L, 1L), (10L, 2L)))
+  }
+
   test("chains collapse transitively; singletons label themselves") {
     // 1-2, 2-3 form one group even though 1 and 3 never paired; 4 is alone
     val got = run(Seq(1L, 2L, 3L, 4L), Seq((1L, 2L), (2L, 3L)))

@@ -101,6 +101,45 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("split labels are stable, exhaustive, and rate-accurate") {
+    import spark.implicits._
+    val df = (0L until 3000L).toDF("id")
+    val labeled = df.select(col("id"),
+      Sampling.splitLabel(col("id"), Seq("val" -> 10, "test" -> 10)).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    // exhaustive: every doc gets exactly one of the three labels
+    assert(labeled.map(_._2).toSet == Set("train", "val", "test"))
+    val byLabel = labeled.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(math.abs(byLabel("val") / 3000.0 - 0.10) < 0.03)
+    assert(math.abs(byLabel("test") / 3000.0 - 0.10) < 0.03)
+    // growth stability: the same doc keeps its label in a larger corpus
+    val bigger = (0L until 6000L).toDF("id").select(col("id"),
+      Sampling.splitLabel(col("id"), Seq("val" -> 10, "test" -> 10)).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    labeled.foreach { case (id, l) => assert(bigger(id) == l) }
+  }
+
+  test("epoch expansion replicates by integer part and hash-slices the fraction") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i, if (i < 500) "en" else "zh"))
+      .toDF("id", "lang")
+    val out = Sampling.epochExpand(df, "id", "lang",
+      Map("en" -> 250, "zh" -> 40), defaultCenti = 100)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byId = out.groupBy(_._1).view.mapValues(_.length).toMap
+    // en: every doc 2 or 3 times; zh: 0 or 1 times (subsample)
+    (0L until 500L).foreach(i => assert(Set(2, 3)(byId.getOrElse(i, 0))))
+    (500L until 1000L).foreach(i => assert(Set(0, 1)(byId.getOrElse(i, 0))))
+    // totals near 2.5x and 0.4x
+    val en = out.count(_._2 == "en"); val zh = out.count(_._2 == "zh")
+    assert(math.abs(en / 500.0 - 2.5) < 0.15)
+    assert(math.abs(zh / 500.0 - 0.4) < 0.15)
+    // copy ordinals are 1..n per doc
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length))
+    }
+  }
+
   test("stratified sample applies per-stratum rates") {
     import spark.implicits._
     val df = (0L until 3000L).map(i => (i, if (i % 3 == 0) "en" else "rare"))
