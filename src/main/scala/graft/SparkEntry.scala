@@ -1451,6 +1451,84 @@ object SparkEntry {
       |SELECT doc_id, lang, CAST(unnest(generate_series(1, CAST(n AS BIGINT))) AS BIGINT) AS copy
       |FROM c WHERE n >= 1""".stripMargin
 
+  // q64 — max-seq-len chunking (operators/CorpusStats): long documents
+  // become several fixed-window training sequences; row-local generate +
+  // array slice, no shuffle at any size.
+  private def q64Chunk(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.chunk(Tables.documents(spark, dir), "doc_id", "text",
+      seqLen = 32)
+
+  private val q64Sql =
+    """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
+      |n AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) > 0),
+      |c AS (SELECT doc_id, tk, n,
+      |        unnest(generate_series(0, CAST((n-1) // 32 AS BIGINT))) AS ci
+      |      FROM n)
+      |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+      |  array_to_string(list_slice(tk, ci*32 + 1, ci*32 + 32), ' ') AS chunk_text,
+      |  CAST(LEAST(32, n - ci*32) AS BIGINT) AS chunk_tokens
+      |FROM c""".stripMargin
+
+  // q65 — the curation capstone: the manifest of documents that actually
+  // reach training. Composes transitive near-dup keep (q48/q52) ∩
+  // repetition quality (q55) ∖ benchmark contamination (q56), then stamps
+  // each survivor with its growth-stable split (q62) and shard (q59).
+  // The oracle rebuilds the entire pipeline — recursive closure included —
+  // in one DuckDB query: two engines agreeing on a five-stage pipeline
+  // end to end.
+  private def q65TrainingManifest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val keepers = q48DedupClusters(spark, dir)
+      .filter(col("doc_id") === col("component")).select(col("doc_id"))
+    val contaminated = Scrub.decontaminate(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 5)
+      .select(col("doc_id"))
+    val tk = col("__tk")
+    docs.filter(col("source") =!= "src0")
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .withColumn("__tk", TextAnalysis.tokens(col("text")))
+      .filter(TextAnalysis.dupTokenRatio(tk) < 0.6 &&
+        TextAnalysis.topTokenFraction(tk) < 0.12)
+      .select(col("doc_id"),
+        Sampling.splitLabel(col("doc_id"),
+          Seq("val" -> 10, "test" -> 10), rest = "train").as("split"),
+        Sampling.shardId(col("doc_id"), 16).as("shard"))
+  }
+
+  private val q65Sql =
+    s"""$q48Closure,
+      |keep48 AS (SELECT v AS doc_id FROM r GROUP BY v HAVING v = MIN(l)),
+      |t5 AS (SELECT doc_id, source, list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
+      |sh5 AS (SELECT DISTINCT doc_id, source, sg FROM (
+      |  SELECT doc_id, source, unnest(CASE WHEN len(tk) >= 5
+      |    THEN list_transform(generate_series(1, len(tk)-4),
+      |           k -> tk[k]||' '||tk[k+1]||' '||tk[k+2]||' '||tk[k+3]||' '||tk[k+4])
+      |    ELSE [] END) AS sg FROM t5)),
+      |ev5 AS (SELECT DISTINCT sg FROM sh5 WHERE source = 'src0'),
+      |cont AS (SELECT DISTINCT s.doc_id FROM sh5 s JOIN ev5 USING (sg)
+      |         WHERE s.source <> 'src0'),
+      |rep AS (SELECT doc_id FROM (
+      |    SELECT doc_id, len(tk) AS n, len(list_distinct(tk)) AS d,
+      |      list_aggregate(list_transform(list_distinct(tk),
+      |        u -> len(list_filter(tk, x -> x = u))), 'max') AS mx
+      |    FROM t5 WHERE source <> 'src0')
+      |  WHERE n = 0 OR ((n-d)*1.0/n < 0.6 AND mx*1.0/n < 0.12))
+      |SELECT d.doc_id,
+      |  CASE WHEN hv100 < 10 THEN 'val' WHEN hv100 < 20 THEN 'test'
+      |       ELSE 'train' END AS split,
+      |  hv32 % 16 AS shard
+      |FROM (SELECT doc_id, source,
+      |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS hv100,
+      |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv32
+      |      FROM documents) d
+      |JOIN keep48 ON d.doc_id = keep48.doc_id
+      |JOIN rep ON d.doc_id = rep.doc_id
+      |WHERE d.source <> 'src0'
+      |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin
+
   // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
@@ -1517,6 +1595,8 @@ object SparkEntry {
     Q("q61_incremental_dedup", q61IncrementalDedup, Some(q61Sql)),
     Q("q62_split", q62Split, Some(q62Sql)),
     Q("q63_epoch_mix", q63EpochMix, Some(q63Sql)),
+    Q("q64_chunk", q64Chunk, Some(q64Sql)),
+    Q("q65_training_manifest", q65TrainingManifest, Some(q65Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -43,6 +43,29 @@ object CorpusStats {
       .withColumn("rare_bp", floor(col("n_rare") * 10000 / col("n_tokens")))
   }
 
+  /** Split documents into fixed-size token windows — the max-seq-len
+    * chunking step between curation and tokenization (long docs become
+    * several training sequences; the final short window is kept, not
+    * padded — padding/packing is [[Packing]]'s job). Entirely row-local:
+    * one scan, a generate over ceil(n/seqLen) indices per doc, and an
+    * array slice per chunk. No shuffle at any size. Token-empty docs
+    * produce no chunks. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .withColumn("__n", size(col("__tk")))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__tk"), col("__n"),
+        explode(sequence(lit(0),
+          ((col("__n") - 1) / lit(seqLen)).cast("int"))).as("__i"))
+      .select(col(idCol), col("__i").cast("long").as("chunk_idx"),
+        array_join(slice(col("__tk"), col("__i") * seqLen + 1, lit(seqLen)),
+          " ").as("chunk_text"),
+        least(lit(seqLen), col("__n") - col("__i") * seqLen).cast("long")
+          .as("chunk_tokens"))
+  }
+
   /** Cross-source duplication matrix: for each unordered source pair, how
     * many distinct n-token shingles appear in BOTH — the "is source B
     * scraping the same sites as source A / leaking the eval set" curation

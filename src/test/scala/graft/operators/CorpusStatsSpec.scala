@@ -23,6 +23,24 @@ class CorpusStatsSpec extends SparkSpec {
     assert(empty.collect().map(_.getLong(0)).toSet == Set(2L))
   }
 
+  test("chunking windows cover every token exactly once, in order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, (1 to 7).map(i => s"t$i").mkString(" ")), // 7 tokens, seqLen 3 → 3,3,1
+      (2L, "a b c"),                                 // exactly one full window
+      (3L, "")                                       // no tokens → no chunks
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.chunk(df, "doc_id", "text", seqLen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(c => (c._1, c._2))
+    assert(out.toSeq == Seq(
+      (1L, 0L, "t1 t2 t3", 3L), (1L, 1L, "t4 t5 t6", 3L), (1L, 2L, "t7", 1L),
+      (2L, 0L, "a b c", 3L)))
+    // reassembly invariant: concatenating a doc's chunks restores its tokens
+    val joined = out.filter(_._1 == 1L).map(_._3).mkString(" ")
+    assert(joined == (1 to 7).map(i => s"t$i").mkString(" "))
+  }
+
   test("source overlap counts distinct shared shingles per source pair") {
     import spark.implicits._
     val shared = "one two three four five" // the one 5-gram both share
