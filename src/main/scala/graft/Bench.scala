@@ -11,11 +11,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_BENCH_ONLY=q48,q52 restricts the run (local iteration
-    // on a few queries); the driver's headline run leaves it unset
+    // on a few queries); the driver's headline run leaves it unset.
+    // A set-but-empty or typo'd filter must FAIL, not print a healthy
+    // 0-query headline a round comparison would read as a speedup.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.benchQueries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+    require(only.isEmpty || ordered.nonEmpty,
+      s"SPARK_GRAFT_BENCH_ONLY=${only.get.mkString(",")} matches no query")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
 
     /** min-of-N timing of every bench query against one sf directory.

@@ -250,9 +250,15 @@ object Dedup {
                           maxIters: Int = 20): DataFrame = {
     // materialize the (possibly expensive) edge pipeline ONCE — every
     // propagation round joins against it, and without this the whole
-    // upstream pair-generation subtree would re-run per round
+    // upstream pair-generation subtree would re-run per round. Edges are
+    // restricted to nodes×nodes FIRST: an endpoint outside `nodes` must
+    // not propagate its id as a label (a foreign minimum would silently
+    // orphan a whole component from the keep-min pattern).
+    val nodeIds = nodes.select(col("id"))
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .join(nodeIds.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(nodeIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
       .localCheckpoint()
     // sum() over zero rows is null: an empty corpus converges immediately
     def labelSum(df: DataFrame): Long = {
@@ -298,8 +304,7 @@ object Dedup {
         s"connected components did not converge in $maxIters rounds — " +
           "graph diameter exceeds the bound; raise maxIters (propagation " +
           "needs O(diameter) rounds) or pre-contract with large-star/small-star")
-    // singletons (and any node absent from the edge set) label themselves;
-    // edge endpoints outside `nodes` are dropped by the left join's frame
+    // singletons (and any node absent from the edge set) label themselves
     nodes.select(col("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"),

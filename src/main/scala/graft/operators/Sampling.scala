@@ -110,15 +110,17 @@ object Sampling {
         min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
 
   /** Write the corpus as `nShards` hash-sharded parquet directories
-    * (`shard=K/`). The explicit repartition ON the shard column aligns
-    * tasks with output directories: each task writes one shard's single
-    * file run instead of every task spraying a file into every shard
-    * directory (nShards × tasks small files — the classic partitioned-
-    * write mistake at scale). */
+    * (`shard=K/`). The explicit RANGE repartition on the shard column
+    * aligns tasks 1:1 with output directories (contiguous shard ranges
+    * per partition — hash repartition would collide several shard values
+    * into one task and leave ~1/e of tasks empty), so each task writes
+    * one shard's file run instead of every task spraying a file into
+    * every shard directory (nShards × tasks small files — the classic
+    * partitioned-write mistake at scale). */
   def writeSharded(df: DataFrame, idCol: String, nShards: Int,
                    path: String): Unit =
     df.withColumn("shard", shardId(col(idCol), nShards))
-      .repartition(nShards, col("shard"))
+      .repartitionByRange(nShards, col("shard"))
       .write.partitionBy("shard").mode("overwrite").parquet(path)
 
   /** Deterministic train/val/test (or any K-way) split label: hash

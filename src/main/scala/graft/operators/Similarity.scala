@@ -21,24 +21,28 @@ object Similarity {
   /** Exact top-k neighbors of each probe by cosine similarity.
     *
     * The probe table is broadcast (the corpus never shuffles), so the
-    * operator is only safe while the probes fit an executor's broadcast
-    * budget. `maxProbes` makes that contract explicit and ENFORCED: a
-    * 1-row probe-count aggregate rides the plan as a broadcast and an
-    * `assert_true` filter fails the job with a clear message before a
-    * huge probe side can OOM the executors. Query construction still
-    * runs no job — the guard evaluates with the query. A probe set past
-    * the bound should be batched by the caller, or use
-    * [[annLshBucketed]] / [[annIvf]] whose probe side joins by bucket. */
+    * operator is only safe while the probes fit the broadcast budget.
+    * `maxProbes` makes that contract explicit and ENFORCED: the guard
+    * lives INSIDE the broadcast subtree — the count aggregate is a stage
+    * dependency of the broadcast child, so it completes before probe
+    * rows stream toward the driver, and the `assert_true` filter kills
+    * the job on the first row with a clear message rather than letting
+    * an unbounded probe set OOM the broadcast build. Query construction
+    * still runs no job. The bound counts ROWS, not bytes — size it to
+    * the embedding width (Spark's broadcast/maxResultSize limits remain
+    * the hard backstop). A probe set past the bound should be batched by
+    * the caller, or use [[annLshBucketed]] / [[annIvf]] whose probe side
+    * joins by bucket. */
   def knnBruteForce(corpus: DataFrame, probes: DataFrame, k: Int,
                     maxProbes: Long = 1L << 20): DataFrame = {
     val nProbes = probes.agg(count(lit(1)).as("__n_probes"))
-    val scored = corpus
-      .crossJoin(broadcast(probes))
-      .crossJoin(broadcast(nProbes))
+    val guarded = probes.crossJoin(nProbes)
       .filter(assert_true(col("__n_probes") <= lit(maxProbes),
         lit(s"knnBruteForce: probe side exceeds maxProbes=$maxProbes; " +
           "batch the probes or use annLshBucketed/annIvf")).isNull)
       .drop("__n_probes")
+    val scored = corpus
+      .crossJoin(broadcast(guarded))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         VectorFunctions.cosine_similarity(col("pe"), col("embedding")).as("cosine"))

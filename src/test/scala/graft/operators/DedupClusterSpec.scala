@@ -34,6 +34,14 @@ class DedupClusterSpec extends SparkSpec {
     assert(out == Set((10L, 1L), (10L, 2L)))
   }
 
+  test("edge endpoints outside nodes never become component labels") {
+    // edges mention node 5, which is NOT in nodes: if its id propagated,
+    // {7, 9} would get component 5 and keep-min (doc_id === component)
+    // would silently drop the whole cluster from the surviving corpus
+    val got = run(Seq(7L, 9L), Seq((5L, 7L), (7L, 9L)))
+    assert(got == Map(7L -> 7L, 9L -> 7L))
+  }
+
   test("chains collapse transitively; singletons label themselves") {
     // 1-2, 2-3 form one group even though 1 and 3 never paired; 4 is alone
     val got = run(Seq(1L, 2L, 3L, 4L), Seq((1L, 2L), (2L, 3L)))
