@@ -1,0 +1,40 @@
+package graft
+
+/** Plan-shape invariants for EVERY registered query — the automated
+  * version of the ".explain and iterate until it's the plan you'd want"
+  * loop. Catches a scale regression (an accidental cartesian, a lost
+  * pruning) at test time instead of at 100 TB.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("no registered query plans a cartesian product (except the documented q24)") {
+    // q24 is the exact all-pairs recall oracle: cartesian BY DESIGN,
+    // test-only, bench-excluded (see SparkEntry.benchQueries scaladoc)
+    val allowed = Set("q24_embedding_dedup")
+    val offenders = SparkEntry.queries.toSeq
+      .filterNot { case (name, _) => allowed(name) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+      }
+    assert(offenders.isEmpty,
+      s"cartesian product in: ${offenders.mkString(", ")}")
+  }
+
+  test("column pruning reaches the parquet scan") {
+    // q1 projects 4 of lineitem's 16 columns; a scan still reading
+    // l_comment means the projection never reached the source
+    val plan = SparkEntry.queries("q1_lineitem_agg")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("l_comment"), "q1 scan reads unprojected columns")
+    // q65 composes five pipelines over documents(5 cols); none of them
+    // needs n_chars — pruning must survive the composition
+    val manifest = SparkEntry.queries("q65_training_manifest")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!manifest.contains("n_chars"),
+      "q65 scan reads n_chars, which no stage uses")
+  }
+}
