@@ -63,6 +63,9 @@ class SamplingSpec extends SparkSpec {
     val withNull = Seq((1L, "x"), (2L, null.asInstanceOf[String]),
       (3L, null.asInstanceOf[String])).toDF("id", "grp")
     assert(Sampling.capPerGroup(withNull, "id", "grp", 1).count() == 2L)
+    // n larger than every group keeps everything; n = 0 keeps nothing
+    assert(Sampling.capPerGroup(df, "id", "grp", n = 100000).count() == 1000L)
+    assert(Sampling.capPerGroup(df, "id", "grp", n = 0).count() == 0L)
   }
 
   test("hash shards partition the corpus and stats balance it") {
