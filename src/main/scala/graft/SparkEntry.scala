@@ -1478,8 +1478,9 @@ object SparkEntry {
   // end to end.
   private def q65TrainingManifest(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val keepers = q48DedupClusters(spark, dir)
-      .filter(col("doc_id") === col("component")).select(col("doc_id"))
+    // the keeper set IS q52 — call it, so a future change to the keep
+    // rule cannot silently diverge the manifest from the dedup surface
+    val keepers = q52TransitiveDedupKeep(spark, dir)
     val contaminated = Scrub.decontaminate(
         docs.filter(col("source") =!= "src0"),
         docs.filter(col("source") === "src0"),

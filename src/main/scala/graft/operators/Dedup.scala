@@ -255,10 +255,16 @@ object Dedup {
     // not propagate its id as a label (a foreign minimum would silently
     // orphan a whole component from the keep-min pattern).
     val nodeIds = nodes.select(col("id"))
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // restrict BEFORE doubling: both endpoints are checked either way,
+    // but this way each semi-join probes |E| rows, not 2|E|. The trailing
+    // select re-pins column ORDER — a using-column join moves its key to
+    // the front, and the symmetric union below merges BY POSITION.
+    val restricted = edges.select(col("src"), col("dst"))
       .join(nodeIds.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
       .join(nodeIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      .select(col("src"), col("dst"))
+    val sym = restricted
+      .union(restricted.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
     // sum() over zero rows is null: an empty corpus converges immediately
     def labelSum(df: DataFrame): Long = {

@@ -116,7 +116,11 @@ object Sampling {
     * into one task and leave ~1/e of tasks empty), so each task writes
     * one shard's file run instead of every task spraying a file into
     * every shard directory (nShards × tasks small files — the classic
-    * partitioned-write mistake at scale). */
+    * partitioned-write mistake at scale). COST NOTE: range partitioning
+    * samples the input to place boundaries, so the upstream frame is
+    * evaluated twice per write — persist/checkpoint the input first when
+    * it is more than a scan, or accept hash repartition's collided
+    * shards (still one file per directory, ~1/e of tasks idle). */
   def writeSharded(df: DataFrame, idCol: String, nShards: Int,
                    path: String): Unit =
     df.withColumn("shard", shardId(col(idCol), nShards))

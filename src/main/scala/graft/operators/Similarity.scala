@@ -35,8 +35,12 @@ object Similarity {
     * joins by bucket. */
   def knnBruteForce(corpus: DataFrame, probes: DataFrame, k: Int,
                     maxProbes: Long = 1L << 20): DataFrame = {
+    // the 1-row count STAYS explicitly broadcast: if Catalyst ever chose
+    // the probe side as the build side of this inner cross join, the full
+    // probe set would be collected before the assert evaluates — exactly
+    // the window the guard exists to close
     val nProbes = probes.agg(count(lit(1)).as("__n_probes"))
-    val guarded = probes.crossJoin(nProbes)
+    val guarded = probes.crossJoin(broadcast(nProbes))
       .filter(assert_true(col("__n_probes") <= lit(maxProbes),
         lit(s"knnBruteForce: probe side exceeds maxProbes=$maxProbes; " +
           "batch the probes or use annLshBucketed/annIvf")).isNull)
