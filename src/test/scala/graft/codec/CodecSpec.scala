@@ -123,6 +123,30 @@ class DnsWireSpec extends AnyFunSuite {
     val b = DnsWire.encode(1, 0, isResponse = false, Seq(DnsWire.Question(".", 255)))
     assert(DnsWire.parse(b).get.questions == Seq(DnsWire.Question(".", 255)))
   }
+
+  test("seeded fuzz: decoders never throw on arbitrary or mutated bytes") {
+    // a socket feeds these decoders attacker-controlled bytes; any escape
+    // of the Option contract (an uncaught throw) would kill a reader task
+    val rnd = new scala.util.Random(0xf00dL)
+    (0 until 2000).foreach { _ =>
+      val b = Array.fill(rnd.nextInt(96))(rnd.nextInt().toByte)
+      DnsWire.parse(b)
+      DnstapCodec.decode(b)
+    }
+    // bit-flipped VALID messages probe deeper branches than pure noise
+    val wire = DnsWire.encode(0x1234, 0, isResponse = false,
+      Seq(DnsWire.Question("fuzz.example.com.", 1)))
+    val frame = DnstapCodec.encode(DnstapCodec.Frame(DnstapCodec.TypeMessage,
+      Some("ns"), Some(DnstapCodec.Message(DnstapCodec.ClientQuery,
+        queryAddress = Some(Array[Byte](10, 0, 0, 1)), queryPort = Some(53),
+        queryTimeSec = Some(1L), queryMessage = Some(wire)))))
+    (0 until 2000).foreach { _ =>
+      val w = wire.clone; w(rnd.nextInt(w.length)) = rnd.nextInt().toByte
+      DnsWire.parse(w)
+      val f = frame.clone; f(rnd.nextInt(f.length)) = rnd.nextInt().toByte
+      DnstapCodec.decode(f)
+    }
+  }
 }
 
 class DnsTablesSpec extends AnyFunSuite {
