@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import graft.codec.{DnsWire, DnstapCodec}
 import graft.dns.{DnsAnalog, DnstapRows}
 import graft.functions.{Anonymize, DnsNames, IpFunctions}
-import graft.operators.{AsOfMatch, CorpusStats, Dedup, GroupingSetCounter, Multimodal, Packing, Sampling, Scrub, Similarity, SkewAgg, TextAnalysis}
+import graft.operators.{AsOfMatch, CorpusStats, Dedup, GroupingSetCounter, Multimodal, NgramModel, Packing, Sampling, Scrub, Similarity, SkewAgg, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1531,6 +1531,72 @@ object SparkEntry {
       |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q66 — span-level duplicate coverage (Lee et al. exact-substring dedup
+  // signal): per doc, how many token positions sit inside an 8-token
+  // window that occurs ≥2× corpus-wide. Spark joins on portable 60-bit
+  // window hashes and computes the interval union analytically; the
+  // oracle joins on the window text and reproduces the same
+  // sorted-starts/clipped-gap union with lead(). Integer outputs keep the
+  // comparison hash-exact.
+  // ---------------------------------------------------------------------
+  private def q66DupSpanCoverage(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateSpanCoverage(Tables.documents(spark, dir),
+      "doc_id", "text", k = 8)
+
+  private val q66Sql =
+    """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
+      |w AS (SELECT doc_id,
+      |        unnest(CASE WHEN len(tk) >= 8 THEN generate_series(1, len(tk)-7) ELSE [] END) AS pos,
+      |        unnest(CASE WHEN len(tk) >= 8
+      |          THEN list_transform(generate_series(1, len(tk)-7),
+      |                 i -> list_aggregate(tk[i:i+7], 'string_agg', ' '))
+      |          ELSE [] END) AS wt
+      |      FROM t),
+      |d AS (SELECT wt FROM w GROUP BY wt HAVING count(*) >= 2),
+      |s AS (SELECT doc_id, pos FROM w JOIN d USING (wt)),
+      |c AS (SELECT doc_id, sum(g) AS covered_tokens, count(*) AS dup_windows FROM (
+      |        SELECT doc_id,
+      |          least(coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, 8), 8) AS g
+      |        FROM s) GROUP BY doc_id)
+      |SELECT t.doc_id, len(tk) AS n_tokens,
+      |  CAST(coalesce(covered_tokens, 0) AS BIGINT) AS covered_tokens,
+      |  CAST(coalesce(dup_windows, 0) AS BIGINT) AS dup_windows
+      |FROM t LEFT JOIN c USING (doc_id)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q67 — CCNet-style n-gram commonness: trigram count model trained on
+  // the trusted source (src0), every other doc scored by integer match
+  // statistics against it. The integer "model mass" is the
+  // dialect-portable stand-in for KenLM log-prob (monotone in the same
+  // direction, hash-exact across engines).
+  // ---------------------------------------------------------------------
+  private def q67NgramCommonness(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    NgramModel.ngramCommonness(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"),
+      "doc_id", "text", n = 3)
+  }
+
+  private val q67Sql =
+    """WITH t AS (SELECT doc_id, source, list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
+      |g AS (SELECT doc_id, source,
+      |        unnest(CASE WHEN len(tk) >= 3
+      |          THEN list_transform(generate_series(1, len(tk)-2), i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])
+      |          ELSE [] END) AS ng
+      |      FROM t),
+      |m AS (SELECT ng, count(*) AS mc FROM g WHERE source = 'src0' GROUP BY 1),
+      |s AS (SELECT doc_id, count(*) AS total, count(mc) AS matched,
+      |        sum(coalesce(mc, 0)) AS mass
+      |      FROM g LEFT JOIN m USING (ng) WHERE source <> 'src0' GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(total, 0) AS BIGINT) AS total_ngrams,
+      |  CAST(coalesce(matched, 0) AS BIGINT) AS matched_ngrams,
+      |  CAST(coalesce(mass, 0) AS BIGINT) AS model_mass
+      |FROM documents d LEFT JOIN s USING (doc_id)
+      |WHERE d.source <> 'src0'""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -1598,6 +1664,8 @@ object SparkEntry {
     Q("q63_epoch_mix", q63EpochMix, Some(q63Sql)),
     Q("q64_chunk", q64Chunk, Some(q64Sql)),
     Q("q65_training_manifest", q65TrainingManifest, Some(q65Sql)),
+    Q("q66_dup_span_coverage", q66DupSpanCoverage, Some(q66Sql)),
+    Q("q67_ngram_commonness", q67NgramCommonness, Some(q67Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
