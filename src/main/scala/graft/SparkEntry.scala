@@ -566,8 +566,8 @@ object SparkEntry {
 
   // ---------------------------------------------------------------------
   // q26–q28 — sketch-based dedup (operators/Dedup): MinHash signatures +
-  // banded LSH candidates with exact-Jaccard verify, and 32-bit SimHash
-  // fingerprints + hamming-distance pairs via byte-band blocking. Oracle
+  // banded LSH candidates with exact-Jaccard verify, and 64-bit SimHash
+  // fingerprints + hamming-distance pairs via 16-bit-band blocking. Oracle
   // SQL is generated from the same coefficient tables as the Scala
   // operators, over the shared dialect-portable base hash
   // (first 8 hex chars of md5 as an integer).
@@ -608,15 +608,22 @@ object SparkEntry {
   }
 
   private val simhashCte = {
-    val sums = (0 until 32)
-      .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
-      .mkString(", ")
-    val bits = (0 until 32)
-      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    // 64 bits from two 32-bit halves of one md5 (mirrors Dedup.simHash);
+    // bit 63 adds Long.MinValue — two's complement, no BIGINT overflow
+    // because bits 0–62 sum to at most 2^63−1.
+    val sums = (0 until 64).map { j =>
+      val src = if (j < 32) s"(hlo >> $j)" else s"(hhi >> ${j - 32})"
+      s"SUM(CASE WHEN $src & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(", ")
+    val bits = (0 until 64).map { j =>
+      val w = if (j == 63) "(-9223372036854775807 - 1)" else s"${1L << j}"
+      s"(CASE WHEN s$j > 0 THEN $w ELSE 0 END)"
+    }.mkString(" + ")
     s"""WITH tk AS (SELECT DISTINCT doc_id,
       |              unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok
       |            FROM documents),
-      |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok),1,8)) AS BIGINT) AS h FROM tk),
+      |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok),1,8)) AS BIGINT) AS hlo,
+      |             CAST(('0x' || substr(md5(tok),9,8)) AS BIGINT) AS hhi FROM tk),
       |s AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
       |sim AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM s)""".stripMargin
   }
@@ -632,7 +639,7 @@ object SparkEntry {
 
   private val q28Sql =
     s"""$simhashCte,
-      |bands AS (SELECT doc_id, simhash, band, (simhash >> (band*8)) & 255 AS bv
+      |bands AS (SELECT doc_id, simhash, band, (simhash >> (band*16)) & 65535 AS bv
       |          FROM sim CROSS JOIN (SELECT unnest([0,1,2,3]) AS band)),
       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |                a.simhash AS sa, b.simhash AS sb

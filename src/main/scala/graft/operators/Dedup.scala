@@ -317,34 +317,52 @@ object Dedup {
         coalesce(col("component"), col("id")).as("component"))
   }
 
-  /** 32-bit SimHash over distinct whitespace tokens: bit j of the
+  /** 64-bit SimHash over distinct whitespace tokens: bit j of the
     * fingerprint is set when more token hashes have bit j set than clear.
+    * The 64 hash bits per token come from two dialect-portable 32-bit
+    * halves of ONE md5 (hex chars 1–8 → bits 0–31, chars 9–16 → bits
+    * 32–63), so the oracle reproduces the fingerprint exactly. Bit 63 is
+    * set by adding Long.MinValue (two's complement — every partial sum
+    * stays in BIGINT range because bits 0–62 total at most 2^63−1).
     * Fully narrow: tokens are deduped, hashed, and bit-summed inside one
     * row via higher-order array functions — no explode, no shuffle, no
     * aggregation state. Docs with no tokens produce no fingerprint. */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bitSum = (j: Int) => aggregate(col("__h"), lit(0L), (acc, h) =>
+    def bitSum(arr: String, j: Int) = aggregate(col(arr), lit(0L), (acc, h) =>
       acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+    val bit = (j: Int) => {
+      val s = if (j < 32) bitSum("__hlo", j) else bitSum("__hhi", j - 32)
+      val w = if (j == 63) lit(Long.MinValue) else lit(1L << j)
+      when(s > 0, w).otherwise(lit(0L))
+    }
     df.select(col(idCol).as("doc_id"),
         array_distinct(TextAnalysis.tokens(col(textCol))).as("__tk"))
       .filter(size(col("__tk")) > 0)
       .select(col("doc_id"),
-        transform(col("__tk"), t => baseHash32(t)).as("__h"))
+        transform(col("__tk"), t => baseHash32(t)).as("__hlo"),
+        transform(col("__tk"), t =>
+          conv(substring(md5(t.cast("binary")), 9, 8), 16, 10).cast("long"))
+          .as("__hhi"))
       .select(col("doc_id"),
-        (0 until 32).map(j =>
-          when(bitSum(j) > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+        (0 until 64).map(bit).reduce(_ + _).as("simhash"))
   }
 
-  /** Near-duplicate pairs by SimHash hamming distance, with byte-band
-    * blocking: docs sharing any of the four 8-bit bands are candidates
+  /** Near-duplicate pairs by SimHash hamming distance, with 16-bit-band
+    * blocking: docs sharing any of the four 16-bit bands are candidates
     * (a fingerprint pair within hamming 3 always agrees on at least one
-    * byte — pigeonhole), then the exact popcount filter runs on
-    * candidates only. */
+    * band — pigeonhole), then the exact popcount filter runs on
+    * candidates only.
+    *
+    * Scale: 65 536 buckets per band — per-bucket fan-out at n docs is
+    * ~n/65 536 under a uniform fingerprint, so the candidate join stays
+    * near-linear far past the point where the old 8-bit bands (256
+    * buckets) degenerated toward n²/256 per band. Band extraction masks
+    * after the shift, so arithmetic-vs-logical shift of the (signed)
+    * fingerprint cannot differ between engines. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     def byteBand(sim: Column, b: Int): Column =
-      shiftright(sim, 8 * b).bitwiseAND(lit(255L))
+      shiftright(sim, 16 * b).bitwiseAND(lit(65535L))
     val s = simHash(df, idCol, textCol)
     val banded = s.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(byteBand(col("simhash"), _)): _*))
