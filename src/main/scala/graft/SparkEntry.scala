@@ -1402,7 +1402,8 @@ object SparkEntry {
     Dedup.incrementalJaccardPairs(
       corpus = docs.filter(slice =!= 0),
       batch = docs.filter(slice === 0),
-      idCol = "doc_id", textCol = "text", n = 3, threshold = 0.5)
+      idCol = "doc_id", textCol = "text", n = 3, threshold = 0.5,
+      maxShingleDfFrac = 0.1)
   }
 
   private val q61Sql =
@@ -1413,9 +1414,13 @@ object SparkEntry {
       |  SELECT doc_id, hv, unnest(CASE WHEN len(tk) >= 3
       |    THEN list_transform(generate_series(1, len(tk)-2), i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])
       |    ELSE [] END) AS sg FROM t)),
-      |sz AS (SELECT doc, count(*) AS s FROM sh0 GROUP BY 1),
+      |ncorp AS (SELECT count(DISTINCT doc_id) AS n FROM t WHERE hv <> 0),
+      |viral AS (SELECT sg FROM sh0, ncorp WHERE hv <> 0
+      |          GROUP BY sg, n HAVING count(*) > ceil(n * 0.1)),
+      |sh AS (SELECT * FROM sh0 WHERE sg NOT IN (SELECT sg FROM viral)),
+      |sz AS (SELECT doc, count(*) AS s FROM sh GROUP BY 1),
       |i AS (SELECT b.doc AS x, c.doc AS y, count(*) AS cnt
-      |      FROM sh0 b JOIN sh0 c ON b.sg = c.sg AND b.hv = 0 AND c.hv <> 0
+      |      FROM sh b JOIN sh c ON b.sg = c.sg AND b.hv = 0 AND c.hv <> 0
       |      GROUP BY 1, 2)
       |SELECT x AS batch_doc, y AS corpus_doc,
       |  cnt*1.0/(sa.s + sb.s - cnt) AS jaccard

@@ -99,29 +99,51 @@ object Dedup {
     * WITHOUT ever re-deduping the corpus against itself (no corpus
     * self-join — the asymmetric join's cost is |batch shingles| probing
     * the corpus index, not |corpus|²). Same inverted-index shape and
-    * in-join size-ratio prune as [[ngramJaccardPairs]]; for skew caps on
-    * degenerate shingles, pre-filter the inputs or use the symmetric
-    * operator's df-cap machinery.
+    * in-join size-ratio prune as [[ngramJaccardPairs]].
     *
+    * @param maxShingleDfFrac drop shingles present in more than this
+    *        fraction of CORPUS documents (0 = off) — the skew guard: a
+    *        boilerplate shingle in half the corpus index would make
+    *        every daily drop quadratic on that one key. The df rides a
+    *        single window over the side-tagged union of both indexes
+    *        (the h-partitioning the candidate join wants anyway, and no
+    *        second evaluation of either shingle subtree); a capped
+    *        shingle leaves BOTH sides, so intersections and set sizes
+    *        stay consistent under the same universe rule as the
+    *        symmetric operator.
     * @return (batch_doc, corpus_doc, jaccard) with jaccard >= threshold
     */
   def incrementalJaccardPairs(corpus: DataFrame, batch: DataFrame,
                               idCol: String, textCol: String,
                               n: Int = 3,
-                              threshold: Double = 0.5): DataFrame = {
-    def index(df: DataFrame): DataFrame = {
-      val sh = df
-        .select(col(idCol).as("doc"),
-          TextAnalysis.tokens(col(textCol)).as("__tk"))
-        .select(col("doc"),
-          explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("sg"))
-        .select(col("doc"), xxhash64(col("sg")).as("h"))
-        .distinct()
-      val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-      sh.join(sizes, "doc")
-    }
-    index(batch).as("b")
-      .join(index(corpus).as("c"),
+                              threshold: Double = 0.5,
+                              maxShingleDfFrac: Double = 0.0): DataFrame = {
+    def shingles(df: DataFrame, side: String): DataFrame = df
+      .select(col(idCol).as("doc"),
+        TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col("doc"),
+        explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("sg"))
+      .select(lit(side).as("side"), col("doc"), xxhash64(col("sg")).as("h"))
+      .distinct()
+    val u0 = shingles(batch, "b").union(shingles(corpus, "c"))
+    val u =
+      if (maxShingleDfFrac <= 0) u0
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+        val withDf = u0.withColumn("__df",
+          count(when(col("side") === "c", 1)).over(w))
+        val nCorpus = corpus.agg(countDistinct(col(idCol)).as("__n"))
+        withDf.crossJoin(broadcast(nCorpus))
+          .filter(col("__df") <= ceil(col("__n") * maxShingleDfFrac))
+          .drop("__df", "__n")
+      }
+    // sizes AFTER the cap: jaccard is computed over the capped universe
+    val sizes = u.groupBy(col("side"), col("doc")).agg(count(lit(1)).as("sz"))
+    val idx = u.join(sizes, Seq("side", "doc"))
+    // the two join inputs filter the SAME h-shuffled subtree, so the
+    // exchange is planned once and reused (both tables scan once)
+    idx.filter(col("side") === "b").as("b")
+      .join(idx.filter(col("side") === "c").as("c"),
         col("b.h") === col("c.h") &&
           least(col("b.sz"), col("c.sz")) >=
             lit(threshold) * greatest(col("b.sz"), col("c.sz")))

@@ -34,6 +34,24 @@ class DedupClusterSpec extends SparkSpec {
     assert(out == Set((10L, 1L), (10L, 2L)))
   }
 
+  test("incremental dedup df cap drops corpus-viral shingles from both sides") {
+    import spark.implicits._
+    // every corpus doc carries the same boilerplate shingle; the batch
+    // doc matches the corpus ONLY through it
+    val corpus = (1L to 5L).map(i => (i, "spam common boilerplate"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "spam common boilerplate")).toDF("doc_id", "text")
+    def pairs(frac: Double) =
+      Dedup.incrementalJaccardPairs(corpus, batch, "doc_id", "text",
+          n = 3, threshold = 0.5, maxShingleDfFrac = frac)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uncapped: the viral shingle pairs the batch doc with all 5
+    assert(pairs(0.0) == (1L to 5L).map((10L, _)).toSet)
+    // capped at 50% of the corpus (df 5 > ceil(5*0.5)=3): the shingle
+    // leaves the universe on BOTH sides — no pair survives
+    assert(pairs(0.5) == Set.empty)
+  }
+
   test("edge endpoints outside nodes never become component labels") {
     // edges mention node 5, which is NOT in nodes: if its id propagated,
     // {7, 9} would get component 5 and keep-min (doc_id === component)
