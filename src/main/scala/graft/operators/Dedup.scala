@@ -250,18 +250,26 @@ object Dedup {
     * {A,B,C} collapse together even though A and C were never compared).
     *
     * Algorithm: iterative min-label propagation — each round every node
-    * takes min(own label, neighbors' labels); converges in O(graph
-    * diameter) rounds. Dedup graphs are near-degenerate (tiny cliques and
-    * chains), so 3–5 rounds close almost any real corpus; `maxIters`
-    * bounds the pathological chain. ITERATIVE OPERATOR: each round is a
-    * Spark job over the edge join (driver loops, data never leaves
-    * executors); per-round results are localCheckpoint()ed so lineage
-    * stays O(1) instead of O(rounds). Convergence is detected by the
-    * monotone label-sum invariant: labels only ever decrease, so an
-    * unchanged sum means a fixpoint — one cheap 1-row aggregate per round
-    * instead of a changed-rows join. At 100 TB each round is one shuffle
-    * on node id (the large-star/small-star optimization of Kiveris et al.
-    * drops in here if diameters ever grow).
+    * takes min(own label, neighbors' labels); a round costs one shuffle
+    * on node id and covers one hop. Dedup graphs are near-degenerate
+    * (tiny cliques and chains), so 3–5 rounds close almost any real
+    * corpus. For the pathological deep graph (a web-scale chain of
+    * near-dups), rounds after `shortcutAfter` add a pointer-doubling
+    * shortcut — every node also takes min(label, label(label)), the
+    * path-halving step of Kiveris et al.'s MapReduce CC family — so
+    * propagation distance DOUBLES per round and any diameter D closes in
+    * ~shortcutAfter + log₂ D rounds: the default maxIters=20 covers
+    * diameters past 30 000 instead of 20 hops. The common shallow case
+    * never pays the shortcut's extra self-join. ITERATIVE OPERATOR: each
+    * round is a Spark job over the edge join (driver loops, data never
+    * leaves executors); per-round results are localCheckpoint()ed so
+    * lineage stays O(1) instead of O(rounds). Convergence is detected by
+    * the monotone label-sum invariant: labels only ever decrease, so an
+    * unchanged sum means a fixpoint (of BOTH steps — each is per-element
+    * non-increasing, so an unchanged sum means neither step moved any
+    * label, which is exactly the propagation fixpoint that certifies
+    * per-component constant labels) — one cheap 1-row aggregate per
+    * round instead of a changed-rows join.
     *
     * @param nodes one column `id` (every doc, so singletons label
     *        themselves)
@@ -269,7 +277,8 @@ object Dedup {
     * @return (id, component) with component = min id in the component
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-                          maxIters: Int = 20): DataFrame = {
+                          maxIters: Int = 20,
+                          shortcutAfter: Int = 4): DataFrame = {
     // materialize the (possibly expensive) edge pipeline ONCE — every
     // propagation round joins against it, and without this the whole
     // upstream pair-generation subtree would re-run per round. Edges are
@@ -310,14 +319,29 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("component")).as("ncomp"))
-      // lazy checkpoint: the convergence-sum action below is what
-      // materializes it — one job per round instead of an eager
-      // checkpoint job plus the aggregation job
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val prop = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("ncomp"), col("component")))
             .as("component"))
-        .localCheckpoint(eager = false)
+      // pointer-doubling past shortcutAfter: follow the label's own label
+      // (component values are always live node ids, so the lookup is a
+      // self-join). `prop` feeds both sides, so it is checkpointed
+      // EAGERLY first — without that the propagation join+agg subtree
+      // would execute twice inside the shortcut join.
+      val next = (if (it < shortcutAfter) prop.localCheckpoint(eager = false)
+        else {
+          val p = prop.localCheckpoint()
+          p.as("x")
+            .join(p.select(col("id").as("lid"), col("component").as("lcomp")),
+              col("x.component") === col("lid"), "left")
+            .select(col("x.id").as("id"),
+              least(col("x.component"), coalesce(col("lcomp"), col("x.component")))
+                .as("component"))
+            .localCheckpoint(eager = false)
+        })
+      // lazy checkpoint: the convergence-sum action below is what
+      // materializes it — one job per round instead of an eager
+      // checkpoint job plus the aggregation job
       val s = labelSum(next)
       converged = s == lastSum
       lastSum = s
@@ -330,8 +354,8 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIters rounds — " +
-          "graph diameter exceeds the bound; raise maxIters (propagation " +
-          "needs O(diameter) rounds) or pre-contract with large-star/small-star")
+          "with pointer-doubling past round " + shortcutAfter + " that " +
+          "needs diameter > 2^(maxIters-shortcutAfter); raise maxIters")
     // singletons (and any node absent from the edge set) label themselves
     nodes.select(col("id"))
       .join(labels, Seq("id"), "left")

@@ -78,6 +78,15 @@ class DedupClusterSpec extends SparkSpec {
     assert(got.values.toSet == Set(0L))
   }
 
+  test("a 1000-node chain converges within default maxIters via pointer doubling") {
+    // diameter 999 would need 999 plain propagation rounds; the
+    // label(label) shortcut doubles reach per round past shortcutAfter,
+    // so the default maxIters=20 must close it instead of throwing
+    val n = 1000L
+    val got = run(1L to n, (1L until n).map(i => (i, i + 1)))
+    assert(got.size == 1000 && got.values.toSet == Set(1L))
+  }
+
   test("every component label is a member of its own component") {
     val edges = Seq((10L, 11L), (11L, 12L), (20L, 21L), (30L, 31L), (31L, 32L), (32L, 30L))
     val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct :+ 99L
