@@ -45,16 +45,43 @@ object Scrub {
     * shingles and is BROADCAST, so the corpus never shuffles on shingle
     * and the whole operator is scan → explode → broadcast-semi-join →
     * one aggregate on doc id.
+    *
+    * The broadcast assumption is ENFORCED, not hoped for: a distinct
+    * shingle count above `maxEvalShingles` kills the job with a clear
+    * message before the broadcast build can OOM an executor (the guard
+    * lives inside the broadcast subtree, so the count completes first —
+    * same contract as `Similarity.knnBruteForce`). The bound counts
+    * shingles, not bytes — size it to shingle width; Spark's broadcast
+    * limits remain the hard backstop. An eval suite past the bound
+    * should be decontaminated in batches, or pass `maxEvalShingles = 0`
+    * to drop the hint entirely and let AQE pick the join (degrades to a
+    * shuffle join on shingle past the broadcast threshold — slower,
+    * never OOM).
     */
   def decontaminate(train: DataFrame, eval: DataFrame,
-                    idCol: String, textCol: String, n: Int = 5): DataFrame = {
+                    idCol: String, textCol: String, n: Int = 5,
+                    maxEvalShingles: Long = 1L << 22): DataFrame = {
     def shingleSet(df: DataFrame, cols: Column*): DataFrame = df
       .withColumn("__tk", TextAnalysis.tokens(col(textCol)))
       .select(cols :+ explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("sg"): _*)
       .distinct()
     val trainSh = shingleSet(train, col(idCol))
-    val evalSh = shingleSet(eval)
-    trainSh.join(broadcast(evalSh), "sg")
+    val evalSh0 = shingleSet(eval)
+    val evalSh =
+      if (maxEvalShingles <= 0) evalSh0
+      else {
+        // the 1-row count stays explicitly broadcast: if Catalyst chose
+        // the shingle side as build side, the full eval set would be
+        // collected before the assert runs — the window the guard closes
+        val nSh = evalSh0.agg(count(lit(1)).as("__n_sg"))
+        broadcast(evalSh0.crossJoin(broadcast(nSh))
+          .filter(assert_true(col("__n_sg") <= lit(maxEvalShingles),
+            lit(s"decontaminate: eval shingle set exceeds maxEvalShingles=" +
+              s"$maxEvalShingles; batch the eval suite or pass " +
+              "maxEvalShingles=0 to allow a shuffle join")).isNull)
+          .drop("__n_sg"))
+      }
+    trainSh.join(evalSh, "sg")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits")) // (id, sg) distinct ⇒ count = distinct shingles
   }

@@ -53,6 +53,23 @@ class ScrubSpec extends SparkSpec {
     assert(out(3L) == 5L) // all five 5-grams of the 9-token eval doc
   }
 
+  test("decontamination guard trips past maxEvalShingles and not below it") {
+    import spark.implicits._
+    val eval = Seq((100L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text") // 4 distinct 5-grams
+    val train = Seq((1L, "zero one two three four five end")).toDF("doc_id", "text")
+    def run(bound: Long) =
+      Scrub.decontaminate(train, eval, "doc_id", "text", n = 5,
+        maxEvalShingles = bound).collect()
+    val e = intercept[Exception] { run(3L) }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(_.contains("maxEvalShingles")),
+      s"expected the maxEvalShingles guard, got: $e")
+    assert(run(4L).length == 1) // at the bound: passes, finds doc 1's hit
+    assert(run(0L).length == 1) // bound off: AQE path, same answer
+  }
+
   test("ipv4Truncate zeroes host bits; pseudonym is salted and stable") {
     import spark.implicits._
     val df = Seq(0xC0A80A63L).toDF("x") // 192.168.10.99
