@@ -294,6 +294,20 @@ final class FrameSocketServer(path: String, readers: Int, maxFrameBytes: Int,
             Thread.sleep(waitSec * 1000)
         }
       }
+      // group-writable socket (0660) after bind, warn-only on failure —
+      // reference parity (dnstap.go:130-134): the dnstap producer usually
+      // runs as a different user in a shared group, and a root-owned 0755
+      // socket would refuse its writes. Non-POSIX filesystems just warn.
+      if (ch != null) {
+        try {
+          import java.nio.file.attribute.PosixFilePermissions
+          Files.setPosixFilePermissions(Paths.get(path),
+            PosixFilePermissions.fromString("rw-rw----"))
+        } catch {
+          case e: Exception =>
+            System.err.println(s"graft-dnstap: chmod socket: ${e.getMessage}")
+        }
+      }
       channel = ch
       bound.countDown()
       try {

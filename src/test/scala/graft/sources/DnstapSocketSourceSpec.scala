@@ -63,6 +63,20 @@ class FrameStreamsSpec extends AnyFunSuite {
 }
 
 class FrameSocketServerSpec extends AnyFunSuite {
+  test("bound socket file is group-writable 0660 (dnstap.go:130-134 parity)") {
+    val sock = Files.createTempDirectory("graft-perm").resolve("d.sock").toString
+    val server = new FrameSocketServer(sock, readers = 1,
+      maxFrameBytes = FrameStreams.DefaultMaxFrameBytes, emit = _ => ())
+    server.start()
+    try {
+      server.awaitBound()
+      import java.nio.file.attribute.PosixFilePermissions
+      val perms = Files.getPosixFilePermissions(java.nio.file.Paths.get(sock))
+      assert(perms == PosixFilePermissions.fromString("rw-rw----"),
+        s"expected rw-rw---- on the socket file, got $perms")
+    } finally server.close()
+  }
+
   test("ReadTimeout frees a reader pinned by a stalled connection") {
     val sock = Files.createTempDirectory("graft-rt").resolve("d.sock").toString
     val got = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Byte]]()
