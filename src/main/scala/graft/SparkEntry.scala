@@ -1162,7 +1162,7 @@ object SparkEntry {
       |$q18Sql
       |),
       |h AS (SELECT doc_id, lang_pred,
-      |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS hv
+      |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 8)) AS BIGINT) % 100 AS hv
       |      FROM langs)
       |SELECT doc_id, lang_pred FROM h
       |WHERE hv < (CASE lang_pred WHEN 'en' THEN 40 WHEN 'es' THEN 70 ELSE 100 END)""".stripMargin
@@ -1364,7 +1364,7 @@ object SparkEntry {
 
   private val q59Sql =
     """WITH h AS (SELECT doc_id, n_chars,
-      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS shard
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 8)) AS BIGINT) % 16 AS shard
       |  FROM documents)
       |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
       |  CAST(SUM(n_chars) AS BIGINT) AS total_weight,
@@ -1455,7 +1455,7 @@ object SparkEntry {
   private val q63Sql =
     """WITH h AS (SELECT doc_id, lang,
       |    CASE lang WHEN 'en' THEN 140 WHEN 'zh' THEN 30 ELSE 100 END AS centi,
-      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS hv
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch'), 1, 8)) AS BIGINT) % 100 AS hv
       |  FROM documents),
       |c AS (SELECT doc_id, lang,
       |        centi // 100 + CASE WHEN hv < centi % 100 THEN 1 ELSE 0 END AS n
@@ -1535,7 +1535,7 @@ object SparkEntry {
       |  hv32 % 16 AS shard
       |FROM (SELECT doc_id, source,
       |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS hv100,
-      |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv32
+      |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 8)) AS BIGINT) AS hv32
       |      FROM documents) d
       |JOIN keep48 ON d.doc_id = keep48.doc_id
       |JOIN rep ON d.doc_id = rep.doc_id

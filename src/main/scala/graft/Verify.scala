@@ -9,8 +9,15 @@ object Verify {
     val sfDir = args(0)
     val outDir = args(1)
     // optional trailing query names restrict the dump (fast single-query
-    // iteration; check.py takes the same filter)
+    // iteration; check.py takes the same filter). PREFIX match, like
+    // Bench's SPARK_GRAFT_BENCH_ONLY ("q53" hits q53_per_group_cap); a
+    // filter matching nothing is a typo and must FAIL, not silently
+    // write an empty healthy-looking dump.
     val only = args.drop(2).toSet
+    def selected(name: String): Boolean =
+      only.isEmpty || only.exists(name.startsWith)
+    require(only.isEmpty || SparkEntry.queries.keys.exists(selected),
+      s"query filter matches nothing: ${only.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -21,7 +28,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
+      .filter { case (name, _) => selected(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

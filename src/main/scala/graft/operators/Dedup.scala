@@ -443,7 +443,9 @@ object Dedup {
     *
     * Scale (100 TB): portable 60-bit window hashes shuffle, never window
     * text; duplicate detection is one hash aggregation with map-side
-    * combine; coverage is an interval union computed analytically from
+    * combine plus a semi-join back (never a window over the hash, which
+    * would serialize a viral hash into one task); coverage is an
+    * interval union computed analytically from
     * the sorted duplicated-window starts (each start covers
     * min(k, next_start − start) new tokens), so there is no k×
     * position-explosion join. The per-doc window sort holds only that
@@ -464,10 +466,16 @@ object Dedup {
     val wins = base
       .select(col("doc_id"), posexplode(col("__w")).as(Seq("pos", "wt")))
       .select(col("doc_id"), col("pos"), baseHash60(col("wt")).as("wh"))
-    val dupStarts = wins
-      .withColumn("__occ", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("wh")))
+    // duplicated-hash detection is a hash AGGREGATION, not a window: a
+    // window over wh would route every occurrence of one hash into a
+    // single task (a corpus-wide boilerplate 8-gram = one straggler
+    // partition), while groupBy partial-aggregates map-side and the
+    // semi-join back is AQE-skew-splittable on hot hashes
+    val dupHashes = wins.groupBy(col("wh")).agg(count(lit(1)).as("__occ"))
       .filter(col("__occ") >= 2)
+      .select(col("wh"))
+    val dupStarts = wins
+      .join(dupHashes, Seq("wh"), "left_semi")
       .select(col("doc_id"), col("pos"))
     val perDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")

@@ -13,12 +13,26 @@ import org.apache.spark.sql.functions._
   * The predicate is a codegen'd column expression evaluated at the scan,
   * so at 100 TB the sample never materializes the rejected rows past the
   * filter.
+  *
+  * Every operator here hashes the id with a DISTINCT per-purpose salt
+  * (except [[splitLabel]], the canonical unsalted split identity):
+  * selections made by different operators over the same corpus must be
+  * statistically independent, or composing them skews the realized
+  * fractions — an unsalted 0.3-epoch subsample would keep exactly
+  * hv < 30, wholly containing the val split (hv < 10) and realizing
+  * 20/80 = 25% of train instead of 30%. The salt makes each operator's
+  * hash a fresh uniform draw while staying replay-deterministic and
+  * oracle-reproducible (the salt is a public string constant).
   */
 object Sampling {
 
-  /** Membership predicate: hash(id) mod denom < num. */
+  /** Per-purpose salted hash — see the object scaladoc. */
+  private def purposeHash(id: Column, salt: String): Column =
+    Dedup.baseHash32(concat(id.cast("string"), lit(salt)))
+
+  /** Membership predicate: hash(id||":sample") mod denom < num. */
   def hashSamplePredicate(id: Column, num: Int, denom: Int = 100): Column =
-    pmod(Dedup.baseHash32(id.cast("string")), lit(denom)) < lit(num)
+    pmod(purposeHash(id, ":sample"), lit(denom)) < lit(num)
 
   /** Keep ~num/denom of rows, chosen by id hash. */
   def hashSample(df: DataFrame, idCol: String, num: Int,
@@ -90,12 +104,16 @@ object Sampling {
       .drop("__rk", "__hv", "__bk", "__g", "__b", "__cnt", "__below")
   }
 
-  /** Deterministic shard id in [0, nShards): hash(id) mod n. Shard
-    * membership is a pure function of the data — the shard a document
-    * trains in never depends on partitioning, retries, or engine — and
-    * the modulo is portable SQL (the DuckDB oracle reproduces it). */
+  /** Deterministic shard id in [0, nShards): hash(id||":shard") mod n.
+    * Shard membership is a pure function of the data — the shard a
+    * document trains in never depends on partitioning, retries, or
+    * engine — and the modulo is portable SQL (the DuckDB oracle
+    * reproduces it). The salt keeps shards independent of split labels:
+    * unsalted, any nShards sharing a factor with 100 concentrates each
+    * split into a subset of shards (nShards=20 would put ALL val docs in
+    * shards 0–9). */
   def shardId(id: Column, nShards: Int): Column =
-    pmod(Dedup.baseHash32(id.cast("string")), lit(nShards))
+    pmod(purposeHash(id, ":shard"), lit(nShards))
 
   /** Per-shard balance report: row count, total weight (e.g. chars or
     * tokens — what actually bounds a training step), id range. One
@@ -132,7 +150,10 @@ object Sampling {
     * in the order given; leftover buckets fall to `rest`. A document's
     * split never depends on partitioning or corpus growth — adding data
     * never moves an old doc between splits (the property a rand() split
-    * lacks, and the one that keeps eval sets eval forever). */
+    * lacks, and the one that keeps eval sets eval forever).
+    *
+    * This is the one UNSALTED selection — the canonical split identity
+    * every other operator's salt protects its independence from. */
   def splitLabel(id: Column, weights: Seq[(String, Int)],
                  rest: String = "train"): Column = {
     require(weights.map(_._2).sum <= 100 && weights.forall(_._2 > 0),
@@ -153,7 +174,11 @@ object Sampling {
     * SUBSAMPLES to a 30% slice. This is the "source X is seen 1.4 times
     * per training run" mixture step. Output adds a `copy` ordinal
     * (1-based). Pure row-local generate after one scan — no shuffle; the
-    * output multiplies rows by the mean factor, which the caller chose. */
+    * output multiplies rows by the mean factor, which the caller chose.
+    * The fractional slice uses the ":epoch"-salted hash, so composing
+    * with [[splitLabel]] (the documented split → mix pipeline order)
+    * realizes the requested fraction WITHIN each split instead of
+    * correlating with the split boundaries. */
   def epochExpand(df: DataFrame, idCol: String, stratumCol: String,
                   factorCentiByStratum: Map[String, Int],
                   defaultCenti: Int = 100): DataFrame = {
@@ -161,7 +186,7 @@ object Sampling {
       case (acc, (stratum, f)) =>
         when(col(stratumCol) === stratum, lit(f)).otherwise(acc)
     }
-    val hv = pmod(Dedup.baseHash32(col(idCol).cast("string")), lit(100))
+    val hv = pmod(purposeHash(col(idCol), ":epoch"), lit(100))
     val copies = (centi / lit(100)).cast("long") +
       when(hv < pmod(centi, lit(100)), 1L).otherwise(0L)
     df.withColumn("__n", copies)
@@ -183,6 +208,6 @@ object Sampling {
       case (acc, (stratum, p)) =>
         when(col(stratumCol) === stratum, lit(p)).otherwise(acc)
     }
-    df.filter(pmod(Dedup.baseHash32(col(idCol).cast("string")), lit(100)) < pct)
+    df.filter(pmod(purposeHash(col(idCol), ":sample"), lit(100)) < pct)
   }
 }

@@ -143,6 +143,39 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("per-purpose salts keep composed selections independent of splits") {
+    import spark.implicits._
+    val df = (0L until 4000L).toDF("id")
+    val split = df.select(col("id"),
+      Sampling.splitLabel(col("id"), Seq("val" -> 10, "test" -> 10)).as("split"))
+    // 0.3-epoch subsample composed AFTER splitting (the documented
+    // pipeline order): unsalted it would keep hv<30 ⊇ val (hv<10) — 100%
+    // of val and only 25% of train; salted it realizes ~30% in EVERY split
+    val mixed = Sampling.epochExpand(split.withColumn("src", lit("x")),
+      "id", "src", Map("x" -> 30)).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val splitSizes = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("val", "test", "train").foreach { s =>
+      val frac = mixed.getOrElse(s, 0L).toDouble / splitSizes(s)
+      assert(math.abs(frac - 0.30) < 0.08,
+        s"epoch subsample realized $frac of '$s' (want ~0.30)")
+    }
+    // shard 20 ways: unsalted, shard = h%20 and val = h%100<10 would pack
+    // every val doc into shards 0–9; salted, all 20 shards see all splits
+    val sharded = split.withColumn("shard", Sampling.shardId(col("id"), 20))
+    val shardSplits = sharded.groupBy("shard")
+      .agg(countDistinct(col("split")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shardSplits.size == 20 && shardSplits.values.forall(_ == 3L))
+    // sampling 50% composed with the split keeps ~50% of val, not all of it
+    val kept = Sampling.hashSample(split, "id", 50)
+      .filter(col("split") === "val").count().toDouble
+    val valN = splitSizes("val").toDouble
+    assert(math.abs(kept / valN - 0.5) < 0.1,
+      s"sample kept ${kept / valN} of val (want ~0.5)")
+  }
+
   test("stratified sample applies per-stratum rates") {
     import spark.implicits._
     val df = (0L until 3000L).map(i => (i, if (i % 3 == 0) "en" else "rare"))
