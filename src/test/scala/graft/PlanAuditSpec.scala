@@ -23,6 +23,36 @@ class PlanAuditSpec extends SparkSpec {
       s"cartesian product in: ${offenders.mkString(", ")}")
   }
 
+  test("q53's rank window partitions on (group, bucket), never the bare group") {
+    // the r4→r5 regression this pins: a row_number() over the bare group
+    // column puts every row of a group into ONE task's sort — the
+    // two-phase capPerGroup must rank inside (group, hash-bucket) windows
+    val plan = SparkEntry.queries("q53_per_group_cap")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val rankLines = plan.linesIterator.filter(_.contains("row_number")).toSeq
+    assert(rankLines.nonEmpty, "q53 lost its rank window entirely")
+    rankLines.foreach(l => assert(l.contains("__bk"),
+      s"q53 ranks over a full-group window (no __bk in partition): $l"))
+  }
+
+  test("q33/q58 only force-broadcast 1-row aggregates, never the vocabulary side") {
+    // the r4→r5 regression this pins: a broadcast hint on the term
+    // df/frequency side OOMs the build at web-scale vocabularies; the
+    // only sanctioned hints are global 1-row counts (corpus size)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
+    Seq("q33_tfidf", "q58_rare_tokens").foreach { name =>
+      val hints = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.analyzed.collect { case r: ResolvedHint => r }
+      hints.foreach { h =>
+        val ok = h.child match {
+          case a: Aggregate => a.groupingExpressions.isEmpty
+          case _ => false
+        }
+        assert(ok, s"$name force-broadcasts a non-1-row side: ${h.child.nodeName}")
+      }
+    }
+  }
+
   test("column pruning reaches the parquet scan") {
     // q1 projects 4 of lineitem's 16 columns; a scan still reading
     // l_comment means the projection never reached the source
