@@ -27,12 +27,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // per-query wall seconds (construction + write) recorded next to the
+    // dump: correctness runs double as a coarse perf-drift signal the
+    // round-over-round diff can read without a separate bench run
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     SparkEntry.queries
       .filter { case (name, _) => selected(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        timings(name) = (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -51,6 +58,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val times = timings
+      .map { case (k, v) =>
+        val sec = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+        s"${q(k)}: $sec"
+      }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/timings.json"), times)
     spark.stop()
   }
 }
