@@ -137,11 +137,19 @@ object Dedup {
           .filter(col("__df") <= ceil(col("__n") * maxShingleDfFrac))
           .drop("__df", "__n")
       }
+    // The index feeds FOUR plan consumers (sizes and the candidate join,
+    // each for both sides); Spark duplicates the subtree per consumer —
+    // measured at sf0.1, the tokenize/explode/distinct/window pipeline
+    // executes 4x and the table scans 12x (exchange reuse does NOT kick
+    // in: the joins broadcast, so there is no shared shuffle stage).
+    // Materialize it ONCE instead — same eager-localCheckpoint trade as
+    // connectedComponents (construction runs a job; blocks are lost with
+    // an executor, acceptable for a batch operator, and only fixed-width
+    // (side, doc, h) rows are stored, never text).
+    val uc = u.localCheckpoint()
     // sizes AFTER the cap: jaccard is computed over the capped universe
-    val sizes = u.groupBy(col("side"), col("doc")).agg(count(lit(1)).as("sz"))
-    val idx = u.join(sizes, Seq("side", "doc"))
-    // the two join inputs filter the SAME h-shuffled subtree, so the
-    // exchange is planned once and reused (both tables scan once)
+    val sizes = uc.groupBy(col("side"), col("doc")).agg(count(lit(1)).as("sz"))
+    val idx = uc.join(sizes, Seq("side", "doc"))
     idx.filter(col("side") === "b").as("b")
       .join(idx.filter(col("side") === "c").as("c"),
         col("b.h") === col("c.h") &&
