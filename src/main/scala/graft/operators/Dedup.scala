@@ -75,11 +75,20 @@ object Dedup {
           } else withDf.filter(col("__df") <= maxShingleDf)
         capped.drop("__df")
       }
+    // materialize the (capped) index ONCE: it feeds four plan consumers
+    // (sizes, and both sides of the candidate self-join), and Spark
+    // duplicates the subtree per consumer — measured at sf0.001 the
+    // tokenize/explode/distinct/window pipeline planned 4 windows and 8
+    // scans with zero exchange reuse (the joins broadcast, so no shared
+    // shuffle stage exists to reuse). Only fixed-width (doc, h) rows are
+    // stored, never shingle text; construction runs the one job (same
+    // eager-localCheckpoint trade as connectedComponents).
+    val shc = sh.localCheckpoint()
     // carry each doc's shingle-set size into the index so the exact
     // size-ratio bound (jaccard >= t ⇒ min(sz) >= t*max(sz)) prunes pairs
     // inside the join itself, before any pair reaches the aggregation
-    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    val idx = sh.join(sizes, "doc")
+    val sizes = shc.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val idx = shc.join(sizes, "doc")
     idx.as("a")
       .join(idx.as("b"),
         col("a.h") === col("b.h") && col("a.doc") < col("b.doc") &&
@@ -209,16 +218,24 @@ object Dedup {
     // shingle strings are hashed once (60-bit, oracle-reproducible) and
     // never flow further: signatures, sizes, and the verify join all work
     // on the hash — at scale only fixed-width keys shuffle
+    // materialized once (fixed-width (doc, h) rows): the hashed shingle
+    // index feeds the signature aggregate, the size aggregate, and both
+    // sides of the verify join — un-checkpointed, Spark re-derives it
+    // per consumer (measured: 6 scans of the source at sf0.001)
     val sh = df
       .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("__tk"))
       .select(col("doc"),
         explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("sg"))
       .select(col("doc"), baseHash60(col("sg")).as("h"))
       .distinct()
+      .localCheckpoint()
     val mins = MinHashCoeffs.zipWithIndex.map { case ((a, b), i) =>
       min((col("h") % lit(MinHashP) * lit(a) + lit(b)) % lit(MinHashP)).as(s"m$i")
     }
+    // 1 row per doc, 12 long columns — tiny; checkpointing it keeps the
+    // signature aggregation from running once per self-join side
     val sig = sh.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
+      .localCheckpoint()
     val nBands = MinHashCoeffs.length / rowsPerBand
     val bandCols = (0 until nBands).map { bIdx =>
       concat_ws(",",
@@ -417,7 +434,9 @@ object Dedup {
                    maxHamming: Int = 3): DataFrame = {
     def byteBand(sim: Column, b: Int): Column =
       shiftright(sim, 16 * b).bitwiseAND(lit(65535L))
-    val s = simHash(df, idCol, textCol)
+    // 1 row per doc, 2 fixed-width columns; without the checkpoint the
+    // 64-bitsum fingerprint expression evaluates once per self-join side
+    val s = simHash(df, idCol, textCol).localCheckpoint()
     val banded = s.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(byteBand(col("simhash"), _)): _*))
         .as(Seq("band", "bv")))
