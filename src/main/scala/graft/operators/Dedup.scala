@@ -33,9 +33,10 @@ object Dedup {
     *        the whole query quadratic — the cap bounds per-key fan-out.
     * @param maxShingleDfFrac like maxShingleDf but as a fraction of the
     *        corpus size (0 = off), for SF-independent registrations. The
-    *        corpus count rides the plan as a broadcast 1-row aggregate —
-    *        building the query runs no job, and the threshold scales with
-    *        the data instead of going stale.
+    *        corpus count rides the plan as a broadcast 1-row aggregate,
+    *        and the threshold scales with the data instead of going
+    *        stale. (Construction DOES run jobs either way — the index is
+    *        eagerly checkpointed, see the body comment.)
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
@@ -43,52 +44,50 @@ object Dedup {
                         maxShingleDfFrac: Double = 0.0): DataFrame = {
     // 64-bit shingle hashes, not shingle strings, flow through the joins
     // (collision probability ~n²/2^65 — negligible at any corpus size).
-    // NOTE (measured at sf0.1): a "narrow" variant that per-doc-dedups
-    // with array_distinct(transform(..xxhash64..)) before the explode —
-    // saving the distinct shuffle — benches 3.4× SLOWER here: projection
-    // collapse re-evaluates the shingle array per consumer and the
-    // unreduced stream hits the df-cap window exchange. Keep the explode
-    // + distinct form.
+    // NOTE (measured at sf0.1, round 5): a "narrow" variant that
+    // per-doc-dedups with array_distinct(transform(..xxhash64..)) before
+    // the explode — saving the distinct shuffle — benched 3.4× SLOWER:
+    // projection collapse re-evaluates the shingle array per consumer.
+    // Keep the explode + distinct form.
+    // Materialize the index ONCE: it feeds four plan consumers (the df
+    // cap, sizes, and both sides of the candidate self-join), and Spark
+    // duplicates the subtree per consumer — measured at sf0.001 the
+    // tokenize/explode/distinct pipeline planned 4 windows and 8 scans
+    // with zero exchange reuse (the joins broadcast, so no shared
+    // shuffle stage exists to reuse). Only fixed-width (doc, h) rows are
+    // stored, never shingle text; construction runs the one job (same
+    // eager-localCheckpoint trade as connectedComponents).
     val sh0 = df
       .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("__tk"))
       .select(col("doc"),
         explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("sg"))
       .select(col("doc"), xxhash64(col("sg")).as("h"))
       .distinct()
-    // df cap via a window count over h — NOT a separate aggregate+join,
-    // which would recompute the whole tokenize/explode/distinct subtree
-    // and shuffle it a second time. The window shuffles the inverted
-    // index on h once (the partitioning the candidate join wants anyway);
-    // a viral shingle costs k linear rows in one task here instead of the
-    // k² join rows the cap then prevents.
+      .localCheckpoint()
+    // df cap as a hash AGGREGATION over the checkpointed index plus an
+    // anti-join against the (tiny) viral set — map-side combine, and a
+    // viral hash never lands in one task the way a count-over-window
+    // would route it. The viral set is NOT hint-broadcast: its size is
+    // bounded by total/(cap) for sane caps but adversarial caps (df 1)
+    // make it large, and an AQE shuffle anti-join degrades, never OOMs.
     val sh =
       if (maxShingleDf <= 0 && maxShingleDfFrac <= 0) sh0
       else {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
-        val withDf = sh0.withColumn("__df", count(lit(1)).over(w))
-        val capped =
+        val dfreq = sh0.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+        val viral =
           if (maxShingleDfFrac > 0) {
             val nDocs = df.agg(countDistinct(col(idCol)).as("__n"))
-            withDf.crossJoin(broadcast(nDocs))
-              .filter(col("__df") <= ceil(col("__n") * maxShingleDfFrac))
-              .drop("__n")
-          } else withDf.filter(col("__df") <= maxShingleDf)
-        capped.drop("__df")
+            dfreq.crossJoin(broadcast(nDocs))
+              .filter(col("__df") > ceil(col("__n") * maxShingleDfFrac))
+          } else dfreq.filter(col("__df") > maxShingleDf)
+        sh0.join(viral.select(col("h")), Seq("h"), "left_anti")
+          .localCheckpoint()
       }
-    // materialize the (capped) index ONCE: it feeds four plan consumers
-    // (sizes, and both sides of the candidate self-join), and Spark
-    // duplicates the subtree per consumer — measured at sf0.001 the
-    // tokenize/explode/distinct/window pipeline planned 4 windows and 8
-    // scans with zero exchange reuse (the joins broadcast, so no shared
-    // shuffle stage exists to reuse). Only fixed-width (doc, h) rows are
-    // stored, never shingle text; construction runs the one job (same
-    // eager-localCheckpoint trade as connectedComponents).
-    val shc = sh.localCheckpoint()
     // carry each doc's shingle-set size into the index so the exact
     // size-ratio bound (jaccard >= t ⇒ min(sz) >= t*max(sz)) prunes pairs
     // inside the join itself, before any pair reaches the aggregation
-    val sizes = shc.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    val idx = shc.join(sizes, "doc")
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val idx = sh.join(sizes, "doc")
     idx.as("a")
       .join(idx.as("b"),
         col("a.h") === col("b.h") && col("a.doc") < col("b.doc") &&
@@ -113,13 +112,11 @@ object Dedup {
     * @param maxShingleDfFrac drop shingles present in more than this
     *        fraction of CORPUS documents (0 = off) — the skew guard: a
     *        boilerplate shingle in half the corpus index would make
-    *        every daily drop quadratic on that one key. The df rides a
-    *        single window over the side-tagged union of both indexes
-    *        (the h-partitioning the candidate join wants anyway, and no
-    *        second evaluation of either shingle subtree); a capped
-    *        shingle leaves BOTH sides, so intersections and set sizes
-    *        stay consistent under the same universe rule as the
-    *        symmetric operator.
+    *        every daily drop quadratic on that one key. The df is a
+    *        map-side-combined aggregation over the checkpointed
+    *        side-tagged union of both indexes; a capped shingle leaves
+    *        BOTH sides, so intersections and set sizes stay consistent
+    *        under the same universe rule as the symmetric operator.
     * @return (batch_doc, corpus_doc, jaccard) with jaccard >= threshold
     */
   def incrementalJaccardPairs(corpus: DataFrame, batch: DataFrame,
@@ -134,28 +131,33 @@ object Dedup {
         explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("sg"))
       .select(lit(side).as("side"), col("doc"), xxhash64(col("sg")).as("h"))
       .distinct()
-    val u0 = shingles(batch, "b").union(shingles(corpus, "c"))
-    val u =
-      if (maxShingleDfFrac <= 0) u0
-      else {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
-        val withDf = u0.withColumn("__df",
-          count(when(col("side") === "c", 1)).over(w))
-        val nCorpus = corpus.agg(countDistinct(col(idCol)).as("__n"))
-        withDf.crossJoin(broadcast(nCorpus))
-          .filter(col("__df") <= ceil(col("__n") * maxShingleDfFrac))
-          .drop("__df", "__n")
-      }
-    // The index feeds FOUR plan consumers (sizes and the candidate join,
-    // each for both sides); Spark duplicates the subtree per consumer —
-    // measured at sf0.1, the tokenize/explode/distinct/window pipeline
-    // executes 4x and the table scans 12x (exchange reuse does NOT kick
-    // in: the joins broadcast, so there is no shared shuffle stage).
+    // The index feeds FOUR plan consumers (the df cap, sizes, and both
+    // candidate-join inputs); Spark duplicates the subtree per consumer —
+    // measured at sf0.1, the tokenize/explode/distinct pipeline executed
+    // 4x and the tables scanned 12x (exchange reuse does NOT kick in:
+    // the joins broadcast, so there is no shared shuffle stage).
     // Materialize it ONCE instead — same eager-localCheckpoint trade as
     // connectedComponents (construction runs a job; blocks are lost with
     // an executor, acceptable for a batch operator, and only fixed-width
     // (side, doc, h) rows are stored, never text).
-    val uc = u.localCheckpoint()
+    val u0 = shingles(batch, "b").union(shingles(corpus, "c")).localCheckpoint()
+    // corpus-df cap as a hash aggregation over the checkpointed index
+    // plus an anti-join against the (tiny) viral set — map-side combine;
+    // a viral hash never lands in one task the way a count-over-window
+    // would route it, and the un-hinted anti-join degrades to a shuffle
+    // rather than OOM if a pathological cap makes the viral set large.
+    // A capped shingle leaves BOTH sides (one-universe rule).
+    val uc =
+      if (maxShingleDfFrac <= 0) u0
+      else {
+        val nCorpus = corpus.agg(countDistinct(col(idCol)).as("__n"))
+        val viral = u0.filter(col("side") === "c")
+          .groupBy(col("h")).agg(count(lit(1)).as("__df"))
+          .crossJoin(broadcast(nCorpus))
+          .filter(col("__df") > ceil(col("__n") * maxShingleDfFrac))
+        u0.join(viral.select(col("h")), Seq("h"), "left_anti")
+          .localCheckpoint()
+      }
     // sizes AFTER the cap: jaccard is computed over the capped universe
     val sizes = uc.groupBy(col("side"), col("doc")).agg(count(lit(1)).as("sz"))
     val idx = uc.join(sizes, Seq("side", "doc"))
