@@ -87,6 +87,30 @@ class DedupClusterSpec extends SparkSpec {
     assert(got.size == 1000 && got.values.toSet == Set(1L))
   }
 
+  test("random graphs match a union-find oracle (seeded property sweep)") {
+    // two utterly different fixpoint engines agreeing: Spark min-label
+    // propagation (+ pointer doubling) vs a driver-side union-find
+    (0 until 8).foreach { trial =>
+      val rnd = new scala.util.Random(1000L + trial)
+      val n = 30 + rnd.nextInt(50)
+      val nodes = (1L to n.toLong).toSeq
+      val edges = Seq.fill(rnd.nextInt(2 * n))(
+        (1L + rnd.nextInt(n), 1L + rnd.nextInt(n))).filter(e => e._1 != e._2)
+      val parent = scala.collection.mutable.Map(nodes.map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra max rb) = ra min rb
+      }
+      // canonical label = min id per component (path-compress to roots,
+      // then take the min id over each root's members)
+      val byRoot = nodes.groupBy(find)
+      val want = byRoot.flatMap { case (_, ms) => ms.map(_ -> ms.min) }
+      val got = run(nodes, edges)
+      assert(got == want, s"trial $trial (n=$n, e=${edges.length})")
+    }
+  }
+
   test("every component label is a member of its own component") {
     val edges = Seq((10L, 11L), (11L, 12L), (20L, 21L), (30L, 31L), (31L, 32L), (32L, 30L))
     val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct :+ 99L
