@@ -90,7 +90,14 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(3)
     val errorsJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val totalStr = BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"errors":$errorsJson,"slowest":${toJson(slowest)}}""")
+    // 1-minute system load at the end of the run: totals from a machine
+    // running concurrent builds/tests are not comparable (rounds 4–5 had
+    // load-polluted artifacts) — a load far above the bench's own
+    // footprint marks this run's numbers as suspect
+    val load = BigDecimal(math.max(0.0,
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage)).setScale(1, BigDecimal.RoundingMode.HALF_UP)
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"errors":$errorsJson,"load1m":$load,"slowest":${toJson(slowest)}}""")
     spark.stop()
   }
 }
