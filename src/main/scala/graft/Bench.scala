@@ -21,6 +21,13 @@ object Bench {
     require(only.isEmpty || ordered.nonEmpty,
       s"SPARK_GRAFT_BENCH_ONLY=${only.get.mkString(",")} matches no query")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    def loadAvg(): Double = math.max(0.0,
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage)
+    // sampled BEFORE the warm pass: contention that subsides mid-bench
+    // still polluted the timed numbers, and an end-only sample would
+    // report a reassuring low value for exactly that run
+    val loadStart = loadAvg()
 
     /** min-of-N timing of every bench query against one sf directory.
       * A run that throws contributes no timing; a query whose every run
@@ -90,13 +97,13 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(3)
     val errorsJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val totalStr = BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    // 1-minute system load at the end of the run: totals from a machine
-    // running concurrent builds/tests are not comparable (rounds 4–5 had
-    // load-polluted artifacts) — a load far above the bench's own
-    // footprint marks this run's numbers as suspect
-    val load = BigDecimal(math.max(0.0,
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean
-        .getSystemLoadAverage)).setScale(1, BigDecimal.RoundingMode.HALF_UP)
+    // max of the 1-minute system load sampled at start AND end of the
+    // run: totals from a machine running concurrent builds/tests are not
+    // comparable (rounds 4–5 had load-polluted artifacts), and either
+    // single sample can miss contention on the other side of the run —
+    // a load far above the bench's own footprint marks the numbers suspect
+    val load = BigDecimal(math.max(loadStart, loadAvg()))
+      .setScale(1, BigDecimal.RoundingMode.HALF_UP)
     println(s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"errors":$errorsJson,"load1m":$load,"slowest":${toJson(slowest)}}""")
     spark.stop()
   }

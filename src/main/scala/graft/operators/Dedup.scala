@@ -381,8 +381,10 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIters rounds — " +
-          "with pointer-doubling past round " + shortcutAfter + " that " +
-          "needs diameter > 2^(maxIters-shortcutAfter); raise maxIters")
+          "with pointer-doubling past round " + shortcutAfter + " reach " +
+          s"is at least 2^(${maxIters - shortcutAfter}) hops (more counting " +
+          "the plain propagation hop each doubling round adds); a graph " +
+          "needing this diameter is pathological — raise maxIters")
     // singletons (and any node absent from the edge set) label themselves
     nodes.select(col("id"))
       .join(labels, Seq("id"), "left")
@@ -434,6 +436,13 @@ object Dedup {
     * fingerprint cannot differ between engines. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    // 4 bands pigeonhole-guarantee recall only up to hamming 3 (4 or more
+    // flipped bits can hit all four bands); past that the blocking would
+    // silently under-recall, so refuse rather than mislead
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simHashPairs: 16-bit×4 banding guarantees candidate recall only " +
+        s"for maxHamming <= 3 (got $maxHamming); use minHashLshPairs or " +
+        "ngramJaccardPairs for looser similarity")
     def byteBand(sim: Column, b: Int): Column =
       shiftright(sim, 16 * b).bitwiseAND(lit(65535L))
     // 1 row per doc, 2 fixed-width columns; without the checkpoint the

@@ -66,10 +66,14 @@ object Scrub {
       .select(cols :+ explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("sg"): _*)
       .distinct()
     val trainSh = shingleSet(train, col(idCol))
-    val evalSh0 = shingleSet(eval)
     val evalSh =
-      if (maxEvalShingles <= 0) evalSh0
+      if (maxEvalShingles <= 0) shingleSet(eval)
       else {
+        // the guard path has two consumers of the eval shingle pipeline
+        // (the count aggregate and the broadcast stream) — materialize it
+        // once so tokenize+explode+distinct doesn't run twice (same
+        // eager-localCheckpoint trade as the Dedup pair family)
+        val evalSh0 = shingleSet(eval).localCheckpoint()
         // the 1-row count stays explicitly broadcast: if Catalyst chose
         // the shingle side as build side, the full eval set would be
         // collected before the assert runs — the window the guard closes

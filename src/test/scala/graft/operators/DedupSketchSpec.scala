@@ -66,4 +66,17 @@ class DedupSketchSpec extends SparkSpec {
     assert(pairs.length == pairs.distinct.length)
     assert(pairs.toSet == Set((10L, 11L), (10L, 12L), (11L, 12L)))
   }
+
+  test("maxHamming past the banding guarantee is refused, not under-recalled") {
+    val corpus = docs(1L -> "alpha beta", 2L -> "gamma delta")
+    // hamming 4 can flip one bit in every band — blocking would silently
+    // miss such pairs, so the operator must reject the parameter
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming = 4)
+    }
+    assert(e.getMessage.contains("maxHamming"))
+    assert(intercept[IllegalArgumentException] {
+      Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming = -1)
+    }.getMessage.contains("maxHamming"))
+  }
 }
