@@ -1406,8 +1406,11 @@ object SparkEntry {
       maxShingleDfFrac = 0.1)
   }
 
-  private val q61Sql =
-    """WITH t AS (SELECT doc_id,
+  // shared by q61 (plain) and q68 (bloom-prefiltered — the prefilter is
+  // semantics-preserving, so BOTH certify against this same pipeline,
+  // which is exactly what q68 exists to prove)
+  private def incrementalDedupSql(threshold: String) =
+    s"""WITH t AS (SELECT doc_id,
       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS hv,
       |    list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
       |sh0 AS (SELECT DISTINCT doc_id AS doc, hv, sg FROM (
@@ -1425,7 +1428,9 @@ object SparkEntry {
       |SELECT x AS batch_doc, y AS corpus_doc,
       |  cnt*1.0/(sa.s + sb.s - cnt) AS jaccard
       |FROM i JOIN sz sa ON i.x = sa.doc JOIN sz sb ON i.y = sb.doc
-      |WHERE cnt*1.0/(sa.s + sb.s - cnt) >= 0.5""".stripMargin
+      |WHERE cnt*1.0/(sa.s + sb.s - cnt) >= $threshold""".stripMargin
+
+  private val q61Sql = incrementalDedupSql("0.5")
 
   // q62 — deterministic train/val/test split (operators/Sampling): hash-
   // range labels that never move a document between splits as the corpus
@@ -1609,6 +1614,107 @@ object SparkEntry {
       |WHERE d.source <> 'src0'""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q68 — bloom-prefiltered incremental dedup (operators/Dedup +
+  // functions/BloomMightContainLong): q61's asymmetric probe with the
+  // runtime semi-join reduction enabled — a Bloom sketch of the batch
+  // shingle hashes prunes the corpus index at its scan, before the
+  // candidate join's exchange. The prefilter is semantics-preserving, so
+  // the oracle is the SAME pipeline as q61's (at this registration's
+  // threshold): two engines agreeing here certifies the sketch pruned
+  // nothing it shouldn't have.
+  // ---------------------------------------------------------------------
+  private def q68IncrementalDedupBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val slice = pmod(Dedup.baseHash32(col("doc_id").cast("string")), lit(10))
+    Dedup.incrementalJaccardPairs(
+      corpus = docs.filter(slice =!= 0),
+      batch = docs.filter(slice === 0),
+      idCol = "doc_id", textCol = "text", n = 3, threshold = 0.4,
+      maxShingleDfFrac = 0.1, bloomFpp = 0.03)
+  }
+
+  private val q68Sql = incrementalDedupSql("0.4")
+
+  // ---------------------------------------------------------------------
+  // q69 — per-source token budget (operators/Sampling.weightBudget):
+  // each source contributes at most 400 tokens to the mix, docs admitted
+  // in salted-hash order — the budget-shaped sibling of q53's per-group
+  // cap, exact against the oracle's running-sum window while running as
+  // the two-phase bucket histogram at scale.
+  // ---------------------------------------------------------------------
+  private def q69TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    Sampling.weightBudget(docs, "doc_id", "n_tokens", "source", budget = 400L)
+  }
+
+  private val q69Sql =
+    """WITH t AS (SELECT doc_id, source,
+      |    CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':budget'), 1, 8)) AS BIGINT) AS hv
+      |  FROM documents),
+      |r AS (SELECT doc_id, source, n_tokens,
+      |        SUM(n_tokens) OVER (PARTITION BY source ORDER BY hv, doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |      FROM t)
+      |SELECT doc_id, source, n_tokens FROM r WHERE run <= 400""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q70 — temperature-flattened mixture weights (operators/Sampling):
+  // per-source sampling shares ∝ sqrt(source token mass), T=0.5 — the
+  // multilingual rebalance that upweights low-resource sources. sqrt is
+  // IEEE-correctly-rounded in both engines (pow is not — why T is
+  // restricted), and everything after floor(10^6·sqrt) is integer-exact,
+  // so the ppm shares certify hash-exact.
+  // ---------------------------------------------------------------------
+  private def q70TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    Sampling.temperatureMixWeights(docs, "source", "n_tokens", temperature = 0.5)
+  }
+
+  private val q70Sql =
+    """WITH t AS (SELECT source,
+      |    len(list_filter(string_split(text,' '), x -> x <> '')) AS w FROM documents),
+      |p AS (SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_docs,
+      |        CAST(sum(w) AS BIGINT) AS total_weight FROM t GROUP BY 1),
+      |s AS (SELECT stratum, n_docs, total_weight,
+      |        CAST(floor(1000000.0 * sqrt(CAST(total_weight AS DOUBLE))) AS BIGINT) AS score
+      |      FROM p),
+      |tot AS (SELECT sum(score) AS ts FROM s)
+      |SELECT stratum, n_docs, total_weight, score,
+      |  CAST((score * 1000000) // ts AS BIGINT) AS weight_ppm
+      |FROM s, tot""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q71 — vocabulary-drift matrix (operators/CorpusStats.vocabDrift):
+  // top-40 token sets per source, pairwise Jaccard — the rank-based
+  // distribution-shift monitor between corpus slices. The top-k runs as
+  // the frequency-banded two-phase rank (q53's trick keyed on count bit
+  // length), never a whole-vocabulary single-task sort.
+  // ---------------------------------------------------------------------
+  private def q71VocabDrift(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.vocabDrift(Tables.documents(spark, dir), "source", "text", k = 40)
+
+  private val q71Sql =
+    """WITH t AS (SELECT source,
+      |    unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok FROM documents),
+      |c AS (SELECT source, tok, count(*) AS c FROM t GROUP BY 1, 2),
+      |r AS (SELECT source, tok,
+      |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, tok) AS rk
+      |      FROM c),
+      |k AS (SELECT source, tok FROM r WHERE rk <= 40),
+      |sz AS (SELECT source, count(*) AS s FROM k GROUP BY 1),
+      |i AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+      |      FROM k a JOIN k b ON a.tok = b.tok AND a.source < b.source
+      |      GROUP BY 1, 2)
+      |SELECT src_a, src_b, CAST(shared AS BIGINT) AS shared_topk,
+      |  shared*1.0/(sa.s + sb.s - shared) AS jaccard
+      |FROM i JOIN sz sa ON i.src_a = sa.source JOIN sz sb ON i.src_b = sb.source""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -1678,6 +1784,10 @@ object SparkEntry {
     Q("q65_training_manifest", q65TrainingManifest, Some(q65Sql)),
     Q("q66_dup_span_coverage", q66DupSpanCoverage, Some(q66Sql)),
     Q("q67_ngram_commonness", q67NgramCommonness, Some(q67Sql)),
+    Q("q68_incremental_dedup_bloom", q68IncrementalDedupBloom, Some(q68Sql)),
+    Q("q69_token_budget", q69TokenBudget, Some(q69Sql)),
+    Q("q70_temperature_mix", q70TemperatureMix, Some(q70Sql)),
+    Q("q71_vocab_drift", q71VocabDrift, Some(q71Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -66,6 +66,71 @@ object CorpusStats {
           .as("chunk_tokens"))
   }
 
+  /** Vocabulary-drift matrix: Jaccard overlap of each source pair's
+    * top-`k` token sets — the cheap distribution-shift signal between
+    * corpus slices ("did the new crawl's vocabulary move away from the
+    * curated set"), rank-based so it stays integer-exact where a
+    * KL/perplexity comparison would drag non-portable log() floats
+    * through the oracle. Ranking order is (count DESC, token ASC):
+    * total, deterministic, replay-stable.
+    *
+    * Scale: the token-count table is one map-side-combined aggregation
+    * (never more than sources × vocabulary rows, already far smaller
+    * than the corpus), and the top-k selection reuses the two-phase
+    * bucket-histogram rank trick ([[Sampling.capPerGroup]]'s shape)
+    * keyed on count MAGNITUDE (bit length): whole frequency bands whose
+    * better-ranked mass already exceeds k are dropped before any sort,
+    * so no per-source vocabulary ever sorts in a single task — the
+    * band that pays a sort holds one binary magnitude, and the long
+    * count==1 tail is only sorted when k genuinely reaches into it.
+    * The final pair join runs on sources × k rows — broadcast-trivial.
+    *
+    * Output: (src_a, src_b, shared_topk, jaccard) for unordered pairs
+    * with at least one shared top-k token; jaccard is one exact integer
+    * division (|∩| / |A ∪ B|), bit-identical across engines. */
+  def vocabDrift(df: DataFrame, srcCol: String, textCol: String,
+                 k: Int = 50): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val counts = df
+      .select(col(srcCol).as("__src"), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col("__src"), explode(col("__tk")).as("__tok"))
+      .groupBy(col("__src"), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+    // band = -bit_length(count): ascending band order == descending
+    // count magnitude (counts of one band never outrank a lower band),
+    // and the within-band window re-sorts by the exact (count DESC,
+    // token) order, so the two-phase rank equals the global rank
+    val banded = counts.withColumn("__bk", -length(bin(col("__c"))))
+    val hist = banded
+      .groupBy(col("__src").as("__g"), col("__bk").as("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("__below",
+      coalesce(sum(col("__cnt")).over(wc), lit(0L)))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__src"), col("__bk"))
+      .orderBy(col("__c").desc, col("__tok"))
+    val topk = banded
+      .join(cum, banded("__src") === cum("__g") && banded("__bk") === cum("__b"))
+      .filter(col("__below") < k)
+      .withColumn("__rk", row_number().over(wb))
+      .filter(col("__rk") <= lit(k.toLong) - col("__below"))
+      .select(col("__src"), col("__tok"))
+    val sizes = topk.groupBy(col("__src")).agg(count(lit(1)).as("__sz"))
+    val idx = topk.join(sizes, "__src")
+    idx.as("a")
+      .join(idx.as("b"),
+        col("a.__tok") === col("b.__tok") && col("a.__src") < col("b.__src"))
+      .groupBy(col("a.__src").as("src_a"), col("b.__src").as("src_b"),
+        col("a.__sz").as("__sza"), col("b.__sz").as("__szb"))
+      .agg(count(lit(1)).as("shared_topk"))
+      .select(col("src_a"), col("src_b"), col("shared_topk"),
+        (col("shared_topk") * lit(1.0) /
+          (col("__sza") + col("__szb") - col("shared_topk"))).as("jaccard"))
+  }
+
   /** Cross-source duplication matrix: for each unordered source pair, how
     * many distinct n-token shingles appear in BOTH — the "is source B
     * scraping the same sites as source A / leaking the eval set" curation

@@ -117,13 +117,35 @@ object Dedup {
     *        side-tagged union of both indexes; a capped shingle leaves
     *        BOTH sides, so intersections and set sizes stay consistent
     *        under the same universe rule as the symmetric operator.
+    * @param bloomFpp when > 0, build a Bloom filter over the BATCH
+    *        shingle hashes (the small side — a daily drop vs a 100 TB
+    *        corpus) and probe it at the CORPUS index scan, pruning
+    *        corpus shingles that cannot match any batch shingle BEFORE
+    *        the candidate join's shuffle — the classic runtime
+    *        semi-join reduction. Semantics-preserving by construction:
+    *        a pruned corpus shingle has no batch partner, so it could
+    *        only have produced join misses; false positives merely ride
+    *        to the join and fail the equality there. Set sizes are
+    *        computed before the probe, so jaccard denominators are
+    *        unchanged. The filter build is an explicit bounded action
+    *        (same contract as IVF training): if the batch index exceeds
+    *        `maxBloomItems` the prefilter is SKIPPED — the operator
+    *        degrades to the plain join rather than collecting an
+    *        oversized sketch to the driver.
+    * @param maxBloomItems bloom-build bound, in (side, doc, h) index
+    *        rows (an overestimate of distinct hashes — costs sketch
+    *        bits, never correctness). The default (~64M rows, ≈100 MB
+    *        of sketch at 1% fpp) is sized to what a driver can
+    *        comfortably hold and broadcast.
     * @return (batch_doc, corpus_doc, jaccard) with jaccard >= threshold
     */
   def incrementalJaccardPairs(corpus: DataFrame, batch: DataFrame,
                               idCol: String, textCol: String,
                               n: Int = 3,
                               threshold: Double = 0.5,
-                              maxShingleDfFrac: Double = 0.0): DataFrame = {
+                              maxShingleDfFrac: Double = 0.0,
+                              bloomFpp: Double = 0.0,
+                              maxBloomItems: Long = 1L << 26): DataFrame = {
     def shingles(df: DataFrame, side: String): DataFrame = df
       .select(col(idCol).as("doc"),
         TextAnalysis.tokens(col(textCol)).as("__tk"))
@@ -161,8 +183,27 @@ object Dedup {
     // sizes AFTER the cap: jaccard is computed over the capped universe
     val sizes = uc.groupBy(col("side"), col("doc")).agg(count(lit(1)).as("sz"))
     val idx = uc.join(sizes, Seq("side", "doc"))
+    // runtime semi-join reduction of the (big) corpus side — see the
+    // @param bloomFpp contract. Sizes above came from the UNpruned index,
+    // so denominators are exact; the probe expression is codegen'd
+    // (functions/BloomMightContainLong) and runs at the scan of the
+    // checkpointed index, upstream of the join's exchange.
+    val corpusIdx = {
+      val base = idx.filter(col("side") === "c")
+      if (bloomFpp <= 0) base
+      else {
+        val nBatchRows = uc.filter(col("side") === "b").count()
+        if (nBatchRows == 0 || nBatchRows > maxBloomItems) base
+        else {
+          val bloom = uc.filter(col("side") === "b")
+            .stat.bloomFilter("h", nBatchRows, bloomFpp)
+          base.filter(
+            graft.functions.BloomProbe.mightContainLong(col("h"), bloom))
+        }
+      }
+    }
     idx.filter(col("side") === "b").as("b")
-      .join(idx.filter(col("side") === "c").as("c"),
+      .join(corpusIdx.as("c"),
         col("b.h") === col("c.h") &&
           least(col("b.sz"), col("c.sz")) >=
             lit(threshold) * greatest(col("b.sz"), col("c.sz")))

@@ -104,6 +104,64 @@ object Sampling {
       .drop("__rk", "__hv", "__bk", "__g", "__b", "__cnt", "__below")
   }
 
+  /** Deterministic per-stratum weight budget: keep rows of each stratum
+    * in salted-hash order while the running weight total (inclusive)
+    * stays within `budget` — "each source contributes at most B tokens
+    * to the mix", the budget-shaped sibling of [[capPerGroup]]'s
+    * count-shaped rule. The kept set is a pure function of the data
+    * (order is (hash, id); ids are unique, so no ties), replay-stable,
+    * and exactly reproducible by the SQL oracle's running-sum window.
+    * A single row heavier than the whole budget is dropped along with
+    * everything after it — budget means budget.
+    *
+    * Scale form mirrors [[capPerGroup]], generalized from row counts to
+    * weight sums: a naive `SUM(w) OVER (PARTITION BY stratum ORDER BY
+    * hash)` sorts every row of a stratum in ONE task. Instead:
+    *
+    *  1. per-(stratum, bucket) weight sums, bucket = hash >> shift
+    *     (order-preserving) — map-side combined, at most
+    *     strata x `buckets` rows shuffle;
+    *  2. a running sum over each stratum's <= `buckets` sums gives each
+    *     bucket the weight strictly below it; `below >= budget` drops
+    *     whole buckets BEFORE any sort, and the surviving rows (fully
+    *     kept buckets plus one boundary bucket per stratum) take a
+    *     bounded (stratum, bucket) window whose inclusive running sum
+    *     finishes the exact rule: keep while below + run <= budget.
+    */
+  def weightBudget(df: DataFrame, idCol: String, weightCol: String,
+                   stratumCol: String, budget: Long,
+                   buckets: Int = 1024): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two, got $buckets")
+    val shift = 32 - java.lang.Integer.numberOfTrailingZeros(buckets)
+    val withB = df
+      .withColumn("__hv", purposeHash(col(idCol), ":budget"))
+      .withColumn("__bk", shiftright(col("__hv"), shift))
+    val sums = withB
+      .groupBy(col(stratumCol).as("__g"), col("__bk").as("__b"))
+      .agg(sum(col(weightCol)).as("__wsum"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = sums.withColumn("__below",
+      coalesce(sum(col("__wsum")).over(wc), lit(0L)))
+    // <= (not <): a bucket whose strictly-below weight EQUALS the budget
+    // can still keep leading zero-weight rows (inclusive cum == budget);
+    // the final run filter rejects everything else in it
+    val joined = withB
+      .join(cum, withB(stratumCol) <=> cum("__g") && withB("__bk") === cum("__b"))
+      .filter(col("__below") <= budget)
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol), col("__bk"))
+      .orderBy(col("__hv"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    joined
+      .withColumn("__run", sum(col(weightCol)).over(wb))
+      .filter(col("__below") + col("__run") <= budget)
+      .drop("__hv", "__bk", "__g", "__b", "__wsum", "__below", "__run")
+  }
+
   /** Deterministic shard id in [0, nShards): hash(id||":shard") mod n.
     * Shard membership is a pure function of the data — the shard a
     * document trains in never depends on partitioning, retries, or
@@ -194,6 +252,45 @@ object Sampling {
         explode(when(col("__n") >= 1, sequence(lit(1L), col("__n")))
           .otherwise(array().cast("array<bigint>"))))
       .drop("__n")
+  }
+
+  /** Temperature-flattened mixture weights: per-stratum sampling weights
+    * w_s ∝ (total weight of stratum s)^T — the standard multilingual /
+    * multi-source rebalance (T=1 is proportional sampling, T→0 uniform;
+    * T=0.5 is the common compromise that upweights low-resource strata
+    * without drowning the head). Emits per stratum: doc count, total
+    * weight (e.g. tokens), the integer score floor(10^6 ·
+    * total_weight^T), and the mixture share in parts-per-million via
+    * integer division of score sums.
+    *
+    * Determinism contract: only T ∈ {0.5, 1.0} is accepted — sqrt is
+    * IEEE-754 correctly rounded in every engine (pow is NOT), so
+    * floor(10^6·sqrt(x)) is bit-identical between Spark and the DuckDB
+    * oracle, and everything after the floor is integer-exact. The ppm
+    * division is `div` (integer), with both operands positive, so
+    * truncate-vs-floor dialect differences cannot bite.
+    *
+    * Scale: one map-side-combined aggregation to #strata rows, a 1-row
+    * score total broadcast back over them — nothing here ever holds more
+    * than #strata rows after the first aggregation. */
+  def temperatureMixWeights(df: DataFrame, stratumCol: String,
+                            weightCol: String,
+                            temperature: Double = 0.5): DataFrame = {
+    require(temperature == 0.5 || temperature == 1.0,
+      "temperatureMixWeights: only T=0.5 (sqrt, IEEE-exact and therefore " +
+        s"oracle-portable) and T=1.0 are supported, got $temperature")
+    val per = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_docs"), sum(col(weightCol)).as("total_weight"))
+    val score =
+      if (temperature == 1.0) col("total_weight")
+      else floor(lit(1000000.0) * sqrt(col("total_weight").cast("double")))
+        .cast("long")
+    val scored = per.withColumn("score", score)
+    val tot = scored.agg(sum(col("score")).as("__tot"))
+    scored.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_docs"), col("total_weight"), col("score"),
+        call_function("div", col("score") * lit(1000000L), col("__tot"))
+          .as("weight_ppm"))
   }
 
   /** Stratified variant: per-stratum keep rates (percent), e.g. keep 50%

@@ -61,4 +61,66 @@ class CorpusStatsSpec extends SparkSpec {
       .toMap
     assert(out2 == Map(("sA", "sB") -> 1L))
   }
+
+  test("vocab drift: top-k sets, exact jaccard, count-desc-token-asc order") {
+    import spark.implicits._
+    // srcA top-2: x (3), y (2); srcB top-2: x (4), z (2); shared = {x}
+    val df = Seq(
+      (1L, "x x x y y w", "srcA"),
+      (2L, "x x x x z z q", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusStats.vocabDrift(df, "source", "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq == Seq(("srcA", "srcB", 1L, 1.0 / 3.0)))
+    // tie at count 1 breaks by token asc: srcC top-2 of {c,a,b} is {a,b},
+    // sharing {a, b} with srcD's {a (x2), b (x2)} — jaccard 1.0
+    val tied = Seq(
+      (3L, "c a b", "srcC"),
+      (4L, "a a b b", "srcD")
+    ).toDF("doc_id", "text", "source")
+    val out2 = CorpusStats.vocabDrift(tied, "source", "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out2.toSeq == Seq(("srcC", "srcD", 2L, 1.0)))
+  }
+
+  test("vocab drift two-phase rank equals the naive global rank (sweep)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // heavy-tailed counts across band boundaries: token t_i appears ~2^(i%8)
+    // times, so several tokens share each magnitude band and k cuts into
+    // a band's interior — the case the banded prune must get exactly right
+    (0 until 3).foreach { trial =>
+      val rnd = new scala.util.Random(7L + trial)
+      val rows = for {
+        s <- Seq("s1", "s2", "s3")
+        i <- 0 until 40
+        _ <- 0 until (1 << (i % 8)) if rnd.nextInt(4) > 0
+      } yield (s, s"tok${i % 25}")
+      val df = rows.zipWithIndex
+        .map { case ((s, t), ix) => (ix.toLong, s, t) }
+        .toDF("id", "src", "tok")
+        .select(col("id"), col("src").as("source"),
+          col("tok").as("text")) // one token per "doc" — counts add up
+      val k = 7
+      val got = CorpusStats.vocabDrift(df, "source", "text", k)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      // naive oracle: full window rank, then pairwise intersection
+      val counts = df.groupBy(col("source"), col("text").as("tok"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("c").desc, col("tok"))
+      val topk = counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k).select(col("source"), col("tok"))
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      val bySrc = topk.groupBy(_._1).map { case (s, ts) => s -> ts.map(_._2).toSet }
+      val want = (for {
+        a <- bySrc.keys; b <- bySrc.keys if a < b
+        shared = (bySrc(a) & bySrc(b)).size if shared > 0
+      } yield (a, b, shared.toLong)).toSet
+      assert(got == want, s"trial $trial")
+    }
+  }
 }

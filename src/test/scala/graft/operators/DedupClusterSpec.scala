@@ -52,6 +52,36 @@ class DedupClusterSpec extends SparkSpec {
     assert(pairs(0.5) == Set.empty)
   }
 
+  test("bloom prefilter changes the plan, never the result") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def text() = Seq.fill(8)(words(rnd.nextInt(words.length))).mkString(" ")
+    val corpus = (1L to 60L).map(i => (i, text())).toDF("doc_id", "text")
+    val batch = (100L to 115L).map(i => (i, text())).toDF("doc_id", "text")
+    def run(fpp: Double) =
+      Dedup.incrementalJaccardPairs(corpus, batch, "doc_id", "text",
+          n = 2, threshold = 0.3, bloomFpp = fpp)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = run(0.0)
+    assert(plain.nonEmpty) // the invariance claim needs a non-trivial set
+    assert(run(0.03) == plain)
+    // an absurdly leaky filter still only ADMITS extra candidates — the
+    // exact join discards them, so even fpp→1 is semantics-preserving
+    assert(run(0.9) == plain)
+  }
+
+  test("bloom prefilter skips itself past maxBloomItems instead of failing") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val batch = Seq((10L, "alpha beta gamma zeta")).toDF("doc_id", "text")
+    val out = Dedup.incrementalJaccardPairs(corpus, batch, "doc_id", "text",
+        n = 2, threshold = 0.3, bloomFpp = 0.03, maxBloomItems = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((10L, 1L)))
+  }
+
   test("edge endpoints outside nodes never become component labels") {
     // edges mention node 5, which is NOT in nodes: if its id propagated,
     // {7, 9} would get component 5 and keep-min (doc_id === component)

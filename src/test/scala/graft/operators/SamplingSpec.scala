@@ -186,4 +186,60 @@ class SamplingSpec extends SparkSpec {
     assert(rare.length == 2000) // 100%: every rare row survives
     assert(math.abs(en.length / 1000.0 - 0.20) < 0.06)
   }
+
+  test("weight budget matches the global running-sum definition (sweep)") {
+    import spark.implicits._
+    // oracle = the single-window global definition the scale form must
+    // equal bit-for-bit; tiny bucket count forces boundary buckets
+    (0 until 6).foreach { trial =>
+      val rnd = new scala.util.Random(100L + trial)
+      val rows = (0L until 400L).map(i =>
+        (i, s"s${i % 3}", rnd.nextInt(20).toLong)) // zero weights included
+      val df = rows.toDF("id", "src", "w")
+      val budget = 50L + rnd.nextInt(300)
+      val got = Sampling.weightBudget(df, "id", "w", "src", budget, buckets = 8)
+        .collect().map(_.getLong(0)).toSet
+      val hv = Dedup.baseHash32(concat(col("id").cast("string"), lit(":budget")))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(hv, col("id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val want = df.withColumn("__run", sum(col("w")).over(win))
+        .filter(col("__run") <= budget).collect().map(_.getLong(0)).toSet
+      assert(got == want, s"trial $trial budget=$budget")
+    }
+  }
+
+  test("weight budget keeps boundary zero-weight rows and drops over-budget heads") {
+    import spark.implicits._
+    // one row heavier than the whole budget: nothing from that stratum
+    val heavy = Seq((1L, "a", 100L), (2L, "a", 100L)).toDF("id", "src", "w")
+    assert(Sampling.weightBudget(heavy, "id", "w", "src", 40L).count() == 0)
+    // zero-weight rows cost nothing and survive regardless of position
+    val zeros = (0L until 50L).map(i => (i, "z", 0L)).toDF("id", "src", "w")
+    assert(Sampling.weightBudget(zeros, "id", "w", "src", 0L).count() == 50)
+  }
+
+  test("temperature mix weights are sqrt-flattened, integer-exact, and sum to ~1e6") {
+    import spark.implicits._
+    // 10000 vs 100 tokens: T=1 shares 99%/1%; T=0.5 flattens to 10:1
+    val df = Seq.tabulate(100)(i => ("big", 100L)) ++ Seq(("small", 100L))
+    val out = Sampling.temperatureMixWeights(
+      df.toDF("src", "w"), "src", "w", temperature = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (_, bigW, bigScore, bigPpm) = out("big")
+    val (_, smallW, smallScore, smallPpm) = out("small")
+    assert(bigW == 10000L && smallW == 100L)
+    // exact integer contract: score = floor(1e6 * sqrt(weight))
+    assert(bigScore == math.floor(1e6 * math.sqrt(10000.0)).toLong)
+    assert(smallScore == math.floor(1e6 * math.sqrt(100.0)).toLong)
+    assert(bigPpm == bigScore * 1000000L / (bigScore + smallScore))
+    // flattening: 100x the tokens gets only 10x the share
+    assert(math.abs(bigPpm.toDouble / smallPpm - 10.0) < 0.01)
+    // shares sum to 1e6 minus integer-division dust
+    assert(bigPpm + smallPpm <= 1000000L && bigPpm + smallPpm > 999998L)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMixWeights(df.toDF("src", "w"), "src", "w", 0.7)
+    }
+  }
 }
