@@ -1715,6 +1715,63 @@ object SparkEntry {
       |FROM i JOIN sz sa ON i.src_a = sa.source JOIN sz sb ON i.src_b = sb.source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q72 — span-level duplicate REMOVAL (operators/Dedup
+  // .removeDuplicateSpans): q66's coverage signal applied as an edit —
+  // tokens inside any corpus-duplicated 8-gram window are cut and the
+  // survivors re-join in order. The oracle rebuilds the cut with a
+  // position anti-join + ordered string_agg: two engines agreeing on
+  // every cleaned BODY (not just counts) certifies the interval
+  // semantics exactly.
+  // ---------------------------------------------------------------------
+  private def q72RemoveDupSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.removeDuplicateSpans(Tables.documents(spark, dir), "doc_id", "text",
+      k = 8)
+
+  private val q72Sql =
+    """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
+      |w AS (SELECT doc_id,
+      |        unnest(CASE WHEN len(tk) >= 8 THEN generate_series(1, len(tk)-7) ELSE [] END) AS pos,
+      |        unnest(CASE WHEN len(tk) >= 8
+      |          THEN list_transform(generate_series(1, len(tk)-7),
+      |                 i -> list_aggregate(tk[i:i+7], 'string_agg', ' '))
+      |          ELSE [] END) AS wt
+      |      FROM t),
+      |d AS (SELECT wt FROM w GROUP BY wt HAVING count(*) >= 2),
+      |s AS (SELECT doc_id, pos FROM w JOIN d USING (wt)),
+      |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 7)) AS cp FROM s),
+      |toks AS (SELECT doc_id, unnest(tk) AS tok, unnest(generate_series(1, len(tk))) AS p FROM t),
+      |kept AS (SELECT toks.doc_id, tok, p FROM toks
+      |         LEFT JOIN cov ON toks.doc_id = cov.doc_id AND toks.p = cov.cp
+      |         WHERE cov.cp IS NULL),
+      |kc AS (SELECT doc_id, count(*) AS c,
+      |         string_agg(tok, ' ' ORDER BY p) AS txt FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(kc.c, 0) AS BIGINT) AS kept_tokens,
+      |  coalesce(kc.txt, '') AS clean_text
+      |FROM t LEFT JOIN kc USING (doc_id)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q73 — boilerplate-shingle report (operators/CorpusStats
+  // .boilerplateShingles): the 3-gram shingles in at least 1% of docs,
+  // with document frequency — the inspection report behind the df skew
+  // caps q21/q61/q68 apply mechanically.
+  // ---------------------------------------------------------------------
+  private def q73Boilerplate(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.boilerplateShingles(Tables.documents(spark, dir), "doc_id",
+      "text", n = 3, minDfFrac = 0.01)
+
+  private val q73Sql =
+    """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, sg FROM (
+      |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+      |    THEN list_transform(generate_series(1, len(tk)-2), i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])
+      |    ELSE [] END) AS sg FROM t)),
+      |n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents)
+      |SELECT sg AS shingle, CAST(count(*) AS BIGINT) AS df,
+      |  CAST(floor(count(*) * 10000 / nd) AS BIGINT) AS df_bp
+      |FROM sh, n GROUP BY sg, nd HAVING count(*) >= ceil(nd * 0.01)""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -1788,6 +1845,8 @@ object SparkEntry {
     Q("q69_token_budget", q69TokenBudget, Some(q69Sql)),
     Q("q70_temperature_mix", q70TemperatureMix, Some(q70Sql)),
     Q("q71_vocab_drift", q71VocabDrift, Some(q71Sql)),
+    Q("q72_remove_dup_spans", q72RemoveDupSpans, Some(q72Sql)),
+    Q("q73_boilerplate", q73Boilerplate, Some(q73Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -66,6 +66,39 @@ object CorpusStats {
           .as("chunk_tokens"))
   }
 
+  /** Boilerplate-shingle report: the n-token shingles present in at
+    * least `minDfFrac` of documents, with their document frequency — the
+    * human-inspection side of the df skew caps the dedup family applies
+    * mechanically ("what IS the viral boilerplate in this crawl").
+    *
+    * Scale: explode → distinct (doc, shingle) → one map-side-combined
+    * aggregation; the corpus size rides the plan as a broadcast 1-row
+    * aggregate (the q21 idiom) so the threshold scales with the data.
+    * Shingle TEXT does flow through the distinct/groupBy here — unlike
+    * the dedup joins this operator's OUTPUT is the text, and grouping by
+    * a hash would just move the text carry to an exemplar aggregate of
+    * the same shuffle volume. Output is tiny by construction (few
+    * shingles clear a df fraction worth reporting).
+    *
+    * Output: (shingle, df, df_bp) — df_bp = floor(df·10⁴/n_docs) basis
+    * points, integer-exact. */
+  def boilerplateShingles(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 5, minDfFrac: Double = 0.05): DataFrame = {
+    require(minDfFrac > 0 && minDfFrac <= 1,
+      s"minDfFrac must be in (0, 1], got $minDfFrac")
+    val sh = df
+      .select(col(idCol).as("__doc"), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col("__doc"),
+        explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("shingle"))
+      .distinct()
+    val nDocs = df.agg(countDistinct(col(idCol)).as("__n"))
+    sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") >= ceil(col("__n") * minDfFrac))
+      .select(col("shingle"), col("df"),
+        floor(col("df") * 10000 / col("__n")).as("df_bp"))
+  }
+
   /** Vocabulary-drift matrix: Jaccard overlap of each source pair's
     * top-`k` token sets — the cheap distribution-shift signal between
     * corpus slices ("did the new crawl's vocabulary move away from the

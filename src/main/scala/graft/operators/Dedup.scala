@@ -534,6 +534,61 @@ object Dedup {
     * @return one row per input doc:
     *         (doc_id, n_tokens, covered_tokens, dup_windows)
     */
+  /** Span-level duplicate REMOVAL — the transform [[duplicateSpanCoverage]]
+    * is the signal for: every token position covered by some k-token
+    * window whose text occurs at least twice in the corpus is CUT, and
+    * the surviving tokens re-join in order — Lee et al.'s exact-substring
+    * dedup applied as an edit instead of a drop (the boilerplate leaves;
+    * the unique prose stays). Both occurrences of a duplicated window are
+    * cut; span-keeping policies (keep-first) need an order over
+    * occurrences that a distributed corpus doesn't naturally have.
+    *
+    * Scale: identical shuffle shape to [[duplicateSpanCoverage]] (60-bit
+    * window hashes aggregate map-side; duplicated starts semi-join back),
+    * plus one per-doc collect of duplicated starts — bounded by doc
+    * length, like the coverage window. The cut itself is row-local: a
+    * position-indexed array filter testing membership against the doc's
+    * own duplicated starts (O(tokens × dup-starts) per row — fine for
+    * training-doc lengths; a doc that approaches the quadratic corner is
+    * boilerplate-saturated and cheap to cut anyway since filter output
+    * shrinks with every hit).
+    *
+    * @return (doc_id, n_tokens, kept_tokens, clean_text), one row per
+    *         input doc (clean_text = "" when everything was duplicated)
+    */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 8): DataFrame = {
+    val base = df
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col("doc_id"), col("__tk"),
+        TextAnalysis.shinglesOfTokens(col("__tk"), k).as("__w"))
+    val wins = base
+      .select(col("doc_id"), posexplode(col("__w")).as(Seq("pos", "wt")))
+      .select(col("doc_id"), col("pos"), baseHash60(col("wt")).as("wh"))
+    // duplicated-hash detection: aggregation + semi-join, never a window
+    // over the hash (see duplicateSpanCoverage's scale note)
+    val dupHashes = wins.groupBy(col("wh")).agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= 2)
+      .select(col("wh"))
+    val starts = wins
+      .join(dupHashes, Seq("wh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("__st"))
+    base.join(starts, Seq("doc_id"), "left")
+      // materialize the coalesced starts BEFORE the lambda: referenced
+      // inside exists() it would re-evaluate per token (generator-token
+      // rule)
+      .select(col("doc_id"), col("__tk"),
+        coalesce(col("__st"), array().cast("array<int>")).as("__st"))
+      .select(col("doc_id"), size(col("__tk")).cast("long").as("n_tokens"),
+        filter(col("__tk"), (t, i) =>
+          !exists(col("__st"), s => s <= i && i <= s + lit(k - 1)))
+          .as("__kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("__kept")).cast("long").as("kept_tokens"),
+        array_join(col("__kept"), " ").as("clean_text"))
+  }
+
   def duplicateSpanCoverage(df: DataFrame, idCol: String, textCol: String,
                             k: Int = 8): DataFrame = {
     // project the token array before the generator (see shinglesOfTokens

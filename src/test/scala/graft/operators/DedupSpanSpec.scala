@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Span-level exact-substring dedup (Dedup.duplicateSpanCoverage /
+  * removeDuplicateSpans) and the boilerplate report that inspects what
+  * the df caps drop. */
+class DedupSpanSpec extends SparkSpec {
+
+  private val dup = (1 to 8).map(i => s"D$i").mkString(" ") // the shared 8-gram
+
+  test("duplicated spans are cut from every occurrence, order preserved") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, s"u1 u2 u3 u4 $dup v1 v2 v3 v4"),
+      (2L, s"w1 w2 w3 w4 $dup x1 x2 x3 x4"),
+      (3L, "entirely unique text that shares no eight token window at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((16L, 8L, "u1 u2 u3 u4 v1 v2 v3 v4")))
+    assert(out(2L) == ((16L, 8L, "w1 w2 w3 w4 x1 x2 x3 x4")))
+    // untouched doc passes through whole
+    assert(out(3L)._2 == out(3L)._1 && out(3L)._3.startsWith("entirely"))
+  }
+
+  test("a fully self-duplicated doc cleans to empty; short docs are exempt") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, s"$dup $dup"),     // window at 0 == window at 8 → all 16 covered
+      (2L, "too short for k") // < k tokens: no windows, nothing can be cut
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((16L, 0L, "")))
+    assert(out(2L) == ((4L, 4L, "too short for k")))
+  }
+
+  test("coverage and removal agree: kept_tokens == n_tokens - covered_tokens") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, s"a1 a2 $dup b1 b2 $dup"),
+      (2L, s"c1 $dup c2"),
+      (3L, "nothing shared here at all beyond doubt truly")
+    ).toDF("doc_id", "text")
+    val cov = Dedup.duplicateSpanCoverage(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val rem = Dedup.removeDuplicateSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    cov.keySet.foreach { id =>
+      val (n, covered) = cov(id)
+      assert(rem(id) == ((n, n - covered)), s"doc $id")
+    }
+  }
+
+  test("boilerplate report finds shingles over the df fraction, with exact bp") {
+    import spark.implicits._
+    val docs = (1L to 8L).map(i => (i, s"common three gram unique$i tail$i")) ++
+      Seq((9L, "no overlap with anything here"), (10L, "also fully distinct text"))
+    val out = CorpusStats.boilerplateShingles(docs.toDF("doc_id", "text"),
+        "doc_id", "text", n = 3, minDfFrac = 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // "common three gram" appears in 8/10 docs → df 8, 8000 bp; every
+    // other shingle carries a doc-unique token and stays under the bar
+    assert(out == Set(("common three gram", 8L, 8000L)))
+  }
+}
