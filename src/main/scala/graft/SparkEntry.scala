@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import graft.codec.{DnsWire, DnstapCodec}
 import graft.dns.{DnsAnalog, DnstapRows}
 import graft.functions.{Anonymize, DnsNames, IpFunctions}
-import graft.operators.{AsOfMatch, CorpusStats, Dedup, GroupingSetCounter, Multimodal, NgramModel, Packing, Sampling, Scrub, Similarity, SkewAgg, TextAnalysis}
+import graft.operators.{AsOfMatch, CorpusStats, Dedup, GroupingSetCounter, Multimodal, NgramModel, Packing, Quantize, Sampling, Scrub, Similarity, SkewAgg, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1772,6 +1772,133 @@ object SparkEntry {
       |FROM sh, n GROUP BY sg, nd HAVING count(*) >= ceil(nd * 0.01)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q74 — SemDeDup semantic dedup (operators/Similarity.semanticDedup,
+  // arXiv:2303.09540): IVF-cell partition (first-8 deterministic
+  // centroids, the q39 trick) + within-cell cosine near-neighbor search;
+  // a vector is dropped iff a lower-id cell-mate with cosine >= 0.4
+  // exists. The quadratic term is bounded per cell exactly as IVF bounds
+  // search cost; only (cell, id) ints shuffle out of the pair join.
+  // ---------------------------------------------------------------------
+  private def q74SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val cents = c.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("ce"))
+    Similarity.semanticDedup(c, cents, threshold = 0.4)
+  }
+
+  private val q74Sql =
+    s"""WITH c AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 8),
+      |ca AS (SELECT vec_id, embedding, cell FROM (
+      |  SELECT e.vec_id, e.embedding, c.cell,
+      |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |           ORDER BY ${duckCosine("e.embedding", "ce")} DESC, c.cell) AS crn
+      |  FROM embeddings e CROSS JOIN c) WHERE crn = 1),
+      |d AS (SELECT DISTINCT b.vec_id FROM ca a JOIN ca b
+      |      ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |      WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.4)
+      |SELECT ca.vec_id, ca.cell, (d.vec_id IS NULL) AS keep
+      |FROM ca LEFT JOIN d ON ca.vec_id = d.vec_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q75 — product-quantization ADC search (operators/Quantize): 4x16-dim
+  // subspaces, 16 deterministic first-N codewords each (SQL-reproducible
+  // training, the q39 trick per subspace). Encode is a pure narrow
+  // projection against the literal codebook (no join, no shuffle);
+  // search joins broadcast per-probe distance tables against the
+  // exploded 4-byte codes — at scale the corpus side moves codes, never
+  // floats. Per-sub distances are summed in fixed sub order, keeping the
+  // double sum bit-deterministic for the oracle.
+  // ---------------------------------------------------------------------
+  private def q75PqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val books = Quantize.pqCodebooks(c, "vec_id", "embedding", m = 4, ksub = 16)
+    val codes = Quantize.pqEncode(c, "vec_id", "embedding", books)
+    Quantize.pqSearchAdc(codes, probes(spark, dir), k = 5, books)
+  }
+
+  /** Left-to-right squared-L2 between 16-element windows of two list
+    * columns at 1-based offset `sub`*16 (mirrors Quantize.subL2). */
+  private def duckSubL2(a: String, b: String, sub: String): String =
+    s"list_reduce(list_transform(generate_series(1, 16), i -> " +
+      s"(CAST($a[$sub*16+i] AS DOUBLE) - CAST($b[$sub*16+i] AS DOUBLE)) * " +
+      s"(CAST($a[$sub*16+i] AS DOUBLE) - CAST($b[$sub*16+i] AS DOUBLE))), (x,y) -> x+y)"
+
+  private val q75Sql =
+    s"""WITH sub AS (SELECT unnest(generate_series(0, 3)) AS sub),
+      |cb AS (SELECT s.sub, e.vec_id AS code, e.embedding AS cv
+      |       FROM embeddings e CROSS JOIN sub s WHERE e.vec_id < 16),
+      |enc AS (SELECT vec_id, sub, code FROM (
+      |  SELECT x.vec_id, cb.sub, cb.code,
+      |         ROW_NUMBER() OVER (PARTITION BY x.vec_id, cb.sub
+      |           ORDER BY ${duckSubL2("x.embedding", "cb.cv", "cb.sub")}, cb.code) AS rn
+      |  FROM embeddings x CROSS JOIN cb) WHERE rn = 1),
+      |dt AS (SELECT p.vec_id AS probe_id, cb.sub, cb.code,
+      |         ${duckSubL2("p.embedding", "cb.cv", "cb.sub")} AS d
+      |       FROM embeddings p CROSS JOIN cb WHERE p.vec_id < 3),
+      |s AS (SELECT dt.probe_id, enc.vec_id,
+      |        SUM(CASE WHEN dt.sub = 0 THEN d END) + SUM(CASE WHEN dt.sub = 1 THEN d END)
+      |        + SUM(CASE WHEN dt.sub = 2 THEN d END) + SUM(CASE WHEN dt.sub = 3 THEN d END) AS adist
+      |      FROM enc JOIN dt ON enc.sub = dt.sub AND enc.code = dt.code
+      |      WHERE enc.vec_id <> dt.probe_id GROUP BY 1, 2),
+      |r AS (SELECT probe_id, vec_id, adist,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS BIGINT) AS rn
+      |      FROM s)
+      |SELECT probe_id, vec_id, adist, rn FROM r WHERE rn <= 5""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q76 — int8 scalar quantization report (operators/Quantize
+  // .int8Quantize): per-vector symmetric scale, reconstruction MSE, and
+  // a code checksum. floor(x+0.5) quantization on both sides (dialects
+  // disagree on round()'s tie rule); all accumulation left-to-right
+  // double. One narrow codegen'd projection — no shuffle at any scale.
+  // ---------------------------------------------------------------------
+  private def q76Int8Quantize(spark: SparkSession, dir: String): DataFrame =
+    Quantize.int8Quantize(corpus(spark, dir), "vec_id", "embedding")
+
+  private val q76QvSql: String =
+    "CASE WHEN scale = 0 THEN 0.0 ELSE LEAST(127.0, GREATEST(-127.0, " +
+      "FLOOR(CAST(x AS DOUBLE) / scale + 0.5))) END"
+
+  private val q76Sql =
+    s"""WITH s AS (SELECT vec_id, embedding,
+      |    list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+      |      (a, b) -> CASE WHEN b > a THEN b ELSE a END) / 127.0 AS scale
+      |  FROM embeddings)
+      |SELECT vec_id, scale,
+      |  list_reduce(list_transform(embedding,
+      |    x -> (CAST(x AS DOUBLE) - ($q76QvSql) * scale)
+      |       * (CAST(x AS DOUBLE) - ($q76QvSql) * scale)),
+      |    (x, y) -> x + y) / len(embedding) AS mse,
+      |  CAST(list_reduce(list_transform(embedding, x -> CAST(($q76QvSql) AS BIGINT)),
+      |    (x, y) -> x + y) AS BIGINT) AS code_sum
+      |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q77 — deterministic global curriculum order (operators/Sampling
+  // .globalOrder): length-binned curriculum (bin = n_chars/500 capped at
+  // 9) with a salted-hash shuffle within bins and an exact global 0-based
+  // position. The oracle states the single-sort definition; the operator
+  // runs the two-phase bucket-histogram form whose only unbounded-window
+  // input is the bins x buckets histogram, never data rows.
+  // ---------------------------------------------------------------------
+  private def q77CurriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        least(lit(9L), floor(col("n_chars") / lit(500.0)).cast("long")).as("bin"))
+    Sampling.globalOrder(docs, "doc_id", "bin")
+      .select(col("doc_id"), col("bin"), col("pos"))
+  }
+
+  private val q77Sql =
+    """WITH t AS (SELECT doc_id,
+      |    LEAST(9, CAST(floor(n_chars / 500.0) AS BIGINT)) AS bin,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':order'), 1, 8)) AS BIGINT) AS hv
+      |  FROM documents)
+      |SELECT doc_id, bin,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY bin, hv, doc_id) - 1 AS BIGINT) AS pos
+      |FROM t""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -1847,6 +1974,10 @@ object SparkEntry {
     Q("q71_vocab_drift", q71VocabDrift, Some(q71Sql)),
     Q("q72_remove_dup_spans", q72RemoveDupSpans, Some(q72Sql)),
     Q("q73_boilerplate", q73Boilerplate, Some(q73Sql)),
+    Q("q74_semantic_dedup", q74SemanticDedup, Some(q74Sql)),
+    Q("q75_pq_adc", q75PqAdc, Some(q75Sql)),
+    Q("q76_int8_quantize", q76Int8Quantize, Some(q76Sql)),
+    Q("q77_curriculum_order", q77CurriculumOrder, Some(q77Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

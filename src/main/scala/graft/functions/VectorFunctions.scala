@@ -35,6 +35,22 @@ object VectorOps {
     while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
     acc
   }
+
+  /** Squared L2 between `b` and the window of `a` starting at 0-based
+    * `off` (|b| elements). Same per-element double math and strictly
+    * left-to-right accumulation as the DuckDB oracle's `list_reduce`
+    * form — bit-reproducible. */
+  def subL2(a: ArrayData, b: ArrayData, off: Int): Double = {
+    val n = b.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(off + i).toDouble - b.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
 }
 
 /** Cosine similarity of two ARRAY<FLOAT> columns — a codegen'd native
@@ -87,12 +103,46 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Squared L2 distance between a window of the left ARRAY<FLOAT> (0-based
+  * element offset `offset`, right's length) and the right ARRAY<FLOAT> —
+  * the product-quantization subspace kernel. One codegen'd loop per row;
+  * with a literal codeword on the right the whole candidate-distance set
+  * of a PQ encode stays a handful of expression nodes instead of an
+  * unrolled per-element tree (which serialized to ~10 MB task binaries).
+  */
+case class SubvectorL2(left: Expression, right: Expression, offset: Int)
+    extends BinaryExpression {
+  private def ok(t: DataType) = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType) && offset >= 0)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"subvector_l2 requires ARRAY<FLOAT> inputs and offset >= 0, got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}, $offset")
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "subvector_l2"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.subL2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], offset)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.subL2($a, $b, $offset)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SubvectorL2 =
+    copy(left = l, right = r)
+}
+
 object VectorFunctions {
   def cosine_similarity(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
 
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** See [[SubvectorL2]]. `offset` is a 0-based element offset into `a`. */
+  def subvector_l2(a: Column, b: Column, offset: Int): Column =
+    Bridge.column(SubvectorL2(Bridge.expression(a), Bridge.expression(b), offset))
 
   /** Sign-bit LSH bucket from the first `bits` dimensions — the coarse
     * quantizer for bucketed ANN (hyperplane LSH with axis-aligned planes).

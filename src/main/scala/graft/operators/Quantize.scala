@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding quantization: int8 scalar quantization (storage/bandwidth
+  * compression with an error report) and product quantization (PQ) with
+  * asymmetric-distance (ADC) search — the classic IVF-PQ memory path.
+  *
+  * Why this matters at 100 TB: a 64-dim float32 embedding is 256 bytes;
+  * its int8 form is 64 bytes + one scale, and its PQ code is `m` bytes
+  * (m=4 here — a 64× reduction). Every shuffle-heavy stage downstream of
+  * encoding (candidate joins, re-ranking feeds, index builds) moves codes
+  * instead of vectors, which is the difference between a network-bound
+  * and a CPU-bound job at cluster scale.
+  *
+  * All float arithmetic is double-accumulated strictly left-to-right so
+  * the DuckDB oracle reproduces results bit-exactly (the
+  * [[graft.functions.VectorOps]] contract).
+  */
+object Quantize {
+
+  /** Per-element double view of an ARRAY<FLOAT> column's element. */
+  private def d(x: Column): Column = x.cast("double")
+
+  /** Symmetric per-vector int8 scalar quantization with a reconstruction
+    * error report. scale = max|x|/127 (0 for the all-zero vector); code_i
+    * = clamp(floor(x_i/scale + 0.5), ±127) — floor(x+0.5) rather than
+    * round() because engines disagree on half-even vs half-away ties,
+    * and floor(x+0.5) is dialect-portable bit-for-bit.
+    *
+    * Output: (id, scale, mse, code_sum) — `mse` is the mean squared
+    * reconstruction error (left-to-right sum), `code_sum` a checksum of
+    * the code array so the oracle pins the codes themselves without
+    * hashing an array column. Pure narrow projection: no shuffle, no
+    * UDF, whole-stage codegen throughout — scales linearly. */
+  def int8Quantize(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val e = col(embCol)
+    val scale = aggregate(e, lit(0.0), (acc, x) => greatest(acc, abs(d(x)))) / lit(127.0)
+    // quantized value as a double (the reconstruction is qv*scale)
+    def qv(x: Column, s: Column): Column =
+      when(s === 0d, lit(0.0))
+        .otherwise(least(lit(127.0), greatest(lit(-127.0), floor(d(x) / s + lit(0.5)))))
+    val withS = df.select(col(idCol), e.as("__e"), scale.as("scale"))
+    val err = aggregate(col("__e"), lit(0.0),
+      (acc, x) => acc + (d(x) - qv(x, col("scale")) * col("scale")) *
+        (d(x) - qv(x, col("scale")) * col("scale")))
+    val codeSum = aggregate(col("__e"), lit(0L),
+      (acc, x) => acc + qv(x, col("scale")).cast("long"))
+    withS.select(col(idCol), col("scale"),
+      (err / size(col("__e"))).as("mse"), codeSum.as("code_sum"))
+  }
+
+  /** Deterministic PQ codebooks: subvector `sub` of the first `ksub`
+    * ids is codeword (sub, code=id). Oracle-reproducible in SQL (the
+    * [[Similarity.annIvf]] first-N-centroids trick, per subspace).
+    * Index-construction ACTION: collects m*ksub tiny rows (like
+    * [[Similarity.trainIvfCentroids]]) so the codebook can ride every
+    * encode/search plan as a literal — encode then needs no join at all. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, embCol: String,
+                  m: Int, ksub: Int): Array[Array[Array[Float]]] = {
+    val dim = corpus.select(size(col(embCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val rows = corpus.filter(col(idCol) < ksub)
+      .select(col(idCol), col(embCol)).collect()
+    require(rows.length == ksub, s"need ids 0..${ksub - 1} present, got ${rows.length}")
+    val byId = rows.map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    Array.tabulate(m, ksub) { (sub, code) =>
+      byId(code.toLong).slice(sub * subDim, (sub + 1) * subDim)
+    }
+  }
+
+  /** Squared L2 distance between a subvector window of `e` and a literal
+    * codeword: one codegen'd [[graft.functions.SubvectorL2]] node per
+    * candidate (a fused left-to-right loop — bit-identical to the
+    * oracle's list_reduce and to the unrolled per-element form, without
+    * the ~10 MB serialized expression tree the unrolled form cost). */
+  private def subL2(e: Column, sub: Int, subDim: Int, cw: Array[Float]): Column =
+    graft.functions.VectorFunctions.subvector_l2(e, typedlit(cw.toSeq), sub * subDim)
+
+  /** PQ-encode every vector: `codes[sub]` = argmin over the subspace's
+    * codewords of squared L2 (ties to the lower code). The codebook is a
+    * literal, so this is a pure narrow projection — the argmin is an
+    * array_min over (distance, code) structs, all inside codegen; no
+    * join, no shuffle, nothing but codes ever leaves the scan. */
+  def pqEncode(corpus: DataFrame, idCol: String, embCol: String,
+               books: Array[Array[Array[Float]]]): DataFrame = {
+    val m = books.length
+    val subDim = books(0)(0).length
+    val codeCols = (0 until m).map { sub =>
+      val cands = array(books(sub).zipWithIndex.map { case (cw, code) =>
+        struct(subL2(col(embCol), sub, subDim, cw).as("d"),
+          lit(code).as("code"))
+      }: _*)
+      array_min(cands).getField("code")
+    }
+    corpus.select(col(idCol), array(codeCols: _*).as("codes"))
+  }
+
+  /** Asymmetric-distance top-k search over PQ codes.
+    *
+    * Classic ADC: each probe precomputes a distance table d(sub, code) =
+    * L2²(probe subvector, codeword); a corpus vector's approximate
+    * distance is the sum of m table lookups on its codes. Spark shape:
+    * the tables (|probes| * m * ksub tiny rows) BROADCAST against the
+    * exploded code column — the corpus side contributes (id, sub, code)
+    * ints only, so at 100 TB the scan-side traffic is bytes per vector,
+    * never floats. The per-sub sums are added in fixed sub order (each
+    * (probe, id, sub) has exactly one row), keeping the double sum
+    * bit-deterministic under any row order. */
+  def pqSearchAdc(codes: DataFrame, probes: DataFrame, k: Int,
+                  books: Array[Array[Array[Float]]]): DataFrame = {
+    val m = books.length
+    val subDim = books(0)(0).length
+    // distance tables: one row per (probe, sub, code); built by a narrow
+    // projection on the (small) probe side, then broadcast
+    val entries = (0 until m).flatMap { sub =>
+      books(sub).zipWithIndex.map { case (cw, code) =>
+        struct(lit(sub).as("sub"), lit(code).as("code"),
+          subL2(col("pe"), sub, subDim, cw).as("d"))
+      }
+    }
+    val dtab = probes.select(col("probe_id"),
+        explode(array(entries: _*)).as("e"))
+      .select(col("probe_id"), col("e.sub"), col("e.code"), col("e.d"))
+    val exploded = codes.select(col("vec_id"),
+      posexplode(col("codes")).as(Seq("sub", "code")))
+    val persub = exploded.join(broadcast(dtab), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("probe_id"))
+    // exactly one row per (probe, vec, sub) → per-sub "sums" are exact;
+    // the cross-sub addition happens left-to-right in declared order
+    val sumCols = (0 until m).map(s =>
+      sum(when(col("sub") === s, col("d"))).as(s"__d$s"))
+    val adist = persub.groupBy(col("probe_id"), col("vec_id"))
+      .agg(sumCols.head, sumCols.tail: _*)
+      .select(col("probe_id"), col("vec_id"),
+        (0 until m).map(s => col(s"__d$s")).reduceLeft(_ + _).as("adist"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(asc("adist"), asc("vec_id"))
+    adist.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
+  }
+}

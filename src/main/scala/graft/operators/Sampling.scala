@@ -307,4 +307,55 @@ object Sampling {
     }
     df.filter(pmod(purposeHash(col(idCol), ":sample"), lit(100)) < pct)
   }
+
+  /** Deterministic GLOBAL training order: every row gets a contiguous
+    * 0-based position `pos`, ordered by (bin asc, hash asc, id asc) —
+    * the curriculum/shuffle step of a training pipeline ("easy bins
+    * first, deterministically shuffled within each bin"). The order is a
+    * pure function of the data (":order"-salted hash, ids unique → no
+    * ties), so a resumed or re-run job reads the same sequence — which
+    * is what makes checkpoint-resume training reproducible.
+    *
+    * Scale form — a naive `row_number() OVER (ORDER BY ...)` is a
+    * SINGLE-TASK global sort. Instead, the [[capPerGroup]] two-phase
+    * bucket-histogram trick, globalized:
+    *
+    *  1. count rows per (bin, bucket), bucket = hv >> shift
+    *     (order-preserving within a bin) — map-side combined, at most
+    *     bins x `buckets` rows shuffle;
+    *  2. a running count over the (bin, bucket) sequence — a window over
+    *     <= bins x buckets TOTAL rows (one bounded task, explicitly not
+    *     per-row work) — gives each bucket its global offset;
+    *  3. row_number within each (bin, bucket) + offset = exact global
+    *     position; each window partition holds ~n/(bins x buckets) rows.
+    *
+    * The emitted order equals the single-sort definition row-for-row
+    * (the SQL oracle states it as one ROW_NUMBER). Downstream writers
+    * keep locality: `repartitionByRange(pos)` gives sequential shards. */
+  def globalOrder(df: DataFrame, idCol: String, binCol: String,
+                  buckets: Int = 1024): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two, got $buckets")
+    val shift = 32 - java.lang.Integer.numberOfTrailingZeros(buckets)
+    val withB = df
+      .withColumn("__hv", purposeHash(col(idCol), ":order"))
+      .withColumn("__bk", shiftright(col("__hv"), shift))
+    val counts = withB
+      .groupBy(col(binCol).as("__g"), col("__bk").as("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+    // global running count across ALL (bin, bucket) pairs, in order —
+    // the unpartitioned window is the deliberate bounded single task
+    // over bins x buckets histogram rows, never data rows
+    val wc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__g"), col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = counts.withColumn("__off", coalesce(sum(col("__cnt")).over(wc), lit(0L)))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(binCol), col("__bk"))
+      .orderBy(col("__hv"), col(idCol))
+    withB
+      .join(cum, withB(binCol) <=> cum("__g") && withB("__bk") === cum("__b"))
+      .withColumn("pos", col("__off") + row_number().over(wb) - 1)
+      .drop("__hv", "__bk", "__g", "__b", "__cnt", "__off")
+  }
 }

@@ -191,6 +191,42 @@ object Similarity {
     annIvfWithCentroids(corpus, probes, k, cents, nprobe)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the corpus into cells by nearest
+    * centroid (the IVF coarse quantizer), find within-cell cosine
+    * near-neighbors above `threshold`, and keep one representative per
+    * duplicate set. Deterministic keep rule (documented divergence from
+    * the paper's centroid-proximity ranking, which depends on trained
+    * centroids): a vector is DROPPED iff a lower-id within-cell neighbor
+    * with cosine >= threshold exists — greedy min-id keeper, exactly
+    * expressible as an EXISTS in SQL.
+    *
+    * Scale design mirrors [[annIvfWithCentroids]]: centroids broadcast,
+    * one narrow argmax assignment pass, and the near-neighbor search is a
+    * cell-equi self-join — per-cell work is (|cell|)², so cells bound the
+    * quadratic term exactly as IVF bounds search cost. With
+    * Lloyd-trained centroids ([[trainIvfCentroids]]) cell sizes stay
+    * balanced at corpus scale; the duplicate-id set that shuffles is
+    * (cell, id) ints, never embeddings. */
+  def semanticDedup(corpus: DataFrame, cents: DataFrame,
+                    threshold: Double): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), asc("cell"))
+    val assigned = corpus.crossJoin(broadcast(cents))
+      .withColumn("ccos", VectorFunctions.cosine_similarity(col("embedding"), col("ce")))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val dupIds = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(VectorFunctions.cosine_similarity(col("a.embedding"), col("b.embedding"))
+        >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assigned.join(dupIds.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("__dup"), lit(false)).unary_!.as("keep"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (brute force, i<j).
     *
     * TEST-ONLY recall oracle: a pure inequality join plans as a
