@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, DotProduct, IpBytesString, Ipv4String}
+import graft.functions.{CosineSimilarity, DotProduct, IpBytesString, Ipv4String, SubvectorL2}
 
 /** SQL surface for the engine's native Catalyst expressions: register via
   * `--conf spark.sql.extensions=graft.GraftExtensions` (cluster-wide) or
@@ -49,7 +50,20 @@ object GraftExtensions {
       arity("cosine_similarity", 2)(args => CosineSimilarity(args.head, args(1)))),
     (FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(array<float>, array<float>)"),
-      arity("dot_product", 2)(args => DotProduct(args.head, args(1)))))
+      arity("dot_product", 2)(args => DotProduct(args.head, args(1)))),
+    (FunctionIdentifier("subvector_l2"),
+      info("subvector_l2",
+        "subvector_l2(array<float>, array<float>, int) - squared L2 between " +
+          "a window of the first array (constant 0-based offset, second's " +
+          "length) and the second array (the PQ subspace kernel)"),
+      arity("subvector_l2", 3) { args =>
+        val off = args(2) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"subvector_l2 offset must be an INT literal, got $other")
+        }
+        SubvectorL2(args.head, args(1), off)
+      }))
 
   /** Register into an already-running session. */
   def register(spark: SparkSession): Unit =

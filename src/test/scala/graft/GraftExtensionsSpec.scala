@@ -18,7 +18,24 @@ class GraftExtensionsSpec extends SparkSpec {
   test("extensions class injects the same functions at session build") {
     // same builders the spark.sql.extensions conf path would inject
     assert(GraftExtensions.descriptions.map(_._1.funcName).sorted ==
-      Seq("cosine_similarity", "dot_product", "ip_bytes_string", "ip_v4_string"))
+      Seq("cosine_similarity", "dot_product", "ip_bytes_string", "ip_v4_string",
+        "subvector_l2"))
+  }
+
+  test("subvector_l2 from SQL matches the expected arithmetic") {
+    GraftExtensions.register(spark)
+    // window [3.0, 4.0] at offset 1 vs [0.0, 0.0] -> 9 + 16
+    val r = spark.sql(
+      """SELECT subvector_l2(array(CAST(9.0 AS FLOAT), CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)),
+        |                    array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT)), 1) AS d
+        |""".stripMargin).collect().head
+    assert(r.getDouble(0) == 25.0)
+    // a non-literal offset is rejected loudly, not silently misbound
+    val err = intercept[Exception] {
+      spark.sql("SELECT subvector_l2(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT)), CAST(NULL AS INT))")
+        .collect()
+    }
+    assert(err.getMessage.contains("INT literal"))
   }
 
   test("dot_product from SQL matches the expected arithmetic") {

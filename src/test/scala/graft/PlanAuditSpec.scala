@@ -53,6 +53,32 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q77's rank window partitions on (bin, bucket), never globally") {
+    // same single-task-sort regression class as q53: a global
+    // row_number() would sort the whole corpus in one task; the
+    // two-phase globalOrder must rank inside (bin, hash-bucket) windows
+    val plan = SparkEntry.queries("q77_curriculum_order")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val rankLines = plan.linesIterator.filter(_.contains("row_number")).toSeq
+    assert(rankLines.nonEmpty, "q77 lost its rank window entirely")
+    rankLines.foreach(l => assert(l.contains("__bk"),
+      s"q77 ranks over an unbucketed window: $l"))
+  }
+
+  test("PQ encode is a pure narrow projection — no exchange, no join") {
+    // the literal-codebook design means encoding shuffles NOTHING; a
+    // join or exchange appearing here would mean the codebook stopped
+    // being a plan literal (the property that makes PQ the 100 TB path)
+    val c = Tables.embeddings(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val books = graft.operators.Quantize.pqCodebooks(c, "vec_id", "embedding", 4, 16)
+    val plan = graft.operators.Quantize.pqEncode(c, "vec_id", "embedding", books)
+      .queryExecution.executedPlan.toString
+    Seq("Exchange", "Join", "CartesianProduct").foreach(bad =>
+      assert(!plan.contains(bad), s"PQ encode plans a $bad"))
+  }
+
   test("column pruning reaches the parquet scan") {
     // q1 projects 4 of lineitem's 16 columns; a scan still reading
     // l_comment means the projection never reached the source
