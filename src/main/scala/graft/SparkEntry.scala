@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.codec.{DnsWire, DnstapCodec}
 import graft.dns.{DnsAnalog, DnstapRows}
-import graft.functions.{Anonymize, DnsNames, IpFunctions}
+import graft.functions.{Anonymize, DnsNames, IpFunctions, VectorFunctions}
 import graft.operators.{AsOfMatch, CorpusStats, Dedup, GroupingSetCounter, Multimodal, NgramModel, Packing, Quantize, Sampling, Scrub, Similarity, SkewAgg, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1899,6 +1899,131 @@ object SparkEntry {
       |FROM t""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q78 — PQ recall report: per-probe overlap between the ADC top-5
+  // (q75's pipeline) and the exact L2 top-5 — the quality-measurement
+  // side of quantized search, certified end-to-end (both rankings and
+  // the overlap count reproduce in SQL). Integer-exact output.
+  // ---------------------------------------------------------------------
+  private def q78PqRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus(spark, dir)
+    val p = probes(spark, dir)
+    val adc = q75PqAdc(spark, dir).select(col("probe_id"), col("vec_id"))
+    val scored = c.crossJoin(broadcast(p))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        VectorFunctions.subvector_l2(col("pe"), col("embedding"), 0).as("l2"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(asc("l2"), asc("vec_id"))
+    val exact = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).select(col("probe_id"), col("vec_id"))
+    val overlap = exact.join(adc, Seq("probe_id", "vec_id"))
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("__hit"))
+    p.select(col("probe_id"))
+      .join(overlap, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("__hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("__hit"), lit(0L)) * 2000).as("recall_bp"))
+  }
+
+  /** Full-width left-to-right squared L2 (mirrors SubvectorL2 at offset
+    * 0 with a full-length right side). */
+  private def duckL2Full(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (x,y) -> x+y)"
+
+  private val q78Sql =
+    s"""WITH sub AS (SELECT unnest(generate_series(0, 3)) AS sub),
+      |cb AS (SELECT s.sub, e.vec_id AS code, e.embedding AS cv
+      |       FROM embeddings e CROSS JOIN sub s WHERE e.vec_id < 16),
+      |enc AS (SELECT vec_id, sub, code FROM (
+      |  SELECT x.vec_id, cb.sub, cb.code,
+      |         ROW_NUMBER() OVER (PARTITION BY x.vec_id, cb.sub
+      |           ORDER BY ${duckSubL2("x.embedding", "cb.cv", "cb.sub")}, cb.code) AS rn
+      |  FROM embeddings x CROSS JOIN cb) WHERE rn = 1),
+      |dt AS (SELECT p.vec_id AS probe_id, cb.sub, cb.code,
+      |         ${duckSubL2("p.embedding", "cb.cv", "cb.sub")} AS d
+      |       FROM embeddings p CROSS JOIN cb WHERE p.vec_id < 3),
+      |s AS (SELECT dt.probe_id, enc.vec_id,
+      |        SUM(CASE WHEN dt.sub = 0 THEN d END) + SUM(CASE WHEN dt.sub = 1 THEN d END)
+      |        + SUM(CASE WHEN dt.sub = 2 THEN d END) + SUM(CASE WHEN dt.sub = 3 THEN d END) AS adist
+      |      FROM enc JOIN dt ON enc.sub = dt.sub AND enc.code = dt.code
+      |      WHERE enc.vec_id <> dt.probe_id GROUP BY 1, 2),
+      |adc AS (SELECT probe_id, vec_id FROM (
+      |  SELECT probe_id, vec_id,
+      |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rn
+      |  FROM s) WHERE rn <= 5),
+      |ex AS (SELECT probe_id, vec_id FROM (
+      |  SELECT p.vec_id AS probe_id, e.vec_id,
+      |         ROW_NUMBER() OVER (PARTITION BY p.vec_id
+      |           ORDER BY ${duckL2Full("p.embedding", "e.embedding")}, e.vec_id) AS rn
+      |  FROM embeddings p CROSS JOIN embeddings e
+      |  WHERE p.vec_id < 3 AND e.vec_id <> p.vec_id) WHERE rn <= 5),
+      |ov AS (SELECT adc.probe_id, count(*) AS c
+      |       FROM adc JOIN ex ON adc.probe_id = ex.probe_id AND adc.vec_id = ex.vec_id
+      |       GROUP BY 1)
+      |SELECT p0.probe_id, CAST(coalesce(c, 0) AS BIGINT) AS n_hit,
+      |  CAST(coalesce(c, 0) * 2000 AS BIGINT) AS recall_bp
+      |FROM (SELECT vec_id AS probe_id FROM embeddings WHERE vec_id < 3) p0
+      |LEFT JOIN ov USING (probe_id)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q79 — semantic-cluster x source mix (documents ⋈ embeddings on id +
+  // IVF cell assignment): which sources dominate which semantic region —
+  // the cross-modal training-mix diagnostic. Shares are integer basis
+  // points (exact in both dialects); the cell-total window partitions on
+  // cell over per-(cell,source) aggregates, bounded by |sources|.
+  // ---------------------------------------------------------------------
+  private def q79ClusterSourceMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val c = corpus(spark, dir)
+    val cents = c.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), asc("cell"))
+    val ca = c.crossJoin(broadcast(cents))
+      .withColumn("ccos", VectorFunctions.cosine_similarity(col("embedding"), col("ce")))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cell"))
+    val counts = docs.join(ca, docs("doc_id") === ca("vec_id"))
+      .groupBy(col("cell"), col("source")).agg(count(lit(1)).as("n_docs"))
+    val wc = Window.partitionBy(col("cell"))
+    counts.withColumn("__tot", sum(col("n_docs")).over(wc))
+      .select(col("cell"), col("source"), col("n_docs"),
+        call_function("div", col("n_docs") * lit(10000L), col("__tot"))
+          .as("share_bp"))
+  }
+
+  private val q79Sql =
+    s"""WITH c AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 8),
+      |ca AS (SELECT vec_id, cell FROM (
+      |  SELECT e.vec_id, c.cell,
+      |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |           ORDER BY ${duckCosine("e.embedding", "ce")} DESC, c.cell) AS crn
+      |  FROM embeddings e CROSS JOIN c) WHERE crn = 1),
+      |n AS (SELECT cell, source, CAST(count(*) AS BIGINT) AS n_docs
+      |      FROM documents d JOIN ca ON d.doc_id = ca.vec_id
+      |      GROUP BY 1, 2)
+      |SELECT cell, source, n_docs,
+      |  CAST((n_docs * 10000) // (SUM(n_docs) OVER (PARTITION BY cell)) AS BIGINT) AS share_bp
+      |FROM n""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q80 — ADC search with Lloyd-TRAINED PQ codebooks (the production
+  // variant of q75; training is a bounded driver-side sample action, not
+  // SQL-expressible — rows-only check, the q46 precedent). Same
+  // encode/search plans; only the literal codebook differs.
+  // ---------------------------------------------------------------------
+  private def q80PqAdcTrained(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val books = Quantize.pqTrainCodebooks(c, "vec_id", "embedding",
+      m = 4, ksub = 16, iters = 5, sampleN = 512)
+    val codes = Quantize.pqEncode(c, "vec_id", "embedding", books)
+    Quantize.pqSearchAdc(codes, probes(spark, dir), k = 5, books)
+  }
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -1978,6 +2103,9 @@ object SparkEntry {
     Q("q75_pq_adc", q75PqAdc, Some(q75Sql)),
     Q("q76_int8_quantize", q76Int8Quantize, Some(q76Sql)),
     Q("q77_curriculum_order", q77CurriculumOrder, Some(q77Sql)),
+    Q("q78_pq_recall", q78PqRecall, Some(q78Sql)),
+    Q("q79_cluster_source_mix", q79ClusterSourceMix, Some(q79Sql)),
+    Q("q80_pq_adc_trained", q80PqAdcTrained, None),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -99,6 +99,79 @@ object Quantize {
     corpus.select(col(idCol), array(codeCols: _*).as("codes"))
   }
 
+  /** Lloyd-trained PQ codebooks: per-subspace L2 k-means over a bounded,
+    * deterministic hash-sample of the corpus, on the driver — the same
+    * training-action contract as [[Similarity.trainIvfCentroids]] (one
+    * bounded collect; the result rides every plan as a literal). Seeds
+    * are the first `ksub` sample subvectors; empty cells keep their
+    * centroid; plain (non-spherical) means because PQ optimizes L2
+    * reconstruction, not cosine. Distortion is non-increasing per Lloyd
+    * round (asserted in QuantizeSpec). */
+  def pqTrainCodebooks(corpus: DataFrame, idCol: String, embCol: String,
+                       m: Int, ksub: Int, iters: Int = 5,
+                       sampleN: Int = 4096): Array[Array[Array[Float]]] = {
+    val dim = corpus.select(size(col(embCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val sample: Array[Array[Float]] = corpus
+      .select(col(idCol), col(embCol))
+      .withColumn("__h", xxhash64(col(idCol)))
+      .orderBy(col("__h"))
+      .limit(sampleN)
+      .select(col(embCol))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.length >= ksub, s"sample ${sample.length} < $ksub codewords")
+    Array.tabulate(m) { sub =>
+      val pts = sample.map(v => v.slice(sub * subDim, (sub + 1) * subDim)
+        .map(_.toDouble))
+      var cents = pts.take(ksub).map(_.clone())
+      (0 until iters).foreach { _ =>
+        val sums = Array.fill(ksub)(new Array[Double](subDim))
+        val counts = new Array[Int](ksub)
+        pts.foreach { p =>
+          var best = 0; var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < ksub) {
+            var acc = 0.0; var i = 0
+            while (i < subDim) {
+              val diff = p(i) - cents(c)(i); acc += diff * diff; i += 1
+            }
+            if (acc < bestD) { bestD = acc; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < subDim) { sums(best)(i) += p(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+        }
+      }
+      cents.map(_.map(_.toFloat))
+    }
+  }
+
+  /** Mean L2^2 reconstruction distortion of `books` over `pts` (driver
+    * helper for training diagnostics/tests). */
+  def pqDistortion(pts: Array[Array[Float]],
+                   books: Array[Array[Array[Float]]]): Double = {
+    val m = books.length
+    val subDim = books(0)(0).length
+    pts.map { v =>
+      (0 until m).map { sub =>
+        books(sub).map { cw =>
+          var acc = 0.0; var i = 0
+          while (i < subDim) {
+            val d0 = v(sub * subDim + i).toDouble - cw(i).toDouble
+            acc += d0 * d0; i += 1
+          }
+          acc
+        }.min
+      }.sum
+    }.sum / math.max(1, pts.length)
+  }
+
   /** Asymmetric-distance top-k search over PQ codes.
     *
     * Classic ADC: each probe precomputes a distance table d(sub, code) =

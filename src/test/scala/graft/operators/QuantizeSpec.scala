@@ -78,6 +78,26 @@ class QuantizeSpec extends SparkSpec {
     }
   }
 
+  test("Lloyd training never increases PQ distortion") {
+    val pts = corpus.collect().map(_.getSeq[Float](1).toArray)
+    val seed = Quantize.pqTrainCodebooks(corpus, "vec_id", "embedding",
+      m = 4, ksub = 16, iters = 0, sampleN = 512)
+    val trained = Quantize.pqTrainCodebooks(corpus, "vec_id", "embedding",
+      m = 4, ksub = 16, iters = 5, sampleN = 512)
+    val d0 = Quantize.pqDistortion(pts, seed)
+    val d5 = Quantize.pqDistortion(pts, trained)
+    // sampleN=512 >= |corpus|, so training sees every point and k-means
+    // monotonicity applies to this exact distortion
+    assert(d5 <= d0 + 1e-9, s"training increased distortion: $d0 -> $d5")
+    assert(d5 < d0, "five Lloyd rounds should strictly improve the seeds here")
+    // trained search still returns a full top-k per probe
+    val res = Quantize.pqSearchAdc(
+      Quantize.pqEncode(corpus, "vec_id", "embedding", trained),
+      probes, k = 5, trained).collect()
+    assert(res.length == 15)
+    assert(res.forall(_.getDouble(2) >= 0.0))
+  }
+
   test("semanticDedup: kept set is near-duplicate-free within cells") {
     val cents = corpus.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cell"), col("embedding").as("ce"))
