@@ -2024,6 +2024,66 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------------
+  // q81 — hard-negative mining (operators/Similarity.hardNegatives):
+  // per-probe top-3 most-similar DIFFERENT-label vectors via the IVF
+  // cell join — the batch-construction step of contrastive training.
+  // Label mismatch is evaluated inside the join, before ranking.
+  // ---------------------------------------------------------------------
+  private def q81HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val c = e.select(col("vec_id"), col("embedding"), col("label"))
+    val p = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("label").as("plabel"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("ce"))
+    Similarity.hardNegatives(c, p, k = 3, cents)
+  }
+
+  private val q81Sql =
+    s"""WITH c AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 8),
+      |ca AS (SELECT vec_id, embedding, label, cell FROM (
+      |  SELECT e.vec_id, e.embedding, e.label, c.cell,
+      |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |           ORDER BY ${duckCosine("e.embedding", "ce")} DESC, c.cell) AS crn
+      |  FROM embeddings e CROSS JOIN c) WHERE crn = 1),
+      |p0 AS (SELECT vec_id AS probe_id, embedding AS pe, label AS plabel
+      |       FROM embeddings WHERE vec_id < 3),
+      |pa AS (SELECT probe_id, pe, plabel, cell AS pcell FROM (
+      |  SELECT p0.probe_id, p0.pe, p0.plabel, c.cell,
+      |         ROW_NUMBER() OVER (PARTITION BY p0.probe_id
+      |           ORDER BY ${duckCosine("pe", "ce")} DESC, c.cell) AS crn
+      |  FROM p0 CROSS JOIN c) WHERE crn = 1),
+      |s AS (SELECT probe_id, ca.vec_id, ca.label AS neg_label,
+      |        ${duckCosine("pe", "ca.embedding")} AS cosine
+      |      FROM pa JOIN ca ON ca.cell = pa.pcell AND ca.vec_id <> pa.probe_id
+      |        AND ca.label <> pa.plabel),
+      |r AS (SELECT probe_id, vec_id, neg_label, cosine,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rn
+      |      FROM s)
+      |SELECT probe_id, vec_id, neg_label, cosine, rn FROM r WHERE rn <= 3""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q82 — first-round BPE pair statistics (operators/CorpusStats
+  // .bpePairCounts): top-20 adjacent character pairs weighted by word
+  // frequency — tokenizer-training counting over the vocabulary-bounded
+  // distinct-word table, global top-k via count-bit-length banding.
+  // ---------------------------------------------------------------------
+  private def q82BpePairs(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.bpePairCounts(Tables.documents(spark, dir), "text", k = 20)
+
+  private val q82Sql =
+    """WITH w AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w FROM documents),
+      |wc AS (SELECT w, count(*) AS c FROM w GROUP BY 1),
+      |p AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1), i -> substr(w, i, 2))) AS pair, c
+      |      FROM wc WHERE len(w) >= 2),
+      |g AS (SELECT pair, CAST(sum(c) AS BIGINT) AS n_occ FROM p GROUP BY 1),
+      |r AS (SELECT pair, n_occ,
+      |        CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, pair) AS BIGINT) AS rk
+      |      FROM g)
+      |SELECT pair, n_occ, rk FROM r WHERE rk <= 20""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -2106,6 +2166,8 @@ object SparkEntry {
     Q("q78_pq_recall", q78PqRecall, Some(q78Sql)),
     Q("q79_cluster_source_mix", q79ClusterSourceMix, Some(q79Sql)),
     Q("q80_pq_adc_trained", q80PqAdcTrained, None),
+    Q("q81_hard_negatives", q81HardNegatives, Some(q81Sql)),
+    Q("q82_bpe_pairs", q82BpePairs, Some(q82Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -195,4 +195,44 @@ object CorpusStats {
       .groupBy(col("__p.a").as("src_a"), col("__p.b").as("src_b"))
       .agg(count(lit(1)).as("shared_shingles"))
   }
+
+  /** First-round BPE pair statistics: the top-`k` adjacent character
+    * pairs across the corpus, weighted by word frequency — the counting
+    * core of byte-pair-encoding tokenizer training (each BPE merge round
+    * picks the most frequent adjacent pair). Output (pair, n_occ, rk).
+    *
+    * Scale shape: pair extraction runs over the DISTINCT-WORD table
+    * (vocabulary-bounded, Zipf — orders of magnitude smaller than the
+    * token stream), weighted by the word counts; the global top-k uses
+    * the [[vocabDrift]] count-bit-length banding, so no single task ever
+    * sorts the whole pair table — the only unpartitioned window is over
+    * the <= 64-row band histogram. Exactly equals the oracle's single
+    * global ROW_NUMBER. */
+  def bpePairCounts(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val words = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__wc"))
+    val pairs = words
+      .filter(length(col("__w")) >= 2)
+      .select(col("__wc"), explode(
+        expr("transform(sequence(1, length(__w) - 1), i -> substr(__w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("__wc")).as("n_occ"))
+    val banded = pairs.withColumn("__bk", -length(bin(col("n_occ"))))
+    val hist = banded.groupBy(col("__bk").as("__b")).agg(count(lit(1)).as("__cnt"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("__below",
+      coalesce(sum(col("__cnt")).over(wc), lit(0L)))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bk")).orderBy(col("n_occ").desc, col("pair"))
+    banded.join(cum, banded("__bk") === cum("__b"))
+      .filter(col("__below") < k)
+      .withColumn("__rk", row_number().over(wb))
+      .filter(col("__rk") <= lit(k.toLong) - col("__below"))
+      .select(col("pair"), col("n_occ"),
+        (col("__below") + col("__rk")).cast("long").as("rk"))
+  }
 }

@@ -119,6 +119,36 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
   }
 
+  /** Hard-negative mining for contrastive/metric training: each probe's
+    * top-k most-similar corpus vectors with a DIFFERENT label — the
+    * "hardest" negatives, the pairs a contrastive loss learns most from.
+    * Candidate generation is the IVF cell equi-join of
+    * [[annIvfWithCentroids]] (broadcast centroids, one narrow argmax
+    * assignment per side, per-cell candidate cost |corpus|/nCells); the
+    * label-mismatch predicate runs INSIDE the join, so same-label
+    * vectors never reach the ranking window. Corpus rows carry
+    * (vec_id, embedding, label); probes (probe_id, pe, plabel). */
+  def hardNegatives(corpus: DataFrame, probes: DataFrame, k: Int,
+                    cents: DataFrame): DataFrame = {
+    def assign(df: DataFrame, id: String, emb: String): DataFrame = {
+      val w = Window.partitionBy(col(id)).orderBy(desc("ccos"), asc("cell"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("ccos", VectorFunctions.cosine_similarity(col(emb), col("ce")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") === 1)
+        .drop("ce", "ccos", "crn")
+    }
+    val ca = assign(corpus, "vec_id", "embedding")
+    val pa = assign(probes, "probe_id", "pe").withColumnRenamed("cell", "pcell")
+    val scored = ca
+      .join(broadcast(pa), col("cell") === col("pcell") &&
+        col("vec_id") =!= col("probe_id") && col("label") =!= col("plabel"))
+      .select(col("probe_id"), col("vec_id"), col("label").as("neg_label"),
+        VectorFunctions.cosine_similarity(col("pe"), col("embedding")).as("cosine"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
+  }
+
   /** Spherical k-means centroids for the IVF quantizer: a few Lloyd
     * iterations over a bounded, deterministic hash-sample of the corpus,
     * computed on the driver. EXPLICIT TRAINING ACTION: calling this runs

@@ -123,4 +123,21 @@ class CorpusStatsSpec extends SparkSpec {
       assert(got == want, s"trial $trial")
     }
   }
+
+  test("bpePairCounts equals the naive token-stream pair count") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val got = CorpusStats.bpePairCounts(docs, "text", k = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 20)
+    // naive: every adjacent char pair of every token OCCURRENCE
+    val words = docs.select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+    val naive = words.flatMap(w => w.sliding(2).filter(_.length == 2))
+      .groupBy(identity).map { case (p, occ) => p -> occ.length.toLong }
+    val top = naive.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val want = top.zipWithIndex.map { case ((p, n), i) => (p, n, i + 1L) }
+    assert(got.sortBy(_._3).toSeq == want,
+      "banded top-k drifted from the naive global definition")
+  }
 }

@@ -17,6 +17,32 @@ class SimilaritySpec extends SparkSpec {
     df.select(col("vec_a"), col("vec_b")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("hardNegatives never returns a same-label vector and ranks by cosine") {
+    val e = Tables.embeddings(spark, sfDir)
+    val c = e.select(col("vec_id"), col("embedding"), col("label"))
+    val p = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("label").as("plabel"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("ce"))
+    val got = Similarity.hardNegatives(c, p, k = 3, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    val probeLabels = e.filter(col("vec_id") < 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    got.foreach { case (pid, vid, negLabel, _, _) =>
+      assert(negLabel != probeLabels(pid),
+        s"probe $pid got same-label negative $vid")
+      assert(vid != pid)
+    }
+    got.groupBy(_._1).foreach { case (pid, rows) =>
+      val byRank = rows.sortBy(_._5).map(_._4)
+      assert(byRank.zip(byRank.drop(1)).forall { case (a, b) => a >= b },
+        s"probe $pid negatives not in descending cosine order")
+    }
+  }
+
   test("bucketed pairs are a subset of exact pairs with identical cosines") {
     val exact = Similarity.embeddingCosinePairs(corpus, threshold = 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
