@@ -2084,6 +2084,51 @@ object SparkEntry {
       |SELECT pair, n_occ, rk FROM r WHERE rk <= 20""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q83 — two-stage quantized retrieval (operators/Quantize
+  // .pqSearchRefined): ADC top-20 shortlist, then exact L2 re-rank of
+  // ONLY those 20 per probe — recall recovery with a bounded
+  // full-precision read (|probes| x 20 rows, broadcast against the
+  // scan). QuantizeSpec measures the recall gain over raw ADC (q78).
+  // ---------------------------------------------------------------------
+  private def q83PqRefine(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val books = Quantize.pqCodebooks(c, "vec_id", "embedding", m = 4, ksub = 16)
+    val codes = Quantize.pqEncode(c, "vec_id", "embedding", books)
+    Quantize.pqSearchRefined(codes, c, probes(spark, dir),
+      shortlistK = 20, k = 5, books)
+  }
+
+  private val q83Sql =
+    s"""WITH sub AS (SELECT unnest(generate_series(0, 3)) AS sub),
+      |cb AS (SELECT s.sub, e.vec_id AS code, e.embedding AS cv
+      |       FROM embeddings e CROSS JOIN sub s WHERE e.vec_id < 16),
+      |enc AS (SELECT vec_id, sub, code FROM (
+      |  SELECT x.vec_id, cb.sub, cb.code,
+      |         ROW_NUMBER() OVER (PARTITION BY x.vec_id, cb.sub
+      |           ORDER BY ${duckSubL2("x.embedding", "cb.cv", "cb.sub")}, cb.code) AS rn
+      |  FROM embeddings x CROSS JOIN cb) WHERE rn = 1),
+      |dt AS (SELECT p.vec_id AS probe_id, cb.sub, cb.code,
+      |         ${duckSubL2("p.embedding", "cb.cv", "cb.sub")} AS d
+      |       FROM embeddings p CROSS JOIN cb WHERE p.vec_id < 3),
+      |s AS (SELECT dt.probe_id, enc.vec_id,
+      |        SUM(CASE WHEN dt.sub = 0 THEN d END) + SUM(CASE WHEN dt.sub = 1 THEN d END)
+      |        + SUM(CASE WHEN dt.sub = 2 THEN d END) + SUM(CASE WHEN dt.sub = 3 THEN d END) AS adist
+      |      FROM enc JOIN dt ON enc.sub = dt.sub AND enc.code = dt.code
+      |      WHERE enc.vec_id <> dt.probe_id GROUP BY 1, 2),
+      |sl AS (SELECT probe_id, vec_id FROM (
+      |  SELECT probe_id, vec_id,
+      |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rn
+      |  FROM s) WHERE rn <= 20),
+      |rf AS (SELECT sl.probe_id, sl.vec_id,
+      |         ${duckL2Full("p.embedding", "e.embedding")} AS l2
+      |       FROM sl JOIN embeddings p ON p.vec_id = sl.probe_id
+      |            JOIN embeddings e ON e.vec_id = sl.vec_id),
+      |r AS (SELECT probe_id, vec_id, l2,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY l2, vec_id) AS BIGINT) AS rn
+      |      FROM rf)
+      |SELECT probe_id, vec_id, l2, rn FROM r WHERE rn <= 5""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -2168,6 +2213,7 @@ object SparkEntry {
     Q("q80_pq_adc_trained", q80PqAdcTrained, None),
     Q("q81_hard_negatives", q81HardNegatives, Some(q81Sql)),
     Q("q82_bpe_pairs", q82BpePairs, Some(q82Sql)),
+    Q("q83_pq_refine", q83PqRefine, Some(q83Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -213,4 +213,26 @@ object Quantize {
     val w = Window.partitionBy(col("probe_id")).orderBy(asc("adist"), asc("vec_id"))
     adist.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
   }
+
+  /** Two-stage retrieval: ADC shortlist (`shortlistK` per probe), then
+    * EXACT L2 re-rank of only the shortlisted vectors — the standard
+    * recall-recovery step of quantized search. The full-precision read
+    * is bounded to |probes| * shortlistK corpus rows: the shortlist
+    * (tiny) broadcasts against the corpus scan, so at 100 TB the exact
+    * kernel touches a vanishing, probe-proportional slice while the
+    * bulk ranking ran on codes. */
+  def pqSearchRefined(codes: DataFrame, corpus: DataFrame, probes: DataFrame,
+                      shortlistK: Int, k: Int,
+                      books: Array[Array[Array[Float]]]): DataFrame = {
+    require(k <= shortlistK, s"k=$k must be <= shortlistK=$shortlistK")
+    val short = pqSearchAdc(codes, probes, shortlistK, books)
+      .select(col("probe_id"), col("vec_id"))
+    val scored = corpus.join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        graft.functions.VectorFunctions
+          .subvector_l2(col("pe"), col("embedding"), 0).as("l2"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(asc("l2"), asc("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
+  }
 }

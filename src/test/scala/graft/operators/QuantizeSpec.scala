@@ -98,6 +98,37 @@ class QuantizeSpec extends SparkSpec {
     assert(res.forall(_.getDouble(2) >= 0.0))
   }
 
+  test("refined search recovers recall over raw ADC") {
+    val codes = Quantize.pqEncode(corpus, "vec_id", "embedding", books)
+    def topSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (p, vs) => p -> vs.map(_._2).toSet }
+    // exact L2 top-5 ground truth
+    val vecs = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+    val truth = (0L until 3L).map { p =>
+      p -> vecs.keys.filter(_ != p).toSeq
+        .sortBy(v => (l2(vecs(p), vecs(v)), v)).take(5).toSet
+    }.toMap
+    val adc = topSet(Quantize.pqSearchAdc(codes, probes, k = 5, books))
+    val refined = topSet(Quantize.pqSearchRefined(codes, corpus, probes,
+      shortlistK = 20, k = 5, books))
+    val shortlist = topSet(Quantize.pqSearchAdc(codes, probes, k = 20, books))
+    (0L until 3L).foreach { p =>
+      assert(refined(p).subsetOf(shortlist(p)),
+        s"probe $p: refined result escaped the shortlist")
+      assert(refined(p).size == 5)
+    }
+    val adcHits = (0L until 3L).map(p => (adc(p) & truth(p)).size).sum
+    val refHits = (0L until 3L).map(p => (refined(p) & truth(p)).size).sum
+    assert(refHits >= adcHits,
+      s"refinement lost recall: adc $adcHits -> refined $refHits of 15")
+    assert(refHits > adcHits,
+      s"on this corpus the 20-deep shortlist should strictly improve " +
+        s"recall (adc $adcHits, refined $refHits)")
+  }
+
   test("semanticDedup: kept set is near-duplicate-free within cells") {
     val cents = corpus.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cell"), col("embedding").as("ce"))
