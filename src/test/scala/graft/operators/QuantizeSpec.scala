@@ -33,6 +33,25 @@ class QuantizeSpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization edge cases: zero vector, exact saturation") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Seq(0f, 0f, 0f, 0f)),          // zero vector: scale 0, no NaN
+      (1L, Seq(1f, -1f, 0.5f, -0.25f)),   // symmetric range
+      (2L, Seq(127f, -127f, 127f, 0f))    // values on the code grid
+    ).toDF("vec_id", "embedding")
+    val rows = Quantize.int8Quantize(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    val (s0, m0, c0) = rows(0L)
+    assert(s0 == 0.0 && m0 == 0.0 && c0 == 0L,
+      "zero vector must quantize to all-zero with zero error, not NaN")
+    val (s2, m2, c2) = rows(2L)
+    // scale = 127/127 = 1; every element already sits on the grid
+    assert(s2 == 1.0 && m2 == 0.0 && c2 == 127L)
+    val (s1, m1, _) = rows(1L)
+    assert(s1 > 0 && m1 <= s1 * s1 * 0.25 + 1e-12)
+  }
+
   private lazy val books =
     Quantize.pqCodebooks(corpus, "vec_id", "embedding", m = 4, ksub = 16)
 
