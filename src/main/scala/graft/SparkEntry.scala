@@ -2129,6 +2129,38 @@ object SparkEntry {
       |SELECT probe_id, vec_id, l2, rn FROM r WHERE rn <= 5""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q84 — cross-modal manifest: the corpus that survives BOTH text-side
+  // transitive near-dup collapse (q52's connected-components keepers)
+  // AND embedding-side semantic dedup (q74's SemDeDup keepers), joined
+  // on doc_id = vec_id. One oracle certifies the recursive-CTE closure,
+  // the IVF assignment, the within-cell pair search, and the join
+  // end-to-end — the "text dedup alone is not enough" curation step.
+  // ---------------------------------------------------------------------
+  private def q84CrossModalManifest(spark: SparkSession, dir: String): DataFrame = {
+    val textKeep = q52TransitiveDedupKeep(spark, dir)
+    val semKeep = q74SemanticDedup(spark, dir)
+      .filter(col("keep")).select(col("vec_id").as("doc_id"))
+    textKeep.join(semKeep, Seq("doc_id"))
+  }
+
+  private val q84Sql =
+    s"""$q48Closure,
+      |tkeep AS (SELECT v AS doc_id FROM r GROUP BY v HAVING v = MIN(l)),
+      |cc AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 8),
+      |ca2 AS (SELECT vec_id, embedding, cell FROM (
+      |  SELECT e2.vec_id, e2.embedding, cc.cell,
+      |         ROW_NUMBER() OVER (PARTITION BY e2.vec_id
+      |           ORDER BY ${duckCosine("e2.embedding", "ce")} DESC, cc.cell) AS crn
+      |  FROM embeddings e2 CROSS JOIN cc) WHERE crn = 1),
+      |sdup AS (SELECT DISTINCT b.vec_id FROM ca2 a JOIN ca2 b
+      |         ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |         WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.4)
+      |SELECT tkeep.doc_id FROM tkeep
+      |JOIN ca2 ON ca2.vec_id = tkeep.doc_id
+      |LEFT JOIN sdup ON sdup.vec_id = tkeep.doc_id
+      |WHERE sdup.vec_id IS NULL""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -2214,6 +2246,7 @@ object SparkEntry {
     Q("q81_hard_negatives", q81HardNegatives, Some(q81Sql)),
     Q("q82_bpe_pairs", q82BpePairs, Some(q82Sql)),
     Q("q83_pq_refine", q83PqRefine, Some(q83Sql)),
+    Q("q84_cross_modal_manifest", q84CrossModalManifest, Some(q84Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
