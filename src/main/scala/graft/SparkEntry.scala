@@ -2161,6 +2161,44 @@ object SparkEntry {
       |WHERE sdup.vec_id IS NULL""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q85 — incremental semantic dedup (operators/Similarity
+  // .semanticDedupIncremental): which batch embeddings already have a
+  // semantic near-dup in the corpus — the embedding-side sibling of
+  // q61/q68's text-side delta probe. Batch side broadcasts; the corpus
+  // never shuffles and never self-joins.
+  // ---------------------------------------------------------------------
+  private def q85IncrementalSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val slice = pmod(Dedup.baseHash32(col("vec_id").cast("string")), lit(10))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("ce"))
+    Similarity.semanticDedupIncremental(
+      corpus = e.filter(slice =!= 0), batch = e.filter(slice === 0),
+      cents = cents, threshold = 0.35)
+  }
+
+  private val q85Sql =
+    s"""WITH c AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 8),
+      |a AS (SELECT vec_id, embedding,
+      |        CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS sl
+      |      FROM embeddings),
+      |ca AS (SELECT vec_id, embedding, cell FROM (
+      |  SELECT a.vec_id, a.embedding, c.cell,
+      |         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |           ORDER BY ${duckCosine("a.embedding", "ce")} DESC, c.cell) AS crn
+      |  FROM a CROSS JOIN c WHERE a.sl <> 0) WHERE crn = 1),
+      |ba AS (SELECT vec_id, embedding, cell FROM (
+      |  SELECT a.vec_id, a.embedding, c.cell,
+      |         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |           ORDER BY ${duckCosine("a.embedding", "ce")} DESC, c.cell) AS crn
+      |  FROM a CROSS JOIN c WHERE a.sl = 0) WHERE crn = 1)
+      |SELECT vec_id, dup_of, cosine FROM (
+      |  SELECT ba.vec_id, ca.vec_id AS dup_of,
+      |         ${duckCosine("ba.embedding", "ca.embedding")} AS cosine
+      |  FROM ca JOIN ba ON ca.cell = ba.cell)
+      |WHERE cosine >= 0.35""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -2247,6 +2285,7 @@ object SparkEntry {
     Q("q82_bpe_pairs", q82BpePairs, Some(q82Sql)),
     Q("q83_pq_refine", q83PqRefine, Some(q83Sql)),
     Q("q84_cross_modal_manifest", q84CrossModalManifest, Some(q84Sql)),
+    Q("q85_incremental_semantic_dedup", q85IncrementalSemanticDedup, Some(q85Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

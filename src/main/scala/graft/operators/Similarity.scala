@@ -119,6 +119,19 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
   }
 
+  /** Nearest-centroid cell assignment (the IVF coarse quantizer): one
+    * narrow pass — centroids broadcast, argmax cosine per row, ties to
+    * the lower cell. Keeps every input column and adds `cell`. */
+  private def assignCells(df: DataFrame, idCol: String, embCol: String,
+                          cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(desc("ccos"), asc("cell"))
+    df.crossJoin(broadcast(cents))
+      .withColumn("ccos", VectorFunctions.cosine_similarity(col(embCol), col("ce")))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .drop("ce", "ccos", "crn")
+  }
+
   /** Hard-negative mining for contrastive/metric training: each probe's
     * top-k most-similar corpus vectors with a DIFFERENT label — the
     * "hardest" negatives, the pairs a contrastive loss learns most from.
@@ -130,16 +143,9 @@ object Similarity {
     * (vec_id, embedding, label); probes (probe_id, pe, plabel). */
   def hardNegatives(corpus: DataFrame, probes: DataFrame, k: Int,
                     cents: DataFrame): DataFrame = {
-    def assign(df: DataFrame, id: String, emb: String): DataFrame = {
-      val w = Window.partitionBy(col(id)).orderBy(desc("ccos"), asc("cell"))
-      df.crossJoin(broadcast(cents))
-        .withColumn("ccos", VectorFunctions.cosine_similarity(col(emb), col("ce")))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") === 1)
-        .drop("ce", "ccos", "crn")
-    }
-    val ca = assign(corpus, "vec_id", "embedding")
-    val pa = assign(probes, "probe_id", "pe").withColumnRenamed("cell", "pcell")
+    val ca = assignCells(corpus, "vec_id", "embedding", cents)
+    val pa = assignCells(probes, "probe_id", "pe", cents)
+      .withColumnRenamed("cell", "pcell")
     val scored = ca
       .join(broadcast(pa), col("cell") === col("pcell") &&
         col("vec_id") =!= col("probe_id") && col("label") =!= col("plabel"))
@@ -240,11 +246,7 @@ object Similarity {
     * (cell, id) ints, never embeddings. */
   def semanticDedup(corpus: DataFrame, cents: DataFrame,
                     threshold: Double): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), asc("cell"))
-    val assigned = corpus.crossJoin(broadcast(cents))
-      .withColumn("ccos", VectorFunctions.cosine_similarity(col("embedding"), col("ce")))
-      .withColumn("crn", row_number().over(w))
-      .filter(col("crn") === 1)
+    val assigned = assignCells(corpus, "vec_id", "embedding", cents)
       .select(col("vec_id"), col("embedding"), col("cell"))
     val dupIds = assigned.as("a")
       .join(assigned.as("b"),
@@ -255,6 +257,27 @@ object Similarity {
     assigned.join(dupIds.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         coalesce(col("__dup"), lit(false)).unary_!.as("keep"))
+  }
+
+  /** Incremental semantic dedup: which BATCH vectors have a semantic
+    * near-duplicate already in the CORPUS — the embedding-side sibling
+    * of [[Dedup.incrementalJaccardPairs]] (daily-delta admission
+    * control). Both sides take the IVF cell assignment (one narrow pass
+    * each, centroids broadcast); the candidate join is cell-equi with
+    * the BATCH side broadcast, so the corpus NEVER shuffles and never
+    * self-joins — per-delta cost is |corpus|/nCells x |batch| cosine
+    * evaluations, streamed over the corpus scan. Emits every qualifying
+    * (batch, corpus) pair: (vec_id, dup_of, cosine). */
+  def semanticDedupIncremental(corpus: DataFrame, batch: DataFrame,
+                               cents: DataFrame, threshold: Double): DataFrame = {
+    val ca = assignCells(corpus, "vec_id", "embedding", cents)
+    val ba = assignCells(
+      batch.select(col("vec_id").as("b_vec"), col("embedding").as("b_emb")),
+      "b_vec", "b_emb", cents).withColumnRenamed("cell", "b_cell")
+    ca.join(broadcast(ba), col("cell") === col("b_cell"))
+      .select(col("b_vec").as("vec_id"), col("vec_id").as("dup_of"),
+        VectorFunctions.cosine_similarity(col("b_emb"), col("embedding")).as("cosine"))
+      .filter(col("cosine") >= threshold)
   }
 
   /** Embedding-cosine near-duplicate pairs (brute force, i<j).

@@ -43,6 +43,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("incremental semantic dedup reports only true cross-slice near-dups") {
+    val slice = pmod(graft.operators.Dedup.baseHash32(col("vec_id").cast("string")), lit(10))
+    val corpusSide = corpus.filter(slice =!= 0)
+    val batchSide = corpus.filter(slice === 0)
+    val cents = corpus.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("ce"))
+    val got = Similarity.semanticDedupIncremental(corpusSide, batchSide, cents, 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    val batchIds = batchSide.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val corpusIds = corpusSide.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    // direction: vec_id is always a batch member, dup_of always corpus
+    got.foreach { case (v, d, cos) =>
+      assert(batchIds.contains(v) && corpusIds.contains(d),
+        s"pair ($v, $d) crosses the slice boundary the wrong way")
+      assert(cos >= 0.35)
+    }
+    // every reported pair is a genuine near-dup per the exact all-pairs
+    // oracle (cells only PRUNE candidates, never invent similarity)
+    val exact = Similarity.embeddingCosinePairs(corpus, threshold = 0.35)
+      .collect().map(r => Set(r.getLong(0), r.getLong(1))).toSet
+    got.foreach { case (v, d, _) =>
+      assert(exact.contains(Set(v, d)), s"pair ($v, $d) not in exact pair set")
+    }
+  }
+
   test("bucketed pairs are a subset of exact pairs with identical cosines") {
     val exact = Similarity.embeddingCosinePairs(corpus, threshold = 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
