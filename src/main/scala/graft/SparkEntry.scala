@@ -2199,6 +2199,41 @@ object SparkEntry {
       |WHERE cosine >= 0.35""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q86 — tokenizer vocabulary build (operators/CorpusStats.buildVocab):
+  // frequency-filtered tokens with contiguous frequency-ranked ids —
+  // the vocab artifact every tokenizer assumes, computed as the banded
+  // two-phase global rank (no global sort; nothing collected).
+  // ---------------------------------------------------------------------
+  private def q86BuildVocab(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.buildVocab(Tables.documents(spark, dir), "text", minCount = 5L)
+
+  private val q86Sql =
+    """WITH t AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents),
+      |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_occ FROM t GROUP BY 1 HAVING count(*) >= 5)
+      |SELECT tok AS token, n_occ,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, tok) - 1 AS BIGINT) AS token_id
+      |FROM c""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q87 — top-N-by-score per group (operators/Sampling
+  // .topPerGroupByScore): the 10 longest documents per source (long-
+  // context mining) — score-ordered sibling of q53's hash cap, banded by
+  // score bit length so no full-group window ever forms.
+  // ---------------------------------------------------------------------
+  private def q87LongestPerSource(spark: SparkSession, dir: String): DataFrame =
+    Sampling.topPerGroupByScore(
+      Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("n_chars")),
+      "doc_id", "source", "n_chars", n = 10)
+
+  private val q87Sql =
+    """SELECT doc_id, source, n_chars FROM (
+      |  SELECT doc_id, source, n_chars,
+      |         ROW_NUMBER() OVER (PARTITION BY source
+      |           ORDER BY n_chars DESC, doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 10""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -2286,6 +2321,8 @@ object SparkEntry {
     Q("q83_pq_refine", q83PqRefine, Some(q83Sql)),
     Q("q84_cross_modal_manifest", q84CrossModalManifest, Some(q84Sql)),
     Q("q85_incremental_semantic_dedup", q85IncrementalSemanticDedup, Some(q85Sql)),
+    Q("q86_build_vocab", q86BuildVocab, Some(q86Sql)),
+    Q("q87_longest_per_source", q87LongestPerSource, Some(q87Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -196,6 +196,37 @@ object CorpusStats {
       .agg(count(lit(1)).as("shared_shingles"))
   }
 
+  /** Tokenizer vocabulary construction: every token with corpus
+    * frequency >= `minCount`, assigned a CONTIGUOUS 0-based `token_id`
+    * in (frequency desc, token asc) order — frequent tokens get small
+    * ids, the layout every tokenizer artifact assumes. The id is an
+    * exact global rank, computed WITHOUT a global sort: tokens band by
+    * count bit length (ascending band == descending count magnitude, the
+    * [[vocabDrift]] trick), a <= 64-row band histogram yields each
+    * band's offset (the one unpartitioned window, over histogram rows
+    * only), and a per-band window finishes the exact order. Web-scale
+    * vocabularies shuffle as (token, count) pairs; nothing is collected
+    * or broadcast. */
+  def buildVocab(df: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val counts = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= minCount)
+    val banded = counts.withColumn("__bk", -length(bin(col("n_occ"))))
+    val hist = banded.groupBy(col("__bk").as("__b")).agg(count(lit(1)).as("__cnt"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("__off",
+      coalesce(sum(col("__cnt")).over(wc), lit(0L)))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bk")).orderBy(col("n_occ").desc, col("token"))
+    banded.join(cum, banded("__bk") === cum("__b"))
+      .withColumn("token_id", col("__off") + row_number().over(wb) - 1)
+      .select(col("token"), col("n_occ"), col("token_id"))
+  }
+
   /** First-round BPE pair statistics: the top-`k` adjacent character
     * pairs across the corpus, weighted by word frequency — the counting
     * core of byte-pair-encoding tokenizer training (each BPE merge round

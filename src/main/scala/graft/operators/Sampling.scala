@@ -308,6 +308,39 @@ object Sampling {
     df.filter(pmod(purposeHash(col(idCol), ":sample"), lit(100)) < pct)
   }
 
+  /** Keep the top `n` rows of each group by a non-negative integer
+    * SCORE (descending, ties to the lower id) — "the N longest / most
+    * valuable documents per source", the score-ordered sibling of
+    * [[capPerGroup]]'s hash-ordered cap. Same two-phase shape, but
+    * hash-prefix buckets are replaced by score-bit-length bands (the
+    * count-banding of CorpusStats.vocabDrift): ascending band order is
+    * descending score magnitude, so whole bands past rank n drop before
+    * any sort, and the surviving (group, band) windows re-sort by the
+    * exact (score desc, id) order. Bit-identical to the global-rank
+    * definition; no full-group window ever forms. */
+  def topPerGroupByScore(df: DataFrame, idCol: String, groupCol: String,
+                         scoreCol: String, n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val withB = df.withColumn("__bk", -length(bin(col(scoreCol))))
+    val counts = withB
+      .groupBy(col(groupCol).as("__g"), col("__bk").as("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = counts.withColumn("__below",
+      coalesce(sum(col("__cnt")).over(wc), lit(0L)))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("__bk"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    withB
+      .join(cum, withB(groupCol) <=> cum("__g") && withB("__bk") === cum("__b"))
+      .filter(col("__below") < n)
+      .withColumn("__rk", row_number().over(wb))
+      .filter(col("__rk") <= lit(n.toLong) - col("__below"))
+      .drop("__rk", "__bk", "__g", "__b", "__cnt", "__below")
+  }
+
   /** Deterministic GLOBAL training order: every row gets a contiguous
     * 0-based position `pos`, ordered by (bin asc, hash asc, id asc) —
     * the curriculum/shuffle step of a training pipeline ("easy bins

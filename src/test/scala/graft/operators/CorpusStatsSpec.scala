@@ -124,6 +124,26 @@ class CorpusStatsSpec extends SparkSpec {
     }
   }
 
+  test("buildVocab assigns contiguous frequency-ranked ids") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val got = CorpusStats.buildVocab(docs, "text", minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    assert(got.map(_._3).sorted.toSeq == (0L until got.length.toLong).toSeq,
+      "token ids must be a contiguous 0-based range")
+    assert(got.forall(_._2 >= 5L))
+    // naive definition: (count desc, token asc)
+    val naive = docs.select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .filter(_._2 >= 5L)
+      .sortBy { case (t, c) => (-c, t) }
+      .zipWithIndex.map { case ((t, c), i) => (t, c, i.toLong) }
+    assert(got.sortBy(_._3).toSeq == naive,
+      "banded vocab rank drifted from the single-sort definition")
+  }
+
   test("bpePairCounts equals the naive token-stream pair count") {
     import org.apache.spark.sql.functions.col
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")

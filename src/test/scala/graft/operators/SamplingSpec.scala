@@ -242,4 +242,20 @@ class SamplingSpec extends SparkSpec {
       Sampling.temperatureMixWeights(df.toDF("src", "w"), "src", "w", 0.7)
     }
   }
+
+  test("topPerGroupByScore equals the naive per-group rank (sweep)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    Seq(1, 3, 10, 1000).foreach { n =>
+      val got = Sampling.topPerGroupByScore(docs, "doc_id", "source", "n_chars", n)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id"))
+      val want = docs.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= n).drop("rk")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == want, s"n=$n: banded selection != naive rank")
+    }
+  }
 }
