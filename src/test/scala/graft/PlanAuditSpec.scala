@@ -53,16 +53,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("q77's rank window partitions on (bin, bucket), never globally") {
-    // same single-task-sort regression class as q53: a global
-    // row_number() would sort the whole corpus in one task; the
-    // two-phase globalOrder must rank inside (bin, hash-bucket) windows
-    val plan = SparkEntry.queries("q77_curriculum_order")(spark, sfDir)
-      .queryExecution.executedPlan.toString
-    val rankLines = plan.linesIterator.filter(_.contains("row_number")).toSeq
-    assert(rankLines.nonEmpty, "q77 lost its rank window entirely")
-    rankLines.foreach(l => assert(l.contains("__bk"),
-      s"q77 ranks over an unbucketed window: $l"))
+  test("every banded-rank query keeps its bucketed window (q77/q82/q86/q87)") {
+    // same single-task-sort regression class as q53: a global (or bare-
+    // group) row_number() sorts an unbounded partition in one task; all
+    // two-phase rank queries must rank inside (.., __bk) windows
+    Seq("q77_curriculum_order", "q82_bpe_pairs", "q86_build_vocab",
+      "q87_longest_per_source").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val rankLines = plan.linesIterator.filter(_.contains("row_number")).toSeq
+      assert(rankLines.nonEmpty, s"$name lost its rank window entirely")
+      rankLines.foreach(l => assert(l.contains("__bk"),
+        s"$name ranks over an unbucketed window: $l"))
+    }
   }
 
   test("PQ encode is a pure narrow projection — no exchange, no join") {

@@ -243,6 +243,52 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("topPerGroupByScore survives adversarial scores: ties, zeros, band edges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // scores sit exactly ON bit-length band boundaries (1,2,4,8...),
+    // include heavy ties and zeros — the cases banding gets wrong first
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 400L).map { id =>
+      val score = rnd.nextInt(5) match {
+        case 0 => 0L
+        case 1 => 1L << rnd.nextInt(8)            // exact band edges
+        case 2 => (1L << rnd.nextInt(8)) - 1      // just below an edge
+        case 3 => 7L                               // massive tie group
+        case _ => rnd.nextInt(1000).toLong
+      }
+      (id, s"g${id % 5}", score)
+    }
+    val df = rows.toDF("id", "grp", "score")
+    Seq(1, 7, 50).foreach { n =>
+      val got = Sampling.topPerGroupByScore(df, "id", "grp", "score", n)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("grp")).orderBy(col("score").desc, col("id"))
+      val want = df.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= n).drop("rk")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == want, s"n=$n under adversarial scores")
+    }
+  }
+
+  test("globalOrder survives skewed bins and singleton buckets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // one bin holds 90% of rows; bins are non-contiguous longs
+    val rows = (1L to 500L).map(id => (id, if (id <= 450) 7L else id % 3 * 100))
+    val df = rows.toDF("id", "bin")
+    val got = Sampling.globalOrder(df, "id", "bin")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.map(_._2).sorted.toSeq == (0L until 500L).toSeq)
+    val naive = df
+      .withColumn("hv", graft.operators.Dedup.baseHash32(
+        concat(col("id").cast("string"), lit(":order"))))
+      .orderBy(col("bin"), col("hv"), col("id"))
+      .select(col("id")).collect().map(_.getLong(0))
+    assert(got.sortBy(_._2).map(_._1).sameElements(naive))
+  }
+
   test("topPerGroupByScore equals the naive per-group rank (sweep)") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
