@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -99,17 +99,13 @@ object Similarity {
     * corpus vector lives in exactly one cell. */
   def annIvfWithCentroids(corpus: DataFrame, probes: DataFrame, k: Int,
                           cents: DataFrame, nprobe: Int = 1): DataFrame = {
-    def assign(df: DataFrame, id: String, emb: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(id)).orderBy(desc("ccos"), asc("cell"))
-      df.crossJoin(broadcast(cents))
-        .withColumn("ccos", VectorFunctions.cosine_similarity(col(emb), col("ce")))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") <= keep)
-        .drop("ce", "ccos", "crn")
-    }
-    val ca = assign(corpus, "vec_id", "embedding", 1)
-    val pa = assign(probes, "probe_id", "pe", math.max(1, nprobe))
-      .withColumnRenamed("cell", "pcell")
+    val c = collectCentroids(cents)
+    val ca = corpus.withColumn("cell", cellAssignExpr(c, col("embedding")))
+    val pa = probes
+      .withColumn("__cells",
+        cellAssignTopExpr(c, col("pe"), math.max(1, nprobe)))
+      .withColumn("pcell", explode(col("__cells")))
+      .drop("__cells")
     val scored = ca
       .join(broadcast(pa), col("cell") === col("pcell") &&
         col("vec_id") =!= col("probe_id"))
@@ -119,18 +115,47 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
   }
 
-  /** Nearest-centroid cell assignment (the IVF coarse quantizer): one
-    * narrow pass — centroids broadcast, argmax cosine per row, ties to
-    * the lower cell. Keeps every input column and adds `cell`. */
-  private def assignCells(df: DataFrame, idCol: String, embCol: String,
-                          cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(desc("ccos"), asc("cell"))
-    df.crossJoin(broadcast(cents))
-      .withColumn("ccos", VectorFunctions.cosine_similarity(col(embCol), col("ce")))
-      .withColumn("crn", row_number().over(w))
-      .filter(col("crn") === 1)
-      .drop("ce", "ccos", "crn")
+  /** Bounded index-construction ACTION: collect a `(cell BIGINT, ce
+    * ARRAY<FLOAT>)` centroid table to a driver array so assignment can
+    * run as a literal expression. The same contract as
+    * [[trainIvfCentroids]]/[[Quantize.pqCodebooks]]: one bounded collect
+    * at construction, then the centroids ride every plan as literals.
+    * `maxCells` makes the bound explicit — a centroid table is an index
+    * parameter (dozens to thousands of rows), never data. */
+  def collectCentroids(cents: DataFrame,
+                       maxCells: Int = 65536): Array[(Long, Array[Float])] = {
+    val rows = cents.select(col("cell"), col("ce")).limit(maxCells + 1).collect()
+    require(rows.length <= maxCells,
+      s"centroid table exceeds maxCells=$maxCells — that is a data table, " +
+        "not a coarse quantizer; train fewer cells")
+    require(rows.nonEmpty, "empty centroid table")
+    rows.map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
   }
+
+  /** Nearest-centroid cell id as ONE narrow expression: argmax cosine
+    * over literal centroids, ties to the lower cell (array_min over
+    * (-cosine, cell) structs — the [[Quantize.pqEncode]] literal-
+    * codebook trick). No join, no window, NO EXCHANGE: the previous
+    * window-ranked form shuffled the full corpus (embeddings included)
+    * just to pick a centroid — the dominant cost of every IVF-family
+    * query at 100 TB. Also streaming-legal: window functions are not
+    * allowed on streams, a scalar expression is. */
+  def cellAssignExpr(cents: Array[(Long, Array[Float])], emb: Column): Column =
+    array_min(array(cents.map { case (cellId, ce) =>
+      struct((VectorFunctions.cosine_similarity(emb, typedlit(ce.toSeq)) * lit(-1.0))
+        .as("nc"), lit(cellId).as("cell"))
+    }: _*)).getField("cell")
+
+  /** The probe's `nprobe` nearest cells (ascending similarity rank), as
+    * an array — multi-probe search fans out by exploding this. */
+  def cellAssignTopExpr(cents: Array[(Long, Array[Float])], emb: Column,
+                        nprobe: Int): Column =
+    transform(
+      slice(array_sort(array(cents.map { case (cellId, ce) =>
+        struct((VectorFunctions.cosine_similarity(emb, typedlit(ce.toSeq)) * lit(-1.0))
+          .as("nc"), lit(cellId).as("cell"))
+      }: _*)), 1, nprobe),
+      s => s.getField("cell"))
 
   /** Hard-negative mining for contrastive/metric training: each probe's
     * top-k most-similar corpus vectors with a DIFFERENT label — the
@@ -143,9 +168,9 @@ object Similarity {
     * (vec_id, embedding, label); probes (probe_id, pe, plabel). */
   def hardNegatives(corpus: DataFrame, probes: DataFrame, k: Int,
                     cents: DataFrame): DataFrame = {
-    val ca = assignCells(corpus, "vec_id", "embedding", cents)
-    val pa = assignCells(probes, "probe_id", "pe", cents)
-      .withColumnRenamed("cell", "pcell")
+    val c = collectCentroids(cents)
+    val ca = corpus.withColumn("cell", cellAssignExpr(c, col("embedding")))
+    val pa = probes.withColumn("pcell", cellAssignExpr(c, col("pe")))
     val scored = ca
       .join(broadcast(pa), col("cell") === col("pcell") &&
         col("vec_id") =!= col("probe_id") && col("label") =!= col("plabel"))
@@ -246,7 +271,8 @@ object Similarity {
     * (cell, id) ints, never embeddings. */
   def semanticDedup(corpus: DataFrame, cents: DataFrame,
                     threshold: Double): DataFrame = {
-    val assigned = assignCells(corpus, "vec_id", "embedding", cents)
+    val assigned = corpus
+      .withColumn("cell", cellAssignExpr(collectCentroids(cents), col("embedding")))
       .select(col("vec_id"), col("embedding"), col("cell"))
     val dupIds = assigned.as("a")
       .join(assigned.as("b"),
@@ -270,10 +296,10 @@ object Similarity {
     * (batch, corpus) pair: (vec_id, dup_of, cosine). */
   def semanticDedupIncremental(corpus: DataFrame, batch: DataFrame,
                                cents: DataFrame, threshold: Double): DataFrame = {
-    val ca = assignCells(corpus, "vec_id", "embedding", cents)
-    val ba = assignCells(
-      batch.select(col("vec_id").as("b_vec"), col("embedding").as("b_emb")),
-      "b_vec", "b_emb", cents).withColumnRenamed("cell", "b_cell")
+    val c = collectCentroids(cents)
+    val ca = corpus.withColumn("cell", cellAssignExpr(c, col("embedding")))
+    val ba = batch.select(col("vec_id").as("b_vec"), col("embedding").as("b_emb"))
+      .withColumn("b_cell", cellAssignExpr(c, col("b_emb")))
     ca.join(broadcast(ba), col("cell") === col("b_cell"))
       .select(col("b_vec").as("vec_id"), col("vec_id").as("dup_of"),
         VectorFunctions.cosine_similarity(col("b_emb"), col("embedding")).as("cosine"))

@@ -82,6 +82,24 @@ class PlanAuditSpec extends SparkSpec {
       assert(!plan.contains(bad), s"PQ encode plans a $bad"))
   }
 
+  test("IVF assignment is narrow: the corpus never shuffles to pick a cell") {
+    // the r7 rewrite this pins: nearest-centroid assignment is a literal
+    // argmax expression, not a window — the window form exchanged the
+    // full corpus (embeddings included) before every IVF-family join.
+    // q39: the only non-broadcast exchange left is the per-probe top-k
+    // rank over candidate rows; q85 (incremental probe) has NONE.
+    def shuffles(name: String): Int = {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      plan.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    }
+    assert(shuffles("q39_ann_ivf") <= 1,
+      "q39 regained a corpus-side exchange in cell assignment")
+    assert(shuffles("q85_incremental_semantic_dedup") == 0,
+      "q85's corpus side must not shuffle at all")
+  }
+
   test("column pruning reaches the parquet scan") {
     // q1 projects 4 of lineitem's 16 columns; a scan still reading
     // l_comment means the projection never reached the source
