@@ -2234,6 +2234,40 @@ object SparkEntry {
       |WHERE rk <= 10""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q88 — fuzzy decontamination (operators/Scrub.fuzzyDecontaminate):
+  // train docs within 30% edit distance of an eval doc, candidates
+  // blocked by shared 5-gram shingles — catches paraphrased eval leaks
+  // that q56's exact shingle overlap underweights. levenshtein has
+  // identical integer semantics in both engines, so the oracle
+  // certifies the distances themselves.
+  // ---------------------------------------------------------------------
+  private def q88FuzzyDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Scrub.fuzzyDecontaminate(
+      train = docs.filter(col("source") =!= "src0"),
+      eval = docs.filter(col("source") === "src0"),
+      idCol = "doc_id", textCol = "text", n = 5, maxDistBp = 3000L)
+  }
+
+  private val q88Sql =
+    """WITH t AS (SELECT doc_id, source, text, list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, source, sg FROM (
+      |  SELECT doc_id, source, unnest(CASE WHEN len(tk) >= 5
+      |    THEN list_transform(generate_series(1, len(tk)-4),
+      |           i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4])
+      |    ELSE [] END) AS sg FROM t)),
+      |ev AS (SELECT doc_id AS eval_id, sg FROM sh WHERE source = 'src0'),
+      |cand AS (SELECT DISTINCT s.doc_id, e.eval_id
+      |         FROM sh s JOIN ev e USING (sg) WHERE s.source <> 'src0'),
+      |d AS (SELECT c.doc_id, c.eval_id,
+      |        CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+      |        CAST(floor(levenshtein(a.text, b.text) * 10000 /
+      |          greatest(len(a.text), len(b.text))) AS BIGINT) AS dist_bp
+      |      FROM cand c JOIN documents a ON a.doc_id = c.doc_id
+      |                  JOIN documents b ON b.doc_id = c.eval_id)
+      |SELECT doc_id, eval_id, lev, dist_bp FROM d WHERE dist_bp <= 3000""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -2323,6 +2357,7 @@ object SparkEntry {
     Q("q85_incremental_semantic_dedup", q85IncrementalSemanticDedup, Some(q85Sql)),
     Q("q86_build_vocab", q86BuildVocab, Some(q86Sql)),
     Q("q87_longest_per_source", q87LongestPerSource, Some(q87Sql)),
+    Q("q88_fuzzy_decontaminate", q88FuzzyDecontaminate, Some(q88Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

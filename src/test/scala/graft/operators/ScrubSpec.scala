@@ -85,4 +85,37 @@ class ScrubSpec extends SparkSpec {
       .select(Anonymize.pseudonym(col("id"), "s2").as("p")).as[String].head()
     assert(other != p(0)) // different salt, different pseudonym
   }
+
+  test("fuzzy decontamination reports true edit distances on blocked pairs") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val got = Scrub.fuzzyDecontaminate(
+      train = docs.filter(col("source") =!= "src0"),
+      eval = docs.filter(col("source") === "src0"),
+      idCol = "doc_id", textCol = "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty, "the corpus contains known near-verbatim eval leaks")
+    val text = docs.select(col("doc_id"), col("text"), col("source")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    def lev(a: String, b: String): Int = {
+      val prev = Array.range(0, b.length + 1)
+      val cur = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i
+        for (j <- 1 to b.length) {
+          val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+          cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+        }
+        Array.copy(cur, 0, prev, 0, cur.length)
+      }
+      prev(b.length)
+    }
+    got.foreach { case (tid, eid, d, bp) =>
+      assert(text(tid)._2 != "src0" && text(eid)._2 == "src0",
+        s"pair ($tid, $eid) has the wrong train/eval direction")
+      val want = lev(text(tid)._1, text(eid)._1)
+      assert(d == want, s"pair ($tid, $eid): lev $d != independent DP $want")
+      val mx = math.max(text(tid)._1.length, text(eid)._1.length)
+      assert(bp == d * 10000L / mx && bp <= 3000L)
+    }
+  }
 }
