@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import graft.codec.{DnsWire, DnstapCodec}
 import graft.dns.{DnsAnalog, DnstapRows}
 import graft.functions.{Anonymize, DnsNames, IpFunctions, VectorFunctions}
-import graft.operators.{AsOfMatch, CorpusStats, Dedup, GroupingSetCounter, Multimodal, NgramModel, Packing, Quantize, Sampling, Scrub, Similarity, SkewAgg, TextAnalysis}
+import graft.operators.{AsOfMatch, CorpusStats, Dedup, GroupingSetCounter, Multimodal, NgramModel, Packing, Percentiles, Quantize, Sampling, Scrub, Similarity, SkewAgg, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -721,33 +721,10 @@ object SparkEntry {
     * matter how many rows flow in — the realizable 100 TB path (q47).
     * bucketUs = 1 keeps microsecond-exact semantics (q32). */
   private def latencyPercentilesByRank(spark: SparkSession, dir: String,
-                                       bucketUs: Long): DataFrame = {
-    val raw = q5Deltas(spark, dir)
-    val deltas =
-      if (bucketUs <= 1L) raw
-      else raw.withColumn("delta_us",
-        (floor(col("delta_us") / bucketUs) * bucketUs).cast("long"))
-    val hist = deltas
-      .groupBy(col("identity"), col("delta_us"))
-      .agg(count(lit(1)).as("cnt"))
-    // value at rank r (1-based) = first histogram entry whose cumulative
-    // count reaches r; one left-to-right fold over the sorted histogram
-    def rankSelect(h: Column, rank: Column): Column =
-      aggregate(h,
-        struct(lit(0L).as("cum"), lit(null).cast("long").as("v")),
-        (acc, x) => struct(
-          (acc("cum") + x("cnt")).as("cum"),
-          when(acc("v").isNull && acc("cum") + x("cnt") >= rank, x("delta_us"))
-            .otherwise(acc("v")).as("v")),
-        acc => acc("v"))
-    hist.groupBy(col("identity"))
-      .agg(sum(col("cnt")).as("n"),
-        sort_array(collect_list(struct(col("delta_us"), col("cnt")))).as("h"))
-      .select(col("identity"),
-        rankSelect(col("h"), floor((col("n") - 1) * 0.5) + 1).as("p50_us"),
-        rankSelect(col("h"), floor((col("n") - 1) * 0.95) + 1).as("p95_us"),
-        col("n").as("n_samples"))
-  }
+                                       bucketUs: Long): DataFrame =
+    Percentiles.byRank(q5Deltas(spark, dir), "identity", "delta_us",
+      Seq("p50_us" -> 0.5, "p95_us" -> 0.95), bucket = bucketUs)
+      .withColumnRenamed("n_rows", "n_samples")
 
   /** Rank-selection percentile oracle over `deltas`, with optional
     * bucketing mirrored from latencyPercentilesByRank. */
@@ -2268,6 +2245,30 @@ object SparkEntry {
       |SELECT doc_id, eval_id, lev, dist_bp FROM d WHERE dist_bp <= 3000""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q89 — per-source length percentiles (operators/Percentiles.byRank,
+  // the generalized q32/q47 engine on the curation domain): the
+  // data-card length-distribution stat per source, exact nearest-rank
+  // over a (source, n_chars) histogram — no per-row window, no sort.
+  // ---------------------------------------------------------------------
+  private def q89LengthPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Percentiles.byRank(Tables.documents(spark, dir), "source", "n_chars",
+      Seq("p25_chars" -> 0.25, "p50_chars" -> 0.5,
+        "p75_chars" -> 0.75, "p95_chars" -> 0.95))
+
+  private val q89Sql =
+    """WITH r AS (SELECT source, n_chars,
+      |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+      |        COUNT(*) OVER (PARTITION BY source) AS n
+      |      FROM documents)
+      |SELECT source,
+      |  MIN(CASE WHEN rn = CAST(floor((n-1) * 0.25) AS BIGINT) + 1 THEN n_chars END) AS p25_chars,
+      |  MIN(CASE WHEN rn = CAST(floor((n-1) * 0.5) AS BIGINT) + 1 THEN n_chars END) AS p50_chars,
+      |  MIN(CASE WHEN rn = CAST(floor((n-1) * 0.75) AS BIGINT) + 1 THEN n_chars END) AS p75_chars,
+      |  MIN(CASE WHEN rn = CAST(floor((n-1) * 0.95) AS BIGINT) + 1 THEN n_chars END) AS p95_chars,
+      |  CAST(MAX(n) AS BIGINT) AS n_rows
+      |FROM r GROUP BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -2358,6 +2359,7 @@ object SparkEntry {
     Q("q86_build_vocab", q86BuildVocab, Some(q86Sql)),
     Q("q87_longest_per_source", q87LongestPerSource, Some(q87Sql)),
     Q("q88_fuzzy_decontaminate", q88FuzzyDecontaminate, Some(q88Sql)),
+    Q("q89_length_percentiles", q89LengthPercentiles, Some(q89Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

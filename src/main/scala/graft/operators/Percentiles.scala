@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact rank-selection percentiles per key — the generalized form of
+  * the q32/q47 latency engine, usable on any (key, integer value)
+  * domain (latency deltas, document lengths, quality scores).
+  *
+  * Two-phase: a (key, value) histogram with map-side combine (the only
+  * data-sized shuffle), then one bounded per-key fold over the sorted
+  * histogram — value at rank r is the first entry whose cumulative
+  * count reaches r, the exact nearest-rank definition the SQL oracle
+  * states as ROW_NUMBER. No per-row window, no full sort.
+  *
+  * State per key is bounded by the number of DISTINCT values, not rows;
+  * for unbounded domains pass `bucket` > 1 to floor values into
+  * range/bucket buckets BEFORE the histogram (q47's realizable 100 TB
+  * path — percentiles then land on bucket boundaries, a documented
+  * resolution trade).
+  */
+object Percentiles {
+
+  /** Per-`keyCol` percentiles of integer `valCol`. `ps` maps output
+    * column name -> fraction in [0,1); rank = floor((n-1)*p) + 1
+    * (nearest-rank, 1-based). Adds `n_rows` per key. */
+  def byRank(df: DataFrame, keyCol: String, valCol: String,
+             ps: Seq[(String, Double)], bucket: Long = 1L): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p < 1 },
+      "percentile fractions must be in [0, 1)")
+    val vals =
+      if (bucket <= 1L) df.select(col(keyCol), col(valCol).cast("long").as("__v"))
+      else df.select(col(keyCol),
+        (floor(col(valCol) / bucket) * bucket).cast("long").as("__v"))
+    val hist = vals.groupBy(col(keyCol), col("__v")).agg(count(lit(1)).as("__cnt"))
+    def rankSelect(h: Column, rank: Column): Column =
+      aggregate(h,
+        struct(lit(0L).as("cum"), lit(null).cast("long").as("v")),
+        (acc, x) => struct(
+          (acc("cum") + x("__cnt")).as("cum"),
+          when(acc("v").isNull && acc("cum") + x("__cnt") >= rank, x("__v"))
+            .otherwise(acc("v")).as("v")),
+        acc => acc("v"))
+    val agged = hist.groupBy(col(keyCol))
+      .agg(sum(col("__cnt")).as("__n"),
+        sort_array(collect_list(struct(col("__v"), col("__cnt")))).as("__h"))
+    val outCols = col(keyCol) +:
+      ps.map { case (name, p) =>
+        rankSelect(col("__h"), floor((col("__n") - 1) * p) + 1).as(name)
+      } :+ col("__n").as("n_rows")
+    agged.select(outCols: _*)
+  }
+}

@@ -115,7 +115,8 @@ object Scrub {
     * lev / max(|train body|, |eval body|)) — integer-exact. */
   def fuzzyDecontaminate(train: DataFrame, eval: DataFrame,
                          idCol: String, textCol: String, n: Int = 5,
-                         maxDistBp: Long = 3000L): DataFrame = {
+                         maxDistBp: Long = 3000L,
+                         maxEvalDocs: Long = 1L << 20): DataFrame = {
     def shingleHashes(df: DataFrame, as: String): DataFrame = df
       .withColumn("__tk", TextAnalysis.tokens(col(textCol)))
       .select(col(idCol).as(as),
@@ -125,10 +126,19 @@ object Scrub {
     val cand = shingleHashes(train, "__tid")
       .join(shingleHashes(eval, "eval_id"), "__h")
       .select(col("__tid"), col("eval_id")).distinct()
+    // the eval-body broadcast is ENFORCED-bounded, knnBruteForce-style:
+    // the 1-row count is a stage dependency of the broadcast child, so
+    // an oversized eval suite fails loudly before the build can OOM
+    val nEval = eval.agg(count(lit(1)).as("__n_eval"))
+    val evalBodies = eval.select(col(idCol).as("eval_id"), col(textCol).as("__et"))
+      .crossJoin(broadcast(nEval))
+      .filter(assert_true(col("__n_eval") <= lit(maxEvalDocs),
+        lit(s"fuzzyDecontaminate: eval side exceeds maxEvalDocs=$maxEvalDocs; " +
+          "batch the eval suite")).isNull)
+      .drop("__n_eval")
     val out = cand
       .join(train.select(col(idCol).as("__tid"), col(textCol).as("__tt")), "__tid")
-      .join(broadcast(eval.select(col(idCol).as("eval_id"),
-        col(textCol).as("__et"))), "eval_id")
+      .join(broadcast(evalBodies), "eval_id")
       .withColumn("lev", levenshtein(col("__tt"), col("__et")).cast("long"))
       .withColumn("dist_bp",
         floor(col("lev") * 10000 / greatest(length(col("__tt")), length(col("__et"))))
