@@ -2269,6 +2269,29 @@ object SparkEntry {
       |FROM r GROUP BY source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q90 — vocabulary encode (operators/CorpusStats.encodeWithVocab):
+  // q86's vocab applied back to the corpus — per-doc token/OOV counts
+  // and an id-sum checksum that pins the id assignments end-to-end
+  // (build + encode certified by one oracle). Vocabulary flows through
+  // the token-keyed join, never broadcast.
+  // ---------------------------------------------------------------------
+  private def q90VocabEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    CorpusStats.encodeWithVocab(docs, "doc_id", "text",
+      CorpusStats.buildVocab(docs, "text", minCount = 5L))
+  }
+
+  private val q90Sql =
+    """WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents),
+      |c AS (SELECT tok, count(*) AS n_occ FROM t GROUP BY 1 HAVING count(*) >= 5),
+      |v AS (SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, tok) - 1 AS BIGINT) AS token_id FROM c)
+      |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  CAST(sum(coalesce(v.token_id, 0)) AS BIGINT) AS id_sum
+      |FROM t LEFT JOIN v USING (tok)
+      |GROUP BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -2360,6 +2383,7 @@ object SparkEntry {
     Q("q87_longest_per_source", q87LongestPerSource, Some(q87Sql)),
     Q("q88_fuzzy_decontaminate", q88FuzzyDecontaminate, Some(q88Sql)),
     Q("q89_length_percentiles", q89LengthPercentiles, Some(q89Sql)),
+    Q("q90_vocab_encode", q90VocabEncode, Some(q90Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

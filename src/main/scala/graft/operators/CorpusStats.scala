@@ -227,6 +227,26 @@ object CorpusStats {
       .select(col("token"), col("n_occ"), col("token_id"))
   }
 
+  /** Apply a [[buildVocab]] vocabulary to the corpus: per document, the
+    * token count, out-of-vocabulary occurrence count, and the sum of
+    * matched token ids (an order-independent integer checksum that pins
+    * the actual id assignments without emitting an array column). The
+    * vocabulary joins BY TOKEN KEY through ordinary hash partitioning —
+    * never broadcast, never collected (the q58 contract: a web-scale
+    * vocabulary is a table, not a literal). Token-less documents emit no
+    * row, consistent with [[rareTokenStats]]. */
+  def encodeWithVocab(df: DataFrame, idCol: String, textCol: String,
+                      vocab: DataFrame): DataFrame = {
+    val toks = df
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), explode(col("__tk")).as("token"))
+    toks.join(vocab.select(col("token"), col("token_id")), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("token_id").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("token_id"), lit(0L))).as("id_sum"))
+  }
+
   /** First-round BPE pair statistics: the top-`k` adjacent character
     * pairs across the corpus, weighted by word frequency — the counting
     * core of byte-pair-encoding tokenizer training (each BPE merge round
