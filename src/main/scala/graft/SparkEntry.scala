@@ -1955,13 +1955,10 @@ object SparkEntry {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
     val c = corpus(spark, dir)
-    val cents = c.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cell"), col("embedding").as("ce"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), asc("cell"))
-    val ca = c.crossJoin(broadcast(cents))
-      .withColumn("ccos", VectorFunctions.cosine_similarity(col("embedding"), col("ce")))
-      .withColumn("crn", row_number().over(w))
-      .filter(col("crn") === 1)
+    val cents = Similarity.collectCentroids(c.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("ce")))
+    val ca = c
+      .withColumn("cell", Similarity.cellAssignExpr(cents, col("embedding")))
       .select(col("vec_id"), col("cell"))
     val counts = docs.join(ca, docs("doc_id") === ca("vec_id"))
       .groupBy(col("cell"), col("source")).agg(count(lit(1)).as("n_docs"))

@@ -49,6 +49,18 @@ case class BloomMightContainLong(child: Expression, bloomBytes: Array[Byte])
   }
   override protected def withNewChildInternal(newChild: Expression): BloomMightContainLong =
     copy(child = newChild)
+
+  // case-class equality on an Array field is REFERENCE equality, which
+  // breaks the equals/hashCode contract Catalyst relies on for
+  // semanticEquals / common-subexpression elimination / exchange reuse:
+  // two probes built from the same sketch bytes must compare equal.
+  override def equals(other: Any): Boolean = other match {
+    case BloomMightContainLong(c, b) =>
+      c == child && java.util.Arrays.equals(b, bloomBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
 }
 
 object BloomProbe {

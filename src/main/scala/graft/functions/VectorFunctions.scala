@@ -39,9 +39,12 @@ object VectorOps {
   /** Squared L2 between `b` and the window of `a` starting at 0-based
     * `off` (|b| elements). Same per-element double math and strictly
     * left-to-right accumulation as the DuckDB oracle's `list_reduce`
-    * form — bit-reproducible. */
+    * form — bit-reproducible. The window is CLAMPED to `a`'s length
+    * (the [[cosine]]/[[dot]] min-length contract): subvector_l2 is a
+    * user-facing SQL function, and an offset past the left array must
+    * not read adjacent Tungsten buffer memory. */
   def subL2(a: ArrayData, b: ArrayData, off: Int): Double = {
-    val n = b.numElements()
+    val n = math.min(b.numElements(), math.max(0, a.numElements() - off))
     var acc = 0.0
     var i = 0
     while (i < n) {

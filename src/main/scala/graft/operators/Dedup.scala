@@ -510,30 +510,6 @@ object Dedup {
           .as("hamming"))
   }
 
-  /** Span-level duplicate coverage — the exact-substring dedup signal of
-    * Lee et al., "Deduplicating Training Data Makes Language Models
-    * Better" (ACL 2022): for every document, how many of its token
-    * positions fall inside some k-token window whose text occurs at
-    * least twice anywhere in the corpus (including repeats within the
-    * same document). The doc-level Jaccard/MinHash family scores whole
-    * documents; this exposes verbatim boilerplate embedded in
-    * otherwise-unique documents — the signal a pipeline uses to CUT a
-    * span rather than drop a doc.
-    *
-    * Scale (100 TB): portable 60-bit window hashes shuffle, never window
-    * text; duplicate detection is one hash aggregation with map-side
-    * combine plus a semi-join back (never a window over the hash, which
-    * would serialize a viral hash into one task); coverage is an
-    * interval union computed analytically from
-    * the sorted duplicated-window starts (each start covers
-    * min(k, next_start − start) new tokens), so there is no k×
-    * position-explosion join. The per-doc window sort holds only that
-    * doc's duplicated starts — bounded by doc length, never by corpus
-    * size.
-    *
-    * @return one row per input doc:
-    *         (doc_id, n_tokens, covered_tokens, dup_windows)
-    */
   /** Span-level duplicate REMOVAL — the transform [[duplicateSpanCoverage]]
     * is the signal for: every token position covered by some k-token
     * window whose text occurs at least twice in the corpus is CUT, and
@@ -589,6 +565,30 @@ object Dedup {
         array_join(col("__kept"), " ").as("clean_text"))
   }
 
+  /** Span-level duplicate coverage — the exact-substring dedup signal of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL 2022): for every document, how many of its token
+    * positions fall inside some k-token window whose text occurs at
+    * least twice anywhere in the corpus (including repeats within the
+    * same document). The doc-level Jaccard/MinHash family scores whole
+    * documents; this exposes verbatim boilerplate embedded in
+    * otherwise-unique documents — the signal a pipeline uses to CUT a
+    * span rather than drop a doc.
+    *
+    * Scale (100 TB): portable 60-bit window hashes shuffle, never window
+    * text; duplicate detection is one hash aggregation with map-side
+    * combine plus a semi-join back (never a window over the hash, which
+    * would serialize a viral hash into one task); coverage is an
+    * interval union computed analytically from
+    * the sorted duplicated-window starts (each start covers
+    * min(k, next_start − start) new tokens), so there is no k×
+    * position-explosion join. The per-doc window sort holds only that
+    * doc's duplicated starts — bounded by doc length, never by corpus
+    * size.
+    *
+    * @return one row per input doc:
+    *         (doc_id, n_tokens, covered_tokens, dup_windows)
+    */
   def duplicateSpanCoverage(df: DataFrame, idCol: String, textCol: String,
                             k: Int = 8): DataFrame = {
     // project the token array before the generator (see shinglesOfTokens

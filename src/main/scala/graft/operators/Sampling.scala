@@ -135,7 +135,16 @@ object Sampling {
     require(buckets > 0 && (buckets & (buckets - 1)) == 0,
       s"buckets must be a power of two, got $buckets")
     val shift = 32 - java.lang.Integer.numberOfTrailingZeros(buckets)
-    val withB = df
+    // ENFORCED non-negative weights: the whole-bucket prune
+    // (__below > budget drops the bucket before the exact per-row
+    // filter) is only sound when running sums are monotone — a negative
+    // weight (a correction/delta feed) could bring a later row back
+    // under budget inside a dropped bucket. Fail loudly instead of
+    // silently dropping rows the running-sum definition keeps.
+    val guarded = df.filter(assert_true(col(weightCol) >= 0,
+      lit(s"weightBudget: negative $weightCol — the bucket prune needs a " +
+        "monotone running sum; filter or clamp negative weights first")).isNull)
+    val withB = guarded
       .withColumn("__hv", purposeHash(col(idCol), ":budget"))
       .withColumn("__bk", shiftright(col("__hv"), shift))
     val sums = withB
@@ -287,10 +296,15 @@ object Sampling {
         .cast("long")
     val scored = per.withColumn("score", score)
     val tot = scored.agg(sum(col("score")).as("__tot"))
+    // ppm through DECIMAL(38,0): score * 1e6 overflows Long once a
+    // stratum passes ~9.2e12 tokens at T=1.0 — squarely inside the
+    // 100 TB envelope. floor(a/b) on non-negative decimals is the same
+    // integer division the BIGINT form (and the oracle's `//`) computes.
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     scored.crossJoin(broadcast(tot))
       .select(col("stratum"), col("n_docs"), col("total_weight"), col("score"),
-        call_function("div", col("score") * lit(1000000L), col("__tot"))
-          .as("weight_ppm"))
+        floor(col("score").cast(dec38) * lit(1000000L) / col("__tot").cast(dec38))
+          .cast("long").as("weight_ppm"))
   }
 
   /** Stratified variant: per-stratum keep rates (percent), e.g. keep 50%
@@ -321,7 +335,14 @@ object Sampling {
   def topPerGroupByScore(df: DataFrame, idCol: String, groupCol: String,
                          scoreCol: String, n: Int): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
-    val withB = df.withColumn("__bk", -length(bin(col(scoreCol))))
+    // ENFORCED non-negative: bin() of a negative long is a 64-char
+    // two's-complement string, so a negative score would band at -64 and
+    // silently outrank every positive score — fail loudly instead
+    // (the simHashPairs maxHamming-guard contract)
+    val guarded = df.filter(assert_true(col(scoreCol) >= 0,
+      lit(s"topPerGroupByScore: negative $scoreCol — score banding " +
+        "requires non-negative scores; shift or clamp the score first")).isNull)
+    val withB = guarded.withColumn("__bk", -length(bin(col(scoreCol))))
     val counts = withB
       .groupBy(col(groupCol).as("__g"), col("__bk").as("__b"))
       .agg(count(lit(1)).as("__cnt"))

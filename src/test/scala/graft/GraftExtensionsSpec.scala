@@ -36,6 +36,16 @@ class GraftExtensionsSpec extends SparkSpec {
         .collect()
     }
     assert(err.getMessage.contains("INT literal"))
+    // an offset past the left array CLAMPS the window (the cosine/dot
+    // min-length contract) — never an out-of-bounds Tungsten read
+    val clamped = spark.sql(
+      """SELECT subvector_l2(array(CAST(9.0 AS FLOAT), CAST(3.0 AS FLOAT)),
+        |                    array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT)), 1) AS d,
+        |       subvector_l2(array(CAST(9.0 AS FLOAT)),
+        |                    array(CAST(0.0 AS FLOAT)), 5) AS beyond
+        |""".stripMargin).collect().head
+    assert(clamped.getDouble(0) == 9.0)  // only a[1]=3 pairs with b[0]
+    assert(clamped.getDouble(1) == 0.0)  // fully out of range -> empty sum
   }
 
   test("dot_product from SQL matches the expected arithmetic") {

@@ -98,6 +98,12 @@ class PlanAuditSpec extends SparkSpec {
       "q39 regained a corpus-side exchange in cell assignment")
     assert(shuffles("q85_incremental_semantic_dedup") == 0,
       "q85's corpus side must not shuffle at all")
+    // q79 joins + aggregates (id join, groupBy, cell-total window are
+    // legitimate small exchanges) but its embedding side must stay
+    // narrow: no more than the 3 key-only exchanges, never an
+    // embedding-bearing one for assignment
+    assert(shuffles("q79_cluster_source_mix") <= 3,
+      "q79 regained the windowed (shuffling) cell assignment")
   }
 
   test("column pruning reaches the parquet scan") {

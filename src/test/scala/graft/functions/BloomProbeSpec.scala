@@ -43,6 +43,23 @@ class BloomProbeSpec extends SparkSpec {
     assert(miss.isDefined)
   }
 
+  test("probes over equal sketch bytes are equal expressions") {
+    // Catalyst semanticEquals / subexpression elimination depend on the
+    // equals/hashCode contract — an Array field's default reference
+    // equality silently defeats plan reuse
+    val bloom = BloomFilter.create(10, 0.01)
+    bloom.putLong(42L)
+    val b1 = BloomProbe.serialize(bloom)
+    val b2 = b1.clone()
+    val e1 = BloomMightContainLong(Literal(42L), b1)
+    val e2 = BloomMightContainLong(Literal(42L), b2)
+    assert(e1 == e2 && e1.hashCode == e2.hashCode)
+    assert(e1.semanticEquals(e2))
+    val other = BloomFilter.create(10, 0.01)
+    other.putLong(43L)
+    assert(e1 != BloomMightContainLong(Literal(42L), BloomProbe.serialize(other)))
+  }
+
   test("non-BIGINT input is rejected at analysis") {
     import spark.implicits._
     val bloom = BloomFilter.create(10, 0.01)
