@@ -74,6 +74,32 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("Percentiles.byRank equals the nearest-rank definition on random data") {
+    import spark.implicits._
+    val dataGen: Gen[List[(String, Long)]] = Gen.nonEmptyListOf(for {
+      k <- Gen.oneOf("a", "b", "c")
+      // heavy ties + a broad range, the histogram fold's hard cases
+      v <- Gen.oneOf(Gen.choose(0L, 5L), Gen.choose(0L, 100000L))
+    } yield (k, v))
+    forAllSeeded(dataGen, 10) { rows =>
+      val df = rows.toDF("k", "v")
+      Seq(1L, 97L).foreach { bucket =>
+        val got = Percentiles.byRank(df, "k", "v",
+          Seq("p50" -> 0.5, "p90" -> 0.9), bucket = bucket)
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toMap
+        val want = rows.map { case (k, v) =>
+          k -> (if (bucket <= 1) v else v / bucket * bucket)
+        }.groupBy(_._1).map { case (k, kvs) =>
+          val sorted = kvs.map(_._2).sorted
+          def at(p: Double) = sorted(((sorted.length - 1) * p).toInt)
+          k -> (at(0.5), at(0.9), sorted.length.toLong)
+        }
+        assert(got == want, s"bucket=$bucket")
+      }
+    }
+  }
+
   test("exact dedup conserves rows: sum(n_docs) == |input|, keepers distinct") {
     import spark.implicits._
     val textGen = Gen.nonEmptyListOf(Gen.oneOf("aa bb", "bb cc", "cc dd", "dd ee"))
