@@ -54,6 +54,28 @@ object EventWindows {
           Seq(col("counter"), col("first_seen"))): _*)
   }
 
+  /** Per-window top-`k` finisher for a CLOSED-window count stream (the
+    * output of [[tumbling]] in append mode): rank keys by (count desc,
+    * keys asc) within each (w_start, w_end) and keep the top k.
+    *
+    * Streaming cannot chain a second aggregation/window after the
+    * watermarked count in append mode, so windowed heavy hitters run as
+    * a two-stage composition: `tumbling(...)` emits each window's final
+    * counts exactly once (when the watermark closes it), and this
+    * finisher ranks them inside `foreachBatch` — exact, because every
+    * closed window arrives complete in one batch. The rank window
+    * partitions on the window bounds, so state is one window's keys,
+    * never the stream. Batch-equivalence is asserted in
+    * EventWindowsSpec. */
+  def rankWindows(closed: DataFrame, keys: Seq[String], k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w_start"), col("w_end"))
+      .orderBy(desc("n") +: keys.map(c => asc(c)): _*)
+    closed.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Tumbling event-time window with per-key counts and an optional sum.
     * Works identically over batch and streaming frames (same plan shape;
     * streaming adds watermark state). */

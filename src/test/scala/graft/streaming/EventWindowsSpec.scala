@@ -40,6 +40,39 @@ class EventWindowsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("windowed heavy hitters: foreachBatch rank over closed windows equals batch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val events = (0 until 60).map { i =>
+      Ev(t(i % 8), s"u${i % 5}", i.toLong) // window [60,70): skewed key counts
+    } :+ Ev(t(31), "closer", 0L)           // advances watermark past the window
+    val mem = MemoryStream[Ev]
+    val counts = EventWindows.tumbling(mem.toDF(), "ts", Seq("user"),
+      windowLen = "10 minutes", watermark = "5 minutes")
+    val got = scala.collection.mutable.Set.empty[(String, Long, Long)]
+    val query = counts.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        EventWindows.rankWindows(batch, Seq("user"), k = 3)
+          .collect().foreach(r => got.synchronized {
+            got += ((r.getString(2), r.getLong(3), r.getLong(4)))
+          })
+        ()
+      }.start()
+    try {
+      val (a, b) = events.splitAt(40)
+      mem.addData(a); query.processAllAvailable()
+      mem.addData(b); query.processAllAvailable()
+    } finally query.stop()
+    // batch reference: same rank over the batch tumbling counts
+    val closed = EventWindows.tumbling(
+      events.toDF().filter(org.apache.spark.sql.functions.col("ts") < t(10)),
+      "ts", Seq("user"), "10 minutes", "5 minutes")
+    val want = EventWindows.rankWindows(closed, Seq("user"), k = 3)
+      .collect().map(r => (r.getString(2), r.getLong(3), r.getLong(4))).toSet
+    assert(want.nonEmpty && got.toSet == want,
+      s"stream/batch divergence: got=$got want=$want")
+  }
+
   test("driver events table streams through the file source into windows") {
     // the file-stream source needs a directory: stage the driver table
     val src = java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet")
