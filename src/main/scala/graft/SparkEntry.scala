@@ -2289,6 +2289,42 @@ object SparkEntry {
       |GROUP BY t.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q91 — split-leakage report: near-duplicate pairs (q21's inverted-
+  // index Jaccard) that STRADDLE a q62 split boundary — a near-dup of a
+  // held-out document sitting in train is eval contamination that
+  // document-level dedup alone won't surface if the pipeline splits
+  // before deduplicating. Composes the pair operator with the split
+  // labels; one oracle certifies pairs + labels + the straddle filter.
+  // ---------------------------------------------------------------------
+  private def q91SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5, maxShingleDfFrac = 0.1)
+    def label(c: Column) =
+      Sampling.splitLabel(c, Seq("val" -> 10, "test" -> 10), rest = "train")
+    pairs
+      .withColumn("split_a", label(col("doc_a")))
+      .withColumn("split_b", label(col("doc_b")))
+      .filter(col("split_a") =!= col("split_b"))
+  }
+
+  private val q91Sql =
+    s"""WITH $q21PairCtes,
+      |p AS (SELECT x AS doc_a, y AS doc_b, c*1.0/(sa.s + sb.s - c) AS jaccard
+      |      FROM i JOIN sz sa ON i.x = sa.doc JOIN sz sb ON i.y = sb.doc
+      |      WHERE c*1.0/(sa.s + sb.s - c) >= 0.5),
+      |l AS (SELECT doc_a, doc_b, jaccard,
+      |        CAST(('0x' || substr(md5(CAST(doc_a AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS ha,
+      |        CAST(('0x' || substr(md5(CAST(doc_b AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS hb
+      |      FROM p)
+      |SELECT doc_a, doc_b, jaccard,
+      |  CASE WHEN ha < 10 THEN 'val' WHEN ha < 20 THEN 'test' ELSE 'train' END AS split_a,
+      |  CASE WHEN hb < 10 THEN 'val' WHEN hb < 20 THEN 'test' ELSE 'train' END AS split_b
+      |FROM l
+      |WHERE (CASE WHEN ha < 10 THEN 'val' WHEN ha < 20 THEN 'test' ELSE 'train' END)
+      |   <> (CASE WHEN hb < 10 THEN 'val' WHEN hb < 20 THEN 'test' ELSE 'train' END)""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -2381,6 +2417,7 @@ object SparkEntry {
     Q("q88_fuzzy_decontaminate", q88FuzzyDecontaminate, Some(q88Sql)),
     Q("q89_length_percentiles", q89LengthPercentiles, Some(q89Sql)),
     Q("q90_vocab_encode", q90VocabEncode, Some(q90Sql)),
+    Q("q91_split_leakage", q91SplitLeakage, Some(q91Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
