@@ -126,9 +126,18 @@ class GraftAppSpec extends SparkSpec {
         }
       }
       val qDir = s"$root/out/q_out"
+      // the idempotent sink OVERWRITES its __batch_id partition per
+      // batch, so a read can race a commit swap and momentarily find a
+      // directory with no readable footer (UNABLE_TO_INFER_SCHEMA) —
+      // that's "not ready yet", not a failure; keep polling
       def rows() =
-        if (hasParquet(qDir)) spark.read.parquet(qDir).collect()
-        else Array.empty[org.apache.spark.sql.Row]
+        try {
+          if (hasParquet(qDir)) spark.read.parquet(qDir).collect()
+          else Array.empty[org.apache.spark.sql.Row]
+        } catch {
+          case _: org.apache.spark.sql.AnalysisException =>
+            Array.empty[org.apache.spark.sql.Row]
+        }
       val end = System.nanoTime() + 90L * 1000000000L
       while (rows().length < 3 && System.nanoTime() < end) Thread.sleep(200)
 
@@ -148,8 +157,12 @@ class GraftAppSpec extends SparkSpec {
       val rDir = s"$root/out/clientResponse"
       val rEnd = System.nanoTime() + 60L * 1000000000L
       def rCount() =
-        if (hasParquet(rDir)) spark.read.parquet(rDir).count()
-        else 0L
+        try {
+          if (hasParquet(rDir)) spark.read.parquet(rDir).count()
+          else 0L
+        } catch {
+          case _: org.apache.spark.sql.AnalysisException => 0L
+        }
       while (rCount() < 3 && System.nanoTime() < rEnd) Thread.sleep(200)
       assert(rCount() == 3)
     } finally queries.foreach(_.stop())
