@@ -2300,12 +2300,23 @@ object SparkEntry {
     val docs = Tables.documents(spark, dir)
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       n = 3, threshold = 0.5, maxShingleDfFrac = 0.1)
-    def label(c: Column) =
-      Sampling.splitLabel(c, Seq("val" -> 10, "test" -> 10), rest = "train")
+    // labels computed ONCE PER DOC and broadcast-joined ABOVE the pair
+    // aggregation — inlining the md5 label expression on doc_a/doc_b
+    // lets Catalyst push the straddle filter below the aggregate onto
+    // the raw shingle-match rows, evaluating two md5s on tens of
+    // millions of candidates instead of thousands of docs (measured
+    // 6.9 s -> join form at sf0.1; same rows, same oracle)
+    val labels = docs.select(col("doc_id"),
+      Sampling.splitLabel(col("doc_id"),
+        Seq("val" -> 10, "test" -> 10), rest = "train").as("split"))
     pairs
-      .withColumn("split_a", label(col("doc_a")))
-      .withColumn("split_b", label(col("doc_b")))
+      .join(broadcast(labels.select(col("doc_id").as("doc_a"),
+        col("split").as("split_a"))), Seq("doc_a"))
+      .join(broadcast(labels.select(col("doc_id").as("doc_b"),
+        col("split").as("split_b"))), Seq("doc_b"))
       .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        col("split_a"), col("split_b"))
   }
 
   private val q91Sql =
