@@ -2300,20 +2300,23 @@ object SparkEntry {
     val docs = Tables.documents(spark, dir)
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       n = 3, threshold = 0.5, maxShingleDfFrac = 0.1)
-    // labels computed ONCE PER DOC and broadcast-joined ABOVE the pair
+    // labels computed ONCE PER DOC and joined ABOVE the pair
     // aggregation — inlining the md5 label expression on doc_a/doc_b
     // lets Catalyst push the straddle filter below the aggregate onto
     // the raw shingle-match rows, evaluating two md5s on tens of
     // millions of candidates instead of thousands of docs (measured
-    // 6.9 s -> join form at sf0.1; same rows, same oracle)
+    // 6.9 s -> 0.9 s at sf0.1; same rows, same oracle). The label side
+    // is deliberately NOT hint-broadcast: it is one row per document,
+    // which at corpus scale is a table, not a literal — AQE broadcasts
+    // the post-aggregation pair side (tiny) instead.
     val labels = docs.select(col("doc_id"),
       Sampling.splitLabel(col("doc_id"),
         Seq("val" -> 10, "test" -> 10), rest = "train").as("split"))
     pairs
-      .join(broadcast(labels.select(col("doc_id").as("doc_a"),
-        col("split").as("split_a"))), Seq("doc_a"))
-      .join(broadcast(labels.select(col("doc_id").as("doc_b"),
-        col("split").as("split_b"))), Seq("doc_b"))
+      .join(labels.select(col("doc_id").as("doc_a"),
+        col("split").as("split_a")), Seq("doc_a"))
+      .join(labels.select(col("doc_id").as("doc_b"),
+        col("split").as("split_b")), Seq("doc_b"))
       .filter(col("split_a") =!= col("split_b"))
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
         col("split_a"), col("split_b"))

@@ -59,8 +59,11 @@ case class BloomMightContainLong(child: Expression, bloomBytes: Array[Byte])
       c == child && java.util.Arrays.equals(b, bloomBytes)
     case _ => false
   }
-  override def hashCode(): Int =
-    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
+  // cached: Catalyst calls hashCode repeatedly during analysis
+  // (ExpressionSet / canonicalization / CSE) and the sketch can be
+  // megabytes — never rewalk it per call
+  @transient private lazy val bytesHash = java.util.Arrays.hashCode(bloomBytes)
+  override def hashCode(): Int = 31 * child.hashCode() + bytesHash
 }
 
 object BloomProbe {

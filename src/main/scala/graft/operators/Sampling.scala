@@ -141,7 +141,8 @@ object Sampling {
     // weight (a correction/delta feed) could bring a later row back
     // under budget inside a dropped bucket. Fail loudly instead of
     // silently dropping rows the running-sum definition keeps.
-    val guarded = df.filter(assert_true(col(weightCol) >= 0,
+    val guarded = df.filter(assert_true(
+      col(weightCol).isNull || col(weightCol) >= 0,
       lit(s"weightBudget: negative $weightCol — the bucket prune needs a " +
         "monotone running sum; filter or clamp negative weights first")).isNull)
     val withB = guarded
@@ -276,8 +277,12 @@ object Sampling {
     * IEEE-754 correctly rounded in every engine (pow is NOT), so
     * floor(10^6·sqrt(x)) is bit-identical between Spark and the DuckDB
     * oracle, and everything after the floor is integer-exact. The ppm
-    * division is `div` (integer), with both operands positive, so
-    * truncate-vs-floor dialect differences cannot bite.
+    * division is `div` (integer division) over DECIMAL(38,0) operands —
+    * exact divideToIntegralValue, so there is no Long overflow at 100 TB
+    * token totals AND no intermediate decimal rounding (a plain decimal
+    * `/` rounds HALF_UP at scale 6 before any floor — one-off-high at
+    * quotients within 5e-7 of an integer); operands are positive, so
+    * truncate-vs-floor dialect differences cannot bite either.
     *
     * Scale: one map-side-combined aggregation to #strata rows, a 1-row
     * score total broadcast back over them — nothing here ever holds more
@@ -298,12 +303,14 @@ object Sampling {
     val tot = scored.agg(sum(col("score")).as("__tot"))
     // ppm through DECIMAL(38,0): score * 1e6 overflows Long once a
     // stratum passes ~9.2e12 tokens at T=1.0 — squarely inside the
-    // 100 TB envelope. floor(a/b) on non-negative decimals is the same
-    // integer division the BIGINT form (and the oracle's `//`) computes.
+    // 100 TB envelope. `div` on decimals is exact divideToIntegralValue
+    // (NOT floor of a rounded `/` quotient, which rounds HALF_UP at
+    // scale 6 first and can land one too high near-integer quotients).
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     scored.crossJoin(broadcast(tot))
       .select(col("stratum"), col("n_docs"), col("total_weight"), col("score"),
-        floor(col("score").cast(dec38) * lit(1000000L) / col("__tot").cast(dec38))
+        call_function("div",
+          col("score").cast(dec38) * lit(1000000L), col("__tot").cast(dec38))
           .cast("long").as("weight_ppm"))
   }
 
@@ -339,7 +346,8 @@ object Sampling {
     // two's-complement string, so a negative score would band at -64 and
     // silently outrank every positive score — fail loudly instead
     // (the simHashPairs maxHamming-guard contract)
-    val guarded = df.filter(assert_true(col(scoreCol) >= 0,
+    val guarded = df.filter(assert_true(
+      col(scoreCol).isNull || col(scoreCol) >= 0,
       lit(s"topPerGroupByScore: negative $scoreCol — score banding " +
         "requires non-negative scores; shift or clamp the score first")).isNull)
     val withB = guarded.withColumn("__bk", -length(bin(col(scoreCol))))

@@ -135,7 +135,10 @@ class GraftAppSpec extends SparkSpec {
           if (hasParquet(qDir)) spark.read.parquet(qDir).collect()
           else Array.empty[org.apache.spark.sql.Row]
         } catch {
-          case _: org.apache.spark.sql.AnalysisException =>
+          // schema-infer (AnalysisException) OR a listed file deleted
+          // mid-read (SparkException-wrapped FileNotFoundException) —
+          // both are the same commit-swap race: not ready, keep polling
+          case scala.util.control.NonFatal(_) =>
             Array.empty[org.apache.spark.sql.Row]
         }
       val end = System.nanoTime() + 90L * 1000000000L
@@ -161,7 +164,7 @@ class GraftAppSpec extends SparkSpec {
           if (hasParquet(rDir)) spark.read.parquet(rDir).count()
           else 0L
         } catch {
-          case _: org.apache.spark.sql.AnalysisException => 0L
+          case scala.util.control.NonFatal(_) => 0L
         }
       while (rCount() < 3 && System.nanoTime() < rEnd) Thread.sleep(200)
       assert(rCount() == 3)
