@@ -2339,6 +2339,92 @@ object SparkEntry {
       |   <> (CASE WHEN hb < 10 THEN 'val' WHEN hb < 20 THEN 'test' ELSE 'train' END)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q92 — near-dup degree report: per document, how many near-duplicate
+  // partners it has in the q21 pair graph (0 for most) — the dedup
+  // diagnostic that separates a one-off copy from a template family
+  // (high-degree nodes are boilerplate hubs; they also predict CC
+  // fixpoint cost). Degree aggregation runs over the tiny pair set.
+  // ---------------------------------------------------------------------
+  private def q92DupDegree(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5, maxShingleDfFrac = 0.1)
+    val deg = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    docs.select(col("doc_id")).join(deg, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("degree"), lit(0L)).as("degree"))
+  }
+
+  private val q92Sql =
+    s"""WITH $q21PairCtes,
+      |p AS (SELECT x, y FROM i JOIN sz sa ON i.x = sa.doc JOIN sz sb ON i.y = sb.doc
+      |      WHERE c*1.0/(sa.s + sb.s - c) >= 0.5),
+      |d AS (SELECT v AS doc_id, CAST(count(*) AS BIGINT) AS degree FROM (
+      |        SELECT x AS v FROM p UNION ALL SELECT y AS v FROM p) GROUP BY 1)
+      |SELECT doc_id, CAST(coalesce(degree, 0) AS BIGINT) AS degree
+      |FROM documents LEFT JOIN d USING (doc_id)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q93 — per-source dedup-rate report: what fraction of each source's
+  // documents has at least one near-dup partner anywhere in the corpus
+  // (integer basis points) — the "which feed is recycling content"
+  // curation summary. Duplicated-id set and source labels both join
+  // ABOVE the pair aggregation (the q91 lesson).
+  // ---------------------------------------------------------------------
+  private def q93SourceDupRate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5, maxShingleDfFrac = 0.1)
+    val dup = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct().withColumn("__isdup", lit(1L))
+    docs.select(col("doc_id"), col("source"))
+      .join(dup, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__isdup"), lit(0L))).as("n_dup"))
+      .select(col("source"), col("n_docs"), col("n_dup"),
+        floor(col("n_dup") * 10000 / col("n_docs")).cast("long").as("dup_bp"))
+  }
+
+  private val q93Sql =
+    s"""WITH $q21PairCtes,
+      |p AS (SELECT x, y FROM i JOIN sz sa ON i.x = sa.doc JOIN sz sb ON i.y = sb.doc
+      |      WHERE c*1.0/(sa.s + sb.s - c) >= 0.5),
+      |d AS (SELECT DISTINCT v AS doc_id FROM (
+      |        SELECT x AS v FROM p UNION ALL SELECT y AS v FROM p)),
+      |j AS (SELECT source, documents.doc_id,
+      |        CASE WHEN d.doc_id IS NULL THEN 0 ELSE 1 END AS isdup
+      |      FROM documents LEFT JOIN d ON documents.doc_id = d.doc_id)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(isdup) AS BIGINT) AS n_dup,
+      |  CAST(floor(sum(isdup) * 10000 / count(*)) AS BIGINT) AS dup_bp
+      |FROM j GROUP BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q94 — Zipf band histogram: token types and occurrence mass per
+  // frequency bit-length band — the corpus-health sketch (a healthy
+  // natural-language corpus shows the Zipf staircase; a synthetic or
+  // template-heavy one shows a spike). Integer-exact: the band is the
+  // binary-string length of the count in both dialects.
+  // ---------------------------------------------------------------------
+  private def q94ZipfBands(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      .groupBy(length(bin(col("f"))).cast("long").as("freq_bits"))
+      .agg(count(lit(1)).as("n_token_types"), sum(col("f")).as("total_occurrences"))
+
+  private val q94Sql =
+    """WITH t AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents),
+      |c AS (SELECT tok, count(*) AS f FROM t GROUP BY 1)
+      |SELECT CAST(length(bin(f)) AS BIGINT) AS freq_bits,
+      |  CAST(count(*) AS BIGINT) AS n_token_types,
+      |  CAST(sum(f) AS BIGINT) AS total_occurrences
+      |FROM c GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -2432,6 +2518,9 @@ object SparkEntry {
     Q("q89_length_percentiles", q89LengthPercentiles, Some(q89Sql)),
     Q("q90_vocab_encode", q90VocabEncode, Some(q90Sql)),
     Q("q91_split_leakage", q91SplitLeakage, Some(q91Sql)),
+    Q("q92_dup_degree", q92DupDegree, Some(q92Sql)),
+    Q("q93_source_dup_rate", q93SourceDupRate, Some(q93Sql)),
+    Q("q94_zipf_bands", q94ZipfBands, Some(q94Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
