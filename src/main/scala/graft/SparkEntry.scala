@@ -2425,6 +2425,64 @@ object SparkEntry {
       |FROM c GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q95 — document novelty: the share of a document's distinct 3-gram
+  // shingles that appear in NO other document (integer basis points) —
+  // the informativeness signal dual to q73's boilerplate report (df-1
+  // shingles are this document's unique content). One shingle-keyed df
+  // aggregation + one per-doc aggregation; hashes shuffle, never text.
+  // ---------------------------------------------------------------------
+  private def q95Novelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__tk"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.shinglesOfTokens(col("__tk"), 3)).as("sg"))
+      .select(col("doc_id"), xxhash64(col("sg")).as("h"))
+      .distinct()
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+    sh.join(dfreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        floor(col("n_unique") * 10000 / col("n_shingles")).cast("long")
+          .as("novelty_bp"))
+  }
+
+  private val q95Sql =
+    """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, sg FROM (
+      |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+      |    THEN list_transform(generate_series(1, len(tk)-2), i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])
+      |    ELSE [] END) AS sg FROM t)),
+      |d AS (SELECT sg, count(*) AS df FROM sh GROUP BY 1)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+      |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+      |  CAST(floor(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 10000 / count(*)) AS BIGINT) AS novelty_bp
+      |FROM sh JOIN d USING (sg) GROUP BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q96 — duplicate-cluster size histogram: how many q48 components
+  // have 1, 2, 3... members — the one-line answer to "is duplication a
+  // few giant template families or many small copies", which decides
+  // between span removal (q72) and doc dropping (q52). Two tiny
+  // aggregations over the component labels.
+  // ---------------------------------------------------------------------
+  private def q96ClusterSizes(spark: SparkSession, dir: String): DataFrame =
+    q48DedupClusters(spark, dir)
+      .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+
+  private val q96Sql =
+    s"""$q48Closure,
+      |m AS (SELECT v AS doc_id, MIN(l) AS component FROM r GROUP BY v),
+      |s AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+      |      FROM m GROUP BY 1)
+      |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+      |FROM s GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -2521,6 +2579,8 @@ object SparkEntry {
     Q("q92_dup_degree", q92DupDegree, Some(q92Sql)),
     Q("q93_source_dup_rate", q93SourceDupRate, Some(q93Sql)),
     Q("q94_zipf_bands", q94ZipfBands, Some(q94Sql)),
+    Q("q95_novelty", q95Novelty, Some(q95Sql)),
+    Q("q96_cluster_sizes", q96ClusterSizes, Some(q96Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
