@@ -2483,6 +2483,74 @@ object SparkEntry {
       |FROM s GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q97 — per-source rarity percentiles: the Percentiles engine applied
+  // to q58's integer rarity score keyed by source — "which feeds skew
+  // gibberish-heavy" as exact distribution stats, not means. Composes
+  // two operators; one oracle certifies the whole chain.
+  // ---------------------------------------------------------------------
+  private def q97SourceRarityPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val rare = CorpusStats.rareTokenStats(docs, "doc_id", "text", rareBelow = 10L)
+    val withSource = rare.join(docs.select(col("doc_id"), col("source")), "doc_id")
+    Percentiles.byRank(withSource, "source", "rare_bp",
+      Seq("p50_rare_bp" -> 0.5, "p95_rare_bp" -> 0.95))
+  }
+
+  private val q97Sql =
+    """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok
+      |              FROM documents),
+      |cf AS (SELECT tok, COUNT(*) AS cf FROM toks GROUP BY 1),
+      |rb AS (SELECT doc_id,
+      |         CAST(FLOOR(SUM(CASE WHEN cf < 10 THEN 1 ELSE 0 END) * 10000 / COUNT(*)) AS BIGINT) AS rare_bp
+      |       FROM toks JOIN cf USING (tok) GROUP BY doc_id),
+      |j AS (SELECT d.source, rb.rare_bp FROM rb JOIN documents d USING (doc_id)),
+      |r AS (SELECT source, rare_bp,
+      |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY rare_bp) AS rn,
+      |        COUNT(*) OVER (PARTITION BY source) AS n
+      |      FROM j)
+      |SELECT source,
+      |  MIN(CASE WHEN rn = CAST(floor((n-1) * 0.5) AS BIGINT) + 1 THEN rare_bp END) AS p50_rare_bp,
+      |  MIN(CASE WHEN rn = CAST(floor((n-1) * 0.95) AS BIGINT) + 1 THEN rare_bp END) AS p95_rare_bp,
+      |  CAST(MAX(n) AS BIGINT) AS n_rows
+      |FROM r GROUP BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q98 — PII audit rollup by source (q54's planted-pattern counts
+  // aggregated per feed): the compliance summary a scrub pass reports —
+  // which sources carry the PII burden. One map-side-combined
+  // aggregation over codegen'd regex counts.
+  // ---------------------------------------------------------------------
+  private def q98PiiBySource(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com from 10."),
+      (col("doc_id") % 250).cast("string"), lit(".0.7 call 555-"),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val counts = Scrub.piiCounts(planted).map { case (n, c) => c.as(n) }
+    Tables.documents(spark, dir)
+      .select(Seq(col("source")) ++ counts: _*)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_emails")).as("total_emails"),
+        sum(col("n_ipv4")).as("total_ipv4"),
+        sum(col("n_phones")).as("total_phones"))
+  }
+
+  private val q98Sql =
+    s"""WITH p AS (SELECT source,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com from 10.'
+      |      || CAST(doc_id % 250 AS VARCHAR) || '.0.7 call 555-'
+      |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+      |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      |  FROM documents)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(len(regexp_extract_all(t, '${Scrub.EmailPattern}'))) AS BIGINT) AS total_emails,
+      |  CAST(sum(len(regexp_extract_all(t, '${Scrub.Ipv4Pattern}'))) AS BIGINT) AS total_ipv4,
+      |  CAST(sum(len(regexp_extract_all(t, '${Scrub.PhonePattern}'))) AS BIGINT) AS total_phones
+      |FROM p GROUP BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -2581,6 +2649,8 @@ object SparkEntry {
     Q("q94_zipf_bands", q94ZipfBands, Some(q94Sql)),
     Q("q95_novelty", q95Novelty, Some(q95Sql)),
     Q("q96_cluster_sizes", q96ClusterSizes, Some(q96Sql)),
+    Q("q97_source_rarity_percentiles", q97SourceRarityPercentiles, Some(q97Sql)),
+    Q("q98_pii_by_source", q98PiiBySource, Some(q98Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
