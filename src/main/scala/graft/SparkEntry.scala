@@ -1087,11 +1087,19 @@ object SparkEntry {
   /** Shared recursive min-label closure over the q21 pair graph (same
     * edge CTEs; recursion pruned to labels that can still win: a label ≥
     * dst always loses to dst's own id). */
+  /** The thresholded candidate→pair join shared by every consumer of
+    * q21's pair graph (q48 closure, q91/q92/q93 diagnostics): one
+    * definition of the join shape and the 0.5 Jaccard threshold, so the
+    * diagnostics can never drift from the dedup they describe. Callers
+    * prepend their own SELECT list. */
+  private val q21PairJoin =
+    """FROM i JOIN sz sa ON i.x = sa.doc JOIN sz sb ON i.y = sb.doc
+      |      WHERE c*1.0/(sa.s + sb.s - c) >= 0.5""".stripMargin
+
   private val q48Closure =
     s"""WITH RECURSIVE $q21PairCtes,
       |p AS (SELECT x AS src, y AS dst
-      |      FROM i JOIN sz sa ON i.x = sa.doc JOIN sz sb ON i.y = sb.doc
-      |      WHERE c*1.0/(sa.s + sb.s - c) >= 0.5),
+      |      $q21PairJoin),
       |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
       |r(v, l) AS (
       |  SELECT doc_id, doc_id FROM documents
@@ -1200,13 +1208,28 @@ object SparkEntry {
   // phone derived from doc_id, identically in the oracle) and then
   // scrubs it: the oracle certifies the regex semantics agree between
   // engines on every row, not just that clean text passes through.
+  /** Deterministic planted-PII text shared by q54 and q98 — ONE
+    * definition per engine side so the two queries can never drift onto
+    * different planted corpora (each is only gated against its own
+    * oracle copy otherwise). */
+  private def plantedPii: Column = concat(col("text"),
+    lit(" contact user"), col("doc_id").cast("string"),
+    lit("@mail.example.com from 10."),
+    (col("doc_id") % 250).cast("string"), lit(".0.7 call 555-"),
+    lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+    lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+
+  /** DuckDB form of [[plantedPii]] (aliased `t`). ONE LINE on purpose:
+    * the callers interpolate it into stripMargin blocks, where a
+    * leading `||` continuation would be eaten as a margin. */
+  private val plantedPiiSql: String =
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+      "'@mail.example.com from 10.' || CAST(doc_id % 250 AS VARCHAR) || " +
+      "'.0.7 call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || " +
+      "'-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t"
+
   private def q54PiiRedact(spark: SparkSession, dir: String): DataFrame = {
-    val planted = concat(col("text"),
-      lit(" contact user"), col("doc_id").cast("string"),
-      lit("@mail.example.com from 10."),
-      (col("doc_id") % 250).cast("string"), lit(".0.7 call 555-"),
-      lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
-      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val planted = plantedPii
     val counts = Scrub.piiCounts(planted).map { case (n, c) => c.as(n) }
     Tables.documents(spark, dir)
       .select(Seq(col("doc_id")) ++ counts :+
@@ -1221,10 +1244,7 @@ object SparkEntry {
     val ip = Scrub.Ipv4Pattern
     val phone = Scrub.PhonePattern
     s"""WITH p AS (SELECT doc_id,
-      |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com from 10.'
-      |    || CAST(doc_id % 250 AS VARCHAR) || '.0.7 call 555-'
-      |    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
-      |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      |  $plantedPiiSql
       |  FROM documents)
       |SELECT doc_id,
       |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
@@ -2325,8 +2345,7 @@ object SparkEntry {
   private val q91Sql =
     s"""WITH $q21PairCtes,
       |p AS (SELECT x AS doc_a, y AS doc_b, c*1.0/(sa.s + sb.s - c) AS jaccard
-      |      FROM i JOIN sz sa ON i.x = sa.doc JOIN sz sb ON i.y = sb.doc
-      |      WHERE c*1.0/(sa.s + sb.s - c) >= 0.5),
+      |      $q21PairJoin),
       |l AS (SELECT doc_a, doc_b, jaccard,
       |        CAST(('0x' || substr(md5(CAST(doc_a AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS ha,
       |        CAST(('0x' || substr(md5(CAST(doc_b AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS hb
@@ -2358,8 +2377,8 @@ object SparkEntry {
 
   private val q92Sql =
     s"""WITH $q21PairCtes,
-      |p AS (SELECT x, y FROM i JOIN sz sa ON i.x = sa.doc JOIN sz sb ON i.y = sb.doc
-      |      WHERE c*1.0/(sa.s + sb.s - c) >= 0.5),
+      |p AS (SELECT x, y
+      |      $q21PairJoin),
       |d AS (SELECT v AS doc_id, CAST(count(*) AS BIGINT) AS degree FROM (
       |        SELECT x AS v FROM p UNION ALL SELECT y AS v FROM p) GROUP BY 1)
       |SELECT doc_id, CAST(coalesce(degree, 0) AS BIGINT) AS degree
@@ -2390,8 +2409,8 @@ object SparkEntry {
 
   private val q93Sql =
     s"""WITH $q21PairCtes,
-      |p AS (SELECT x, y FROM i JOIN sz sa ON i.x = sa.doc JOIN sz sb ON i.y = sb.doc
-      |      WHERE c*1.0/(sa.s + sb.s - c) >= 0.5),
+      |p AS (SELECT x, y
+      |      $q21PairJoin),
       |d AS (SELECT DISTINCT v AS doc_id FROM (
       |        SELECT x AS v FROM p UNION ALL SELECT y AS v FROM p)),
       |j AS (SELECT source, documents.doc_id,
@@ -2521,13 +2540,7 @@ object SparkEntry {
   // aggregation over codegen'd regex counts.
   // ---------------------------------------------------------------------
   private def q98PiiBySource(spark: SparkSession, dir: String): DataFrame = {
-    val planted = concat(col("text"),
-      lit(" contact user"), col("doc_id").cast("string"),
-      lit("@mail.example.com from 10."),
-      (col("doc_id") % 250).cast("string"), lit(".0.7 call 555-"),
-      lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
-      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
-    val counts = Scrub.piiCounts(planted).map { case (n, c) => c.as(n) }
+    val counts = Scrub.piiCounts(plantedPii).map { case (n, c) => c.as(n) }
     Tables.documents(spark, dir)
       .select(Seq(col("source")) ++ counts: _*)
       .groupBy(col("source"))
@@ -2539,10 +2552,7 @@ object SparkEntry {
 
   private val q98Sql =
     s"""WITH p AS (SELECT source,
-      |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com from 10.'
-      |      || CAST(doc_id % 250 AS VARCHAR) || '.0.7 call 555-'
-      |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
-      |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      |  $plantedPiiSql
       |  FROM documents)
       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(sum(len(regexp_extract_all(t, '${Scrub.EmailPattern}'))) AS BIGINT) AS total_emails,
