@@ -1906,7 +1906,11 @@ object SparkEntry {
     val c = corpus(spark, dir)
     val p = probes(spark, dir)
     val adc = q75PqAdc(spark, dir).select(col("probe_id"), col("vec_id"))
-    val scored = c.crossJoin(broadcast(p))
+    // the exact-L2 side broadcasts the probes under the same ENFORCED
+    // maxProbes bound as knnBruteForce — an unguarded inline broadcast
+    // here would OOM silently on an unbounded probe table
+    val scored = c.crossJoin(
+        Similarity.guardedProbeBroadcast(p, 1L << 20, "q78PqRecall"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         VectorFunctions.subvector_l2(col("pe"), col("embedding"), 0).as("l2"))
@@ -2233,14 +2237,18 @@ object SparkEntry {
   // blocked by shared 5-gram shingles — catches paraphrased eval leaks
   // that q56's exact shingle overlap underweights. levenshtein has
   // identical integer semantics in both engines, so the oracle
-  // certifies the distances themselves.
+  // certifies the distances themselves. The blocking stage runs with
+  // the viral-shingle df cap ON (>10% of train docs, the q91-q93
+  // convention) and the oracle applies the IDENTICAL cap, so the
+  // hash also certifies the capped candidate universe.
   // ---------------------------------------------------------------------
   private def q88FuzzyDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     Scrub.fuzzyDecontaminate(
       train = docs.filter(col("source") =!= "src0"),
       eval = docs.filter(col("source") === "src0"),
-      idCol = "doc_id", textCol = "text", n = 5, maxDistBp = 3000L)
+      idCol = "doc_id", textCol = "text", n = 5, maxDistBp = 3000L,
+      maxShingleDfFrac = 0.1)
   }
 
   private val q88Sql =
@@ -2251,8 +2259,13 @@ object SparkEntry {
       |           i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4])
       |    ELSE [] END) AS sg FROM t)),
       |ev AS (SELECT doc_id AS eval_id, sg FROM sh WHERE source = 'src0'),
+      |tr AS (SELECT doc_id, sg FROM sh WHERE source <> 'src0'),
+      |nt AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents WHERE source <> 'src0'),
+      |viral AS (SELECT sg FROM tr GROUP BY sg
+      |          HAVING COUNT(*) > (SELECT ceil(n * 0.1) FROM nt)),
+      |trc AS (SELECT doc_id, sg FROM tr WHERE sg NOT IN (SELECT sg FROM viral)),
       |cand AS (SELECT DISTINCT s.doc_id, e.eval_id
-      |         FROM sh s JOIN ev e USING (sg) WHERE s.source <> 'src0'),
+      |         FROM trc s JOIN ev e USING (sg)),
       |d AS (SELECT c.doc_id, c.eval_id,
       |        CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
       |        CAST(floor(levenshtein(a.text, b.text) * 10000 /

@@ -28,9 +28,13 @@ object Percentiles {
              ps: Seq[(String, Double)], bucket: Long = 1L): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p < 1 },
       "percentile fractions must be in [0, 1)")
+    // NULL values are excluded, matching the SQL rank oracle (a window
+    // over non-null rows): un-filtered, a NULL __v would sort FIRST in
+    // sort_array and the fold could return NULL as a low percentile
+    val in = df.filter(col(valCol).isNotNull)
     val vals =
-      if (bucket <= 1L) df.select(col(keyCol), col(valCol).cast("long").as("__v"))
-      else df.select(col(keyCol),
+      if (bucket <= 1L) in.select(col(keyCol), col(valCol).cast("long").as("__v"))
+      else in.select(col(keyCol),
         (floor(col(valCol) / bucket) * bucket).cast("long").as("__v"))
     val hist = vals.groupBy(col(keyCol), col("__v")).agg(count(lit(1)).as("__cnt"))
     def rankSelect(h: Column, rank: Column): Column =

@@ -116,7 +116,10 @@ object Quantize {
     val sample: Array[Array[Float]] = corpus
       .select(col(idCol), col(embCol))
       .withColumn("__h", xxhash64(col(idCol)))
-      .orderBy(col("__h"))
+      // id as secondary sort key: a hash collision at the limit() cut
+      // would otherwise make the sample — and the trained codebooks —
+      // partition-order-dependent
+      .orderBy(col("__h"), col(idCol))
       .limit(sampleN)
       .select(col(embCol))
       .collect()

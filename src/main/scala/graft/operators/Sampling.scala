@@ -329,8 +329,8 @@ object Sampling {
     df.filter(pmod(purposeHash(col(idCol), ":sample"), lit(100)) < pct)
   }
 
-  /** Keep the top `n` rows of each group by a non-negative integer
-    * SCORE (descending, ties to the lower id) — "the N longest / most
+  /** Keep the top `n` rows of each group by a non-null, non-negative
+    * integer SCORE (descending, ties to the lower id) — "the N longest / most
     * valuable documents per source", the score-ordered sibling of
     * [[capPerGroup]]'s hash-ordered cap. Same two-phase shape, but
     * hash-prefix buckets are replaced by score-bit-length bands (the
@@ -342,14 +342,18 @@ object Sampling {
   def topPerGroupByScore(df: DataFrame, idCol: String, groupCol: String,
                          scoreCol: String, n: Int): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
-    // ENFORCED non-negative: bin() of a negative long is a 64-char
-    // two's-complement string, so a negative score would band at -64 and
-    // silently outrank every positive score — fail loudly instead
-    // (the simHashPairs maxHamming-guard contract)
+    // ENFORCED non-null, non-negative: bin() of a negative long is a
+    // 64-char two's-complement string, so a negative score would band at
+    // -64 and silently outrank every positive score; a NULL score would
+    // band to a NULL __bk that the band equi-join silently DROPS —
+    // diverging from the nulls-last rank definition. Fail loudly on both
+    // (the simHashPairs maxHamming-guard contract); callers with nullable
+    // scores coalesce to a sentinel first.
     val guarded = df.filter(assert_true(
-      col(scoreCol).isNull || col(scoreCol) >= 0,
-      lit(s"topPerGroupByScore: negative $scoreCol — score banding " +
-        "requires non-negative scores; shift or clamp the score first")).isNull)
+      col(scoreCol).isNotNull && col(scoreCol) >= 0,
+      lit(s"topPerGroupByScore: NULL or negative $scoreCol — score " +
+        "banding requires non-null, non-negative scores; coalesce or " +
+        "clamp the score first")).isNull)
     val withB = guarded.withColumn("__bk", -length(bin(col(scoreCol))))
     val counts = withB
       .groupBy(col(groupCol).as("__g"), col("__bk").as("__b"))

@@ -104,26 +104,63 @@ object Scrub {
     *     n=3: 1.2k pairs at sf0.01 -> 106k at sf0.1; n=5: 2 -> 134 with
     *     identical final output — blocking recall is heuristic, the
     *     verify stage is exact on whatever survives).
+    *     `maxShingleDfFrac` > 0 additionally drops shingles present in
+    *     more than that fraction of TRAIN documents from blocking (the
+    *     `Dedup.incrementalJaccardPairs` agg+anti-join cap): one viral
+    *     boilerplate 5-gram in f% of train docs and most eval docs
+    *     would otherwise emit |train_f| x |eval| candidate pairs, each
+    *     paying a full-body levenshtein — the exact quadratic hot key
+    *     the Jaccard family caps. Dropping it from one join side kills
+    *     the pair, so only the train side is filtered. Like n itself
+    *     this trades blocking recall for a bounded fan-out; pairs whose
+    *     ONLY shared shingle is viral are no longer candidates (they
+    *     share boilerplate, not content).
     *  2. VERIFY — `levenshtein` (identical integer semantics in Spark
     *     and DuckDB — the oracle certifies the distances themselves) on
     *     the candidate bodies only. Train bodies take one id-keyed
     *     exchange to meet their candidate ids; the eval side broadcasts
     *     (an eval suite is bounded by contract — same assumption as
-    *     [[decontaminate]]'s guarded broadcast).
+    *     [[decontaminate]]'s guarded broadcast). Before levenshtein
+    *     runs, candidates failing the FREE necessary length condition
+    *     are pruned: lev(a,b) >= abs(|a|-|b|), so a pair whose length
+    *     difference alone already lands past `maxDistBp` cannot reach
+    *     the final threshold — the floor-form comparison is the exact
+    *     dist_bp expression applied to the length gap, monotone in lev,
+    *     hence semantics-preserving for the thresholded output while
+    *     skipping the O(|a|*|b|) distance on hopeless pairs.
     *
     * Output: (id, eval_id, lev, dist_bp), dist_bp = floor(10000 *
     * lev / max(|train body|, |eval body|)) — integer-exact. */
   def fuzzyDecontaminate(train: DataFrame, eval: DataFrame,
                          idCol: String, textCol: String, n: Int = 5,
                          maxDistBp: Long = 3000L,
-                         maxEvalDocs: Long = 1L << 20): DataFrame = {
+                         maxEvalDocs: Long = 1L << 20,
+                         maxShingleDfFrac: Double = 0.0): DataFrame = {
     def shingleHashes(df: DataFrame, as: String): DataFrame = df
       .withColumn("__tk", TextAnalysis.tokens(col(textCol)))
       .select(col(idCol).as(as),
         explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("__sg"))
       .select(col(as), xxhash64(col("__sg")).as("__h"))
       .distinct()
-    val cand = shingleHashes(train, "__tid")
+    val trainSh0 = shingleHashes(train, "__tid")
+    val trainSh =
+      if (maxShingleDfFrac <= 0) trainSh0
+      else {
+        // two plan consumers (the df aggregate and the anti-join probe
+        // side) — materialize the tokenize/explode/distinct pipeline
+        // once, the same eager-localCheckpoint trade as the Dedup pair
+        // family. Rows are distinct (doc, hash), so count-per-hash IS
+        // document frequency; the viral set is tiny (it's the >frac
+        // tail) and the un-hinted anti-join degrades to a shuffle
+        // rather than OOM if a pathological cap makes it large.
+        val t0 = trainSh0.localCheckpoint()
+        val nTrain = train.agg(countDistinct(col(idCol)).as("__n"))
+        val viral = t0.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+          .crossJoin(broadcast(nTrain))
+          .filter(col("__df") > ceil(col("__n") * maxShingleDfFrac))
+        t0.join(viral.select(col("__h")), Seq("__h"), "left_anti")
+      }
+    val cand = trainSh
       .join(shingleHashes(eval, "eval_id"), "__h")
       .select(col("__tid"), col("eval_id")).distinct()
     // the eval-body broadcast is ENFORCED-bounded, knnBruteForce-style:
@@ -139,6 +176,13 @@ object Scrub {
     val out = cand
       .join(train.select(col(idCol).as("__tid"), col(textCol).as("__tt")), "__tid")
       .join(broadcast(evalBodies), "eval_id")
+      // length prune BELOW the levenshtein projection: dist_bp applied
+      // to the length gap is a lower bound on the pair's dist_bp (lev >=
+      // abs(len diff), floor is monotone), so dropped pairs could never
+      // pass the final filter. Uses abs() so PlanAuditSpec can pin the
+      // prune's position relative to the levenshtein projection.
+      .filter(floor(abs(length(col("__tt")) - length(col("__et"))) * 10000 /
+        greatest(length(col("__tt")), length(col("__et")))) <= maxDistBp)
       .withColumn("lev", levenshtein(col("__tt"), col("__et")).cast("long"))
       .withColumn("dist_bp",
         floor(col("lev") * 10000 / greatest(length(col("__tt")), length(col("__et"))))

@@ -35,23 +35,32 @@ object Similarity {
     * joins by bucket. */
   def knnBruteForce(corpus: DataFrame, probes: DataFrame, k: Int,
                     maxProbes: Long = 1L << 20): DataFrame = {
-    // the 1-row count STAYS explicitly broadcast: if Catalyst ever chose
-    // the probe side as the build side of this inner cross join, the full
-    // probe set would be collected before the assert evaluates — exactly
-    // the window the guard exists to close
-    val nProbes = probes.agg(count(lit(1)).as("__n_probes"))
-    val guarded = probes.crossJoin(broadcast(nProbes))
-      .filter(assert_true(col("__n_probes") <= lit(maxProbes),
-        lit(s"knnBruteForce: probe side exceeds maxProbes=$maxProbes; " +
-          "batch the probes or use annLshBucketed/annIvf")).isNull)
-      .drop("__n_probes")
     val scored = corpus
-      .crossJoin(broadcast(guarded))
+      .crossJoin(guardedProbeBroadcast(probes, maxProbes, "knnBruteForce"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         VectorFunctions.cosine_similarity(col("pe"), col("embedding")).as("cosine"))
     val w = Window.partitionBy(col("probe_id")).orderBy(desc("cosine"), asc("vec_id"))
     scored.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
+  }
+
+  /** The ENFORCED probe broadcast shared by [[knnBruteForce]] and every
+    * caller that scores broadcast probes under a different metric (the
+    * exact-L2 side of the PQ recall report): the 1-row count STAYS
+    * explicitly broadcast — if Catalyst ever chose the probe side as the
+    * build side of the guard's cross join, the full probe set would be
+    * collected before the assert evaluates, exactly the window the guard
+    * exists to close. Returns the broadcast-hinted, guarded probe table;
+    * an oversized probe set kills the job with a clear message before
+    * the broadcast build can OOM. */
+  def guardedProbeBroadcast(probes: DataFrame, maxProbes: Long,
+                            caller: String): DataFrame = {
+    val nProbes = probes.agg(count(lit(1)).as("__n_probes"))
+    broadcast(probes.crossJoin(broadcast(nProbes))
+      .filter(assert_true(col("__n_probes") <= lit(maxProbes),
+        lit(s"$caller: probe side exceeds maxProbes=$maxProbes; " +
+          "batch the probes or use annLshBucketed/annIvf")).isNull)
+      .drop("__n_probes"))
   }
 
   /** Approximate top-k: candidates restricted to the probe's LSH bucket.
@@ -201,7 +210,10 @@ object Similarity {
     val sample: Array[Array[Float]] = corpus
       .select(col("vec_id"), col("embedding"))
       .withColumn("__h", xxhash64(col("vec_id")))
-      .orderBy(col("__h"))
+      // vec_id as secondary sort key: a hash collision at the limit()
+      // cut would otherwise make the sample order-dependent (same fix
+      // as Quantize.pqTrainCodebooks)
+      .orderBy(col("__h"), col("vec_id"))
       .limit(sampleN)
       .select(col("embedding"))
       .collect()

@@ -129,7 +129,11 @@ class GraftAppSpec extends SparkSpec {
       // the idempotent sink OVERWRITES its __batch_id partition per
       // batch, so a read can race a commit swap and momentarily find a
       // directory with no readable footer (UNABLE_TO_INFER_SCHEMA) —
-      // that's "not ready yet", not a failure; keep polling
+      // that's "not ready yet", not a failure; keep polling. The last
+      // swallowed exception is RETAINED so a genuinely corrupted sink
+      // (not the race) stays diagnosable in the timeout assertion
+      // instead of surfacing as a bare count mismatch.
+      var lastPollErr: Option[Throwable] = None
       def rows() =
         try {
           if (hasParquet(qDir)) spark.read.parquet(qDir).collect()
@@ -138,13 +142,17 @@ class GraftAppSpec extends SparkSpec {
           // schema-infer (AnalysisException) OR a listed file deleted
           // mid-read (SparkException-wrapped FileNotFoundException) —
           // both are the same commit-swap race: not ready, keep polling
-          case scala.util.control.NonFatal(_) =>
+          case scala.util.control.NonFatal(e) =>
+            lastPollErr = Some(e)
             Array.empty[org.apache.spark.sql.Row]
         }
       val end = System.nanoTime() + 90L * 1000000000L
       while (rows().length < 3 && System.nanoTime() < end) Thread.sleep(200)
 
       val got = rows()
+      assert(got.length >= 3,
+        s"query sink not ready after 90s; last swallowed poll error: " +
+          lastPollErr.fold("none")(_.toString))
       // projection applied: renamed address column, dropped question type;
       // __batch_id is the idempotent sink's delivery-lineage partition
       assert(got.head.schema.fieldNames.toSeq ==
@@ -164,10 +172,12 @@ class GraftAppSpec extends SparkSpec {
           if (hasParquet(rDir)) spark.read.parquet(rDir).count()
           else 0L
         } catch {
-          case scala.util.control.NonFatal(_) => 0L
+          case scala.util.control.NonFatal(e) => lastPollErr = Some(e); 0L
         }
       while (rCount() < 3 && System.nanoTime() < rEnd) Thread.sleep(200)
-      assert(rCount() == 3)
+      assert(rCount() == 3,
+        s"response sink count mismatch; last swallowed poll error: " +
+          lastPollErr.fold("none")(_.toString))
     } finally queries.foreach(_.stop())
   }
 }

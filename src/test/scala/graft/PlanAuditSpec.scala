@@ -106,6 +106,70 @@ class PlanAuditSpec extends SparkSpec {
       "q79 regained the windowed (shuffling) cell assignment")
   }
 
+  test("q91/q93 evaluate split/source labels above the pair aggregation") {
+    // the measured 6.9 s -> 0.9 s q91 win (SparkEntry q91 scaladoc):
+    // labels are computed once per DOC and joined above the pair
+    // aggregation. Inlining the md5 split label on doc_a/doc_b lets
+    // Catalyst push the straddle filter below the aggregate onto raw
+    // shingle-match rows — md5 twice per CANDIDATE. Pin: no Aggregate
+    // subtree of q91 contains an md5.
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.catalyst.expressions.Md5
+    val q91 = SparkEntry.queries("q91_split_leakage")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val offending = q91.collect { case a: Aggregate if a.find(n =>
+      n.expressions.exists(_.find(_.isInstanceOf[Md5]).isDefined)).isDefined => a }
+    assert(offending.isEmpty,
+      "q91 evaluates the md5 split label below a pair aggregation")
+    // q93, same lesson with the source label: every aggregate nested
+    // under the final per-source rollup (the pair/size/df-cap aggs)
+    // must be source-free — source joins above the pair pipeline
+    val q93 = SparkEntry.queries("q93_source_dup_rate")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val aggs = q93.collect { case a: Aggregate => a }
+    assert(aggs.nonEmpty, "q93 lost its per-source rollup")
+    aggs.drop(1).foreach { a =>
+      assert(a.find(n => n.references.exists(_.name == "source") ||
+        n.output.exists(_.name == "source")).isEmpty,
+        "q93 drags the source label below the pair aggregation")
+    }
+  }
+
+  test("q88's length prune short-circuits before levenshtein") {
+    // the free necessary condition lev >= abs(len_a - len_b) must run
+    // BEFORE the O(|a|*|b|) levenshtein on each candidate. Catalyst
+    // merges the prune and the dist_bp threshold into one conjunction
+    // on the verify join — And evaluates left-to-right with short-
+    // circuit, so the pin is conjunct ORDER: in every predicate that
+    // contains the Abs prune, the Abs conjunct precedes any conjunct
+    // that computes a levenshtein.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Join => LJoin}
+    import org.apache.spark.sql.catalyst.expressions.{Abs, And, Expression, Levenshtein}
+    val plan = SparkEntry.queries("q88_fuzzy_decontaminate")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    assert(plan.find(n => n.expressions.exists(
+      _.find(_.isInstanceOf[Levenshtein]).isDefined)).isDefined,
+      "q88 lost its levenshtein verify stage")
+    val conds = plan.collect {
+      case f: LFilter => f.condition
+      case j: LJoin if j.condition.isDefined => j.condition.get
+    }
+    def has(e: Expression, p: Expression => Boolean) = e.find(p).isDefined
+    def flat(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => flat(l) ++ flat(r)
+      case x => Seq(x)
+    }
+    val absConds = conds.filter(has(_, _.isInstanceOf[Abs]))
+    assert(absConds.nonEmpty, "q88 lost the length-prune predicate")
+    absConds.foreach { c =>
+      val cs = flat(c)
+      val ai = cs.indexWhere(has(_, _.isInstanceOf[Abs]))
+      val li = cs.indexWhere(has(_, _.isInstanceOf[Levenshtein]))
+      assert(li < 0 || ai < li,
+        s"q88's length prune no longer short-circuits before levenshtein: ${c.sql}")
+    }
+  }
+
   test("column pruning reaches the parquet scan") {
     // q1 projects 4 of lineitem's 16 columns; a scan still reading
     // l_comment means the projection never reached the source

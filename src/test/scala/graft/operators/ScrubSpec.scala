@@ -86,6 +86,52 @@ class ScrubSpec extends SparkSpec {
     assert(other != p(0)) // different salt, different pseudonym
   }
 
+  test("fuzzy decontamination df cap drops boilerplate-only pairs, keeps real leaks") {
+    import spark.implicits._
+    // every train doc carries the same boilerplate prefix (viral 5-grams,
+    // df = 4 of 4 train docs); only doc 4 ALSO shares genuine content
+    // (a unique 5-gram) with eval doc 200
+    val boiler = "copyright acme corp all rights reserved"
+    val train = Seq(
+      (1L, s"$boiler alpha"), (2L, s"$boiler beta"), (3L, s"$boiler gamma"),
+      (4L, s"$boiler unique payload sentence shared here exactly")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, boiler),
+      (200L, "intro unique payload sentence shared here exactly")
+    ).toDF("doc_id", "text")
+    def pairs(frac: Double) = Scrub.fuzzyDecontaminate(train, eval,
+        "doc_id", "text", n = 5, maxDistBp = 6000L, maxShingleDfFrac = frac)
+      .select("doc_id", "eval_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    // cap off: boilerplate blocks every train doc against eval 100
+    val uncapped = pairs(0.0)
+    assert(uncapped.contains(1L -> 100L) && uncapped.contains(4L -> 200L))
+    // cap on (>50% of train docs): the viral prefix no longer blocks, so
+    // the boilerplate-only pairs vanish while the genuine leak survives
+    assert(pairs(0.5) == Set(4L -> 200L))
+  }
+
+  test("fuzzy decontamination length prune never drops a pair within threshold") {
+    import spark.implicits._
+    // both pairs share a blocking 5-gram; the long doc's length gap alone
+    // puts it past maxDistBp (prune path), the short one is a real hit
+    val sharedA = "one two three four five"
+    val train = Seq(
+      (1L, s"$sharedA tail"),
+      (2L, s"$sharedA " + Seq.tabulate(200)(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, sharedA)).toDF("doc_id", "text")
+    val got = Scrub.fuzzyDecontaminate(train, eval, "doc_id", "text",
+      n = 5, maxDistBp = 3000L).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(got.map(_._1).toSet == Set(1L),
+      s"expected only the short-tail pair to pass, got: ${got.toSeq}")
+    // the surviving pair's dist_bp matches the unpruned definition
+    val mx = s"$sharedA tail".length
+    assert(got.head._2 == 5L * 10000 / mx)
+  }
+
   test("fuzzy decontamination reports true edit distances on blocked pairs") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
     val got = Scrub.fuzzyDecontaminate(
