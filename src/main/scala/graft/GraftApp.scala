@@ -41,10 +41,12 @@ object Main {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
       // matcher state scales off-heap and restarts incrementally: RocksDB
-      // provider instead of the default in-memory HDFS-backed map
+      // provider instead of the default in-memory HDFS-backed map; the
+      // TOML [Spark] StateStoreProvider key supplies it (RocksDB unless
+      // patched), SPARK_GRAFT_STATESTORE overrides per-process
       .config("spark.sql.streaming.stateStore.providerClass",
         sys.env.getOrElse("SPARK_GRAFT_STATESTORE",
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+          cfg.sparkStreamingOptions("spark.sql.streaming.stateStore.providerClass")))
       .getOrCreate()
     val queries = GraftApp.start(spark, cfg,
       outputDir = sys.env.getOrElse("GRAFT_OUTPUT_DIR", "/var/lib/graft/out"),

@@ -2574,6 +2574,35 @@ object SparkEntry {
       |FROM p GROUP BY source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q99 — bucketed length percentiles (operators/Percentiles.byRank with
+  // the `bucket` knob): q89's per-source length distribution with values
+  // floored into 64-char buckets BEFORE the histogram — the bounded-state
+  // path for unbounded domains (state per key = distinct BUCKETS, not
+  // distinct values; the q47 latency-ms pattern applied to lengths).
+  // Percentiles land on bucket boundaries, a documented resolution
+  // trade; q89 (exact) is unchanged.
+  // ---------------------------------------------------------------------
+  private def q99LengthPercentilesBucketed(spark: SparkSession, dir: String): DataFrame =
+    Percentiles.byRank(Tables.documents(spark, dir), "source", "n_chars",
+      Seq("p25_bucket" -> 0.25, "p50_bucket" -> 0.5,
+        "p75_bucket" -> 0.75, "p95_bucket" -> 0.95), bucket = 64L)
+
+  private val q99Sql =
+    """WITH b AS (SELECT source,
+      |        CAST(floor(n_chars / 64) * 64 AS BIGINT) AS v FROM documents),
+      |r AS (SELECT source, v,
+      |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY v) AS rn,
+      |        COUNT(*) OVER (PARTITION BY source) AS n
+      |      FROM b)
+      |SELECT source,
+      |  MIN(CASE WHEN rn = CAST(floor((n-1) * 0.25) AS BIGINT) + 1 THEN v END) AS p25_bucket,
+      |  MIN(CASE WHEN rn = CAST(floor((n-1) * 0.5) AS BIGINT) + 1 THEN v END) AS p50_bucket,
+      |  MIN(CASE WHEN rn = CAST(floor((n-1) * 0.75) AS BIGINT) + 1 THEN v END) AS p75_bucket,
+      |  MIN(CASE WHEN rn = CAST(floor((n-1) * 0.95) AS BIGINT) + 1 THEN v END) AS p95_bucket,
+      |  CAST(MAX(n) AS BIGINT) AS n_rows
+      |FROM r GROUP BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -2674,6 +2703,7 @@ object SparkEntry {
     Q("q96_cluster_sizes", q96ClusterSizes, Some(q96Sql)),
     Q("q97_source_rarity_percentiles", q97SourceRarityPercentiles, Some(q97Sql)),
     Q("q98_pii_by_source", q98PiiBySource, Some(q98Sql)),
+    Q("q99_length_percentiles_bucketed", q99LengthPercentilesBucketed, Some(q99Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -108,7 +108,13 @@ final case class GraftConfig(
     queryAddressColumn: String,
     questionNameColumn: String,
     questionTypeColumn: String,
-    counterColumn: String) {
+    counterColumn: String,
+    // [Spark] — engine-side extension section (no reference analog):
+    // streaming state-store provider class. RocksDB by default so
+    // watermark state (LatencyMatcher, StreamDedup, EventWindows) lives
+    // off-heap and restores incrementally — at 100 TB watermark widths
+    // the default HDFS-backed in-memory map is heap-bounded.
+    stateStoreProvider: String = GraftConfig.RocksDbProvider) {
 
   def pipelineConfig: DnstapPipeline.Config = DnstapPipeline.Config(
     clientQueries = clientQueries,
@@ -191,6 +197,12 @@ final case class GraftConfig(
   def jdbcAuthOptions: Map[String, String] =
     Map("user" -> username, "password" -> password)
 
+  /** Spark-session streaming options derived from the [Spark] extension
+    * section — applied at session build (Main), overridable per-process
+    * with SPARK_GRAFT_STATESTORE for ops experiments. */
+  def sparkStreamingOptions: Map[String, String] =
+    Map("spark.sql.streaming.stateStore.providerClass" -> stateStoreProvider)
+
   /** Effective-config audit surface (toml.go:96-122,193: the reference
     * reflection-prints every patched field as `Config <Section> <Field>:
     * <value>` at startup, eliding `Password`). Same line shape and field
@@ -228,7 +240,10 @@ final case class GraftConfig(
       "ClickHouse QueryAddressColumn" -> queryAddressColumn,
       "ClickHouse QuestionNameColumn" -> questionNameColumn,
       "ClickHouse QuestionTypeColumn" -> questionTypeColumn,
-      "ClickHouse CounterColumn" -> counterColumn)
+      "ClickHouse CounterColumn" -> counterColumn,
+      // extension section, printed last so a diff against reference
+      // logs shows the verbatim surface first
+      "Spark StateStoreProvider" -> stateStoreProvider)
     fields.map { case (k, v) => s"$prefix $k: $v" }.mkString("\n")
   }
 
@@ -252,6 +267,11 @@ final case class GraftConfig(
 }
 
 object GraftConfig {
+
+  /** Off-heap, incrementally-restoring streaming state store — the
+    * bounded-heap path for wide watermarks. */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
   /** toml.go's Defaults block, verbatim. */
   val defaults: GraftConfig = GraftConfig(
@@ -334,6 +354,7 @@ object GraftConfig {
       queryAddressColumn = str("ClickHouse", "QueryAddressColumn", d.queryAddressColumn),
       questionNameColumn = str("ClickHouse", "QuestionNameColumn", d.questionNameColumn),
       questionTypeColumn = str("ClickHouse", "QuestionTypeColumn", d.questionTypeColumn),
-      counterColumn = str("ClickHouse", "CounterColumn", d.counterColumn))
+      counterColumn = str("ClickHouse", "CounterColumn", d.counterColumn),
+      stateStoreProvider = str("Spark", "StateStoreProvider", d.stateStoreProvider))
   }
 }

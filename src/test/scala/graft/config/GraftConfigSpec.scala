@@ -54,7 +54,27 @@ class GraftConfigSpec extends AnyFunSuite {
     assert(!lines.exists(_.contains("Password")))
     // every line carries the prefix; one line per non-password field
     assert(lines.forall(_.startsWith("Config ")))
-    assert(lines.size == 30)
+    assert(lines.size == 31)
+  }
+
+  test("[Spark] StateStoreProvider defaults to RocksDB and propagates") {
+    val d = GraftConfig.fromToml("")
+    assert(d.stateStoreProvider == GraftConfig.RocksDbProvider)
+    assert(d.sparkStreamingOptions ==
+      Map("spark.sql.streaming.stateStore.providerClass" ->
+        GraftConfig.RocksDbProvider))
+    // a deployment can patch it back to the HDFS-backed default (or any
+    // custom provider) through the same TOML reflection-patch path
+    val c = GraftConfig.fromToml(
+      """[Spark]
+        |StateStoreProvider = "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+        |""".stripMargin)
+    assert(c.sparkStreamingOptions(
+      "spark.sql.streaming.stateStore.providerClass").endsWith(
+      "HDFSBackedStateStoreProvider"))
+    assert(c.renderEffective().linesIterator.toSeq.exists(l =>
+      l.startsWith("Config Spark StateStoreProvider: ") &&
+        l.endsWith("HDFSBackedStateStoreProvider")))
   }
 
   test("empty column name drops the column from the projection (K1)") {
