@@ -71,14 +71,29 @@ object CorpusStats {
     * human-inspection side of the df skew caps the dedup family applies
     * mechanically ("what IS the viral boilerplate in this crawl").
     *
-    * Scale: explode → distinct (doc, shingle) → one map-side-combined
-    * aggregation; the corpus size rides the plan as a broadcast 1-row
-    * aggregate (the q21 idiom) so the threshold scales with the data.
-    * Shingle TEXT does flow through the distinct/groupBy here — unlike
-    * the dedup joins this operator's OUTPUT is the text, and grouping by
-    * a hash would just move the text carry to an exemplar aggregate of
-    * the same shuffle volume. Output is tiny by construction (few
-    * shingles clear a df fraction worth reporting).
+    * Scale — two passes so the corpus-sized shuffle moves HASHES, never
+    * text (the operator's output is text, but only for the handful of
+    * shingles that clear the threshold):
+    *
+    *  1. df COUNT on 64-bit shingle hashes: explode → distinct
+    *     (doc, hash) → map-side-combined count — fixed 8-byte keys; the
+    *     corpus size rides the plan as a broadcast 1-row aggregate (the
+    *     q21 idiom) so the threshold scales with the data. The surviving
+    *     "viral" hash set is bounded by shingles-per-doc / minDfFrac
+    *     INDEPENDENT of corpus size (each survivor owns ≥ minDfFrac·N of
+    *     the ≤ N·s (doc, hash) pairs ⇒ ≤ s/minDfFrac survivors), so it
+    *     broadcasts safely.
+    *  2. TEXT RECOVERY for survivors only: a second narrow scan
+    *     re-derives (hash, shingle), keeps viral hashes via the
+    *     broadcast semi-join, and takes a min() exemplar per hash —
+    *     partial aggregation collapses each partition to ≤ |viral|
+    *     strings before the only text-bearing (and tiny) shuffle.
+    *
+    * The trade is one extra tokenize/explode scan (CPU) for the removal
+    * of the full-corpus text shuffle (disk+network) — the right side of
+    * that trade at 100 TB, same philosophy as the bloom-prefiltered
+    * dedup. A 64-bit collision would merge two shingles' df (never
+    * invent a survivor) — negligible at any corpus size, the q21 idiom.
     *
     * Output: (shingle, df, df_bp) — df_bp = floor(df·10⁴/n_docs) basis
     * points, integer-exact. */
@@ -86,17 +101,25 @@ object CorpusStats {
                           n: Int = 5, minDfFrac: Double = 0.05): DataFrame = {
     require(minDfFrac > 0 && minDfFrac <= 1,
       s"minDfFrac must be in (0, 1], got $minDfFrac")
-    val sh = df
+    def occ = df
       .select(col(idCol).as("__doc"), TextAnalysis.tokens(col(textCol)).as("__tk"))
       .select(col("__doc"),
-        explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("shingle"))
-      .distinct()
+        explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("__s"))
     val nDocs = df.agg(countDistinct(col(idCol)).as("__n"))
-    sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val viral = occ
+      .select(col("__doc"), xxhash64(col("__s")).as("__h"))
+      .distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .filter(col("df") >= ceil(col("__n") * minDfFrac))
-      .select(col("shingle"), col("df"),
+      .select(col("__h"), col("df"),
         floor(col("df") * 10000 / col("__n")).as("df_bp"))
+    val strings = occ
+      .select(xxhash64(col("__s")).as("__h"), col("__s"))
+      .join(broadcast(viral.select(col("__h"))), "__h")
+      .groupBy(col("__h")).agg(min(col("__s")).as("shingle"))
+    viral.join(strings, "__h")
+      .select(col("shingle"), col("df"), col("df_bp"))
   }
 
   /** Vocabulary-drift matrix: Jaccard overlap of each source pair's

@@ -40,11 +40,16 @@ object Scrub {
     * standard eval-leakage guard).
     *
     * Plan shape at 100 TB: the training side explodes to distinct
-    * (doc, shingle) pairs with map-side combine; the eval side — benchmark
-    * suites are tiny relative to a training corpus — collapses to distinct
-    * shingles and is BROADCAST, so the corpus never shuffles on shingle
-    * and the whole operator is scan → explode → broadcast-semi-join →
-    * one aggregate on doc id.
+    * (doc, shingle-HASH) pairs with map-side combine — shingles are
+    * xxhash64'd BEFORE the distinct, so the only corpus-sized shuffle
+    * moves fixed 8-byte keys, never n-token text (the same one-universe
+    * convention as the whole Jaccard/fuzzy blocking family; a 64-bit
+    * collision merging two shingles is negligible at any corpus size
+    * and would only perturb a hit COUNT, never invent a hit). The eval
+    * side — benchmark suites are tiny relative to a training corpus —
+    * collapses to distinct hashes and is BROADCAST, so the corpus never
+    * shuffles on the join and the whole operator is scan → explode →
+    * broadcast-semi-join → one aggregate on doc id.
     *
     * The broadcast assumption is ENFORCED, not hoped for: a distinct
     * shingle count above `maxEvalShingles` kills the job with a clear
@@ -63,7 +68,8 @@ object Scrub {
                     maxEvalShingles: Long = 1L << 22): DataFrame = {
     def shingleSet(df: DataFrame, cols: Column*): DataFrame = df
       .withColumn("__tk", TextAnalysis.tokens(col(textCol)))
-      .select(cols :+ explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("sg"): _*)
+      .select(cols :+ explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("__s"): _*)
+      .select(cols :+ xxhash64(col("__s")).as("sg"): _*)
       .distinct()
     val trainSh = shingleSet(train, col(idCol))
     val evalSh =

@@ -170,6 +170,25 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q56/q73 aggregate on shingle hashes, never shingle text") {
+    // both operators' corpus-sized aggregations (the blocking distinct,
+    // the df count) key on xxhash64 — a string grouping key here means
+    // n-token shingle TEXT is back in a full-corpus shuffle. Text is
+    // only ever carried by min() exemplar aggregate FUNCTIONS (bounded
+    // by the thresholded survivor set via partial aggregation).
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.types.StringType
+    Seq("q56_decontaminate", "q73_boilerplate").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.optimizedPlan
+      plan.collect { case a: Aggregate => a }.foreach { a =>
+        a.groupingExpressions.foreach(g =>
+          assert(g.dataType != StringType,
+            s"$name groups an aggregate by a string key: ${g.sql}"))
+      }
+    }
+  }
+
   test("column pruning reaches the parquet scan") {
     // q1 projects 4 of lineitem's 16 columns; a scan still reading
     // l_comment means the projection never reached the source

@@ -30,6 +30,40 @@ class StreamDedupSpec extends SparkSpec {
   }
 }
 
+class RocksDbStateStoreSpec extends SparkSpec {
+  private def t(min: Int) = new Timestamp(3600_000L + min * 60_000L)
+
+  test("the RocksDB provider the app defaults to runs the dedup state end-to-end") {
+    // GraftConfigSpec proves the knob propagates; this proves the
+    // provider class it names actually LOADS and serves streaming state
+    // (rocksdbjni is a runtime dependency that a classpath change could
+    // silently drop — the config would then fail only at first deploy)
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, graft.config.GraftConfig.RocksDbProvider)
+    try {
+      val mem = MemoryStream[Seen]
+      val out = StreamDedup.withinWatermark(mem.toDF(), Seq("key"), "ts", "10 minutes")
+      val query = out.writeStream.format("memory").queryName("dedup_rocks")
+        .outputMode("append").start()
+      try {
+        mem.addData(Seen(t(0), "a", 1), Seen(t(1), "b", 2))
+        query.processAllAvailable()
+        mem.addData(Seen(t(2), "a", 3), Seen(t(3), "c", 4)) // dup + new key
+        query.processAllAvailable()
+        val vals = spark.sql("SELECT v FROM dedup_rocks").collect()
+          .map(_.getLong(0)).toSet
+        assert(vals == Set(1L, 2L, 4L))
+      } finally query.stop()
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+}
+
 class SkewAggSpec extends SparkSpec {
   test("salted two-phase aggregation equals direct groupBy") {
     import spark.implicits._
