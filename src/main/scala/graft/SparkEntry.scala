@@ -2603,6 +2603,35 @@ object SparkEntry {
       |FROM r GROUP BY source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q100 — composite quality filter (operators/TextAnalysis.qualityGate):
+  // the C4/Gopher-style curation gate as ONE integer-exact scan-level
+  // predicate — length band, duplicate-token and top-token repetition
+  // caps, stopword floor, all cross-multiplied (no float division), so
+  // the entire pipeline is a single pushed-down filter over one scan
+  // (no shuffle, no join; the plan audit pins filter-at-scan).
+  // ---------------------------------------------------------------------
+  private def q100QualityFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("__tk", TextAnalysis.tokens(col("text")))
+      .filter(TextAnalysis.qualityGate(col("__tk"), minTokens = 20, maxTokens = 2000))
+      .select(col("doc_id"), col("source"),
+        size(col("__tk")).cast("long").as("n_tokens"))
+
+  private val q100Sql =
+    """WITH t AS (SELECT doc_id, source, list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
+      |m AS (SELECT doc_id, source, len(tk) AS n, len(list_distinct(tk)) AS d,
+      |        list_aggregate(list_transform(list_distinct(tk),
+      |          u -> len(list_filter(tk, x -> x = u))), 'max') AS mx,
+      |        len(list_filter(tk, x -> x IN ('the','and','of','to','in','a','is'))) AS stop
+      |      FROM t)
+      |SELECT doc_id, source, CAST(n AS BIGINT) AS n_tokens
+      |FROM m
+      |WHERE n >= 20 AND n <= 2000
+      |  AND (n - d) * 10 < n * 6
+      |  AND mx * 100 < n * 12
+      |  AND stop * 20 >= n""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -2704,6 +2733,7 @@ object SparkEntry {
     Q("q97_source_rarity_percentiles", q97SourceRarityPercentiles, Some(q97Sql)),
     Q("q98_pii_by_source", q98PiiBySource, Some(q98Sql)),
     Q("q99_length_percentiles_bucketed", q99LengthPercentilesBucketed, Some(q99Sql)),
+    Q("q100_quality_filter", q100QualityFilter, Some(q100Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

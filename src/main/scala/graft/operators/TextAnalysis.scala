@@ -95,6 +95,35 @@ object TextAnalysis {
       .otherwise((size(bg) - size(array_distinct(bg))) * lit(1.0) / size(bg))
   }
 
+  /** Integer-exact composite quality gate (the C4/Gopher-style curation
+    * filter), designed to sit AT THE SCAN: every clause compares raw
+    * integer counts with CROSS-MULTIPLIED thresholds — no float division
+    * anywhere — so the predicate ships byte-identically to any SQL
+    * dialect and pushes into the parquet scan as one codegen'd filter
+    * (plan-pinned for q100). Clauses, all required:
+    *
+    *   - token count within [minTokens, maxTokens]
+    *   - duplicate-token share < 60%:  (n - distinct) * 10 < n * 6
+    *   - top-token share < 12%:        maxCount * 100 < n * 12
+    *   - stopword share >= 5%:         stopwords * 20 >= n
+    *
+    * Takes a MATERIALIZED token-array column like the repetition
+    * metrics above (inlining tokens(text) into the lambdas would
+    * re-split per step). */
+  def qualityGate(tk: Column, minTokens: Long = 20,
+                  maxTokens: Long = 2000): Column = {
+    val n = size(tk).cast("long")
+    val dups = n - size(array_distinct(tk)).cast("long")
+    val maxCnt = aggregate(array_distinct(tk), lit(0),
+      (acc, u) => greatest(acc, size(filter(tk, x => x === u)))).cast("long")
+    val stops = size(filter(tk,
+      t => array_contains(typedLit(EnglishStopwords), t))).cast("long")
+    n >= minTokens && n <= maxTokens &&
+      dups * 10 < n * 6 &&
+      maxCnt * 100 < n * 12 &&
+      stops * 20 >= n
+  }
+
   /** Language-marker word lists (distinct across languages on purpose). */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "in"),

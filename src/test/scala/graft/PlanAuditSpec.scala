@@ -189,6 +189,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q100's quality gate is one narrow scan — no exchange, no join") {
+    // the whole curation filter composes into a single codegen'd
+    // predicate over one parquet scan; an Exchange or Join appearing
+    // here means a clause stopped being a scan-level expression
+    val plan = SparkEntry.queries("q100_quality_filter")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    Seq("Exchange", "Join", "CartesianProduct").foreach(bad =>
+      assert(!plan.contains(bad), s"q100 plans a $bad"))
+    assert(plan.contains("Scan parquet"), "q100 lost its parquet scan")
+  }
+
   test("column pruning reaches the parquet scan") {
     // q1 projects 4 of lineitem's 16 columns; a scan still reading
     // l_comment means the projection never reached the source

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+
+  private def gate(texts: Seq[String], minTokens: Long = 3,
+                   maxTokens: Long = 100): Seq[Boolean] = {
+    import spark.implicits._
+    texts.toDF("text")
+      .withColumn("__tk", TextAnalysis.tokens(col("text")))
+      .select(TextAnalysis.qualityGate(col("__tk"), minTokens, maxTokens))
+      .collect().map(_.getBoolean(0)).toSeq
+  }
+
+  // 20 distinct tokens, one stopword: passes every clause with margin
+  private val clean = ("the" +: (1 to 19).map(i => s"w$i")).mkString(" ")
+
+  test("qualityGate admits clean prose and rejects each failure mode") {
+    assert(gate(Seq(clean)) == Seq(true))
+    // empty / too short: fails the length floor without dividing by zero
+    assert(gate(Seq("", "the a")) == Seq(false, false))
+    // too long: same clean shape, past a tight band
+    assert(gate(Seq(clean), maxTokens = 10) == Seq(false))
+    // >= 60% duplicate tokens (spam repetition): 6 tokens, 2 distinct
+    assert(gate(Seq("the buy buy buy buy buy")) == Seq(false))
+    // zero stopwords (< 5% floor) with every other clause passing:
+    // 9 distinct non-stopword tokens (top share 1/9 = 11.1% < 12%)
+    assert(gate(
+      Seq("lorem ipsum dolor sit amet consectetur adipiscing elit quux")) ==
+      Seq(false))
+  }
+
+  test("qualityGate thresholds are integer-exact at the boundary") {
+    // top-token share exactly 12% must FAIL the strict < : 25 tokens,
+    // top token 3 occurrences => 3*100 = 25*12 exactly
+    val top12 = (Seq.fill(3)("the") ++ (1 to 22).map(i => s"w$i")).mkString(" ")
+    assert(gate(Seq(top12)) == Seq(false))
+    // one fewer repeat (2/24 ~ 8.3%) passes the same clauses
+    val top8 = (Seq.fill(2)("the") ++ (1 to 22).map(i => s"w$i")).mkString(" ")
+    assert(gate(Seq(top8)) == Seq(true))
+    // stopword share exactly 5% passes the >= floor: 1 stopword in 20
+    assert(gate(Seq(clean)) == Seq(true))
+  }
+}
