@@ -45,8 +45,7 @@ object Main {
       // TOML [Spark] StateStoreProvider key supplies it (RocksDB unless
       // patched), SPARK_GRAFT_STATESTORE overrides per-process
       .config("spark.sql.streaming.stateStore.providerClass",
-        sys.env.getOrElse("SPARK_GRAFT_STATESTORE",
-          cfg.sparkStreamingOptions("spark.sql.streaming.stateStore.providerClass")))
+        sys.env.getOrElse("SPARK_GRAFT_STATESTORE", cfg.stateStoreProvider))
       .getOrCreate()
     val queries = GraftApp.start(spark, cfg,
       outputDir = sys.env.getOrElse("GRAFT_OUTPUT_DIR", "/var/lib/graft/out"),

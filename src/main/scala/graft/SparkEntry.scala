@@ -2289,7 +2289,7 @@ object SparkEntry {
     """WITH r AS (SELECT source, n_chars,
       |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
       |        COUNT(*) OVER (PARTITION BY source) AS n
-      |      FROM documents)
+      |      FROM documents WHERE n_chars IS NOT NULL)
       |SELECT source,
       |  MIN(CASE WHEN rn = CAST(floor((n-1) * 0.25) AS BIGINT) + 1 THEN n_chars END) AS p25_chars,
       |  MIN(CASE WHEN rn = CAST(floor((n-1) * 0.5) AS BIGINT) + 1 THEN n_chars END) AS p50_chars,
@@ -2589,7 +2589,8 @@ object SparkEntry {
 
   private val q99Sql =
     """WITH b AS (SELECT source,
-      |        CAST(floor(n_chars / 64) * 64 AS BIGINT) AS v FROM documents),
+      |        CAST(floor(n_chars / 64) * 64 AS BIGINT) AS v
+      |      FROM documents WHERE n_chars IS NOT NULL),
       |r AS (SELECT source, v,
       |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY v) AS rn,
       |        COUNT(*) OVER (PARTITION BY source) AS n

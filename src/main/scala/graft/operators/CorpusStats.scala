@@ -106,6 +106,13 @@ object CorpusStats {
       .select(col("__doc"),
         explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("__s"))
     val nDocs = df.agg(countDistinct(col(idCol)).as("__n"))
+    // viral has TWO plan consumers (the broadcast semi-join build side
+    // and the final join) and Spark duplicates the subtree per consumer
+    // — without materialization the full-corpus df-count pipeline would
+    // run twice (the measured ngramJaccardPairs lesson). It is bounded
+    // (<= shingles-per-doc / minDfFrac rows), so the eager
+    // localCheckpoint costs one small job, same trade as the Dedup
+    // family.
     val viral = occ
       .select(col("__doc"), xxhash64(col("__s")).as("__h"))
       .distinct()
@@ -114,6 +121,7 @@ object CorpusStats {
       .filter(col("df") >= ceil(col("__n") * minDfFrac))
       .select(col("__h"), col("df"),
         floor(col("df") * 10000 / col("__n")).as("df_bp"))
+      .localCheckpoint()
     val strings = occ
       .select(xxhash64(col("__s")).as("__h"), col("__s"))
       .join(broadcast(viral.select(col("__h"))), "__h")

@@ -38,6 +38,31 @@ object Dedup {
     *        stale. (Construction DOES run jobs either way — the index is
     *        eagerly checkpointed, see the body comment.)
     */
+  /** The viral-hash set of a shingle index: hashes whose document
+    * frequency within `counted` exceeds the cap (absolute `maxDf`, or
+    * `maxDfFrac` of the 1-row `nDocs` count aliased `__n`, which rides
+    * the plan broadcast so the threshold scales with the data). ONE hash
+    * aggregation with map-side combine — a viral hash never lands in one
+    * task the way a count-over-window would route it. The result is NOT
+    * hint-broadcast: bounded for sane caps, but an adversarial cap
+    * (df 1) makes it large, and an AQE shuffle anti-join degrades, never
+    * OOMs. Callers LEFT-ANTI join it off their index — off BOTH sides of
+    * a two-sided universe (the one-universe rule). Shared by the Jaccard
+    * pair family and `Scrub.fuzzyDecontaminate` so the threshold
+    * semantics (`>`, ceil) cannot drift between them. */
+  private[operators] def viralHashes(counted: DataFrame, hashCol: String,
+                                     nDocs: Option[DataFrame], maxDf: Long,
+                                     maxDfFrac: Double): DataFrame = {
+    val dfreq = counted.groupBy(col(hashCol)).agg(count(lit(1)).as("__df"))
+    val viral =
+      if (maxDfFrac > 0)
+        dfreq.crossJoin(broadcast(nDocs.getOrElse(sys.error(
+            "viralHashes: fractional cap needs the corpus count"))))
+          .filter(col("__df") > ceil(col("__n") * maxDfFrac))
+      else dfreq.filter(col("__df") > maxDf)
+    viral.select(col(hashCol))
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         maxShingleDf: Long = 0L,
@@ -64,23 +89,17 @@ object Dedup {
       .select(col("doc"), xxhash64(col("sg")).as("h"))
       .distinct()
       .localCheckpoint()
-    // df cap as a hash AGGREGATION over the checkpointed index plus an
-    // anti-join against the (tiny) viral set — map-side combine, and a
-    // viral hash never lands in one task the way a count-over-window
-    // would route it. The viral set is NOT hint-broadcast: its size is
-    // bounded by total/(cap) for sane caps but adversarial caps (df 1)
-    // make it large, and an AQE shuffle anti-join degrades, never OOMs.
+    // df cap: the shared viralHashes aggregation + anti-join (see its
+    // scaladoc for the map-side-combine / no-hint-broadcast rationale)
     val sh =
       if (maxShingleDf <= 0 && maxShingleDfFrac <= 0) sh0
       else {
-        val dfreq = sh0.groupBy(col("h")).agg(count(lit(1)).as("__df"))
-        val viral =
-          if (maxShingleDfFrac > 0) {
-            val nDocs = df.agg(countDistinct(col(idCol)).as("__n"))
-            dfreq.crossJoin(broadcast(nDocs))
-              .filter(col("__df") > ceil(col("__n") * maxShingleDfFrac))
-          } else dfreq.filter(col("__df") > maxShingleDf)
-        sh0.join(viral.select(col("h")), Seq("h"), "left_anti")
+        val nDocs =
+          if (maxShingleDfFrac > 0)
+            Some(df.agg(countDistinct(col(idCol)).as("__n")))
+          else None
+        sh0.join(viralHashes(sh0, "h", nDocs, maxShingleDf, maxShingleDfFrac),
+            Seq("h"), "left_anti")
           .localCheckpoint()
       }
     // carry each doc's shingle-set size into the index so the exact
@@ -163,21 +182,15 @@ object Dedup {
     // an executor, acceptable for a batch operator, and only fixed-width
     // (side, doc, h) rows are stored, never text).
     val u0 = shingles(batch, "b").union(shingles(corpus, "c")).localCheckpoint()
-    // corpus-df cap as a hash aggregation over the checkpointed index
-    // plus an anti-join against the (tiny) viral set — map-side combine;
-    // a viral hash never lands in one task the way a count-over-window
-    // would route it, and the un-hinted anti-join degrades to a shuffle
-    // rather than OOM if a pathological cap makes the viral set large.
-    // A capped shingle leaves BOTH sides (one-universe rule).
+    // corpus-df cap: the shared viralHashes aggregation + anti-join,
+    // counting the CORPUS side only; a capped shingle leaves BOTH sides
+    // (one-universe rule)
     val uc =
       if (maxShingleDfFrac <= 0) u0
       else {
         val nCorpus = corpus.agg(countDistinct(col(idCol)).as("__n"))
-        val viral = u0.filter(col("side") === "c")
-          .groupBy(col("h")).agg(count(lit(1)).as("__df"))
-          .crossJoin(broadcast(nCorpus))
-          .filter(col("__df") > ceil(col("__n") * maxShingleDfFrac))
-        u0.join(viral.select(col("h")), Seq("h"), "left_anti")
+        u0.join(viralHashes(u0.filter(col("side") === "c"), "h",
+            Some(nCorpus), 0L, maxShingleDfFrac), Seq("h"), "left_anti")
           .localCheckpoint()
       }
     // sizes AFTER the cap: jaccard is computed over the capped universe

@@ -156,15 +156,12 @@ object Scrub {
         // side) — materialize the tokenize/explode/distinct pipeline
         // once, the same eager-localCheckpoint trade as the Dedup pair
         // family. Rows are distinct (doc, hash), so count-per-hash IS
-        // document frequency; the viral set is tiny (it's the >frac
-        // tail) and the un-hinted anti-join degrades to a shuffle
-        // rather than OOM if a pathological cap makes it large.
+        // document frequency; the cap itself is the shared
+        // Dedup.viralHashes aggregation + anti-join.
         val t0 = trainSh0.localCheckpoint()
         val nTrain = train.agg(countDistinct(col(idCol)).as("__n"))
-        val viral = t0.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
-          .crossJoin(broadcast(nTrain))
-          .filter(col("__df") > ceil(col("__n") * maxShingleDfFrac))
-        t0.join(viral.select(col("__h")), Seq("__h"), "left_anti")
+        t0.join(Dedup.viralHashes(t0, "__h", Some(nTrain), 0L, maxShingleDfFrac),
+          Seq("__h"), "left_anti")
       }
     val cand = trainSh
       .join(shingleHashes(eval, "eval_id"), "__h")
@@ -186,8 +183,11 @@ object Scrub {
       // to the length gap is a lower bound on the pair's dist_bp (lev >=
       // abs(len diff), floor is monotone), so dropped pairs could never
       // pass the final filter. Uses abs() so PlanAuditSpec can pin the
-      // prune's position relative to the levenshtein projection.
-      .filter(floor(abs(length(col("__tt")) - length(col("__et"))) * 10000 /
+      // prune's position relative to the levenshtein projection. The
+      // gap is cast to long BEFORE the x10000 (like dist_bp's lev):
+      // an int multiply overflows (throws, under ANSI) at ~215 KB gaps.
+      .filter(floor(abs(length(col("__tt")) - length(col("__et"))).cast("long")
+        * 10000 /
         greatest(length(col("__tt")), length(col("__et")))) <= maxDistBp)
       .withColumn("lev", levenshtein(col("__tt"), col("__et")).cast("long"))
       .withColumn("dist_bp",

@@ -167,6 +167,7 @@ class GraftAppSpec extends SparkSpec {
       // response table got the NXDOMAIN row under its default name
       val rDir = s"$root/out/clientResponse"
       val rEnd = System.nanoTime() + 60L * 1000000000L
+      lastPollErr = None // don't attribute this phase to a stale error
       def rCount() =
         try {
           if (hasParquet(rDir)) spark.read.parquet(rDir).count()
