@@ -189,6 +189,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("unpartitioned windows appear only in the band-histogram family") {
+    // an unpartitioned window sorts EVERY row in one task — allowed only
+    // over the <= 64-row score/count band histograms of the two-phase
+    // global-rank designs (Sampling.globalOrder: q77; CorpusStats
+    // .buildVocab: q82/q86, composed by q90). Any other query planning
+    // one has regressed to a single-task global sort.
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    val allowed = Set("q77_curriculum_order", "q82_bpe_pairs",
+      "q86_build_vocab", "q90_vocab_encode")
+    val offenders = SparkEntry.queries.toSeq
+      .filterNot { case (name, _) => allowed(name) }
+      .flatMap { case (name, fn) =>
+        val global = fn(spark, sfDir).queryExecution.optimizedPlan
+          .collect { case w: Window if w.partitionSpec.isEmpty => w }
+        if (global.nonEmpty) Some(name) else None
+      }
+    assert(offenders.isEmpty,
+      s"unpartitioned window in: ${offenders.mkString(", ")}")
+  }
+
   test("q100's quality gate is one narrow scan — no exchange, no join") {
     // the whole curation filter composes into a single codegen'd
     // predicate over one parquet scan; an Exchange or Join appearing
