@@ -2633,6 +2633,32 @@ object SparkEntry {
       |  AND stop * 20 >= n""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q101 — leakage-free splitting: train/val/test assignment hashed on
+  // the q48 dedup-cluster COMPONENT instead of the document id, so every
+  // near-duplicate chain lands in one split BY CONSTRUCTION — the
+  // preventive counterpart of the q91 straddle report (which measures
+  // exactly the leakage a per-doc split admits). Singleton components
+  // (component = own id) hash identically to q62's per-doc split, so
+  // only duplicate clusters move. Cost is the q48 fixpoint + one hash
+  // projection; no additional shuffle beyond the closure itself.
+  // ---------------------------------------------------------------------
+  private def q101ClusterSplit(spark: SparkSession, dir: String): DataFrame =
+    q48DedupClusters(spark, dir)
+      .select(col("doc_id"),
+        Sampling.splitLabel(col("component"),
+          Seq("val" -> 10, "test" -> 10), rest = "train").as("split"))
+
+  private val q101Sql =
+    s"""$q48Closure,
+      |comp AS (SELECT v AS doc_id, MIN(l) AS component FROM r GROUP BY v),
+      |h AS (SELECT doc_id,
+      |        CAST(('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS hv
+      |      FROM comp)
+      |SELECT doc_id,
+      |  CASE WHEN hv < 10 THEN 'val' WHEN hv < 20 THEN 'test' ELSE 'train' END AS split
+      |FROM h""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -2735,6 +2761,7 @@ object SparkEntry {
     Q("q98_pii_by_source", q98PiiBySource, Some(q98Sql)),
     Q("q99_length_percentiles_bucketed", q99LengthPercentilesBucketed, Some(q99Sql)),
     Q("q100_quality_filter", q100QualityFilter, Some(q100Sql)),
+    Q("q101_cluster_split", q101ClusterSplit, Some(q101Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

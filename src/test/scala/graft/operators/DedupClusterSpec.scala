@@ -15,6 +15,25 @@ class DedupClusterSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  test("cluster-hashed splits admit zero straddling near-dup pairs") {
+    // the q101 invariant: hashing the split on the q48 component means a
+    // near-dup pair can never cross a split boundary — the leakage q91
+    // exists to measure is structurally impossible
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.01"
+    val docs = graft.Tables.documents(spark, dir)
+    val splits = graft.SparkEntry.queries("q101_cluster_split")(spark, dir)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5, maxShingleDfFrac = 0.1)
+    assert(pairs.limit(1).count() == 1, "corpus has known near-dup pairs")
+    val straddling = pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb"))
+      .count()
+    assert(straddling == 0, s"$straddling near-dup pairs straddle a split")
+  }
+
   test("incremental dedup flags only batch-vs-corpus pairs, never corpus self-pairs") {
     import spark.implicits._
     val corpus = Seq(
