@@ -79,11 +79,12 @@ object TextAnalysis {
       .otherwise((size(tk) - size(array_distinct(tk))) * lit(1.0) / size(tk))
 
   /** Frequency share of the single most repeated token (0 for empty
-    * docs) — the "most common word fraction" rule. O(distinct·n) per row,
-    * bounded by document length, embarrassingly parallel. */
+    * docs) — the "most common word fraction" rule. One codegen'd O(n)
+    * hash-map pass per row (`functions.TopTokenCount`); the equivalent
+    * higher-order-function form is O(distinct·n) per DOCUMENT, which a
+    * 10k-token page turns quadratic. */
   def topTokenFraction(tk: Column): Column = {
-    val maxCnt = aggregate(array_distinct(tk), lit(0),
-      (acc, u) => greatest(acc, size(filter(tk, x => x === u))))
+    val maxCnt = graft.functions.TokenStats.topTokenCount(tk)
     when(size(tk) === 0, 0.0).otherwise(maxCnt * lit(1.0) / size(tk))
   }
 
@@ -114,8 +115,7 @@ object TextAnalysis {
                   maxTokens: Long = 2000): Column = {
     val n = size(tk).cast("long")
     val dups = n - size(array_distinct(tk)).cast("long")
-    val maxCnt = aggregate(array_distinct(tk), lit(0),
-      (acc, u) => greatest(acc, size(filter(tk, x => x === u)))).cast("long")
+    val maxCnt = graft.functions.TokenStats.topTokenCount(tk).cast("long")
     val stops = size(filter(tk,
       t => array_contains(typedLit(EnglishStopwords), t))).cast("long")
     n >= minTokens && n <= maxTokens &&

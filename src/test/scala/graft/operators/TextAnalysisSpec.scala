@@ -33,6 +33,33 @@ class TextAnalysisSpec extends SparkSpec {
       Seq(false))
   }
 
+  test("top_token_count equals the higher-order-function form (random sweep)") {
+    import spark.implicits._
+    // the codegen'd O(n) expression must be bit-identical to the
+    // O(distinct*n) aggregate/filter composition it replaced
+    val rnd = new scala.util.Random(7)
+    val docs = Seq.tabulate(200) { i =>
+      val n = rnd.nextInt(40)
+      (i.toLong, Seq.fill(n)(s"t${rnd.nextInt(1 + n / 3)}").mkString(" "))
+    }
+    val df = docs.toDF("id", "text")
+      .withColumn("__tk", TextAnalysis.tokens(col("text")))
+    val got = df.select(col("id"),
+        graft.functions.TokenStats.topTokenCount(col("__tk")).as("fast"),
+        aggregate(array_distinct(col("__tk")), lit(0),
+          (acc, u) => greatest(acc, size(filter(col("__tk"), x => x === u))))
+          .as("slow"))
+      .collect()
+    got.foreach(r => assert(r.getInt(1) == r.getInt(2),
+      s"id ${r.getLong(0)}: fast ${r.getInt(1)} != slow ${r.getInt(2)}"))
+    // empty array and a null element don't break the hash pass
+    val edge = Seq((1L, Array.empty[String]), (2L, Array("a", null, "a", null, null)))
+      .toDF("id", "tk")
+      .select(graft.functions.TokenStats.topTokenCount(col("tk")))
+      .collect().map(_.getInt(0)).toSeq
+    assert(edge == Seq(0, 3))
+  }
+
   test("qualityGate thresholds are integer-exact at the boundary") {
     // top-token share exactly 12% must FAIL the strict < : 25 tokens,
     // top token 3 occurrences => 3*100 = 25*12 exactly
