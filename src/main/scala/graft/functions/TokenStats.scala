@@ -38,7 +38,8 @@ case class TopTokenCount(child: Expression) extends UnaryExpression {
   def compute(arr: ArrayData): Int = {
     val n = arr.numElements()
     if (n == 0) return 0
-    val counts = new java.util.HashMap[UTF8String, Int](Math.min(n * 2, 1 << 16))
+    val counts = new java.util.HashMap[UTF8String, Int](
+      Math.toIntExact(Math.min(n.toLong * 2, 1L << 16)))
     var max = 0
     var i = 0
     while (i < n) {

@@ -44,8 +44,10 @@ object Scrub {
     * xxhash64'd BEFORE the distinct, so the only corpus-sized shuffle
     * moves fixed 8-byte keys, never n-token text (the same one-universe
     * convention as the whole Jaccard/fuzzy blocking family; a 64-bit
-    * collision merging two shingles is negligible at any corpus size
-    * and would only perturb a hit COUNT, never invent a hit). The eval
+    * collision merging two shingles is negligible-probability at any
+    * corpus size — note a cross-side collision, a train-only shingle
+    * hashing equal to an eval-only shingle, WOULD invent a spurious
+    * hit, so the guarantee is probabilistic, not structural). The eval
     * side — benchmark suites are tiny relative to a training corpus —
     * collapses to distinct hashes and is BROADCAST, so the corpus never
     * shuffles on the join and the whole operator is scan → explode →
