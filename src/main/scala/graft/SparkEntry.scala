@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import graft.codec.{DnsWire, DnstapCodec}
 import graft.dns.{DnsAnalog, DnstapRows}
 import graft.functions.{Anonymize, DnsNames, IpFunctions, VectorFunctions}
-import graft.operators.{AsOfMatch, CorpusStats, Dedup, GroupingSetCounter, Multimodal, NgramModel, Packing, Percentiles, Quantize, Sampling, Scrub, Similarity, SkewAgg, TextAnalysis}
+import graft.operators.{AsOfMatch, CorpusStats, Dedup, GroupingSetCounter, MediaCodec, Multimodal, NgramModel, Packing, Percentiles, Quantize, Sampling, Scrub, Similarity, SkewAgg, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -2659,6 +2659,64 @@ object SparkEntry {
       |FROM h""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q102/q103 — REAL media codecs (operators/MediaCodec): PNG IHDR with
+  // CRC verification, JPEG marker-segment walk to SOF0, WAV RIFF chunk
+  // walk — replacing the synthetic GRFT container (q29–q31, kept as the
+  // plumbing oracle) with parsers valid on any real file of these
+  // formats. The encoder builds real format bytes deterministically
+  // from (doc_id, text) and corrupts every 37th row format-specifically
+  // (CRC flip / truncation / bad form type); the oracle recomputes every
+  // header field and exact container byte count from doc_id + strlen —
+  // a drift anywhere in the 3 binary layouts breaks the hash. q103 is
+  // the decode-audit ledger: corrupt rows are dropped WITH a count,
+  // never silently.
+  // ---------------------------------------------------------------------
+  private def realMediaOf(spark: SparkSession, dir: String) =
+    MediaCodec.attachMedia(Tables.documents(spark, dir))
+
+  private def q102MediaCodec(spark: SparkSession, dir: String): DataFrame =
+    MediaCodec.extractMetadata(realMediaOf(spark, dir)).toDF()
+
+  private val q102Sql =
+    """WITH d AS (SELECT doc_id, strlen(text) AS pl FROM documents
+      |           WHERE doc_id % 37 <> 0)
+      |SELECT doc_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 64 + doc_id % 1024
+      |                       WHEN 1 THEN 64 + (doc_id * 5) % 1024 END AS INTEGER) AS width,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 64 + (doc_id * 7) % 768
+      |                       WHEN 1 THEN 64 + (doc_id * 3) % 1024 END AS INTEGER) AS height,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 8 + 8 * (doc_id % 2)
+      |                       WHEN 1 THEN 8 ELSE 16 END AS INTEGER) AS bit_depth,
+      |  CAST(CASE doc_id % 3 WHEN 2 THEN 1 + doc_id % 2 ELSE 3 END AS INTEGER) AS channels,
+      |  CAST(CASE doc_id % 3 WHEN 2 THEN
+      |         CASE (doc_id // 3) % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 32000 END
+      |       END AS INTEGER) AS sample_rate,
+      |  CAST(CASE doc_id % 3 WHEN 2 THEN (pl * 1000) //
+      |         ((CASE (doc_id // 3) % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 32000 END)
+      |          * (1 + doc_id % 2) * 2)
+      |       END AS BIGINT) AS duration_ms,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 57 + pl WHEN 1 THEN 45 + pl
+      |       ELSE 44 + pl + pl % 2 END AS BIGINT) AS n_bytes
+      |FROM d""".stripMargin
+
+  private def q103MediaAudit(spark: SparkSession, dir: String): DataFrame =
+    MediaCodec.audit(realMediaOf(spark, dir))
+
+  private val q103Sql =
+    """WITH s AS (SELECT
+      |    CASE WHEN doc_id % 37 = 0 THEN 'corrupt'
+      |         WHEN doc_id % 3 = 0 THEN 'png'
+      |         WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'wav' END AS status,
+      |    CASE WHEN doc_id % 37 = 0 AND doc_id % 3 = 1 THEN 10
+      |         WHEN doc_id % 3 = 0 THEN 57 + strlen(text)
+      |         WHEN doc_id % 3 = 1 THEN 45 + strlen(text)
+      |         ELSE 44 + strlen(text) + strlen(text) % 2 END AS len
+      |  FROM documents)
+      |SELECT status, count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS n_bytes
+      |FROM s GROUP BY status""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -2762,6 +2820,8 @@ object SparkEntry {
     Q("q99_length_percentiles_bucketed", q99LengthPercentilesBucketed, Some(q99Sql)),
     Q("q100_quality_filter", q100QualityFilter, Some(q100Sql)),
     Q("q101_cluster_split", q101ClusterSplit, Some(q101Sql)),
+    Q("q102_media_codec", q102MediaCodec, Some(q102Sql)),
+    Q("q103_media_audit", q103MediaAudit, Some(q103Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

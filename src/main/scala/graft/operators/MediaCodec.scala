@@ -1,0 +1,340 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.CRC32
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Real public-format media codecs for the multimodal column family:
+  * PNG (IHDR chunk, CRC-verified), JPEG/JFIF (marker-segment walk to
+  * SOFn), and WAV/RIFF (fmt + data chunk walk). This replaces the
+  * synthetic "GRFT" container ([[Multimodal]], kept for the q29–q31
+  * plumbing oracle) with parsers that work on any real file of these
+  * formats — pure per-row byte parsing, zero external dependencies.
+  *
+  * The encoder side builds REAL format bytes deterministically from the
+  * `documents` table (the testdata carries no binary column), so the
+  * oracle can recompute every extracted field straight from
+  * `doc_id`/`strlen(text)` — any drift between what the encoder writes
+  * and what the parser reads breaks the hash match. A deterministic
+  * slice of rows is corrupted (PNG: IHDR CRC flipped; JPEG: truncated
+  * mid-segment; WAV: bad RIFF form type) to exercise the parser's real
+  * failure paths — CRC mismatch, bounds, magic — and those rows are
+  * DROPPED with a counted audit (`audit`), never silently lost.
+  *
+  * Scale notes (same contract as [[Multimodal]]): encode, parse, and
+  * metadata extraction are narrow partition-local maps — binary payloads
+  * never shuffle; only small typed metadata rows flow further. The audit
+  * is one map-side-combined aggregate over a 4-row key space.
+  *
+  * Reference provenance: the reference pipeline has no media path at
+  * all (dnstap2clickhouse is DNS-only); this is extension surface for
+  * the training-data stack, per the brief.
+  */
+object MediaCodec {
+
+  final case class MediaRow(doc_id: Long, media: Array[Byte])
+
+  /** Typed header metadata; image-only fields are None for audio and
+    * vice versa. `bit_depth` is PNG bit depth / JPEG sample precision /
+    * WAV bits-per-sample. */
+  final case class MediaMeta(format: String, width: Option[Int],
+                             height: Option[Int], bitDepth: Option[Int],
+                             channels: Option[Int], sampleRate: Option[Int],
+                             durationMs: Option[Long])
+
+  final case class MediaMetaRow(doc_id: Long, format: String,
+                                width: Option[Int], height: Option[Int],
+                                bit_depth: Option[Int], channels: Option[Int],
+                                sample_rate: Option[Int],
+                                duration_ms: Option[Long], n_bytes: Long)
+
+  // =====================================================================
+  // Encoders — deterministic real-format bytes from (doc_id, text).
+  // Every formula below is mirrored in the q102/q103 oracle SQL.
+  // =====================================================================
+
+  /** doc_id % 3 selects the format; doc_id % 37 == 0 marks the row for
+    * deterministic corruption. */
+  def encode(docId: Long, text: String): Array[Byte] = {
+    val payload = text.getBytes(UTF_8)
+    val raw = (docId % 3) match {
+      case 0 => encodePng(docId, payload)
+      case 1 => encodeJpeg(docId, payload)
+      case _ => encodeWav(docId, payload)
+    }
+    if (docId % 37 == 0) corrupt(docId, raw) else raw
+  }
+
+  def pngWidth(docId: Long): Int = (64 + docId % 1024).toInt
+  def pngHeight(docId: Long): Int = (64 + (docId * 7) % 768).toInt
+  def pngBitDepth(docId: Long): Int = (8 + 8 * (docId % 2)).toInt
+  def jpegWidth(docId: Long): Int = (64 + (docId * 5) % 1024).toInt
+  def jpegHeight(docId: Long): Int = (64 + (docId * 3) % 1024).toInt
+  def wavChannels(docId: Long): Int = (1 + docId % 2).toInt
+  def wavSampleRate(docId: Long): Int = 8000 << ((docId / 3) % 3).toInt
+
+  private val PngSignature: Array[Byte] =
+    Array(0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+
+  /** One PNG chunk: length, type, data, CRC32 over type+data (the real
+    * PNG CRC convention — RFC 2083 §3.4). */
+  private def pngChunk(chunkType: String, data: Array[Byte]): Array[Byte] = {
+    val typ = chunkType.getBytes(US_ASCII)
+    val buf = ByteBuffer.allocate(12 + data.length)
+    buf.putInt(data.length).put(typ).put(data)
+    val crc = new CRC32()
+    crc.update(typ)
+    crc.update(data)
+    buf.putInt(crc.getValue.toInt)
+    buf.array()
+  }
+
+  /** Signature + IHDR(13) + IDAT(payload) + IEND. Total bytes:
+    * 8 + 25 + (12 + len) + 12 = 57 + len. (The IDAT payload is opaque —
+    * a header parser never inflates it.) Color type 2 = truecolor. */
+  def encodePng(docId: Long, payload: Array[Byte]): Array[Byte] = {
+    val ihdr = ByteBuffer.allocate(13)
+      .putInt(pngWidth(docId)).putInt(pngHeight(docId))
+      .put(pngBitDepth(docId).toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    PngSignature ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", payload) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** SOI + APP0/JFIF(18) + COM(4 + min(len, 65000)) + SOF0(19) + EOI,
+    * then any COM overflow rides after EOI (real decoders ignore
+    * trailing bytes). Total bytes: 45 + len, regardless of the split.
+    * SOF0 data: precision, height, width, 3 components (id, sampling,
+    * quant table) → segment length 17. */
+  def encodeJpeg(docId: Long, payload: Array[Byte]): Array[Byte] = {
+    val comLen = math.min(payload.length, 65000)
+    val buf = ByteBuffer.allocate(45 + payload.length)
+    buf.put(0xFF.toByte).put(0xD8.toByte) // SOI
+    buf.put(0xFF.toByte).put(0xE0.toByte).putShort(16) // APP0, len 16
+    buf.put("JFIF".getBytes(US_ASCII)).put(0.toByte)
+    buf.put(1.toByte).put(1.toByte) // version 1.1
+    buf.put(0.toByte).putShort(1).putShort(1) // aspect-ratio units, 1x1
+    buf.put(0.toByte).put(0.toByte) // no thumbnail
+    buf.put(0xFF.toByte).put(0xFE.toByte).putShort((comLen + 2).toShort) // COM
+    buf.put(payload, 0, comLen)
+    buf.put(0xFF.toByte).put(0xC0.toByte).putShort(17) // SOF0, len 17
+    buf.put(8.toByte) // precision
+    buf.putShort(jpegHeight(docId).toShort).putShort(jpegWidth(docId).toShort)
+    buf.put(3.toByte) // components
+    buf.put(1.toByte).put(0x22.toByte).put(0.toByte) // Y  2x2
+    buf.put(2.toByte).put(0x11.toByte).put(1.toByte) // Cb 1x1
+    buf.put(3.toByte).put(0x11.toByte).put(1.toByte) // Cr 1x1
+    buf.put(0xFF.toByte).put(0xD9.toByte) // EOI
+    if (comLen < payload.length) buf.put(payload, comLen, payload.length - comLen)
+    buf.array()
+  }
+
+  /** RIFF/WAVE with a 16-byte PCM fmt chunk and a data chunk holding the
+    * payload (odd sizes get the RIFF pad byte). Total bytes:
+    * 12 + 24 + 8 + len + (len % 2) = 44 + len + len % 2. */
+  def encodeWav(docId: Long, payload: Array[Byte]): Array[Byte] = {
+    val ch = wavChannels(docId)
+    val rate = wavSampleRate(docId)
+    val blockAlign = ch * 2 // 16-bit samples
+    val pad = payload.length % 2
+    val buf = ByteBuffer.allocate(44 + payload.length + pad)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes(US_ASCII))
+    buf.putInt(36 + payload.length + pad)
+    buf.put("WAVE".getBytes(US_ASCII))
+    buf.put("fmt ".getBytes(US_ASCII)).putInt(16)
+    buf.putShort(1.toShort).putShort(ch.toShort) // PCM, channels
+    buf.putInt(rate).putInt(rate * blockAlign)
+    buf.putShort(blockAlign.toShort).putShort(16.toShort)
+    buf.put("data".getBytes(US_ASCII)).putInt(payload.length)
+    buf.put(payload)
+    if (pad == 1) buf.put(0.toByte)
+    buf.array()
+  }
+
+  /** Format-specific deterministic corruption, chosen to hit DISTINCT
+    * parser failure paths: PNG keeps a valid signature but flips an IHDR
+    * CRC byte (CRC verification must catch it); JPEG truncates inside
+    * the APP0 segment (bounds checks must catch it); WAV breaks the
+    * RIFF form type (magic check must catch it). */
+  def corrupt(docId: Long, raw: Array[Byte]): Array[Byte] = (docId % 3) match {
+    case 0 =>
+      val out = raw.clone()
+      out(29) = (out(29) ^ 0xFF).toByte // first byte of the IHDR CRC
+      out
+    case 1 => raw.take(10)
+    case _ =>
+      val out = raw.clone()
+      Array[Byte]('E', 'V', 'A', 'W').copyToArray(out, 8)
+      out
+  }
+
+  // =====================================================================
+  // Parsers — real format grammars, fully bounds-checked, None (never
+  // throw) on anything malformed. Format is sniffed by magic, so the
+  // parser chain works on arbitrary binary columns, not just ours.
+  // =====================================================================
+
+  def parseHeader(bytes: Array[Byte]): Option[MediaMeta] =
+    if (bytes == null) None
+    else parsePng(bytes).orElse(parseJpeg(bytes)).orElse(parseWav(bytes))
+
+  /** PNG: 8-byte signature, then the IHDR chunk (must be first, per
+    * spec): length 13, big-endian width/height, bit depth, color type.
+    * The chunk CRC is VERIFIED — a bit-flipped header does not parse.
+    * Channels derive from color type (grayscale 1, truecolor 3,
+    * palette 1, gray+alpha 2, truecolor+alpha 4). */
+  def parsePng(bytes: Array[Byte]): Option[MediaMeta] = {
+    if (bytes.length < 8 + 25) return None
+    var i = 0
+    while (i < 8) { if (bytes(i) != PngSignature(i)) return None; i += 1 }
+    val buf = ByteBuffer.wrap(bytes, 8, bytes.length - 8)
+    val len = buf.getInt()
+    if (len != 13) return None
+    val typ = new Array[Byte](4)
+    buf.get(typ)
+    if (!java.util.Arrays.equals(typ, "IHDR".getBytes(US_ASCII))) return None
+    val width = buf.getInt()
+    val height = buf.getInt()
+    val bitDepth = buf.get() & 0xFF
+    val colorType = buf.get() & 0xFF
+    buf.get(); buf.get(); buf.get() // compression, filter, interlace
+    val storedCrc = buf.getInt()
+    val crc = new CRC32()
+    crc.update(bytes, 8 + 4, 4 + 13) // type + data
+    if (crc.getValue.toInt != storedCrc) return None
+    if (width <= 0 || height <= 0) return None
+    val channels = colorType match {
+      case 0 | 3 => 1
+      case 2 => 3
+      case 4 => 2
+      case 6 => 4
+      case _ => return None
+    }
+    Some(MediaMeta("png", Some(width), Some(height), Some(bitDepth),
+      Some(channels), None, None))
+  }
+
+  private def isJpegSof(marker: Int): Boolean =
+    // SOF0–SOF15 minus DHT (C4), JPG (C8), DAC (CC)
+    marker >= 0xC0 && marker <= 0xCF &&
+      marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+
+  /** JPEG: SOI, then the standard marker-segment walk — skip fill bytes,
+    * stand-alone markers (RSTn/TEM) have no length, everything else
+    * carries a big-endian length that includes itself — until a SOFn
+    * frame header yields precision, height, width, component count.
+    * Stops without an answer at EOI, SOS (entropy data follows — our
+    * headers precede it), or any bounds violation. */
+  def parseJpeg(bytes: Array[Byte]): Option[MediaMeta] = {
+    if (bytes.length < 4) return None
+    if ((bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8) return None
+    var i = 2
+    while (i + 1 < bytes.length) {
+      if ((bytes(i) & 0xFF) != 0xFF) return None
+      var j = i
+      while (j + 1 < bytes.length && (bytes(j + 1) & 0xFF) == 0xFF) j += 1 // fill bytes
+      val marker = if (j + 1 < bytes.length) bytes(j + 1) & 0xFF else return None
+      if (marker == 0xD9 || marker == 0xDA) return None // EOI / SOS: no SOF seen
+      if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) {
+        i = j + 2 // stand-alone marker, no length field
+      } else {
+        if (j + 3 >= bytes.length) return None
+        val segLen = ((bytes(j + 2) & 0xFF) << 8) | (bytes(j + 3) & 0xFF)
+        if (segLen < 2 || j + 2 + segLen > bytes.length) return None
+        if (isJpegSof(marker)) {
+          if (segLen < 8) return None
+          val p = j + 4
+          val precision = bytes(p) & 0xFF
+          val height = ((bytes(p + 1) & 0xFF) << 8) | (bytes(p + 2) & 0xFF)
+          val width = ((bytes(p + 3) & 0xFF) << 8) | (bytes(p + 4) & 0xFF)
+          val nComp = bytes(p + 5) & 0xFF
+          if (width <= 0 || height <= 0 || nComp <= 0) return None
+          return Some(MediaMeta("jpeg", Some(width), Some(height),
+            Some(precision), Some(nComp), None, None))
+        }
+        i = j + 2 + segLen
+      }
+    }
+    None
+  }
+
+  /** WAV: RIFF/WAVE form, then a chunk walk (4-byte id, little-endian
+    * size, odd sizes padded) that must find a PCM-shaped `fmt ` chunk
+    * and a `data` chunk. Duration is floor(dataBytes * 1000 / byteRate)
+    * — the real PCM duration formula. Chunk order is NOT assumed
+    * (real encoders emit LIST/INFO chunks anywhere). */
+  def parseWav(bytes: Array[Byte]): Option[MediaMeta] = {
+    if (bytes.length < 44) return None
+    def ascii(off: Int) = new String(bytes, off, 4, US_ASCII)
+    if (ascii(0) != "RIFF" || ascii(8) != "WAVE") return None
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var channels, sampleRate, byteRate, bits = -1
+    var dataLen = -1L
+    var i = 12L
+    while (i + 8 <= bytes.length) {
+      val id = ascii(i.toInt)
+      val size = buf.getInt(i.toInt + 4).toLong & 0xFFFFFFFFL
+      if (i + 8 + size > bytes.length) return None // truncated chunk body
+      if (id == "fmt " && size >= 16) {
+        channels = buf.getShort(i.toInt + 10) & 0xFFFF
+        sampleRate = buf.getInt(i.toInt + 12)
+        byteRate = buf.getInt(i.toInt + 16)
+        bits = buf.getShort(i.toInt + 22) & 0xFFFF
+      } else if (id == "data") {
+        dataLen = size
+      }
+      // RIFF pads odd chunk bodies; a final chunk may omit the pad at EOF
+      i += 8 + size + (size % 2)
+    }
+    if (channels <= 0 || sampleRate <= 0 || byteRate <= 0 || dataLen < 0) None
+    else Some(MediaMeta("wav", None, None, Some(bits), Some(channels),
+      Some(sampleRate), Some(dataLen * 1000L / byteRate)))
+  }
+
+  // =====================================================================
+  // DataFrame surface — narrow maps, payloads never shuffle.
+  // =====================================================================
+
+  /** documents(doc_id, text, …) → (doc_id, media BINARY) with real
+    * PNG/JPEG/WAV bytes (1/37th deterministically corrupted). */
+  def attachMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => MediaRow(id, encode(id, text)) })
+  }
+
+  /** Batch header decode: rows whose bytes fail to parse are DROPPED
+    * (use [[audit]] to count them — decoder-error rows must never
+    * silently vanish from a pipeline without a ledger entry). */
+  def extractMetadata(media: Dataset[MediaRow]): Dataset[MediaMetaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      parseHeader(m.media).map { h =>
+        MediaMetaRow(m.doc_id, h.format, h.width, h.height, h.bitDepth,
+          h.channels, h.sampleRate, h.durationMs, m.media.length.toLong)
+      }
+    })
+  }
+
+  /** Decode audit: per-format document and byte counts, with
+    * unparseable rows under the `corrupt` status — the counted ledger
+    * for every row `extractMetadata` drops. One tiny hash aggregate
+    * (4-row key space) with map-side combine. */
+  def audit(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      (parseHeader(m.media).map(_.format).getOrElse("corrupt"),
+        m.media.length.toLong)
+    }).toDF("status", "len")
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"), sum("len").as("n_bytes"))
+  }
+}

@@ -13,13 +13,15 @@ import org.apache.spark.sql.functions._
   * arrow-batched Python UDFs), so a real decoder drops in without
   * touching the plan shape.
   *
-  * ==STUB NOTICE==
-  * This container has no image/audio/video codecs, so `encodeMedia` /
-  * `decodeHeader` implement a deterministic fake format ("GRFT": a
-  * 16-byte header + the UTF-8 payload). The Spark-side contracts —
-  * schema, binary round-trip, per-partition batching, narrow (no-shuffle)
-  * execution — are real and oracle-tested; swapping in `libjpeg` et al.
-  * means replacing only the two byte-level functions.
+  * ==SYNTHETIC CONTAINER NOTICE==
+  * `encodeMedia` / `decodeHeader` here implement a deterministic
+  * synthetic format ("GRFT": a 16-byte header + the UTF-8 payload) that
+  * keeps the q29–q31 plumbing oracle simple. REAL public-format codecs
+  * — PNG IHDR with CRC verification, JPEG SOFn marker walk, WAV RIFF
+  * chunk walk — live in [[MediaCodec]] (q102/q103) and share this
+  * file's plan shape; full video/audio DECODE (pixels/samples, not
+  * headers) still needs external codec libraries not present in this
+  * container.
   *
   * Scale notes: every stage here is a narrow map — no shuffle, no
   * driver collect. Binary payloads stay inside the partition that read

@@ -1,0 +1,172 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.operators.MediaCodec._
+
+/** Real-format codec tests. The round-trip tests cover our own encoder;
+  * the hand-built-bytes tests prove the parsers implement the PUBLIC
+  * format grammars (foreign chunk/segment layouts our encoder never
+  * emits), not just the mirror of our writer. */
+class MediaCodecByteSpec extends AnyFunSuite {
+
+  // --- round trips over the deterministic encoder --------------------
+
+  test("png round trip: dims, depth, channels, CRC-valid") {
+    val b = encodePng(6L, "hello png".getBytes(UTF_8))
+    val m = parseHeader(b).get
+    assert(m.format == "png")
+    assert(m.width.contains(pngWidth(6L)) && m.height.contains(pngHeight(6L)))
+    assert(m.bitDepth.contains(8) && m.channels.contains(3))
+    assert(m.sampleRate.isEmpty && m.durationMs.isEmpty)
+    assert(b.length == 57 + 9)
+  }
+
+  test("jpeg round trip: dims from SOF0 behind APP0+COM") {
+    val b = encodeJpeg(7L, "hello jpeg".getBytes(UTF_8))
+    val m = parseHeader(b).get
+    assert(m.format == "jpeg")
+    assert(m.width.contains(jpegWidth(7L)) && m.height.contains(jpegHeight(7L)))
+    assert(m.bitDepth.contains(8) && m.channels.contains(3))
+    assert(b.length == 45 + 10)
+  }
+
+  test("jpeg round trip survives a COM overflow payload (> 65000 bytes)") {
+    val big = Array.fill[Byte](70000)('x')
+    val b = encodeJpeg(7L, big)
+    assert(b.length == 45 + 70000)
+    val m = parseHeader(b).get
+    assert(m.format == "jpeg" && m.width.contains(jpegWidth(7L)))
+  }
+
+  test("wav round trip: rate, channels, floor duration; odd payload padded") {
+    val payload = Array.fill[Byte](12345)('s') // odd → pad byte
+    val b = encodeWav(5L, payload)
+    assert(b.length == 44 + 12345 + 1)
+    val m = parseHeader(b).get
+    assert(m.format == "wav")
+    assert(m.channels.contains(wavChannels(5L)))
+    assert(m.sampleRate.contains(wavSampleRate(5L)))
+    assert(m.bitDepth.contains(16))
+    val byteRate = wavSampleRate(5L) * wavChannels(5L) * 2
+    assert(m.durationMs.contains(12345L * 1000 / byteRate))
+  }
+
+  // --- corruption hits the intended failure path ----------------------
+
+  test("corrupted png (flipped IHDR CRC) fails CRC verification, not magic") {
+    val ok = encodePng(0L, "x".getBytes(UTF_8))
+    assert(parseHeader(ok).isDefined)
+    val bad = corrupt(0L, ok)
+    assert(bad.length == ok.length) // still a full, signature-valid file
+    assert(parseHeader(bad).isEmpty)
+  }
+
+  test("corrupted jpeg (truncated mid-APP0) fails bounds, wav fails form type") {
+    assert(parseHeader(corrupt(1L, encodeJpeg(1L, "x".getBytes(UTF_8)))).isEmpty)
+    assert(parseHeader(corrupt(2L, encodeWav(2L, "x".getBytes(UTF_8)))).isEmpty)
+  }
+
+  // --- foreign layouts our encoder never produces ---------------------
+
+  test("jpeg parser walks unknown APPn/DQT segments and RSTn markers to find SOF2") {
+    val buf = ByteBuffer.allocate(64)
+    buf.put(0xFF.toByte).put(0xD8.toByte)                    // SOI
+    buf.put(0xFF.toByte).put(0xE1.toByte).putShort(6)        // APP1 (Exif-ish)
+    buf.put(Array[Byte](1, 2, 3, 4))
+    buf.put(0xFF.toByte).put(0x01.toByte)                    // TEM, stand-alone
+    buf.put(0xFF.toByte).put(0xDB.toByte).putShort(4)        // DQT
+    buf.put(Array[Byte](9, 9))
+    buf.put(0xFF.toByte).put(0xC2.toByte).putShort(11)       // SOF2 (progressive)
+    buf.put(12.toByte)                                       // precision 12
+    buf.putShort(480.toShort).putShort(640.toShort)
+    buf.put(1.toByte)                                        // grayscale
+    buf.put(1.toByte).put(0x11.toByte).put(0.toByte)
+    val m = parseJpeg(java.util.Arrays.copyOf(buf.array(), buf.position())).get
+    assert(m.width.contains(640) && m.height.contains(480))
+    assert(m.bitDepth.contains(12) && m.channels.contains(1))
+  }
+
+  test("jpeg parser does not mistake DHT (C4) for a frame header") {
+    val buf = ByteBuffer.allocate(32)
+    buf.put(0xFF.toByte).put(0xD8.toByte)
+    buf.put(0xFF.toByte).put(0xC4.toByte).putShort(9)        // DHT, SOF-shaped body
+    buf.put(8.toByte).putShort(1.toShort).putShort(1.toShort).put(1.toByte).put(0.toByte)
+    buf.put(0xFF.toByte).put(0xD9.toByte)                    // EOI
+    assert(parseJpeg(java.util.Arrays.copyOf(buf.array(), buf.position())).isEmpty)
+  }
+
+  test("wav parser skips LIST chunk before fmt and tolerates fmt extension") {
+    val buf = ByteBuffer.allocate(128).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes(US_ASCII)).putInt(0).put("WAVE".getBytes(US_ASCII))
+    buf.put("LIST".getBytes(US_ASCII)).putInt(5)             // odd size → padded
+    buf.put(Array[Byte]('I', 'N', 'F', 'O', 7, 0))
+    buf.put("fmt ".getBytes(US_ASCII)).putInt(18)            // WAVE_FORMAT + cbSize
+    buf.putShort(1.toShort).putShort(2.toShort)              // PCM, stereo
+    buf.putInt(44100).putInt(44100 * 4)
+    buf.putShort(4.toShort).putShort(16.toShort).putShort(0.toShort)
+    buf.put("data".getBytes(US_ASCII)).putInt(8)
+    buf.put(Array.fill[Byte](8)(0))
+    val bytes = java.util.Arrays.copyOf(buf.array(), buf.position())
+    ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).putInt(4, bytes.length - 8)
+    val m = parseWav(bytes).get
+    assert(m.channels.contains(2) && m.sampleRate.contains(44100))
+    assert(m.durationMs.contains(8L * 1000 / (44100 * 4)))
+  }
+
+  test("parsers bound-check hostile inputs without throwing") {
+    val hostiles = Seq(
+      Array.emptyByteArray,
+      Array[Byte](0xFF.toByte, 0xD8.toByte),                  // bare SOI
+      PngSignatureForTest,                                    // signature only
+      "RIFFxxxxWAVE".getBytes(US_ASCII),                      // no chunks
+      "RIFF".getBytes(US_ASCII) ++ Array.fill[Byte](40)(0x7F),
+      encodeWav(2L, "abc".getBytes(UTF_8)).dropRight(2),      // truncated data
+      Array.fill[Byte](64)(0xFF.toByte))
+    hostiles.foreach(h => assert(parseHeader(h).isEmpty))
+  }
+
+  private val PngSignatureForTest: Array[Byte] =
+    Array(0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+}
+
+/** Distributed-surface tests: drop-with-audit accounting and the
+  * narrow (no-shuffle) plan contract for the decode path. */
+class MediaCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "corrupt png row"), (1L, "jpeg one"), (2L, "wav one"),
+    (3L, "png two"), (4L, "jpeg two"), (5L, "wav two odd"),
+    (37L, "corrupt jpeg"), (74L, "corrupt wav")
+  ).toDF("doc_id", "text")
+
+  test("extractMetadata drops exactly the corrupted rows; audit counts them") {
+    val media = MediaCodec.attachMedia(docs)
+    val meta = MediaCodec.extractMetadata(media).collect()
+    assert(meta.map(_.doc_id).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    val counts = MediaCodec.audit(media).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("corrupt" -> 3L, "png" -> 1L, "jpeg" -> 2L, "wav" -> 2L))
+  }
+
+  test("metadata fields match the format: image vs audio nulls") {
+    val meta = MediaCodec.extractMetadata(MediaCodec.attachMedia(docs))
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(meta(3L).format == "png" && meta(3L).sample_rate.isEmpty
+      && meta(3L).width.contains(MediaCodec.pngWidth(3L)))
+    assert(meta(4L).format == "jpeg" && meta(4L).duration_ms.isEmpty)
+    assert(meta(2L).format == "wav" && meta(2L).width.isEmpty
+      && meta(2L).sample_rate.contains(MediaCodec.wavSampleRate(2L)))
+  }
+
+  test("decode path is narrow: no Exchange below the metadata extraction") {
+    val plan = MediaCodec.extractMetadata(MediaCodec.attachMedia(docs))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in decode plan:\n$plan")
+  }
+}
