@@ -2717,6 +2717,50 @@ object SparkEntry {
       |FROM s GROUP BY status""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q104 — model-based quality score (TextAnalysis.bowScore): the
+  // CCNet/GPT-3-style hashed bag-of-words linear classifier as a pure
+  // scan-level expression — fixed-point literal weights, feature-hashed
+  // token buckets, integer-exact banding by cross-multiplication (the
+  // q100 discipline). The oracle interpolates the SAME Scala weight
+  // list into its SQL, so the two sides cannot drift. Plan: one scan,
+  // no shuffle/join (pinned in PlanAuditSpec).
+  // ---------------------------------------------------------------------
+
+  /** Fixed-point (×1000) weights for the q104 hashed BoW quality model,
+    * 32 buckets — stands in for an offline-trained linear model shipped
+    * with the job as a literal. */
+  private val BowWeights: Seq[Int] = Seq(
+    312, -184, 77, -451, 208, 129, -63, 540,
+    -291, 18, 344, -127, 92, -385, 461, -22,
+    153, -509, 276, 64, -148, 398, -236, 11,
+    487, -73, 329, -412, 188, -57, 243, -316)
+
+  private def q104BowQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("__tk", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"),
+        size(col("__tk")).cast("long").as("n_tokens"),
+        TextAnalysis.bowScore(col("__tk"), BowWeights).as("score"))
+      .withColumn("label",
+        when(col("score") >= col("n_tokens") * 100, "high")
+          .when(col("score") < col("n_tokens") * -100, "low")
+          .otherwise("mid"))
+
+  private val q104Sql =
+    s"""WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS tk
+      |           FROM documents),
+      |s AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+      |        CAST(COALESCE(list_aggregate(list_transform(tk, tok ->
+      |          list_extract(${BowWeights.mkString("[", ",", "]")},
+      |            CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 32 + 1)),
+      |          'sum'), 0) AS BIGINT) AS score
+      |      FROM t)
+      |SELECT doc_id, n_tokens, score,
+      |  CASE WHEN score >= n_tokens * 100 THEN 'high'
+      |       WHEN score < n_tokens * -100 THEN 'low' ELSE 'mid' END AS label
+      |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -2822,6 +2866,7 @@ object SparkEntry {
     Q("q101_cluster_split", q101ClusterSplit, Some(q101Sql)),
     Q("q102_media_codec", q102MediaCodec, Some(q102Sql)),
     Q("q103_media_audit", q103MediaAudit, Some(q103Sql)),
+    Q("q104_bow_quality", q104BowQuality, Some(q104Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -124,6 +124,36 @@ object TextAnalysis {
       stops * 20 >= n
   }
 
+  /** Hashed bag-of-words linear classifier score — the model-based
+    * quality stage of a curation stack (CCNet / GPT-3-style: a linear
+    * model over feature-hashed tokens, trained offline, scored at the
+    * scan). The weight vector is a LITERAL (ship the trained weights
+    * with the job, typically fixed-point ints = round(w * 1000)); the
+    * score of a document is the sum of `weights(h(token) mod D)` over
+    * its tokens — one `transform` + `aggregate` over the token array
+    * with a literal-array lookup, fully codegen'd, NO shuffle/join/UDF,
+    * so at 100 TB it rides the same single scan as [[qualityGate]] and
+    * composes with it (rule gate first, model score on survivors).
+    *
+    * `fastHash = true` buckets with xxhash64 (production); the default
+    * md5-derived bucket ([[Dedup.baseHash32]]) is dialect-portable so an
+    * external engine can certify scores bit-exactly — identical plan
+    * shape, only the hash expression differs. Thresholding belongs to
+    * the caller; keep it integer-exact by cross-multiplying against the
+    * token count (see q104) rather than dividing. */
+  def bowScore(tk: Column, weights: Seq[Int],
+               fastHash: Boolean = false): Column = {
+    require(weights.nonEmpty, "bowScore needs a non-empty weight vector")
+    val wlit = array(weights.map(lit): _*)
+    val bucket = (t: Column) => {
+      val h = if (fastHash) xxhash64(t) else Dedup.baseHash32(t)
+      (pmod(h, lit(weights.length)) + 1).cast("int")
+    }
+    aggregate(
+      transform(tk, t => element_at(wlit, bucket(t)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+  }
+
   /** Language-marker word lists (distinct across languages on purpose). */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "in"),

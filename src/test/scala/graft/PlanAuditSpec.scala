@@ -220,6 +220,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Scan parquet"), "q100 lost its parquet scan")
   }
 
+  test("q104's BoW classifier scores at the scan — no exchange, no join") {
+    // the hashed bag-of-words model is a literal-weights lookup inside
+    // transform+aggregate; any Exchange/Join means the "model" became a
+    // corpus-sized join against a weight table
+    val plan = SparkEntry.queries("q104_bow_quality")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    Seq("Exchange", "Join", "CartesianProduct").foreach(bad =>
+      assert(!plan.contains(bad), s"q104 plans a $bad"))
+    assert(plan.contains("Scan parquet"), "q104 lost its parquet scan")
+  }
+
+  test("q102's media decode is narrow — no exchange below the extraction") {
+    val plan = SparkEntry.queries("q102_media_codec")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    Seq("Exchange", "Join").foreach(bad =>
+      assert(!plan.contains(bad), s"q102 plans a $bad"))
+  }
+
   test("column pruning reaches the parquet scan") {
     // q1 projects 4 of lineitem's 16 columns; a scan still reading
     // l_comment means the projection never reached the source

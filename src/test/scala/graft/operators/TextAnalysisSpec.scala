@@ -71,4 +71,29 @@ class TextAnalysisSpec extends SparkSpec {
     // stopword share exactly 5% passes the >= floor: 1 stopword in 20
     assert(gate(Seq(clean)) == Seq(true))
   }
+
+  test("bowScore sums the literal weight of each token's hash bucket") {
+    import spark.implicits._
+    val w = Seq(5, -3, 7, 1)
+    val df = Seq((1L, "aa bb aa"), (2L, ""), (3L, "zz"))
+      .toDF("id", "text")
+      .withColumn("__tk", TextAnalysis.tokens(col("text")))
+    // independent reference: bucket each token through the same portable
+    // hash, then sum in Scala
+    val buckets = df.select(col("id"),
+        transform(col("__tk"),
+          t => pmod(graft.operators.Dedup.baseHash32(t), lit(w.length)))
+          .as("b"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Long](1).map(b => w(b.toInt).toLong).sum).toMap
+    val got = df.select(col("id"),
+        TextAnalysis.bowScore(col("__tk"), w).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == buckets)
+    assert(got(2L) == 0L) // empty doc scores the additive identity
+    // the xxhash64 production variant shares the shape and returns long
+    val fast = df.select(TextAnalysis.bowScore(col("__tk"), w, fastHash = true))
+      .collect().map(_.getLong(0))
+    assert(fast.length == 3)
+  }
 }
