@@ -2761,6 +2761,58 @@ object SparkEntry {
       |FROM s""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q105 — iterative BPE tokenizer training (CorpusStats.bpeTrainMerges):
+  // k merge rounds, each argmax-ing pair counts over the vocabulary-
+  // bounded distinct-word table and folding the merge through every
+  // word's symbol array (localCheckpoint per round — the CC-loop
+  // discipline). The oracle GENERATES the same k rounds as chained
+  // MATERIALIZED CTEs: per round a pair-count argmax with the identical
+  // (n DESC, a, b) tie-break, then the identical left-to-right
+  // non-overlapping merge as a sentinel-delimited list_reduce fold — so
+  // the certified output is the merge SEQUENCE itself, hash-exact.
+  // ---------------------------------------------------------------------
+  private val BpeRounds = 6
+
+  private def q105BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.bpeTrainMerges(Tables.documents(spark, dir), "text", BpeRounds)
+
+  private val q105Sql: String = {
+    val sep = "chr(1)"
+    val w0 =
+      s"""WITH w0 AS MATERIALIZED (
+        |  SELECT CAST(count(*) AS BIGINT) AS wc, string_split(w, '') AS sym
+        |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |        FROM documents)
+        |  WHERE NOT contains(w, $sep)
+        |  GROUP BY w)""".stripMargin
+    val rounds = (0 until BpeRounds).map { i =>
+      val pick =
+        s"""m$i AS MATERIALIZED (
+          |  SELECT pr.a AS a, pr.b AS b, CAST(SUM(wc) AS BIGINT) AS n
+          |  FROM (SELECT wc, unnest(list_transform(range(1, len(sym)),
+          |          j -> {'a': sym[j], 'b': sym[j+1]})) AS pr
+          |        FROM w$i WHERE len(sym) >= 2)
+          |  GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1)""".stripMargin
+      val merge =
+        s"""w${i + 1} AS MATERIALIZED (
+          |  SELECT wc, list_filter(string_split(
+          |    list_reduce(list_prepend($sep, sym), (acc, x) ->
+          |      CASE WHEN x = m.b AND ends_with(acc, $sep || m.a || $sep)
+          |           THEN substr(acc, 1, length(acc) - length(m.a) - 1)
+          |                  || m.a || m.b || $sep
+          |           ELSE acc || x || $sep END),
+          |    $sep), s -> s <> '') AS sym
+          |  FROM w$i, m$i m)""".stripMargin
+      if (i < BpeRounds - 1) s"$pick,\n$merge" else pick
+    }
+    val union = (0 until BpeRounds).map { i =>
+      s"SELECT ${i + 1} AS round, a AS left_sym, b AS right_sym, " +
+        s"a || b AS merged, n AS n_occ FROM m$i"
+    }.mkString("\nUNION ALL ")
+    s"$w0,\n${rounds.mkString(",\n")}\n$union"
+  }
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -2867,6 +2919,7 @@ object SparkEntry {
     Q("q102_media_codec", q102MediaCodec, Some(q102Sql)),
     Q("q103_media_audit", q103MediaAudit, Some(q103Sql)),
     Q("q104_bow_quality", q104BowQuality, Some(q104Sql)),
+    Q("q105_bpe_merges", q105BpeMerges, Some(q105Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -317,4 +317,86 @@ object CorpusStats {
       .select(col("pair"), col("n_occ"),
         (col("__below") + col("__rk")).cast("long").as("rk"))
   }
+
+  /** Iterative BPE tokenizer training (Sennrich et al. 2016, public
+    * algorithm): `k` merge rounds, each picking the globally most
+    * frequent adjacent symbol pair over the corpus (weighted by word
+    * occurrence count) and merging it left-to-right, non-overlapping, in
+    * every word. Returns the certified merge SEQUENCE —
+    * (round, left_sym, right_sym, merged, n_occ) — which IS the trained
+    * tokenizer (apply merges in order to encode).
+    *
+    * Tie-break is total and deterministic: max count, then
+    * lexicographically smallest (left, right) — so the merge sequence is
+    * reproducible cross-engine and the DuckDB oracle certifies it
+    * hash-exactly (q105 generates the same k rounds as chained CTEs).
+    *
+    * Scale shape — the CC-loop discipline applied to tokenizer training:
+    *   - all per-round work runs over the DISTINCT-WORD table
+    *     (vocabulary-bounded, Zipf: orders of magnitude smaller than the
+    *     token stream); the corpus itself is scanned exactly once;
+    *   - each round is one vocabulary-bounded pair aggregation plus a
+    *     TakeOrdered(1) argmax — the only driver transfer is that single
+    *     winning row per round (the bounded-collect convention of the
+    *     IVF/PQ trainers);
+    *   - the merge itself is a codegen'd `aggregate` fold over each
+    *     word's symbol array — narrow, no shuffle;
+    *   - the symbol table is `localCheckpoint`ed per round, so lineage
+    *     stays O(1) instead of re-running every prior round (exactly the
+    *     [[Dedup.connectedComponents]] convention);
+    *   - a round with no mergeable pair left FAILS LOUDLY rather than
+    *     silently emitting fewer merges than requested.
+    *
+    * Words containing `sep` (an unprintable sentinel, default \\u0001)
+    * are excluded on both engine and oracle sides: the oracle's fold
+    * threads symbols through a sep-delimited string, and a corpus word
+    * carrying the sentinel would corrupt its framing. Standard BPE
+    * preprocessing drops control characters anyway. */
+  def bpeTrainMerges(df: DataFrame, textCol: String, k: Int,
+                     sep: String = "\u0001"): DataFrame = {
+    require(k > 0 && k <= 64, s"k merge rounds must be in [1, 64], got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("__w"))
+      .filter(!col("__w").contains(lit(sep)))
+      .groupBy(col("__w")).agg(count(lit(1)).as("wc"))
+      // split("") can leave a trailing empty element (regex zero-width
+      // match at end-of-string) — strip it, symbols are never empty
+      .select(col("wc"),
+        filter(split(col("__w"), ""), s => s =!= "").as("sym"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var round = 1
+    while (round <= k) {
+      val top = words.filter(size(col("sym")) >= 2)
+        .select(col("wc"), explode(transform(
+          sequence(lit(1), size(col("sym")) - 1),
+          j => struct(element_at(col("sym"), j).as("a"),
+            element_at(col("sym"), j + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty)
+        throw new IllegalStateException(
+          s"BPE training ran out of adjacent pairs after ${round - 1} of $k " +
+            "rounds — every word is a single symbol; lower k")
+      val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += ((round, a, b, a + b, n))
+      // left-to-right non-overlapping merge of (a, b): fold each word's
+      // symbol array; a just-merged symbol (a+b) can never equal `a`, so
+      // greedy chains (possible only when a == b) resolve exactly like
+      // the textbook single-pass replacement
+      words = words.withColumn("sym",
+        aggregate(col("sym"), array().cast("array<string>"), (acc, s) =>
+          when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(s)))))
+        .localCheckpoint()
+      round += 1
+    }
+    merges.result()
+      .toDF("round", "left_sym", "right_sym", "merged", "n_occ")
+  }
 }

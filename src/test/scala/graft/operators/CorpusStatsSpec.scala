@@ -160,4 +160,29 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got.sortBy(_._3).toSeq == want,
       "banded top-k drifted from the naive global definition")
   }
+
+  test("bpeTrainMerges: greedy a==a chains, cross-round merged symbols, tie-break") {
+    import spark.implicits._
+    // "aaaa"x2 contributes 3 (a,a) pairs per occurrence; greedy
+    // left-to-right merges aaaa -> [aa,aa] (NOT [aa,a,a]), so round 2
+    // must see (aa,aa), proving both the chain parity and that merged
+    // symbols re-enter later rounds
+    val docs = Seq("aaaa aaaa bc").toDF("text")
+    val got = CorpusStats.bpeTrainMerges(docs, "text", k = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1, "a", "a", "aa", 6L),
+      (2, "aa", "aa", "aaaa", 2L),
+      (3, "b", "c", "bc", 1L)))
+    // pairs exhausted before k rounds: loud failure, not a short table
+    val e = intercept[IllegalStateException] {
+      CorpusStats.bpeTrainMerges(docs, "text", k = 4).collect()
+    }
+    assert(e.getMessage.contains("ran out of adjacent pairs"))
+    // equal counts fall to the lexicographic (left, right) tie-break
+    val tie = CorpusStats.bpeTrainMerges(Seq("ab cd").toDF("text"), "text", k = 2)
+      .collect().map(r => (r.getInt(0), r.getString(3))).toSeq.sortBy(_._1)
+    assert(tie == Seq((1, "ab"), (2, "cd")))
+  }
 }
