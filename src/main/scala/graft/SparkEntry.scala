@@ -2813,6 +2813,39 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------------
+  // q106 — Unicode NFC normalization (functions.Normalize, codegen'd
+  // java.text.Normalizer): the canonicalization stage the dedup family
+  // orders FIRST (normalize → tokenize → shingle/hash). The testdata is
+  // pure ASCII (where NFC is identity), so the query deterministically
+  // SYNTHESIZES decomposed text on both sides — every 'e' becomes
+  // e + U+0301 combining acute — and certifies that NFC recomposes it
+  // to the precomposed U+00E9 form: lengths shrink by exactly the
+  // accent count and the normalized string equals the independently
+  // built precomposed replacement, char-for-char, vs DuckDB's
+  // nfc_normalize. Scan-level, no shuffle.
+  // ---------------------------------------------------------------------
+  private def q106NfcNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val nfc = (c: Column) => graft.functions.Normalize.normalize(c, "NFC")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "e", "e\u0301").as("__synth"),
+        regexp_replace(col("text"), "e", "\u00e9").as("__pre"))
+      .select(col("doc_id"),
+        length(col("__synth")).cast("long").as("len_raw"),
+        length(nfc(col("__synth"))).cast("long").as("len_nfc"),
+        (nfc(col("__synth")) === col("__pre")).as("nfc_eq_precomposed"))
+  }
+
+  private val q106Sql =
+    """WITH s AS (SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS synth,
+      |                  replace(text, 'e', chr(233)) AS pre
+      |           FROM documents)
+      |SELECT doc_id, CAST(length(synth) AS BIGINT) AS len_raw,
+      |  CAST(length(nfc_normalize(synth)) AS BIGINT) AS len_nfc,
+      |  nfc_normalize(synth) = pre AS nfc_eq_precomposed
+      |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -2920,6 +2953,7 @@ object SparkEntry {
     Q("q103_media_audit", q103MediaAudit, Some(q103Sql)),
     Q("q104_bow_quality", q104BowQuality, Some(q104Sql)),
     Q("q105_bpe_merges", q105BpeMerges, Some(q105Sql)),
+    Q("q106_nfc_normalize", q106NfcNormalize, Some(q106Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
