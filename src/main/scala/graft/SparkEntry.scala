@@ -2846,6 +2846,66 @@ object SparkEntry {
       |FROM s""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q107 — per-source DATA CARD: the release-notes rollup composing the
+  // existing diagnostics into one row per source — doc count + near-dup
+  // rate (q93), median length bucket (q99), planted-PII density (q98),
+  // corpus-novelty share (q95 aggregated source-wise as an exact
+  // cross-ratio, not a mean of ratios), and dominant predicted language
+  // (q18 counts + per-source argmax). The Spark side literally calls
+  // the registered query functions and joins on `source` (#sources
+  // rows — broadcast-trivial); the oracle nests the SAME per-query SQL
+  // as subqueries, so the rollup cannot drift from the diagnostics it
+  // summarizes. Heavy lifting stays in the component pipelines, each
+  // already plan-audited; the rollup adds only source-keyed joins.
+  // ---------------------------------------------------------------------
+  private def q107DataCard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val srcOf = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val dup = q93SourceDupRate(spark, dir)
+      .select(col("source"), col("n_docs"), col("dup_bp"))
+    val nov = q95Novelty(spark, dir).join(srcOf, "doc_id")
+      .groupBy(col("source"))
+      .agg(floor(sum(col("n_unique")) * 10000 / sum(col("n_shingles")))
+        .cast("long").as("novelty_bp"))
+    val len = q99LengthPercentilesBucketed(spark, dir)
+      .select(col("source"), col("p50_bucket").as("p50_chars"))
+    val pii = q98PiiBySource(spark, dir)
+      .select(col("source"),
+        (col("total_emails") + col("total_ipv4") + col("total_phones"))
+          .cast("long").as("n_pii"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("cnt").desc, col("lang_pred"))
+    val lang = q18LangId(spark, dir).join(srcOf, "doc_id")
+      .groupBy(col("source"), col("lang_pred")).agg(count(lit(1)).as("cnt"))
+      .withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
+      .select(col("source"), col("lang_pred").as("top_lang"))
+    dup.join(nov, "source").join(len, "source")
+      .join(pii, "source").join(lang, "source")
+  }
+
+  private val q107Sql =
+    s"""WITH d93 AS (SELECT source, n_docs, dup_bp FROM ($q93Sql)),
+      |nov AS (SELECT d.source,
+      |          CAST(floor(sum(n.n_unique) * 10000 / sum(n.n_shingles)) AS BIGINT)
+      |            AS novelty_bp
+      |        FROM ($q95Sql) n JOIN documents d USING (doc_id)
+      |        GROUP BY d.source),
+      |len AS (SELECT source, p50_bucket AS p50_chars FROM ($q99Sql)),
+      |pii AS (SELECT source,
+      |          CAST(total_emails + total_ipv4 + total_phones AS BIGINT) AS n_pii
+      |        FROM ($q98Sql)),
+      |lc AS (SELECT d.source, l.lang_pred, count(*) AS cnt
+      |       FROM ($q18Sql) l JOIN documents d USING (doc_id) GROUP BY 1, 2),
+      |lang AS (SELECT source, lang_pred AS top_lang FROM (
+      |           SELECT source, lang_pred,
+      |             ROW_NUMBER() OVER (PARTITION BY source
+      |               ORDER BY cnt DESC, lang_pred) AS rk
+      |           FROM lc) WHERE rk = 1)
+      |SELECT source, n_docs, dup_bp, p50_chars, novelty_bp, n_pii, top_lang
+      |FROM d93 JOIN nov USING (source) JOIN len USING (source)
+      |  JOIN pii USING (source) JOIN lang USING (source)""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -2954,6 +3014,7 @@ object SparkEntry {
     Q("q104_bow_quality", q104BowQuality, Some(q104Sql)),
     Q("q105_bpe_merges", q105BpeMerges, Some(q105Sql)),
     Q("q106_nfc_normalize", q106NfcNormalize, Some(q106Sql)),
+    Q("q107_data_card", q107DataCard, Some(q107Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
