@@ -36,14 +36,17 @@ object Main {
     // reference toml.go:193: print the patched running config at startup
     // (Password elided) so deployments can audit what actually took effect
     println(cfg.renderEffective())
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName("graft-dnstap")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
-      // matcher state scales off-heap and restarts incrementally: RocksDB
-      // provider instead of the default in-memory HDFS-backed map; the
-      // TOML [Spark] StateStoreProvider key supplies it (RocksDB unless
-      // patched), SPARK_GRAFT_STATESTORE overrides per-process
+    // matcher state scales off-heap and restarts incrementally: the TOML
+    // [Spark] section supplies the RocksDB provider (plus changelog
+    // checkpointing, so commits upload per-batch deltas instead of
+    // re-snapshotting total state); SPARK_GRAFT_STATESTORE overrides the
+    // provider per-process
+    val spark = cfg.sparkStreamingOptions
+      .foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .config("spark.sql.streaming.stateStore.providerClass",
         sys.env.getOrElse("SPARK_GRAFT_STATESTORE", cfg.stateStoreProvider))
       .getOrCreate()

@@ -114,7 +114,14 @@ final case class GraftConfig(
     // watermark state (LatencyMatcher, StreamDedup, EventWindows) lives
     // off-heap and restores incrementally — at 100 TB watermark widths
     // the default HDFS-backed in-memory map is heap-bounded.
-    stateStoreProvider: String = GraftConfig.RocksDbProvider) {
+    stateStoreProvider: String = GraftConfig.RocksDbProvider,
+    // RocksDB changelog checkpointing: commit uploads the per-batch
+    // CHANGELOG instead of re-snapshotting SST files — commit latency
+    // stops scaling with total state size (snapshots still happen, but
+    // async in the background). The right default for wide-watermark
+    // state; flip off only to debug or for tiny-state jobs where
+    // replay-on-restore cost dominates.
+    rocksdbChangelogCheckpointing: Boolean = true) {
 
   def pipelineConfig: DnstapPipeline.Config = DnstapPipeline.Config(
     clientQueries = clientQueries,
@@ -200,8 +207,10 @@ final case class GraftConfig(
   /** Spark-session streaming options derived from the [Spark] extension
     * section — applied at session build (Main), overridable per-process
     * with SPARK_GRAFT_STATESTORE for ops experiments. */
-  def sparkStreamingOptions: Map[String, String] =
-    Map("spark.sql.streaming.stateStore.providerClass" -> stateStoreProvider)
+  def sparkStreamingOptions: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" -> stateStoreProvider,
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      rocksdbChangelogCheckpointing.toString)
 
   /** Effective-config audit surface (toml.go:96-122,193: the reference
     * reflection-prints every patched field as `Config <Section> <Field>:
@@ -243,7 +252,8 @@ final case class GraftConfig(
       "ClickHouse CounterColumn" -> counterColumn,
       // extension section, printed last so a diff against reference
       // logs shows the verbatim surface first
-      "Spark StateStoreProvider" -> stateStoreProvider)
+      "Spark StateStoreProvider" -> stateStoreProvider,
+      "Spark RocksDbChangelogCheckpointing" -> rocksdbChangelogCheckpointing)
     fields.map { case (k, v) => s"$prefix $k: $v" }.mkString("\n")
   }
 
@@ -355,6 +365,8 @@ object GraftConfig {
       questionNameColumn = str("ClickHouse", "QuestionNameColumn", d.questionNameColumn),
       questionTypeColumn = str("ClickHouse", "QuestionTypeColumn", d.questionTypeColumn),
       counterColumn = str("ClickHouse", "CounterColumn", d.counterColumn),
-      stateStoreProvider = str("Spark", "StateStoreProvider", d.stateStoreProvider))
+      stateStoreProvider = str("Spark", "StateStoreProvider", d.stateStoreProvider),
+      rocksdbChangelogCheckpointing = bool("Spark", "RocksDbChangelogCheckpointing",
+        d.rocksdbChangelogCheckpointing))
   }
 }

@@ -28,7 +28,18 @@ object StatsReporter {
   final class Counters {
     val inputRows = new AtomicLong
     val batches = new AtomicLong
+    // state-store GAUGES (latest progress wins, not accumulated): total
+    // keyed state rows and bytes across the query's stateful operators —
+    // the number an operator watches to see watermark state leak
+    val stateRows = new AtomicLong
+    val stateBytes = new AtomicLong
   }
+
+  /** One report line; factored out so the format is unit-testable. */
+  def line(c: Counters, nextIntervalSecs: Long): String =
+    s"graft stats: batches=${c.batches.get} inputRows=${c.inputRows.get} " +
+      s"stateRows=${c.stateRows.get} stateBytes=${c.stateBytes.get} " +
+      s"nextIntervalSecs=$nextIntervalSecs"
 
   /** Attach a stats thread + listener for the given query names; returns
     * a handle that stops both. */
@@ -48,6 +59,11 @@ object StatsReporter {
         if (queryNames.contains(e.progress.name)) {
           counters.inputRows.addAndGet(e.progress.numInputRows)
           counters.batches.incrementAndGet()
+          val ops = e.progress.stateOperators
+          if (ops != null && ops.nonEmpty) {
+            counters.stateRows.set(ops.map(_.numRowsTotal).sum)
+            counters.stateBytes.set(ops.map(_.memoryUsedBytes).sum)
+          }
           ()
         }
       override def onQueryTerminated(
@@ -62,9 +78,7 @@ object StatsReporter {
         try Thread.sleep(interval * 1000)
         catch { case _: InterruptedException => () }
         if (!closed) {
-          sink(s"graft stats: batches=${counters.batches.get} " +
-            s"inputRows=${counters.inputRows.get} nextIntervalSecs=" +
-            schedule.next(interval))
+          sink(line(counters, schedule.next(interval)))
           interval = schedule.next(interval)
         }
       }

@@ -54,7 +54,7 @@ class GraftConfigSpec extends AnyFunSuite {
     assert(!lines.exists(_.contains("Password")))
     // every line carries the prefix; one line per non-password field
     assert(lines.forall(_.startsWith("Config ")))
-    assert(lines.size == 31)
+    assert(lines.size == 32)
   }
 
   test("[Spark] StateStoreProvider defaults to RocksDB and propagates") {
@@ -62,7 +62,9 @@ class GraftConfigSpec extends AnyFunSuite {
     assert(d.stateStoreProvider == GraftConfig.RocksDbProvider)
     assert(d.sparkStreamingOptions ==
       Map("spark.sql.streaming.stateStore.providerClass" ->
-        GraftConfig.RocksDbProvider))
+        GraftConfig.RocksDbProvider,
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+          "true"))
     // a deployment can patch it back to the HDFS-backed default (or any
     // custom provider) through the same TOML reflection-patch path
     val c = GraftConfig.fromToml(
@@ -75,6 +77,21 @@ class GraftConfigSpec extends AnyFunSuite {
     assert(c.renderEffective().linesIterator.toSeq.exists(l =>
       l.startsWith("Config Spark StateStoreProvider: ") &&
         l.endsWith("HDFSBackedStateStoreProvider")))
+  }
+
+  test("[Spark] RocksDbChangelogCheckpointing defaults on and patches off") {
+    val d = GraftConfig.fromToml("")
+    assert(d.rocksdbChangelogCheckpointing)
+    val c = GraftConfig.fromToml(
+      """[Spark]
+        |RocksDbChangelogCheckpointing = false
+        |""".stripMargin)
+    assert(!c.rocksdbChangelogCheckpointing)
+    assert(c.sparkStreamingOptions(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+      == "false")
+    assert(c.renderEffective().linesIterator.toSeq
+      .contains("Config Spark RocksDbChangelogCheckpointing: false"))
   }
 
   test("empty column name drops the column from the projection (K1)") {
