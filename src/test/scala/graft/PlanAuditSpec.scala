@@ -9,19 +9,9 @@ class PlanAuditSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  test("no registered query plans a cartesian product (except the documented q24)") {
-    // q24 is the exact all-pairs recall oracle: cartesian BY DESIGN,
-    // test-only, bench-excluded (see SparkEntry.benchQueries scaladoc)
-    val allowed = Set("q24_embedding_dedup")
-    val offenders = SparkEntry.queries.toSeq
-      .filterNot { case (name, _) => allowed(name) }
-      .flatMap { case (name, fn) =>
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-        if (plan.contains("CartesianProduct")) Some(name) else None
-      }
-    assert(offenders.isEmpty,
-      s"cartesian product in: ${offenders.mkString(", ")}")
-  }
+  // the two REGISTRY-WIDE sweeps (cartesian + unpartitioned-window) live
+  // in the sharded PlanSweepSpec suites below — they grow linearly with
+  // the registry and sharding lets ScalaTest run the shards concurrently
 
   test("q53's rank window partitions on (group, bucket), never the bare group") {
     // the r4→r5 regression this pins: a row_number() over the bare group
@@ -189,26 +179,6 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("unpartitioned windows appear only in the band-histogram family") {
-    // an unpartitioned window sorts EVERY row in one task — allowed only
-    // over the <= 64-row score/count band histograms of the two-phase
-    // global-rank designs (Sampling.globalOrder: q77; CorpusStats
-    // .buildVocab: q82/q86, composed by q90). Any other query planning
-    // one has regressed to a single-task global sort.
-    import org.apache.spark.sql.catalyst.plans.logical.Window
-    val allowed = Set("q77_curriculum_order", "q82_bpe_pairs",
-      "q86_build_vocab", "q90_vocab_encode")
-    val offenders = SparkEntry.queries.toSeq
-      .filterNot { case (name, _) => allowed(name) }
-      .flatMap { case (name, fn) =>
-        val global = fn(spark, sfDir).queryExecution.optimizedPlan
-          .collect { case w: Window if w.partitionSpec.isEmpty => w }
-        if (global.nonEmpty) Some(name) else None
-      }
-    assert(offenders.isEmpty,
-      s"unpartitioned window in: ${offenders.mkString(", ")}")
-  }
-
   test("q100's quality gate is one narrow scan — no exchange, no join") {
     // the whole curation filter composes into a single codegen'd
     // predicate over one parquet scan; an Exchange or Join appearing
@@ -253,3 +223,70 @@ class PlanAuditSpec extends SparkSpec {
       "q65 scan reads n_chars, which no stage uses")
   }
 }
+
+/** Registry-wide plan sweeps, SHARDED by query number so the linear
+  * plan-building cost spreads across concurrently-run suites instead of
+  * dominating one test's wall time. Every shard applies the SAME two
+  * assertions; a query outside every shard range is itself a failure
+  * (the coverage test in shard 1), so growing the registry can't
+  * silently fall out of the sweep.
+  */
+abstract class PlanSweepSpec(lo: Int, hi: Int) extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** qNN_name -> NN */
+  protected def queryNumber(name: String): Int =
+    name.drop(1).takeWhile(_.isDigit).toInt
+
+  private val shard = SparkEntry.queries.toSeq
+    .filter { case (name, _) =>
+      val n = queryNumber(name); n >= lo && n <= hi
+    }
+
+  test(s"no query in q$lo..q$hi plans a cartesian product (except the documented q24)") {
+    // q24 is the exact all-pairs recall oracle: cartesian BY DESIGN,
+    // test-only, bench-excluded (see SparkEntry.benchQueries scaladoc)
+    val allowed = Set("q24_embedding_dedup")
+    val offenders = shard
+      .filterNot { case (name, _) => allowed(name) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+      }
+    assert(offenders.isEmpty,
+      s"cartesian product in: ${offenders.mkString(", ")}")
+  }
+
+  test(s"unpartitioned windows in q$lo..q$hi appear only in the band-histogram family") {
+    // an unpartitioned window sorts EVERY row in one task — allowed only
+    // over the <= 64-row score/count band histograms of the two-phase
+    // global-rank designs (Sampling.globalOrder: q77; CorpusStats
+    // .buildVocab: q82/q86, composed by q90). Any other query planning
+    // one has regressed to a single-task global sort.
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    val allowed = Set("q77_curriculum_order", "q82_bpe_pairs",
+      "q86_build_vocab", "q90_vocab_encode")
+    val offenders = shard
+      .filterNot { case (name, _) => allowed(name) }
+      .flatMap { case (name, fn) =>
+        val global = fn(spark, sfDir).queryExecution.optimizedPlan
+          .collect { case w: Window if w.partitionSpec.isEmpty => w }
+        if (global.nonEmpty) Some(name) else None
+      }
+    assert(offenders.isEmpty,
+      s"unpartitioned window in: ${offenders.mkString(", ")}")
+  }
+}
+
+class PlanSweepSpec1 extends PlanSweepSpec(1, 40) {
+  test("the shards jointly cover the whole registry") {
+    val covered = SparkEntry.queries.keySet.forall { name =>
+      val n = queryNumber(name); n >= 1 && n <= 240
+    }
+    assert(covered, "a registered query falls outside every sweep shard " +
+      "— extend the PlanSweepSpec ranges")
+  }
+}
+class PlanSweepSpec2 extends PlanSweepSpec(41, 75)
+class PlanSweepSpec3 extends PlanSweepSpec(76, 240)
