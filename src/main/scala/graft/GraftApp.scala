@@ -40,6 +40,7 @@ object Main {
       .appName("graft-dnstap")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+      .config(SparkTuning.ExcludedRulesKey, SparkTuning.ExcludedRules)
     // matcher state scales off-heap and restarts incrementally: the TOML
     // [Spark] section supplies the RocksDB provider (plus changelog
     // checkpointing, so commits upload per-batch deltas instead of

@@ -23,6 +23,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config(SparkTuning.ExcludedRulesKey, SparkTuning.ExcludedRules)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -36,7 +37,13 @@ object Verify {
       .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        // repartition(1), NOT coalesce(1): coalesce folds the whole final
+        // stage into one task, serializing every post-shuffle projection
+        // (measured: q72's span-cut lambda went 49 s single-task vs ~5 s
+        // parallel at sf0.1). repartition adds one tiny output-rows-only
+        // shuffle and keeps the compute on all cores; the dump is still
+        // a single parquet file for the driver's compare.
+        fn(spark, sfDir).repartition(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         timings(name) = (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>

@@ -10,6 +10,7 @@ trait SparkSpec extends AnyFunSuite {
     .appName(getClass.getSimpleName)
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config(SparkTuning.ExcludedRulesKey, SparkTuning.ExcludedRules)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
