@@ -2906,6 +2906,60 @@ object SparkEntry {
       |  JOIN pii USING (source) JOIN lang USING (source)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q108/q109 — real media DECODE, past headers (MediaCodec): q108 reads
+  // the signed 16-bit little-endian PCM samples out of the WAV data
+  // chunk and certifies integer signal stats (count, peak, energy, floor
+  // mean) — the oracle recomputes every sample from the source bytes, so
+  // a one-sample decode error breaks the hash. q109 decodes tiny REAL
+  // PNGs end-to-end — IDAT is a genuine zlib stream (JDK Inflater),
+  // scanlines carry real filter bytes — and certifies pixel stats; every
+  // 41st image has its zlib header flipped, exercising the inflate
+  // failure path (distinct from q102's CRC-flip slice). Both are narrow
+  // partition-local maps; sample/pixel bytes never shuffle.
+  // ---------------------------------------------------------------------
+  private def q108PcmStats(spark: SparkSession, dir: String): DataFrame =
+    MediaCodec.pcmStats(realMediaOf(spark, dir)).toDF()
+
+  private val q108Sql =
+    """WITH d AS (SELECT doc_id, text, strlen(text) AS pl FROM documents
+      |           WHERE doc_id % 37 <> 0 AND doc_id % 3 = 2),
+      |s AS (SELECT doc_id, pl // 2 AS n,
+      |        list_transform(range(0, pl // 2), i ->
+      |          CASE WHEN ord(substr(text, CAST(2*i + 2 AS INTEGER), 1)) >= 128
+      |               THEN ord(substr(text, CAST(2*i + 1 AS INTEGER), 1))
+      |                    + 256 * ord(substr(text, CAST(2*i + 2 AS INTEGER), 1)) - 65536
+      |               ELSE ord(substr(text, CAST(2*i + 1 AS INTEGER), 1))
+      |                    + 256 * ord(substr(text, CAST(2*i + 2 AS INTEGER), 1)) END) AS smp
+      |      FROM d)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+      |  CAST(COALESCE(list_aggregate(list_transform(smp, x -> abs(x)), 'max'), 0) AS INTEGER) AS peak,
+      |  CAST(COALESCE(list_aggregate(list_transform(smp, x -> x * x), 'sum'), 0) AS BIGINT) AS sum_sq,
+      |  CAST(CASE WHEN n = 0 THEN 0
+      |       ELSE list_aggregate(list_transform(smp, x -> abs(x)), 'sum') // n
+      |       END AS BIGINT) AS mean_abs
+      |FROM s""".stripMargin
+
+  private def q109PixelStats(spark: SparkSession, dir: String): DataFrame =
+    MediaCodec.pixelStats(
+      MediaCodec.attachImages(Tables.documents(spark, dir))).toDF()
+
+  private val q109Sql =
+    """WITH d AS (SELECT doc_id, text, strlen(text) AS pl FROM documents
+      |           WHERE doc_id % 41 <> 0),
+      |dim AS (SELECT doc_id, text, pl,
+      |          CAST(4 + doc_id % 8 AS INTEGER) AS w,
+      |          CAST(3 + doc_id % 5 AS INTEGER) AS h
+      |        FROM d),
+      |px AS (SELECT doc_id, w, h,
+      |         list_transform(range(0, w * h * 3), j ->
+      |           ord(substr(text, CAST((j % pl) + 1 AS INTEGER), 1))) AS p
+      |       FROM dim)
+      |SELECT doc_id, w AS width, h AS height, CAST(w * h AS BIGINT) AS n_pixels,
+      |  CAST(list_aggregate(p, 'sum') AS BIGINT) AS sum_rgb,
+      |  CAST(list_aggregate(p, 'max') AS INTEGER) AS max_byte
+      |FROM px""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -3015,6 +3069,8 @@ object SparkEntry {
     Q("q105_bpe_merges", q105BpeMerges, Some(q105Sql)),
     Q("q106_nfc_normalize", q106NfcNormalize, Some(q106Sql)),
     Q("q107_data_card", q107DataCard, Some(q107Sql)),
+    Q("q108_pcm_stats", q108PcmStats, Some(q108Sql)),
+    Q("q109_pixel_stats", q109PixelStats, Some(q109Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

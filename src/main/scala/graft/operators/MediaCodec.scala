@@ -268,13 +268,19 @@ object MediaCodec {
     * and a `data` chunk. Duration is floor(dataBytes * 1000 / byteRate)
     * — the real PCM duration formula. Chunk order is NOT assumed
     * (real encoders emit LIST/INFO chunks anywhere). */
-  def parseWav(bytes: Array[Byte]): Option[MediaMeta] = {
+  def parseWav(bytes: Array[Byte]): Option[MediaMeta] =
+    parseWavChunks(bytes).map(_._1)
+
+  /** Full walk: header metadata plus the data chunk's (offset, length) —
+    * the handle [[wavPcmSamples]] decodes from. */
+  private def parseWavChunks(bytes: Array[Byte]): Option[(MediaMeta, Int, Long)] = {
     if (bytes.length < 44) return None
     def ascii(off: Int) = new String(bytes, off, 4, US_ASCII)
     if (ascii(0) != "RIFF" || ascii(8) != "WAVE") return None
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     var channels, sampleRate, byteRate, bits = -1
     var dataLen = -1L
+    var dataOff = -1
     var i = 12L
     while (i + 8 <= bytes.length) {
       val id = ascii(i.toInt)
@@ -287,13 +293,142 @@ object MediaCodec {
         bits = buf.getShort(i.toInt + 22) & 0xFFFF
       } else if (id == "data") {
         dataLen = size
+        dataOff = i.toInt + 8
       }
       // RIFF pads odd chunk bodies; a final chunk may omit the pad at EOF
       i += 8 + size + (size % 2)
     }
     if (channels <= 0 || sampleRate <= 0 || byteRate <= 0 || dataLen < 0) None
-    else Some(MediaMeta("wav", None, None, Some(bits), Some(channels),
-      Some(sampleRate), Some(dataLen * 1000L / byteRate)))
+    else Some((MediaMeta("wav", None, None, Some(bits), Some(channels),
+      Some(sampleRate), Some(dataLen * 1000L / byteRate)), dataOff, dataLen))
+  }
+
+  /** REAL PCM sample decode: signed 16-bit little-endian samples out of
+    * the data chunk (a trailing odd byte — not a whole sample — is
+    * ignored, as players do). Only 16-bit PCM parses; anything else is
+    * a decoder error → None. */
+  def wavPcmSamples(bytes: Array[Byte]): Option[Array[Short]] =
+    parseWavChunks(bytes).flatMap { case (meta, off, len) =>
+      if (!meta.bitDepth.contains(16)) None
+      else {
+        val n = (len / 2).toInt
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          out(i) = (((bytes(off + 2 * i) & 0xFF)) |
+            ((bytes(off + 2 * i + 1) & 0xFF) << 8)).toShort
+          i += 1
+        }
+        Some(out)
+      }
+    }
+
+  // =====================================================================
+  // PNG PIXEL path — a real decode, not just headers: IDAT is a genuine
+  // zlib stream (JDK Deflater/Inflater), scanlines carry real filter
+  // bytes, and the decoder validates CRCs, inflated length, and filter
+  // type before any pixel is trusted.
+  // =====================================================================
+
+  def pngPixelWidth(docId: Long): Int = (4 + docId % 8).toInt
+  def pngPixelHeight(docId: Long): Int = (3 + docId % 5).toInt
+
+  /** Tiny REAL PNG image: 8-bit truecolor, dims from doc_id, pixel bytes
+    * cycled from the text, scanlines filter-0, IDAT = zlib-deflated.
+    * Any spec-conforming PNG decoder renders this file. Every 41st image
+    * gets its zlib header byte flipped ((CMF·256+FLG) % 31 breaks), so
+    * the corrupt slice exercises the INFLATE failure path — distinct
+    * from q102's CRC-flip slice. */
+  def encodePngImage(docId: Long, text: String): Array[Byte] = {
+    val payload = text.getBytes(UTF_8)
+    val w = pngPixelWidth(docId)
+    val h = pngPixelHeight(docId)
+    val raw = new Array[Byte](h * (1 + w * 3))
+    var j = 0
+    var p = 0
+    var row = 0
+    while (row < h) {
+      raw(j) = 0 // filter type 0 (None)
+      j += 1
+      var c = 0
+      while (c < w * 3) {
+        raw(j) = if (payload.isEmpty) 0 else payload(p % payload.length)
+        j += 1; p += 1; c += 1
+      }
+      row += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw)
+    deflater.finish()
+    val zOut = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!deflater.finished()) zOut.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val ihdr = ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte) // 8-bit, truecolor
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    val out = PngSignature ++ pngChunk("IHDR", ihdr) ++
+      pngChunk("IDAT", zOut.toByteArray) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    if (docId % 41 == 0) {
+      // first IDAT data byte = zlib CMF: sig(8) + IHDR(25) + len+type(8)
+      out(41) = (out(41) ^ 0xFF).toByte
+    }
+    out
+  }
+
+  /** REAL PNG pixel decode: IHDR via [[parsePng]] (CRC-verified), every
+    * IDAT chunk CRC-verified and concatenated, zlib-inflated, inflated
+    * length validated against h·(1 + w·3), filter-0 rows destructured.
+    * Supports what it claims (8-bit truecolor, filter None) and returns
+    * None — never garbage — for anything else: wrong bit depth, CRC
+    * mismatch, truncated/corrupt zlib, short inflate, unknown filter. */
+  def decodePngPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    val meta = parsePng(bytes) match {
+      case Some(m) if m.bitDepth.contains(8) && m.channels.contains(3) => m
+      case _ => return None
+    }
+    val (w, h) = (meta.width.get, meta.height.get)
+    // collect IDAT payloads (a real file may split the stream)
+    val zBytes = new java.io.ByteArrayOutputStream()
+    var i = 8
+    var sawEnd = false
+    while (!sawEnd && i + 12 <= bytes.length) {
+      val buf = ByteBuffer.wrap(bytes, i, bytes.length - i)
+      val len = buf.getInt()
+      if (len < 0 || i + 12L + len > bytes.length) return None
+      val typ = new String(bytes, i + 4, 4, US_ASCII)
+      if (typ == "IDAT") {
+        val crc = new CRC32()
+        crc.update(bytes, i + 4, 4 + len)
+        if (crc.getValue.toInt != ByteBuffer.wrap(bytes, i + 8 + len, 4).getInt())
+          return None
+        zBytes.write(bytes, i + 8, len)
+      } else if (typ == "IEND") sawEnd = true
+      i += 12 + len
+    }
+    val expected = h * (1 + w * 3)
+    val raw = new Array[Byte](expected)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(zBytes.toByteArray)
+    val ok =
+      try {
+        val got = inflater.inflate(raw)
+        got == expected && inflater.finished()
+      } catch { case _: java.util.zip.DataFormatException => false }
+      finally inflater.end()
+    if (!ok) return None
+    val px = new Array[Byte](w * h * 3)
+    var row = 0
+    while (row < h) {
+      val off = row * (1 + w * 3)
+      if (raw(off) != 0) return None // only filter None is encoded
+      System.arraycopy(raw, off + 1, px, row * w * 3, w * 3)
+      row += 1
+    }
+    Some((w, h, px))
   }
 
   // =====================================================================
@@ -319,6 +454,69 @@ object MediaCodec {
       parseHeader(m.media).map { h =>
         MediaMetaRow(m.doc_id, h.format, h.width, h.height, h.bitDepth,
           h.channels, h.sampleRate, h.durationMs, m.media.length.toLong)
+      }
+    })
+  }
+
+  final case class PcmStatsRow(doc_id: Long, n_samples: Long, peak: Int,
+                               sum_sq: Long, mean_abs: Long)
+  final case class PixelStatsRow(doc_id: Long, width: Int, height: Int,
+                                 n_pixels: Long, sum_rgb: Long, max_byte: Int)
+
+  /** Signal statistics over DECODED samples — the feature-extraction
+    * stage run on real audio bytes (non-WAV / corrupt rows drop; pair
+    * with [[audit]] for the ledger). Integer-exact (peak, energy, floor
+    * mean) so an external engine certifies the decoded samples
+    * themselves. Narrow map — samples never leave their partition. */
+  def pcmStats(media: Dataset[MediaRow]): Dataset[PcmStatsRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      wavPcmSamples(m.media).map { s =>
+        var sumSq = 0L
+        var sumAbs = 0L
+        var peak = 0
+        var i = 0
+        while (i < s.length) {
+          val v = s(i).toInt
+          val a = math.abs(v)
+          sumSq += v.toLong * v
+          sumAbs += a
+          if (a > peak) peak = a
+          i += 1
+        }
+        PcmStatsRow(m.doc_id, s.length.toLong, peak, sumSq,
+          if (s.length == 0) 0L else sumAbs / s.length)
+      }
+    })
+  }
+
+  /** documents → tiny REAL PNG images (see [[encodePngImage]]). */
+  def attachImages(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        MediaRow(id, encodePngImage(id, text)) })
+  }
+
+  /** Pixel statistics over fully DECODED images (inflate + scanline
+    * destructure); undecodable rows drop. Narrow map. */
+  def pixelStats(media: Dataset[MediaRow]): Dataset[PixelStatsRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      decodePngPixels(m.media).map { case (w, h, px) =>
+        var sum = 0L
+        var maxB = 0
+        var i = 0
+        while (i < px.length) {
+          val v = px(i) & 0xFF
+          sum += v
+          if (v > maxB) maxB = v
+          i += 1
+        }
+        PixelStatsRow(m.doc_id, w, h, w.toLong * h, sum, maxB)
       }
     })
   }

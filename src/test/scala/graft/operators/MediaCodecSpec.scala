@@ -118,6 +118,64 @@ class MediaCodecByteSpec extends AnyFunSuite {
     assert(m.durationMs.contains(8L * 1000 / (44100 * 4)))
   }
 
+  test("wavPcmSamples decodes signed 16-bit LE, drops trailing odd byte") {
+    // payload bytes: sample0 = 0x0102 = 258, sample1 = 0xFF80 -> -128
+    // little-endian, sample2 = 0x8000 -> -32768, + one dangling byte
+    val payload = Array[Byte](0x02, 0x01, 0x80.toByte, 0xFF.toByte,
+      0x00, 0x80.toByte, 0x7F)
+    val b = encodeWav(5L, payload)
+    val s = wavPcmSamples(b).get
+    assert(s.toSeq == Seq[Short](258, -128, -32768))
+    assert(wavPcmSamples(corrupt(2L, b)).isEmpty)
+    // a non-WAV container is a decoder error, not an exception
+    assert(wavPcmSamples(encodePng(0L, payload)).isEmpty)
+  }
+
+  test("png pixel round trip: real zlib, exact pixels, cycled payload") {
+    val text = "abcXYZ"
+    val b = encodePngImage(2L, text)
+    val (w, h, px) = decodePngPixels(b).get
+    assert(w == pngPixelWidth(2L) && h == pngPixelHeight(2L))
+    val payload = text.getBytes(UTF_8)
+    val want = Array.tabulate(w * h * 3)(i => payload(i % payload.length))
+    assert(px.toSeq == want.toSeq)
+  }
+
+  test("png pixel decoder survives a split IDAT stream (real-file shape)") {
+    val b = encodePngImage(3L, "stream me")
+    // rebuild with the IDAT payload split into two chunks
+    val idatLen = ByteBuffer.wrap(b, 33, 4).getInt()
+    val z = java.util.Arrays.copyOfRange(b, 41, 41 + idatLen)
+    val cut = z.length / 2
+    val rebuilt = java.util.Arrays.copyOfRange(b, 0, 33) ++
+      pngChunkForTest("IDAT", java.util.Arrays.copyOfRange(z, 0, cut)) ++
+      pngChunkForTest("IDAT", java.util.Arrays.copyOfRange(z, cut, z.length)) ++
+      pngChunkForTest("IEND", Array.emptyByteArray)
+    assert(decodePngPixels(rebuilt).map(_._3.toSeq) ==
+      decodePngPixels(b).map(_._3.toSeq))
+  }
+
+  test("png pixel decoder rejects corrupt zlib, bad IDAT CRC, non-zero filter") {
+    val b = encodePngImage(0L, "x") // doc 0: %41 == 0 -> zlib header flipped
+    assert(decodePngPixels(b).isEmpty)
+    val good = encodePngImage(1L, "x")
+    assert(decodePngPixels(good).isDefined)
+    val badCrc = good.clone()
+    badCrc(badCrc.length - 5 - 12) = (badCrc(badCrc.length - 5 - 12) ^ 1).toByte
+    // (a flip inside the IDAT chunk body breaks that chunk's CRC)
+    assert(decodePngPixels(badCrc).isEmpty)
+  }
+
+  private def pngChunkForTest(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes(US_ASCII)
+    val buf = ByteBuffer.allocate(12 + data.length)
+    buf.putInt(data.length).put(t).put(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(t); crc.update(data)
+    buf.putInt(crc.getValue.toInt)
+    buf.array()
+  }
+
   test("parsers bound-check hostile inputs without throwing") {
     val hostiles = Seq(
       Array.emptyByteArray,
