@@ -2776,7 +2776,11 @@ object SparkEntry {
   private def q105BpeMerges(spark: SparkSession, dir: String): DataFrame =
     CorpusStats.bpeTrainMerges(Tables.documents(spark, dir), "text", BpeRounds)
 
-  private val q105Sql: String = {
+  /** The k-round BPE training CTE chain (shared by q105/q110):
+    * w0..w{k or k-1}, m0..m{k-1}. `finalWords=true` also materializes
+    * the post-ALL-merges word table w{k} (q110 encodes against it);
+    * false stops at the last pick (q105 only needs the merge rows). */
+  private def bpeTrainingCtes(finalWords: Boolean): String = {
     val sep = "chr(1)"
     val w0 =
       s"""WITH w0 AS MATERIALIZED (
@@ -2803,14 +2807,47 @@ object SparkEntry {
           |           ELSE acc || x || $sep END),
           |    $sep), s -> s <> '') AS sym
           |  FROM w$i, m$i m)""".stripMargin
-      if (i < BpeRounds - 1) s"$pick,\n$merge" else pick
+      if (i < BpeRounds - 1 || finalWords) s"$pick,\n$merge" else pick
     }
+    s"$w0,\n${rounds.mkString(",\n")}"
+  }
+
+  private val q105Sql: String = {
     val union = (0 until BpeRounds).map { i =>
       s"SELECT ${i + 1} AS round, a AS left_sym, b AS right_sym, " +
         s"a || b AS merged, n AS n_occ FROM m$i"
     }.mkString("\nUNION ALL ")
-    s"$w0,\n${rounds.mkString(",\n")}\n$union"
+    s"${bpeTrainingCtes(finalWords = false)}\n$union"
   }
+
+  // ---------------------------------------------------------------------
+  // q110 — BPE corpus encoding (CorpusStats.bpeEncodedCounts): apply the
+  // q105-trained tokenizer and certify per-document post-merge token
+  // counts — the number the packing/chunking budget actually pays.
+  // Spark computes symbol counts once per DISTINCT word and meets the
+  // token stream via an 8-byte-hash join (never re-running merges, never
+  // shuffling word text); the oracle re-derives the same counts from the
+  // final w{k} table, joining occurrences by the reconstructed word.
+  // ---------------------------------------------------------------------
+  private def q110BpeEncode(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.bpeEncodedCounts(Tables.documents(spark, dir),
+      "doc_id", "text", BpeRounds)
+
+  // NOTE: the CTE chain is concatenated OUTSIDE the stripMargin — the
+  // embedded SQL has continuation lines starting with "||" that an outer
+  // stripMargin would truncate to "|" (bitwise-or)
+  private val q110Sql: String =
+    bpeTrainingCtes(finalWords = true) + ",\n" +
+      s"""v AS (SELECT array_to_string(sym, '') AS word, len(sym) AS nsym
+        |      FROM w$BpeRounds),
+        |occ AS (SELECT doc_id,
+        |          unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        |        FROM documents)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(nsym) AS BIGINT) AS n_bpe_tokens
+        |FROM occ JOIN v USING (word)
+        |WHERE NOT contains(word, chr(1))
+        |GROUP BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // q106 — Unicode NFC normalization (functions.Normalize, codegen'd
@@ -3071,6 +3108,7 @@ object SparkEntry {
     Q("q107_data_card", q107DataCard, Some(q107Sql)),
     Q("q108_pcm_stats", q108PcmStats, Some(q108Sql)),
     Q("q109_pixel_stats", q109PixelStats, Some(q109Sql)),
+    Q("q110_bpe_encode", q110BpeEncode, Some(q110Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -354,9 +354,19 @@ object CorpusStats {
     * preprocessing drops control characters anyway. */
   def bpeTrainMerges(df: DataFrame, textCol: String, k: Int,
                      sep: String = "\u0001"): DataFrame = {
-    require(k > 0 && k <= 64, s"k merge rounds must be in [1, 64], got $k")
     val spark = df.sparkSession
     import spark.implicits._
+    bpeTrainCore(df, textCol, k, sep)._1
+      .toDF("round", "left_sym", "right_sym", "merged", "n_occ")
+  }
+
+  /** Training core shared by [[bpeTrainMerges]] (emits the merge
+    * sequence) and [[bpeEncodedCounts]] (consumes the post-merge symbol
+    * table): the ordered merges plus the final (wc, sym) distinct-word
+    * table after all k rounds. */
+  private def bpeTrainCore(df: DataFrame, textCol: String, k: Int,
+      sep: String): (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    require(k > 0 && k <= 64, s"k merge rounds must be in [1, 64], got $k")
     var words = df
       .select(explode(TextAnalysis.tokens(col(textCol))).as("__w"))
       .filter(!col("__w").contains(lit(sep)))
@@ -396,7 +406,34 @@ object CorpusStats {
         .localCheckpoint()
       round += 1
     }
-    merges.result()
-      .toDF("round", "left_sym", "right_sym", "merged", "n_occ")
+    (merges.result(), words)
+  }
+
+  /** Encode the corpus with the tokenizer [[bpeTrainMerges]] trains:
+    * per-document word count and post-merge BPE token count (the
+    * sequence-length planner's number: what the packing/chunking budget
+    * actually pays after k merges).
+    *
+    * Scale shape: symbol counts are computed ONCE per DISTINCT word on
+    * the vocabulary-bounded post-training table, then met by the token
+    * stream through a hash join on the word's xxhash64 — the corpus
+    * shuffles 8-byte keys, never word text, and never re-runs a merge
+    * (the q73 no-string-grouping-key discipline; a 64-bit cross-word
+    * collision merging two counts is the documented negligible-risk
+    * convention). Words carrying `sep` are excluded exactly as in
+    * training, so every surviving occurrence finds its vocab row. */
+  def bpeEncodedCounts(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, sep: String = "\u0001"): DataFrame = {
+    val words = bpeTrainCore(df, textCol, k, sep)._2
+    val vocab = words.select(
+      xxhash64(array_join(col("sym"), "")).as("__wh"),
+      size(col("sym")).cast("long").as("__nsym"))
+    df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("__w"))
+      .filter(!col("__w").contains(lit(sep)))
+      .select(col(idCol), xxhash64(col("__w")).as("__wh"))
+      .join(vocab, "__wh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__nsym")).as("n_bpe_tokens"))
   }
 }

@@ -185,4 +185,15 @@ class CorpusStatsSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getString(3))).toSeq.sortBy(_._1)
     assert(tie == Seq((1, "ab"), (2, "cd")))
   }
+
+  test("bpeEncodedCounts pays the post-merge token count per document") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa aaaa bc"), (2L, "bc aaaa")).toDF("id", "text")
+    def got(k: Int) = CorpusStats.bpeEncodedCounts(docs, "id", "text", k)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // k=1 merges only (a,a): aaaa -> [aa,aa] (2 symbols), bc -> [b,c] (2)
+    assert(got(1) == Map(1L -> ((3L, 6L)), 2L -> ((2L, 4L))))
+    // k=3 collapses aaaa -> [aaaa] and bc -> [bc]: every word 1 symbol
+    assert(got(3) == Map(1L -> ((3L, 3L)), 2L -> ((2L, 2L))))
+  }
 }
