@@ -2997,6 +2997,72 @@ object SparkEntry {
       |FROM px""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q111 — curation funnel: the stage-by-stage attrition ledger of the
+  // q65 manifest pipeline (raw → transitive-dedup keep → decontaminated
+  // → repetition quality), one row per stage with surviving doc count —
+  // the "where did my corpus go" report every curation run publishes
+  // next to its manifest. Reuses the SAME operator calls as q65 (the
+  // CC fixpoint is localCheckpointed at construction, so the three
+  // stages that include it re-execute only post-checkpoint stages), and
+  // the oracle reuses q65's CTE definitions — the funnel cannot drift
+  // from the manifest it explains.
+  // ---------------------------------------------------------------------
+  private def q111CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val raw = docs.filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("text"))
+    val keepers = q52TransitiveDedupKeep(spark, dir)
+    val s1 = raw.join(keepers, Seq("doc_id"), "left_semi")
+    val contaminated = Scrub.decontaminate(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 5)
+      .select(col("doc_id"))
+    val s2 = s1.join(contaminated, Seq("doc_id"), "left_anti")
+    val tk = col("__tk")
+    val s3 = s2.withColumn("__tk", TextAnalysis.tokens(col("text")))
+      .filter(TextAnalysis.dupTokenRatio(tk) < 0.6 &&
+        TextAnalysis.topTokenFraction(tk) < 0.12)
+    def cnt(stage: Int, name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(stage).as("stage"), lit(name).as("stage_name"),
+          col("n_docs"))
+    cnt(1, "raw", raw)
+      .union(cnt(2, "dedup_keep", s1))
+      .union(cnt(3, "decontaminated", s2))
+      .union(cnt(4, "quality", s3))
+  }
+
+  private val q111Sql =
+    s"""$q48Closure,
+      |keep48 AS (SELECT v AS doc_id FROM r GROUP BY v HAVING v = MIN(l)),
+      |t5 AS (SELECT doc_id, source, list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
+      |sh5 AS (SELECT DISTINCT doc_id, source, sg FROM (
+      |  SELECT doc_id, source, unnest(CASE WHEN len(tk) >= 5
+      |    THEN list_transform(generate_series(1, len(tk)-4),
+      |           k -> tk[k]||' '||tk[k+1]||' '||tk[k+2]||' '||tk[k+3]||' '||tk[k+4])
+      |    ELSE [] END) AS sg FROM t5)),
+      |ev5 AS (SELECT DISTINCT sg FROM sh5 WHERE source = 'src0'),
+      |cont AS (SELECT DISTINCT s.doc_id FROM sh5 s JOIN ev5 USING (sg)
+      |         WHERE s.source <> 'src0'),
+      |rep AS (SELECT doc_id FROM (
+      |    SELECT doc_id, len(tk) AS n, len(list_distinct(tk)) AS d,
+      |      list_aggregate(list_transform(list_distinct(tk),
+      |        u -> len(list_filter(tk, x -> x = u))), 'max') AS mx
+      |    FROM t5 WHERE source <> 'src0')
+      |  WHERE n = 0 OR ((n-d)*1.0/n < 0.6 AND mx*1.0/n < 0.12)),
+      |raw AS (SELECT doc_id FROM documents WHERE source <> 'src0'),
+      |s1 AS (SELECT doc_id FROM raw JOIN keep48 USING (doc_id)),
+      |s2 AS (SELECT s1.doc_id FROM s1 LEFT JOIN cont ON s1.doc_id = cont.doc_id
+      |       WHERE cont.doc_id IS NULL),
+      |s3 AS (SELECT s2.doc_id FROM s2 JOIN rep ON s2.doc_id = rep.doc_id)
+      |SELECT 1 AS stage, 'raw' AS stage_name,
+      |  CAST((SELECT count(*) FROM raw) AS BIGINT) AS n_docs
+      |UNION ALL SELECT 2, 'dedup_keep', CAST((SELECT count(*) FROM s1) AS BIGINT)
+      |UNION ALL SELECT 3, 'decontaminated', CAST((SELECT count(*) FROM s2) AS BIGINT)
+      |UNION ALL SELECT 4, 'quality', CAST((SELECT count(*) FROM s3) AS BIGINT)""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -3109,6 +3175,7 @@ object SparkEntry {
     Q("q108_pcm_stats", q108PcmStats, Some(q108Sql)),
     Q("q109_pixel_stats", q109PixelStats, Some(q109Sql)),
     Q("q110_bpe_encode", q110BpeEncode, Some(q110Sql)),
+    Q("q111_curation_funnel", q111CurationFunnel, Some(q111Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

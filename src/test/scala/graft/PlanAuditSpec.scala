@@ -179,6 +179,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q110 meets the vocabulary through hash keys, never word text") {
+    // the corpus-sized side of the encode join must carry 8-byte
+    // xxhash64 keys; a string join key means word TEXT rides the
+    // corpus join (and a re-derived vocab could shuffle it corpus-wide)
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.types.StringType
+    val plan = SparkEntry.queries("q110_bpe_encode")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.nonEmpty, "q110 lost its vocab join")
+    joins.foreach(_.condition.toSeq.flatMap(_.references).foreach(r =>
+      assert(r.dataType != StringType,
+        s"q110 joins on a string key: ${r.sql}")))
+  }
+
   test("q100's quality gate is one narrow scan — no exchange, no join") {
     // the whole curation filter composes into a single codegen'd
     // predicate over one parquet scan; an Exchange or Join appearing
