@@ -30,6 +30,16 @@ object Bench {
     // report a reassuring low value for exactly that run
     val loadStart = loadAvg()
 
+    /** The timed action: FULL row materialization, not count(). Under
+      * count() Catalyst prunes every column the row count doesn't need —
+      * an expensive final projection simply never runs (measured r9:
+      * q72's span-cut rebuild timed 0.15 s under count() vs ~2.4 s real
+      * — a 16x under-report on exactly the operator cost the bench
+      * exists to expose). toRdd.foreach produces every output row with
+      * all columns, still without collecting to the driver or writing. */
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.toRdd.foreach(_ => ())
+
     /** min-of-N timing of every bench query against one sf directory.
       * A run that throws contributes no timing; a query whose every run
       * failed records the -1 sentinel so it can't deflate the headline
@@ -38,7 +48,7 @@ object Bench {
       case (name, fn) =>
         val good = (0 until math.max(1, iters)).flatMap { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, dir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          try { force(fn(spark, dir)); Some((System.nanoTime() - t0) / 1e9) }
           catch { case _: Throwable => None }
         }
         name -> (if (good.isEmpty) -1.0 else good.min)
@@ -55,7 +65,7 @@ object Bench {
     // steady-state query cost, not first-touch JVM machinery
     if (sys.env.getOrElse("SPARK_GRAFT_WARM_PASS", "1") != "0")
       ordered.foreach { case (_, fn) =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        try force(fn(spark, sfDir)) catch { case _: Throwable => () }
       }
     // fixed name order: stable timing attribution across rounds; min of
     // `iters` timed runs damps scheduler noise in the reported numbers
@@ -82,7 +92,7 @@ object Bench {
       // the timed run) would deflate exactly the ratio this exists
       // to measure
       ordered.foreach { case (_, fn) =>
-        try fn(spark, scalingDir).count() catch { case _: Throwable => () }
+        try force(fn(spark, scalingDir)) catch { case _: Throwable => () }
       }
       val lo = timeAll(scalingDir)
       val loMap = lo.toMap
@@ -107,7 +117,11 @@ object Bench {
     // a load far above the bench's own footprint marks the numbers suspect
     val load = BigDecimal(math.max(loadStart, loadAvg()))
       .setScale(1, BigDecimal.RoundingMode.HALF_UP)
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"errors":$errorsJson,"load1m":$load,"slowest":${toJson(slowest)}}""")
+    // "action":"materialize" marks the r9 change from count() to full
+    // row materialization — totals are NOT comparable with pre-r9
+    // headlines that lack the field (count() under-reported queries
+    // with expensive pruned projections)
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","action":"materialize","sf":"$sfDir","nqueries":${results.size},"errors":$errorsJson,"load1m":$load,"slowest":${toJson(slowest)}}""")
     spark.stop()
   }
 }

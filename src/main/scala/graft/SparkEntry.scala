@@ -3012,25 +3012,43 @@ object SparkEntry {
     val raw = docs.filter(col("source") =!= "src0")
       .select(col("doc_id"), col("text"))
     val keepers = q52TransitiveDedupKeep(spark, dir)
-    val s1 = raw.join(keepers, Seq("doc_id"), "left_semi")
     val contaminated = Scrub.decontaminate(
         docs.filter(col("source") =!= "src0"),
         docs.filter(col("source") === "src0"),
         "doc_id", "text", n = 5)
       .select(col("doc_id"))
-    val s2 = s1.join(contaminated, Seq("doc_id"), "left_anti")
+    // ONE pass: per-doc stage flags, then a single global aggregation —
+    // a union of per-stage counts would re-execute the shared
+    // decontamination/gate subtrees once per branch (the dominant
+    // remaining cost is the q48 fixpoint, which runs at construction
+    // either way)
     val tk = col("__tk")
-    val s3 = s2.withColumn("__tk", TextAnalysis.tokens(col("text")))
-      .filter(TextAnalysis.dupTokenRatio(tk) < 0.6 &&
-        TextAnalysis.topTokenFraction(tk) < 0.12)
-    def cnt(stage: Int, name: String, df: DataFrame) =
-      df.agg(count(lit(1)).as("n_docs"))
-        .select(lit(stage).as("stage"), lit(name).as("stage_name"),
-          col("n_docs"))
-    cnt(1, "raw", raw)
-      .union(cnt(2, "dedup_keep", s1))
-      .union(cnt(3, "decontaminated", s2))
-      .union(cnt(4, "quality", s3))
+    val flags = raw
+      .join(keepers.select(col("doc_id"), lit(1L).as("__k")),
+        Seq("doc_id"), "left")
+      .join(contaminated.select(col("doc_id"), lit(1L).as("__c")),
+        Seq("doc_id"), "left")
+      .withColumn("__tk", TextAnalysis.tokens(col("text")))
+      .select(coalesce(col("__k"), lit(0L)).as("k"),
+        lit(1L) - coalesce(col("__c"), lit(0L)).as("c"),
+        when(TextAnalysis.dupTokenRatio(tk) < 0.6 &&
+          TextAnalysis.topTokenFraction(tk) < 0.12, 1L).otherwise(0L).as("g"))
+      .toDF("k", "notc", "g")
+    flags
+      .agg(count(lit(1)).as("n1"), sum(col("k")).as("n2"),
+        sum(col("k") * col("notc")).as("n3"),
+        sum(col("k") * col("notc") * col("g")).as("n4"))
+      .select(explode(array(
+        struct(lit(1).as("stage"), lit("raw").as("stage_name"),
+          col("n1").as("n_docs")),
+        struct(lit(2).as("stage"), lit("dedup_keep").as("stage_name"),
+          col("n2").as("n_docs")),
+        struct(lit(3).as("stage"), lit("decontaminated").as("stage_name"),
+          col("n3").as("n_docs")),
+        struct(lit(4).as("stage"), lit("quality").as("stage_name"),
+          col("n4").as("n_docs")))).as("r"))
+      .select(col("r.stage").as("stage"), col("r.stage_name").as("stage_name"),
+        col("r.n_docs").as("n_docs"))
   }
 
   private val q111Sql =
