@@ -3081,6 +3081,28 @@ object SparkEntry {
       |UNION ALL SELECT 4, 'quality', CAST((SELECT count(*) FROM s3) AS BIGINT)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q112 — compressibility quality signal (functions.DeflateSize): zlib
+  // ratio in basis points per document, banded into the standard
+  // curation buckets (too-compressible = templated/looped text,
+  // incompressible = already-compressed or random junk). Scan-level,
+  // no shuffle. ROWS-ONLY by design: deflate output is deterministic
+  // per zlib build but not portable across engines — value semantics
+  // are pinned by `DeflateSizeSpec` instead (the HLL/packing contract).
+  // ---------------------------------------------------------------------
+  private def q112CompressionQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        graft.functions.Compressibility.deflateSize(col("text")).cast("long")
+          .as("z_bytes"))
+      .withColumn("ratio_bp",
+        floor(col("z_bytes") * 10000 / col("n_bytes")).cast("long"))
+      .withColumn("band",
+        when(col("ratio_bp") < 2000, "looped")
+          .when(col("ratio_bp") > 9000, "incompressible")
+          .otherwise("prose"))
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -3194,6 +3216,7 @@ object SparkEntry {
     Q("q109_pixel_stats", q109PixelStats, Some(q109Sql)),
     Q("q110_bpe_encode", q110BpeEncode, Some(q110Sql)),
     Q("q111_curation_funnel", q111CurationFunnel, Some(q111Sql)),
+    Q("q112_compression_quality", q112CompressionQuality, None),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
