@@ -216,11 +216,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Scan parquet"), "q104 lost its parquet scan")
   }
 
-  test("q102's media decode is narrow — no exchange below the extraction") {
-    val plan = SparkEntry.queries("q102_media_codec")(spark, sfDir)
+  test("media decode paths are narrow — no exchange below the extraction") {
+    // q102 headers, q108 PCM samples, q109 PNG pixels: all pure
+    // partition-local decode; sample/pixel bytes must never shuffle
+    Seq("q102_media_codec", "q108_pcm_stats", "q109_pixel_stats").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      Seq("Exchange", "Join").foreach(bad =>
+        assert(!plan.contains(bad), s"$name plans a $bad"))
+    }
+    // q112 deflate signal: scan-level, no shuffle
+    val z = SparkEntry.queries("q112_compression_quality")(spark, sfDir)
       .queryExecution.executedPlan.toString
     Seq("Exchange", "Join").foreach(bad =>
-      assert(!plan.contains(bad), s"q102 plans a $bad"))
+      assert(!z.contains(bad), s"q112 plans a $bad"))
   }
 
   test("column pruning reaches the parquet scan") {
