@@ -182,6 +182,48 @@ object MediaCodec {
   def parseHeader(bytes: Array[Byte]): Option[MediaMeta] =
     if (bytes == null) None
     else parsePng(bytes).orElse(parseJpeg(bytes)).orElse(parseWav(bytes))
+      .orElse(parseBmp(bytes)).orElse(parseGif(bytes))
+
+  /** BMP: "BM" + BITMAPINFOHEADER (the 40-byte DIB header every modern
+    * writer emits): little-endian width, height (negative = top-down —
+    * report the magnitude), planes must be 1, bpp. Our encoder never
+    * emits BMP; the parser exists so the sniffing chain covers the
+    * formats a crawled binary column actually contains. */
+  def parseBmp(bytes: Array[Byte]): Option[MediaMeta] = {
+    if (bytes.length < 54) return None
+    if (bytes(0) != 'B' || bytes(1) != 'M') return None
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val dibSize = buf.getInt(14)
+    if (dibSize < 40) return None // BITMAPCOREHEADER et al. not supported
+    val width = buf.getInt(18)
+    val height = buf.getInt(22)
+    val planes = buf.getShort(26) & 0xFFFF
+    val bpp = buf.getShort(28) & 0xFFFF
+    if (width <= 0 || height == 0 || planes != 1 || bpp <= 0) return None
+    val channels = bpp match {
+      case 8 => 1
+      case 24 => 3
+      case 32 => 4
+      case _ => return None
+    }
+    Some(MediaMeta("bmp", Some(width), Some(math.abs(height)),
+      Some(bpp / channels), Some(channels), None, None))
+  }
+
+  /** GIF: "GIF87a"/"GIF89a" + logical-screen little-endian u16 dims.
+    * Palette-indexed → 1 channel, bit depth from the colour-resolution
+    * field (packed byte bits 4-6, stored minus one). */
+  def parseGif(bytes: Array[Byte]): Option[MediaMeta] = {
+    if (bytes.length < 13) return None
+    val sig = new String(bytes, 0, 6, US_ASCII)
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val width = (bytes(6) & 0xFF) | ((bytes(7) & 0xFF) << 8)
+    val height = (bytes(8) & 0xFF) | ((bytes(9) & 0xFF) << 8)
+    if (width <= 0 || height <= 0) return None
+    val colourRes = ((bytes(10) & 0x70) >> 4) + 1
+    Some(MediaMeta("gif", Some(width), Some(height), Some(colourRes),
+      Some(1), None, None))
+  }
 
   /** PNG: 8-byte signature, then the IHDR chunk (must be first, per
     * spec): length 13, big-endian width/height, bit depth, color type.

@@ -1,0 +1,106 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets.US_ASCII
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.MediaCodec._
+
+/** Fuzz + foreign-format coverage for the media parsers: a parser fed
+  * arbitrary bytes must return None or a value — NEVER throw — and the
+  * encoder→decoder round trips must hold for arbitrary payloads
+  * (including non-ASCII text and raw binary), not just the testdata's
+  * ASCII. Deterministic seeds, the InvariantsSpec convention. */
+class MediaCodecFuzzSpec extends AnyFunSuite {
+
+  private def forAllSeeded[A](gen: Gen[A], n: Int)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default, Seed(1042L + i)))
+    }
+
+  private val rawBytes: Gen[Array[Byte]] =
+    Gen.choose(0, 300).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+
+  /** Random bytes behind each real magic — exercises the deep parsing
+    * paths, not just the signature rejects. */
+  private val magicPrefixed: Gen[Array[Byte]] = for {
+    magic <- Gen.oneOf(
+      Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte, 0x0D.toByte,
+        0x0A.toByte, 0x1A.toByte, 0x0A.toByte),
+      Array(0xFF.toByte, 0xD8.toByte),
+      "RIFF".getBytes(US_ASCII), "RIFFxxxxWAVE".getBytes(US_ASCII),
+      "BM".getBytes(US_ASCII), "GIF89a".getBytes(US_ASCII))
+    tail <- rawBytes
+  } yield magic ++ tail
+
+  test("parsers never throw on arbitrary or magic-prefixed bytes") {
+    forAllSeeded(rawBytes, 300) { b =>
+      parseHeader(b); wavPcmSamples(b); decodePngPixels(b); ()
+    }
+    forAllSeeded(magicPrefixed, 300) { b =>
+      parseHeader(b); wavPcmSamples(b); decodePngPixels(b); ()
+    }
+  }
+
+  test("encode->parse round trips hold for arbitrary unicode text") {
+    val texts = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr, Gen.const("héllo wörld ☃"),
+      Gen.const("多字节 текст"), Gen.const(""))).map(_.mkString(" "))
+    forAllSeeded(Gen.zip(Gen.choose(0L, 5000L), texts), 100) {
+      case (id, text) =>
+        val m = parseHeader(encode(id, text))
+        if (id % 37 == 0) assert(m.isEmpty)
+        else {
+          assert(m.isDefined, s"id=$id text=${text.take(20)}")
+          val fmt = Seq("png", "jpeg", "wav")((id % 3).toInt)
+          assert(m.get.format == fmt)
+        }
+        val px = decodePngPixels(encodePngImage(id, text))
+        if (id % 41 == 0) assert(px.isEmpty)
+        else assert(px.exists(_._3.length ==
+          pngPixelWidth(id) * pngPixelHeight(id) * 3))
+    }
+  }
+
+  test("pcm decode round trips arbitrary sample payloads") {
+    val payloads = Gen.choose(0, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+    forAllSeeded(Gen.zip(Gen.choose(0L, 999L), payloads), 100) {
+      case (k, payload) =>
+        val id = k * 3 + 2 // any wav-shaped id works; corruption not applied here
+        val s = wavPcmSamples(encodeWav(id, payload)).get
+        assert(s.length == payload.length / 2)
+        s.zipWithIndex.foreach { case (v, i) =>
+          val want = ((payload(2 * i) & 0xFF) | ((payload(2 * i + 1) & 0xFF) << 8)).toShort
+          assert(v == want)
+        }
+    }
+  }
+
+  test("foreign BMP and GIF headers parse; malformed variants reject") {
+    val bmp = ByteBuffer.allocate(54).order(ByteOrder.LITTLE_ENDIAN)
+    bmp.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+    bmp.putInt(40).putInt(640).putInt(-480) // top-down height
+    bmp.putShort(1.toShort).putShort(24.toShort)
+    bmp.putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+    val m = parseBmp(bmp.array()).get
+    assert(m.format == "bmp" && m.width.contains(640) && m.height.contains(480))
+    assert(m.channels.contains(3) && m.bitDepth.contains(8))
+    // planes != 1 is malformed
+    val bad = bmp.array().clone(); bad(26) = 2
+    assert(parseBmp(bad).isEmpty)
+
+    val gif = "GIF89a".getBytes(US_ASCII) ++
+      Array[Byte](0x40, 0x01, 0xF0.toByte, 0x00, 0x77, 0x00, 0x00)
+    val g = parseGif(gif).get
+    assert(g.format == "gif" && g.width.contains(0x140) && g.height.contains(0xF0))
+    assert(parseGif("GIF90a1234567".getBytes(US_ASCII)).isEmpty)
+    // the sniffing chain routes by magic
+    assert(parseHeader(bmp.array()).exists(_.format == "bmp"))
+    assert(parseHeader(gif).exists(_.format == "gif"))
+  }
+}
