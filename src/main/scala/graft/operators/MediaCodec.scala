@@ -455,10 +455,24 @@ object MediaCodec {
     val raw = new Array[Byte](expected)
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(zBytes.toByteArray)
+    // inflate() may legally return a partial block per call — loop until
+    // end-of-stream or no progress (truncated/overlong streams reject)
     val ok =
       try {
-        val got = inflater.inflate(raw)
-        got == expected && inflater.finished()
+        var total = 0
+        var progress = true
+        while (!inflater.finished() && progress && total < expected) {
+          val got = inflater.inflate(raw, total, expected - total)
+          progress = got > 0
+          total += got
+        }
+        if (total == expected && !inflater.finished()) {
+          // the end-of-stream marker may need one more call; any extra
+          // OUTPUT here means the stream is longer than the header claims
+          val probe = new Array[Byte](1)
+          if (inflater.inflate(probe) > 0) progress = false
+        }
+        progress && total == expected && inflater.finished()
       } catch { case _: java.util.zip.DataFormatException => false }
       finally inflater.end()
     if (!ok) return None

@@ -54,12 +54,20 @@ object StreamScrub {
     * pipeline: decontaminate, then redact). */
   def scrub(docs: DataFrame, evalHashes: Array[Long], textCol: String,
             n: Int = 5): DataFrame = {
-    val shingleHashes =
-      transform(TextAnalysis.shinglesOfTokens(
-        TextAnalysis.tokens(col(textCol)), n), s => xxhash64(s))
-    val contaminated =
-      exists(shingleHashes, h => SetProbe.containsLong(h, evalHashes))
-    docs.filter(!contaminated)
+    // MATERIALIZE the token array before the shingle lambdas reference
+    // it (the shinglesOfTokens contract): inlining tokens() here would
+    // re-split the document inside every element_at of every window —
+    // the O(windows x n x tokens) generator-token pathology
+    val contaminated = exists(
+      transform(TextAnalysis.shinglesOfTokens(col("__tk"), n),
+        s => xxhash64(s)),
+      h => SetProbe.containsLong(h, evalHashes))
+    docs.withColumn("__tk", TextAnalysis.tokens(col(textCol)))
+      // null text → null token array → null predicate; coalesce keeps
+      // the row, matching the batch operator (explode of null emits no
+      // shingles → no hits → doc kept)
+      .filter(!coalesce(contaminated, lit(false)))
+      .drop("__tk")
       .withColumn(textCol, Scrub.redactPii(col(textCol)))
   }
 }
