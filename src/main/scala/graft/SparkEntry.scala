@@ -3103,6 +3103,43 @@ object SparkEntry {
           .otherwise("prose"))
 
   // ---------------------------------------------------------------------
+  // q113 — normalization-closed dedup: the certified demonstration that
+  // the q106 NFC stage closes the mixed-encoding under-dedup gap. The
+  // corpus is doubled into a composed (U+00E9) and a decomposed
+  // (e + U+0301) variant of every document; exact dedup on raw bytes
+  // only pairs the documents whose variants are byte-identical (no 'e'
+  // at all), while dedup on NFC-normalized text pairs ALL of them. Two
+  // aggregate rows (method, group counts) certify both sides.
+  // ---------------------------------------------------------------------
+  private def q113NfcDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val composed = docs.select(col("doc_id"),
+      regexp_replace(col("text"), "e", "\u00e9").as("text"))
+    val decomposed = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      regexp_replace(col("text"), "e", "e\u0301").as("text"))
+    val u = composed.union(decomposed)
+    val nfc = graft.functions.Normalize.normalize(col("text"), "NFC")
+    val keyed = u.select(lit("raw").as("method"), md5(col("text")).as("h"))
+      .union(u.select(lit("nfc").as("method"), md5(nfc).as("h")))
+    keyed.groupBy(col("method"), col("h")).agg(count(lit(1)).as("c"))
+      .groupBy(col("method"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_groups"))
+  }
+
+  private val q113Sql =
+    """WITH u AS (
+      |  SELECT doc_id, replace(text, 'e', chr(233)) AS text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, replace(text, 'e', 'e' || chr(769)) FROM documents),
+      |r AS (SELECT 'raw' AS method, md5(text) AS h FROM u
+      |      UNION ALL SELECT 'nfc', md5(nfc_normalize(text)) FROM u),
+      |g AS (SELECT method, h, count(*) AS c FROM r GROUP BY 1, 2)
+      |SELECT method, CAST(count(*) AS BIGINT) AS n_groups,
+      |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+      |FROM g GROUP BY method""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -3217,6 +3254,7 @@ object SparkEntry {
     Q("q110_bpe_encode", q110BpeEncode, Some(q110Sql)),
     Q("q111_curation_funnel", q111CurationFunnel, Some(q111Sql)),
     Q("q112_compression_quality", q112CompressionQuality, None),
+    Q("q113_nfc_dedup", q113NfcDedup, Some(q113Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
