@@ -76,6 +76,40 @@ object EventWindows {
       .filter(col("rk") <= k)
   }
 
+  /** Event-time curation health: per (window, source) ingest counts,
+    * rule-gate pass counts, and total hashed-BoW model score — the live
+    * ops dashboard behind the batch data card (q107): "did the quality
+    * of feed X fall off a cliff in the last hour". All quality metrics
+    * are scan-level expressions (qualityGate, bowScore), so the plan is
+    * exactly one watermarked windowed aggregation — state per
+    * (window, source), no second stateful stage, append emission on
+    * window close. Integer-exact outputs (counts and a raw score sum);
+    * rate/threshold math belongs to the dashboard. Works identically
+    * over a batch frame — asserted in EventWindowsSpec. */
+  def curationHealth(docs: DataFrame, tsCol: String, srcCol: String,
+                     textCol: String, windowLen: String, watermark: String,
+                     weights: Seq[Int], minTokens: Long = 20,
+                     maxTokens: Long = 2000): DataFrame = {
+    val tk = graft.operators.TextAnalysis.tokens(col(textCol))
+    val stream = if (docs.isStreaming) docs.withWatermark(tsCol, watermark)
+                 else docs
+    stream
+      // materialize the token array once per row before the metric
+      // lambdas reference it (the shinglesOfTokens/qualityGate contract)
+      .withColumn("__tk", tk)
+      .select(col(tsCol), col(srcCol),
+        when(graft.operators.TextAnalysis.qualityGate(col("__tk"),
+          minTokens, maxTokens), 1L).otherwise(0L).as("__pass"),
+        graft.operators.TextAnalysis.bowScore(col("__tk"), weights).as("__score"),
+        size(col("__tk")).cast("long").as("__ntok"))
+      .groupBy(window(col(tsCol), windowLen), col(srcCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__pass")).as("n_pass"),
+        sum(col("__score")).as("score_sum"), sum(col("__ntok")).as("n_tokens"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col(srcCol), col("n_docs"), col("n_pass"), col("score_sum"),
+        col("n_tokens"))
+  }
+
   /** Tumbling event-time window with per-key counts and an optional sum.
     * Works identically over batch and streaming frames (same plan shape;
     * streaming adds watermark state). */

@@ -142,4 +142,44 @@ class EventWindowsSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("w_start", "w_end", "user", "n", "sum_v"))
     assert(out.count() == 2)
   }
+
+  test("curationHealth: streaming window metrics equal the batch run") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val w = Seq.fill(8)(100) // every bucket positive: score = 100 * n_tokens
+    val clean = "the " + (1 to 25).map(i => s"w$i").mkString(" ") + " of to in"
+    val rows = Seq(
+      TsDoc(t(2), "srcA", clean),          // passes the gate
+      TsDoc(t(4), "srcA", "too short"),    // fails length floor
+      TsDoc(t(6), "srcB", clean))
+    val batch = EventWindows.curationHealth(rows.toDF(), "ts", "source",
+      "text", "10 minutes", "5 minutes", w)
+      .collect().map(r => (r.getString(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toSet
+
+    val mem = MemoryStream[TsDoc]
+    val out = EventWindows.curationHealth(mem.toDF(), "ts", "source",
+      "text", "10 minutes", "5 minutes", w)
+    val query = out.writeStream.format("memory").queryName("cur_health")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      query.processAllAvailable()
+      mem.addData(TsDoc(t(31), "srcC", clean)) // close the first window
+      query.processAllAvailable()
+      val streamed = spark.sql(
+        """SELECT source, n_docs, n_pass, score_sum, n_tokens FROM cur_health
+          |WHERE w_start = timestamp'1970-01-01 01:00:00'""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(streamed == batch)
+      // and the metrics mean what they say: srcA ingested 2, passed 1
+      val a = streamed.find(_._1 == "srcA").get
+      assert(a._2 == 2L && a._3 == 1L)
+      // all-positive weights: score_sum == 100 * n_tokens exactly
+      streamed.foreach(s => assert(s._4 == 100L * s._5))
+    } finally query.stop()
+  }
 }
+
+case class TsDoc(ts: Timestamp, source: String, text: String)
