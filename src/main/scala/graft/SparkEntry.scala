@@ -3140,6 +3140,26 @@ object SparkEntry {
       |FROM g GROUP BY method""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q114 — per-column data profile (operators/Profile): row/null/exact-
+  // distinct counts and string-collated min/max for every documents
+  // column, one aggregation pass (multi-count-distinct plans as a single
+  // Expand). The drop-preflight next to the q107 data card.
+  // ---------------------------------------------------------------------
+  private def q114Profile(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.profile(Tables.documents(spark, dir))
+
+  private val q114Sql = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    cols.map { c =>
+      s"""SELECT '$c' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+        |  min(CAST($c AS VARCHAR)) AS min_str, max(CAST($c AS VARCHAR)) AS max_str
+        |FROM documents""".stripMargin
+    }.mkString("\nUNION ALL ")
+  }
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -3255,6 +3275,7 @@ object SparkEntry {
     Q("q111_curation_funnel", q111CurationFunnel, Some(q111Sql)),
     Q("q112_compression_quality", q112CompressionQuality, None),
     Q("q113_nfc_dedup", q113NfcDedup, Some(q113Sql)),
+    Q("q114_profile", q114Profile, Some(q114Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-column data profiling — the schema-health stage a pipeline runs
+  * before trusting a new drop of data (row/null/distinct counts, string
+  * min/max per column), one row per profiled column.
+  *
+  * Scale shape: ONE aggregation over one scan. The multiple exact
+  * distinct counts plan as a single Expand (one row per (input row,
+  * column)) feeding a partial/final aggregate — the standard Spark
+  * multi-count-distinct strategy: map-side combine still applies per
+  * expanded group, nothing is collected, and the output is exactly
+  * |columns| rows. Min/max compare as STRINGS (cast first) so the
+  * profile row shape is column-type-agnostic; binary collation makes
+  * the result portable. For approximate profiling at extreme widths,
+  * swap countDistinct for approx_count_distinct per column — the plan
+  * loses the Expand entirely.
+  */
+object Profile {
+
+  /** Profile `cols` (default: every column) of `df`:
+    * (column, n_rows, n_null, n_distinct, min_str, max_str). */
+  def profile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val names = if (cols.nonEmpty) cols else df.columns.toSeq
+    require(names.nonEmpty, "profile needs at least one column")
+    val aggs: Seq[Column] = names.flatMap { c =>
+      val s = col(c).cast("string")
+      Seq(count(lit(1)).as(s"__n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        countDistinct(col(c)).as(s"__d_$c"),
+        min(s).as(s"__min_$c"),
+        max(s).as(s"__max_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = names.map { c =>
+      struct(lit(c).as("column"), col(s"__n_$c").as("n_rows"),
+        col(s"__null_$c").as("n_null"), col(s"__d_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_str"), col(s"__max_$c").as("max_str"))
+    }
+    wide.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+}
