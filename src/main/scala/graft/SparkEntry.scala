@@ -3160,6 +3160,37 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------------
+  // q115 — eval-set integrity, q56 reversed: per EVAL document, how many
+  // distinct 5-gram shingles it shares with the training corpus — "is my
+  // benchmark already memorizable from the train set", the report an
+  // eval-suite owner publishes. Plan note: with the sides swapped the
+  // "eval" argument IS the big corpus, so the call passes
+  // maxEvalShingles = 0 — the documented degrade that drops the guarded
+  // broadcast and lets AQE run a plain 8-byte-hash shuffle join (text
+  // still never shuffles). The oracle is q56's with the sides swapped.
+  // ---------------------------------------------------------------------
+  private def q115EvalContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Scrub.decontaminate(
+      train = docs.filter(col("source") === "src0"),
+      eval = docs.filter(col("source") =!= "src0"),
+      idCol = "doc_id", textCol = "text", n = 5,
+      maxEvalShingles = 0)
+  }
+
+  private val q115Sql =
+    """WITH t AS (SELECT doc_id, source, list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, source, sg FROM (
+      |  SELECT doc_id, source, unnest(CASE WHEN len(tk) >= 5
+      |    THEN list_transform(generate_series(1, len(tk)-4),
+      |           i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4])
+      |    ELSE [] END) AS sg FROM t)),
+      |tr AS (SELECT DISTINCT sg FROM sh WHERE source <> 'src0')
+      |SELECT s.doc_id, COUNT(*) AS n_hits
+      |FROM sh s JOIN tr USING (sg) WHERE s.source = 'src0'
+      |GROUP BY s.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -3276,6 +3307,7 @@ object SparkEntry {
     Q("q112_compression_quality", q112CompressionQuality, None),
     Q("q113_nfc_dedup", q113NfcDedup, Some(q113Sql)),
     Q("q114_profile", q114Profile, Some(q114Sql)),
+    Q("q115_eval_contamination", q115EvalContamination, Some(q115Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
