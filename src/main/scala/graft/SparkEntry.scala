@@ -3191,6 +3191,38 @@ object SparkEntry {
       |GROUP BY s.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q116 — IVF recall report: overlap of the q49 multiprobe top-3 with
+  // the exact cosine top-3 (q22 restricted), per probe, in integer basis
+  // points — the recall@k number an ANN deployment publishes next to its
+  // nprobe setting (the q78 report, for the IVF family). Composes the
+  // two registered queries verbatim; the oracle nests their SQL, so the
+  // report cannot drift from the surfaces it measures.
+  // ---------------------------------------------------------------------
+  private def q116IvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val ivf = q49AnnIvfMultiprobe(spark, dir).select(col("probe_id"), col("vec_id"))
+    val exact = q22KnnBruteforce(spark, dir)
+      .filter(col("rn") <= 3).select(col("probe_id"), col("vec_id"))
+    val hits = exact.join(ivf, Seq("probe_id", "vec_id"))
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("__hit"))
+    probes(spark, dir).select(col("probe_id"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("__hit"), lit(0L)).as("n_hit"),
+        floor(coalesce(col("__hit"), lit(0L)) * 10000 / 3).cast("long")
+          .as("recall_bp"))
+  }
+
+  private val q116Sql =
+    s"""WITH ex AS (SELECT probe_id, vec_id FROM (${q22Sql}) WHERE rn <= 3),
+      |iv AS (SELECT probe_id, vec_id FROM (${q49Sql})),
+      |h AS (SELECT probe_id, count(*) AS hit
+      |      FROM ex JOIN iv USING (probe_id, vec_id) GROUP BY 1),
+      |pp AS (SELECT vec_id AS probe_id FROM embeddings WHERE vec_id < 3)
+      |SELECT probe_id, CAST(COALESCE(hit, 0) AS BIGINT) AS n_hit,
+      |  CAST(COALESCE(hit, 0) * 10000 // 3 AS BIGINT) AS recall_bp
+      |FROM pp LEFT JOIN h USING (probe_id)""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -3308,6 +3340,7 @@ object SparkEntry {
     Q("q113_nfc_dedup", q113NfcDedup, Some(q113Sql)),
     Q("q114_profile", q114Profile, Some(q114Sql)),
     Q("q115_eval_contamination", q115EvalContamination, Some(q115Sql)),
+    Q("q116_ivf_recall", q116IvfRecall, Some(q116Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
