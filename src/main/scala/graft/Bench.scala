@@ -44,9 +44,10 @@ object Bench {
       * A run that throws contributes no timing; a query whose every run
       * failed records the -1 sentinel so it can't deflate the headline
       * total or the scaling ratio while looking like a fast query. */
-    def timeAll(dir: String): Seq[(String, Double)] = ordered.map {
+    def timeAll(dir: String, nIters: Int = 0): Seq[(String, Double)] = ordered.map {
       case (name, fn) =>
-        val good = (0 until math.max(1, iters)).flatMap { _ =>
+        val runs = if (nIters > 0) nIters else math.max(1, iters)
+        val good = (0 until runs).flatMap { _ =>
           val t0 = System.nanoTime()
           try { force(fn(spark, dir)); Some((System.nanoTime() - t0) / 1e9) }
           catch { case _: Throwable => None }
@@ -87,14 +88,16 @@ object Bench {
     // 18-second query in the r6/r7 artifacts). Scaling detail prints
     // first and is sacrificed to the window when the tail overflows.
     if (scalingDir != "0" && new java.io.File(scalingDir).isDirectory) {
-      // warm the secondary SF too — the primary got a dedicated warm
-      // pass, and an unwarmed lo (footer reads, plan compilation in
-      // the timed run) would deflate exactly the ratio this exists
-      // to measure
-      ordered.foreach { case (_, fn) =>
-        try force(fn(spark, scalingDir)) catch { case _: Throwable => () }
-      }
-      val lo = timeAll(scalingDir)
+      // NO dedicated warm pass for the secondary SF (round 9): the
+      // primary passes already compiled every query's codegen and JIT —
+      // both keyed on expressions, not data paths — so the only cold
+      // cost left is the small-SF parquet footer reads, noise at ratio
+      // granularity. With the materialize action a full extra warm+timed
+      // pass pushed the whole bench toward driver-timeout territory.
+      // Single timed pass for the same reason: the probe reports RATIOS
+      // for superlinearity detection, which tolerate the noise
+      // min-of-N exists to damp.
+      val lo = timeAll(scalingDir, nIters = 1)
       val loMap = lo.toMap
       val ratios = results.map { case (name, hi) =>
         val l = loMap.getOrElse(name, -1.0)
