@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Property check for the BPE trainer: the distributed implementation
+  * must equal a direct in-memory reference — naive pair counting, the
+  * (count desc, left, right) tie-break, and textbook left-to-right
+  * non-overlapping merges — on random corpora over a tiny alphabet
+  * (maximal greedy-chain and tie stress). Deterministic seeds, the
+  * InvariantsSpec convention. */
+class BpeFuzzSpec extends SparkSpec {
+
+  private def forAllSeeded[A](gen: Gen[A], n: Int)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default, Seed(7042L + i)))
+    }
+
+  private val corpusGen: Gen[Seq[String]] = for {
+    nDocs <- Gen.choose(1, 4)
+    docs <- Gen.listOfN(nDocs, for {
+      nWords <- Gen.choose(1, 12)
+      ws <- Gen.listOfN(nWords, for {
+        len <- Gen.choose(1, 6)
+        cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+      } yield cs.mkString)
+    } yield ws.mkString(" "))
+  } yield docs
+
+  /** Reference trainer: Map[word -> count] of symbol lists. */
+  private def naiveBpe(texts: Seq[String], k: Int): Seq[(String, String, Long)] = {
+    var words: Map[List[String], Long] = texts
+      .flatMap(_.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, occ) =>
+        w.toList.map(_.toString) -> occ.length.toLong
+      }
+    val out = Seq.newBuilder[(String, String, Long)]
+    var round = 0
+    var exhausted = false
+    while (round < k && !exhausted) {
+      val counts = words.toSeq.flatMap { case (sym, wc) =>
+        sym.zip(sym.tail).map(p => p -> wc)
+      }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((a, b), n) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+        out += ((a, b, n))
+        words = words.toSeq.map { case (sym, wc) =>
+          val merged = scala.collection.mutable.ListBuffer.empty[String]
+          var i = 0
+          while (i < sym.length) {
+            if (i + 1 < sym.length && sym(i) == a && sym(i + 1) == b) {
+              merged += (a + b); i += 2 // consume both: non-overlapping
+            } else { merged += sym(i); i += 1 }
+          }
+          merged.toList -> wc
+        }.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+        round += 1
+      }
+    }
+    out.result()
+  }
+
+  test("bpeTrainMerges equals the naive reference on random tiny-alphabet corpora") {
+    import spark.implicits._
+    forAllSeeded(Gen.zip(corpusGen, Gen.choose(1, 4)), 25) { case (texts, k) =>
+      val want = naiveBpe(texts, k)
+      if (want.length < k) {
+        val e = intercept[IllegalStateException] {
+          CorpusStats.bpeTrainMerges(texts.toDF("text"), "text", k).collect()
+        }
+        assert(e.getMessage.contains("ran out of adjacent pairs"))
+      } else {
+        val got = CorpusStats.bpeTrainMerges(texts.toDF("text"), "text", k)
+          .collect().sortBy(_.getInt(0))
+          .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+        assert(got == want, s"corpus=$texts k=$k")
+      }
+    }
+  }
+}
