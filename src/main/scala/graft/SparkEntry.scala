@@ -2989,7 +2989,9 @@ object SparkEntry {
       |        FROM d),
       |px AS (SELECT doc_id, w, h,
       |         list_transform(range(0, w * h * 3), j ->
-      |           ord(substr(text, CAST((j % pl) + 1 AS INTEGER), 1))) AS p
+      |           CASE WHEN pl = 0 THEN 0
+      |                ELSE ord(substr(text, CAST((j % pl) + 1 AS INTEGER), 1))
+      |           END) AS p
       |       FROM dim)
       |SELECT doc_id, w AS width, h AS height, CAST(w * h AS BIGINT) AS n_pixels,
       |  CAST(list_aggregate(p, 'sum') AS BIGINT) AS sum_rgb,
@@ -3030,10 +3032,9 @@ object SparkEntry {
         Seq("doc_id"), "left")
       .withColumn("__tk", TextAnalysis.tokens(col("text")))
       .select(coalesce(col("__k"), lit(0L)).as("k"),
-        lit(1L) - coalesce(col("__c"), lit(0L)).as("c"),
+        (lit(1L) - coalesce(col("__c"), lit(0L))).as("notc"),
         when(TextAnalysis.dupTokenRatio(tk) < 0.6 &&
           TextAnalysis.topTokenFraction(tk) < 0.12, 1L).otherwise(0L).as("g"))
-      .toDF("k", "notc", "g")
     flags
       .agg(count(lit(1)).as("n1"), sum(col("k")).as("n2"),
         sum(col("k") * col("notc")).as("n3"),

@@ -84,8 +84,11 @@ object CorpusStats {
     *     the ≤ N·s (doc, hash) pairs ⇒ ≤ s/minDfFrac survivors), so it
     *     broadcasts safely.
     *  2. TEXT RECOVERY for survivors only: a second narrow scan
-    *     re-derives (hash, shingle), keeps viral hashes via the
-    *     broadcast semi-join, and takes a min() exemplar per hash —
+    *     re-derives (hash, shingle), keeps viral hashes via a join AQE
+    *     sizes itself (broadcast when viral is small — the common case;
+    *     hash-only shuffle when a tiny minDfFrac makes it large, so a
+    *     pathological threshold degrades instead of OOMing the driver),
+    *     and takes a min() exemplar per hash —
     *     partial aggregation collapses each partition to ≤ |viral|
     *     strings before the only text-bearing (and tiny) shuffle.
     *
@@ -122,9 +125,17 @@ object CorpusStats {
       .select(col("__h"), col("df"),
         floor(col("df") * 10000 / col("__n")).as("df_bp"))
       .localCheckpoint()
+    // No broadcast HINT here, deliberately: the s/minDfFrac survivor
+    // bound is only small for sane minDfFrac, and a legal-but-tiny
+    // value (1e-7) would make nearly every distinct hash "viral" — a
+    // forced broadcast build then OOMs the driver. viral is already
+    // localCheckpointed, so AQE sees its TRUE size and picks broadcast
+    // itself in the normal case while degrading to a shuffle join (on
+    // 8-byte hashes only) when the set is genuinely large — the
+    // "degrades, never OOMs" convention every other join here follows.
     val strings = occ
       .select(xxhash64(col("__s")).as("__h"), col("__s"))
-      .join(broadcast(viral.select(col("__h"))), "__h")
+      .join(viral.select(col("__h")), "__h")
       .groupBy(col("__h")).agg(min(col("__s")).as("shingle"))
     viral.join(strings, "__h")
       .select(col("shingle"), col("df"), col("df_bp"))

@@ -35,6 +35,11 @@ import org.apache.spark.sql.functions._
   */
 object MediaCodec {
 
+  /** Upper bound on a decoded pixel buffer (filter bytes included).
+    * A CRC-valid header claiming dimensions past this gets None, not an
+    * allocation — see [[decodePngPixels]]. */
+  val MaxDecodedPixelBytes: Long = 64L * 1024 * 1024
+
   final case class MediaRow(doc_id: Long, media: Array[Byte])
 
   /** Typed header metadata; image-only fields are None for audio and
@@ -162,16 +167,113 @@ object MediaCodec {
     * the APP0 segment (bounds checks must catch it); WAV breaks the
     * RIFF form type (magic check must catch it). */
   def corrupt(docId: Long, raw: Array[Byte]): Array[Byte] = (docId % 3) match {
-    case 0 =>
-      val out = raw.clone()
-      out(29) = (out(29) ^ 0xFF).toByte // first byte of the IHDR CRC
-      out
-    case 1 => raw.take(10)
-    case _ =>
-      val out = raw.clone()
-      Array[Byte]('E', 'V', 'A', 'W').copyToArray(out, 8)
-      out
+    case 0 => corruptPng(raw)
+    case 1 => corruptJpeg(raw)
+    case _ => corruptWav(raw)
   }
+
+  private def corruptPng(raw: Array[Byte]): Array[Byte] = {
+    val out = raw.clone()
+    out(29) = (out(29) ^ 0xFF).toByte // first byte of the IHDR CRC
+    out
+  }
+
+  private def corruptJpeg(raw: Array[Byte]): Array[Byte] = raw.take(10)
+
+  private def corruptWav(raw: Array[Byte]): Array[Byte] = {
+    val out = raw.clone()
+    Array[Byte]('E', 'V', 'A', 'W').copyToArray(out, 8)
+    out
+  }
+
+  // =====================================================================
+  // Extended 5-format encoder family (q117/q118): PNG/JPEG/WAV plus BMP
+  // and GIF, so EVERY parser in the sniffing chain has an end-to-end
+  // oracle row. Same discipline as `encode`: every field and the exact
+  // container byte count derive from (doc_id, strlen(text)) alone, so
+  // DuckDB recomputes them without touching a byte.
+  // =====================================================================
+
+  def bmpWidth(docId: Long): Int = (16 + docId % 512).toInt
+  def bmpHeight(docId: Long): Int = (16 + (docId * 3) % 512).toInt
+  /** 8/24/32 bpp by doc_id — one row class per supported channel count. */
+  def bmpBpp(docId: Long): Int = (docId % 3) match {
+    case 0 => 8; case 1 => 24; case _ => 32
+  }
+  def gifWidth(docId: Long): Int = (1 + docId % 640).toInt
+  def gifHeight(docId: Long): Int = (1 + (docId * 11) % 480).toInt
+  def gifColourRes(docId: Long): Int = (docId % 8).toInt + 1
+
+  /** "BM" file header (14) + BITMAPINFOHEADER (40) + payload as opaque
+    * pixel data. Total bytes: 54 + len. Every 7th doc stores a NEGATIVE
+    * height (the real-world top-down row order), exercising the
+    * magnitude branch of [[parseBmp]] under the same oracle. */
+  def encodeBmp(docId: Long, payload: Array[Byte]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(54 + payload.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54 + payload.length)
+    buf.putShort(0.toShort).putShort(0.toShort) // reserved
+    buf.putInt(54) // pixel-data offset
+    buf.putInt(40) // BITMAPINFOHEADER
+    val h = bmpHeight(docId)
+    buf.putInt(bmpWidth(docId))
+    buf.putInt(if (docId % 7 == 0) -h else h)
+    buf.putShort(1.toShort) // planes
+    buf.putShort(bmpBpp(docId).toShort)
+    buf.putInt(0) // BI_RGB
+    buf.putInt(payload.length)
+    buf.putInt(2835).putInt(2835) // 72 dpi
+    buf.putInt(0).putInt(0) // palette sizes
+    buf.put(payload)
+    buf.array()
+  }
+
+  /** "GIF89a" + logical screen descriptor (7) + payload + 0x3B trailer.
+    * Total bytes: 14 + len. Colour-resolution bits 4-6 of the packed
+    * byte carry (doc_id % 8), reported +1 per the GIF89a spec. */
+  def encodeGif(docId: Long, payload: Array[Byte]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(14 + payload.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("GIF89a".getBytes(US_ASCII))
+    buf.putShort(gifWidth(docId).toShort)
+    buf.putShort(gifHeight(docId).toShort)
+    buf.put(((docId % 8).toInt << 4).toByte) // no global colour table
+    buf.put(0.toByte).put(0.toByte) // background index, aspect ratio
+    buf.put(payload)
+    buf.put(0x3B.toByte)
+    buf.array()
+  }
+
+  /** doc_id % 5 selects the format; doc_id % 37 == 0 corrupts, each
+    * format through a DISTINCT parser failure path (PNG CRC flip, JPEG
+    * truncation, WAV form type, BMP planes != 1, GIF signature). */
+  def encodeExt(docId: Long, text: String): Array[Byte] = {
+    val payload = text.getBytes(UTF_8)
+    val raw = (docId % 5) match {
+      case 0 => encodePng(docId, payload)
+      case 1 => encodeJpeg(docId, payload)
+      case 2 => encodeWav(docId, payload)
+      case 3 => encodeBmp(docId, payload)
+      case _ => encodeGif(docId, payload)
+    }
+    if (docId % 37 == 0) corruptExt(docId, raw) else raw
+  }
+
+  def corruptExt(docId: Long, raw: Array[Byte]): Array[Byte] =
+    (docId % 5) match {
+      case 0 => corruptPng(raw)
+      case 1 => corruptJpeg(raw)
+      case 2 => corruptWav(raw)
+      case 3 =>
+        val out = raw.clone()
+        out(26) = 2 // planes = 2 (little-endian low byte); must be 1
+        out
+      case _ =>
+        val out = raw.clone()
+        out(4) = '0' // "GIF80a" — neither 87a nor 89a
+        out
+    }
 
   // =====================================================================
   // Parsers — real format grammars, fully bounds-checked, None (never
@@ -451,7 +553,16 @@ object MediaCodec {
       } else if (typ == "IEND") sawEnd = true
       i += 12 + len
     }
-    val expected = h * (1 + w * 3)
+    // Size math in LONG: w/h come from an attacker-controlled (if
+    // CRC-valid) IHDR, and Int arithmetic on huge claimed dimensions
+    // overflows to a negative allocation size (uncaught
+    // NegativeArraySizeException) or commits gigabytes before any
+    // inflate-size check. Cap the decoded image at 64 MiB — far above
+    // any payload this engine ships, and a None (not a throw) beyond
+    // it, keeping the documented never-throw contract.
+    val expectedL = h.toLong * (1L + w.toLong * 3L)
+    if (w <= 0 || h <= 0 || expectedL > MaxDecodedPixelBytes) return None
+    val expected = expectedL.toInt
     val raw = new Array[Byte](expected)
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(zBytes.toByteArray)
@@ -498,6 +609,15 @@ object MediaCodec {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) => MediaRow(id, encode(id, text)) })
+  }
+
+  /** documents → (doc_id, media) across ALL FIVE sniffable formats
+    * (doc_id % 5; see [[encodeExt]]) — the q117/q118 surface. */
+  def attachMediaExt(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => MediaRow(id, encodeExt(id, text)) })
   }
 
   /** Batch header decode: rows whose bytes fail to parse are DROPPED

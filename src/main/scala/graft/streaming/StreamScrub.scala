@@ -35,11 +35,16 @@ object StreamScrub {
     * OOM the driver). */
   def evalShingleHashes(eval: DataFrame, textCol: String, n: Int = 5,
                         maxEvalShingles: Long = 1L << 22): Array[Long] = {
+    // localCheckpoint: the guard count() and the collect() below are
+    // two actions over the same tokenize→explode→distinct subtree —
+    // without materialization the eval-corpus pipeline runs twice (the
+    // Scrub.decontaminate convention, applied here too).
     val sh = eval
       .withColumn("__tk", TextAnalysis.tokens(col(textCol)))
       .select(explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("__s"))
       .select(xxhash64(col("__s")).as("sg"))
       .distinct()
+      .localCheckpoint()
     val nSh = sh.count()
     require(nSh <= maxEvalShingles,
       s"StreamScrub: eval shingle set has $nSh distinct shingles, over the " +

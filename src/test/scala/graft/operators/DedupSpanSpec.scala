@@ -66,4 +66,32 @@ class DedupSpanSpec extends SparkSpec {
     // other shingle carries a doc-unique token and stays under the bar
     assert(out == Set(("common three gram", 8L, 8000L)))
   }
+
+  test("boilerplate never force-broadcasts the viral set (tiny minDfFrac degrades)") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
+    // a legal-but-tiny threshold makes EVERY distinct shingle "viral";
+    // the operator must still answer correctly and must not carry a
+    // broadcast HINT on that side — AQE sizing (viral is checkpointed)
+    // is the only broadcast path, so a huge survivor set plans a
+    // hash-only shuffle join instead of OOMing the driver
+    val docs = (1L to 6L).map(i => (i, s"shared pair here plus unique$i"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.boilerplateShingles(docs, "doc_id", "text",
+      n = 2, minDfFrac = 1e-7)
+    val hints = out.queryExecution.analyzed.collect { case r: ResolvedHint => r }
+    hints.foreach { h =>
+      val ok = h.child match {
+        case a: Aggregate => a.groupingExpressions.isEmpty
+        case _ => false
+      }
+      assert(ok, s"boilerplate force-broadcasts a non-1-row side: ${h.child.nodeName}")
+    }
+    // everything is viral at 1e-7: 4 bigrams/doc, 3 shared across all
+    // 6 docs ("shared pair"/"pair here"/"here plus") + 1 doc-unique each
+    val rows = out.collect()
+    assert(rows.length == 3 + 6)
+    assert(rows.filter(_.getLong(1) == 6L).map(_.getString(0)).toSet ==
+      Set("shared pair", "pair here", "here plus"))
+  }
 }

@@ -166,6 +166,22 @@ class MediaCodecByteSpec extends AnyFunSuite {
     assert(decodePngPixels(badCrc).isEmpty)
   }
 
+  test("png pixel decoder rejects CRC-valid huge dimensions without allocating") {
+    // a hostile-but-well-formed IHDR can claim dims whose pixel-buffer
+    // size overflows Int (negative allocation) or commits gigabytes
+    // before any inflate check; both must yield None, never a throw
+    for ((w, h) <- Seq((1 << 30, 1 << 30), (0x7FFFFFFF, 2), (40000, 40000))) {
+      val b = encodePngImage(1L, "x").clone()
+      ByteBuffer.wrap(b, 16, 4).putInt(w)
+      ByteBuffer.wrap(b, 20, 4).putInt(h)
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, 12, 4 + 13) // re-sign type + IHDR data
+      ByteBuffer.wrap(b, 29, 4).putInt(crc.getValue.toInt)
+      assert(parsePng(b).isDefined, "rewritten IHDR must stay CRC-valid")
+      assert(decodePngPixels(b).isEmpty)
+    }
+  }
+
   private def pngChunkForTest(typ: String, data: Array[Byte]): Array[Byte] = {
     val t = typ.getBytes(US_ASCII)
     val buf = ByteBuffer.allocate(12 + data.length)
