@@ -3224,6 +3224,80 @@ object SparkEntry {
       |FROM pp LEFT JOIN h USING (probe_id)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q117/q118 — the full sniffing-chain oracle (MediaCodec.encodeExt):
+  // every parser the chain can reach — PNG, JPEG, WAV, BMP, GIF — gets
+  // an end-to-end CORRECTNESS row from ONE 5-format binary column,
+  // closing the r9 gap where BMP/GIF were unit-tested but never driven
+  // through the registry. Same discipline as q102/q103: every header
+  // field and exact container byte count derive from (doc_id,
+  // strlen(text)), every 37th row is corrupted through a format-DISTINCT
+  // failure path (PNG CRC flip / JPEG truncation / WAV form type / BMP
+  // planes / GIF signature), and q118 is the counted drop ledger. BMP
+  // rows where doc_id % 7 == 0 store a negative (top-down) height, so
+  // the magnitude branch is oracle-covered too. Narrow maps; payload
+  // bytes never shuffle.
+  // ---------------------------------------------------------------------
+  private def extMediaOf(spark: SparkSession, dir: String) =
+    MediaCodec.attachMediaExt(Tables.documents(spark, dir))
+
+  private def q117MediaCodecExt(spark: SparkSession, dir: String): DataFrame =
+    MediaCodec.extractMetadata(extMediaOf(spark, dir)).toDF()
+
+  private val q117Sql =
+    """WITH d AS (SELECT doc_id, strlen(text) AS pl FROM documents
+      |           WHERE doc_id % 37 <> 0)
+      |SELECT doc_id,
+      |  CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'wav'
+      |                  WHEN 3 THEN 'bmp' ELSE 'gif' END AS format,
+      |  CAST(CASE doc_id % 5 WHEN 0 THEN 64 + doc_id % 1024
+      |                       WHEN 1 THEN 64 + (doc_id * 5) % 1024
+      |                       WHEN 3 THEN 16 + doc_id % 512
+      |                       WHEN 4 THEN 1 + doc_id % 640 END AS INTEGER) AS width,
+      |  CAST(CASE doc_id % 5 WHEN 0 THEN 64 + (doc_id * 7) % 768
+      |                       WHEN 1 THEN 64 + (doc_id * 3) % 1024
+      |                       WHEN 3 THEN 16 + (doc_id * 3) % 512
+      |                       WHEN 4 THEN 1 + (doc_id * 11) % 480 END AS INTEGER) AS height,
+      |  CAST(CASE doc_id % 5 WHEN 0 THEN 8 + 8 * (doc_id % 2)
+      |                       WHEN 1 THEN 8 WHEN 2 THEN 16 WHEN 3 THEN 8
+      |                       ELSE (doc_id % 8) + 1 END AS INTEGER) AS bit_depth,
+      |  CAST(CASE doc_id % 5 WHEN 0 THEN 3 WHEN 1 THEN 3
+      |                       WHEN 2 THEN 1 + doc_id % 2
+      |                       WHEN 3 THEN CASE doc_id % 3 WHEN 0 THEN 1
+      |                                   WHEN 1 THEN 3 ELSE 4 END
+      |                       ELSE 1 END AS INTEGER) AS channels,
+      |  CAST(CASE doc_id % 5 WHEN 2 THEN
+      |         CASE (doc_id // 3) % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 32000 END
+      |       END AS INTEGER) AS sample_rate,
+      |  CAST(CASE doc_id % 5 WHEN 2 THEN (pl * 1000) //
+      |         ((CASE (doc_id // 3) % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 32000 END)
+      |          * (1 + doc_id % 2) * 2)
+      |       END AS BIGINT) AS duration_ms,
+      |  CAST(CASE doc_id % 5 WHEN 0 THEN 57 + pl WHEN 1 THEN 45 + pl
+      |       WHEN 2 THEN 44 + pl + pl % 2 WHEN 3 THEN 54 + pl
+      |       ELSE 14 + pl END AS BIGINT) AS n_bytes
+      |FROM d""".stripMargin
+
+  private def q118MediaAuditExt(spark: SparkSession, dir: String): DataFrame =
+    MediaCodec.audit(extMediaOf(spark, dir))
+
+  private val q118Sql =
+    """WITH s AS (SELECT
+      |    CASE WHEN doc_id % 37 = 0 THEN 'corrupt'
+      |         WHEN doc_id % 5 = 0 THEN 'png'
+      |         WHEN doc_id % 5 = 1 THEN 'jpeg'
+      |         WHEN doc_id % 5 = 2 THEN 'wav'
+      |         WHEN doc_id % 5 = 3 THEN 'bmp' ELSE 'gif' END AS status,
+      |    CASE WHEN doc_id % 37 = 0 AND doc_id % 5 = 1 THEN 10
+      |         WHEN doc_id % 5 = 0 THEN 57 + strlen(text)
+      |         WHEN doc_id % 5 = 1 THEN 45 + strlen(text)
+      |         WHEN doc_id % 5 = 2 THEN 44 + strlen(text) + strlen(text) % 2
+      |         WHEN doc_id % 5 = 3 THEN 54 + strlen(text)
+      |         ELSE 14 + strlen(text) END AS len
+      |  FROM documents)
+      |SELECT status, count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS n_bytes
+      |FROM s GROUP BY status""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -3342,6 +3416,8 @@ object SparkEntry {
     Q("q114_profile", q114Profile, Some(q114Sql)),
     Q("q115_eval_contamination", q115EvalContamination, Some(q115Sql)),
     Q("q116_ivf_recall", q116IvfRecall, Some(q116Sql)),
+    Q("q117_media_codec_ext", q117MediaCodecExt, Some(q117Sql)),
+    Q("q118_media_audit_ext", q118MediaAuditExt, Some(q118Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

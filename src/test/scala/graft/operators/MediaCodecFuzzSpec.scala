@@ -81,6 +81,31 @@ class MediaCodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("5-format encodeExt->parse round trips hold for arbitrary unicode text") {
+    val texts = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr, Gen.const("héllo wörld ☃"),
+      Gen.const("多字节 текст"), Gen.const(""))).map(_.mkString(" "))
+    forAllSeeded(Gen.zip(Gen.choose(0L, 5000L), texts), 100) {
+      case (id, text) =>
+        val m = parseHeader(encodeExt(id, text))
+        if (id % 37 == 0) assert(m.isEmpty, s"corrupt id=$id must not parse")
+        else {
+          assert(m.isDefined, s"id=$id text=${text.take(20)}")
+          val fmt = Seq("png", "jpeg", "wav", "bmp", "gif")((id % 5).toInt)
+          assert(m.get.format == fmt)
+          if (fmt == "bmp") {
+            assert(m.get.width.contains(bmpWidth(id)))
+            assert(m.get.height.contains(bmpHeight(id))) // magnitude, even top-down
+          }
+          if (fmt == "gif") {
+            assert(m.get.width.contains(gifWidth(id)))
+            assert(m.get.height.contains(gifHeight(id)))
+            assert(m.get.bitDepth.contains(gifColourRes(id)))
+          }
+        }
+    }
+  }
+
   test("foreign BMP and GIF headers parse; malformed variants reject") {
     val bmp = ByteBuffer.allocate(54).order(ByteOrder.LITTLE_ENDIAN)
     bmp.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)

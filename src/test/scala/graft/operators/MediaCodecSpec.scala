@@ -71,6 +71,50 @@ class MediaCodecByteSpec extends AnyFunSuite {
     assert(parseHeader(corrupt(2L, encodeWav(2L, "x".getBytes(UTF_8)))).isEmpty)
   }
 
+  test("bmp round trip: dims, bpp classes, exact byte count, top-down height") {
+    for (id <- Seq(3L, 13L, 23L)) { // one per bpp class (id % 3 = 0/1/2)
+      val b = encodeBmp(id, "hello bmp".getBytes(UTF_8))
+      assert(b.length == 54 + 9)
+      val m = parseHeader(b).get
+      assert(m.format == "bmp")
+      assert(m.width.contains(bmpWidth(id)) && m.height.contains(bmpHeight(id)))
+      assert(m.channels.contains(bmpBpp(id) / 8) && m.bitDepth.contains(8))
+    }
+    // doc 28 (% 7 == 0) stores a negative height; parser reports magnitude
+    val td = encodeBmp(28L, "x".getBytes(UTF_8))
+    assert(ByteBuffer.wrap(td).order(ByteOrder.LITTLE_ENDIAN).getInt(22) < 0)
+    assert(parseHeader(td).get.height.contains(bmpHeight(28L)))
+  }
+
+  test("gif round trip: dims, colour resolution, exact byte count, trailer") {
+    val b = encodeGif(9L, "hello gif".getBytes(UTF_8))
+    assert(b.length == 14 + 9 && b.last == 0x3B)
+    val m = parseHeader(b).get
+    assert(m.format == "gif")
+    assert(m.width.contains(gifWidth(9L)) && m.height.contains(gifHeight(9L)))
+    assert(m.bitDepth.contains(gifColourRes(9L)) && m.channels.contains(1))
+  }
+
+  test("corruptExt hits a distinct failure path per format, lengths as ledgered") {
+    // ids ≡ 0 (mod 37) spanning all five doc_id % 5 classes
+    for (id <- Seq(0L, 111L, 37L, 148L, 74L)) {
+      val text = "payload"
+      val good = (id % 5) match {
+        case 0 => encodePng(id, text.getBytes(UTF_8))
+        case 1 => encodeJpeg(id, text.getBytes(UTF_8))
+        case 2 => encodeWav(id, text.getBytes(UTF_8))
+        case 3 => encodeBmp(id, text.getBytes(UTF_8))
+        case _ => encodeGif(id, text.getBytes(UTF_8))
+      }
+      assert(parseHeader(good).isDefined, s"id=$id")
+      val bad = encodeExt(id, text)
+      assert(parseHeader(bad).isEmpty, s"id=$id corrupt variant parsed")
+      // only the JPEG path truncates; all others keep the full length
+      if (id % 5 == 1) assert(bad.length == 10)
+      else assert(bad.length == good.length)
+    }
+  }
+
   // --- foreign layouts our encoder never produces ---------------------
 
   test("jpeg parser walks unknown APPn/DQT segments and RSTn markers to find SOF2") {
