@@ -3298,6 +3298,54 @@ object SparkEntry {
       |FROM s GROUP BY status""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q119 — perceptual image dedup: the multimodal analogue of the text
+  // near-dup family, composing the REAL pixel decoder (q109) with the
+  // banded hamming machinery (q28). documents → fixed 8×8 REAL PNG
+  // thumbnails (the standardize-then-hash pipeline shape) → decode →
+  // 63-bit dHash (integer grayscale, nearest-neighbour grid — 63 bits
+  // so the fingerprint stays positive in every engine's signed int64) →
+  // 21-bit×3 band join, pairs within hamming ≤ 2. Exact-duplicate texts
+  // produce hamming-0 pairs; near-dup texts (the q21/q26 families)
+  // produce hamming-1 pairs at sf0.01 — both slices live in the
+  // testdata. The oracle recomputes every pixel, every grayscale
+  // sample, and every hash bit from (doc_id, text), then brute-forces
+  // all pairs — certifying both the decode→hash arithmetic AND that
+  // banding loses no pair. Plan: only (id, 8-byte hash) rows shuffle;
+  // pixels never leave their partition.
+  // ---------------------------------------------------------------------
+  private def q119ImageDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.hammingPairs63(
+      MediaCodec.dHashes(
+        MediaCodec.attachThumbnails(Tables.documents(spark, dir))).toDF(),
+      "doc_id", "dhash", maxHamming = 2)
+
+  private val q119Sql =
+    """WITH d AS (SELECT doc_id, text, strlen(text) AS pl FROM documents
+      |           WHERE doc_id % 41 <> 0),
+      |px AS (SELECT doc_id,
+      |         list_transform(range(0, 192), k ->
+      |           CASE WHEN pl = 0 THEN 0
+      |                ELSE ord(substr(text, CAST((k % pl) + 1 AS INTEGER), 1))
+      |           END) AS p
+      |       FROM d),
+      |gg AS (SELECT doc_id,
+      |         list_transform(range(0, 70), t ->
+      |           (p[CAST(3 * (((t // 10) * 8 // 7) * 8 + (t % 10) * 8 // 10) + 1 AS INTEGER)]
+      |          + p[CAST(3 * (((t // 10) * 8 // 7) * 8 + (t % 10) * 8 // 10) + 2 AS INTEGER)]
+      |          + p[CAST(3 * (((t // 10) * 8 // 7) * 8 + (t % 10) * 8 // 10) + 3 AS INTEGER)]) // 3) AS g
+      |       FROM px),
+      |dh AS (SELECT doc_id,
+      |         CAST(list_sum(list_transform(range(0, 63), b ->
+      |           CASE WHEN g[CAST((b // 9) * 10 + (b % 9) + 2 AS INTEGER)]
+      |                     > g[CAST((b // 9) * 10 + (b % 9) + 1 AS INTEGER)]
+      |                THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END)) AS BIGINT) AS dhash
+      |       FROM gg)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+      |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.dhash, b.dhash)) <= 2""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -3418,6 +3466,7 @@ object SparkEntry {
     Q("q116_ivf_recall", q116IvfRecall, Some(q116Sql)),
     Q("q117_media_codec_ext", q117MediaCodecExt, Some(q117Sql)),
     Q("q118_media_audit_ext", q118MediaAuditExt, Some(q118Sql)),
+    Q("q119_image_dedup", q119ImageDedup, Some(q119Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -523,6 +523,50 @@ object Dedup {
           .as("hamming"))
   }
 
+  /** Near-duplicate pairs over an arbitrary 63-bit fingerprint column
+    * (e.g. [[graft.operators.MediaCodec.dHash63]] image hashes, audio
+    * fingerprints) with 21-bit×3 band blocking: a pair within hamming 2
+    * leaves at least one band untouched (pigeonhole), so candidates
+    * sharing any band have guaranteed recall up to `maxHamming` = 2 —
+    * the [[simHashPairs]] discipline generalized to fingerprints that
+    * arrive precomputed rather than derived from text.
+    *
+    * Scale: 2 097 152 buckets per band; only (id, 8-byte hash) rows
+    * ride the self-join — whatever media the fingerprint came from
+    * stays in its original partitions. Canonical-band emit (a pair
+    * meets only in its first agreeing band) keeps each pair single
+    * without a distinct() shuffle. Band extraction masks after the
+    * shift; a 63-bit hash is non-negative so engines cannot differ on
+    * sign extension. */
+  def hammingPairs63(hashes: DataFrame, idCol: String, hashCol: String,
+                     maxHamming: Int = 2): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 2,
+      s"hammingPairs63: 21-bit×3 banding guarantees candidate recall only " +
+        s"for maxHamming <= 2 (got $maxHamming); rehash with more bands " +
+        "or use simHashPairs' 16-bit×4 layout for hamming 3")
+    def band(hc: Column, b: Int): Column =
+      shiftright(hc, 21 * b).bitwiseAND(lit(0x1FFFFFL))
+    // 1 row per doc, 2 fixed-width columns; the checkpoint stops the
+    // (possibly expensive — a full image decode) fingerprint subtree
+    // from evaluating once per self-join side
+    val s = hashes.select(col(idCol).as("doc_id"), col(hashCol).as("__dh"))
+      .localCheckpoint()
+    val banded = s.select(col("doc_id"), col("__dh"),
+      posexplode(array((0 until 3).map(band(col("__dh"), _)): _*))
+        .as(Seq("band", "bv")))
+    val lowerBandsDiffer = (0 until 2).map { j =>
+      col("a.band") <= j || band(col("a.__dh"), j) =!= band(col("b.__dh"), j)
+    }.reduce(_ && _)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id") && lowerBandsDiffer &&
+          bit_count(col("a.__dh").bitwiseXOR(col("b.__dh"))) <= maxHamming)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.__dh").bitwiseXOR(col("b.__dh"))).cast("long")
+          .as("hamming"))
+  }
+
   /** Span-level duplicate REMOVAL — the transform [[duplicateSpanCoverage]]
     * is the signal for: every token position covered by some k-token
     * window whose text occurs at least twice in the corpus is CUT, and

@@ -483,10 +483,13 @@ object MediaCodec {
     * gets its zlib header byte flipped ((CMF·256+FLG) % 31 breaks), so
     * the corrupt slice exercises the INFLATE failure path — distinct
     * from q102's CRC-flip slice. */
-  def encodePngImage(docId: Long, text: String): Array[Byte] = {
+  def encodePngImage(docId: Long, text: String): Array[Byte] =
+    encodePngImageSized(docId, text, pngPixelWidth(docId), pngPixelHeight(docId))
+
+  /** [[encodePngImage]] with caller-chosen dimensions — the fixed-size
+    * thumbnail shape the perceptual-hash family consumes. */
+  def encodePngImageSized(docId: Long, text: String, w: Int, h: Int): Array[Byte] = {
     val payload = text.getBytes(UTF_8)
-    val w = pngPixelWidth(docId)
-    val h = pngPixelHeight(docId)
     val raw = new Array[Byte](h * (1 + w * 3))
     var j = 0
     var p = 0
@@ -674,6 +677,67 @@ object MediaCodec {
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         MediaRow(id, encodePngImage(id, text)) })
+  }
+
+  /** documents → fixed-size REAL PNG thumbnails — the perceptual-hash
+    * input shape (a real pipeline standardizes every image to one
+    * thumbnail size before hashing, so dims don't leak into the
+    * fingerprint). Same corrupt slice as [[attachImages]] (every 41st
+    * zlib header flipped → decode drops, ledgered by [[audit]]'s
+    * discipline). */
+  def attachThumbnails(docs: DataFrame, w: Int = 8, h: Int = 8): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        MediaRow(id, encodePngImageSized(id, text, w, h)) })
+  }
+
+  /** 63-bit difference hash (dHash) over a decoded truecolor image:
+    * integer grayscale g = (r+g+b)/3 at a 7-row × 10-column
+    * nearest-neighbour sample grid (x_i = i·w/10, y_j = j·h/7, floor
+    * division), one bit per horizontally adjacent comparison
+    * g(x_{i+1}) > g(x_i) — 7×9 = 63 bits, deliberately one short of 64
+    * so the hash stays strictly positive in any engine's signed 64-bit
+    * integer (DuckDB rejects 1<<63). Integer-exact and deterministic:
+    * an external engine recomputes it from the pixel formula (q119). */
+  def dHash63(w: Int, h: Int, px: Array[Byte]): Long = {
+    def gray(x: Int, y: Int): Int = {
+      val b = 3 * (y * w + x)
+      ((px(b) & 0xFF) + (px(b + 1) & 0xFF) + (px(b + 2) & 0xFF)) / 3
+    }
+    var hash = 0L
+    var bit = 0
+    var j = 0
+    while (j < 7) {
+      val y = j * h / 7
+      var i = 0
+      while (i < 9) {
+        val g0 = gray(i * w / 10, y)
+        val g1 = gray((i + 1) * w / 10, y)
+        if (g1 > g0) hash |= 1L << bit
+        bit += 1
+        i += 1
+      }
+      j += 1
+    }
+    hash
+  }
+
+  final case class DHashRow(doc_id: Long, dhash: Long)
+
+  /** Decode → perceptual hash, one narrow map: pixels are consumed
+    * partition-locally and only the 8-byte fingerprint survives — the
+    * image analogue of the shingle→xxhash64 step in text dedup.
+    * Undecodable rows drop (pair with [[audit]]). */
+  def dHashes(media: Dataset[MediaRow]): Dataset[DHashRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      decodePngPixels(m.media).map { case (w, h, px) =>
+        DHashRow(m.doc_id, dHash63(w, h, px))
+      }
+    })
   }
 
   /** Pixel statistics over fully DECODED images (inflate + scanline

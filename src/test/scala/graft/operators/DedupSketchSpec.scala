@@ -67,6 +67,46 @@ class DedupSketchSpec extends SparkSpec {
     assert(pairs.toSet == Set((10L, 11L), (10L, 12L), (11L, 12L)))
   }
 
+  test("hammingPairs63 pairs by exact hamming, once per pair, brute-force-equal") {
+    import spark.implicits._
+    // constructed fingerprints: 1/2 identical, 3 one bit off, 4 two bits
+    // off, 5 three bits off (past threshold), 6 unrelated — plus a high
+    // bit (62) so the top band participates
+    val base = (1L << 62) | 0x155555L
+    val hs = Seq(
+      1L -> base, 2L -> base,
+      3L -> (base ^ (1L << 21)),            // middle band, hamming 1
+      4L -> (base ^ (1L << 62) ^ 1L),       // top+bottom bands, hamming 2
+      5L -> (base ^ 1L ^ (1L << 21) ^ (1L << 42)), // one bit EVERY band
+      6L -> 0L
+    ).toDF("doc_id", "dhash")
+    val got = Dedup.hammingPairs63(hs, "doc_id", "dhash", maxHamming = 2)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming")))
+    // brute force over the same fingerprints
+    val raw = Seq(1L -> base, 2L -> base, 3L -> (base ^ (1L << 21)),
+      4L -> (base ^ (1L << 62) ^ 1L),
+      5L -> (base ^ 1L ^ (1L << 21) ^ (1L << 42)), 6L -> 0L)
+    val want = (for {
+      (a, ha) <- raw; (b, hb) <- raw if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 2
+    } yield (a, b, d.toLong)).toSet
+    assert(got.length == got.distinct.length, "a pair was emitted twice")
+    assert(got.toSet == want)
+    // sanity on the fixture itself: the hamming-3 pairs (1,5)/(2,5)/(3,4)
+    // exist in the raw data and were excluded by the exact filter
+    assert(!want.exists { case (a, b, _) => (a, b) == ((1L, 5L)) })
+    assert(want.contains((3L, 5L, 2L))) // caught via its untouched band
+  }
+
+  test("hammingPairs63 refuses thresholds past the 3-band guarantee") {
+    import spark.implicits._
+    val hs = Seq(1L -> 7L).toDF("doc_id", "dhash")
+    assert(intercept[IllegalArgumentException] {
+      Dedup.hammingPairs63(hs, "doc_id", "dhash", maxHamming = 3)
+    }.getMessage.contains("maxHamming"))
+  }
+
   test("maxHamming past the banding guarantee is refused, not under-recalled") {
     val corpus = docs(1L -> "alpha beta", 2L -> "gamma delta")
     // hamming 4 can flip one bit in every band — blocking would silently

@@ -210,6 +210,28 @@ class MediaCodecByteSpec extends AnyFunSuite {
     assert(decodePngPixels(badCrc).isEmpty)
   }
 
+  test("dHash63 matches a from-scratch reference and round-trips the thumbnail") {
+    // independent recompute of the documented formula on a real decode
+    val text = "perceptual hash me"
+    val b = encodePngImageSized(7L, text, 8, 8)
+    val (w, h, px) = decodePngPixels(b).get
+    assert(w == 8 && h == 8)
+    def gray(x: Int, y: Int) = {
+      val k = 3 * (y * 8 + x)
+      ((px(k) & 0xFF) + (px(k + 1) & 0xFF) + (px(k + 2) & 0xFF)) / 3
+    }
+    var want = 0L
+    for (j <- 0 until 7; i <- 0 until 9) {
+      if (gray((i + 1) * 8 / 10, j * 8 / 7) > gray(i * 8 / 10, j * 8 / 7))
+        want |= 1L << (j * 9 + i)
+    }
+    assert(dHash63(8, 8, px) == want)
+    assert(want >= 0L, "63-bit hash must stay non-negative")
+    // identical text + identical dims => identical bytes => hamming 0
+    assert(dHash63(8, 8, decodePngPixels(encodePngImageSized(99L, text, 8, 8))
+      .get._3) == want)
+  }
+
   test("png pixel decoder rejects CRC-valid huge dimensions without allocating") {
     // a hostile-but-well-formed IHDR can claim dims whose pixel-buffer
     // size overflows Int (negative allocation) or commits gigabytes
