@@ -3346,6 +3346,76 @@ object SparkEntry {
       |WHERE bit_count(xor(a.dhash, b.dhash)) <= 2""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q120/q121 — audio near-dup: the PCM analogue of q27/q28 and the
+  // third leg of the multimodal dedup story (text / image / audio).
+  // documents → REAL WAV (every 43rd RIFF-broken → decode drops) →
+  // 16-bit PCM decode (the q108-certified path) → 60-bit integer
+  // sign-of-difference fingerprint (Haitsma & Kalker's public scheme,
+  // FFT-free: per-frame energy / sign-crossings / peak, one bit per
+  // adjacent-frame rise) → the q119 band join. q120 certifies EVERY
+  // per-doc fingerprint bit-for-bit (so an error on an unpaired doc
+  // still breaks the hash); q121 emits the near-dup pairs. Only
+  // (id, 8-byte fingerprint) rows shuffle; samples never leave their
+  // partition.
+  // ---------------------------------------------------------------------
+  private def audioFpOf(spark: SparkSession, dir: String) =
+    MediaCodec.audioFingerprints(
+      MediaCodec.attachAudio(Tables.documents(spark, dir)))
+
+  private def q120AudioFingerprint(spark: SparkSession, dir: String): DataFrame =
+    audioFpOf(spark, dir).toDF()
+
+  private def q121AudioDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.hammingPairs63(audioFpOf(spark, dir).toDF(),
+      "doc_id", "fingerprint", maxHamming = 2)
+
+  /** Shared CTE chain: text → 16-bit LE samples (the q108 formula) →
+    * 21-frame integer features → 60-bit fingerprint. */
+  private val audioFpCte =
+    """WITH d AS (SELECT doc_id, text, strlen(text) AS pl FROM documents
+      |           WHERE doc_id % 43 <> 0),
+      |s AS (SELECT doc_id, pl // 2 AS n,
+      |        list_transform(range(0, pl // 2), i ->
+      |          CASE WHEN ord(substr(text, CAST(2*i + 2 AS INTEGER), 1)) >= 128
+      |               THEN ord(substr(text, CAST(2*i + 1 AS INTEGER), 1))
+      |                    + 256 * ord(substr(text, CAST(2*i + 2 AS INTEGER), 1)) - 65536
+      |               ELSE ord(substr(text, CAST(2*i + 1 AS INTEGER), 1))
+      |                    + 256 * ord(substr(text, CAST(2*i + 2 AS INTEGER), 1)) END) AS smp
+      |      FROM d),
+      |fe AS (SELECT doc_id,
+      |        list_transform(range(0, 21), f -> COALESCE(list_sum(list_transform(
+      |          list_slice(smp, CAST(f*n//21 + 1 AS INTEGER), CAST((f+1)*n//21 AS INTEGER)),
+      |          x -> abs(x))), 0)) AS e,
+      |        list_transform(range(0, 21), f -> COALESCE(list_sum(list_transform(
+      |          range(f*n//21 + 1, (f+1)*n//21), k ->
+      |            CASE WHEN (smp[CAST(k+1 AS INTEGER)] >= 0) <> (smp[CAST(k AS INTEGER)] >= 0)
+      |                 THEN 1 ELSE 0 END)), 0)) AS z,
+      |        list_transform(range(0, 21), f -> COALESCE(list_aggregate(list_transform(
+      |          list_slice(smp, CAST(f*n//21 + 1 AS INTEGER), CAST((f+1)*n//21 AS INTEGER)),
+      |          x -> abs(x)), 'max'), 0)) AS p
+      |      FROM s),
+      |fp AS (SELECT doc_id,
+      |  CAST(list_sum(list_transform(range(0, 20), k ->
+      |      CASE WHEN e[CAST(k+2 AS INTEGER)] > e[CAST(k+1 AS INTEGER)]
+      |           THEN (1::BIGINT << CAST(k AS INTEGER)) ELSE 0 END
+      |    + CASE WHEN z[CAST(k+2 AS INTEGER)] > z[CAST(k+1 AS INTEGER)]
+      |           THEN (1::BIGINT << CAST(k+20 AS INTEGER)) ELSE 0 END
+      |    + CASE WHEN p[CAST(k+2 AS INTEGER)] > p[CAST(k+1 AS INTEGER)]
+      |           THEN (1::BIGINT << CAST(k+40 AS INTEGER)) ELSE 0 END)) AS BIGINT) AS fingerprint
+      |FROM fe)""".stripMargin
+
+  private val q120Sql =
+    s"""$audioFpCte
+      |SELECT doc_id, fingerprint FROM fp""".stripMargin
+
+  private val q121Sql =
+    s"""$audioFpCte
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS BIGINT) AS hamming
+      |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 2""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -3467,6 +3537,8 @@ object SparkEntry {
     Q("q117_media_codec_ext", q117MediaCodecExt, Some(q117Sql)),
     Q("q118_media_audit_ext", q118MediaAuditExt, Some(q118Sql)),
     Q("q119_image_dedup", q119ImageDedup, Some(q119Sql)),
+    Q("q120_audio_fingerprint", q120AudioFingerprint, Some(q120Sql)),
+    Q("q121_audio_dedup", q121AudioDedup, Some(q121Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -232,6 +232,32 @@ class MediaCodecByteSpec extends AnyFunSuite {
       .get._3) == want)
   }
 
+  test("audioFingerprint matches a from-scratch reference over decoded PCM") {
+    val text = "fingerprint this audio payload with some variation 12345"
+    val samples = wavPcmSamples(encodeWav(8L, text.getBytes(UTF_8))).get
+    val n = samples.length
+    def frame(f: Int) = samples.slice(f * n / 21, (f + 1) * n / 21)
+    val e = (0 until 21).map(f => frame(f).map(s => math.abs(s.toInt).toLong).sum)
+    val z = (0 until 21).map { f =>
+      val seg = frame(f)
+      (1 until seg.length).count(i => (seg(i) >= 0) != (seg(i - 1) >= 0)).toLong
+    }
+    val p = (0 until 21).map(f =>
+      (frame(f).map(s => math.abs(s.toInt).toLong) :+ 0L).max)
+    var want = 0L
+    for (k <- 0 until 20) {
+      if (e(k + 1) > e(k)) want |= 1L << k
+      if (z(k + 1) > z(k)) want |= 1L << (20 + k)
+      if (p(k + 1) > p(k)) want |= 1L << (40 + k)
+    }
+    assert(audioFingerprint(samples) == want)
+    assert(want >= 0L && (want >> 60) == 0L, "fingerprint stays in 60 bits")
+    // edge: empty stream → all features zero → fingerprint 0
+    assert(audioFingerprint(Array.empty[Short]) == 0L)
+    // identical samples → hamming 0, the exact-dup slice
+    assert(audioFingerprint(samples.clone()) == want)
+  }
+
   test("png pixel decoder rejects CRC-valid huge dimensions without allocating") {
     // a hostile-but-well-formed IHDR can claim dims whose pixel-buffer
     // size overflows Int (negative allocation) or commits gigabytes
