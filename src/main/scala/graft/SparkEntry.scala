@@ -3416,6 +3416,22 @@ object SparkEntry {
       |WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 2""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q122 — DEEP BPE training (rows-only BY DESIGN): the same
+  // bpeTrainCore code path q105 certifies hash-exactly at k = 6, run at
+  // k = 40 — the scale surface the r9 incremental-pair-count rewrite
+  // bought (per-round cost proportional to the AFFECTED word slice +
+  // the aggregated pair table, not the full vocabulary; semantics
+  // pinned by BpeFuzzSpec against an in-memory reference at random k).
+  // A 40-round chain of materialized DuckDB CTEs would dominate the
+  // oracle run's wall clock for zero extra semantic signal, so this
+  // entry records the rows-only check and exists chiefly for the
+  // BENCH: q122/q105 wall ratio far under k-ratio (40/6 ≈ 6.7×) is the
+  // recorded evidence that rounds no longer pay vocabulary rent.
+  // ---------------------------------------------------------------------
+  private def q122BpeDeep(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.bpeTrainMerges(Tables.documents(spark, dir), "text", 40)
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -3539,6 +3555,7 @@ object SparkEntry {
     Q("q119_image_dedup", q119ImageDedup, Some(q119Sql)),
     Q("q120_audio_fingerprint", q120AudioFingerprint, Some(q120Sql)),
     Q("q121_audio_dedup", q121AudioDedup, Some(q121Sql)),
+    Q("q122_bpe_deep", q122BpeDeep, None),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

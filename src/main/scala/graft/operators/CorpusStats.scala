@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-level curation analytics for a training-data pipeline: token
@@ -342,21 +344,36 @@ object CorpusStats {
     * reproducible cross-engine and the DuckDB oracle certifies it
     * hash-exactly (q105 generates the same k rounds as chained CTEs).
     *
-    * Scale shape — the CC-loop discipline applied to tokenizer training:
-    *   - all per-round work runs over the DISTINCT-WORD table
-    *     (vocabulary-bounded, Zipf: orders of magnitude smaller than the
-    *     token stream); the corpus itself is scanned exactly once;
-    *   - each round is one vocabulary-bounded pair aggregation plus a
-    *     TakeOrdered(1) argmax — the only driver transfer is that single
-    *     winning row per round (the bounded-collect convention of the
-    *     IVF/PQ trainers);
-    *   - the merge itself is a codegen'd `aggregate` fold over each
-    *     word's symbol array — narrow, no shuffle;
-    *   - the symbol table is `localCheckpoint`ed per round, so lineage
-    *     stays O(1) instead of re-running every prior round (exactly the
-    *     [[Dedup.connectedComponents]] convention);
-    *   - a round with no mergeable pair left FAILS LOUDLY rather than
-    *     silently emitting fewer merges than requested.
+    * Scale shape — the split every production tokenizer trainer uses:
+    * the WORD table is corpus-sized and stays distributed; the
+    * PAIR-COUNT ledger is tokenizer-sized (bounded by observed adjacent
+    * symbol pairs, ≈ (alphabet + k)² worst case, far smaller in
+    * practice) and lives on the driver:
+    *   - all distributed work runs over the DISTINCT-WORD table
+    *     (vocabulary-bounded, Zipf: orders of magnitude smaller than
+    *     the token stream); the corpus itself is scanned exactly once;
+    *   - the full pair count aggregates ONCE at start and collects
+    *     under a loud [[MaxBpePairLedger]] bound (the StreamScrub
+    *     require-before-collect convention) into a TreeSet-backed
+    *     ledger ordered by (count DESC, pair UTF-8-byte ASC) — the
+    *     per-round argmax is an O(1) first() with NO Spark job, and
+    *     the ordering matches what a distributed ORDER BY n DESC, a, b
+    *     would pick (UTF-8 byte order == code-point order; Java's
+    *     String.compareTo is UTF-16 code-unit order, which disagrees
+    *     above U+FFFF — compared raw bytes for engine parity);
+    *   - each round runs ONE distributed job: a codegen'd `aggregate`
+    *     fold merges (a, b) in every affected word (adjacency ⇔ the
+    *     fold changes the word: at the first adjacent (a,b) the
+    *     accumulator's last element is necessarily `a`, since a
+    *     consumed `a` would imply an earlier adjacency), and the
+    *     before/after pair deltas of JUST those words aggregate and
+    *     collect — bounded by pairs touching a, b, or ab, i.e. the
+    *     merged symbols' neighbour diversity, not vocabulary size
+    *     (the public fast-BPE observation);
+    *   - the symbol table `localCheckpoint`s per round, so lineage
+    *     stays O(1) (the [[Dedup.connectedComponents]] convention);
+    *   - an exhausted ledger (no adjacent pair anywhere) FAILS LOUDLY
+    *     rather than silently emitting fewer merges than requested.
     *
     * Words containing `sep` (an unprintable sentinel, default \\u0001)
     * are excluded on both engine and oracle sides: the oracle's fold
@@ -375,9 +392,39 @@ object CorpusStats {
     * sequence) and [[bpeEncodedCounts]] (consumes the post-merge symbol
     * table): the ordered merges plus the final (wc, sym) distinct-word
     * table after all k rounds. */
+  /** Adjacent symbol pairs of a word as (a, b) structs; empty array —
+    * never an ANSI index error — below 2 symbols. */
+  private def adjacentPairs(sym: Column): Column =
+    when(size(sym) >= 2, transform(sequence(lit(1), size(sym) - 1),
+      j => struct(element_at(sym, j).as("a"), element_at(sym, j + 1).as("b"))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+
+  /** Hard bound on the driver-side pair ledger ([[bpeTrainCore]]):
+    * 4M distinct (a, b) symbol pairs ≈ a few hundred MB of short
+    * strings. A corpus whose ADJACENT-PAIR diversity exceeds this is
+    * past what one merge ledger should hold — fail loudly BEFORE
+    * collecting, never OOM. */
+  val MaxBpePairLedger: Long = 1L << 22
+
+  /** UTF-8 byte comparison == code-point order — the order a
+    * distributed ORDER BY (binary collation) and the DuckDB oracle
+    * sort strings in. String.compareTo would disagree above U+FFFF. */
+  private def cpCompare(x: String, y: String): Int = {
+    val a = x.getBytes(UTF_8)
+    val b = y.getBytes(UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xFF) - (b(i) & 0xFF)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
   private def bpeTrainCore(df: DataFrame, textCol: String, k: Int,
       sep: String): (Seq[(Int, String, String, String, Long)], DataFrame) = {
-    require(k > 0 && k <= 64, s"k merge rounds must be in [1, 64], got $k")
+    require(k > 0 && k <= 1024, s"k merge rounds must be in [1, 1024], got $k")
     var words = df
       .select(explode(TextAnalysis.tokens(col(textCol))).as("__w"))
       .filter(!col("__w").contains(lit(sep)))
@@ -387,34 +434,94 @@ object CorpusStats {
       .select(col("wc"),
         filter(split(col("__w"), ""), s => s =!= "").as("sym"))
       .localCheckpoint()
+    // the full pair count aggregates ONCE and moves to a driver-side
+    // ledger: count() guards the bound BEFORE collect (the StreamScrub
+    // convention), and the checkpoint makes guard + collect share one
+    // execution
+    val init = words
+      .select(col("wc"), explode(adjacentPairs(col("sym"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("wc")).as("n"))
+      .localCheckpoint()
+    val nDistinct = init.count()
+    require(nDistinct <= MaxBpePairLedger,
+      s"BPE training: $nDistinct distinct adjacent symbol pairs exceed " +
+        s"the MaxBpePairLedger=$MaxBpePairLedger driver bound")
+    // ledger: (a, b) -> n, plus a TreeSet ordered the way a distributed
+    // ORDER BY n DESC, a, b would sort — argmax is first(), updates are
+    // O(log n), and every entry is unique because (a, b) is a key
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val order = new java.util.TreeSet[(Long, String, String)](
+      new java.util.Comparator[(Long, String, String)] {
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+          val byN = java.lang.Long.compare(y._1, x._1)
+          if (byN != 0) return byN
+          val byA = cpCompare(x._2, y._2)
+          if (byA != 0) byA else cpCompare(x._3, y._3)
+        }
+      })
+    init.collect().foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      counts(key) = r.getLong(2)
+      order.add((r.getLong(2), key._1, key._2))
+    }
+    def applyDelta(a: String, b: String, d: Long): Unit = {
+      val key = (a, b)
+      val old = counts.getOrElse(key, 0L)
+      if (old != 0L) order.remove((old, a, b))
+      val next = old + d
+      if (next > 0L) { counts(key) = next; order.add((next, a, b)) }
+      else counts.remove(key)
+    }
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var round = 1
     while (round <= k) {
-      val top = words.filter(size(col("sym")) >= 2)
-        .select(col("wc"), explode(transform(
-          sequence(lit(1), size(col("sym")) - 1),
-          j => struct(element_at(col("sym"), j).as("a"),
-            element_at(col("sym"), j + 1).as("b")))).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("wc")).as("n"))
-        .orderBy(col("n").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (top.isEmpty)
+      if (order.isEmpty)
         throw new IllegalStateException(
           s"BPE training ran out of adjacent pairs after ${round - 1} of $k " +
             "rounds — every word is a single symbol; lower k")
-      val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      val (n, a, b) = order.first() match { case t => (t._1, t._2, t._3) }
       merges += ((round, a, b, a + b, n))
+      val adjacent = exists(adjacentPairs(col("sym")),
+        p => p.getField("a") === lit(a) && p.getField("b") === lit(b))
       // left-to-right non-overlapping merge of (a, b): fold each word's
       // symbol array; a just-merged symbol (a+b) can never equal `a`, so
       // greedy chains (possible only when a == b) resolve exactly like
       // the textbook single-pass replacement
-      words = words.withColumn("sym",
+      val mergeFold =
         aggregate(col("sym"), array().cast("array<string>"), (acc, s) =>
           when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
             concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-            .otherwise(concat(acc, array(s)))))
+            .otherwise(concat(acc, array(s))))
+      // ONE distributed job per round: merge every affected word
+      // (array_contains is the cheap codegen'd gate before the exact
+      // adjacency lambda) and checkpoint the new symbol table; the
+      // delta collect below reads this checkpoint, so the fold runs once
+      val step = words
+        .withColumn("__adj",
+          array_contains(col("sym"), lit(a)) && adjacent)
+        .withColumn("__sym2",
+          when(col("__adj"), mergeFold).otherwise(col("sym")))
         .localCheckpoint()
+      // incremental recount: only words containing (a, b) adjacently
+      // change at all (adjacency ⇔ the fold merges — see Scaladoc), so
+      // their before/after pair multisets are the complete delta; the
+      // aggregated delta is bounded by pairs TOUCHING a, b, or a+b —
+      // merged-symbol neighbour diversity, not vocabulary size
+      val deltas = step.filter(col("__adj"))
+        .select(col("wc"), explode(concat(
+          transform(adjacentPairs(col("sym")),
+            p => struct(p.getField("a").as("a"), p.getField("b").as("b"),
+              (-col("wc")).as("d"))),
+          transform(adjacentPairs(col("__sym2")),
+            p => struct(p.getField("a").as("a"), p.getField("b").as("b"),
+              col("wc").as("d"))))).as("x"))
+        .groupBy(col("x.a").as("a"), col("x.b").as("b"))
+        .agg(sum(col("x.d")).as("n"))
+        .collect()
+      deltas.foreach(r => applyDelta(r.getString(0), r.getString(1), r.getLong(2)))
+      // lazy-narrow over the checkpointed step — no second vocab pass
+      words = step.select(col("wc"), col("__sym2").as("sym"))
       round += 1
     }
     (merges.result(), words)

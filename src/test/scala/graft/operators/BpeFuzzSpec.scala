@@ -63,21 +63,45 @@ class BpeFuzzSpec extends SparkSpec {
     out.result()
   }
 
-  test("bpeTrainMerges equals the naive reference on random tiny-alphabet corpora") {
+  private def checkAgainstNaive(texts: Seq[String], k: Int): Unit = {
     import spark.implicits._
-    forAllSeeded(Gen.zip(corpusGen, Gen.choose(1, 4)), 25) { case (texts, k) =>
-      val want = naiveBpe(texts, k)
-      if (want.length < k) {
-        val e = intercept[IllegalStateException] {
-          CorpusStats.bpeTrainMerges(texts.toDF("text"), "text", k).collect()
-        }
-        assert(e.getMessage.contains("ran out of adjacent pairs"))
-      } else {
-        val got = CorpusStats.bpeTrainMerges(texts.toDF("text"), "text", k)
-          .collect().sortBy(_.getInt(0))
-          .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
-        assert(got == want, s"corpus=$texts k=$k")
+    val want = naiveBpe(texts, k)
+    if (want.length < k) {
+      val e = intercept[IllegalStateException] {
+        CorpusStats.bpeTrainMerges(texts.toDF("text"), "text", k).collect()
       }
+      assert(e.getMessage.contains("ran out of adjacent pairs"))
+    } else {
+      val got = CorpusStats.bpeTrainMerges(texts.toDF("text"), "text", k)
+        .collect().sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+      assert(got == want, s"corpus=$texts k=$k")
     }
+  }
+
+  test("bpeTrainMerges equals the naive reference on random tiny-alphabet corpora") {
+    forAllSeeded(Gen.zip(corpusGen, Gen.choose(1, 4)), 25) { case (texts, k) =>
+      checkAgainstNaive(texts, k)
+    }
+  }
+
+  test("deep-k runs keep the incremental pair ledger exact across many rounds") {
+    // the driver-side ledger is only ever UPDATED after round 1 (never
+    // rebuilt) — an off-by-one in any round's delta would compound and
+    // surface as a divergent later merge; deep k is the stress for it
+    forAllSeeded(Gen.zip(corpusGen, Gen.choose(8, 16)), 8) { case (texts, k) =>
+      checkAgainstNaive(texts, k)
+    }
+  }
+
+  test("merge-round cap and zero rounds are refused loudly") {
+    import spark.implicits._
+    val df = Seq("aa bb").toDF("text")
+    assert(intercept[IllegalArgumentException] {
+      CorpusStats.bpeTrainMerges(df, "text", 0)
+    }.getMessage.contains("merge rounds"))
+    assert(intercept[IllegalArgumentException] {
+      CorpusStats.bpeTrainMerges(df, "text", 1025)
+    }.getMessage.contains("merge rounds"))
   }
 }
