@@ -3432,6 +3432,19 @@ object SparkEntry {
     CorpusStats.bpeTrainMerges(Tables.documents(spark, dir), "text", 40)
 
   // ---------------------------------------------------------------------
+  // q123 — approximate profile (rows-only BY DESIGN): q114's profiler
+  // with `approxDistinct = true` — the 100 TB wide-table path, where the
+  // exact multi-count-distinct's Expand (one shuffle row per row ×
+  // column) is the scale killer and HLL++ per column keeps the plan a
+  // single partial/final aggregate over one scan. HLL estimates are not
+  // cross-engine portable (the q44 convention), so the registry records
+  // rows-only; the NO-EXPAND plan property is pinned in PlanAuditSpec.
+  // ---------------------------------------------------------------------
+  private def q123ProfileApprox(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.profile(Tables.documents(spark, dir),
+      approxDistinct = true)
+
+  // ---------------------------------------------------------------------
 
   private val registry: Seq[Q] = Seq(
     Q("q1_lineitem_agg", q1LineitemAgg, Some(q1Sql)),
@@ -3556,6 +3569,7 @@ object SparkEntry {
     Q("q120_audio_fingerprint", q120AudioFingerprint, Some(q120Sql)),
     Q("q121_audio_dedup", q121AudioDedup, Some(q121Sql)),
     Q("q122_bpe_deep", q122BpeDeep, None),
+    Q("q123_profile_approx", q123ProfileApprox, None),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

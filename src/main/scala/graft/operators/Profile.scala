@@ -21,23 +21,31 @@ import org.apache.spark.sql.functions._
   * the profile row shape is column-type-agnostic — they cost nothing at
   * scale because partial aggregation collapses each partition to one
   * value before anything shuffles. For approximate profiling at extreme
-  * widths, swap countDistinct for approx_count_distinct per column —
-  * the plan loses the Expand entirely.
+  * widths, pass `approxDistinct = true`: countDistinct swaps for
+  * approx_count_distinct (HLL++) per column and the plan loses the
+  * Expand — and with it the per-(row × column) shuffle row — entirely;
+  * one partial/final aggregate over the scan is all that remains. The
+  * approximate path is NOT cross-engine exact (HLL estimates differ by
+  * implementation), so its registry entry records rows-only, the q44
+  * convention.
   */
 object Profile {
 
   /** Profile `cols` (default: every column) of `df`:
     * (column, n_rows, n_null, n_distinct, min_str, max_str). */
-  def profile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String] = Nil,
+              approxDistinct: Boolean = false): DataFrame = {
     val names = if (cols.nonEmpty) cols else df.columns.toSeq
     require(names.nonEmpty, "profile needs at least one column")
     val aggs: Seq[Column] = names.flatMap { c =>
       val s = col(c).cast("string")
+      val hashed = when(col(c).isNotNull, xxhash64(s))
       Seq(count(lit(1)).as(s"__n_$c"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
         // 8-byte hash distinct: xxhash64(null-in) is null-out via the
         // when(), so null exclusion matches count(DISTINCT raw)
-        countDistinct(when(col(c).isNotNull, xxhash64(s))).as(s"__d_$c"),
+        (if (approxDistinct) approx_count_distinct(hashed)
+         else countDistinct(hashed)).as(s"__d_$c"),
         min(s).as(s"__min_$c"),
         max(s).as(s"__max_$c"))
     }

@@ -58,6 +58,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("approx profile loses the Expand; exact profile keeps it (q114/q123)") {
+    // the exact multi-count-distinct plans one Expand row per (row ×
+    // column) — correct but the scale cost at 100 TB widths; the HLL
+    // variant must plan as a single partial/final aggregate with NO
+    // Expand, or the approxDistinct flag silently stopped meaning
+    // anything
+    val approx = SparkEntry.queries("q123_profile_approx")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!approx.contains("Expand"),
+      s"approx profile still plans an Expand:\n$approx")
+    val exact = SparkEntry.queries("q114_profile")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(exact.contains("Expand"),
+      "exact profile lost its Expand — the q114 oracle no longer " +
+        "certifies the multi-count-distinct path this test contrasts")
+  }
+
   test("PQ encode is a pure narrow projection — no exchange, no join") {
     // the literal-codebook design means encoding shuffles NOTHING; a
     // join or exchange appearing here would mean the codebook stopped

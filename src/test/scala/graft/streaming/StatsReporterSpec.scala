@@ -12,13 +12,14 @@ class StatsReporterSpec extends AnyFunSuite {
     assert(seq.sliding(2).forall(p => p(1) >= p(0))) // monotone
   }
 
-  test("report line carries the state-store gauges") {
+  test("report line carries the state-store gauges and the media ledger") {
     val c = new StatsReporter.Counters
     c.batches.set(3); c.inputRows.set(42)
     c.stateRows.set(7); c.stateBytes.set(4096)
+    c.mediaDocs.set(120); c.mediaCorrupt.set(4)
     assert(StatsReporter.line(c, 15) ==
       "graft stats: batches=3 inputRows=42 stateRows=7 stateBytes=4096 " +
-        "nextIntervalSecs=15")
+        "mediaDocs=120 mediaCorrupt=4 nextIntervalSecs=15")
   }
 }
 
