@@ -3319,30 +3319,35 @@ object SparkEntry {
         MediaCodec.attachThumbnails(Tables.documents(spark, dir))).toDF(),
       "doc_id", "dhash", maxHamming = 2)
 
-  private val q119Sql =
-    """WITH d AS (SELECT doc_id, text, strlen(text) AS pl FROM documents
-      |           WHERE doc_id % 41 <> 0),
-      |px AS (SELECT doc_id,
+  /** CTE list (no WITH) computing img_dh(doc_id, dhash) — shared by
+    * q119 and the q124 multimodal closure. */
+  private val imageDhCtes =
+    """img_d AS (SELECT doc_id, text, strlen(text) AS pl FROM documents
+      |          WHERE doc_id % 41 <> 0),
+      |img_px AS (SELECT doc_id,
       |         list_transform(range(0, 192), k ->
       |           CASE WHEN pl = 0 THEN 0
       |                ELSE ord(substr(text, CAST((k % pl) + 1 AS INTEGER), 1))
       |           END) AS p
-      |       FROM d),
-      |gg AS (SELECT doc_id,
+      |       FROM img_d),
+      |img_gg AS (SELECT doc_id,
       |         list_transform(range(0, 70), t ->
       |           (p[CAST(3 * (((t // 10) * 8 // 7) * 8 + (t % 10) * 8 // 10) + 1 AS INTEGER)]
       |          + p[CAST(3 * (((t // 10) * 8 // 7) * 8 + (t % 10) * 8 // 10) + 2 AS INTEGER)]
       |          + p[CAST(3 * (((t // 10) * 8 // 7) * 8 + (t % 10) * 8 // 10) + 3 AS INTEGER)]) // 3) AS g
-      |       FROM px),
-      |dh AS (SELECT doc_id,
+      |       FROM img_px),
+      |img_dh AS (SELECT doc_id,
       |         CAST(list_sum(list_transform(range(0, 63), b ->
       |           CASE WHEN g[CAST((b // 9) * 10 + (b % 9) + 2 AS INTEGER)]
       |                     > g[CAST((b // 9) * 10 + (b % 9) + 1 AS INTEGER)]
       |                THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END)) AS BIGINT) AS dhash
-      |       FROM gg)
+      |       FROM img_gg)""".stripMargin
+
+  private val q119Sql =
+    s"""WITH $imageDhCtes
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
-      |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+      |FROM img_dh a JOIN img_dh b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.dhash, b.dhash)) <= 2""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -3369,20 +3374,21 @@ object SparkEntry {
     Dedup.hammingPairs63(audioFpOf(spark, dir).toDF(),
       "doc_id", "fingerprint", maxHamming = 2)
 
-  /** Shared CTE chain: text → 16-bit LE samples (the q108 formula) →
-    * 21-frame integer features → 60-bit fingerprint. */
-  private val audioFpCte =
-    """WITH d AS (SELECT doc_id, text, strlen(text) AS pl FROM documents
-      |           WHERE doc_id % 43 <> 0),
-      |s AS (SELECT doc_id, pl // 2 AS n,
+  /** CTE list (no WITH) computing au_fp(doc_id, fingerprint): text →
+    * 16-bit LE samples (the q108 formula) → 21-frame integer features →
+    * 60-bit fingerprint. Shared by q120/q121 and the q124 closure. */
+  private val audioFpCtes =
+    """au_d AS (SELECT doc_id, text, strlen(text) AS pl FROM documents
+      |         WHERE doc_id % 43 <> 0),
+      |au_s AS (SELECT doc_id, pl // 2 AS n,
       |        list_transform(range(0, pl // 2), i ->
       |          CASE WHEN ord(substr(text, CAST(2*i + 2 AS INTEGER), 1)) >= 128
       |               THEN ord(substr(text, CAST(2*i + 1 AS INTEGER), 1))
       |                    + 256 * ord(substr(text, CAST(2*i + 2 AS INTEGER), 1)) - 65536
       |               ELSE ord(substr(text, CAST(2*i + 1 AS INTEGER), 1))
       |                    + 256 * ord(substr(text, CAST(2*i + 2 AS INTEGER), 1)) END) AS smp
-      |      FROM d),
-      |fe AS (SELECT doc_id,
+      |      FROM au_d),
+      |au_fe AS (SELECT doc_id,
       |        list_transform(range(0, 21), f -> COALESCE(list_sum(list_transform(
       |          list_slice(smp, CAST(f*n//21 + 1 AS INTEGER), CAST((f+1)*n//21 AS INTEGER)),
       |          x -> abs(x))), 0)) AS e,
@@ -3393,8 +3399,8 @@ object SparkEntry {
       |        list_transform(range(0, 21), f -> COALESCE(list_aggregate(list_transform(
       |          list_slice(smp, CAST(f*n//21 + 1 AS INTEGER), CAST((f+1)*n//21 AS INTEGER)),
       |          x -> abs(x)), 'max'), 0)) AS p
-      |      FROM s),
-      |fp AS (SELECT doc_id,
+      |      FROM au_s),
+      |au_fp AS (SELECT doc_id,
       |  CAST(list_sum(list_transform(range(0, 20), k ->
       |      CASE WHEN e[CAST(k+2 AS INTEGER)] > e[CAST(k+1 AS INTEGER)]
       |           THEN (1::BIGINT << CAST(k AS INTEGER)) ELSE 0 END
@@ -3402,17 +3408,17 @@ object SparkEntry {
       |           THEN (1::BIGINT << CAST(k+20 AS INTEGER)) ELSE 0 END
       |    + CASE WHEN p[CAST(k+2 AS INTEGER)] > p[CAST(k+1 AS INTEGER)]
       |           THEN (1::BIGINT << CAST(k+40 AS INTEGER)) ELSE 0 END)) AS BIGINT) AS fingerprint
-      |FROM fe)""".stripMargin
+      |FROM au_fe)""".stripMargin
 
   private val q120Sql =
-    s"""$audioFpCte
-      |SELECT doc_id, fingerprint FROM fp""".stripMargin
+    s"""WITH $audioFpCtes
+      |SELECT doc_id, fingerprint FROM au_fp""".stripMargin
 
   private val q121Sql =
-    s"""$audioFpCte
+    s"""WITH $audioFpCtes
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS BIGINT) AS hamming
-      |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |FROM au_fp a JOIN au_fp b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 2""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -3443,6 +3449,61 @@ object SparkEntry {
   private def q123ProfileApprox(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Profile.profile(Tables.documents(spark, dir),
       approxDistinct = true)
+
+  // ---------------------------------------------------------------------
+  // q124 — multimodal dedup clusters: the capstone of the dedup family.
+  // A document is a duplicate if ANY modality says so — text (the q21
+  // Jaccard graph, q48's edge set), image (q119 dHash pairs), or audio
+  // (q121 fingerprint pairs) — so the three pair sets union into one
+  // edge list and connected components collapse transitive chains
+  // ACROSS modalities (text-dup A~B and image-dup B~C put A and C in
+  // one cluster even though no single modality compared them). Output
+  // is the q48-shaped (doc_id, component) map over every document.
+  // Oracle: one recursive min-label closure over the union of the three
+  // already-certified pair CTEs — the clusters cannot drift from the
+  // pair queries they compose. Plan: each modality contributes only
+  // 8-byte-keyed pairs; the CC fixpoint runs over (id, id) edges.
+  // ---------------------------------------------------------------------
+  private def q124MultimodalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val text = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxShingleDfFrac = 0.1)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val image = Dedup.hammingPairs63(
+        MediaCodec.dHashes(MediaCodec.attachThumbnails(docs)).toDF(),
+        "doc_id", "dhash", maxHamming = 2)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val audio = Dedup.hammingPairs63(
+        MediaCodec.audioFingerprints(MediaCodec.attachAudio(docs)).toDF(),
+        "doc_id", "fingerprint", maxHamming = 2)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = text.unionByName(image).unionByName(audio).distinct()
+    Dedup.connectedComponents(docs.select(col("doc_id").as("id")), edges)
+      .select(col("id").as("doc_id"), col("component"))
+  }
+
+  private val q124Sql =
+    s"""WITH RECURSIVE $q21PairCtes,
+      |mm_tp AS (SELECT x AS src, y AS dst
+      |      $q21PairJoin),
+      |$imageDhCtes,
+      |mm_ip AS (SELECT a.doc_id AS src, b.doc_id AS dst
+      |      FROM img_dh a JOIN img_dh b ON a.doc_id < b.doc_id
+      |      WHERE bit_count(xor(a.dhash, b.dhash)) <= 2),
+      |$audioFpCtes,
+      |mm_ap AS (SELECT a.doc_id AS src, b.doc_id AS dst
+      |      FROM au_fp a JOIN au_fp b ON a.doc_id < b.doc_id
+      |      WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 2),
+      |mm_p AS (SELECT src, dst FROM mm_tp UNION
+      |         SELECT src, dst FROM mm_ip UNION
+      |         SELECT src, dst FROM mm_ap),
+      |mm_e AS (SELECT src, dst FROM mm_p UNION ALL SELECT dst, src FROM mm_p),
+      |mm_r(v, l) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT mm_e.dst, mm_r.l FROM mm_r JOIN mm_e ON mm_e.src = mm_r.v
+      |  WHERE mm_r.l < mm_e.dst)
+      |SELECT v AS doc_id, MIN(l) AS component FROM mm_r GROUP BY v""".stripMargin
 
   // ---------------------------------------------------------------------
 
@@ -3570,6 +3631,7 @@ object SparkEntry {
     Q("q121_audio_dedup", q121AudioDedup, Some(q121Sql)),
     Q("q122_bpe_deep", q122BpeDeep, None),
     Q("q123_profile_approx", q123ProfileApprox, None),
+    Q("q124_multimodal_dedup", q124MultimodalDedup, Some(q124Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
