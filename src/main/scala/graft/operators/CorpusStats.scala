@@ -422,8 +422,17 @@ object CorpusStats {
     a.length - b.length
   }
 
-  private def bpeTrainCore(df: DataFrame, textCol: String, k: Int,
-      sep: String): (Seq[(Int, String, String, String, Long)], DataFrame) = {
+  /** Largest number of merges applied in one distributed round: bounds
+    * the per-round merge-map literal and keeps the batch-selection scan
+    * cheap. 64 merges is far past observed batch sizes; the cap exists
+    * so a pathological flat-count corpus can't build a giant plan. */
+  val MaxBpeMergeBatch: Int = 64
+
+  /** Result visible to the fuzz spec: the ordered merges, the post-merge
+    * distinct-word symbol table, and how many DISTRIBUTED rounds the
+    * batched trainer actually ran (== k iff no batching happened). */
+  private[operators] def bpeTrainCore(df: DataFrame, textCol: String, k: Int,
+      sep: String): (Seq[(Int, String, String, String, Long)], DataFrame, Int) = {
     require(k > 0 && k <= 1024, s"k merge rounds must be in [1, 1024], got $k")
     var words = df
       .select(explode(TextAnalysis.tokens(col(textCol))).as("__w"))
