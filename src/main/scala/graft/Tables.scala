@@ -10,12 +10,21 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    // reader rejects; read nanos as Long and convert below (values are
-    // µs-aligned in the driver testdata, so the conversion is lossless).
+    // events.parquet has carried TIMESTAMP(NANOS) (which Spark's
+    // vectorized reader rejects — read nanos as Long and convert) and
+    // TIMESTAMP(MICROS) isAdjustedToUTC=false (reads as TIMESTAMP_NTZ)
+    // across driver testdata generations; normalize either encoding to a
+    // session-tz TimestampType (session tz is pinned UTC, so the NTZ
+    // cast is value-preserving).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (name == "events") df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
     else df
   }
 

@@ -533,7 +533,7 @@ object CorpusStats {
       words = step.select(col("wc"), col("__sym2").as("sym"))
       round += 1
     }
-    (merges.result(), words)
+    (merges.result(), words, round - 1)
   }
 
   /** Encode the corpus with the tokenizer [[bpeTrainMerges]] trains:

@@ -78,15 +78,21 @@ class EventWindowsSpec extends SparkSpec {
     val src = java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft-ev-stream")
     java.nio.file.Files.copy(src, dir.resolve("events.parquet"))
-    // events carries TIMESTAMP(NANOS): read nanos as long (as Tables does)
-    // and convert to a microsecond timestamp inside the stream
+    // normalize the driver's ts encoding exactly as Tables.load does:
+    // TIMESTAMP(NANOS) reads as long (nanosAsLong), TIMESTAMP(MICROS)
+    // isAdjustedToUTC=false reads as TIMESTAMP_NTZ
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(src.toString).schema
-    val stream = spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(dir.toString)
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val stream = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+    }
     val out = EventWindows.tumbling(stream, "ts", Seq("event_type"),
       windowLen = "1 hour", watermark = "1 minute")
     val query = out.writeStream.format("memory").queryName("ev_file_stream")
