@@ -3423,19 +3423,22 @@ object SparkEntry {
 
   // ---------------------------------------------------------------------
   // q122 — DEEP BPE training (rows-only BY DESIGN): the same
-  // bpeTrainCore code path q105 certifies hash-exactly at k = 6, run at
-  // k = 40 — the scale surface the r9 incremental-pair-count rewrite
-  // bought (per-round cost proportional to the AFFECTED word slice +
-  // the aggregated pair table, not the full vocabulary; semantics
-  // pinned by BpeFuzzSpec against an in-memory reference at random k).
-  // A 40-round chain of materialized DuckDB CTEs would dominate the
-  // oracle run's wall clock for zero extra semantic signal, so this
-  // entry records the rows-only check and exists chiefly for the
-  // BENCH: q122/q105 wall ratio far under k-ratio (40/6 ≈ 6.7×) is the
-  // recorded evidence that rounds no longer pay vocabulary rent.
+  // bpeTrainCore code path q105 certifies hash-exactly at k = 6, run
+  // with a 200-merge depth BUDGET (bpeTrainMergesCapped: trains to
+  // corpus exhaustion when the vocabulary is shallower, as at small
+  // sf) — the scale surface of the r12 BATCHED trainer (up to 64
+  // fold-safe merges speculated per distributed job, replay-validated
+  // against the driver ledger for byte-exact sequential semantics;
+  // pinned by BpeFuzzSpec against an in-memory reference at random k
+  // plus dedicated batching/truncation cases). A 200-round chain of
+  // materialized DuckDB CTEs would dominate the oracle run's wall clock
+  // for zero extra semantic signal, so this entry records the rows-only
+  // check and exists chiefly for the BENCH: q122/q105 wall ratio far
+  // under the k-ratio (200/6 ≈ 33×) is the recorded evidence that deep
+  // trainings no longer pay one driver round-trip per merge.
   // ---------------------------------------------------------------------
   private def q122BpeDeep(spark: SparkSession, dir: String): DataFrame =
-    CorpusStats.bpeTrainMerges(Tables.documents(spark, dir), "text", 40)
+    CorpusStats.bpeTrainMergesCapped(Tables.documents(spark, dir), "text", 200)
 
   // ---------------------------------------------------------------------
   // q123 — approximate profile (rows-only BY DESIGN): q114's profiler

@@ -361,15 +361,20 @@ object CorpusStats {
     *     would pick (UTF-8 byte order == code-point order; Java's
     *     String.compareTo is UTF-16 code-unit order, which disagrees
     *     above U+FFFF — compared raw bytes for engine parity);
-    *   - each round runs ONE distributed job: a codegen'd `aggregate`
-    *     fold merges (a, b) in every affected word (adjacency ⇔ the
-    *     fold changes the word: at the first adjacent (a,b) the
-    *     accumulator's last element is necessarily `a`, since a
-    *     consumed `a` would imply an earlier adjacency), and the
-    *     before/after pair deltas of JUST those words aggregate and
-    *     collect — bounded by pairs touching a, b, or ab, i.e. the
-    *     merged symbols' neighbour diversity, not vocabulary size
-    *     (the public fast-BPE observation);
+    *   - merges apply in BATCHES of up to [[MaxBpeMergeBatch]] per
+    *     distributed job, with EXACT sequential semantics: a
+    *     speculative fold-safe prefix of the ledger order (pairwise
+    *     symbol-disjoint merges — see the selection comment in the
+    *     body) is applied by one codegen'd `aggregate` fold per word,
+    *     per-step pair deltas aggregate and collect (bounded by
+    *     merged-symbol neighbour diversity × batch size, the public
+    *     fast-BPE observation), and a driver-side REPLAY walks the
+    *     deltas through the ledger, committing each step only while it
+    *     is provably the argmax sequential training would have picked —
+    *     the first divergence (a batch-created pair outranking the
+    *     speculation) truncates the batch, so the committed sequence is
+    *     byte-identical to serial training while deep trainings (k in
+    *     the hundreds) run far fewer driver round-trips than k;
     *   - the symbol table `localCheckpoint`s per round, so lineage
     *     stays O(1) (the [[Dedup.connectedComponents]] convention);
     *   - an exhausted ledger (no adjacent pair anywhere) FAILS LOUDLY
@@ -385,6 +390,21 @@ object CorpusStats {
     val spark = df.sparkSession
     import spark.implicits._
     bpeTrainCore(df, textCol, k, sep)._1
+      .toDF("round", "left_sym", "right_sym", "merged", "n_occ")
+  }
+
+  /** [[bpeTrainMerges]] with graceful exhaustion: trains up to `maxK`
+    * merges but STOPS (instead of failing loudly) when no adjacent pair
+    * remains anywhere — the deep-training surface (q122), where the
+    * requested depth is a budget, not a contract, and the portable
+    * behaviour across corpus scales is "as deep as the corpus supports".
+    * Emitted rounds are byte-identical to `bpeTrainMerges` at the same
+    * prefix (same core, same replay validation). */
+  def bpeTrainMergesCapped(df: DataFrame, textCol: String, maxK: Int,
+                           sep: String = "\u0001"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    bpeTrainCore(df, textCol, maxK, sep, exhaustOk = true)._1
       .toDF("round", "left_sym", "right_sym", "merged", "n_occ")
   }
 
@@ -432,7 +452,8 @@ object CorpusStats {
     * distinct-word symbol table, and how many DISTRIBUTED rounds the
     * batched trainer actually ran (== k iff no batching happened). */
   private[operators] def bpeTrainCore(df: DataFrame, textCol: String, k: Int,
-      sep: String): (Seq[(Int, String, String, String, Long)], DataFrame, Int) = {
+      sep: String, exhaustOk: Boolean = false)
+      : (Seq[(Int, String, String, String, Long)], DataFrame, Int) = {
     require(k > 0 && k <= 1024, s"k merge rounds must be in [1, 1024], got $k")
     var words = df
       .select(explode(TextAnalysis.tokens(col(textCol))).as("__w"))
@@ -442,7 +463,7 @@ object CorpusStats {
       // match at end-of-string) — strip it, symbols are never empty
       .select(col("wc"),
         filter(split(col("__w"), ""), s => s =!= "").as("sym"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // the full pair count aggregates ONCE and moves to a driver-side
     // ledger: count() guards the bound BEFORE collect (the StreamScrub
     // convention), and the checkpoint makes guard + collect share one
@@ -451,7 +472,9 @@ object CorpusStats {
       .select(col("wc"), explode(adjacentPairs(col("sym"))).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(sum(col("wc")).as("n"))
-      .localCheckpoint()
+      .localCheckpoint(false)
+    // count() materializes BOTH lazy checkpoints in one pass and guards
+    // the ledger bound before collect
     val nDistinct = init.count()
     require(nDistinct <= MaxBpePairLedger,
       s"BPE training: $nDistinct distinct adjacent symbol pairs exceed " +
@@ -483,57 +506,168 @@ object CorpusStats {
       else counts.remove(key)
     }
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-    var round = 1
-    while (round <= k) {
-      if (order.isEmpty)
-        throw new IllegalStateException(
-          s"BPE training ran out of adjacent pairs after ${round - 1} of $k " +
-            "rounds — every word is a single symbol; lower k")
-      val (n, a, b) = order.first() match { case t => (t._1, t._2, t._3) }
-      merges += ((round, a, b, a + b, n))
-      val adjacent = exists(adjacentPairs(col("sym")),
-        p => p.getField("a") === lit(a) && p.getField("b") === lit(b))
-      // left-to-right non-overlapping merge of (a, b): fold each word's
-      // symbol array; a just-merged symbol (a+b) can never equal `a`, so
-      // greedy chains (possible only when a == b) resolve exactly like
-      // the textbook single-pass replacement
-      val mergeFold =
-        aggregate(col("sym"), array().cast("array<string>"), (acc, s) =>
-          when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-            .otherwise(concat(acc, array(s))))
-      // ONE distributed job per round: merge every affected word
-      // (array_contains is the cheap codegen'd gate before the exact
-      // adjacency lambda) and checkpoint the new symbol table; the
-      // delta collect below reads this checkpoint, so the fold runs once
+    var done = 0       // committed merge rounds (exact sequential semantics)
+    var distRounds = 0 // distributed jobs actually run (the scale metric)
+    var exhausted = false
+    while (done < k && !exhausted) {
+      if (order.isEmpty) {
+        if (!exhaustOk)
+          throw new IllegalStateException(
+            s"BPE training ran out of adjacent pairs after $done of $k " +
+              "rounds — every word is a single symbol; lower k")
+        exhausted = true
+      } else {
+      // --- speculative batch: the maximal PREFIX of the ledger order that
+      // is fold-safe. A later candidate c is fold-safe against every
+      // already-selected merge j iff
+      //   {a_c, b_c} ∩ {a_j, b_j, a_j+b_j} = ∅   (count invariance: every
+      //     delta pair touches a_j, b_j or the merged symbol, so c's count
+      //     is provably unchanged while j applies; also no fold cross-talk)
+      //   a_c+b_c ∉ {a_j, b_j}                   (else the one-pass fold
+      //     would chain-merge through a symbol c fabricates where the
+      //     sequential order applies j BEFORE c exists)
+      // Unsafe pairs are SKIPPED, not batch-enders: a skipped pair's
+      // count may shift while the batch applies, but the replay
+      // validation below compares the live ledger argmax against every
+      // speculated step — if a skipped (or batch-created) pair surfaces
+      // above the speculation, the batch truncates exactly there, so
+      // skipping never costs exactness, only a (cheap, driver-side)
+      // wasted speculation tail. The skip budget bounds the ledger scan:
+      // candidates this deep are near-certain to be outranked by the
+      // batch's own created pairs before they commit.
+      val batch = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+      val usedSyms = scala.collection.mutable.HashSet.empty[String]  // a_j, b_j, a_j+b_j
+      val usedParts = scala.collection.mutable.HashSet.empty[String] // a_j, b_j
+      val capB = math.min(MaxBpeMergeBatch, k - done)
+      val it = order.iterator()
+      var skips = 0
+      while (batch.size < capB && skips <= MaxBpeMergeBatch && it.hasNext) {
+        val cand = it.next()
+        val (ca, cb) = (cand._2, cand._3)
+        if (batch.isEmpty ||
+            (!usedSyms.contains(ca) && !usedSyms.contains(cb) &&
+              !usedParts.contains(ca + cb))) {
+          batch += cand
+          usedSyms += ca; usedSyms += cb; usedSyms += (ca + cb)
+          usedParts += ca; usedParts += cb
+        } else skips += 1
+      }
+      val bn = batch.size
+      // merge tables for the single-pass fold, keyed a<sep>b (symbols are
+      // sep-free by the training filter): key -> 1-based step index, and
+      // key -> merged output. try_element_at: an absent key is null (never
+      // an ANSI error), and null <= t is null, so `when` falls through.
+      val idxMap = typedlit(batch.iterator.zipWithIndex.map {
+        case ((_, a, b), i) => (a + sep + b) -> (i + 1) }.toMap)
+      val outMap = typedlit(batch.iterator.map {
+        case (_, a, b) => (a + sep + b) -> (a + b) }.toMap)
+      // left-to-right non-overlapping application of every selected merge
+      // with step index <= t in ONE pass. Fold-safety (selection above)
+      // makes the one-pass result identical to applying the <=t merges
+      // sequentially: distinct merges never share symbols so their sites
+      // cannot overlap, and within one merge a just-merged symbol a+b can
+      // never equal a, so greedy chains (only when a == b) resolve exactly
+      // like the textbook single-pass replacement.
+      def foldUpTo(symCol: Column, t: Column): Column =
+        aggregate(symCol, array().cast("array<string>"), (acc, s) => {
+          val key = concat(element_at(acc, -1), lit(sep), s)
+          when(size(acc) > 0 && try_element_at(idxMap, key) <= t,
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(try_element_at(outMap, key))))
+            .otherwise(concat(acc, array(s)))
+        })
+      // per-word affected steps: merge j changes a word iff (a_j, b_j) is
+      // adjacent in the PRE-batch word — no other selected merge can
+      // create or destroy that adjacency (symbol disjointness), so one
+      // scan of the word's pair keys finds every affected step
+      val pairKeys = transform(adjacentPairs(col("sym")),
+        p => concat(p.getField("a"), lit(sep), p.getField("b")))
+      // cheap codegen'd pre-gate: a word not containing ANY batch left
+      // symbol cannot be affected — the overwhelming majority of words
+      // skip the string-building pair-key scan entirely
+      val leftSyms = typedlit(batch.iterator.map(_._2).toSet.toSeq)
+      val jsExpr = when(arrays_overlap(col("sym"), leftSyms),
+        array_sort(array_distinct(transform(
+          filter(pairKeys, kk => try_element_at(idxMap, kk).isNotNull),
+          kk => try_element_at(idxMap, kk)))))
+        .otherwise(array().cast("array<int>"))
+      // ONE distributed job for the whole batch: compute affected steps
+      // and the full-batch fold for every word, checkpoint. Unaffected
+      // words (the overwhelming majority per round) skip the fold.
       val step = words
-        .withColumn("__adj",
-          array_contains(col("sym"), lit(a)) && adjacent)
+        .withColumn("__js", jsExpr)
         .withColumn("__sym2",
-          when(col("__adj"), mergeFold).otherwise(col("sym")))
-        .localCheckpoint()
-      // incremental recount: only words containing (a, b) adjacently
-      // change at all (adjacency ⇔ the fold merges — see Scaladoc), so
-      // their before/after pair multisets are the complete delta; the
-      // aggregated delta is bounded by pairs TOUCHING a, b, or a+b —
-      // merged-symbol neighbour diversity, not vocabulary size
-      val deltas = step.filter(col("__adj"))
-        .select(col("wc"), explode(concat(
-          transform(adjacentPairs(col("sym")),
-            p => struct(p.getField("a").as("a"), p.getField("b").as("b"),
+          when(size(col("__js")) > 0, foldUpTo(col("sym"), lit(bn)))
+            .otherwise(col("sym")))
+        .localCheckpoint(false)
+      // lazy checkpoint: the delta collect below is the batch's ONE
+      // distributed job — it materializes the checkpoint partitions and
+      // aggregates the per-step deltas in the same pass
+      distRounds += 1
+      // PER-STEP deltas (the replay validation needs intermediate ledger
+      // states, not just the net): a word affected by steps j_1<…<j_m
+      // changes exactly at those thresholds, and the state after j_r is
+      // the one-pass fold at threshold j_r. Endpoints reuse sym / __sym2 —
+      // only the m-1 interior states (rare: most words have m = 1) refold.
+      val interior = slice(col("__js"), lit(1), size(col("__js")) - 1)
+      val states = concat(
+        array(col("sym")),
+        transform(interior, t => foldUpTo(col("sym"), t)),
+        array(col("__sym2")))
+      val deltaRows = flatten(transform(sequence(lit(1), size(col("__js"))), r =>
+        concat(
+          transform(adjacentPairs(element_at(states, r)), p =>
+            struct(element_at(col("__js"), r).as("j"),
+              p.getField("a").as("a"), p.getField("b").as("b"),
               (-col("wc")).as("d"))),
-          transform(adjacentPairs(col("__sym2")),
-            p => struct(p.getField("a").as("a"), p.getField("b").as("b"),
-              col("wc").as("d"))))).as("x"))
-        .groupBy(col("x.a").as("a"), col("x.b").as("b"))
-        .agg(sum(col("x.d")).as("n"))
+          transform(adjacentPairs(element_at(states, r + 1)), p =>
+            struct(element_at(col("__js"), r).as("j"),
+              p.getField("a").as("a"), p.getField("b").as("b"),
+              col("wc").as("d"))))))
+      // the aggregated per-step delta stays bounded by merged-symbol
+      // neighbour diversity × batch size, exactly as in the serial design
+      val deltas = step.filter(size(col("__js")) > 0)
+        .select(explode(deltaRows).as("x"))
+        .groupBy(col("x.j").as("j"), col("x.a").as("a"), col("x.b").as("b"))
+        .agg(sum(col("x.d")).as("d"))
+        .filter(col("d") =!= 0)
         .collect()
-      deltas.foreach(r => applyDelta(r.getString(0), r.getString(1), r.getLong(2)))
-      // lazy-narrow over the checkpointed step — no second vocab pass
-      words = step.select(col("wc"), col("__sym2").as("sym"))
-      round += 1
+      val byStep = deltas.groupBy(_.getInt(0))
+      // --- replay validation: commit batch steps while the ledger agrees
+      // the step IS the sequential argmax. Candidate counts are invariant
+      // under earlier batch steps (selection), so a first() mismatch means
+      // a pair CREATED by the committed prefix outranks the speculation —
+      // truncate there; the prefix is exactly the sequential result. The
+      // first step always matches (it was read off order.first()), so
+      // every batch commits >= 1 merge and the loop terminates.
+      var commit = 0
+      var diverged = false
+      while (commit < bn && !diverged) {
+        val (nI, aI, bI) = (batch(commit)._1, batch(commit)._2, batch(commit)._3)
+        if (order.first() != ((nI, aI, bI))) diverged = true
+        else {
+          done += 1
+          merges += ((done, aI, bI, aI + bI, nI))
+          byStep.getOrElse(commit + 1, Array.empty[org.apache.spark.sql.Row])
+            .foreach(r => applyDelta(r.getString(1), r.getString(2), r.getLong(3)))
+          commit += 1
+        }
+      }
+      words =
+        if (commit == bn)
+          // lazy-narrow over the checkpointed step — no second vocab pass
+          step.select(col("wc"), col("__sym2").as("sym"))
+        else
+          // truncated: narrow to the committed prefix LAZILY — the next
+          // batch's checkpoint fuses this fold into its own single job,
+          // so a truncation never costs an extra distributed pass and a
+          // batch is never more expensive than one serial round
+          step.select(col("wc"),
+            when(size(col("__js")) > 0, foldUpTo(col("sym"), lit(commit)))
+              .otherwise(col("sym")).as("sym"))
+      }
     }
-    (merges.result(), words, round - 1)
+    (merges.result(), words, distRounds)
   }
 
   /** Encode the corpus with the tokenizer [[bpeTrainMerges]] trains:

@@ -94,6 +94,37 @@ class BpeFuzzSpec extends SparkSpec {
     }
   }
 
+  test("symbol-disjoint merges batch into one distributed round") {
+    import spark.implicits._
+    // six 2-char words with distinct counts: every merge is pairwise
+    // symbol-disjoint, and merging a 2-symbol word creates NO new pairs,
+    // so the whole k=6 training must commit as a single speculative batch
+    val words = Seq("ab" -> 50, "cd" -> 49, "ef" -> 48,
+      "gh" -> 47, "ij" -> 46, "kl" -> 45)
+    val texts = words.flatMap { case (w, n) => Seq.fill(n)(w) }
+    val (merges, _, distRounds) =
+      CorpusStats.bpeTrainCore(texts.toDF("text"), "text", k = 6, sep = "\u0001")
+    assert(merges.map(m => (m._2, m._3, m._5)) ==
+      words.map { case (w, n) => (w(0).toString, w(1).toString, n.toLong) })
+    assert(distRounds == 1,
+      s"disjoint merges must batch into one distributed round, ran $distRounds")
+  }
+
+  test("batch truncation on a created pair that outranks the speculation") {
+    import spark.implicits._
+    // pre-batch ledger: (a,b)=40 then (x,y)=30 — disjoint, so both are
+    // speculated together. But merging (a,b) creates ("ab","c") with
+    // count 35 > 30, which sequential training picks SECOND; the replay
+    // validation must truncate the batch and emit ("ab","c") as round 2.
+    val texts = Seq.fill(35)("abc") ++ Seq.fill(5)("zab") ++ Seq.fill(30)("xy")
+    val got = CorpusStats.bpeTrainMerges(texts.toDF("text"), "text", k = 3)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(got == naiveBpe(texts, 3).map(m => (m._1, m._2, m._3)),
+      s"truncation path diverged: $got")
+    assert(got(1) == (("ab", "c", 35L)))
+  }
+
   test("merge-round cap and zero rounds are refused loudly") {
     import spark.implicits._
     val df = Seq("aa bb").toDF("text")
