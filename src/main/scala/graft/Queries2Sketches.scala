@@ -1,0 +1,572 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.codec.{DnsWire, DnstapCodec}
+import graft.dns.{DnsAnalog, DnstapRows}
+import graft.functions.{Anonymize, DnsNames, IpFunctions, VectorFunctions}
+import graft.operators.{AsOfMatch, CorpusStats, Dedup, GroupingSetCounter, MediaCodec, Multimodal, NgramModel, Packing, Percentiles, Quantize, Sampling, Scrub, Similarity, SkewAgg, TextAnalysis}
+
+/** Sketch and index families (q26-q52): MinHash-LSH, SimHash, media features, rollups, percentiles, ANN (LSH/IVF), dedup clustering, sampling and packing.
+  *
+  * Mechanical r12 split of the former single-file SparkEntry registry;
+  * see [[QueriesBase]] for the chaining rationale. */
+private[graft] trait Queries2Sketches extends Queries1Parity {
+
+  private[graft] def q26MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minHashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
+      n = 3, rowsPerBand = 3, threshold = 0.3)
+
+  private[graft] val q26Sql = {
+    val p = Dedup.MinHashP
+    val minExprs = Dedup.MinHashCoeffs.zipWithIndex
+      .map { case ((a, b), i) => s"MIN((h*$a+$b)%$p) AS m$i" }.mkString(", ")
+    val bandSelects = (0 until Dedup.MinHashCoeffs.length / 3).map { bi =>
+      val cat = (0 until 3).map(j => s"CAST(m${bi * 3 + j} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc, $bi AS band, $cat AS bv FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""$shingleCte,
+      |hh AS (SELECT DISTINCT doc, CAST(('0x' || substr(md5(sg),1,15)) AS BIGINT) AS h FROM sh),
+      |sig AS (SELECT doc, $minExprs FROM (SELECT doc, h % $p AS h FROM hh) GROUP BY doc),
+      |bands AS ($bandSelects),
+      |cand AS (SELECT DISTINCT a.doc AS x, b.doc AS y FROM bands a
+      |         JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc < b.doc),
+      |sz AS (SELECT doc, count(*) AS s FROM hh GROUP BY doc),
+      |i AS (SELECT x, y, count(*) AS c FROM cand
+      |      JOIN hh sa ON sa.doc = x JOIN hh sb ON sb.doc = y AND sa.h = sb.h
+      |      GROUP BY x, y)
+      |SELECT x AS doc_a, y AS doc_b, c*1.0/(za.s + zb.s - c) AS jaccard
+      |FROM i JOIN sz za ON x = za.doc JOIN sz zb ON y = zb.doc
+      |WHERE c*1.0/(za.s + zb.s - c) >= 0.3""".stripMargin
+  }
+
+  private[graft] val simhashCte = {
+    // 64 bits from two 32-bit halves of one md5 (mirrors Dedup.simHash);
+    // bit 63 adds Long.MinValue — two's complement, no BIGINT overflow
+    // because bits 0–62 sum to at most 2^63−1.
+    val sums = (0 until 64).map { j =>
+      val src = if (j < 32) s"(hlo >> $j)" else s"(hhi >> ${j - 32})"
+      s"SUM(CASE WHEN $src & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(", ")
+    val bits = (0 until 64).map { j =>
+      val w = if (j == 63) "(-9223372036854775807 - 1)" else s"${1L << j}"
+      s"(CASE WHEN s$j > 0 THEN $w ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH tk AS (SELECT DISTINCT doc_id,
+      |              unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok
+      |            FROM documents),
+      |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok),1,8)) AS BIGINT) AS hlo,
+      |             CAST(('0x' || substr(md5(tok),9,8)) AS BIGINT) AS hhi FROM tk),
+      |s AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+      |sim AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM s)""".stripMargin
+  }
+
+  private[graft] def q27Simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simHash(Tables.documents(spark, dir), "doc_id", "text")
+
+  private[graft] val q27Sql = s"$simhashCte\nSELECT doc_id, simhash FROM sim"
+
+  private[graft] def q28SimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(Tables.documents(spark, dir), "doc_id", "text",
+      maxHamming = 3)
+
+  private[graft] val q28Sql =
+    s"""$simhashCte,
+      |bands AS (SELECT doc_id, simhash, band, (simhash >> (band*16)) & 65535 AS bv
+      |          FROM sim CROSS JOIN (SELECT unnest([0,1,2,3]) AS band)),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |                a.simhash AS sa, b.simhash AS sb
+      |         FROM bands a JOIN bands b
+      |           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q29–q31 — multimodal binary-column plumbing (operators/Multimodal):
+  // documents are packed into a deterministic fake media container
+  // (binary column), then decoded back through batch-wise partition maps
+  // (metadata extract, feature extract, frame sampling). The oracle
+  // recomputes every output directly from the source text, so any bug in
+  // the binary round-trip breaks the hash match.
+  // ---------------------------------------------------------------------
+  private[graft] def mediaOf(spark: SparkSession, dir: String) =
+    Multimodal.attachMedia(Tables.documents(spark, dir))
+
+  private[graft] def q29MediaMetadata(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractMetadata(mediaOf(spark, dir)).toDF()
+
+  private[graft] val q29Sql =
+    """SELECT doc_id, 'grft' AS format,
+      |  CAST(64 + doc_id % 1024 AS INTEGER) AS width,
+      |  CAST(64 + (doc_id * 7) % 768 AS INTEGER) AS height,
+      |  CAST(16 + strlen(text) AS BIGINT) AS n_bytes
+      |FROM documents""".stripMargin
+
+  private[graft] def q30MediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(mediaOf(spark, dir)).toDF()
+
+  private[graft] val q30Sql =
+    """WITH f AS (SELECT doc_id, strlen(text) AS pl,
+      |             COALESCE(list_sum(list_transform(string_split(text,''), c -> ord(c))), 0) AS cps,
+      |             length(text) AS n_cp
+      |           FROM documents)
+      |SELECT doc_id, CAST(16 + pl AS BIGINT) AS n_bytes,
+      |  CAST((pl + 255) // 256 AS BIGINT) AS n_frames,
+      |  CAST(cps % 1000000007 AS BIGINT) AS checksum,
+      |  CAST(CASE WHEN n_cp = 0 THEN 0 ELSE cps // n_cp END AS BIGINT) AS avg_codepoint
+      |FROM f""".stripMargin
+
+  private[graft] def q31FrameSample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(mediaOf(spark, dir), every = 2).toDF()
+
+  private[graft] val q31Sql =
+    """WITH f AS (SELECT doc_id, strlen(text) AS pl,
+      |             (strlen(text) + 255) // 256 AS nf
+      |           FROM documents),
+      |x AS (SELECT doc_id, pl, unnest(generate_series(0, nf - 1, 2)) AS i FROM f)
+      |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+      |  CAST(16 + i * 256 AS BIGINT) AS frame_off,
+      |  CAST(LEAST(256, pl - i * 256) AS BIGINT) AS frame_len
+      |FROM x""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q32–q34 — analytics depth: exact per-group percentiles by rank
+  // selection (integer-deterministic, no interpolation-formula drift
+  // between engines), df-normalized term relevance ranking (TF-IDF shape
+  // without log(), which is not bit-portable), and dedup as row selection
+  // (the surviving corpus, not just the duplicate report).
+  // ---------------------------------------------------------------------
+  // Exact percentiles WITHOUT a per-identity window: a window partitioned
+  // by a 4-value key puts every identity's full delta set in one task's
+  // sort — a single-reducer bottleneck at scale. Instead: two-phase rank
+  // selection. Phase 1 histograms (identity, delta_us) — a hash aggregate
+  // with map-side combine, parallel across all 32+ partitions. Phase 2
+  // folds each identity's SORTED histogram once (single aggregate() pass)
+  // to pick the values at the p50/p95 ranks. State per identity is
+  // #distinct-values, not #rows; at 100 TB you'd bucket delta_us first
+  // (e.g. floor to ms) to bound it — the selection fold is unchanged.
+  private[graft] def q32LatencyPercentiles(spark: SparkSession, dir: String): DataFrame =
+    latencyPercentilesByRank(spark, dir, bucketUs = 1L)
+
+  /** Shared percentile engine; `bucketUs` > 1 floors deltas to the bucket
+    * (e.g. 1000 = millisecond resolution) BEFORE the histogram, bounding
+    * per-identity aggregation state to range/bucketUs distinct values no
+    * matter how many rows flow in — the realizable 100 TB path (q47).
+    * bucketUs = 1 keeps microsecond-exact semantics (q32). */
+  private[graft] def latencyPercentilesByRank(spark: SparkSession, dir: String,
+                                       bucketUs: Long): DataFrame =
+    Percentiles.byRank(q5Deltas(spark, dir), "identity", "delta_us",
+      Seq("p50_us" -> 0.5, "p95_us" -> 0.95), bucket = bucketUs)
+      .withColumnRenamed("n_rows", "n_samples")
+
+  /** Rank-selection percentile oracle over `deltas`, with optional
+    * bucketing mirrored from latencyPercentilesByRank. */
+  private[graft] def percentileSql(bucketUs: Long): String = {
+    val d =
+      if (bucketUs <= 1L) "deltas"
+      else s"(SELECT identity, CAST(FLOOR(delta_us / $bucketUs) * $bucketUs AS BIGINT) AS delta_us FROM deltas)"
+    s"""$q5MatchCte,
+      |r AS (SELECT identity, delta_us,
+      |        ROW_NUMBER() OVER (PARTITION BY identity ORDER BY delta_us) AS rn,
+      |        COUNT(*) OVER (PARTITION BY identity) AS n
+      |      FROM $d AS db)
+      |SELECT identity,
+      |  MAX(CASE WHEN rn = FLOOR((n-1) * 0.5) + 1 THEN delta_us END) AS p50_us,
+      |  MAX(CASE WHEN rn = FLOOR((n-1) * 0.95) + 1 THEN delta_us END) AS p95_us,
+      |  COUNT(*) AS n_samples
+      |FROM r GROUP BY identity""".stripMargin
+  }
+
+  private[graft] val q32Sql = percentileSql(1L)
+
+  private[graft] def q33Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // corpus size rides the plan as a broadcast 1-row aggregate — building
+    // this query runs NO job (an eager count() here would execute one every
+    // time the plan is constructed)
+    val nDocs = Tables.documents(spark, dir)
+      .agg(countDistinct(col("doc_id")).cast("double").as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("score"), asc("tok"))
+    // No broadcast hint on dfreq: a web-scale vocabulary (hundreds of
+    // millions of terms) blows past any broadcast cap, and tf/dfreq share
+    // the `tok` shuffle key anyway — AQE still picks broadcast at small
+    // SF on its own. The 1-row nDocs aggregate stays hinted: it is
+    // constant-sized at any scale.
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * col("n_docs") / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("tok"), col("score"), col("rank"))
+  }
+
+  private[graft] val q33Sql =
+    """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok
+      |              FROM documents),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+      |s AS (SELECT doc_id, tf.tok, tf * 1.0 * n_docs / df AS score
+      |      FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN n),
+      |r AS (SELECT doc_id, tok, score,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS BIGINT) AS rank
+      |      FROM s)
+      |SELECT doc_id, tok, score, rank FROM r WHERE rank <= 3""".stripMargin
+
+  private[graft] def q34DedupKeep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("content_hash"))
+    Tables.documents(spark, dir)
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keeper"))
+      .select(col("doc_id"), col("content_hash"))
+  }
+
+  private[graft] val q34Sql =
+    """SELECT doc_id, content_hash FROM (
+      |  SELECT doc_id, md5(text) AS content_hash,
+      |         MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+      |  FROM documents) t
+      |WHERE doc_id = keeper""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q35/q36 — native event-time windowing (the streaming pipeline uses
+  // processing-time triggers per the reference's W1/W2; these exercise the
+  // event-time operators Spark adds on top): tumbling window() and
+  // gap-based session_window(), both batch-checkable against the oracle
+  // (session semantics mirror q16's manual window-function form).
+  // ---------------------------------------------------------------------
+  private[graft] def q35TumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).cast("double").as("sum_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  private[graft] val q35Sql =
+    """SELECT time_bucket(INTERVAL 6 HOUR, ts) AS w_start,
+      |       time_bucket(INTERVAL 6 HOUR, ts) + INTERVAL 6 HOUR AS w_end,
+      |       event_type, COUNT(*) AS n,
+      |       CAST(SUM(value) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2, 3""".stripMargin
+
+  private[graft] def q36SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "48 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
+  // session_window closes after 48h inactivity; its window.start is the
+  // first event's ts — identical to q16's lag-based session derivation.
+  private[graft] val q36Sql =
+    """WITH g AS (
+      |  SELECT user_id, ts,
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts,
+      |         CAST(SUM(CASE WHEN prev_ts IS NULL
+      |                    OR epoch_us(ts) - epoch_us(prev_ts) > 172800000000
+      |                  THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY ts
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+      |  FROM g)
+      |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, session_no""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q37 — salted two-phase aggregation (operators/SkewAgg): identical
+  // result to a direct groupBy (the oracle is the plain GROUP BY), but no
+  // single reducer owns a hot key. Integer aggregates only — salted
+  // double-summation would reorder float addition.
+  // ---------------------------------------------------------------------
+  private[graft] def q37SaltedAddrCounts(spark: SparkSession, dir: String): DataFrame =
+    SkewAgg.countSumBy(DnsAnalog.queries(Tables.events(spark, dir)),
+      keys = Seq("query_address"), sumCols = Nil, salts = 8)
+
+  private[graft] val q37Sql =
+    s"""${DnsAnalog.oracleCte}
+      |SELECT query_address, COUNT(*) AS n FROM dns GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q38 — set operations (SURVEY §2.10: relational surface Spark adds over
+  // the reference's tables): clients that queried but never hit NXDOMAIN,
+  // via EXCEPT (distinct set difference).
+  // ---------------------------------------------------------------------
+  private[graft] def q38CleanClients(spark: SparkSession, dir: String): DataFrame = {
+    val dns = DnsAnalog.responses(Tables.events(spark, dir))
+    dns.select(col("query_address"))
+      .except(dns.filter(col("response_status") === "NXDOMAIN")
+        .select(col("query_address")))
+  }
+
+  private[graft] val q38Sql =
+    s"""${DnsAnalog.oracleCte}
+      |SELECT query_address FROM dns
+      |EXCEPT
+      |SELECT query_address FROM dns WHERE response_status = 'NXDOMAIN'""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q39/q40 — IVF coarse-quantizer ANN (operators/Similarity.annIvf) and
+  // the ROLLUP aggregation surface (reference's fixed 3-set grouping is
+  // q2/q3; Spark exposes full rollup/cube for free — SURVEY §2.10).
+  // ---------------------------------------------------------------------
+  private[graft] def q39AnnIvf(spark: SparkSession, dir: String): DataFrame =
+    Similarity.annIvf(corpus(spark, dir), probes(spark, dir), k = 3, nCells = 8)
+
+  /** IVF oracle with first-N centroids; nprobe > 1 lets a probe search
+    * its nprobe nearest cells (multi-probe — corpus stays single-cell, so
+    * no pair can duplicate). */
+  private[graft] def ivfSql(nprobe: Int): String =
+    s"""WITH c AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 8),
+      |ca AS (SELECT vec_id, embedding, cell FROM (
+      |  SELECT e.vec_id, e.embedding, c.cell,
+      |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |           ORDER BY ${duckCosine("e.embedding", "ce")} DESC, c.cell) AS crn
+      |  FROM embeddings e CROSS JOIN c) WHERE crn = 1),
+      |p0 AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 3),
+      |pa AS (SELECT probe_id, pe, cell AS pcell FROM (
+      |  SELECT p0.probe_id, p0.pe, c.cell,
+      |         ROW_NUMBER() OVER (PARTITION BY p0.probe_id
+      |           ORDER BY ${duckCosine("pe", "ce")} DESC, c.cell) AS crn
+      |  FROM p0 CROSS JOIN c) WHERE crn <= $nprobe),
+      |s AS (SELECT probe_id, ca.vec_id, ${duckCosine("pe", "ca.embedding")} AS cosine
+      |      FROM pa JOIN ca ON ca.cell = pa.pcell AND ca.vec_id <> pa.probe_id),
+      |r AS (SELECT probe_id, vec_id, cosine,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rn
+      |      FROM s)
+      |SELECT probe_id, vec_id, cosine, rn FROM r WHERE rn <= 3""".stripMargin
+
+  private[graft] val q39Sql = ivfSql(1)
+
+  private[graft] def q40RollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  private[graft] val q40Sql =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q41 — pivot (cross-tab): response-status counts per identity. Spark
+  // plans a pivot with explicit values as a single aggregation pass.
+  // ---------------------------------------------------------------------
+  private[graft] def q41PivotStatus(spark: SparkSession, dir: String): DataFrame =
+    DnsAnalog.responses(Tables.events(spark, dir))
+      .groupBy(col("identity"))
+      .pivot("response_status", Seq("NOERROR", "NXDOMAIN", "SERVFAIL"))
+      .agg(count(lit(1)))
+      .select(col("identity"),
+        coalesce(col("NOERROR"), lit(0L)).as("n_noerror"),
+        coalesce(col("NXDOMAIN"), lit(0L)).as("n_nxdomain"),
+        coalesce(col("SERVFAIL"), lit(0L)).as("n_servfail"))
+
+  private[graft] val q41Sql =
+    s"""${DnsAnalog.oracleCte}
+      |SELECT identity,
+      |  COUNT(CASE WHEN response_status = 'NOERROR' THEN 1 END) AS n_noerror,
+      |  COUNT(CASE WHEN response_status = 'NXDOMAIN' THEN 1 END) AS n_nxdomain,
+      |  COUNT(CASE WHEN response_status = 'SERVFAIL' THEN 1 END) AS n_servfail
+      |FROM dns GROUP BY identity""".stripMargin
+
+  // q42 — INTERSECT: addresses that produced both NXDOMAIN and SERVFAIL.
+  private[graft] def q42RepeatOffenders(spark: SparkSession, dir: String): DataFrame = {
+    val dns = DnsAnalog.responses(Tables.events(spark, dir))
+    dns.filter(col("response_status") === "NXDOMAIN").select(col("query_address"))
+      .intersect(dns.filter(col("response_status") === "SERVFAIL")
+        .select(col("query_address")))
+  }
+
+  private[graft] val q42Sql =
+    s"""${DnsAnalog.oracleCte}
+      |SELECT query_address FROM dns WHERE response_status = 'NXDOMAIN'
+      |INTERSECT
+      |SELECT query_address FROM dns WHERE response_status = 'SERVFAIL'""".stripMargin
+
+  // q43 — ranking-function variants beyond row_number (q15): dense_rank of
+  // question popularity per identity, with percent-free integer semantics.
+  private[graft] def q43DenseRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = DnsAnalog.queries(Tables.events(spark, dir))
+      .groupBy(col("identity"), col("question_name"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("identity")).orderBy(desc("n"), asc("question_name"))
+    counts
+      .withColumn("dr", dense_rank().over(w).cast("long"))
+      .filter(col("dr") <= 5)
+  }
+
+  private[graft] val q43Sql =
+    s"""${DnsAnalog.oracleCte}
+      |SELECT identity, question_name, n, dr FROM (
+      |  SELECT identity, question_name, COUNT(*) AS n,
+      |         CAST(DENSE_RANK() OVER (PARTITION BY identity
+      |           ORDER BY COUNT(*) DESC, question_name) AS BIGINT) AS dr
+      |  FROM dns GROUP BY identity, question_name) t
+      |WHERE dr <= 5""".stripMargin
+
+  // q44 — approximate distinct counts (HyperLogLog++): the only viable
+  // distinct-cardinality shape at 100 TB (exact distinct shuffles every
+  // key; HLL shuffles fixed-size sketches). Not oracle-expressible —
+  // registered without SQL, so the driver records the weaker rows>0 check.
+  private[graft] def q44ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    DnsAnalog.queries(Tables.events(spark, dir))
+      .groupBy(col("identity"))
+      .agg(approx_count_distinct(col("query_address"), rsd = 0.01)
+        .as("approx_addrs"),
+        count(lit(1)).as("n_rows"))
+
+  // ---------------------------------------------------------------------
+  // q45 — embedding near-dup pairs, multi-table hyperplane-LSH blocked:
+  // the production-scale sibling of q24 (which stays registered as the
+  // exact recall oracle but is excluded from the bench headline — its
+  // inequality join is a cartesian by construction). Candidates come from
+  // a (table, bucket) equi-join over 8 tables × 4 sign bits of fixed
+  // random hyperplanes; the oracle recomputes the identical buckets from
+  // the same HyperPlanes coefficient table (q26 MinHashCoeffs pattern),
+  // with the same left-to-right double accumulation — bit-exact.
+  // ---------------------------------------------------------------------
+  private[graft] def q45EmbeddingDedupLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingCosinePairsBucketed(corpus(spark, dir), threshold = 0.4)
+
+  private[graft] val q45Sql = {
+    val tables = 8
+    val bits = 4
+    val bucketCols = (0 until tables)
+      .map(t => s"${duckHyperplaneBucket("embedding", t, bits)} AS b$t")
+      .mkString(", ")
+    val anyTable = (0 until tables).map(t => s"a.b$t = b.b$t").mkString(" OR ")
+    s"""WITH eb AS (SELECT vec_id, embedding, $bucketCols FROM embeddings)
+      |SELECT vec_a, vec_b, cosine FROM (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |         ${duckCosine("a.embedding", "b.embedding")} AS cosine
+      |  FROM eb a JOIN eb b ON a.vec_id < b.vec_id AND ($anyTable)) t
+      |WHERE cosine >= 0.4""".stripMargin
+  }
+
+  // q47 — the percentile engine's bounded-state scale mode: deltas floored
+  // to milliseconds before the histogram, so per-identity aggregation
+  // state is at most range/1000 distinct buckets regardless of row volume
+  // (the documented 100 TB mitigation for q32, now a first-class
+  // oracle-checked query rather than a comment).
+  private[graft] def q47LatencyPercentilesMs(spark: SparkSession, dir: String): DataFrame =
+    latencyPercentilesByRank(spark, dir, bucketUs = 1000L)
+
+  private[graft] val q47Sql = percentileSql(1000L)
+
+  // ---------------------------------------------------------------------
+  // q48 — dedup clustering: connected components over the n-gram-Jaccard
+  // pair graph (q21's edges), collapsing transitive duplicate chains
+  // (A~B, B~C ⇒ one group even though A and C were never compared) to a
+  // per-document component label. Spark side is iterative min-label
+  // propagation (Dedup.connectedComponents); the oracle is DuckDB's
+  // recursive CTE computing min reachable id — two utterly different
+  // fixpoint engines agreeing bit-for-bit. The Jaccard graph (not the
+  // SimHash one) is the edge set because a transitive-closure ORACLE is
+  // only tractable on a sparse graph: this corpus's SimHash pairs form a
+  // 4497-doc quasi-clique at sf0.1 whose closure is quadratic — the
+  // Spark propagation handles it fine (O(E) per round), but certifying
+  // it in SQL would take the oracle minutes.
+  // ---------------------------------------------------------------------
+  private[graft] def q48DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val edges = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxShingleDfFrac = 0.1)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    Dedup.connectedComponents(docs.select(col("doc_id").as("id")), edges)
+      .select(col("id").as("doc_id"), col("component"))
+  }
+
+  /** Shared recursive min-label closure over the q21 pair graph (same
+    * edge CTEs; recursion pruned to labels that can still win: a label ≥
+    * dst always loses to dst's own id). */
+  /** The thresholded candidate→pair join shared by every consumer of
+    * q21's pair graph (q48 closure, q91/q92/q93 diagnostics): one
+    * definition of the join shape and the 0.5 Jaccard threshold, so the
+    * diagnostics can never drift from the dedup they describe. Callers
+    * prepend their own SELECT list. */
+  private[graft] val q21PairJoin =
+    """FROM i JOIN sz sa ON i.x = sa.doc JOIN sz sb ON i.y = sb.doc
+      |      WHERE c*1.0/(sa.s + sb.s - c) >= 0.5""".stripMargin
+
+  private[graft] val q48Closure =
+    s"""WITH RECURSIVE $q21PairCtes,
+      |p AS (SELECT x AS src, y AS dst
+      |      $q21PairJoin),
+      |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+      |r(v, l) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.l FROM r JOIN e ON e.src = r.v WHERE r.l < e.dst)""".stripMargin
+
+  private[graft] val q48Sql =
+    s"$q48Closure\nSELECT v AS doc_id, MIN(l) AS component FROM r GROUP BY v"
+
+  // q52 — the end of the dedup story: the corpus that SURVIVES transitive
+  // near-dup collapse (one keeper — the minimum id — per q48 component).
+  // Composes clustering with keep-selection exactly like a production
+  // pipeline would feed training data.
+  private[graft] def q52TransitiveDedupKeep(spark: SparkSession, dir: String): DataFrame =
+    q48DedupClusters(spark, dir)
+      .filter(col("doc_id") === col("component"))
+      .select(col("doc_id"))
+
+  private[graft] val q52Sql =
+    s"$q48Closure\nSELECT v AS doc_id FROM r GROUP BY v HAVING v = MIN(l)"
+
+  // q49 — multi-probe IVF: the recall knob of a production IVF index
+  // (probe the 2 nearest cells instead of 1; cost ×nprobe, recall →
+  // brute force as nprobe → nCells). First-N centroids keep it
+  // oracle-exact.
+  private[graft] def q49AnnIvfMultiprobe(spark: SparkSession, dir: String): DataFrame =
+    Similarity.annIvf(corpus(spark, dir), probes(spark, dir), k = 3,
+      nCells = 8, nprobe = 2)
+
+  private[graft] val q49Sql = ivfSql(2)
+
+  // q50 — stratified deterministic sampling: rebalance the training mix
+  // by language (downsample the dominant strata, keep the rest) with an
+  // RNG-free hash predicate — replay-stable and exactly reproducible by
+  // the oracle, which no rand()-based sample can certify.
+  private[graft] def q50StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+    Sampling.stratifiedHashSample(langs, "doc_id", "lang_pred",
+      Map("en" -> 40, "es" -> 70), defaultPct = 100)
+  }
+
+  private[graft] val q50Sql =
+    s"""WITH langs AS (
+      |$q18Sql
+      |),
+      |h AS (SELECT doc_id, lang_pred,
+      |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 8)) AS BIGINT) % 100 AS hv
+      |      FROM langs)
+      |SELECT doc_id, lang_pred FROM h
+      |WHERE hv < (CASE lang_pred WHEN 'en' THEN 40 WHEN 'es' THEN 70 ELSE 100 END)""".stripMargin
+}

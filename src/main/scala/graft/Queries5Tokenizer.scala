@@ -1,0 +1,790 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.codec.{DnsWire, DnstapCodec}
+import graft.dns.{DnsAnalog, DnstapRows}
+import graft.functions.{Anonymize, DnsNames, IpFunctions, VectorFunctions}
+import graft.operators.{AsOfMatch, CorpusStats, Dedup, GroupingSetCounter, MediaCodec, Multimodal, NgramModel, Packing, Percentiles, Quantize, Sampling, Scrub, Similarity, SkewAgg, TextAnalysis}
+
+/** Tokenizer and fingerprint families (q104-q124): BPE training/encoding, NFC, manifests, PCM/pixel decodes, perceptual dHash, audio fingerprints, profilers, eval integrity, cross-modal dedup.
+  *
+  * Mechanical r12 split of the former single-file SparkEntry registry;
+  * see [[QueriesBase]] for the chaining rationale. */
+private[graft] trait Queries5Tokenizer extends Queries4Mixtures {
+
+  private[graft] def q104BowQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("__tk", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"),
+        size(col("__tk")).cast("long").as("n_tokens"),
+        TextAnalysis.bowScore(col("__tk"), BowWeights).as("score"))
+      .withColumn("label",
+        when(col("score") >= col("n_tokens") * 100, "high")
+          .when(col("score") < col("n_tokens") * -100, "low")
+          .otherwise("mid"))
+
+  private[graft] val q104Sql =
+    s"""WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS tk
+      |           FROM documents),
+      |s AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+      |        CAST(COALESCE(list_aggregate(list_transform(tk, tok ->
+      |          list_extract(${BowWeights.mkString("[", ",", "]")},
+      |            CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 32 + 1)),
+      |          'sum'), 0) AS BIGINT) AS score
+      |      FROM t)
+      |SELECT doc_id, n_tokens, score,
+      |  CASE WHEN score >= n_tokens * 100 THEN 'high'
+      |       WHEN score < n_tokens * -100 THEN 'low' ELSE 'mid' END AS label
+      |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q105 — iterative BPE tokenizer training (CorpusStats.bpeTrainMerges):
+  // k merge rounds, each argmax-ing pair counts over the vocabulary-
+  // bounded distinct-word table and folding the merge through every
+  // word's symbol array (localCheckpoint per round — the CC-loop
+  // discipline). The oracle GENERATES the same k rounds as chained
+  // MATERIALIZED CTEs: per round a pair-count argmax with the identical
+  // (n DESC, a, b) tie-break, then the identical left-to-right
+  // non-overlapping merge as a sentinel-delimited list_reduce fold — so
+  // the certified output is the merge SEQUENCE itself, hash-exact.
+  // ---------------------------------------------------------------------
+  private[graft] val BpeRounds = 6
+
+  private[graft] def q105BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.bpeTrainMerges(Tables.documents(spark, dir), "text", BpeRounds)
+
+  /** The k-round BPE training CTE chain (shared by q105/q110):
+    * w0..w{k or k-1}, m0..m{k-1}. `finalWords=true` also materializes
+    * the post-ALL-merges word table w{k} (q110 encodes against it);
+    * false stops at the last pick (q105 only needs the merge rows). */
+  private[graft] def bpeTrainingCtes(finalWords: Boolean): String = {
+    val sep = "chr(1)"
+    val w0 =
+      s"""WITH w0 AS MATERIALIZED (
+        |  SELECT CAST(count(*) AS BIGINT) AS wc, string_split(w, '') AS sym
+        |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |        FROM documents)
+        |  WHERE NOT contains(w, $sep)
+        |  GROUP BY w)""".stripMargin
+    val rounds = (0 until BpeRounds).map { i =>
+      val pick =
+        s"""m$i AS MATERIALIZED (
+          |  SELECT pr.a AS a, pr.b AS b, CAST(SUM(wc) AS BIGINT) AS n
+          |  FROM (SELECT wc, unnest(list_transform(range(1, len(sym)),
+          |          j -> {'a': sym[j], 'b': sym[j+1]})) AS pr
+          |        FROM w$i WHERE len(sym) >= 2)
+          |  GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1)""".stripMargin
+      val merge =
+        s"""w${i + 1} AS MATERIALIZED (
+          |  SELECT wc, list_filter(string_split(
+          |    list_reduce(list_prepend($sep, sym), (acc, x) ->
+          |      CASE WHEN x = m.b AND ends_with(acc, $sep || m.a || $sep)
+          |           THEN substr(acc, 1, length(acc) - length(m.a) - 1)
+          |                  || m.a || m.b || $sep
+          |           ELSE acc || x || $sep END),
+          |    $sep), s -> s <> '') AS sym
+          |  FROM w$i, m$i m)""".stripMargin
+      if (i < BpeRounds - 1 || finalWords) s"$pick,\n$merge" else pick
+    }
+    s"$w0,\n${rounds.mkString(",\n")}"
+  }
+
+  private[graft] val q105Sql: String = {
+    val union = (0 until BpeRounds).map { i =>
+      s"SELECT ${i + 1} AS round, a AS left_sym, b AS right_sym, " +
+        s"a || b AS merged, n AS n_occ FROM m$i"
+    }.mkString("\nUNION ALL ")
+    s"${bpeTrainingCtes(finalWords = false)}\n$union"
+  }
+
+  // ---------------------------------------------------------------------
+  // q110 — BPE corpus encoding (CorpusStats.bpeEncodedCounts): apply the
+  // q105-trained tokenizer and certify per-document post-merge token
+  // counts — the number the packing/chunking budget actually pays.
+  // Spark computes symbol counts once per DISTINCT word and meets the
+  // token stream via an 8-byte-hash join (never re-running merges, never
+  // shuffling word text); the oracle re-derives the same counts from the
+  // final w{k} table, joining occurrences by the reconstructed word.
+  // ---------------------------------------------------------------------
+  private[graft] def q110BpeEncode(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.bpeEncodedCounts(Tables.documents(spark, dir),
+      "doc_id", "text", BpeRounds)
+
+  // NOTE: the CTE chain is concatenated OUTSIDE the stripMargin — the
+  // embedded SQL has continuation lines starting with "||" that an outer
+  // stripMargin would truncate to "|" (bitwise-or)
+  private[graft] val q110Sql: String =
+    bpeTrainingCtes(finalWords = true) + ",\n" +
+      s"""v AS (SELECT array_to_string(sym, '') AS word, len(sym) AS nsym
+        |      FROM w$BpeRounds),
+        |occ AS (SELECT doc_id,
+        |          unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        |        FROM documents)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(nsym) AS BIGINT) AS n_bpe_tokens
+        |FROM occ JOIN v USING (word)
+        |WHERE NOT contains(word, chr(1))
+        |GROUP BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q106 — Unicode NFC normalization (functions.Normalize, codegen'd
+  // java.text.Normalizer): the canonicalization stage the dedup family
+  // orders FIRST (normalize → tokenize → shingle/hash). The testdata is
+  // pure ASCII (where NFC is identity), so the query deterministically
+  // SYNTHESIZES decomposed text on both sides — every 'e' becomes
+  // e + U+0301 combining acute — and certifies that NFC recomposes it
+  // to the precomposed U+00E9 form: lengths shrink by exactly the
+  // accent count and the normalized string equals the independently
+  // built precomposed replacement, char-for-char, vs DuckDB's
+  // nfc_normalize. Scan-level, no shuffle.
+  // ---------------------------------------------------------------------
+  private[graft] def q106NfcNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val nfc = (c: Column) => graft.functions.Normalize.normalize(c, "NFC")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "e", "e\u0301").as("__synth"),
+        regexp_replace(col("text"), "e", "\u00e9").as("__pre"))
+      .select(col("doc_id"),
+        length(col("__synth")).cast("long").as("len_raw"),
+        length(nfc(col("__synth"))).cast("long").as("len_nfc"),
+        (nfc(col("__synth")) === col("__pre")).as("nfc_eq_precomposed"))
+  }
+
+  private[graft] val q106Sql =
+    """WITH s AS (SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS synth,
+      |                  replace(text, 'e', chr(233)) AS pre
+      |           FROM documents)
+      |SELECT doc_id, CAST(length(synth) AS BIGINT) AS len_raw,
+      |  CAST(length(nfc_normalize(synth)) AS BIGINT) AS len_nfc,
+      |  nfc_normalize(synth) = pre AS nfc_eq_precomposed
+      |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q107 — per-source DATA CARD: the release-notes rollup composing the
+  // existing diagnostics into one row per source — doc count + near-dup
+  // rate (q93), median length bucket (q99), planted-PII density (q98),
+  // corpus-novelty share (q95 aggregated source-wise as an exact
+  // cross-ratio, not a mean of ratios), and dominant predicted language
+  // (q18 counts + per-source argmax). The Spark side literally calls
+  // the registered query functions and joins on `source` (#sources
+  // rows — broadcast-trivial); the oracle nests the SAME per-query SQL
+  // as subqueries, so the rollup cannot drift from the diagnostics it
+  // summarizes. Heavy lifting stays in the component pipelines, each
+  // already plan-audited; the rollup adds only source-keyed joins.
+  // ---------------------------------------------------------------------
+  private[graft] def q107DataCard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val srcOf = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val dup = q93SourceDupRate(spark, dir)
+      .select(col("source"), col("n_docs"), col("dup_bp"))
+    val nov = q95Novelty(spark, dir).join(srcOf, "doc_id")
+      .groupBy(col("source"))
+      .agg(floor(sum(col("n_unique")) * 10000 / sum(col("n_shingles")))
+        .cast("long").as("novelty_bp"))
+    val len = q99LengthPercentilesBucketed(spark, dir)
+      .select(col("source"), col("p50_bucket").as("p50_chars"))
+    val pii = q98PiiBySource(spark, dir)
+      .select(col("source"),
+        (col("total_emails") + col("total_ipv4") + col("total_phones"))
+          .cast("long").as("n_pii"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("cnt").desc, col("lang_pred"))
+    val lang = q18LangId(spark, dir).join(srcOf, "doc_id")
+      .groupBy(col("source"), col("lang_pred")).agg(count(lit(1)).as("cnt"))
+      .withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
+      .select(col("source"), col("lang_pred").as("top_lang"))
+    dup.join(nov, "source").join(len, "source")
+      .join(pii, "source").join(lang, "source")
+  }
+
+  private[graft] val q107Sql =
+    s"""WITH d93 AS (SELECT source, n_docs, dup_bp FROM ($q93Sql)),
+      |nov AS (SELECT d.source,
+      |          CAST(floor(sum(n.n_unique) * 10000 / sum(n.n_shingles)) AS BIGINT)
+      |            AS novelty_bp
+      |        FROM ($q95Sql) n JOIN documents d USING (doc_id)
+      |        GROUP BY d.source),
+      |len AS (SELECT source, p50_bucket AS p50_chars FROM ($q99Sql)),
+      |pii AS (SELECT source,
+      |          CAST(total_emails + total_ipv4 + total_phones AS BIGINT) AS n_pii
+      |        FROM ($q98Sql)),
+      |lc AS (SELECT d.source, l.lang_pred, count(*) AS cnt
+      |       FROM ($q18Sql) l JOIN documents d USING (doc_id) GROUP BY 1, 2),
+      |lang AS (SELECT source, lang_pred AS top_lang FROM (
+      |           SELECT source, lang_pred,
+      |             ROW_NUMBER() OVER (PARTITION BY source
+      |               ORDER BY cnt DESC, lang_pred) AS rk
+      |           FROM lc) WHERE rk = 1)
+      |SELECT source, n_docs, dup_bp, p50_chars, novelty_bp, n_pii, top_lang
+      |FROM d93 JOIN nov USING (source) JOIN len USING (source)
+      |  JOIN pii USING (source) JOIN lang USING (source)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q108/q109 — real media DECODE, past headers (MediaCodec): q108 reads
+  // the signed 16-bit little-endian PCM samples out of the WAV data
+  // chunk and certifies integer signal stats (count, peak, energy, floor
+  // mean) — the oracle recomputes every sample from the source bytes, so
+  // a one-sample decode error breaks the hash. q109 decodes tiny REAL
+  // PNGs end-to-end — IDAT is a genuine zlib stream (JDK Inflater),
+  // scanlines carry real filter bytes — and certifies pixel stats; every
+  // 41st image has its zlib header flipped, exercising the inflate
+  // failure path (distinct from q102's CRC-flip slice). Both are narrow
+  // partition-local maps; sample/pixel bytes never shuffle.
+  // ---------------------------------------------------------------------
+  private[graft] def q108PcmStats(spark: SparkSession, dir: String): DataFrame =
+    MediaCodec.pcmStats(realMediaOf(spark, dir)).toDF()
+
+  private[graft] val q108Sql =
+    """WITH d AS (SELECT doc_id, text, strlen(text) AS pl FROM documents
+      |           WHERE doc_id % 37 <> 0 AND doc_id % 3 = 2),
+      |s AS (SELECT doc_id, pl // 2 AS n,
+      |        list_transform(range(0, pl // 2), i ->
+      |          CASE WHEN ord(substr(text, CAST(2*i + 2 AS INTEGER), 1)) >= 128
+      |               THEN ord(substr(text, CAST(2*i + 1 AS INTEGER), 1))
+      |                    + 256 * ord(substr(text, CAST(2*i + 2 AS INTEGER), 1)) - 65536
+      |               ELSE ord(substr(text, CAST(2*i + 1 AS INTEGER), 1))
+      |                    + 256 * ord(substr(text, CAST(2*i + 2 AS INTEGER), 1)) END) AS smp
+      |      FROM d)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+      |  CAST(COALESCE(list_aggregate(list_transform(smp, x -> abs(x)), 'max'), 0) AS INTEGER) AS peak,
+      |  CAST(COALESCE(list_aggregate(list_transform(smp, x -> x * x), 'sum'), 0) AS BIGINT) AS sum_sq,
+      |  CAST(CASE WHEN n = 0 THEN 0
+      |       ELSE list_aggregate(list_transform(smp, x -> abs(x)), 'sum') // n
+      |       END AS BIGINT) AS mean_abs
+      |FROM s""".stripMargin
+
+  private[graft] def q109PixelStats(spark: SparkSession, dir: String): DataFrame =
+    MediaCodec.pixelStats(
+      MediaCodec.attachImages(Tables.documents(spark, dir))).toDF()
+
+  private[graft] val q109Sql =
+    """WITH d AS (SELECT doc_id, text, strlen(text) AS pl FROM documents
+      |           WHERE doc_id % 41 <> 0),
+      |dim AS (SELECT doc_id, text, pl,
+      |          CAST(4 + doc_id % 8 AS INTEGER) AS w,
+      |          CAST(3 + doc_id % 5 AS INTEGER) AS h
+      |        FROM d),
+      |px AS (SELECT doc_id, w, h,
+      |         list_transform(range(0, w * h * 3), j ->
+      |           CASE WHEN pl = 0 THEN 0
+      |                ELSE ord(substr(text, CAST((j % pl) + 1 AS INTEGER), 1))
+      |           END) AS p
+      |       FROM dim)
+      |SELECT doc_id, w AS width, h AS height, CAST(w * h AS BIGINT) AS n_pixels,
+      |  CAST(list_aggregate(p, 'sum') AS BIGINT) AS sum_rgb,
+      |  CAST(list_aggregate(p, 'max') AS INTEGER) AS max_byte
+      |FROM px""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q111 — curation funnel: the stage-by-stage attrition ledger of the
+  // q65 manifest pipeline (raw → transitive-dedup keep → decontaminated
+  // → repetition quality), one row per stage with surviving doc count —
+  // the "where did my corpus go" report every curation run publishes
+  // next to its manifest. Reuses the SAME operator calls as q65 (the
+  // CC fixpoint is localCheckpointed at construction, so the three
+  // stages that include it re-execute only post-checkpoint stages), and
+  // the oracle reuses q65's CTE definitions — the funnel cannot drift
+  // from the manifest it explains.
+  // ---------------------------------------------------------------------
+  private[graft] def q111CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val raw = docs.filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("text"))
+    val keepers = q52TransitiveDedupKeep(spark, dir)
+    val contaminated = Scrub.decontaminate(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 5)
+      .select(col("doc_id"))
+    // ONE pass: per-doc stage flags, then a single global aggregation —
+    // a union of per-stage counts would re-execute the shared
+    // decontamination/gate subtrees once per branch (the dominant
+    // remaining cost is the q48 fixpoint, which runs at construction
+    // either way)
+    val tk = col("__tk")
+    val flags = raw
+      .join(keepers.select(col("doc_id"), lit(1L).as("__k")),
+        Seq("doc_id"), "left")
+      .join(contaminated.select(col("doc_id"), lit(1L).as("__c")),
+        Seq("doc_id"), "left")
+      .withColumn("__tk", TextAnalysis.tokens(col("text")))
+      .select(coalesce(col("__k"), lit(0L)).as("k"),
+        (lit(1L) - coalesce(col("__c"), lit(0L))).as("notc"),
+        when(TextAnalysis.dupTokenRatio(tk) < 0.6 &&
+          TextAnalysis.topTokenFraction(tk) < 0.12, 1L).otherwise(0L).as("g"))
+    flags
+      .agg(count(lit(1)).as("n1"), sum(col("k")).as("n2"),
+        sum(col("k") * col("notc")).as("n3"),
+        sum(col("k") * col("notc") * col("g")).as("n4"))
+      .select(explode(array(
+        struct(lit(1).as("stage"), lit("raw").as("stage_name"),
+          col("n1").as("n_docs")),
+        struct(lit(2).as("stage"), lit("dedup_keep").as("stage_name"),
+          col("n2").as("n_docs")),
+        struct(lit(3).as("stage"), lit("decontaminated").as("stage_name"),
+          col("n3").as("n_docs")),
+        struct(lit(4).as("stage"), lit("quality").as("stage_name"),
+          col("n4").as("n_docs")))).as("r"))
+      .select(col("r.stage").as("stage"), col("r.stage_name").as("stage_name"),
+        col("r.n_docs").as("n_docs"))
+  }
+
+  private[graft] val q111Sql =
+    s"""$q48Closure,
+      |keep48 AS (SELECT v AS doc_id FROM r GROUP BY v HAVING v = MIN(l)),
+      |t5 AS (SELECT doc_id, source, list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
+      |sh5 AS (SELECT DISTINCT doc_id, source, sg FROM (
+      |  SELECT doc_id, source, unnest(CASE WHEN len(tk) >= 5
+      |    THEN list_transform(generate_series(1, len(tk)-4),
+      |           k -> tk[k]||' '||tk[k+1]||' '||tk[k+2]||' '||tk[k+3]||' '||tk[k+4])
+      |    ELSE [] END) AS sg FROM t5)),
+      |ev5 AS (SELECT DISTINCT sg FROM sh5 WHERE source = 'src0'),
+      |cont AS (SELECT DISTINCT s.doc_id FROM sh5 s JOIN ev5 USING (sg)
+      |         WHERE s.source <> 'src0'),
+      |rep AS (SELECT doc_id FROM (
+      |    SELECT doc_id, len(tk) AS n, len(list_distinct(tk)) AS d,
+      |      list_aggregate(list_transform(list_distinct(tk),
+      |        u -> len(list_filter(tk, x -> x = u))), 'max') AS mx
+      |    FROM t5 WHERE source <> 'src0')
+      |  WHERE n = 0 OR ((n-d)*1.0/n < 0.6 AND mx*1.0/n < 0.12)),
+      |raw AS (SELECT doc_id FROM documents WHERE source <> 'src0'),
+      |s1 AS (SELECT doc_id FROM raw JOIN keep48 USING (doc_id)),
+      |s2 AS (SELECT s1.doc_id FROM s1 LEFT JOIN cont ON s1.doc_id = cont.doc_id
+      |       WHERE cont.doc_id IS NULL),
+      |s3 AS (SELECT s2.doc_id FROM s2 JOIN rep ON s2.doc_id = rep.doc_id)
+      |SELECT 1 AS stage, 'raw' AS stage_name,
+      |  CAST((SELECT count(*) FROM raw) AS BIGINT) AS n_docs
+      |UNION ALL SELECT 2, 'dedup_keep', CAST((SELECT count(*) FROM s1) AS BIGINT)
+      |UNION ALL SELECT 3, 'decontaminated', CAST((SELECT count(*) FROM s2) AS BIGINT)
+      |UNION ALL SELECT 4, 'quality', CAST((SELECT count(*) FROM s3) AS BIGINT)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q112 — compressibility quality signal (functions.DeflateSize): zlib
+  // ratio in basis points per document, banded into the standard
+  // curation buckets (too-compressible = templated/looped text,
+  // incompressible = already-compressed or random junk). Scan-level,
+  // no shuffle. ROWS-ONLY by design: deflate output is deterministic
+  // per zlib build but not portable across engines — value semantics
+  // are pinned by `DeflateSizeSpec` instead (the HLL/packing contract).
+  // ---------------------------------------------------------------------
+  private[graft] def q112CompressionQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        graft.functions.Compressibility.deflateSize(col("text")).cast("long")
+          .as("z_bytes"))
+      .withColumn("ratio_bp",
+        floor(col("z_bytes") * 10000 / col("n_bytes")).cast("long"))
+      .withColumn("band",
+        when(col("ratio_bp") < 2000, "looped")
+          .when(col("ratio_bp") > 9000, "incompressible")
+          .otherwise("prose"))
+
+  // ---------------------------------------------------------------------
+  // q113 — normalization-closed dedup: the certified demonstration that
+  // the q106 NFC stage closes the mixed-encoding under-dedup gap. The
+  // corpus is doubled into a composed (U+00E9) and a decomposed
+  // (e + U+0301) variant of every document; exact dedup on raw bytes
+  // only pairs the documents whose variants are byte-identical (no 'e'
+  // at all), while dedup on NFC-normalized text pairs ALL of them. Two
+  // aggregate rows (method, group counts) certify both sides.
+  // ---------------------------------------------------------------------
+  private[graft] def q113NfcDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val composed = docs.select(col("doc_id"),
+      regexp_replace(col("text"), "e", "\u00e9").as("text"))
+    val decomposed = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      regexp_replace(col("text"), "e", "e\u0301").as("text"))
+    val u = composed.union(decomposed)
+    val nfc = graft.functions.Normalize.normalize(col("text"), "NFC")
+    val keyed = u.select(lit("raw").as("method"), md5(col("text")).as("h"))
+      .union(u.select(lit("nfc").as("method"), md5(nfc).as("h")))
+    keyed.groupBy(col("method"), col("h")).agg(count(lit(1)).as("c"))
+      .groupBy(col("method"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_groups"))
+  }
+
+  private[graft] val q113Sql =
+    """WITH u AS (
+      |  SELECT doc_id, replace(text, 'e', chr(233)) AS text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, replace(text, 'e', 'e' || chr(769)) FROM documents),
+      |r AS (SELECT 'raw' AS method, md5(text) AS h FROM u
+      |      UNION ALL SELECT 'nfc', md5(nfc_normalize(text)) FROM u),
+      |g AS (SELECT method, h, count(*) AS c FROM r GROUP BY 1, 2)
+      |SELECT method, CAST(count(*) AS BIGINT) AS n_groups,
+      |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+      |FROM g GROUP BY method""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q114 — per-column data profile (operators/Profile): row/null/exact-
+  // distinct counts and string-collated min/max for every documents
+  // column, one aggregation pass (multi-count-distinct plans as a single
+  // Expand). The drop-preflight next to the q107 data card.
+  // ---------------------------------------------------------------------
+  private[graft] def q114Profile(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.profile(Tables.documents(spark, dir))
+
+  private[graft] val q114Sql = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    cols.map { c =>
+      s"""SELECT '$c' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+        |  min(CAST($c AS VARCHAR)) AS min_str, max(CAST($c AS VARCHAR)) AS max_str
+        |FROM documents""".stripMargin
+    }.mkString("\nUNION ALL ")
+  }
+
+  // ---------------------------------------------------------------------
+  // q115 — eval-set integrity, q56 reversed: per EVAL document, how many
+  // distinct 5-gram shingles it shares with the training corpus — "is my
+  // benchmark already memorizable from the train set", the report an
+  // eval-suite owner publishes. Plan note: with the sides swapped the
+  // "eval" argument IS the big corpus, so the call passes
+  // maxEvalShingles = 0 — the documented degrade that drops the guarded
+  // broadcast and lets AQE run a plain 8-byte-hash shuffle join (text
+  // still never shuffles). The oracle is q56's with the sides swapped.
+  // ---------------------------------------------------------------------
+  private[graft] def q115EvalContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Scrub.decontaminate(
+      train = docs.filter(col("source") === "src0"),
+      eval = docs.filter(col("source") =!= "src0"),
+      idCol = "doc_id", textCol = "text", n = 5,
+      maxEvalShingles = 0)
+  }
+
+  private[graft] val q115Sql =
+    """WITH t AS (SELECT doc_id, source, list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, source, sg FROM (
+      |  SELECT doc_id, source, unnest(CASE WHEN len(tk) >= 5
+      |    THEN list_transform(generate_series(1, len(tk)-4),
+      |           i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4])
+      |    ELSE [] END) AS sg FROM t)),
+      |tr AS (SELECT DISTINCT sg FROM sh WHERE source <> 'src0')
+      |SELECT s.doc_id, COUNT(*) AS n_hits
+      |FROM sh s JOIN tr USING (sg) WHERE s.source = 'src0'
+      |GROUP BY s.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q116 — IVF recall report: overlap of the q49 multiprobe top-3 with
+  // the exact cosine top-3 (q22 restricted), per probe, in integer basis
+  // points — the recall@k number an ANN deployment publishes next to its
+  // nprobe setting (the q78 report, for the IVF family). Composes the
+  // two registered queries verbatim; the oracle nests their SQL, so the
+  // report cannot drift from the surfaces it measures.
+  // ---------------------------------------------------------------------
+  private[graft] def q116IvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val ivf = q49AnnIvfMultiprobe(spark, dir).select(col("probe_id"), col("vec_id"))
+    val exact = q22KnnBruteforce(spark, dir)
+      .filter(col("rn") <= 3).select(col("probe_id"), col("vec_id"))
+    val hits = exact.join(ivf, Seq("probe_id", "vec_id"))
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("__hit"))
+    probes(spark, dir).select(col("probe_id"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("__hit"), lit(0L)).as("n_hit"),
+        floor(coalesce(col("__hit"), lit(0L)) * 10000 / 3).cast("long")
+          .as("recall_bp"))
+  }
+
+  private[graft] val q116Sql =
+    s"""WITH ex AS (SELECT probe_id, vec_id FROM (${q22Sql}) WHERE rn <= 3),
+      |iv AS (SELECT probe_id, vec_id FROM (${q49Sql})),
+      |h AS (SELECT probe_id, count(*) AS hit
+      |      FROM ex JOIN iv USING (probe_id, vec_id) GROUP BY 1),
+      |pp AS (SELECT vec_id AS probe_id FROM embeddings WHERE vec_id < 3)
+      |SELECT probe_id, CAST(COALESCE(hit, 0) AS BIGINT) AS n_hit,
+      |  CAST(COALESCE(hit, 0) * 10000 // 3 AS BIGINT) AS recall_bp
+      |FROM pp LEFT JOIN h USING (probe_id)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q117/q118 — the full sniffing-chain oracle (MediaCodec.encodeExt):
+  // every parser the chain can reach — PNG, JPEG, WAV, BMP, GIF — gets
+  // an end-to-end CORRECTNESS row from ONE 5-format binary column,
+  // closing the r9 gap where BMP/GIF were unit-tested but never driven
+  // through the registry. Same discipline as q102/q103: every header
+  // field and exact container byte count derive from (doc_id,
+  // strlen(text)), every 37th row is corrupted through a format-DISTINCT
+  // failure path (PNG CRC flip / JPEG truncation / WAV form type / BMP
+  // planes / GIF signature), and q118 is the counted drop ledger. BMP
+  // rows where doc_id % 7 == 0 store a negative (top-down) height, so
+  // the magnitude branch is oracle-covered too. Narrow maps; payload
+  // bytes never shuffle.
+  // ---------------------------------------------------------------------
+  private[graft] def extMediaOf(spark: SparkSession, dir: String) =
+    MediaCodec.attachMediaExt(Tables.documents(spark, dir))
+
+  private[graft] def q117MediaCodecExt(spark: SparkSession, dir: String): DataFrame =
+    MediaCodec.extractMetadata(extMediaOf(spark, dir)).toDF()
+
+  private[graft] val q117Sql =
+    """WITH d AS (SELECT doc_id, strlen(text) AS pl FROM documents
+      |           WHERE doc_id % 37 <> 0)
+      |SELECT doc_id,
+      |  CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'wav'
+      |                  WHEN 3 THEN 'bmp' ELSE 'gif' END AS format,
+      |  CAST(CASE doc_id % 5 WHEN 0 THEN 64 + doc_id % 1024
+      |                       WHEN 1 THEN 64 + (doc_id * 5) % 1024
+      |                       WHEN 3 THEN 16 + doc_id % 512
+      |                       WHEN 4 THEN 1 + doc_id % 640 END AS INTEGER) AS width,
+      |  CAST(CASE doc_id % 5 WHEN 0 THEN 64 + (doc_id * 7) % 768
+      |                       WHEN 1 THEN 64 + (doc_id * 3) % 1024
+      |                       WHEN 3 THEN 16 + (doc_id * 3) % 512
+      |                       WHEN 4 THEN 1 + (doc_id * 11) % 480 END AS INTEGER) AS height,
+      |  CAST(CASE doc_id % 5 WHEN 0 THEN 8 + 8 * (doc_id % 2)
+      |                       WHEN 1 THEN 8 WHEN 2 THEN 16 WHEN 3 THEN 8
+      |                       ELSE (doc_id % 8) + 1 END AS INTEGER) AS bit_depth,
+      |  CAST(CASE doc_id % 5 WHEN 0 THEN 3 WHEN 1 THEN 3
+      |                       WHEN 2 THEN 1 + doc_id % 2
+      |                       WHEN 3 THEN CASE doc_id % 3 WHEN 0 THEN 1
+      |                                   WHEN 1 THEN 3 ELSE 4 END
+      |                       ELSE 1 END AS INTEGER) AS channels,
+      |  CAST(CASE doc_id % 5 WHEN 2 THEN
+      |         CASE (doc_id // 3) % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 32000 END
+      |       END AS INTEGER) AS sample_rate,
+      |  CAST(CASE doc_id % 5 WHEN 2 THEN (pl * 1000) //
+      |         ((CASE (doc_id // 3) % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 32000 END)
+      |          * (1 + doc_id % 2) * 2)
+      |       END AS BIGINT) AS duration_ms,
+      |  CAST(CASE doc_id % 5 WHEN 0 THEN 57 + pl WHEN 1 THEN 45 + pl
+      |       WHEN 2 THEN 44 + pl + pl % 2 WHEN 3 THEN 54 + pl
+      |       ELSE 14 + pl END AS BIGINT) AS n_bytes
+      |FROM d""".stripMargin
+
+  private[graft] def q118MediaAuditExt(spark: SparkSession, dir: String): DataFrame =
+    MediaCodec.audit(extMediaOf(spark, dir))
+
+  private[graft] val q118Sql =
+    """WITH s AS (SELECT
+      |    CASE WHEN doc_id % 37 = 0 THEN 'corrupt'
+      |         WHEN doc_id % 5 = 0 THEN 'png'
+      |         WHEN doc_id % 5 = 1 THEN 'jpeg'
+      |         WHEN doc_id % 5 = 2 THEN 'wav'
+      |         WHEN doc_id % 5 = 3 THEN 'bmp' ELSE 'gif' END AS status,
+      |    CASE WHEN doc_id % 37 = 0 AND doc_id % 5 = 1 THEN 10
+      |         WHEN doc_id % 5 = 0 THEN 57 + strlen(text)
+      |         WHEN doc_id % 5 = 1 THEN 45 + strlen(text)
+      |         WHEN doc_id % 5 = 2 THEN 44 + strlen(text) + strlen(text) % 2
+      |         WHEN doc_id % 5 = 3 THEN 54 + strlen(text)
+      |         ELSE 14 + strlen(text) END AS len
+      |  FROM documents)
+      |SELECT status, count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS n_bytes
+      |FROM s GROUP BY status""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q119 — perceptual image dedup: the multimodal analogue of the text
+  // near-dup family, composing the REAL pixel decoder (q109) with the
+  // banded hamming machinery (q28). documents → fixed 8×8 REAL PNG
+  // thumbnails (the standardize-then-hash pipeline shape) → decode →
+  // 63-bit dHash (integer grayscale, nearest-neighbour grid — 63 bits
+  // so the fingerprint stays positive in every engine's signed int64) →
+  // 21-bit×3 band join, pairs within hamming ≤ 2. Exact-duplicate texts
+  // produce hamming-0 pairs; near-dup texts (the q21/q26 families)
+  // produce hamming-1 pairs at sf0.01 — both slices live in the
+  // testdata. The oracle recomputes every pixel, every grayscale
+  // sample, and every hash bit from (doc_id, text), then brute-forces
+  // all pairs — certifying both the decode→hash arithmetic AND that
+  // banding loses no pair. Plan: only (id, 8-byte hash) rows shuffle;
+  // pixels never leave their partition.
+  // ---------------------------------------------------------------------
+  private[graft] def q119ImageDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.hammingPairs63(
+      MediaCodec.dHashes(
+        MediaCodec.attachThumbnails(Tables.documents(spark, dir))).toDF(),
+      "doc_id", "dhash", maxHamming = 2)
+
+  /** CTE list (no WITH) computing img_dh(doc_id, dhash) — shared by
+    * q119 and the q124 multimodal closure. */
+  private[graft] val imageDhCtes =
+    """img_d AS (SELECT doc_id, text, strlen(text) AS pl FROM documents
+      |          WHERE doc_id % 41 <> 0),
+      |img_px AS (SELECT doc_id,
+      |         list_transform(range(0, 192), k ->
+      |           CASE WHEN pl = 0 THEN 0
+      |                ELSE ord(substr(text, CAST((k % pl) + 1 AS INTEGER), 1))
+      |           END) AS p
+      |       FROM img_d),
+      |img_gg AS (SELECT doc_id,
+      |         list_transform(range(0, 70), t ->
+      |           (p[CAST(3 * (((t // 10) * 8 // 7) * 8 + (t % 10) * 8 // 10) + 1 AS INTEGER)]
+      |          + p[CAST(3 * (((t // 10) * 8 // 7) * 8 + (t % 10) * 8 // 10) + 2 AS INTEGER)]
+      |          + p[CAST(3 * (((t // 10) * 8 // 7) * 8 + (t % 10) * 8 // 10) + 3 AS INTEGER)]) // 3) AS g
+      |       FROM img_px),
+      |img_dh AS (SELECT doc_id,
+      |         CAST(list_sum(list_transform(range(0, 63), b ->
+      |           CASE WHEN g[CAST((b // 9) * 10 + (b % 9) + 2 AS INTEGER)]
+      |                     > g[CAST((b // 9) * 10 + (b % 9) + 1 AS INTEGER)]
+      |                THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END)) AS BIGINT) AS dhash
+      |       FROM img_gg)""".stripMargin
+
+  private[graft] val q119Sql =
+    s"""WITH $imageDhCtes
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+      |FROM img_dh a JOIN img_dh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.dhash, b.dhash)) <= 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q120/q121 — audio near-dup: the PCM analogue of q27/q28 and the
+  // third leg of the multimodal dedup story (text / image / audio).
+  // documents → REAL WAV (every 43rd RIFF-broken → decode drops) →
+  // 16-bit PCM decode (the q108-certified path) → 60-bit integer
+  // sign-of-difference fingerprint (Haitsma & Kalker's public scheme,
+  // FFT-free: per-frame energy / sign-crossings / peak, one bit per
+  // adjacent-frame rise) → the q119 band join. q120 certifies EVERY
+  // per-doc fingerprint bit-for-bit (so an error on an unpaired doc
+  // still breaks the hash); q121 emits the near-dup pairs. Only
+  // (id, 8-byte fingerprint) rows shuffle; samples never leave their
+  // partition.
+  // ---------------------------------------------------------------------
+  private[graft] def audioFpOf(spark: SparkSession, dir: String) =
+    MediaCodec.audioFingerprints(
+      MediaCodec.attachAudio(Tables.documents(spark, dir)))
+
+  private[graft] def q120AudioFingerprint(spark: SparkSession, dir: String): DataFrame =
+    audioFpOf(spark, dir).toDF()
+
+  private[graft] def q121AudioDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.hammingPairs63(audioFpOf(spark, dir).toDF(),
+      "doc_id", "fingerprint", maxHamming = 2)
+
+  /** CTE list (no WITH) computing au_fp(doc_id, fingerprint): text →
+    * 16-bit LE samples (the q108 formula) → 21-frame integer features →
+    * 60-bit fingerprint. Shared by q120/q121 and the q124 closure. */
+  private[graft] val audioFpCtes =
+    """au_d AS (SELECT doc_id, text, strlen(text) AS pl FROM documents
+      |         WHERE doc_id % 43 <> 0),
+      |au_s AS (SELECT doc_id, pl // 2 AS n,
+      |        list_transform(range(0, pl // 2), i ->
+      |          CASE WHEN ord(substr(text, CAST(2*i + 2 AS INTEGER), 1)) >= 128
+      |               THEN ord(substr(text, CAST(2*i + 1 AS INTEGER), 1))
+      |                    + 256 * ord(substr(text, CAST(2*i + 2 AS INTEGER), 1)) - 65536
+      |               ELSE ord(substr(text, CAST(2*i + 1 AS INTEGER), 1))
+      |                    + 256 * ord(substr(text, CAST(2*i + 2 AS INTEGER), 1)) END) AS smp
+      |      FROM au_d),
+      |au_fe AS (SELECT doc_id,
+      |        list_transform(range(0, 21), f -> COALESCE(list_sum(list_transform(
+      |          list_slice(smp, CAST(f*n//21 + 1 AS INTEGER), CAST((f+1)*n//21 AS INTEGER)),
+      |          x -> abs(x))), 0)) AS e,
+      |        list_transform(range(0, 21), f -> COALESCE(list_sum(list_transform(
+      |          range(f*n//21 + 1, (f+1)*n//21), k ->
+      |            CASE WHEN (smp[CAST(k+1 AS INTEGER)] >= 0) <> (smp[CAST(k AS INTEGER)] >= 0)
+      |                 THEN 1 ELSE 0 END)), 0)) AS z,
+      |        list_transform(range(0, 21), f -> COALESCE(list_aggregate(list_transform(
+      |          list_slice(smp, CAST(f*n//21 + 1 AS INTEGER), CAST((f+1)*n//21 AS INTEGER)),
+      |          x -> abs(x)), 'max'), 0)) AS p
+      |      FROM au_s),
+      |au_fp AS (SELECT doc_id,
+      |  CAST(list_sum(list_transform(range(0, 20), k ->
+      |      CASE WHEN e[CAST(k+2 AS INTEGER)] > e[CAST(k+1 AS INTEGER)]
+      |           THEN (1::BIGINT << CAST(k AS INTEGER)) ELSE 0 END
+      |    + CASE WHEN z[CAST(k+2 AS INTEGER)] > z[CAST(k+1 AS INTEGER)]
+      |           THEN (1::BIGINT << CAST(k+20 AS INTEGER)) ELSE 0 END
+      |    + CASE WHEN p[CAST(k+2 AS INTEGER)] > p[CAST(k+1 AS INTEGER)]
+      |           THEN (1::BIGINT << CAST(k+40 AS INTEGER)) ELSE 0 END)) AS BIGINT) AS fingerprint
+      |FROM au_fe)""".stripMargin
+
+  private[graft] val q120Sql =
+    s"""WITH $audioFpCtes
+      |SELECT doc_id, fingerprint FROM au_fp""".stripMargin
+
+  private[graft] val q121Sql =
+    s"""WITH $audioFpCtes
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS BIGINT) AS hamming
+      |FROM au_fp a JOIN au_fp b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q122 — DEEP BPE training (rows-only BY DESIGN): the same
+  // bpeTrainCore code path q105 certifies hash-exactly at k = 6, run
+  // with a 200-merge depth BUDGET (bpeTrainMergesCapped: trains to
+  // corpus exhaustion when the vocabulary is shallower, as at small
+  // sf) — the scale surface of the r12 BATCHED trainer (up to 64
+  // fold-safe merges speculated per distributed job, replay-validated
+  // against the driver ledger for byte-exact sequential semantics;
+  // pinned by BpeFuzzSpec against an in-memory reference at random k
+  // plus dedicated batching/truncation cases). A 200-round chain of
+  // materialized DuckDB CTEs would dominate the oracle run's wall clock
+  // for zero extra semantic signal, so this entry records the rows-only
+  // check and exists chiefly for the BENCH: q122/q105 wall ratio far
+  // under the k-ratio (200/6 ≈ 33×) is the recorded evidence that deep
+  // trainings no longer pay one driver round-trip per merge.
+  // ---------------------------------------------------------------------
+  private[graft] def q122BpeDeep(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.bpeTrainMergesCapped(Tables.documents(spark, dir), "text", 200)
+
+  // ---------------------------------------------------------------------
+  // q123 — approximate profile (rows-only BY DESIGN): q114's profiler
+  // with `approxDistinct = true` — the 100 TB wide-table path, where the
+  // exact multi-count-distinct's Expand (one shuffle row per row ×
+  // column) is the scale killer and HLL++ per column keeps the plan a
+  // single partial/final aggregate over one scan. HLL estimates are not
+  // cross-engine portable (the q44 convention), so the registry records
+  // rows-only; the NO-EXPAND plan property is pinned in PlanAuditSpec.
+  // ---------------------------------------------------------------------
+  private[graft] def q123ProfileApprox(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.profile(Tables.documents(spark, dir),
+      approxDistinct = true)
+
+  // ---------------------------------------------------------------------
+  // q124 — multimodal dedup clusters: the capstone of the dedup family.
+  // A document is a duplicate if ANY modality says so — text (the q21
+  // Jaccard graph, q48's edge set), image (q119 dHash pairs), or audio
+  // (q121 fingerprint pairs) — so the three pair sets union into one
+  // edge list and connected components collapse transitive chains
+  // ACROSS modalities (text-dup A~B and image-dup B~C put A and C in
+  // one cluster even though no single modality compared them). Output
+  // is the q48-shaped (doc_id, component) map over every document.
+  // Oracle: one recursive min-label closure over the union of the three
+  // already-certified pair CTEs — the clusters cannot drift from the
+  // pair queries they compose. Plan: each modality contributes only
+  // 8-byte-keyed pairs; the CC fixpoint runs over (id, id) edges.
+  // ---------------------------------------------------------------------
+  private[graft] def q124MultimodalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val text = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxShingleDfFrac = 0.1)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val image = Dedup.hammingPairs63(
+        MediaCodec.dHashes(MediaCodec.attachThumbnails(docs)).toDF(),
+        "doc_id", "dhash", maxHamming = 2)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val audio = Dedup.hammingPairs63(
+        MediaCodec.audioFingerprints(MediaCodec.attachAudio(docs)).toDF(),
+        "doc_id", "fingerprint", maxHamming = 2)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = text.unionByName(image).unionByName(audio).distinct()
+    Dedup.connectedComponents(docs.select(col("doc_id").as("id")), edges)
+      .select(col("id").as("doc_id"), col("component"))
+  }
+
+  private[graft] val q124Sql =
+    s"""WITH RECURSIVE $q21PairCtes,
+      |mm_tp AS (SELECT x AS src, y AS dst
+      |      $q21PairJoin),
+      |$imageDhCtes,
+      |mm_ip AS (SELECT a.doc_id AS src, b.doc_id AS dst
+      |      FROM img_dh a JOIN img_dh b ON a.doc_id < b.doc_id
+      |      WHERE bit_count(xor(a.dhash, b.dhash)) <= 2),
+      |$audioFpCtes,
+      |mm_ap AS (SELECT a.doc_id AS src, b.doc_id AS dst
+      |      FROM au_fp a JOIN au_fp b ON a.doc_id < b.doc_id
+      |      WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 2),
+      |mm_p AS (SELECT src, dst FROM mm_tp UNION
+      |         SELECT src, dst FROM mm_ip UNION
+      |         SELECT src, dst FROM mm_ap),
+      |mm_e AS (SELECT src, dst FROM mm_p UNION ALL SELECT dst, src FROM mm_p),
+      |mm_r(v, l) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT mm_e.dst, mm_r.l FROM mm_r JOIN mm_e ON mm_e.src = mm_r.v
+      |  WHERE mm_r.l < mm_e.dst)
+      |SELECT v AS doc_id, MIN(l) AS component FROM mm_r GROUP BY v""".stripMargin
+}
