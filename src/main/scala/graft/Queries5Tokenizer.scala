@@ -580,16 +580,18 @@ private[graft] trait Queries5Tokenizer extends Queries4Mixtures {
   // ---------------------------------------------------------------------
   // q119 — perceptual image dedup: the multimodal analogue of the text
   // near-dup family, composing the REAL pixel decoder (q109) with the
-  // banded hamming machinery (q28). documents → fixed 8×8 REAL PNG
-  // thumbnails (the standardize-then-hash pipeline shape) → decode →
-  // 63-bit dHash (integer grayscale, nearest-neighbour grid — 63 bits
-  // so the fingerprint stays positive in every engine's signed int64) →
-  // 21-bit×3 band join, pairs within hamming ≤ 2. Exact-duplicate texts
-  // produce hamming-0 pairs; near-dup texts (the q21/q26 families)
-  // produce hamming-1 pairs at sf0.01 — both slices live in the
-  // testdata. The oracle recomputes every pixel, every grayscale
-  // sample, and every hash bit from (doc_id, text), then brute-forces
-  // all pairs — certifying both the decode→hash arithmetic AND that
+  // banded hamming machinery (q28). documents → fixed 20×14 REAL PNG
+  // thumbnails (the canonical 192-byte text window standardized onto
+  // the canvas with a FIXED divisor, so window-equal docs render
+  // identical thumbnails regardless of length) → decode → 63-bit dHash
+  // with integer BOX-FILTER standardization (r12: 2×2 area means on the
+  // 10×7 comparison grid replace the nearest-neighbour sample — one
+  // noisy pixel can no longer flip a bit; 63 bits so the fingerprint
+  // stays positive in every engine's signed int64) → 21-bit×3 band
+  // join, pairs within hamming ≤ 2. Window-duplicate doc families land
+  // at hamming 0 at sf0.01. The oracle recomputes every pixel, every
+  // box mean, and every hash bit from (doc_id, text), then brute-forces
+  // all pairs — certifying both the decode→box→hash arithmetic AND that
   // banding loses no pair. Plan: only (id, 8-byte hash) rows shuffle;
   // pixels never leave their partition.
   // ---------------------------------------------------------------------
@@ -605,17 +607,24 @@ private[graft] trait Queries5Tokenizer extends Queries4Mixtures {
     """img_d AS (SELECT doc_id, text, strlen(text) AS pl FROM documents
       |          WHERE doc_id % 41 <> 0),
       |img_px AS (SELECT doc_id,
-      |         list_transform(range(0, 192), k ->
+      |         list_transform(range(0, 840), k ->
       |           CASE WHEN pl = 0 THEN 0
-      |                ELSE ord(substr(text, CAST((k % pl) + 1 AS INTEGER), 1))
+      |                ELSE ord(substr(text, CAST(((k * 192) // 840) % pl + 1 AS INTEGER), 1))
       |           END) AS p
       |       FROM img_d),
+      |img_gy AS (SELECT doc_id,
+      |         list_transform(range(0, 280), q ->
+      |           (p[CAST(3 * q + 1 AS INTEGER)]
+      |          + p[CAST(3 * q + 2 AS INTEGER)]
+      |          + p[CAST(3 * q + 3 AS INTEGER)]) // 3) AS gr
+      |       FROM img_px),
       |img_gg AS (SELECT doc_id,
       |         list_transform(range(0, 70), t ->
-      |           (p[CAST(3 * (((t // 10) * 8 // 7) * 8 + (t % 10) * 8 // 10) + 1 AS INTEGER)]
-      |          + p[CAST(3 * (((t // 10) * 8 // 7) * 8 + (t % 10) * 8 // 10) + 2 AS INTEGER)]
-      |          + p[CAST(3 * (((t // 10) * 8 // 7) * 8 + (t % 10) * 8 // 10) + 3 AS INTEGER)]) // 3) AS g
-      |       FROM img_px),
+      |           (gr[CAST((t // 10) * 40 + (t % 10) * 2 + 1 AS INTEGER)]
+      |          + gr[CAST((t // 10) * 40 + (t % 10) * 2 + 2 AS INTEGER)]
+      |          + gr[CAST((t // 10) * 40 + (t % 10) * 2 + 21 AS INTEGER)]
+      |          + gr[CAST((t // 10) * 40 + (t % 10) * 2 + 22 AS INTEGER)]) // 4) AS g
+      |       FROM img_gy),
       |img_dh AS (SELECT doc_id,
       |         CAST(list_sum(list_transform(range(0, 63), b ->
       |           CASE WHEN g[CAST((b // 9) * 10 + (b % 9) + 2 AS INTEGER)]

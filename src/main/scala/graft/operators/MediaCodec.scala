@@ -488,8 +488,14 @@ object MediaCodec {
 
   /** [[encodePngImage]] with caller-chosen dimensions — the fixed-size
     * thumbnail shape the perceptual-hash family consumes. */
-  def encodePngImageSized(docId: Long, text: String, w: Int, h: Int): Array[Byte] = {
-    val payload = text.getBytes(UTF_8)
+  def encodePngImageSized(docId: Long, text: String, w: Int, h: Int): Array[Byte] =
+    encodePngFromPayload(docId, text.getBytes(UTF_8), w, h)
+
+  /** [[encodePngImageSized]] over raw payload bytes (cycled across the
+    * pixel plane) — the byte-exact core both the text-window thumbnail
+    * and the plain text image share. */
+  def encodePngFromPayload(docId: Long, payload: Array[Byte], w: Int,
+                           h: Int): Array[Byte] = {
     val raw = new Array[Byte](h * (1 + w * 3))
     var j = 0
     var p = 0
@@ -682,40 +688,80 @@ object MediaCodec {
   /** documents → fixed-size REAL PNG thumbnails — the perceptual-hash
     * input shape (a real pipeline standardizes every image to one
     * thumbnail size before hashing, so dims don't leak into the
-    * fingerprint). Same corrupt slice as [[attachImages]] (every 41st
+    * fingerprint). The 20×14 default maps exactly onto [[dHash63]]'s
+    * 10×7 cell grid as 2×2-pixel boxes — every cell is a true area
+    * mean with no degenerate clamping. Same corrupt slice as
+    * [[attachImages]] (every 41st
     * zlib header flipped → decode drops, ledgered by [[audit]]'s
     * discipline). */
-  def attachThumbnails(docs: DataFrame, w: Int = 8, h: Int = 8): Dataset[MediaRow] = {
+  def attachThumbnails(docs: DataFrame, w: Int = 20, h: Int = 14): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val window = ThumbWindowBytes
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        MediaRow(id, encodePngImageSized(id, text, w, h)) })
+        val tb = text.getBytes(UTF_8)
+        val n = w * h * 3
+        val payload =
+          if (tb.isEmpty) Array.emptyByteArray
+          else Array.tabulate(n)(k => tb((k * window / n) % tb.length))
+        MediaRow(id, encodePngFromPayload(id, payload, w, h)) })
   }
 
-  /** 63-bit difference hash (dHash) over a decoded truecolor image:
-    * integer grayscale g = (r+g+b)/3 at a 7-row × 10-column
-    * nearest-neighbour sample grid (x_i = i·w/10, y_j = j·h/7, floor
-    * division), one bit per horizontally adjacent comparison
-    * g(x_{i+1}) > g(x_i) — 7×9 = 63 bits, deliberately one short of 64
-    * so the hash stays strictly positive in any engine's signed 64-bit
-    * integer (DuckDB rejects 1<<63). Integer-exact and deterministic:
-    * an external engine recomputes it from the pixel formula (q119). */
+  /** Canonical text window (bytes) a thumbnail standardizes: pixel k of
+    * the w×h canvas reads window position k·window/(w·h·3) — a fixed
+    * divisor, so two documents agreeing on the window render identical
+    * thumbnails REGARDLESS of their total lengths (no cycle-length
+    * aliasing), exactly like resizing the same source image to the
+    * canonical canvas. */
+  val ThumbWindowBytes: Int = 192
+
+  /** 63-bit difference hash (dHash) over a decoded truecolor image,
+    * standardized by an integer BOX FILTER (area mean), not a
+    * nearest-neighbour sample (r12): the image partitions into a
+    * 7-row × 10-column cell grid — cell (i, j) spans
+    * x ∈ [i·w/10, max(i·w/10 + 1, (i+1)·w/10)) and
+    * y ∈ [j·h/7, max(j·h/7 + 1, (j+1)·h/7)) (floor division; a
+    * degenerate range clamps to one pixel when the image is narrower
+    * than the grid) — and each cell takes the FLOOR MEAN of its pixels'
+    * integer grayscales g = (r+g+b)/3. One bit per horizontally
+    * adjacent cell-mean rise mean(i+1, j) > mean(i, j): 7×9 = 63 bits,
+    * deliberately one short of 64 so the hash stays strictly positive
+    * in any engine's signed 64-bit integer (DuckDB rejects 1<<63).
+    * Area means make the fingerprint robust to isolated pixel noise —
+    * under the old sample grid ANY wobble of exactly the sampled pixel
+    * flipped a bit; under the mean a single pixel moves a cell by at
+    * most 255/cellArea. Integer-exact and deterministic: an external
+    * engine recomputes it from the pixel formula (q119). */
   def dHash63(w: Int, h: Int, px: Array[Byte]): Long = {
-    def gray(x: Int, y: Int): Int = {
-      val b = 3 * (y * w + x)
-      ((px(b) & 0xFF) + (px(b + 1) & 0xFF) + (px(b + 2) & 0xFF)) / 3
+    def cellMean(i: Int, j: Int): Int = {
+      val xlo = i * w / 10
+      val xhi = math.max(xlo + 1, (i + 1) * w / 10)
+      val ylo = j * h / 7
+      val yhi = math.max(ylo + 1, (j + 1) * h / 7)
+      var sum = 0
+      var y = ylo
+      while (y < yhi) {
+        var x = xlo
+        while (x < xhi) {
+          val b = 3 * (y * w + x)
+          sum += ((px(b) & 0xFF) + (px(b + 1) & 0xFF) + (px(b + 2) & 0xFF)) / 3
+          x += 1
+        }
+        y += 1
+      }
+      sum / ((yhi - ylo) * (xhi - xlo))
     }
     var hash = 0L
     var bit = 0
     var j = 0
     while (j < 7) {
-      val y = j * h / 7
+      var g0 = cellMean(0, j)
       var i = 0
       while (i < 9) {
-        val g0 = gray(i * w / 10, y)
-        val g1 = gray((i + 1) * w / 10, y)
+        val g1 = cellMean(i + 1, j)
         if (g1 > g0) hash |= 1L << bit
+        g0 = g1
         bit += 1
         i += 1
       }

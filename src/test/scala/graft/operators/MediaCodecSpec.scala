@@ -210,26 +210,75 @@ class MediaCodecByteSpec extends AnyFunSuite {
     assert(decodePngPixels(badCrc).isEmpty)
   }
 
-  test("dHash63 matches a from-scratch reference and round-trips the thumbnail") {
-    // independent recompute of the documented formula on a real decode
+  test("dHash63 matches a from-scratch box-filter reference on a real decode") {
+    // independent recompute of the documented formula: 2x2 integer box
+    // means on the 20x14 standard thumbnail, then adjacent-mean rises
     val text = "perceptual hash me"
-    val b = encodePngImageSized(7L, text, 8, 8)
+    val b = encodePngImageSized(7L, text, 20, 14)
     val (w, h, px) = decodePngPixels(b).get
-    assert(w == 8 && h == 8)
+    assert(w == 20 && h == 14)
     def gray(x: Int, y: Int) = {
-      val k = 3 * (y * 8 + x)
+      val k = 3 * (y * 20 + x)
       ((px(k) & 0xFF) + (px(k + 1) & 0xFF) + (px(k + 2) & 0xFF)) / 3
     }
+    def boxMean(i: Int, j: Int) =
+      (gray(2 * i, 2 * j) + gray(2 * i + 1, 2 * j) +
+        gray(2 * i, 2 * j + 1) + gray(2 * i + 1, 2 * j + 1)) / 4
     var want = 0L
     for (j <- 0 until 7; i <- 0 until 9) {
-      if (gray((i + 1) * 8 / 10, j * 8 / 7) > gray(i * 8 / 10, j * 8 / 7))
-        want |= 1L << (j * 9 + i)
+      if (boxMean(i + 1, j) > boxMean(i, j)) want |= 1L << (j * 9 + i)
     }
-    assert(dHash63(8, 8, px) == want)
+    assert(dHash63(20, 14, px) == want)
     assert(want >= 0L, "63-bit hash must stay non-negative")
     // identical text + identical dims => identical bytes => hamming 0
-    assert(dHash63(8, 8, decodePngPixels(encodePngImageSized(99L, text, 8, 8))
+    assert(dHash63(20, 14, decodePngPixels(encodePngImageSized(99L, text, 20, 14))
       .get._3) == want)
+    // degenerate-dimension clamp: narrower than the cell grid still hashes
+    assert(dHash63(8, 8, decodePngPixels(encodePngImageSized(1L, text, 8, 8))
+      .get._3) >= 0L)
+  }
+
+  test("box-filter dHash is robust to single-pixel noise; the sample grid was not") {
+    // strong horizontal gradient: cell means rise by ~16 gray levels per
+    // column, so a one-pixel wobble (<= 255/4 = 63 on one mean... use a
+    // modest +-40 spike: <= 10 on a 2x2 mean) cannot reorder any
+    // adjacent pair of means
+    val w = 20; val h = 14
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      px(3 * (y * w + x) + c) = (x * 12).toByte
+    val clean = dHash63(w, h, px)
+    for (spike <- Seq(40, -40)) {
+      val noisy = px.clone()
+      val b = 3 * (6 * w + 9) // one channel of pixel (9, 6)
+      noisy(b) = math.max(0, math.min(255, (noisy(b) & 0xFF) + spike)).toByte
+      assert(dHash63(w, h, noisy) == clean,
+        s"single-pixel spike $spike flipped the box-filter hash")
+      // the old nearest-neighbour sampler read exactly one pixel per
+      // grid point: the same spike at a sampled point flips its bit
+      def nnHash(p: Array[Byte]): Long = {
+        def gray(x: Int, y: Int) = {
+          val k = 3 * (y * w + x)
+          ((p(k) & 0xFF) + (p(k + 1) & 0xFF) + (p(k + 2) & 0xFF)) / 3
+        }
+        var hh = 0L
+        for (j <- 0 until 7; i <- 0 until 9)
+          if (gray((i + 1) * w / 10, j * h / 7) > gray(i * w / 10, j * h / 7))
+            hh |= 1L << (j * 9 + i)
+        hh
+      }
+      val spiky = px.clone()
+      // hit a sampled grid point hard: x = 4*20/10 = 8, y = 3*14/7 = 6
+      val sb = 3 * (6 * w + 8)
+      spiky(sb) = math.max(0, math.min(255, (spiky(sb) & 0xFF) + 120)).toByte
+      spiky(sb + 1) = spiky(sb)
+      spiky(sb + 2) = spiky(sb)
+      assert(nnHash(spiky) != nnHash(px),
+        "sanity: the old sampler WAS noise-sensitive at a grid point")
+      assert(dHash63(w, h, spiky) == clean ||
+        java.lang.Long.bitCount(dHash63(w, h, spiky) ^ clean) <= 1,
+        "box filter bounds a large single-pixel spike to at most one bit")
+    }
   }
 
   test("audioFingerprint matches a from-scratch reference over decoded PCM") {
