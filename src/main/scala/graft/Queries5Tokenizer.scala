@@ -196,11 +196,45 @@ private[graft] trait Queries5Tokenizer extends Queries4Mixtures {
       .groupBy(col("source"), col("lang_pred")).agg(count(lit(1)).as("cnt"))
       .withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
       .select(col("source"), col("lang_pred").as("top_lang"))
+    // per-modality decode-drop and near-dup rates (r12): the q118 decode
+    // ledger and the q119/q121 banded pair machinery folded per source —
+    // a release data card that says, per source, how much media failed
+    // decode and how much of what decoded is perceptually duplicated
+    val docsAll = Tables.documents(spark, dir)
+    def modality(fps: DataFrame, hashCol: String, pfx: String): DataFrame = {
+      val dec = fps.join(srcOf, "doc_id").groupBy(col("source"))
+        .agg(count(lit(1)).as(s"__${pfx}_n"))
+      val dupDocs = Dedup.hammingPairs63(fps, "doc_id", hashCol, maxHamming = 2)
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+      val dupN = dupDocs.join(srcOf, "doc_id").groupBy(col("source"))
+        .agg(count(lit(1)).as(s"__${pfx}_dup"))
+      dec.join(dupN, Seq("source"), "left")
+    }
+    val img = modality(
+      MediaCodec.dHashes(MediaCodec.attachThumbnails(docsAll)).toDF(),
+      "dhash", "img")
+    val aud = modality(
+      MediaCodec.audioFingerprints(MediaCodec.attachAudio(docsAll)).toDF(),
+      "fingerprint", "aud")
     dup.join(nov, "source").join(len, "source")
       .join(pii, "source").join(lang, "source")
+      .join(img, Seq("source"), "left").join(aud, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("dup_bp"), col("p50_chars"),
+        col("novelty_bp"), col("n_pii"), col("top_lang"),
+        floor((col("n_docs") - coalesce(col("__img_n"), lit(0L))) * 10000
+          / col("n_docs")).cast("long").as("img_drop_bp"),
+        floor(coalesce(col("__img_dup"), lit(0L)) * 10000
+          / col("n_docs")).cast("long").as("img_dup_bp"),
+        floor((col("n_docs") - coalesce(col("__aud_n"), lit(0L))) * 10000
+          / col("n_docs")).cast("long").as("aud_drop_bp"),
+        floor(coalesce(col("__aud_dup"), lit(0L)) * 10000
+          / col("n_docs")).cast("long").as("aud_dup_bp"))
   }
 
-  private[graft] val q107Sql =
+  // lazy: interpolates imageDhCtes/audioFpCtes, declared later in this
+  // trait — eager val-init order would splice a null
+  private[graft] lazy val q107Sql =
     s"""WITH d93 AS (SELECT source, n_docs, dup_bp FROM ($q93Sql)),
       |nov AS (SELECT d.source,
       |          CAST(floor(sum(n.n_unique) * 10000 / sum(n.n_shingles)) AS BIGINT)
@@ -217,10 +251,40 @@ private[graft] trait Queries5Tokenizer extends Queries4Mixtures {
       |           SELECT source, lang_pred,
       |             ROW_NUMBER() OVER (PARTITION BY source
       |               ORDER BY cnt DESC, lang_pred) AS rk
-      |           FROM lc) WHERE rk = 1)
-      |SELECT source, n_docs, dup_bp, p50_chars, novelty_bp, n_pii, top_lang
+      |           FROM lc) WHERE rk = 1),
+      |$imageDhCtes,
+      |imgp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM img_dh a JOIN img_dh b ON a.doc_id < b.doc_id
+      |         WHERE bit_count(xor(a.dhash, b.dhash)) <= 2),
+      |imgn AS (SELECT d.source, count(*) AS n FROM img_dh j
+      |         JOIN documents d ON d.doc_id = j.doc_id GROUP BY 1),
+      |imgdup AS (SELECT d.source, count(*) AS n
+      |           FROM (SELECT doc_a AS id FROM imgp
+      |                 UNION SELECT doc_b FROM imgp) x
+      |           JOIN documents d ON d.doc_id = x.id GROUP BY 1),
+      |$audioFpCtes,
+      |audp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM au_fp a JOIN au_fp b ON a.doc_id < b.doc_id
+      |         WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 2),
+      |audn AS (SELECT d.source, count(*) AS n FROM au_fp j
+      |         JOIN documents d ON d.doc_id = j.doc_id GROUP BY 1),
+      |auddup AS (SELECT d.source, count(*) AS n
+      |           FROM (SELECT doc_a AS id FROM audp
+      |                 UNION SELECT doc_b FROM audp) x
+      |           JOIN documents d ON d.doc_id = x.id GROUP BY 1)
+      |SELECT source, n_docs, dup_bp, p50_chars, novelty_bp, n_pii, top_lang,
+      |  CAST(floor((n_docs - COALESCE(imgn.n, 0)) * 10000 / n_docs) AS BIGINT)
+      |    AS img_drop_bp,
+      |  CAST(floor(COALESCE(imgdup.n, 0) * 10000 / n_docs) AS BIGINT)
+      |    AS img_dup_bp,
+      |  CAST(floor((n_docs - COALESCE(audn.n, 0)) * 10000 / n_docs) AS BIGINT)
+      |    AS aud_drop_bp,
+      |  CAST(floor(COALESCE(auddup.n, 0) * 10000 / n_docs) AS BIGINT)
+      |    AS aud_dup_bp
       |FROM d93 JOIN nov USING (source) JOIN len USING (source)
-      |  JOIN pii USING (source) JOIN lang USING (source)""".stripMargin
+      |  JOIN pii USING (source) JOIN lang USING (source)
+      |  LEFT JOIN imgn USING (source) LEFT JOIN imgdup USING (source)
+      |  LEFT JOIN audn USING (source) LEFT JOIN auddup USING (source)""".stripMargin
 
   // ---------------------------------------------------------------------
   // q108/q109 — real media DECODE, past headers (MediaCodec): q108 reads
