@@ -860,4 +860,44 @@ private[graft] trait Queries5Tokenizer extends Queries4Mixtures {
       |  SELECT mm_e.dst, mm_r.l FROM mm_r JOIN mm_e ON mm_e.src = mm_r.v
       |  WHERE mm_r.l < mm_e.dst)
       |SELECT v AS doc_id, MIN(l) AS component FROM mm_r GROUP BY v""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q125/q126 — VIDEO CONTAINER parsing (r12): real MP4/ISO-BMFF box
+  // walk extending the q102/q117 sniffing chain to the fourth modality.
+  // q125 certifies every box-level field hash-exactly — brand, track
+  // count, the ftyp/moov/mdat byte split, duration, 16.16 dims — the
+  // oracle recomputes each from (doc_id, strlen(text)) without touching
+  // a byte, so a one-byte framing error in the walker breaks the hash.
+  // q126 is the q103-style audit ledger: every 47th container carries a
+  // nested mvhd-size overrun (a DISTINCT failure path: the box walker's
+  // parent-containment check, not a checksum or signature), counted
+  // under `corrupt` with byte totals. Both are narrow partition-local
+  // maps; container bytes never shuffle.
+  // ---------------------------------------------------------------------
+  private[graft] def q125Mp4Meta(spark: SparkSession, dir: String): DataFrame =
+    MediaCodec.videoMetadata(
+      MediaCodec.attachVideo(Tables.documents(spark, dir))).toDF()
+
+  private[graft] val q125Sql =
+    """SELECT doc_id, 'isom' AS major_brand,
+      |  CAST(1 + doc_id % 3 AS INTEGER) AS n_tracks,
+      |  CAST(24 AS BIGINT) AS ftyp_bytes,
+      |  CAST(116 + (1 + doc_id % 3) * 100 AS BIGINT) AS moov_bytes,
+      |  CAST(8 + strlen(text) AS BIGINT) AS mdat_bytes,
+      |  CAST(strlen(text) AS BIGINT) AS duration_ms,
+      |  CAST(160 + doc_id % 1280 AS INTEGER) AS width,
+      |  CAST(120 + (doc_id * 7) % 720 AS INTEGER) AS height,
+      |  CAST(148 + (1 + doc_id % 3) * 100 + strlen(text) AS BIGINT) AS n_bytes
+      |FROM documents WHERE doc_id % 47 <> 0""".stripMargin
+
+  private[graft] def q126VideoAudit(spark: SparkSession, dir: String): DataFrame =
+    MediaCodec.audit(MediaCodec.attachVideo(Tables.documents(spark, dir)))
+
+  private[graft] val q126Sql =
+    """WITH s AS (SELECT
+      |    CASE WHEN doc_id % 47 = 0 THEN 'corrupt' ELSE 'mp4' END AS status,
+      |    148 + (1 + doc_id % 3) * 100 + strlen(text) AS len
+      |  FROM documents)
+      |SELECT status, count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS n_bytes
+      |FROM s GROUP BY status""".stripMargin
 }

@@ -159,6 +159,8 @@ object SparkEntry extends Queries5Tokenizer {
     Q("q122_bpe_deep", q122BpeDeep, None),
     Q("q123_profile_approx", q123ProfileApprox, None),
     Q("q124_multimodal_dedup", q124MultimodalDedup, Some(q124Sql)),
+    Q("q125_mp4_meta", q125Mp4Meta, Some(q125Sql)),
+    Q("q126_video_audit", q126VideoAudit, Some(q126Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

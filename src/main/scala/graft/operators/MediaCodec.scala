@@ -276,6 +276,169 @@ object MediaCodec {
     }
 
   // =====================================================================
+  // MP4 / ISO-BMFF (r12): real box grammar — length-prefixed 4CC boxes,
+  // ftyp brand, moov{mvhd,trak{tkhd}} walk, mdat payload. Every field
+  // and byte count derives from (doc_id, strlen(text)) alone, the
+  // q102/q117 oracle discipline extended to the video container.
+  // =====================================================================
+
+  def mp4Tracks(docId: Long): Int = (1 + docId % 3).toInt
+  def mp4Width(docId: Long): Int = (160 + docId % 1280).toInt
+  def mp4Height(docId: Long): Int = (120 + (docId * 7) % 720).toInt
+
+  /** Minimal REAL ISO-BMFF file: ftyp(24) "isom", moov(8) holding
+    * mvhd(108, timescale 1000, duration = payload bytes) and
+    * `mp4Tracks` trak(100) boxes each a tkhd(92) with 16.16
+    * fixed-point dims, then mdat(8 + payload). Total bytes:
+    * 24 + 116 + tracks·100 + 8 + len. Any spec-conforming box walker
+    * reads this file. */
+  def encodeMp4(docId: Long, payload: Array[Byte]): Array[Byte] = {
+    val n = mp4Tracks(docId)
+    val moovSize = 8 + 108 + n * 100
+    val buf = ByteBuffer.allocate(24 + moovSize + 8 + payload.length)
+      .order(ByteOrder.BIG_ENDIAN)
+    // ftyp
+    buf.putInt(24).put("ftyp".getBytes(US_ASCII))
+    buf.put("isom".getBytes(US_ASCII)).putInt(0x200)
+    buf.put("isom".getBytes(US_ASCII)).put("mp42".getBytes(US_ASCII))
+    // moov > mvhd
+    buf.putInt(moovSize).put("moov".getBytes(US_ASCII))
+    buf.putInt(108).put("mvhd".getBytes(US_ASCII))
+    buf.putInt(0) // version 0 + flags
+    buf.putInt(0).putInt(0) // creation, modification
+    buf.putInt(1000) // timescale: 1 unit = 1 ms
+    buf.putInt(payload.length) // duration
+    buf.putInt(0x00010000).putShort(0x0100.toShort) // rate 1.0, volume 1.0
+    buf.put(new Array[Byte](10)) // reserved
+    buf.putInt(0x00010000).putInt(0).putInt(0) // identity matrix
+    buf.putInt(0).putInt(0x00010000).putInt(0)
+    buf.putInt(0).putInt(0).putInt(0x40000000)
+    buf.put(new Array[Byte](24)) // pre_defined
+    buf.putInt(n + 1) // next_track_ID
+    // moov > trak > tkhd (one per track)
+    var t = 1
+    while (t <= n) {
+      buf.putInt(100).put("trak".getBytes(US_ASCII))
+      buf.putInt(92).put("tkhd".getBytes(US_ASCII))
+      buf.putInt(7) // version 0, flags: enabled | in-movie | in-preview
+      buf.putInt(0).putInt(0) // creation, modification
+      buf.putInt(t) // track_ID
+      buf.putInt(0) // reserved
+      buf.putInt(payload.length) // duration
+      buf.put(new Array[Byte](8)) // reserved
+      buf.putShort(0.toShort).putShort(0.toShort) // layer, alternate_group
+      buf.putShort(0.toShort).putShort(0.toShort) // volume, reserved
+      buf.putInt(0x00010000).putInt(0).putInt(0) // identity matrix
+      buf.putInt(0).putInt(0x00010000).putInt(0)
+      buf.putInt(0).putInt(0).putInt(0x40000000)
+      buf.putInt(mp4Width(docId) << 16) // 16.16 fixed point
+      buf.putInt(mp4Height(docId) << 16)
+      t += 1
+    }
+    // mdat
+    buf.putInt(8 + payload.length).put("mdat".getBytes(US_ASCII))
+    buf.put(payload)
+    buf.array()
+  }
+
+  /** Corrupt slice for [[attachVideo]]: overrun the nested mvhd box
+    * size so the child overflows its moov parent — exercises the box
+    * walker's containment check (a DISTINCT failure path from every
+    * other format's corruption). */
+  def corruptMp4(raw: Array[Byte]): Array[Byte] = {
+    val out = raw.clone()
+    // mvhd size field lives at offset 32 (after ftyp 24 + moov header 8)
+    val bb = ByteBuffer.wrap(out).order(ByteOrder.BIG_ENDIAN)
+    bb.putInt(32, Int.MaxValue)
+    out
+  }
+
+  /** Box-level video metadata: brand, track count, the ftyp/moov/mdat
+    * byte splits, duration, and the first track's integer dims. */
+  final case class Mp4Meta(majorBrand: String, nTracks: Int,
+                           ftypBytes: Long, moovBytes: Long, mdatBytes: Long,
+                           durationMs: Long, width: Int, height: Int)
+
+  /** ISO-BMFF box walk, fully bounds-checked, None on anything
+    * malformed: the file must LEAD with ftyp (the sniff), every box
+    * must carry size >= 8 (64-bit largesize accepted when it fits an
+    * Int) and nest EXACTLY within its parent, and moov must hold an
+    * mvhd plus at least one trak{tkhd}. */
+  def parseMp4(bytes: Array[Byte]): Option[Mp4Meta] = {
+    if (bytes == null || bytes.length < 16) return None
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    def fourcc(off: Int): String =
+      new String(bytes, off + 4, 4, US_ASCII)
+    // returns (bodyStart, boxEnd) or null on malformed framing
+    def frame(off: Int, limit: Int): (Int, Int) = {
+      if (off + 8 > limit) return null
+      val s32 = bb.getInt(off).toLong & 0xFFFFFFFFL
+      if (s32 == 1) { // 64-bit largesize
+        if (off + 16 > limit) return null
+        val s64 = bb.getLong(off + 8)
+        if (s64 < 16 || s64 > limit - off) return null
+        (off + 16, off + s64.toInt)
+      } else if (s32 == 0) (off + 8, limit) // box extends to end
+      else if (s32 < 8 || s32 > limit - off) null
+      else (off + 8, off + s32.toInt)
+    }
+    if (fourcc(0) != "ftyp") return None
+    val ftypF = frame(0, bytes.length)
+    if (ftypF == null || ftypF._1 + 4 > ftypF._2) return None
+    val major = new String(bytes, ftypF._1, 4, US_ASCII)
+    var off = ftypF._2
+    val ftypBytes = ftypF._2.toLong
+    var moovBytes = -1L
+    var mdatBytes = -1L
+    var nTracks = 0
+    var durationMs = -1L
+    var width = -1
+    var height = -1
+    while (off < bytes.length) {
+      val f = frame(off, bytes.length)
+      if (f == null) return None
+      val typ = fourcc(off)
+      if (typ == "moov") {
+        moovBytes = (f._2 - off).toLong
+        var c = f._1
+        while (c < f._2) {
+          val cf = frame(c, f._2)
+          if (cf == null) return None
+          fourcc(c) match {
+            case "mvhd" =>
+              if (cf._1 + 20 > cf._2) return None
+              val version = bytes(cf._1) & 0xFF
+              if (version != 0) return None // our profile; v1 is 64-bit
+              val timescale = bb.getInt(cf._1 + 12).toLong & 0xFFFFFFFFL
+              val duration = bb.getInt(cf._1 + 16).toLong & 0xFFFFFFFFL
+              if (timescale == 0) return None
+              durationMs = duration * 1000L / timescale
+            case "trak" =>
+              nTracks += 1
+              var t = cf._1
+              while (t < cf._2) {
+                val tf = frame(t, cf._2)
+                if (tf == null) return None
+                if (fourcc(t) == "tkhd" && width < 0) {
+                  if (tf._1 + 84 > tf._2) return None
+                  width = bb.getInt(tf._1 + 76) >>> 16
+                  height = bb.getInt(tf._1 + 80) >>> 16
+                }
+                t = tf._2
+              }
+            case _ => ()
+          }
+          c = cf._2
+        }
+      } else if (typ == "mdat") mdatBytes = (f._2 - off).toLong
+      off = f._2
+    }
+    if (moovBytes < 0 || durationMs < 0 || nTracks == 0 || width < 0) None
+    else Some(Mp4Meta(major, nTracks, ftypBytes, moovBytes,
+      math.max(mdatBytes, 0L), durationMs, width, height))
+  }
+
+  // =====================================================================
   // Parsers — real format grammars, fully bounds-checked, None (never
   // throw) on anything malformed. Format is sniffed by magic, so the
   // parser chain works on arbitrary binary columns, not just ours.
@@ -285,6 +448,8 @@ object MediaCodec {
     if (bytes == null) None
     else parsePng(bytes).orElse(parseJpeg(bytes)).orElse(parseWav(bytes))
       .orElse(parseBmp(bytes)).orElse(parseGif(bytes))
+      .orElse(parseMp4(bytes).map(m => MediaMeta("mp4", Some(m.width),
+        Some(m.height), None, None, None, Some(m.durationMs))))
 
   /** BMP: "BM" + BITMAPINFOHEADER (the 40-byte DIB header every modern
     * writer emits): little-endian width, height (negative = top-down —
@@ -812,6 +977,39 @@ object MediaCodec {
     * type broken ([[corruptWav]]'s path), so the fingerprint family has
     * its own decode-drop slice, disjoint from the image one (41) and
     * the mixed one (37). */
+  /** documents → REAL MP4 containers (payload = text bytes in mdat);
+    * every 47th doc gets [[corruptMp4]]'s nested-size overrun — a slice
+    * disjoint from the 37/41/43 families so multimodal joins keep full
+    * coverage on the other modalities. */
+  def attachVideo(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val raw = encodeMp4(id, text.getBytes(UTF_8))
+        MediaRow(id, if (id % 47 == 0) corruptMp4(raw) else raw) })
+  }
+
+  final case class Mp4MetaRow(doc_id: Long, major_brand: String,
+                              n_tracks: Int, ftyp_bytes: Long,
+                              moov_bytes: Long, mdat_bytes: Long,
+                              duration_ms: Long, width: Int, height: Int,
+                              n_bytes: Long)
+
+  /** Box-walk metadata over video rows; unparseable rows drop (pair
+    * with [[audit]], which ledgers them as `corrupt`). Narrow map —
+    * container bytes never shuffle. */
+  def videoMetadata(media: Dataset[MediaRow]): Dataset[Mp4MetaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      parseMp4(m.media).map(x =>
+        Mp4MetaRow(m.doc_id, x.majorBrand, x.nTracks, x.ftypBytes,
+          x.moovBytes, x.mdatBytes, x.durationMs, x.width, x.height,
+          m.media.length.toLong))
+    })
+  }
+
   def attachAudio(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._

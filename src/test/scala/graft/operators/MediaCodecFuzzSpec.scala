@@ -33,16 +33,37 @@ class MediaCodecFuzzSpec extends AnyFunSuite {
         0x0A.toByte, 0x1A.toByte, 0x0A.toByte),
       Array(0xFF.toByte, 0xD8.toByte),
       "RIFF".getBytes(US_ASCII), "RIFFxxxxWAVE".getBytes(US_ASCII),
-      "BM".getBytes(US_ASCII), "GIF89a".getBytes(US_ASCII))
+      "BM".getBytes(US_ASCII), "GIF89a".getBytes(US_ASCII),
+      Array[Byte](0, 0, 0, 24) ++ "ftypisom".getBytes(US_ASCII))
     tail <- rawBytes
   } yield magic ++ tail
 
   test("parsers never throw on arbitrary or magic-prefixed bytes") {
     forAllSeeded(rawBytes, 300) { b =>
-      parseHeader(b); wavPcmSamples(b); decodePngPixels(b); ()
+      parseHeader(b); wavPcmSamples(b); decodePngPixels(b); parseMp4(b); ()
     }
     forAllSeeded(magicPrefixed, 300) { b =>
-      parseHeader(b); wavPcmSamples(b); decodePngPixels(b); ()
+      parseHeader(b); wavPcmSamples(b); decodePngPixels(b); parseMp4(b); ()
+    }
+  }
+
+  test("mp4 encode->box-walk round trips hold for arbitrary payloads") {
+    forAllSeeded(Gen.zip(Gen.choose(0L, 5000L), rawBytes), 150) {
+      case (id, payload) =>
+        val m = parseMp4(encodeMp4(id, payload))
+        assert(m.isDefined, s"id=$id len=${payload.length}")
+        assert(m.get.majorBrand == "isom")
+        assert(m.get.nTracks == mp4Tracks(id))
+        assert(m.get.ftypBytes == 24L)
+        assert(m.get.moovBytes == 116L + mp4Tracks(id) * 100L)
+        assert(m.get.mdatBytes == 8L + payload.length)
+        assert(m.get.durationMs == payload.length.toLong)
+        assert(m.get.width == mp4Width(id) && m.get.height == mp4Height(id))
+        // the corrupt slice must fail through the containment check
+        assert(parseMp4(corruptMp4(encodeMp4(id, payload))).isEmpty)
+        // and the sniffing chain must classify the clean container
+        val h = parseHeader(encodeMp4(id, payload))
+        assert(h.exists(_.format == "mp4"))
     }
   }
 
