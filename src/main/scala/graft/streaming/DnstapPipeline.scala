@@ -55,6 +55,22 @@ object DnstapPipeline {
   final case class Sinks(queries: BatchSink, responses: BatchSink,
                          samples: BatchSink)
 
+  object Sinks {
+    /** The reference's per-row delivery policy, composed
+      * (clickhouse.go:201-204 vs 244-247): the QUERY leg skips rows
+      * failing `queryRowValid` (optionally dead-lettering them) and
+      * still delivers the remainder, while the response and sample legs
+      * stay abort-on-error — any failure there propagates and the
+      * whole batch retries via the checkpoint (an at-least-once upgrade
+      * over the reference's drop-after-max-retries). */
+    def referencePolicy(queries: BatchSink, responses: BatchSink,
+                        samples: BatchSink,
+                        queryRowValid: org.apache.spark.sql.Column,
+                        deadLetter: Option[BatchSink] = None): Sinks =
+      Sinks(new graft.sinks.RowSkippingSink(queries, queryRowValid, deadLetter),
+        responses, samples)
+  }
+
   /** Start the pipeline over a streaming Dataset of raw frames.
     *
     * @param frames  streaming source column of BINARY dnstap frames
