@@ -89,6 +89,16 @@ class PlanAuditSpec extends SparkSpec {
       assert(!plan.contains(bad), s"PQ encode plans a $bad"))
   }
 
+  test("video box-walk metadata is a pure narrow map — no exchange, no join") {
+    // container bytes must never shuffle: encode and the ISO-BMFF walk
+    // are partition-local, the scan prunes to (doc_id, text)
+    val plan = SparkEntry.queries("q125_mp4_meta")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    Seq("Exchange", "Join", "CartesianProduct").foreach(bad =>
+      assert(!plan.contains(bad), s"q125 plans a $bad"))
+    assert(plan.contains("MapPartitions"))
+  }
+
   test("IVF assignment is narrow: the corpus never shuffles to pick a cell") {
     // the r7 rewrite this pins: nearest-centroid assignment is a literal
     // argmax expression, not a window — the window form exchanged the
