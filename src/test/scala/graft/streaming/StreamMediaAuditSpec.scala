@@ -52,4 +52,30 @@ class StreamMediaAuditSpec extends SparkSpec {
     assert(line.contains(s"mediaDocs=$wantDocs"))
     assert(line.contains(s"mediaCorrupt=$wantCorrupt"))
   }
+
+  test("video containers flow through the same ledger: mp4 counted, overruns corrupt") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // ids include % 47 == 0 rows (0, 47): the nested-box overrun slice
+    val batchAudit = MediaCodec.audit(
+        MediaCodec.attachVideo(docs.toDF("doc_id", "text")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(batchAudit.getOrElse("corrupt", 0L) == 2L)
+    assert(batchAudit("mp4") == docs.length - 2L)
+
+    val counters = new StatsReporter.Counters
+    val mem = MemoryStream[Doc]
+    val out = MediaCodec.attachVideo(mem.toDF()).toDF()
+    val query = out.writeStream
+      .foreachBatch(StreamMediaAudit.withLedger(counters) {
+        (_: DataFrame, _: Long) => ()
+      })
+      .start()
+    try {
+      mem.addData(docs: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(counters.mediaDocs.get == docs.length.toLong)
+    assert(counters.mediaCorrupt.get == 2L)
+  }
 }
