@@ -900,4 +900,37 @@ private[graft] trait Queries5Tokenizer extends Queries4Mixtures {
       |  FROM documents)
       |SELECT status, count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS n_bytes
       |FROM s GROUP BY status""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q127 — REAL-container video frame sampling: the q31 frame-subsample
+  // stage re-run against genuine ISO-BMFF bytes. The mdat payload is
+  // located by the q125-certified box walk, segments into fixed
+  // (64 + doc_id % 128)-byte frames, and every 4th frame emits byte
+  // stats — the oracle recomputes offsets, ragged tail lengths, and
+  // byte sums from (doc_id, text) arithmetic alone, so a one-byte
+  // framing error in the mdat slice breaks the hash. Corrupt containers
+  // (% 47) drop exactly as in q125/q126. Narrow map: frame BYTES never
+  // leave their partition, only the sampled stats rows.
+  // ---------------------------------------------------------------------
+  private[graft] def q127VideoFrames(spark: SparkSession, dir: String): DataFrame =
+    MediaCodec.sampleFrames(
+      MediaCodec.attachVideo(Tables.documents(spark, dir))).toDF()
+
+  private[graft] val q127Sql =
+    """WITH v AS (SELECT doc_id, text, strlen(text) AS pl,
+      |            CAST(64 + doc_id % 128 AS INTEGER) AS fs
+      |       FROM documents WHERE doc_id % 47 <> 0),
+      |f AS (SELECT doc_id, text, fs, pl,
+      |        unnest(list_filter(range(0, CAST((pl + fs - 1) // fs AS INTEGER)),
+      |          x -> x % 4 = 0)) AS frame_idx
+      |      FROM v)
+      |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+      |  CAST(frame_idx * fs AS BIGINT) AS off,
+      |  CAST(LEAST(fs, pl - frame_idx * fs) AS INTEGER) AS n_bytes,
+      |  CAST(COALESCE(list_sum(list_transform(
+      |    range(CAST(frame_idx * fs AS INTEGER),
+      |          CAST(LEAST((frame_idx + 1) * fs, pl) AS INTEGER)),
+      |    i -> ord(substr(text, CAST(i + 1 AS INTEGER), 1)))), 0) AS BIGINT)
+      |    AS sum_bytes
+      |FROM f""".stripMargin
 }

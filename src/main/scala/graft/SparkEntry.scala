@@ -161,6 +161,7 @@ object SparkEntry extends Queries5Tokenizer {
     Q("q124_multimodal_dedup", q124MultimodalDedup, Some(q124Sql)),
     Q("q125_mp4_meta", q125Mp4Meta, Some(q125Sql)),
     Q("q126_video_audit", q126VideoAudit, Some(q126Sql)),
+    Q("q127_video_frames", q127VideoFrames, Some(q127Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

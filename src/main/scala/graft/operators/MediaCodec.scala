@@ -977,6 +977,49 @@ object MediaCodec {
     * type broken ([[corruptWav]]'s path), so the fingerprint family has
     * its own decode-drop slice, disjoint from the image one (41) and
     * the mixed one (37). */
+  /** mdat payload slice via the same bounds-checked box walk as
+    * [[parseMp4]] (the file must parse end-to-end — a malformed
+    * container yields None, never a garbage slice). */
+  def mp4MdatPayload(bytes: Array[Byte]): Option[Array[Byte]] =
+    parseMp4(bytes).map { m =>
+      // mdat body starts after ftyp + moov + the 8-byte mdat header;
+      // the walker certified these extents fit the buffer
+      val start = (m.ftypBytes + m.moovBytes + 8).toInt
+      java.util.Arrays.copyOfRange(bytes, start, start + (m.mdatBytes - 8).toInt)
+    }
+
+  def mp4FrameSize(docId: Long): Int = (64 + docId % 128).toInt
+
+  final case class FrameRow(doc_id: Long, frame_idx: Int, off: Long,
+                            n_bytes: Int, sum_bytes: Long)
+
+  /** Container-level frame sampling: the mdat payload segments into
+    * fixed [[mp4FrameSize]]-byte frames (the last one ragged) and every
+    * `stride`-th frame emits byte-level stats — the real-container
+    * analogue of the synthetic q31 frame sampler, and the shape a video
+    * training pipeline's frame-subsample stage has (decode stays
+    * partition-local; only sampled-frame STATS rows shuffle, never
+    * frame bytes). Undecodable containers drop (pair with [[audit]]). */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int = 4): Dataset[FrameRow] = {
+    require(stride >= 1, s"frame stride must be >= 1, got $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      mp4MdatPayload(m.media).toSeq.flatMap { payload =>
+        val fs = mp4FrameSize(m.doc_id)
+        val nFrames = (payload.length + fs - 1) / fs
+        (0 until nFrames by stride).map { f =>
+          val off = f * fs
+          val end = math.min(off + fs, payload.length)
+          var sum = 0L
+          var i = off
+          while (i < end) { sum += (payload(i) & 0xFF); i += 1 }
+          FrameRow(m.doc_id, f, off.toLong, end - off, sum)
+        }
+      }
+    })
+  }
+
   /** documents → REAL MP4 containers (payload = text bytes in mdat);
     * every 47th doc gets [[corruptMp4]]'s nested-size overrun — a slice
     * disjoint from the 37/41/43 families so multimodal joins keep full

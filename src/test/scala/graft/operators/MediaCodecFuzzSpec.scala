@@ -64,6 +64,9 @@ class MediaCodecFuzzSpec extends AnyFunSuite {
         // and the sniffing chain must classify the clean container
         val h = parseHeader(encodeMp4(id, payload))
         assert(h.exists(_.format == "mp4"))
+        // mdat slice round trip: the walker recovers the payload bytes
+        assert(mp4MdatPayload(encodeMp4(id, payload))
+          .exists(java.util.Arrays.equals(_, payload)))
     }
   }
 
