@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import graft.codec.{DnsWire, DnstapCodec}
 import graft.dns.{DnsAnalog, DnstapRows}
 import graft.functions.{Anonymize, DnsNames, IpFunctions, VectorFunctions}
-import graft.operators.{AsOfMatch, CorpusStats, Dedup, GroupingSetCounter, MediaCodec, Multimodal, NgramModel, Packing, Percentiles, Quantize, Sampling, Scrub, Similarity, SkewAgg, TextAnalysis}
+import graft.operators.{AsOfMatch, CorpusStats, Dedup, GroupingSetCounter, MediaCodec, Multimodal, NgramModel, Packing, Percentiles, Quantize, Sampling, Scrub, Similarity, SkewAgg, TextAnalysis, UnigramLm}
 
 /** Tokenizer and fingerprint families (q104-q124): BPE training/encoding, NFC, manifests, PCM/pixel decodes, perceptual dHash, audio fingerprints, profilers, eval integrity, cross-modal dedup.
   *
@@ -933,4 +933,48 @@ private[graft] trait Queries5Tokenizer extends Queries4Mixtures {
       |    i -> ord(substr(text, CAST(i + 1 AS INTEGER), 1)))), 0) AS BIGINT)
       |    AS sum_bytes
       |FROM f""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q128-q130 — UNIGRAM-LM tokenizer (SentencePiece family, r12): the
+  // second tokenizer next to BPE, same scale split (distributed
+  // distinct-word table, broadcast tokenizer-sized piece table, one
+  // distributed Viterbi-count job per hard-EM round). q128 certifies
+  // the integer SEEDING step hash-exactly (weighted substring top-K +
+  // single-char coverage floor — TakeOrdered, no full sort). The
+  // trained surface (q129) and the encode surface (q130) are rows-only
+  // BY DESIGN: the float Viterbi has no cross-engine SQL form; their
+  // semantics are pinned by UnigramLmSpec against an in-memory
+  // reference (StrictMath scores, longest-last-piece ties) on random
+  // corpora.
+  // ---------------------------------------------------------------------
+  private[graft] def q128UnigramSeed(spark: SparkSession, dir: String): DataFrame =
+    UnigramLm.seedPieces(Tables.documents(spark, dir), "text",
+      maxLen = 4, topK = 512)
+
+  private[graft] val q128Sql =
+    """WITH w AS (SELECT tk AS w, count(*) AS wc FROM (
+      |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tk
+      |    FROM documents) GROUP BY tk),
+      |sub AS (SELECT substr(w.w, CAST(t.i AS INTEGER), CAST(u.l AS INTEGER)) AS piece,
+      |          SUM(w.wc) AS n_occ
+      |        FROM w,
+      |          UNNEST(generate_series(1, CAST(strlen(w.w) AS INTEGER))) AS t(i),
+      |          UNNEST(generate_series(1,
+      |            LEAST(4, CAST(strlen(w.w) AS INTEGER) - CAST(t.i AS INTEGER) + 1))) AS u(l)
+      |        GROUP BY 1),
+      |top AS (SELECT piece, n_occ FROM sub ORDER BY n_occ DESC, piece LIMIT 512)
+      |SELECT DISTINCT piece, CAST(n_occ AS BIGINT) AS n_occ FROM (
+      |  SELECT piece, n_occ FROM top
+      |  UNION ALL SELECT piece, n_occ FROM sub WHERE strlen(piece) = 1)""".stripMargin
+
+  private[graft] def q129UnigramLm(spark: SparkSession, dir: String): DataFrame =
+    UnigramLm.train(Tables.documents(spark, dir), "text",
+      vocabSize = 256, emRounds = 3, maxPieceLen = 4, seedK = 2048)
+
+  private[graft] def q130UnigramEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    UnigramLm.encodedCounts(docs, "doc_id", "text",
+      UnigramLm.train(docs, "text", vocabSize = 256, emRounds = 3,
+        maxPieceLen = 4, seedK = 2048))
+  }
 }

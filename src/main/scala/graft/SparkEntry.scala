@@ -162,6 +162,9 @@ object SparkEntry extends Queries5Tokenizer {
     Q("q125_mp4_meta", q125Mp4Meta, Some(q125Sql)),
     Q("q126_video_audit", q126VideoAudit, Some(q126Sql)),
     Q("q127_video_frames", q127VideoFrames, Some(q127Sql)),
+    Q("q128_unigram_seed", q128UnigramSeed, Some(q128Sql)),
+    Q("q129_unigram_lm", q129UnigramLm, None),
+    Q("q130_unigram_encode", q130UnigramEncode, None),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
