@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import graft.codec.{DnsWire, DnstapCodec}
 import graft.dns.{DnsAnalog, DnstapRows}
 import graft.functions.{Anonymize, DnsNames, IpFunctions, VectorFunctions}
-import graft.operators.{AsOfMatch, CorpusStats, Dedup, GroupingSetCounter, MediaCodec, Multimodal, NgramModel, Packing, Percentiles, Quantize, Sampling, Scrub, Similarity, SkewAgg, TextAnalysis, UnigramLm}
+import graft.operators.{AsOfMatch, CorpusStats, Dedup, GroupingSetCounter, MediaCodec, Multimodal, NgramModel, Packing, Percentiles, Quantize, Sampling, Scrub, Similarity, SkewAgg, RangeJoin, TextAnalysis, UnigramLm}
 
 /** Tokenizer and fingerprint families (q104-q124): BPE training/encoding, NFC, manifests, PCM/pixel decodes, perceptual dHash, audio fingerprints, profilers, eval integrity, cross-modal dedup.
   *
@@ -977,4 +977,35 @@ private[graft] trait Queries5Tokenizer extends Queries4Mixtures {
       UnigramLm.train(docs, "text", vocabSize = 256, emRounds = 3,
         maxPieceLen = 4, seedK = 2048))
   }
+
+  // ---------------------------------------------------------------------
+  // q131 — binned RANGE JOIN (r12): point-in-interval matching without
+  // the BroadcastNestedLoopJoin a bare BETWEEN predicate plans. Each
+  // same-user purchase opens a 1-hour window; every click joins the
+  // windows covering it through (user, time-bin) equi-hashing with the
+  // exact range as the join residual (operators/RangeJoin — see its
+  // scaladoc for the replication cost model). Oracle is the plain
+  // range join DuckDB executes directly; integer epoch-second floors
+  // on both engines.
+  // ---------------------------------------------------------------------
+  private[graft] def q131RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts").cast("long").as("t"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").cast("long").as("lo"),
+        (col("ts").cast("long") + 3600L).as("hi"))
+    RangeJoin.pointInInterval(clicks, purch, Seq("user_id"), "t", "lo", "hi",
+        binWidth = 3600L)
+      .groupBy(col("event_id")).agg(count(lit(1)).as("n_windows"))
+  }
+
+  private[graft] val q131Sql =
+    """SELECT c.event_id, count(*) AS n_windows
+      |FROM events c JOIN events p ON p.user_id = c.user_id
+      |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      |  AND epoch_us(c.ts) // 1000000
+      |      BETWEEN epoch_us(p.ts) // 1000000
+      |          AND epoch_us(p.ts) // 1000000 + 3600
+      |GROUP BY 1""".stripMargin
 }

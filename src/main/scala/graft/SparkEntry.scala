@@ -165,6 +165,7 @@ object SparkEntry extends Queries5Tokenizer {
     Q("q128_unigram_seed", q128UnigramSeed, Some(q128Sql)),
     Q("q129_unigram_lm", q129UnigramLm, None),
     Q("q130_unigram_encode", q130UnigramEncode, None),
+    Q("q131_range_join", q131RangeJoin, Some(q131Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -99,6 +99,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("MapPartitions"))
   }
 
+  test("range join is a hash join on (keys, bin) — never a nested loop") {
+    // a bare BETWEEN would plan BroadcastNestedLoopJoin; the bin
+    // equi-key must keep it hash-based at any build-side size
+    val plan = SparkEntry.queries("q131_range_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    Seq("BroadcastNestedLoopJoin", "CartesianProduct").foreach(bad =>
+      assert(!plan.contains(bad), s"q131 plans a $bad"))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
+  }
+
   test("IVF assignment is narrow: the corpus never shuffles to pick a cell") {
     // the r7 rewrite this pins: nearest-centroid assignment is a literal
     // argmax expression, not a window — the window form exchanged the

@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Binned range join vs a direct nested-loop reference: bin-boundary
+  * points, intervals spanning many bins, negative values, and the
+  * no-duplicate guarantee (each pair meets only in the point's bin). */
+class RangeJoinSpec extends SparkSpec {
+
+  test("binned join equals the nested-loop reference, boundaries inclusive") {
+    import spark.implicits._
+    val points = Seq(
+      (1L, "u1", 0L), (2L, "u1", 9L), (3L, "u1", 10L), (4L, "u1", 100L),
+      (5L, "u2", 10L), (6L, "u2", -25L), (7L, "u3", 50L))
+      .toDF("pid", "k", "t")
+    val ivals = Seq(
+      ("u1", 0L, 10L),    // spans bins 0..1 at width 10: hits t=0,9,10
+      ("u1", 95L, 130L),  // multi-bin
+      ("u2", -30L, -20L), // negative range
+      ("u2", 10L, 10L),   // degenerate single-point interval
+      ("u4", 0L, 100L))   // key with no points
+      .toDF("k", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, ivals, Seq("k"), "t", "lo", "hi",
+        binWidth = 10L)
+      .select("pid", "lo", "hi")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      p <- Seq((1L, "u1", 0L), (2L, "u1", 9L), (3L, "u1", 10L), (4L, "u1", 100L),
+        (5L, "u2", 10L), (6L, "u2", -25L), (7L, "u3", 50L))
+      i <- Seq(("u1", 0L, 10L), ("u1", 95L, 130L), ("u2", -30L, -20L),
+        ("u2", 10L, 10L), ("u4", 0L, 100L))
+      if p._2 == i._1 && p._3 >= i._2 && p._3 <= i._3
+    } yield (p._1, i._2, i._3)).toSet
+    assert(got == want, s"got=$got want=$want")
+    // no-duplicate guarantee: the same (point, interval) pair once
+    val all = RangeJoin.pointInInterval(points, ivals, Seq("k"), "t", "lo", "hi", 10L)
+      .select("pid", "lo", "hi").collect()
+    assert(all.length == all.distinct.length)
+  }
+}
