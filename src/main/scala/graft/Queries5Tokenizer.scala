@@ -1008,4 +1008,43 @@ private[graft] trait Queries5Tokenizer extends Queries4Mixtures {
       |      BETWEEN epoch_us(p.ts) // 1000000
       |          AND epoch_us(p.ts) // 1000000 + 3600
       |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q132 — Z-ORDER clustering key (r12): the Morton interleave behind
+  // sinks/ZOrderLayout, certified as pure integer arithmetic. Buckets
+  // are the key's bits above 20 (sized to the synthetic id/epoch
+  // domains); per-bucket counts plus min/max of BOTH
+  // source dimensions make the locality visible (and the hash breaks if
+  // any of the 12 mask/shift steps drifts). The write-side layout
+  // (range partition + in-partition sort, disjoint per-file z-ranges)
+  // is pinned by ZOrderLayoutSpec.
+  // ---------------------------------------------------------------------
+  private[graft] def q132ZorderKey(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("long").as("t"))
+    ev.withColumn("__z", graft.sinks.ZOrderLayout.zValue2(col("user_id"), col("t")))
+      .groupBy(shiftright(col("__z"), 20).as("z_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"),
+        min(col("t")).as("min_t"), max(col("t")).as("max_t"))
+  }
+
+  private[graft] val q132Sql = {
+    def spread(v: String): String = {
+      var x = s"($v & 4294967295)"
+      x = s"((($x | ($x << 16)) & 281470681808895))"
+      x = s"((($x | ($x << 8)) & 71777214294589695))"
+      x = s"((($x | ($x << 4)) & 1085102592571150095))"
+      x = s"((($x | ($x << 2)) & 3689348814741910323))"
+      s"((($x | ($x << 1)) & 6148914691236517205))"
+    }
+    val z = s"(${spread("user_id")} | (${spread("CAST(epoch_us(ts) // 1000000 AS BIGINT)")} << 1))"
+    s"""WITH e AS (SELECT event_id, user_id,
+      |    CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t, $z AS z FROM events)
+      |SELECT z >> 20 AS z_bucket, count(*) AS n,
+      |  min(user_id) AS min_user, max(user_id) AS max_user,
+      |  min(t) AS min_t, max(t) AS max_t
+      |FROM e GROUP BY 1""".stripMargin
+  }
 }

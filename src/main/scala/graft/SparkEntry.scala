@@ -166,6 +166,7 @@ object SparkEntry extends Queries5Tokenizer {
     Q("q129_unigram_lm", q129UnigramLm, None),
     Q("q130_unigram_encode", q130UnigramEncode, None),
     Q("q131_range_join", q131RangeJoin, Some(q131Sql)),
+    Q("q132_zorder_key", q132ZorderKey, Some(q132Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
