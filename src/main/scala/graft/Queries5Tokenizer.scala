@@ -1047,4 +1047,24 @@ private[graft] trait Queries5Tokenizer extends Queries4Mixtures {
       |  min(t) AS min_t, max(t) AS max_t
       |FROM e GROUP BY 1""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // q133 — mergeable HLL sketch rollup (rows-only BY DESIGN: Datasketches
+  // binary images aren't cross-engine): the pre-aggregation pattern a
+  // 100 TB distinct-count cube runs on — per-(source, shard) PARTIAL
+  // sketches materialize once (the expensive corpus scan), then
+  // re-merge per source with hll_union_agg, never rescanning rows. The
+  // sketch-union law (merge of partials == one-shot sketch, exactly —
+  // register-maxima are order-independent) and the estimate-vs-exact
+  // error bound are pinned by SketchRollupSpec.
+  // ---------------------------------------------------------------------
+  private[graft] def q133HllRollup(spark: SparkSession, dir: String): DataFrame = {
+    val partial = Tables.documents(spark, dir)
+      .select(col("source"), (col("doc_id") % 8).as("__shard"),
+        xxhash64(col("text")).as("__fp"))
+      .groupBy(col("source"), col("__shard"))
+      .agg(hll_sketch_agg(col("__fp")).as("__sk"))
+    partial.groupBy(col("source"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("__sk"))).as("approx_texts"))
+  }
 }

@@ -167,6 +167,7 @@ object SparkEntry extends Queries5Tokenizer {
     Q("q130_unigram_encode", q130UnigramEncode, None),
     Q("q131_range_join", q131RangeJoin, Some(q131Sql)),
     Q("q132_zorder_key", q132ZorderKey, Some(q132Sql)),
+    Q("q133_hll_rollup", q133HllRollup, None),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
