@@ -1067,4 +1067,34 @@ private[graft] trait Queries5Tokenizer extends Queries4Mixtures {
     partial.groupBy(col("source"))
       .agg(hll_sketch_estimate(hll_union_agg(col("__sk"))).as("approx_texts"))
   }
+
+  // ---------------------------------------------------------------------
+  // q134 — binned INTERVAL-OVERLAP join (r12): the interval x interval
+  // companion of q131. Every click opens a 30-minute window, every
+  // same-user purchase a 1-hour window; overlapping pairs join through
+  // (user, bin) equi-hashing with the canonical-bin rule (a pair emits
+  // only in its overlap's first bin — no post-join distinct). Oracle is
+  // DuckDB's direct overlap join.
+  // ---------------------------------------------------------------------
+  private[graft] def q134IntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("long").as("c_lo"),
+        (col("ts").cast("long") + 1800L).as("c_hi"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").cast("long").as("p_lo"),
+        (col("ts").cast("long") + 3600L).as("p_hi"))
+    RangeJoin.intervalOverlap(clicks, purch, Seq("user_id"),
+        "c_lo", "c_hi", "p_lo", "p_hi", binWidth = 3600L)
+      .groupBy(col("event_id")).agg(count(lit(1)).as("n_overlaps"))
+  }
+
+  private[graft] val q134Sql =
+    """SELECT c.event_id, count(*) AS n_overlaps
+      |FROM events c JOIN events p ON p.user_id = c.user_id
+      |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      |  AND epoch_us(c.ts) // 1000000 <= epoch_us(p.ts) // 1000000 + 3600
+      |  AND epoch_us(p.ts) // 1000000 <= epoch_us(c.ts) // 1000000 + 1800
+      |GROUP BY 1""".stripMargin
 }

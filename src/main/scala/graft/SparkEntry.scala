@@ -168,6 +168,7 @@ object SparkEntry extends Queries5Tokenizer {
     Q("q131_range_join", q131RangeJoin, Some(q131Sql)),
     Q("q132_zorder_key", q132ZorderKey, Some(q132Sql)),
     Q("q133_hll_rollup", q133HllRollup, None),
+    Q("q134_interval_overlap", q134IntervalOverlap, Some(q134Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

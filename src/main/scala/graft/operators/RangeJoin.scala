@@ -23,6 +23,37 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Interval-overlap join: pair every left interval [lloCol, lhiCol]
+    * with every right interval [rloCol, rhiCol] (inclusive, LONG) that
+    * overlaps it, under `keys` equality. Same binning as
+    * [[pointInInterval]], plus the CANONICAL-BIN rule: an overlapping
+    * pair co-occurs in every bin the overlap spans, so it emits only in
+    * the overlap's FIRST bin (`floor(max(llo, rlo) / binWidth)`) — no
+    * post-join distinct. Returns left.* then right.* minus its keys;
+    * right-side range columns surface as `rloCol`/`rhiCol` (names must
+    * differ from the left's). */
+  def intervalOverlap(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      lloCol: String, lhiCol: String, rloCol: String,
+                      rhiCol: String, binWidth: Long): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
+    require(Set(lloCol, lhiCol).intersect(Set(rloCol, rhiCol)).isEmpty,
+      "left and right range column names must differ")
+    def bin(c: org.apache.spark.sql.Column) =
+      floor(c.cast("double") / binWidth).cast("long")
+    val lb = left.withColumn("__bin",
+      explode(sequence(bin(col(lloCol)), bin(col(lhiCol)))))
+    val rb = right.withColumn("__bin",
+      explode(sequence(bin(col(rloCol)), bin(col(rhiCol)))))
+    val joined = lb.join(rb,
+      keys.map(k => lb(k) === rb(k)).reduceOption(_ && _)
+        .map(_ && lb("__bin") === rb("__bin"))
+        .getOrElse(lb("__bin") === rb("__bin")) &&
+        lb(lloCol) <= rb(rhiCol) && rb(rloCol) <= lb(lhiCol) &&
+        lb("__bin") === bin(greatest(lb(lloCol), rb(rloCol))))
+    val dropRight = keys.map(rb(_)) :+ rb("__bin")
+    dropRight.foldLeft(joined)((d, c) => d.drop(c)).drop("__bin")
+  }
+
   /** Inner-join `points` to every interval whose [loCol, hiCol] (both
     * inclusive, LONG-typed — cast timestamps to epoch seconds first)
     * contains `pointCol`, with `keys` as additional equi-join columns

@@ -37,4 +37,30 @@ class RangeJoinSpec extends SparkSpec {
       .select("pid", "lo", "hi").collect()
     assert(all.length == all.distinct.length)
   }
+
+  test("interval overlap equals the nested-loop reference, one row per pair") {
+    import spark.implicits._
+    val lefts = Seq(
+      (1L, "u1", 0L, 25L),   // spans 3 bins at width 10
+      (2L, "u1", 40L, 40L),  // degenerate
+      (3L, "u2", 5L, 15L),
+      (4L, "u2", -22L, -8L)) // negative span
+    val rights = Seq(
+      ("u1", 20L, 60L),  // overlaps [0,25] across 2 shared bins: dedup test
+      ("u1", 26L, 39L),  // adjacent, NO overlap with either u1 interval
+      ("u2", 15L, 15L),  // touches [5,15] exactly at the boundary
+      ("u2", -10L, 0L))
+    val got = RangeJoin.intervalOverlap(
+        lefts.toDF("lid", "k", "llo", "lhi"), rights.toDF("k", "rlo", "rhi"),
+        Seq("k"), "llo", "lhi", "rlo", "rhi", binWidth = 10L)
+      .select("lid", "rlo", "rhi").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = (for {
+      l <- lefts; r <- rights
+      if l._2 == r._1 && l._3 <= r._3 && r._2 <= l._4
+    } yield (l._1, r._2, r._3))
+    assert(got.toSet == want.toSet, s"got=${got.toSet} want=${want.toSet}")
+    // canonical-bin rule: multi-bin overlaps still emit exactly once
+    assert(got.length == want.length, s"duplicate pair rows: ${got.toSeq}")
+  }
 }
