@@ -1097,4 +1097,75 @@ private[graft] trait Queries5Tokenizer extends Queries4Mixtures {
       |  AND epoch_us(c.ts) // 1000000 <= epoch_us(p.ts) // 1000000 + 3600
       |  AND epoch_us(p.ts) // 1000000 <= epoch_us(c.ts) // 1000000 + 1800
       |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q135 — BPE tokenizer INFERENCE (r12): train on ONE source (src0,
+  // the q105-certified 6-round chain restricted to it) and encode the
+  // REST of the corpus with the frozen merge table — the production
+  // decoupling (tokenizer trained once, applied to every later batch).
+  // Unseen words fold through the k merges in round order; the oracle
+  // replays the identical list_reduce fold over the apply corpus's
+  // distinct words, then meets occurrences per document, exactly the
+  // q110 discipline.
+  // ---------------------------------------------------------------------
+  private[graft] def q135BpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    CorpusStats.bpeApplyMerges(
+      docs.filter(col("source") =!= "src0"), "doc_id", "text",
+      CorpusStats.bpeTrainMerges(docs.filter(col("source") === "src0"),
+        "text", BpeRounds))
+  }
+
+  private[graft] val q135Sql: String = {
+    val sep = "chr(1)"
+    // training chain over src0 only: the q105 CTE shapes with a WHERE
+    val w0 =
+      s"""WITH w0 AS MATERIALIZED (
+        |  SELECT CAST(count(*) AS BIGINT) AS wc, string_split(w, '') AS sym
+        |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |        FROM documents WHERE source = 'src0')
+        |  WHERE NOT contains(w, $sep)
+        |  GROUP BY w)""".stripMargin
+    def mergeFold(src: String, dst: String, m: String): String =
+      s"""$dst AS MATERIALIZED (
+        |  SELECT $src.* REPLACE (list_filter(string_split(
+        |    list_reduce(list_prepend($sep, sym), (acc, x) ->
+        |      CASE WHEN x = $m.b AND ends_with(acc, $sep || $m.a || $sep)
+        |           THEN substr(acc, 1, length(acc) - length($m.a) - 1)
+        |                  || $m.a || $m.b || $sep
+        |           ELSE acc || x || $sep END),
+        |    $sep), s -> s <> '') AS sym)
+        |  FROM $src, $m)""".stripMargin
+    val rounds = (0 until BpeRounds).map { i =>
+      val pick =
+        s"""m$i AS MATERIALIZED (
+          |  SELECT pr.a AS a, pr.b AS b, CAST(SUM(wc) AS BIGINT) AS n
+          |  FROM (SELECT wc, unnest(list_transform(range(1, len(sym)),
+          |          j -> {'a': sym[j], 'b': sym[j+1]})) AS pr
+          |        FROM w$i WHERE len(sym) >= 2)
+          |  GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1)""".stripMargin
+      s"$pick,\n${mergeFold(s"w$i", s"w${i + 1}", s"m$i")}"
+    }
+    // apply chain: distinct words of every OTHER source, folded through
+    // the SAME m0..m{k-1} merge picks
+    val a0 =
+      s"""a0 AS MATERIALIZED (
+        |  SELECT w, string_split(w, '') AS sym FROM (
+        |    SELECT DISTINCT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |    FROM documents WHERE source <> 'src0')
+        |  WHERE NOT contains(w, $sep))""".stripMargin
+    val applies = (0 until BpeRounds)
+      .map(i => mergeFold(s"a$i", s"a${i + 1}", s"m$i"))
+    val tail =
+      s"""v AS (SELECT w AS word, len(sym) AS nsym FROM a$BpeRounds),
+        |occ AS (SELECT doc_id,
+        |          unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        |        FROM documents WHERE source <> 'src0')
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(nsym) AS BIGINT) AS n_bpe_tokens
+        |FROM occ JOIN v USING (word)
+        |WHERE NOT contains(word, chr(1))
+        |GROUP BY doc_id""".stripMargin
+    (Seq(w0) ++ rounds ++ Seq(a0) ++ applies ++ Seq(tail)).mkString(",\n")
+  }
 }

@@ -169,6 +169,7 @@ object SparkEntry extends Queries5Tokenizer {
     Q("q132_zorder_key", q132ZorderKey, Some(q132Sql)),
     Q("q133_hll_rollup", q133HllRollup, None),
     Q("q134_interval_overlap", q134IntervalOverlap, Some(q134Sql)),
+    Q("q135_bpe_apply", q135BpeApply, Some(q135Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -697,4 +697,47 @@ object CorpusStats {
       .agg(count(lit(1)).as("n_words"),
         sum(col("__nsym")).as("n_bpe_tokens"))
   }
+
+  /** Tokenizer INFERENCE (r12): apply an already-trained merge table to
+    * a corpus the tokenizer has never seen — the production path, where
+    * training ran once on a reference corpus and every later batch just
+    * encodes. `merges` is the [[bpeTrainMerges]] output (round,
+    * left_sym, right_sym, ...); it collects to the driver (tokenizer-
+    * sized, bounded by the training k <= 1024) and applies to each
+    * DISTINCT word of `df` as k chained left-to-right merge folds in
+    * round order — merges are NOT symbol-disjoint across rounds, so
+    * sequential chaining (not the training batcher's one-pass map) is
+    * the correct application here; the oracle replays the identical
+    * fold in SQL. The corpus meets the folded vocabulary through the
+    * same 8-byte-hash join as [[bpeEncodedCounts]] — word text never
+    * shuffles. Returns (idCol, n_words, n_bpe_tokens). */
+  def bpeApplyMerges(df: DataFrame, idCol: String, textCol: String,
+                     merges: DataFrame, sep: String = "\u0001"): DataFrame = {
+    val ms = merges.select(col("round").cast("int"), col("left_sym"),
+        col("right_sym"))
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    require(ms.nonEmpty && ms.length <= 1024,
+      s"merge table must carry 1..1024 rounds, got ${ms.length}")
+    val words = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("__w"))
+      .filter(!col("__w").contains(lit(sep)))
+      .distinct()
+      .select(col("__w"), filter(split(col("__w"), ""), s => s =!= "").as("sym"))
+    val folded = ms.foldLeft(col("sym")) { case (symC, (a, b)) =>
+      aggregate(symC, array().cast("array<string>"), (acc, s) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(s))))
+    }
+    val vocab = words.select(xxhash64(col("__w")).as("__wh"),
+      size(folded).cast("long").as("__nsym"))
+    df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("__w"))
+      .filter(!col("__w").contains(lit(sep)))
+      .select(col(idCol), xxhash64(col("__w")).as("__wh"))
+      .join(vocab, "__wh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__nsym")).as("n_bpe_tokens"))
+  }
 }

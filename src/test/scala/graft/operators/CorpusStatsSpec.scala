@@ -196,4 +196,24 @@ class CorpusStatsSpec extends SparkSpec {
     // k=3 collapses aaaa -> [aaaa] and bc -> [bc]: every word 1 symbol
     assert(got(3) == Map(1L -> ((3L, 3L)), 2L -> ((2L, 2L))))
   }
+
+  test("bpeApplyMerges on the training corpus equals bpeEncodedCounts") {
+    import spark.implicits._
+    val docs = Seq((1L, "low lower lowest low"), (2L, "new newer newest"),
+      (3L, "low new lowest")).toDF("doc_id", "text")
+    val k = 4
+    val direct = CorpusStats.bpeEncodedCounts(docs, "doc_id", "text", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val applied = CorpusStats.bpeApplyMerges(docs, "doc_id", "text",
+        CorpusStats.bpeTrainMerges(docs, "text", k))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(applied == direct, s"apply=$applied direct=$direct")
+    // frozen-table decoupling: unseen words still fold through the
+    // merges (chains included) instead of erroring or dropping
+    val unseen = Seq((9L, "lowlow brandnew zz")).toDF("doc_id", "text")
+    val enc = CorpusStats.bpeApplyMerges(unseen, "doc_id", "text",
+        CorpusStats.bpeTrainMerges(docs, "text", k))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(enc.length == 1 && enc(0)._2 == 3L && enc(0)._3 >= 3L)
+  }
 }
