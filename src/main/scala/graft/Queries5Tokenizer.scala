@@ -1168,4 +1168,20 @@ private[graft] trait Queries5Tokenizer extends Queries4Mixtures {
         |GROUP BY doc_id""".stripMargin
     (Seq(w0) ++ rounds ++ Seq(a0) ++ applies ++ Seq(tail)).mkString(",\n")
   }
+
+  // ---------------------------------------------------------------------
+  // q136 — unigram-LM INFERENCE (rows-only BY DESIGN, the q135
+  // decoupling for the second tokenizer family): pieces train on src0
+  // once, then encode every other source with the frozen table.
+  // Cross-source words can carry characters absent from the training
+  // vocabulary — those count as n_oov, never error (UnigramLmSpec pins
+  // the coverage semantics).
+  // ---------------------------------------------------------------------
+  private[graft] def q136UnigramApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    UnigramLm.encodedCounts(docs.filter(col("source") =!= "src0"),
+      "doc_id", "text",
+      UnigramLm.train(docs.filter(col("source") === "src0"), "text",
+        vocabSize = 256, emRounds = 3, maxPieceLen = 4, seedK = 2048))
+  }
 }

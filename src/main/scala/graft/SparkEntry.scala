@@ -170,6 +170,7 @@ object SparkEntry extends Queries5Tokenizer {
     Q("q133_hll_rollup", q133HllRollup, None),
     Q("q134_interval_overlap", q134IntervalOverlap, Some(q134Sql)),
     Q("q135_bpe_apply", q135BpeApply, Some(q135Sql)),
+    Q("q136_unigram_apply", q136UnigramApply, None),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

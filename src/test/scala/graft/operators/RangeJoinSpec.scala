@@ -63,4 +63,36 @@ class RangeJoinSpec extends SparkSpec {
     // canonical-bin rule: multi-bin overlaps still emit exactly once
     assert(got.length == want.length, s"duplicate pair rows: ${got.toSeq}")
   }
+
+  test("randomized: both joins equal the nested loop at random bin widths") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242L)
+    (0 until 5).foreach { _ =>
+      val keys = Seq("k1", "k2", "k3")
+      val pts = Seq.fill(60)((rnd.nextLong(500) + 1,
+        keys(rnd.nextInt(3)), rnd.nextLong(200) - 100))
+      val ivs = Seq.fill(40) {
+        val lo = rnd.nextLong(200) - 100
+        (keys(rnd.nextInt(3)), lo, lo + rnd.nextLong(40))
+      }
+      val bw = rnd.nextLong(29) + 1
+      val gotP = RangeJoin.pointInInterval(pts.toDF("pid", "k", "t"),
+          ivs.toDF("k", "lo", "hi"), Seq("k"), "t", "lo", "hi", bw)
+        .select("pid", "t", "lo", "hi").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val wantP = for { p <- pts; i <- ivs
+        if p._2 == i._1 && p._3 >= i._2 && p._3 <= i._3
+      } yield (p._1, p._3, i._2, i._3)
+      assert(gotP.sorted.toSeq == wantP.sorted, s"point join diverged at bw=$bw")
+      val lvs = ivs.zipWithIndex.map { case ((k, lo, hi), j) => (j.toLong, k, lo, hi) }
+      val gotO = RangeJoin.intervalOverlap(lvs.toDF("lid", "k", "llo", "lhi"),
+          ivs.toDF("k", "rlo", "rhi"), Seq("k"), "llo", "lhi", "rlo", "rhi", bw)
+        .select("lid", "rlo", "rhi").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val wantO = for { l <- lvs; r <- ivs
+        if l._2 == r._1 && l._3 <= r._3 && r._2 <= l._4
+      } yield (l._1, r._2, r._3)
+      assert(gotO.sorted.toSeq == wantO.sorted, s"overlap join diverged at bw=$bw")
+    }
+  }
 }
