@@ -1184,4 +1184,35 @@ private[graft] trait Queries5Tokenizer extends Queries4Mixtures {
       UnigramLm.train(docs.filter(col("source") === "src0"), "text",
         vocabSize = 256, emRounds = 3, maxPieceLen = 4, seedK = 2048))
   }
+
+  // ---------------------------------------------------------------------
+  // q137 — JSON property extraction (r12): the semi-structured surface
+  // every telemetry pipeline carries. `props` parses ONCE per row with
+  // from_json against an explicit schema (schema-on-read: a typed
+  // column, not repeated get_json_object string scans), then aggregates
+  // per event type — k-value deciles, null-safe. DuckDB mirrors with
+  // json_extract; integer-exact.
+  // ---------------------------------------------------------------------
+  private[graft] def q137JsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k").as("__k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("__k")).as("n_with_k"),
+        sum(col("__k")).as("sum_k"),
+        floor(sum(col("__k")) / count(col("__k"))).cast("long").as("avg_k_floor"),
+        sum((col("__k") / lit(10)).cast("long")).as("sum_decile"))
+
+  private[graft] val q137Sql =
+    """SELECT event_type,
+      |  count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+      |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(floor(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+      |       / count(CAST(json_extract(props, '$.k') AS BIGINT))) AS BIGINT)
+      |    AS avg_k_floor,
+      |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT) // 10) AS BIGINT)
+      |    AS sum_decile
+      |FROM events GROUP BY 1""".stripMargin
 }

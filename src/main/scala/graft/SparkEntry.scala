@@ -171,6 +171,7 @@ object SparkEntry extends Queries5Tokenizer {
     Q("q134_interval_overlap", q134IntervalOverlap, Some(q134Sql)),
     Q("q135_bpe_apply", q135BpeApply, Some(q135Sql)),
     Q("q136_unigram_apply", q136UnigramApply, None),
+    Q("q137_json_props", q137JsonProps, Some(q137Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
