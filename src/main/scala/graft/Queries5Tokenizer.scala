@@ -1215,4 +1215,43 @@ private[graft] trait Queries5Tokenizer extends Queries4Mixtures {
       |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT) // 10) AS BIGINT)
       |    AS sum_decile
       |FROM events GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q138 — CORPUS REFRESH (r12): the continuous-pipeline update step.
+  // An arriving batch admits into the curated corpus only if it is NOT
+  // a near-duplicate of an incumbent document — the q61 incremental
+  // probe (batch x corpus inverted-index join, NO corpus self-join)
+  // followed by an anti-join; incumbents pass through untouched. The
+  // output is the refreshed corpus with provenance. Batch-internal
+  // duplicates are a separate concern (the q20/q21 family runs on the
+  // batch first in a real pipeline) — documented scope, mirrored by the
+  // oracle. Shares q61's exact CTE chain, so the two certify the same
+  // pair semantics.
+  // ---------------------------------------------------------------------
+  private[graft] def q138CorpusRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val slice = pmod(Dedup.baseHash32(col("doc_id").cast("string")), lit(10))
+    val corpus = docs.filter(slice =!= 0)
+    val batch = docs.filter(slice === 0)
+    val dupBatch = Dedup.incrementalJaccardPairs(corpus, batch,
+        "doc_id", "text", n = 3, threshold = 0.5, maxShingleDfFrac = 0.1)
+      .select(col("batch_doc").as("doc_id")).distinct()
+    corpus.select(col("doc_id"), lit("incumbent").as("provenance"))
+      .unionByName(batch.join(dupBatch, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit("admitted").as("provenance")))
+  }
+
+  private[graft] lazy val q138Sql: String = {
+    val base = incrementalDedupSql("0.5")
+    val cut = base.indexOf("SELECT x AS batch_doc")
+    require(cut > 0, "q61 oracle shape changed under q138")
+    base.substring(0, cut).stripTrailing() + ",\n" +
+      """dupb AS (SELECT DISTINCT i.x AS doc_id
+        |  FROM i JOIN sz sa ON i.x = sa.doc JOIN sz sb ON i.y = sb.doc
+        |  WHERE cnt*1.0/(sa.s + sb.s - cnt) >= 0.5)
+        |SELECT doc_id, 'incumbent' AS provenance FROM t WHERE hv <> 0
+        |UNION ALL
+        |SELECT doc_id, 'admitted' AS provenance FROM t
+        |WHERE hv = 0 AND doc_id NOT IN (SELECT doc_id FROM dupb)""".stripMargin
+  }
 }

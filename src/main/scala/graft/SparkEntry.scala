@@ -172,6 +172,7 @@ object SparkEntry extends Queries5Tokenizer {
     Q("q135_bpe_apply", q135BpeApply, Some(q135Sql)),
     Q("q136_unigram_apply", q136UnigramApply, None),
     Q("q137_json_props", q137JsonProps, Some(q137Sql)),
+    Q("q138_corpus_refresh", q138CorpusRefresh, Some(q138Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
