@@ -517,8 +517,9 @@ object CorpusStats {
               "rounds — every word is a single symbol; lower k")
         exhausted = true
       } else {
-      // --- speculative batch: the maximal PREFIX of the ledger order that
-      // is fold-safe. A later candidate c is fold-safe against every
+      // --- speculative batch: a fold-safe SUBSEQUENCE of the ledger
+      // order (greedy, in rank order). A later candidate c is fold-safe
+      // against every
       // already-selected merge j iff
       //   {a_c, b_c} ∩ {a_j, b_j, a_j+b_j} = ∅   (count invariance: every
       //     delta pair touches a_j, b_j or the merged symbol, so c's count
