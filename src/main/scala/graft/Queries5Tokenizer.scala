@@ -1203,7 +1203,7 @@ private[graft] trait Queries5Tokenizer extends Queries4Mixtures {
       .agg(count(col("__k")).as("n_with_k"),
         sum(col("__k")).as("sum_k"),
         floor(sum(col("__k")) / count(col("__k"))).cast("long").as("avg_k_floor"),
-        sum((col("__k") / lit(10)).cast("long")).as("sum_decile"))
+        sum(graft.functions.IntMath.floordiv(col("__k"), 10L)).as("sum_decile"))
 
   private[graft] val q137Sql =
     """SELECT event_type,

@@ -357,7 +357,8 @@ object MediaCodec {
     * byte splits, duration, and the first track's integer dims. */
   final case class Mp4Meta(majorBrand: String, nTracks: Int,
                            ftypBytes: Long, moovBytes: Long, mdatBytes: Long,
-                           durationMs: Long, width: Int, height: Int)
+                           durationMs: Long, width: Int, height: Int,
+                           mdatOff: Long = -1L, mdatEnd: Long = -1L)
 
   /** ISO-BMFF box walk, fully bounds-checked, None on anything
     * malformed: the file must LEAD with ftyp (the sniff), every box
@@ -390,6 +391,8 @@ object MediaCodec {
     val ftypBytes = ftypF._2.toLong
     var moovBytes = -1L
     var mdatBytes = -1L
+    var mdatOff = -1L
+    var mdatEnd = -1L
     var nTracks = 0
     var durationMs = -1L
     var width = -1
@@ -430,12 +433,16 @@ object MediaCodec {
           }
           c = cf._2
         }
-      } else if (typ == "mdat") mdatBytes = (f._2 - off).toLong
+      } else if (typ == "mdat") {
+        mdatBytes = (f._2 - off).toLong
+        mdatOff = f._1.toLong
+        mdatEnd = f._2.toLong
+      }
       off = f._2
     }
     if (moovBytes < 0 || durationMs < 0 || nTracks == 0 || width < 0) None
     else Some(Mp4Meta(major, nTracks, ftypBytes, moovBytes,
-      math.max(mdatBytes, 0L), durationMs, width, height))
+      math.max(mdatBytes, 0L), durationMs, width, height, mdatOff, mdatEnd))
   }
 
   // =====================================================================
@@ -979,13 +986,16 @@ object MediaCodec {
     * the mixed one (37). */
   /** mdat payload slice via the same bounds-checked box walk as
     * [[parseMp4]] (the file must parse end-to-end — a malformed
-    * container yields None, never a garbage slice). */
+    * container yields None, never a garbage slice). The payload
+    * extent comes from the box walk itself ([[Mp4Meta.mdatOff]] /
+    * [[Mp4Meta.mdatEnd]]), not reconstructed arithmetically, so
+    * conforming files with non-canonical box order (mdat before
+    * moov, interleaved free boxes, largesize headers) slice
+    * correctly, and a file with no mdat yields None. */
   def mp4MdatPayload(bytes: Array[Byte]): Option[Array[Byte]] =
-    parseMp4(bytes).map { m =>
-      // mdat body starts after ftyp + moov + the 8-byte mdat header;
-      // the walker certified these extents fit the buffer
-      val start = (m.ftypBytes + m.moovBytes + 8).toInt
-      java.util.Arrays.copyOfRange(bytes, start, start + (m.mdatBytes - 8).toInt)
+    parseMp4(bytes).flatMap { m =>
+      if (m.mdatOff < 0 || m.mdatEnd < m.mdatOff) None
+      else Some(java.util.Arrays.copyOfRange(bytes, m.mdatOff.toInt, m.mdatEnd.toInt))
     }
 
   def mp4FrameSize(docId: Long): Int = (64 + docId % 128).toInt

@@ -39,7 +39,7 @@ object RangeJoin {
     require(Set(lloCol, lhiCol).intersect(Set(rloCol, rhiCol)).isEmpty,
       "left and right range column names must differ")
     def bin(c: org.apache.spark.sql.Column) =
-      floor(c.cast("double") / binWidth).cast("long")
+      graft.functions.IntMath.floordiv(c, binWidth)
     val lb = left.withColumn("__bin",
       explode(sequence(bin(col(lloCol)), bin(col(lhiCol)))))
     val rb = right.withColumn("__bin",
@@ -63,9 +63,10 @@ object RangeJoin {
                       keys: Seq[String], pointCol: String, loCol: String,
                       hiCol: String, binWidth: Long): DataFrame = {
     require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
-    // floorDiv, not /: negative epochs must bin consistently on both sides
+    // exact integer floorDiv: negative epochs must bin consistently on
+    // both sides, and the double path would silently mis-bin |v| >= 2^53
     def bin(c: org.apache.spark.sql.Column) =
-      floor(c.cast("double") / binWidth).cast("long")
+      graft.functions.IntMath.floordiv(c, binWidth)
     val ib = intervals.withColumn("__bin",
       explode(sequence(bin(col(loCol)), bin(col(hiCol)))))
     val pb = points.withColumn("__bin", bin(col(pointCol)))

@@ -107,21 +107,23 @@ object StreamMediaDedup {
             // arrival order (the LatencyMatcher discipline)
             val ordered = events.toSeq.sortBy(e => (e.ts.getTime, e.doc_id))
             ordered.foreach { e =>
-              if (e.ts.getTime >= wmMs) { // late rows drop, state untouched
+              // late rows drop (state untouched); a doc_id the bucket
+              // already holds is a redelivery — its pairs were emitted
+              // when it first arrived, so re-emitting would duplicate
+              // output under at-least-once upstream delivery and break
+              // the batch-join equivalence the scaladoc promises
+              if (e.ts.getTime >= wmMs && !entries.exists(_.doc_id == e.doc_id)) {
                 entries.foreach { s =>
-                  if (s.doc_id != e.doc_id) {
-                    val lowerDiffer = (0 until key._1).forall(j =>
-                      bandOf(s.fp, j) != bandOf(e.fp, j))
-                    if (lowerDiffer) {
-                      val h = java.lang.Long.bitCount(s.fp ^ e.fp)
-                      if (h <= maxHamming)
-                        out += PairHit(math.min(s.doc_id, e.doc_id),
-                          math.max(s.doc_id, e.doc_id), h.toLong)
-                    }
+                  val lowerDiffer = (0 until key._1).forall(j =>
+                    bandOf(s.fp, j) != bandOf(e.fp, j))
+                  if (lowerDiffer) {
+                    val h = java.lang.Long.bitCount(s.fp ^ e.fp)
+                    if (h <= maxHamming)
+                      out += PairHit(math.min(s.doc_id, e.doc_id),
+                        math.max(s.doc_id, e.doc_id), h.toLong)
                   }
                 }
-                if (!entries.exists(_.doc_id == e.doc_id) &&
-                    entries.size < bucketCap)
+                if (entries.size < bucketCap)
                   entries = entries :+ BucketEntry(e.doc_id, e.fp, e.ts.getTime)
               }
             }

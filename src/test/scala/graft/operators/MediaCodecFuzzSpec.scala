@@ -70,6 +70,33 @@ class MediaCodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("mdat slice survives non-canonical box order and absent mdat") {
+    forAllSeeded(Gen.zip(Gen.choose(0L, 5000L), rawBytes), 60) {
+      case (id, payload) =>
+        val canon = encodeMp4(id, payload)
+        val m = parseMp4(canon).get
+        val ftyp = canon.slice(0, m.ftypBytes.toInt)
+        val moov = canon.slice(m.ftypBytes.toInt, (m.ftypBytes + m.moovBytes).toInt)
+        val mdat = canon.slice((m.ftypBytes + m.moovBytes).toInt, canon.length)
+        // mdat BEFORE moov is a conforming layout; the slice must come
+        // from the walk's recorded offsets, not ftyp+moov arithmetic
+        val reordered = ftyp ++ mdat ++ moov
+        assert(parseMp4(reordered).isDefined)
+        assert(mp4MdatPayload(reordered)
+          .exists(java.util.Arrays.equals(_, payload)))
+        // an interleaved free box shifts mdat further — still exact
+        val free = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
+          .putInt(16).put("free".getBytes(US_ASCII)).putLong(0L).array()
+        val shifted = ftyp ++ free ++ moov ++ mdat
+        assert(mp4MdatPayload(shifted)
+          .exists(java.util.Arrays.equals(_, payload)))
+        // no mdat at all: parse succeeds (mdatBytes 0), slice is None
+        val noMdat = ftyp ++ moov
+        assert(parseMp4(noMdat).exists(_.mdatBytes == 0L))
+        assert(mp4MdatPayload(noMdat).isEmpty)
+    }
+  }
+
   test("encode->parse round trips hold for arbitrary unicode text") {
     val texts = Gen.listOf(Gen.oneOf(
       Gen.alphaNumStr, Gen.const("héllo wörld ☃"),

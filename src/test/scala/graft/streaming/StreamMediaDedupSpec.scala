@@ -106,4 +106,30 @@ class StreamMediaDedupSpec extends SparkSpec {
       assert(got == Set((2L, 4L, 0L)))
     } finally query.stop()
   }
+
+  test("redelivered doc_id does not re-emit its pairs (at-least-once upstream)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Timestamp)]
+    val out = StreamMediaDedup.hammingPairs63(
+      mem.toDF().toDF("doc_id", "fp", "ts"), "doc_id", "fp", "ts",
+      watermark = "10 minutes")
+    val query = out.writeStream.format("memory").queryName("smd_redeliver")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 0x123456789ABL, t(10)), (2L, 0x123456789ABL, t(11)))
+      query.processAllAvailable()
+      // doc 2 redelivered (same micro-batch semantics as an upstream
+      // at-least-once source): its pair vs doc 1 must not duplicate
+      mem.addData((2L, 0x123456789ABL, t(11)))
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT doc_a, doc_b, hamming FROM smd_redeliver")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(rows == Seq((1L, 2L, 0L)), s"expected exactly one pair, got $rows")
+      // a genuinely new twin still pairs against both held docs
+      mem.addData((3L, 0x123456789ABL, t(12)))
+      query.processAllAvailable()
+      assert(spark.sql("SELECT * FROM smd_redeliver").count() == 3)
+    } finally query.stop()
+  }
 }
