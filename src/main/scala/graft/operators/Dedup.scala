@@ -579,12 +579,14 @@ object Dedup {
     * Scale: identical shuffle shape to [[duplicateSpanCoverage]] (60-bit
     * window hashes aggregate map-side; duplicated starts semi-join back),
     * plus one per-doc collect of duplicated starts — bounded by doc
-    * length, like the coverage window. The cut itself is row-local: a
-    * position-indexed array filter testing membership against the doc's
-    * own duplicated starts (O(tokens × dup-starts) per row — fine for
-    * training-doc lengths; a doc that approaches the quadratic corner is
-    * boilerplate-saturated and cheap to cut anyway since filter output
-    * shrinks with every hit).
+    * length, like the coverage window. The cut itself is row-local and
+    * LINEAR in doc length: the sorted starts decompose into disjoint
+    * covered regions (start j newly covers min(k, next_start − start)
+    * positions — the same gain decomposition [[duplicateSpanCoverage]]
+    * sums analytically), those regions flatten into a boolean mask, and
+    * one zip_with+filter pass keeps the uncovered tokens. No per-token
+    * scan of the starts array, so a boilerplate-saturated doc (starts ≈
+    * tokens/1) costs O(tokens), not O(tokens²).
     *
     * @return (doc_id, n_tokens, kept_tokens, clean_text), one row per
     *         input doc (clean_text = "" when everything was duplicated)
@@ -608,15 +610,39 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("__st"))
     base.join(starts, Seq("doc_id"), "left")
-      // materialize the coalesced starts BEFORE the lambda: referenced
-      // inside exists() it would re-evaluate per token (generator-token
+      // materialize the coalesced starts BEFORE the lambdas: referenced
+      // inside a HOF it would re-evaluate per element (generator-token
       // rule)
       .select(col("doc_id"), col("__tk"),
         coalesce(col("__st"), array().cast("array<int>")).as("__st"))
+      // disjoint-region decomposition of the sorted starts: start j
+      // newly covers covLen = min(k, next_start − s) positions from s,
+      // preceded by an uncovered gap of max(0, s − prev − k) (s itself
+      // for the first start); the tail after the last region is
+      // n − s_last − k uncovered positions. Flattening
+      // gap/cover run-lengths yields a boolean mask aligned with the
+      // token array — every step O(1) per emitted element.
+      .select(col("doc_id"), col("__tk"),
+        flatten(concat(
+          transform(col("__st"), (s, j) => concat(
+            // try_element_at: the j==0 prev probe and the past-the-end
+            // next probe must yield null, not an ANSI index error
+            array_repeat(lit(false),
+              when(j === 0, s).otherwise(
+                greatest(lit(0), s - try_element_at(col("__st"), j) - lit(k)))),
+            array_repeat(lit(true),
+              least(lit(k),
+                coalesce(try_element_at(col("__st"), j + lit(2)) - s, lit(k)))))),
+          array(array_repeat(lit(false),
+            when(size(col("__st")) === 0, size(col("__tk")))
+              .otherwise(greatest(lit(0),
+                size(col("__tk")) - element_at(col("__st"), -1) - lit(k)))))))
+          .as("__mask"))
       .select(col("doc_id"), size(col("__tk")).cast("long").as("n_tokens"),
-        filter(col("__tk"), (t, i) =>
-          !exists(col("__st"), s => s <= i && i <= s + lit(k - 1)))
-          .as("__kept"))
+        filter(
+          zip_with(col("__tk"), col("__mask"),
+            (t, m) => when(m, lit(null)).otherwise(t)),
+          t => t.isNotNull).as("__kept"))
       .select(col("doc_id"), col("n_tokens"),
         size(col("__kept")).cast("long").as("kept_tokens"),
         array_join(col("__kept"), " ").as("clean_text"))

@@ -55,6 +55,43 @@ class DedupSpanSpec extends SparkSpec {
     }
   }
 
+  test("linear mask cut equals the brute-force per-token check, incl. saturated docs") {
+    import spark.implicits._
+    // deterministic pseudo-random corpus with heavy overlap: a small
+    // closed vocabulary forces many duplicated 4-gram windows, including
+    // boilerplate-SATURATED docs (every position covered) — the shape the
+    // old O(tokens x starts) exists() was slowest on
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("a", "b", "c")
+    val docs = (1L to 40L).map { id =>
+      val n = 4 + rnd.nextInt(60)
+      (id, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val k = 4
+    val out = Dedup.removeDuplicateSpans(docs.toDF("doc_id", "text"), "doc_id",
+        "text", k = k)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // brute-force reference: global window counts, per-token covered test
+    val tokens = docs.map { case (id, t) => id -> t.split("\\s+").toVector }.toMap
+    val winCount = tokens.values.flatMap(tk =>
+      tk.sliding(k).filter(_.size == k).map(_.mkString(" ")))
+      .groupBy(identity).map { case (w, os) => w -> os.size }
+    docs.foreach { case (id, _) =>
+      val tk = tokens(id)
+      val dupStarts = (0 to tk.size - k).filter(s =>
+        winCount(tk.slice(s, s + k).mkString(" ")) >= 2)
+      val kept = tk.zipWithIndex.collect {
+        case (t, i) if !dupStarts.exists(s => s <= i && i <= s + k - 1) => t
+      }
+      assert(out(id) == ((tk.size.toLong, kept.size.toLong, kept.mkString(" "))),
+        s"doc $id: starts=$dupStarts")
+    }
+    // the corpus really exercised the corner: at least one saturated doc
+    assert(out.values.exists(v => v._1 >= 8 && v._2 == 0L),
+      "expected at least one fully-covered doc in the saturated corpus")
+  }
+
   test("boilerplate report finds shingles over the df fraction, with exact bp") {
     import spark.implicits._
     val docs = (1L to 8L).map(i => (i, s"common three gram unique$i tail$i")) ++
