@@ -775,23 +775,25 @@ private[graft] trait Queries5Tokenizer extends Queries4Mixtures {
       |WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 2""".stripMargin
 
   // ---------------------------------------------------------------------
-  // q122 — DEEP BPE training (rows-only BY DESIGN): the same
-  // bpeTrainCore code path q105 certifies hash-exactly at k = 6, run
-  // with a 200-merge depth BUDGET (bpeTrainMergesCapped: trains to
-  // corpus exhaustion when the vocabulary is shallower, as at small
-  // sf) — the scale surface of the r12 BATCHED trainer (up to 64
-  // fold-safe merges speculated per distributed job, replay-validated
-  // against the driver ledger for byte-exact sequential semantics;
-  // pinned by BpeFuzzSpec against an in-memory reference at random k
-  // plus dedicated batching/truncation cases). A 200-round chain of
-  // materialized DuckDB CTEs would dominate the oracle run's wall clock
-  // for zero extra semantic signal, so this entry records the rows-only
-  // check and exists chiefly for the BENCH: q122/q105 wall ratio far
-  // under the k-ratio (200/6 ≈ 33×) is the recorded evidence that deep
-  // trainings no longer pay one driver round-trip per merge.
+  // q122 — PRODUCTION-DEPTH BPE training (rows-only BY DESIGN): the same
+  // merge semantics q105 certifies hash-exactly at k = 6, run with a
+  // 20,000-merge depth BUDGET through bpeTrainMergesDeep (r13): ONE
+  // distributed corpus scan builds the Zipf-bounded distinct-word count
+  // table (hard MaxBpeWordLedger guard), and the inherently sequential
+  // argmax chain trains in-memory over it — the HuggingFace/
+  // SentencePiece production split, with zero per-merge distributed
+  // rounds (the r12 batched trainer paid ~0.6 distributed jobs per
+  // merge; it remains as the documented over-bound fallback and the
+  // BpeFuzzSpec cross-check). Byte-identical to sequential training:
+  // pinned by BpeFuzzSpec against the naive reference at random k to
+  // exhaustion AND against bpeTrainMergesCapped end-to-end. A deep
+  // chain of materialized DuckDB CTEs would dominate the oracle run's
+  // wall clock for zero extra semantic signal, so this entry records
+  // the rows-only check; the BENCH evidence is q122 wall staying flat
+  // vs r12's 9.6 s while the trained depth grows ~20x.
   // ---------------------------------------------------------------------
   private[graft] def q122BpeDeep(spark: SparkSession, dir: String): DataFrame =
-    CorpusStats.bpeTrainMergesCapped(Tables.documents(spark, dir), "text", 200)
+    CorpusStats.bpeTrainMergesDeep(Tables.documents(spark, dir), "text", 20000)
 
   // ---------------------------------------------------------------------
   // q123 — approximate profile (rows-only BY DESIGN): q114's profiler

@@ -408,6 +408,141 @@ object CorpusStats {
       .toDF("round", "left_sym", "right_sym", "merged", "n_occ")
   }
 
+  /** Hard bound on the driver-side distinct-word ledger of
+    * [[bpeTrainMergesDeep]]: 4M distinct words ≈ a few hundred MB of
+    * short symbol arrays. Corpora under the bound (Zipf: even web-scale
+    * text keeps distinct words in the tens of millions, and a word
+    * ledger this size is what every production trainer holds in memory)
+    * train entirely on the driver; past it the deep trainer degrades to
+    * the batched distributed path instead of OOMing. */
+  val MaxBpeWordLedger: Long = 1L << 22
+
+  /** Production-depth BPE training: up to `maxK` merges (stopping at
+    * corpus exhaustion, [[bpeTrainMergesCapped]]'s budget semantics)
+    * with the split every production tokenizer trainer (HuggingFace
+    * tokenizers, SentencePiece BPE) uses — ONE distributed corpus scan
+    * builds the distinct-word count table (vocabulary-sized,
+    * Zipf-bounded), and the inherently sequential argmax chain runs
+    * in-memory over that table with an inverted pair→word index, so a
+    * 30k-merge vocabulary costs zero per-merge distributed rounds. The
+    * merge sequence is byte-identical to [[bpeTrainMerges]] (same
+    * argmax, same (count DESC, pair UTF-8-byte ASC) tie-break, same
+    * left-to-right non-overlapping replacement — property-pinned by
+    * BpeFuzzSpec), the word ledger collects only under the loud
+    * [[MaxBpeWordLedger]] count-before-collect guard, and an over-bound
+    * corpus falls back to the batched distributed trainer. */
+  def bpeTrainMergesDeep(df: DataFrame, textCol: String, maxK: Int,
+                         sep: String = "\u0001"): DataFrame = {
+    require(maxK > 0 && maxK <= (1 << 16),
+      s"maxK merge budget must be in [1, 65536], got $maxK")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("__w"))
+      .filter(!col("__w").contains(lit(sep)))
+      .groupBy(col("__w")).agg(count(lit(1)).as("wc"))
+      .localCheckpoint(false)
+    val nWords = words.count() // materializes; guards BEFORE collect
+    if (nWords > MaxBpeWordLedger)
+      bpeTrainCore(df, textCol, math.min(maxK, 1024), sep, exhaustOk = true)._1
+        .toDF("round", "left_sym", "right_sym", "merged", "n_occ")
+    else {
+      val ledger = words.select(col("__w"), col("wc")).as[(String, Long)]
+        .collect()
+        .map { case (w, n) => (n, w.split("").filter(_.nonEmpty)) }
+      bpeTrainInMemory(ledger, maxK)
+        .toDF("round", "left_sym", "right_sym", "merged", "n_occ")
+    }
+  }
+
+  /** The in-memory trainer behind [[bpeTrainMergesDeep]]: classic
+    * pair-count + inverted-index BPE over a (count, symbols) word
+    * ledger, byte-identical in sequence to the distributed
+    * [[bpeTrainCore]] (shared comparator, shared replacement
+    * semantics). Stops at exhaustion — [[bpeTrainMergesCapped]]'s
+    * budget semantics. */
+  private[operators] def bpeTrainInMemory(ledger: Array[(Long, Array[String])],
+      maxK: Int): Seq[(Int, String, String, String, Long)] = {
+    val wc = ledger.map(_._1)
+    val syms = ledger.map(_._2)
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val occurs = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    val order = new java.util.TreeSet[(Long, String, String)](
+      new java.util.Comparator[(Long, String, String)] {
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+          val byN = java.lang.Long.compare(y._1, x._1)
+          if (byN != 0) return byN
+          val byA = cpCompare(x._2, y._2)
+          if (byA != 0) byA else cpCompare(x._3, y._3)
+        }
+      })
+    def pairBag(s: Array[String]): scala.collection.mutable.HashMap[(String, String), Int] = {
+      val m = scala.collection.mutable.HashMap.empty[(String, String), Int]
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        m.update(p, m.getOrElse(p, 0) + 1)
+        j += 1
+      }
+      m
+    }
+    def applyDelta(p: (String, String), d: Long): Unit = {
+      val old = counts.getOrElse(p, 0L)
+      if (old != 0L) order.remove((old, p._1, p._2))
+      val next = old + d
+      if (next > 0L) { counts(p) = next; order.add((next, p._1, p._2)) }
+      else counts.remove(p)
+    }
+    syms.indices.foreach { i =>
+      pairBag(syms(i)).foreach { case (p, m) =>
+        applyDelta(p, m.toLong * wc(i))
+        occurs.getOrElseUpdate(p, scala.collection.mutable.HashSet.empty) += i
+      }
+    }
+    // left-to-right non-overlapping single-merge replacement — the
+    // textbook application bpeTrainCore's one-pass fold reproduces
+    def mergeWord(s: Array[String], a: String, b: String): Array[String] = {
+      val out = Array.newBuilder[String]
+      var j = 0
+      while (j < s.length) {
+        if (j < s.length - 1 && s(j) == a && s(j + 1) == b) {
+          out += (a + b); j += 2
+        } else { out += s(j); j += 1 }
+      }
+      out.result()
+    }
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var done = 0
+    while (done < maxK && !order.isEmpty) {
+      val top = order.first()
+      val (n, a, b) = (top._1, top._2, top._3)
+      done += 1
+      merges += ((done, a, b, a + b, n))
+      val hit = occurs.getOrElse((a, b),
+        scala.collection.mutable.HashSet.empty[Int]).toArray
+      hit.foreach { i =>
+        val oldBag = pairBag(syms(i))
+        val next = mergeWord(syms(i), a, b)
+        val newBag = pairBag(next)
+        (oldBag.keySet ++ newBag.keySet).foreach { p =>
+          val d = newBag.getOrElse(p, 0) - oldBag.getOrElse(p, 0)
+          if (d != 0) applyDelta(p, d.toLong * wc(i))
+          val hadOld = oldBag.contains(p)
+          val hasNew = newBag.contains(p)
+          if (hadOld && !hasNew) occurs.get(p).foreach { s =>
+            s -= i; if (s.isEmpty) occurs.remove(p)
+          }
+          else if (!hadOld && hasNew)
+            occurs.getOrElseUpdate(p,
+              scala.collection.mutable.HashSet.empty) += i
+        }
+        syms(i) = next
+      }
+    }
+    merges.result()
+  }
+
   /** Training core shared by [[bpeTrainMerges]] (emits the merge
     * sequence) and [[bpeEncodedCounts]] (consumes the post-merge symbol
     * table): the ordered merges plus the final (wc, sym) distinct-word

@@ -94,6 +94,68 @@ class BpeFuzzSpec extends SparkSpec {
     }
   }
 
+  test("deep in-memory trainer equals the naive reference to exhaustion") {
+    // the bpeTrainMergesDeep path: same argmax/tie-break/replacement as
+    // the distributed trainer, driven to full exhaustion (k past what
+    // the corpus supports exercises the budget-stop)
+    forAllSeeded(Gen.zip(corpusGen, Gen.choose(1, 40)), 25) { case (texts, k) =>
+      val ledger = texts.flatMap(_.split(" ").filter(_.nonEmpty))
+        .groupBy(identity).toArray
+        .map { case (w, occ) =>
+          (occ.length.toLong, w.split("").filter(_.nonEmpty)) }
+      val got = CorpusStats.bpeTrainInMemory(ledger, k)
+        .map(m => (m._2, m._3, m._5))
+      val want = naiveBpe(texts, k)
+      assert(got == want, s"corpus=$texts k=$k")
+    }
+  }
+
+  test("in-memory trainer sustains 1000+ exact merges on a vocabulary-rich corpus") {
+    // the production-depth claim: a corpus whose vocabulary supports
+    // >= 1000 merges trains that deep, byte-exact vs the naive
+    // reference (the testdata documents corpus exhausts at ~89, so this
+    // synthetic one carries the deep-k pin)
+    val rnd = new scala.util.Random(90210)
+    val alphabet = "abcdefghijklmnop"
+    val vocab = (0 until 1500).map { _ =>
+      (0 until (3 + rnd.nextInt(8)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val texts = (0 until 300).map { _ =>
+      (0 until 40).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val k = 1000
+    val ledger = texts.flatMap(_.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).toArray
+      .map { case (w, occ) => (occ.length.toLong, w.split("").filter(_.nonEmpty)) }
+    val t0 = System.nanoTime()
+    val got = CorpusStats.bpeTrainInMemory(ledger, k)
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    assert(got.size == k, s"corpus exhausted at ${got.size} < $k merges")
+    val want = naiveBpe(texts, k)
+    assert(got.map(m => (m._2, m._3, m._5)) == want)
+    // per-merge wall far under the r12 distributed 0.088 s/merge
+    assert(wallSec / k < 0.01, s"deep training too slow: $wallSec s for $k merges")
+  }
+
+  test("bpeTrainMergesDeep equals the batched distributed trainer end-to-end") {
+    import spark.implicits._
+    val texts = Seq(
+      "the cat sat on the mat the cat sat",
+      "a banana and a bandana in havana",
+      "abc abc abd abd abe abe abc")
+    val deep = CorpusStats.bpeTrainMergesDeep(texts.toDF("text"), "text", 200)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq
+    val batched = CorpusStats.bpeTrainMergesCapped(texts.toDF("text"), "text", 200)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq
+    assert(deep == batched)
+    assert(deep.nonEmpty && deep.size < 200, "corpus should exhaust under budget")
+  }
+
   test("symbol-disjoint merges batch into one distributed round") {
     import spark.implicits._
     // six 2-char words with distinct counts: every merge is pairwise
