@@ -1256,4 +1256,21 @@ private[graft] trait Queries5Tokenizer extends Queries4Mixtures {
         |SELECT doc_id, 'admitted' AS provenance FROM t
         |WHERE hv = 0 AND doc_id NOT IN (SELECT doc_id FROM dupb)""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // q139 — FULL-EM unigram-LM training (rows-only BY DESIGN, the
+  // q129/q130 convention): the public SentencePiece algorithm (Kudo
+  // 2018) — forward-backward EXPECTED piece counts over every word's
+  // whole segmentation lattice per EM round (one distributed job over
+  // the distinct-word table, same split as hard EM) and
+  // likelihood-loss pruning (what removing a piece costs the corpus
+  // likelihood when its occurrences re-segment). Lattice marginals are
+  // floats, so no cross-engine SQL oracle exists; UnigramLmSpec pins
+  // the trainer against an in-memory forward-backward reference within
+  // 1e-9 relative tolerance plus the partition-function invariant
+  // (expected length == word length) and a pruning-semantics case.
+  // ---------------------------------------------------------------------
+  private[graft] def q139UnigramFullEm(spark: SparkSession, dir: String): DataFrame =
+    UnigramLm.trainFullEm(Tables.documents(spark, dir), "text",
+      vocabSize = 256, emRounds = 3, maxPieceLen = 4, seedK = 2048)
 }

@@ -173,6 +173,7 @@ object SparkEntry extends Queries5Tokenizer {
     Q("q136_unigram_apply", q136UnigramApply, None),
     Q("q137_json_props", q137JsonProps, Some(q137Sql)),
     Q("q138_corpus_refresh", q138CorpusRefresh, Some(q138Sql)),
+    Q("q139_unigram_full_em", q139UnigramFullEm, None),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

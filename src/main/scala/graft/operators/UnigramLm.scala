@@ -143,6 +143,161 @@ object UnigramLm {
       .toDF("piece", "n_occ")
   }
 
+  private def logSumExp(a: Double, b: Double): Double =
+    if (a == Double.NegativeInfinity) b
+    else if (b == Double.NegativeInfinity) a
+    else {
+      val m = math.max(a, b)
+      m + StrictMath.log(StrictMath.exp(a - m) + StrictMath.exp(b - m))
+    }
+
+  /** Forward-backward over one word's segmentation lattice: the
+    * EXPECTED number of times each piece occurs across ALL segmentations
+    * of `w`, weighted by segmentation probability under `scores` — the
+    * E-step quantity of full EM (Kudo 2018 §3.2), where hard EM's
+    * Viterbi counts only credit the single best path. Also returns the
+    * word's log-marginal (the lattice partition function). Null when
+    * some character is unscored. Deterministic: fixed left-to-right /
+    * right-to-left accumulation order, StrictMath only. */
+  private[operators] def wordExpectedCounts(
+      w: String, scores: collection.Map[String, Double], maxLen: Int)
+      : (collection.Map[String, Double], Double) = {
+    val n = w.length
+    val alpha = Array.fill(n + 1)(Double.NegativeInfinity)
+    val beta = Array.fill(n + 1)(Double.NegativeInfinity)
+    alpha(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      val lm = math.min(maxLen, i)
+      while (l <= lm) {
+        scores.get(w.substring(i - l, i)) match {
+          case Some(s) => alpha(i) = logSumExp(alpha(i), alpha(i - l) + s)
+          case None => ()
+        }
+        l += 1
+      }
+      i += 1
+    }
+    if (alpha(n) == Double.NegativeInfinity) return null
+    beta(n) = 0.0
+    i = n - 1
+    while (i >= 0) {
+      var l = 1
+      val lm = math.min(maxLen, n - i)
+      while (l <= lm) {
+        scores.get(w.substring(i, i + l)) match {
+          case Some(s) => beta(i) = logSumExp(beta(i), s + beta(i + l))
+          case None => ()
+        }
+        l += 1
+      }
+      i -= 1
+    }
+    val out = scala.collection.mutable.HashMap.empty[String, Double]
+    i = 1
+    while (i <= n) {
+      var l = 1
+      val lm = math.min(maxLen, i)
+      while (l <= lm) {
+        val p = w.substring(i - l, i)
+        scores.get(p) match {
+          case Some(s) =>
+            val post = StrictMath.exp(alpha(i - l) + s + beta(i) - alpha(n))
+            if (post > 0.0) out.update(p, out.getOrElse(p, 0.0) + post)
+          case None => ()
+        }
+        l += 1
+      }
+      i += 1
+    }
+    (out, alpha(n))
+  }
+
+  /** Full-EM unigram training — the public SentencePiece algorithm
+    * (Kudo 2018): each EM round computes forward-backward EXPECTED piece
+    * counts over every word's whole segmentation lattice (one
+    * distributed job, same word-table split as [[train]]) and
+    * re-estimates piece probabilities from them; after the EM rounds,
+    * pieces prune by LIKELIHOOD LOSS — the corpus log-likelihood cost of
+    * removing the piece, approximated (as in the public implementation)
+    * by re-segmenting the piece's own string with the remaining
+    * vocabulary: loss(x) = E[count(x)] · (score(x) − altScore(x)).
+    * Single characters never prune (coverage floor). Returns
+    * (piece, expected_n, score) for the kept vocabulary, ordered by
+    * (expected_n DESC, piece ASC).
+    *
+    * Scale: identical shape to [[train]] — distributed work is one
+    * lattice pass per round over the DISTINCT-WORD table; the piece
+    * ledger (bounded by [[MaxPieceLedger]]) and the pruning loop are
+    * driver-side and tokenizer-sized. Expected counts are float
+    * (lattice marginals), so the trained surface registers rows-only
+    * like q129/q130 — UnigramLmSpec pins the distributed trainer
+    * against an in-memory reference within float tolerance. */
+  def trainFullEm(df: DataFrame, textCol: String, vocabSize: Int = 256,
+                  emRounds: Int = 2, maxPieceLen: Int = 4,
+                  seedK: Int = 2048): DataFrame = {
+    require(vocabSize >= 1 && emRounds >= 1 && emRounds <= 64,
+      s"vocabSize >= 1 and 1 <= emRounds <= 64 required")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = wordTable(df, textCol)
+      .select(col("__w"), col("wc")).as[(String, Long)]
+      .localCheckpoint(false)
+    val seed = seedPieces(df, textCol, maxPieceLen, seedK)
+    require(seed.count() <= MaxPieceLedger,
+      s"unigram seed exceeds the MaxPieceLedger=$MaxPieceLedger driver bound")
+    var counts: Map[String, Double] = seed.collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    var scores: Map[String, Double] = Map.empty
+    var round = 0
+    while (round < emRounds) {
+      val total = counts.valuesIterator.sum
+      val logZ = StrictMath.log(total)
+      scores = counts.map { case (p, c) =>
+        p -> (StrictMath.log(c) - logZ) }
+      val bc = spark.sparkContext.broadcast(scores)
+      val next = words.mapPartitions(_.flatMap { case (w, wc) =>
+        val ec = wordExpectedCounts(w, bc.value, maxPieceLen)
+        if (ec == null) Iterator.empty
+        else ec._1.iterator.map { case (p, e) => (p, e * wc) }
+      }).toDF("piece", "e")
+        .groupBy(col("piece")).agg(sum(col("e")).as("e"))
+        .collect()
+      // the char coverage floor survives EM exactly as in hard EM: a
+      // character no lattice path uses keeps a unit count so later
+      // rounds (and OOV-ish words) can still segment through it
+      val observed = next.map(r => r.getString(0) -> r.getDouble(1)).toMap
+      counts = observed ++
+        counts.keysIterator.filter(p => p.length == 1 &&
+          !observed.contains(p)).map(_ -> 1.0).toMap
+      round += 1
+    }
+    val totalF = counts.valuesIterator.sum
+    val logZF = StrictMath.log(totalF)
+    scores = counts.map { case (p, c) => p -> (StrictMath.log(c) - logZF) }
+    // likelihood-loss pruning: what removing the piece costs the corpus
+    // likelihood if every occurrence re-segments via the best
+    // alternative path for the piece's own string
+    // chars are the coverage floor and never rank for the budget — the
+    // vocabSize slots go to the multi-char pieces costliest to remove
+    val losses = counts.collect { case (p, c) if p.length > 1 =>
+      val alt = viterbi(p, scores - p, maxPieceLen)
+      val altScore =
+        if (alt == null) Double.NegativeInfinity
+        else alt.iterator.map(scores).sum
+      p -> c * (scores(p) - altScore)
+    }
+    val kept = losses.toSeq
+      .sortBy { case (p, l) => (-l, p) }
+      .take(vocabSize)
+      .map(_._1).toSet ++ counts.keysIterator.filter(_.length == 1)
+    counts.filter { case (p, _) => kept(p) }
+      .toSeq.map { case (p, c) => (p, c, scores(p)) }
+      .sortBy { case (p, c, _) => (-c, p) }
+      .toDF("piece", "expected_n", "score")
+  }
+
   /** Encode the corpus with a trained piece table: per document, the
     * whitespace token count and the unigram piece count after Viterbi
     * segmentation — the sequence-length number this tokenizer's packing

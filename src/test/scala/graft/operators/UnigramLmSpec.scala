@@ -97,6 +97,114 @@ class UnigramLmSpec extends SparkSpec {
     }
   }
 
+  // ---- full-EM reference: forward-backward restated from the paper ----
+
+  private def refLse(a: Double, b: Double): Double =
+    if (a == Double.NegativeInfinity) b
+    else if (b == Double.NegativeInfinity) a
+    else {
+      val m = math.max(a, b)
+      m + StrictMath.log(StrictMath.exp(a - m) + StrictMath.exp(b - m))
+    }
+
+  private def refExpected(w: String, scores: Map[String, Double],
+                          maxLen: Int): Map[String, Double] = {
+    val n = w.length
+    val alpha = Array.fill(n + 1)(Double.NegativeInfinity)
+    val beta = Array.fill(n + 1)(Double.NegativeInfinity)
+    alpha(0) = 0.0
+    for (i <- 1 to n; l <- 1 to math.min(maxLen, i))
+      scores.get(w.substring(i - l, i)).foreach(s =>
+        alpha(i) = refLse(alpha(i), alpha(i - l) + s))
+    if (alpha(n) == Double.NegativeInfinity) return null
+    beta(n) = 0.0
+    for (i <- (n - 1) to 0 by -1; l <- 1 to math.min(maxLen, n - i))
+      scores.get(w.substring(i, i + l)).foreach(s =>
+        beta(i) = refLse(beta(i), s + beta(i + l)))
+    val out = collection.mutable.HashMap.empty[String, Double]
+    for (i <- 1 to n; l <- 1 to math.min(maxLen, i)) {
+      val p = w.substring(i - l, i)
+      scores.get(p).foreach { s =>
+        val post = StrictMath.exp(alpha(i - l) + s + beta(i) - alpha(n))
+        if (post > 0.0) out(p) = out.getOrElse(p, 0.0) + post
+      }
+    }
+    out.toMap
+  }
+
+  private def refTrainFullEm(texts: Seq[String], emRounds: Int,
+                             maxLen: Int, seedK: Int): Map[String, Double] = {
+    val words = refWords(texts)
+    var counts: Map[String, Double] =
+      refSeed(words, maxLen, seedK).map { case (p, c) => p -> c.toDouble }
+    for (_ <- 1 to emRounds) {
+      val total = counts.values.sum
+      val logZ = StrictMath.log(total)
+      val scores = counts.map { case (p, c) =>
+        p -> (StrictMath.log(c) - logZ) }
+      val next = collection.mutable.HashMap.empty[String, Double]
+      for ((w, c) <- words.toSeq.sortBy(_._1);
+           (p, e) <- refExpected(w, scores, maxLen).toSeq.sortBy(_._1))
+        next(p) = next.getOrElse(p, 0.0) + e * c
+      counts = next.toMap ++
+        counts.keysIterator.filter(p => p.length == 1 && !next.contains(p))
+          .map(_ -> 1.0).toMap
+    }
+    counts
+  }
+
+  test("arc posteriors are a lattice partition: expected length == word length") {
+    // every segmentation covers each character position exactly once, so
+    // sum over pieces of E[count] * len(piece) must equal |w|
+    forAllSeeded(corpusGen, 12) { texts =>
+      val words = refWords(texts)
+      val counts = refSeed(words, 4, 32)
+      val total = counts.values.sum
+      val scores = counts.map { case (p, c) =>
+        p -> (StrictMath.log(c.toDouble) - StrictMath.log(total.toDouble)) }
+      words.keysIterator.foreach { w =>
+        val (ec, _) = UnigramLm.wordExpectedCounts(w, scores, 4)
+        val expLen = ec.iterator.map { case (p, e) => p.length * e }.sum
+        assert(math.abs(expLen - w.length) < 1e-9, s"word=$w expLen=$expLen")
+      }
+    }
+  }
+
+  test("full-EM trainer equals the in-memory forward-backward reference") {
+    // vocabSize past the seed size keeps EVERY piece, so the comparison
+    // is over the EM phase itself, insensitive to tie-breaks in the
+    // pruning ranking (pruning determinism is pinned separately below)
+    forAllSeeded(Gen.zip(corpusGen, Gen.choose(1, 3)), 10) { case (texts, k) =>
+      import spark.implicits._
+      val got = UnigramLm.trainFullEm(texts.toDF("text"), "text",
+          vocabSize = 10000, emRounds = k, maxPieceLen = 4, seedK = 32)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      val want = refTrainFullEm(texts, k, 4, 32)
+      assert(got.keySet == want.keySet,
+        s"piece sets diverge: corpus=$texts k=$k " +
+          s"only_got=${got.keySet -- want.keySet} only_want=${want.keySet -- got.keySet}")
+      got.foreach { case (p, e) =>
+        val r = want(p)
+        val tol = 1e-9 * math.max(1.0, math.max(math.abs(e), math.abs(r)))
+        assert(math.abs(e - r) <= tol, s"piece=$p got=$e want=$r corpus=$texts")
+      }
+    }
+  }
+
+  test("likelihood-loss pruning keeps chars and the costliest pieces") {
+    import spark.implicits._
+    // 'ab' dominates the corpus: removing it forces a+b at a much worse
+    // score, so it must win the single multi-char slot of a vocabSize=1
+    // prune; every other multi-char piece drops. Chars always stay.
+    val docs = Seq("abab abab abca").toDF("text")
+    val out = UnigramLm.trainFullEm(docs, "text", vocabSize = 1,
+        emRounds = 2, maxPieceLen = 2, seedK = 32)
+      .collect().map(r => r.getString(0)).toSet
+    assert(Set("a", "b", "c").subsetOf(out))
+    assert(out.filter(_.length > 1) == Set("ab"),
+      s"expected 'ab' as the sole surviving multi-char piece: $out")
+  }
+
   test("seed keeps every single character and the exact weighted top-K") {
     import spark.implicits._
     val seed = UnigramLm.seedPieces(Seq("abc abc xyz").toDF("text"), "text",
