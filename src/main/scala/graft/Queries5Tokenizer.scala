@@ -1273,4 +1273,50 @@ private[graft] trait Queries5Tokenizer extends Queries4Mixtures {
   private[graft] def q139UnigramFullEm(spark: SparkSession, dir: String): DataFrame =
     UnigramLm.trainFullEm(Tables.documents(spark, dir), "text",
       vocabSize = 256, emRounds = 3, maxPieceLen = 4, seedK = 2048)
+
+  // ---------------------------------------------------------------------
+  // q140/q141 — H.264 Annex-B NAL-unit walk inside mdat (r13): the
+  // video family one level below the q125 container walk. The mdat
+  // payload is a REAL Annex-B elementary stream (start codes, NAL
+  // header bits, emulation-prevention escaping — every stream's SPS
+  // body contains 00 00 01 so the escape path always exercises, and
+  // every RBSP ends with the spec's stop byte) built deterministically
+  // from (doc_id, text), so the oracle recomputes NAL counts by type
+  // (IDR vs non-IDR vs SPS/PPS — the keyframe/slice distinction a
+  // crawl audit needs) and unescaped RBSP byte totals from closed-form
+  // arithmetic; a one-byte error anywhere in container slicing,
+  // start-code scanning, or EPB stripping breaks the hash. q141 is the
+  // audit ledger: every 53rd doc's stream has a broken first start
+  // code (container parses, stream does not) — the NAL walk's own
+  // decode-drop slice. All partition-local; bytes never shuffle.
+  // ---------------------------------------------------------------------
+  private[graft] def q140NalWalk(spark: SparkSession, dir: String): DataFrame =
+    MediaCodec.nalStats(
+      MediaCodec.attachVideoH264(Tables.documents(spark, dir))).toDF()
+
+  private[graft] val q140Sql =
+    """WITH v AS (SELECT doc_id, strlen(text) AS len,
+      |            1 + strlen(text) // 64 AS ns
+      |       FROM documents WHERE doc_id % 53 <> 0)
+      |SELECT doc_id,
+      |  CAST(2 + ns AS BIGINT) AS n_nals,
+      |  CAST((ns + 7) // 8 AS BIGINT) AS n_idr,
+      |  CAST(ns - (ns + 7) // 8 AS BIGINT) AS n_nonidr,
+      |  CAST(1 AS BIGINT) AS n_sps,
+      |  CAST(1 AS BIGINT) AS n_pps,
+      |  CAST(10 + 3 * ns + len AS BIGINT) AS rbsp_bytes
+      |FROM v""".stripMargin
+
+  private[graft] def q141NalAudit(spark: SparkSession, dir: String): DataFrame =
+    MediaCodec.nalAudit(
+      MediaCodec.attachVideoH264(Tables.documents(spark, dir)))
+
+  private[graft] val q141Sql =
+    """WITH v AS (SELECT
+      |    CASE WHEN doc_id % 53 = 0 THEN 'bad_stream' ELSE 'h264' END AS status,
+      |    148 + (1 + doc_id % 3) * 100
+      |      + 18 + 6 * (1 + strlen(text) // 64) + strlen(text) AS len
+      |  FROM documents)
+      |SELECT status, count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS n_bytes
+      |FROM v GROUP BY status""".stripMargin
 }

@@ -174,6 +174,8 @@ object SparkEntry extends Queries5Tokenizer {
     Q("q137_json_props", q137JsonProps, Some(q137Sql)),
     Q("q138_corpus_refresh", q138CorpusRefresh, Some(q138Sql)),
     Q("q139_unigram_full_em", q139UnigramFullEm, None),
+    Q("q140_nal_walk", q140NalWalk, Some(q140Sql)),
+    Q("q141_nal_audit", q141NalAudit, Some(q141Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1043,6 +1043,175 @@ object MediaCodec {
         MediaRow(id, if (id % 47 == 0) corruptMp4(raw) else raw) })
   }
 
+  // =====================================================================
+  // H.264 Annex-B elementary stream (ITU-T H.264 §B.1 byte-stream
+  // format): NAL units delimited by 00 00 01 start codes (4-byte on the
+  // first), one header byte (forbidden_zero_bit, nal_ref_idc,
+  // nal_unit_type), and emulation-prevention-escaped RBSP bodies
+  // (00 00 [00..03] → 00 00 03 xx on the wire). The deterministic
+  // encoder derives every field from (doc_id, payload) alone — the
+  // q102/q117/q125 oracle discipline at NAL level — and the SPS body
+  // deliberately contains 00 00 01 so EVERY stream exercises the
+  // escape/unescape path.
+  // =====================================================================
+
+  /** Slice count of a payload: one slice per 64-byte chunk (+1 ragged /
+    * empty tail slice when len % 64 == 0 — keeps the closed form
+    * 1 + len/64 the oracle recomputes). */
+  def h264Slices(len: Long): Int = (1 + len / 64).toInt
+
+  private def escapeRbsp(body: Array[Byte]): Array[Byte] = {
+    val out = Array.newBuilder[Byte]
+    var zeros = 0
+    body.foreach { b =>
+      if (zeros >= 2 && (b & 0xFF) <= 3) { out += 3.toByte; zeros = 0 }
+      out += b
+      zeros = if (b == 0) zeros + 1 else 0
+    }
+    out.result()
+  }
+
+  /** Deterministic Annex-B stream: SPS(type 7) + PPS(type 8) +
+    * [[h264Slices]] slices — IDR (type 5, ref_idc 3) on every 8th
+    * slice index, non-IDR (type 1, ref_idc 2) otherwise, each slice
+    * carrying one header byte plus its 64-byte payload chunk. Every
+    * RBSP ends with the spec's stop byte (0x80, the
+    * rbsp_stop_one_bit pattern) — the grammar's own guarantee that a
+    * NAL body never ends in 0x00, which is what keeps start-code
+    * boundaries unambiguous for ARBITRARY payload bytes. */
+  def encodeAnnexB(docId: Long, payload: Array[Byte]): Array[Byte] = {
+    val out = Array.newBuilder[Byte]
+    var first = true
+    def nal(refIdc: Int, typ: Int, body: Array[Byte]): Unit = {
+      if (first) { out ++= Array[Byte](0, 0, 0, 1); first = false }
+      else out ++= Array[Byte](0, 0, 1)
+      out += ((refIdc << 5) | typ).toByte
+      out ++= escapeRbsp(body)
+      out += 0x80.toByte // rbsp stop byte
+    }
+    nal(3, 7, Array(0x00, 0x00, 0x01, (mp4Width(docId) & 0xFF)).map(_.toByte))
+    nal(3, 8, Array((mp4Height(docId) & 0xFF).toByte, 0x08.toByte))
+    val n = h264Slices(payload.length.toLong)
+    var s = 0
+    while (s < n) {
+      val lo = s * 64
+      val hi = math.min(lo + 64, payload.length)
+      val body = (s % 251).toByte +: java.util.Arrays.copyOfRange(payload, lo, hi)
+      if (s % 8 == 0) nal(3, 5, body) else nal(2, 1, body)
+      s += 1
+    }
+    out.result()
+  }
+
+  final case class NalInfo(refIdc: Int, nalType: Int, rbspBytes: Int)
+
+  /** Strict Annex-B walk: the stream must LEAD with a start code, every
+    * NAL must be non-empty with forbidden_zero_bit clear and a type in
+    * [1, 23], and emulation-prevention bytes strip back out of the
+    * body. None — never throw, never a partial result — on anything
+    * malformed. `rbspBytes` counts the header byte + unescaped body. */
+  def parseAnnexB(bytes: Array[Byte]): Option[Seq[NalInfo]] = {
+    if (bytes == null || bytes.length < 4) return None
+    def startCodeLen(i: Int): Int =
+      if (i + 3 < bytes.length && bytes(i) == 0 && bytes(i + 1) == 0 &&
+          bytes(i + 2) == 0 && bytes(i + 3) == 1) 4
+      else if (i + 2 < bytes.length && bytes(i) == 0 && bytes(i + 1) == 0 &&
+          bytes(i + 2) == 1) 3
+      else 0
+    if (startCodeLen(0) == 0) return None
+    // NAL boundaries: positions of every start code
+    val starts = Array.newBuilder[(Int, Int)] // (nalBodyStart, startCodeLen)
+    var i = 0
+    while (i < bytes.length) {
+      val sc = startCodeLen(i)
+      if (sc > 0) { starts += ((i + sc, sc)); i += sc }
+      else i += 1
+    }
+    val bounds = starts.result()
+    val out = Seq.newBuilder[NalInfo]
+    var k = 0
+    while (k < bounds.length) {
+      val from = bounds(k)._1
+      val until =
+        if (k + 1 < bounds.length) bounds(k + 1)._1 - bounds(k + 1)._2
+        else bytes.length
+      if (until - from < 1) return None // empty NAL: truncated stream
+      val hdr = bytes(from) & 0xFF
+      if ((hdr & 0x80) != 0) return None // forbidden_zero_bit
+      val typ = hdr & 0x1F
+      if (typ < 1 || typ > 23) return None
+      // unescape: a 03 after two zeros is an emulation-prevention byte
+      var rbsp = 1
+      var zeros = 0
+      var j = from + 1
+      while (j < until) {
+        val b = bytes(j) & 0xFF
+        if (zeros >= 2 && b == 3) zeros = 0 // EPB: not an RBSP byte
+        else {
+          rbsp += 1
+          zeros = if (b == 0) zeros + 1 else 0
+        }
+        j += 1
+      }
+      out += NalInfo((hdr >> 5) & 3, typ, rbsp)
+      k += 1
+    }
+    Some(out.result())
+  }
+
+  /** documents → REAL MP4 containers whose mdat is an H.264 Annex-B
+    * elementary stream over the text bytes; every 53rd doc gets its
+    * FIRST start code broken (container parses, stream does not) — the
+    * NAL walk's own decode-drop slice, disjoint from the image (41),
+    * audio (43), mixed (37) and container (47) ones. */
+  def attachVideoH264(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val annex = encodeAnnexB(id, text.getBytes(UTF_8))
+        if (id % 53 == 0) annex(3) = 2 // 00 00 00 01 -> 00 00 00 02
+        MediaRow(id, encodeMp4(id, annex)) })
+  }
+
+  final case class NalStatsRow(doc_id: Long, n_nals: Long, n_idr: Long,
+                               n_nonidr: Long, n_sps: Long, n_pps: Long,
+                               rbsp_bytes: Long)
+
+  /** NAL-unit statistics per doc: container box walk → mdat slice →
+    * Annex-B walk, all partition-local (bytes never shuffle; only the
+    * per-doc counter rows do). Docs whose stream fails the strict walk
+    * drop (pair with [[nalAudit]]). */
+  def nalStats(media: Dataset[MediaRow]): Dataset[NalStatsRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      mp4MdatPayload(m.media).flatMap(parseAnnexB).map { nals =>
+        NalStatsRow(m.doc_id,
+          nals.size.toLong,
+          nals.count(_.nalType == 5).toLong,
+          nals.count(_.nalType == 1).toLong,
+          nals.count(_.nalType == 7).toLong,
+          nals.count(_.nalType == 8).toLong,
+          nals.iterator.map(_.rbspBytes.toLong).sum)
+      }
+    })
+  }
+
+  /** Crawl-audit ledger for the NAL walk: how many containers carried a
+    * valid elementary stream vs a broken one, with total container
+    * bytes per status — the q126 shape one level deeper. */
+  def nalAudit(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val ok = mp4MdatPayload(m.media).flatMap(parseAnnexB).isDefined
+      (if (ok) "h264" else "bad_stream", m.media.length.toLong)
+    }).toDF("status", "len")
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("n_bytes"))
+  }
+
   final case class Mp4MetaRow(doc_id: Long, major_brand: String,
                               n_tracks: Int, ftyp_bytes: Long,
                               moov_bytes: Long, mdat_bytes: Long,

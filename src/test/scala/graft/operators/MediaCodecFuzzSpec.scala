@@ -70,6 +70,57 @@ class MediaCodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("annex-b encode->walk round trips for arbitrary payloads incl. zero runs") {
+    // raw binary payloads (00-heavy ones stress emulation prevention
+    // and start-code disambiguation) must round-trip exactly
+    val zeroHeavy: Gen[Array[Byte]] = Gen.choose(0, 300).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        3 -> Gen.const(0.toByte), 1 -> Gen.const(1.toByte),
+        1 -> Gen.const(3.toByte),
+        2 -> Gen.choose(Byte.MinValue, Byte.MaxValue))).map(_.toArray))
+    forAllSeeded(Gen.zip(Gen.choose(0L, 5000L), Gen.oneOf(rawBytes, zeroHeavy)), 200) {
+      case (id, payload) =>
+        val nals = parseAnnexB(encodeAnnexB(id, payload))
+        assert(nals.isDefined, s"id=$id len=${payload.length}")
+        val ns = h264Slices(payload.length.toLong)
+        val got = nals.get
+        assert(got.size == 2 + ns)
+        assert(got.head.nalType == 7 && got.head.rbspBytes == 6)
+        assert(got(1).nalType == 8 && got(1).rbspBytes == 4)
+        val slices = got.drop(2)
+        assert(slices.zipWithIndex.forall { case (x, s) =>
+          x.nalType == (if (s % 8 == 0) 5 else 1) })
+        assert(got.iterator.map(_.rbspBytes.toLong).sum ==
+          10L + 3L * ns + payload.length)
+    }
+  }
+
+  test("annex-b walk never throws and rejects malformed streams whole") {
+    forAllSeeded(rawBytes, 300) { b => parseAnnexB(b); () }
+    forAllSeeded(Gen.zip(Gen.choose(0L, 5000L), rawBytes), 80) {
+      case (id, payload) =>
+        val clean = encodeAnnexB(id, payload)
+        // broken first start code: whole stream rejects
+        val broken = clean.clone(); broken(3) = 2
+        assert(parseAnnexB(broken).isEmpty)
+        // forbidden_zero_bit set on the first NAL header
+        val fbit = clean.clone(); fbit(4) = (fbit(4) | 0x80).toByte
+        assert(parseAnnexB(fbit).isEmpty)
+        // truncation INTO a start code leaves an empty NAL -> reject;
+        // truncation into a body is indistinguishable from a shorter
+        // body in raw byte-stream format, so the walk still parses but
+        // the rbsp total shrinks (the q140 hash would catch it)
+        val atSecondStart = clean.length - payload.length - 1
+        val cutNals = parseAnnexB(java.util.Arrays.copyOf(clean, clean.length - 1))
+        assert(cutNals.forall(_.map(_.rbspBytes.toLong).sum <
+          10L + 3L * h264Slices(payload.length.toLong) + payload.length))
+        assert(atSecondStart > 0)
+    }
+    // a stream not leading with a start code rejects
+    assert(parseAnnexB(Array[Byte](1, 0, 0, 1, 0x65)).isEmpty)
+    assert(parseAnnexB(null).isEmpty)
+  }
+
   test("mdat slice survives non-canonical box order and absent mdat") {
     forAllSeeded(Gen.zip(Gen.choose(0L, 5000L), rawBytes), 60) {
       case (id, payload) =>
