@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{HeavyHitters, Importance, SetSimJoin, WordPiece}
+
+/** Registry slice 6 (round 13): scale-pattern extensions — exact
+  * prefix-filtered set-similarity join, count-min-sketch heavy hitters
+  * with exact verification, the WordPiece tokenizer family, and DSIR
+  * importance selection. See each operator's scaladoc for the 100 TB
+  * story; correctness per the usual split (hash-exact DuckDB oracles
+  * where SQL can express the op, spec-pinned rows-only where floats /
+  * iterative argmax chains cannot). */
+private[graft] trait Queries6Scale extends Queries5Tokenizer {
+
+  // ---------------------------------------------------------------------
+  // q142 — PPJoin: EXACT Jaccard-threshold pairs via prefix filtering
+  // (operators/SetSimJoin). Same answer shape as q21's inverted-index
+  // join (the oracle is the plain exact all-pairs SQL, no df cap —
+  // prefix filtering needs none: viral shingles sort out of the
+  // prefix), but the self-join input is the ~(1−t) prefix slice of
+  // each set. Registered at t = 0.8, the operator's real operating
+  // point (near-dup removal), where the prefix is ~20% of each set —
+  // at t = 0.5 the prefix is half the set and the plain inverted
+  // index wins (measured 13.2 s vs 8.3 s at sf0.1; 0.8 re-times at
+  // ~3 s). Exactness is threshold-independent — the SetSimJoinSpec
+  // property pins ppjoin == ngramJaccardPairs at 0.5 AND 0.8 on
+  // random corpora; PlanAuditSpec pins never-BNLJ.
+  // ---------------------------------------------------------------------
+  private[graft] def q142Ppjoin(spark: SparkSession, dir: String): DataFrame =
+    SetSimJoin.ppjoinPairs(Tables.documents(spark, dir), "doc_id", "text",
+      n = 3, threshold = 0.8)
+
+  private[graft] val q142Sql =
+    """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
+      |sh AS (SELECT DISTINCT doc_id AS doc, sg FROM (
+      |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+      |    THEN list_transform(generate_series(1, len(tk)-2), i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])
+      |    ELSE [] END) AS sg FROM t)),
+      |sz AS (SELECT doc, count(*) AS s FROM sh GROUP BY 1),
+      |i AS (SELECT a.doc AS x, b.doc AS y, count(*) AS c
+      |      FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc < b.doc GROUP BY 1, 2)
+      |SELECT x AS doc_a, y AS doc_b, c*1.0/(sa.s + sb.s - c) AS jaccard
+      |FROM i JOIN sz sa ON i.x = sa.doc JOIN sz sb ON i.y = sb.doc
+      |WHERE c*1.0/(sa.s + sb.s - c) >= 0.8""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q143/q144 — count-min-sketch heavy hitters (operators/HeavyHitters).
+  // The sketch is the scale artifact (fixed d×w grid, map-side combined,
+  // additive); the final answer is EXACT — candidates are a CMS superset
+  // (never-underestimate), the verify scan trims false positives — so
+  // the plain HAVING query certifies it, sketch and all. q144 builds
+  // per-source partial grids and MERGES them by cell addition (no
+  // corpus rescan) before the same candidate/verify pattern.
+  // ---------------------------------------------------------------------
+  private[graft] def docTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("token"))
+
+  private[graft] def q143HeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    HeavyHitters.heavyHitters(docTokens(spark, dir).select(col("token")),
+      "token", minFrac = 0.02)
+
+  private[graft] val q143Sql =
+    """WITH tok AS (SELECT unnest(list_filter(string_split(text,' '), x -> x <> '')) AS token FROM documents),
+      |tot AS (SELECT count(*) AS n FROM tok)
+      |SELECT token, count(*) AS cnt FROM tok CROSS JOIN tot
+      |GROUP BY token, n HAVING count(*) >= CEIL(n * 0.02)""".stripMargin
+
+  private[graft] def q144HhBySource(spark: SparkSession, dir: String): DataFrame =
+    HeavyHitters.heavyHittersBySource(docTokens(spark, dir), "token", "source",
+      minFrac = 0.02)
+
+  private[graft] val q144Sql =
+    """WITH tok AS (SELECT source AS src, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS token FROM documents),
+      |tot AS (SELECT count(*) AS n FROM tok),
+      |ex AS (SELECT token, src, count(*) AS cnt FROM tok GROUP BY 1, 2),
+      |hv AS (SELECT token FROM ex CROSS JOIN tot GROUP BY token, n
+      |       HAVING sum(cnt) >= CEIL(n * 0.02))
+      |SELECT token, src, cnt FROM ex JOIN hv USING (token)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q145/q146 — WORDPIECE, the third tokenizer family (operators/
+  // WordPiece): likelihood-scored merges (exact BigInt rational argmax)
+  // over the bounded distinct-word ledger, greedy longest-match-first
+  // encoding once per distinct word + 8-byte-hash join. Rows-only BY
+  // DESIGN like the unigram family (q129/q139): the rational argmax
+  // chain and the greedy matcher have no cross-engine SQL form;
+  // WordPieceSpec pins trainer determinism + encode against brute-force
+  // references on random corpora.
+  // ---------------------------------------------------------------------
+  private[graft] def q145WordpieceTrain(spark: SparkSession, dir: String): DataFrame =
+    WordPiece.trainMerges(Tables.documents(spark, dir), "text", maxK = 48)
+
+  private[graft] def q146WordpieceEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    WordPiece.encodedCounts(docs, "doc_id", "text", docs, "text", maxK = 48)
+  }
+
+  // ---------------------------------------------------------------------
+  // q147 — DSIR importance selection (operators/Importance): hashed-
+  // unigram log-likelihood-ratio scores against the English slice as
+  // the target distribution, deterministic top-k. Rows-only BY DESIGN
+  // (StrictMath.log table vs DuckDB ln are different floats);
+  // ImportanceSpec pins scores + selection against an in-memory
+  // reference.
+  // ---------------------------------------------------------------------
+  private[graft] def q147DsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Importance.dsirSelect(docs, docs.filter(col("lang") === "en"),
+      "doc_id", "text", k = 100, buckets = 4096)
+  }
+}

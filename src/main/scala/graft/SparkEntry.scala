@@ -25,7 +25,7 @@ import graft.operators.{AsOfMatch, CorpusStats, Dedup, GroupingSetCounter, Media
   *     (aggregator.go:496) use floor() in both dialects (DuckDB CAST
   *     rounds, Spark CAST truncates — floor sidesteps both).
   */
-object SparkEntry extends Queries5Tokenizer {
+object SparkEntry extends Queries6Scale {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -176,6 +176,12 @@ object SparkEntry extends Queries5Tokenizer {
     Q("q139_unigram_full_em", q139UnigramFullEm, None),
     Q("q140_nal_walk", q140NalWalk, Some(q140Sql)),
     Q("q141_nal_audit", q141NalAudit, Some(q141Sql)),
+    Q("q142_ppjoin", q142Ppjoin, Some(q142Sql)),
+    Q("q143_heavy_hitters", q143HeavyHitters, Some(q143Sql)),
+    Q("q144_hh_by_source", q144HhBySource, Some(q144Sql)),
+    Q("q145_wordpiece_train", q145WordpieceTrain, None),
+    Q("q146_wordpiece_encode", q146WordpieceEncode, None),
+    Q("q147_dsir_select", q147DsirSelect, None),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

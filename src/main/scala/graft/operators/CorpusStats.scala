@@ -564,7 +564,7 @@ object CorpusStats {
   /** UTF-8 byte comparison == code-point order — the order a
     * distributed ORDER BY (binary collation) and the DuckDB oracle
     * sort strings in. String.compareTo would disagree above U+FFFF. */
-  private def cpCompare(x: String, y: String): Int = {
+  private[operators] def cpCompare(x: String, y: String): Int = {
     val a = x.getBytes(UTF_8)
     val b = y.getBytes(UTF_8)
     var i = 0

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** EXACT set-similarity join via prefix filtering — the PPJoin family
+  * (Chaudhuri et al. ICDE'06 SSJoin; Bayardo et al. WWW'07 All-Pairs;
+  * Xiao et al. WWW'08 PPJoin; Vernica et al. SIGMOD'10 for the
+  * MapReduce staging). Same output contract as
+  * [[Dedup.ngramJaccardPairs]] — every pair of documents whose
+  * token-shingle Jaccard reaches the threshold, with the exact
+  * similarity — but a fundamentally smaller candidate stage:
+  *
+  *   - each document's shingle-hash set is sorted by GLOBAL document
+  *     frequency ascending (rarest first, ties by hash), and only its
+  *     PREFIX — the first `sz − ceil(t·sz) + 1` hashes — enters the
+  *     inverted index. Any pair with Jaccard ≥ t must share a prefix
+  *     hash (the textbook prefix-filter lemma: qualifying pairs
+  *     overlap in ≥ ceil(t·max(szₐ,sz_b)) ≥ ceil(t·szₓ) elements, so
+  *     skipping the last ceil(t·szₓ)−1 of either side cannot hide the
+  *     whole intersection) — NO false negatives, unlike LSH;
+  *   - viral boilerplate shingles have the HIGHEST df, sort to the
+  *     suffix, and never reach the join — the skew guard
+  *     `ngramJaccardPairs` needs an explicit df cap for falls out of
+  *     the ordering here, with no recall loss;
+  *   - the exact size-ratio bound (min ≥ t·max) prunes inside the
+  *     candidate join itself, before the pair ever materializes.
+  *
+  * Scale shape (the 100 TB story): only 8-byte hashes and fixed-width
+  * (doc, sz) rows shuffle in the candidate stage; the full per-doc
+  * hash arrays (still hashes, never shingle text) ship only to VERIFY
+  * the deduplicated candidate pairs — cost scales with true near-dup
+  * incidence, not corpus size. At threshold 0.8 the prefix is ~20% of
+  * each set, an ~25× smaller self-join input than the full inverted
+  * index. Verification is one hash-based `array_intersect` per
+  * candidate pair, O(|a|+|b|) row-local.
+  *
+  * 64-bit shingle-hash collisions (~n²/2⁶⁵) could in principle merge
+  * two shingles — the accepted q21 idiom, negligible at any corpus
+  * size.
+  */
+object SetSimJoin {
+
+  /** All document pairs with shingle-set Jaccard ≥ `threshold`, by
+    * prefix-filtered candidate generation + exact verification.
+    * Output: (doc_a, doc_b, jaccard), doc_a < doc_b. */
+  def ppjoinPairs(df: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    // (doc, h) distinct shingle-hash index — one tokenize/explode scan.
+    // Materialized ONCE: it feeds the df count and the per-doc sort
+    // (Spark re-plans the subtree per consumer; the ngramJaccardPairs
+    // lesson, measured in round 5 — and re-measured here in round 13:
+    // a narrow array_distinct(transform(..xxhash64..)) build benched
+    // 2.3× SLOWER than this explode+distinct form at sf0.1).
+    val sh = df
+      .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col("doc"),
+        explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("sg"))
+      .select(col("doc"), xxhash64(col("sg")).as("h"))
+      .distinct()
+      .localCheckpoint()
+    // global df per hash — ONE map-side-combined aggregation (a viral
+    // hash never routes to one task the way a count-over-window would);
+    // distinct-hash-bounded, so AQE broadcasts it back in the common
+    // case and the join below stays narrow
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // per-doc hash array in (df ASC, h ASC) order — the one reassembly
+    // shuffle of the build. Materialized: feeds the prefix explode AND
+    // both verify joins.
+    val sets = sh.join(dfreq, "h")
+      .groupBy(col("doc"))
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("__ps"))
+      .select(col("doc"),
+        transform(col("__ps"), p => p("h")).as("arr"),
+        size(col("__ps")).cast("long").as("sz"))
+      .localCheckpoint()
+    // prefix: first sz − ceil(t·sz) + 1 hashes (rarest-first) — the
+    // only rows entering the self-join
+    val prefix = sets.select(col("doc"), col("sz"),
+      explode(slice(col("arr"), lit(1),
+        (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int"))).as("h"))
+    // candidate pairs: shared prefix hash + exact size-ratio bound
+    // (J ≥ t ⇒ min(sz) ≥ t·max(sz)), deduplicated before any array
+    // ships anywhere
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.doc") < col("b.doc") &&
+          least(col("a.sz"), col("b.sz")) >=
+            lit(threshold) * greatest(col("a.sz"), col("b.sz")))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    // exact verify: hash-based intersection of the two sorted arrays,
+    // O(|a|+|b|) per candidate pair — arrays join in only here
+    cand
+      .join(sets.select(col("doc").as("doc_a"), col("arr").as("__aa"),
+        col("sz").as("__sa")), "doc_a")
+      .join(sets.select(col("doc").as("doc_b"), col("arr").as("__ab"),
+        col("sz").as("__sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("__aa"), col("__ab"))).cast("long").as("__c"),
+        col("__sa"), col("__sb"))
+      .filter(col("__c") * lit(1.0) / (col("__sa") + col("__sb") - col("__c"))
+        >= lit(threshold))
+      .select(col("doc_a"), col("doc_b"),
+        (col("__c") * lit(1.0) / (col("__sa") + col("__sb") - col("__c")))
+          .as("jaccard"))
+  }
+}

@@ -109,6 +109,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
   }
 
+  test("ppjoin joins on prefix hashes — never a nested loop or cartesian") {
+    // the size-ratio bound is an inequality: if the equi-key on the
+    // prefix hash were ever lost, Spark would fall back to BNLJ and the
+    // candidate stage would turn all-pairs at scale
+    val plan = SparkEntry.queries("q142_ppjoin")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    Seq("BroadcastNestedLoopJoin", "CartesianProduct").foreach(bad =>
+      assert(!plan.contains(bad), s"q142 plans a $bad"))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
+  }
+
+  test("DSIR scoring is one narrow pass: no join, no text shuffle") {
+    // the ratio table is a broadcast literal map — if scoring ever
+    // regressed to a join against the bucket tables, document text
+    // would shuffle with it. The only allowed exchange is the final
+    // top-k's (TakeOrdered ships k rows, no full sort).
+    val plan = SparkEntry.queries("q147_dsir_select")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"q147 plans a join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "q147 lost its TakeOrdered top-k")
+  }
+
   test("IVF assignment is narrow: the corpus never shuffles to pick a cell") {
     // the r7 rewrite this pins: nearest-centroid assignment is a literal
     // argmax expression, not a window — the window form exchanged the
