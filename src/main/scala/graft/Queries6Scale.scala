@@ -46,6 +46,41 @@ private[graft] trait Queries6Scale extends Queries5Tokenizer {
       |WHERE c*1.0/(sa.s + sb.s - c) >= 0.8""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q148 — incremental PPJoin (operators/SetSimJoin.ppjoinProbe): the
+  // q61 framing (a ~10% hash slice plays the new crawl batch) with the
+  // prefix-filtered probe instead of the full inverted-index join —
+  // batch×corpus candidates only, corpus df defines the shared prefix
+  // order, never a corpus self-join. Hash-exact against the exact
+  // batch×corpus Jaccard SQL at t = 0.8; the SetSimJoinSpec property
+  // pins probe == incremental reference on random corpora.
+  // ---------------------------------------------------------------------
+  private[graft] def q148PpjoinProbe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val slice = pmod(graft.operators.Dedup.baseHash32(col("doc_id").cast("string")), lit(10))
+    SetSimJoin.ppjoinProbe(
+      corpus = docs.filter(slice =!= 0),
+      batch = docs.filter(slice === 0),
+      idCol = "doc_id", textCol = "text", n = 3, threshold = 0.8)
+  }
+
+  private[graft] val q148Sql =
+    """WITH t AS (SELECT doc_id,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS hv,
+      |    list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
+      |sh AS (SELECT DISTINCT doc_id AS doc, hv, sg FROM (
+      |  SELECT doc_id, hv, unnest(CASE WHEN len(tk) >= 3
+      |    THEN list_transform(generate_series(1, len(tk)-2), i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])
+      |    ELSE [] END) AS sg FROM t)),
+      |sz AS (SELECT doc, count(*) AS s FROM sh GROUP BY 1),
+      |i AS (SELECT b.doc AS x, c.doc AS y, count(*) AS cnt
+      |      FROM sh b JOIN sh c ON b.sg = c.sg AND b.hv = 0 AND c.hv <> 0
+      |      GROUP BY 1, 2)
+      |SELECT x AS batch_doc, y AS corpus_doc,
+      |  cnt*1.0/(sa.s + sb.s - cnt) AS jaccard
+      |FROM i JOIN sz sa ON i.x = sa.doc JOIN sz sb ON i.y = sb.doc
+      |WHERE cnt*1.0/(sa.s + sb.s - cnt) >= 0.8""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q143/q144 — count-min-sketch heavy hitters (operators/HeavyHitters).
   // The sketch is the scale artifact (fixed d×w grid, map-side combined,
   // additive); the final answer is EXACT — candidates are a CMS superset

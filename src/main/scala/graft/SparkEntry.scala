@@ -182,6 +182,7 @@ object SparkEntry extends Queries6Scale {
     Q("q145_wordpiece_train", q145WordpieceTrain, None),
     Q("q146_wordpiece_encode", q146WordpieceEncode, None),
     Q("q147_dsir_select", q147DsirSelect, None),
+    Q("q148_ppjoin_probe", q148PpjoinProbe, Some(q148Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -38,16 +38,23 @@ object HeavyHitters {
   /** The d×w count-min cell grid of a token column, optionally keyed by
     * extra group columns (per-source partial sketches). Output:
     * (groupCols..., depth, bucket, n) — exact integers, additive. */
+  /** The d cells one item occurrence increments, as an array of
+    * (depth, bucket) structs — shared by the batch grid builder and
+    * the streaming windowed grids ([[graft.streaming.StreamSketch]])
+    * so the hash layout cannot drift between them. */
+  def cellStructs(item: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map(i => struct(
+      lit(i).as("depth"),
+      pmod(xxhash64(lit(i), item), lit(width.toLong)).as("bucket")
+    )): _*)
+
   def cmsCells(items: DataFrame, itemCol: String, depth: Int, width: Int,
                groupCols: Seq[String] = Nil): DataFrame = {
     require(depth >= 1 && width >= 1 && depth.toLong * width <= MaxSketchCells,
       s"sketch grid d=$depth w=$width exceeds MaxSketchCells=$MaxSketchCells")
     val cells = items.select(
       groupCols.map(col) :+
-        explode(array((0 until depth).map(i => struct(
-          lit(i).as("depth"),
-          pmod(xxhash64(lit(i), col(itemCol)), lit(width.toLong)).as("bucket")
-        )): _*)).as("__c"): _*)
+        explode(cellStructs(col(itemCol), depth, width)).as("__c"): _*)
     cells.groupBy((groupCols.map(col) :+ col("__c.depth").as("depth") :+
         col("__c.bucket").as("bucket")): _*)
       .agg(count(lit(1)).as("n"))

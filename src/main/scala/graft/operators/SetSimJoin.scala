@@ -107,4 +107,64 @@ object SetSimJoin {
         (col("__c") * lit(1.0) / (col("__sa") + col("__sb") - col("__c")))
           .as("jaccard"))
   }
+
+  /** Incremental form — the production shape (q61's framing): a new
+    * BATCH probes the incumbent CORPUS for Jaccard ≥ `threshold`
+    * matches, batch×corpus only, never a corpus self-join. The shared
+    * global hash order both prefixes need comes from the CORPUS df
+    * (batch-only hashes take df 0 — rarest-first; only CONSISTENCY of
+    * the order matters for the cross-collection prefix lemma, and the
+    * corpus side is the one whose ordering is worth paying for: its
+    * index is the reusable artifact a daily drop probes). Output:
+    * (batch_doc, corpus_doc, jaccard). */
+  def ppjoinProbe(corpus: DataFrame, batch: DataFrame, idCol: String,
+                  textCol: String, n: Int = 3,
+                  threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    def shOf(df: DataFrame) = df
+      .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col("doc"),
+        explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("sg"))
+      .select(col("doc"), xxhash64(col("sg")).as("h"))
+      .distinct()
+      .localCheckpoint()
+    val shC = shOf(corpus)
+    val shB = shOf(batch)
+    val dfreq = shC.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    def setsOf(sh: DataFrame) = sh
+      .join(dfreq, Seq("h"), "left")
+      .select(col("doc"), col("h"), coalesce(col("df"), lit(0L)).as("df"))
+      .groupBy(col("doc"))
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("__ps"))
+      .select(col("doc"),
+        transform(col("__ps"), p => p("h")).as("arr"),
+        size(col("__ps")).cast("long").as("sz"))
+      .localCheckpoint()
+    val setsC = setsOf(shC)
+    val setsB = setsOf(shB)
+    def prefixOf(sets: DataFrame) = sets.select(col("doc"), col("sz"),
+      explode(slice(col("arr"), lit(1),
+        (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int"))).as("h"))
+    val cand = prefixOf(setsB).as("b")
+      .join(prefixOf(setsC).as("c"),
+        col("b.h") === col("c.h") &&
+          least(col("b.sz"), col("c.sz")) >=
+            lit(threshold) * greatest(col("b.sz"), col("c.sz")))
+      .select(col("b.doc").as("batch_doc"), col("c.doc").as("corpus_doc"))
+      .distinct()
+    cand
+      .join(setsB.select(col("doc").as("batch_doc"), col("arr").as("__ab"),
+        col("sz").as("__sb")), "batch_doc")
+      .join(setsC.select(col("doc").as("corpus_doc"), col("arr").as("__ac"),
+        col("sz").as("__sc")), "corpus_doc")
+      .select(col("batch_doc"), col("corpus_doc"),
+        size(array_intersect(col("__ab"), col("__ac"))).cast("long").as("__c"),
+        col("__sb"), col("__sc"))
+      .filter(col("__c") * lit(1.0) / (col("__sb") + col("__sc") - col("__c"))
+        >= lit(threshold))
+      .select(col("batch_doc"), col("corpus_doc"),
+        (col("__c") * lit(1.0) / (col("__sb") + col("__sc") - col("__c")))
+          .as("jaccard"))
+  }
 }

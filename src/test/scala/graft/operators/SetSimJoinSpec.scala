@@ -55,6 +55,28 @@ class SetSimJoinSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1.0)))
   }
 
+  test("ppjoinProbe == exact batch×corpus reference on random corpora") {
+    forAllSeeded(corpusGen, 20) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val (batch, corpus) = docs.partition(_._1 % 3 == 0)
+      val bDf = batch.toDF("doc_id", "text")
+      val cDf = corpus.toDF("doc_id", "text")
+      for (t <- Seq(0.5, 0.8)) {
+        val got = pairs(SetSimJoin.ppjoinProbe(cDf, bDf, "doc_id", "text", 3, t))
+        // reference: full ppjoin over the union, keep batch×corpus pairs
+        // (exactness of the self-join form is pinned by the first test)
+        val all = (batch ++ corpus).toDF("doc_id", "text")
+        val bIds = batch.map(_._1).toSet
+        val ref = pairs(SetSimJoin.ppjoinPairs(all, "doc_id", "text", 3, t))
+          .collect {
+            case (a, b, j) if bIds(a) ^ bIds(b) =>
+              if (bIds(a)) (a, b, j) else (b, a, j)
+          }
+        assert(got == ref, s"threshold $t")
+      }
+    }
+  }
+
   test("threshold 1.0 keeps only exact shingle-set matches") {
     val df = Seq(
       (1L, "x y z w"), (2L, "x y z w"), (3L, "x y z q")
