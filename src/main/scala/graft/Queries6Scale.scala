@@ -135,6 +135,68 @@ private[graft] trait Queries6Scale extends Queries5Tokenizer {
   }
 
   // ---------------------------------------------------------------------
+  // q149 — containment pairs (operators/SetSimJoin.containmentPairs):
+  // the quote/excerpt shape — inner ≥80% contained in outer — that a
+  // symmetric Jaccard threshold cannot see. One-sided prefix economy
+  // (inner prefixes × full outer index). Hash-exact vs the exact
+  // asymmetric-overlap SQL.
+  // ---------------------------------------------------------------------
+  private[graft] def q149Containment(spark: SparkSession, dir: String): DataFrame =
+    SetSimJoin.containmentPairs(Tables.documents(spark, dir), "doc_id", "text",
+      n = 3, threshold = 0.8)
+
+  private[graft] val q149Sql =
+    """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
+      |sh AS (SELECT DISTINCT doc_id AS doc, sg FROM (
+      |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+      |    THEN list_transform(generate_series(1, len(tk)-2), i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])
+      |    ELSE [] END) AS sg FROM t)),
+      |sz AS (SELECT doc, count(*) AS s FROM sh GROUP BY 1),
+      |i AS (SELECT a.doc AS x, b.doc AS y, count(*) AS c
+      |      FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc <> b.doc GROUP BY 1, 2)
+      |SELECT x AS inner_doc, y AS outer_doc, c*1.0/sa.s AS containment
+      |FROM i JOIN sz sa ON i.x = sa.doc
+      |WHERE c >= CEIL(sa.s * 0.8)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q150 — tokenizer selection card: the three trained families (BPE,
+  // unigram-LM, WordPiece) encoded over the same corpus, fertility
+  // (pieces per 100 words, integer basis points) and OOV/UNK rates per
+  // source — the comparison a team actually runs before freezing a
+  // tokenizer. Composite-by-construction like q107/q111 (re-derives
+  // the component pipelines; each component family is separately
+  // certified by its own queries/specs). Rows-only: every component
+  // tokenizer is rows-only.
+  // ---------------------------------------------------------------------
+  private[graft] def q150TokenizerCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // deep in-memory trainer + frozen-table apply — NOT the serial
+    // distributed bpeTrainCore (32 driver round-trips; measured 3.5×
+    // slower for this card at sf0.1)
+    val bpeMerges = graft.operators.CorpusStats
+      .bpeTrainMergesDeep(docs, "text", maxK = 32)
+    val bpe = graft.operators.CorpusStats
+      .bpeApplyMerges(docs, "doc_id", "text", bpeMerges)
+      .select(col("doc_id"), col("n_words").as("bw"), col("n_bpe_tokens").as("bp"))
+    val pieces = graft.operators.UnigramLm.train(docs, "text", vocabSize = 256)
+    val uni = graft.operators.UnigramLm
+      .encodedCounts(docs, "doc_id", "text", pieces)
+      .select(col("doc_id"), col("n_pieces").as("up"), col("n_oov").as("uo"))
+    val wp = graft.operators.WordPiece
+      .encodedCounts(docs, "doc_id", "text", docs, "text", maxK = 32)
+      .select(col("doc_id"), col("n_pieces").as("wp"), col("n_unk_words").as("wu"))
+    docs.select(col("doc_id"), col("source"))
+      .join(bpe, "doc_id").join(uni, "doc_id").join(wp, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("bw")).as("n_words"),
+        floor(sum(col("bp")) * 100 / sum(col("bw"))).as("bpe_per_100w"),
+        floor(sum(col("up")) * 100 / sum(col("bw"))).as("unigram_per_100w"),
+        floor(sum(col("wp")) * 100 / sum(col("bw"))).as("wordpiece_per_100w"),
+        floor(sum(col("uo")) * 10000 / sum(col("bw"))).as("unigram_oov_bp"),
+        floor(sum(col("wu")) * 10000 / sum(col("bw"))).as("wordpiece_unk_bp"))
+  }
+
+  // ---------------------------------------------------------------------
   // q147 — DSIR importance selection (operators/Importance): hashed-
   // unigram log-likelihood-ratio scores against the English slice as
   // the target distribution, deterministic top-k. Rows-only BY DESIGN

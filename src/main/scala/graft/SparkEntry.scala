@@ -183,6 +183,8 @@ object SparkEntry extends Queries6Scale {
     Q("q146_wordpiece_encode", q146WordpieceEncode, None),
     Q("q147_dsir_select", q147DsirSelect, None),
     Q("q148_ppjoin_probe", q148PpjoinProbe, Some(q148Sql)),
+    Q("q149_containment", q149Containment, Some(q149Sql)),
+    Q("q150_tokenizer_card", q150TokenizerCard, None),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

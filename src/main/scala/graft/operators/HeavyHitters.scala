@@ -63,14 +63,20 @@ object HeavyHitters {
   /** CMS point-estimate column for `item` against a COLLECTED grid
     * (flat key depth·w + bucket). Missing cells estimate 0 — correct
     * for a grid built over the same stream (every occurrence hit its
-    * cells), and conservative for merged grids. */
+    * cells), and conservative for merged grids. The grid rides as a
+    * DENSE literal array (d·w longs — the require-bounded size), so
+    * each of the d probes is an O(1) `element_at` index; the map-
+    * literal form would LINEAR-SCAN its entries per probe
+    * (ArrayBasedMapData has no hash index), a per-token CPU cost that
+    * compounds at corpus scale. */
   private def estimate(item: Column, grid: Map[Long, Long],
                        depth: Int, width: Int): Column = {
-    val m = typedLit(grid)
+    val dense: Array[Long] = Array.tabulate(depth * width)(i =>
+      grid.getOrElse(i.toLong, 0L))
+    val m = typedLit(dense.toSeq)
     array_min(transform(sequence(lit(0), lit(depth - 1)), i =>
-      coalesce(element_at(m,
-        i.cast("long") * width + pmod(xxhash64(i, item), lit(width.toLong))),
-        lit(0L))))
+      element_at(m, (i * width +
+        pmod(xxhash64(i, item), lit(width.toLong)) + 1).cast("int"))))
   }
 
   /** Exact heavy hitters of a token stream: every token whose total

@@ -40,11 +40,16 @@ object Importance {
       .groupBy(col("__b")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
 
-  /** Per-document DSIR importance score of every `raw` document:
-    * Σ_tokens log P̂_target(bucket) − log P̂_raw(bucket), add-one
-    * smoothed. Output: (idCol, n_tokens, score). */
-  def dsirScores(raw: DataFrame, target: DataFrame, idCol: String,
-                 textCol: String, buckets: Int = 4096): DataFrame = {
+  /** The FROZEN scoring artifact: per-bucket log-likelihood ratios +
+    * the both-unseen default — what a production pipeline trains once
+    * batch-side and then applies to every later batch or stream
+    * ([[graft.streaming.StreamImportance]]). */
+  case class RatioTable(ratio: Map[Long, Double], default: Double, buckets: Int)
+
+  /** Train the ratio table: log((tgt[b]+1)/tgtTot) − log((raw[b]+1)/rawTot),
+    * add-one smoothed, StrictMath throughout. */
+  def ratioTable(raw: DataFrame, target: DataFrame, textCol: String,
+                 buckets: Int = 4096): RatioTable = {
     require(buckets >= 1 && buckets <= MaxBuckets,
       s"buckets must be in [1, $MaxBuckets], got $buckets")
     val tgt = bucketCounts(target, textCol, buckets).toMap
@@ -52,21 +57,40 @@ object Importance {
     val tgtTot = tgt.valuesIterator.sum + buckets.toLong
     val rawTot = rawC.valuesIterator.sum + buckets.toLong
     val logTot = StrictMath.log(rawTot.toDouble) - StrictMath.log(tgtTot.toDouble)
-    // log ((tgt[b]+1)/tgtTot) − log ((raw[b]+1)/rawTot), only for
-    // buckets where it differs from the both-unseen constant
+    // only buckets differing from the both-unseen constant are stored
     val ratio: Map[Long, Double] = (tgt.keySet ++ rawC.keySet).iterator.map { b =>
       b -> (StrictMath.log(tgt.getOrElse(b, 0L) + 1.0) -
         StrictMath.log(rawC.getOrElse(b, 0L) + 1.0) + logTot)
     }.toMap
-    val m = typedLit(ratio)
+    RatioTable(ratio, logTot, buckets)
+  }
+
+  /** Score any corpus (batch or stream — the expression is stateless)
+    * with a frozen table. Output: (idCol, n_tokens, score). The table
+    * rides as a DENSE literal array (B doubles, default-filled), so
+    * every token lookup is an O(1) `element_at` index — a map literal
+    * would linear-scan its entries per token (ArrayBasedMapData has no
+    * hash index), a CPU cost that compounds at corpus scale. */
+  def scoreWith(df: DataFrame, idCol: String, textCol: String,
+                table: RatioTable): DataFrame = {
+    val dense: Array[Double] = Array.tabulate(table.buckets)(b =>
+      table.ratio.getOrElse(b.toLong, table.default))
+    val m = typedLit(dense.toSeq)
     val tk = TextAnalysis.tokens(col(textCol))
-    raw.select(col(idCol), tk.as("__tk"))
+    df.select(col(idCol), tk.as("__tk"))
       .select(col(idCol), size(col("__tk")).cast("long").as("n_tokens"),
         aggregate(col("__tk"), lit(0.0d), (acc, t) =>
-          acc + coalesce(
-            element_at(m, pmod(xxhash64(t), lit(buckets.toLong))),
-            lit(logTot))).as("score"))
+          acc + element_at(m,
+            (pmod(xxhash64(t), lit(table.buckets.toLong)) + 1).cast("int")))
+          .as("score"))
   }
+
+  /** Per-document DSIR importance score of every `raw` document:
+    * Σ_tokens log P̂_target(bucket) − log P̂_raw(bucket), add-one
+    * smoothed. Output: (idCol, n_tokens, score). */
+  def dsirScores(raw: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, buckets: Int = 4096): DataFrame =
+    scoreWith(raw, idCol, textCol, ratioTable(raw, target, textCol, buckets))
 
   /** Top-`k` raw documents by importance (score DESC, id ASC — total
     * deterministic order). The published DSIR sampler draws Gumbel-

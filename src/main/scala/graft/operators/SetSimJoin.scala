@@ -108,6 +108,59 @@ object SetSimJoin {
           .as("jaccard"))
   }
 
+  /** CONTAINMENT pairs: (inner, outer) where the inner document's
+    * shingle set is ≥ `threshold` contained in the outer's —
+    * |inner ∩ outer| ≥ t·|inner| — the quote/excerpt/boilerplate-reuse
+    * shape a symmetric Jaccard threshold misses (a 50-shingle quote
+    * inside a 5000-shingle page has Jaccard ≈ 0.01 but containment
+    * 1.0). Asymmetric prefix economy: the INNER side indexes only its
+    * rarest `sz − ceil(t·sz) + 1` hashes (overlap ≥ ceil(t·sz_inner)
+    * makes the standard prefix lemma apply one-sided), while the outer
+    * side must offer its FULL set — containment admits arbitrarily
+    * large outers, so no size-ratio bound and no outer prefix exist.
+    * Self-pairs are excluded; both directions of a mutual containment
+    * emit. Output: (inner_doc, outer_doc, containment). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val sh = df
+      .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col("doc"),
+        explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("sg"))
+      .select(col("doc"), xxhash64(col("sg")).as("h"))
+      .distinct()
+      .localCheckpoint()
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val sets = sh.join(dfreq, "h")
+      .groupBy(col("doc"))
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("__ps"))
+      .select(col("doc"),
+        transform(col("__ps"), p => p("h")).as("arr"),
+        size(col("__ps")).cast("long").as("sz"))
+      .localCheckpoint()
+    val innerPrefix = sets.select(col("doc"), col("sz"),
+      explode(slice(col("arr"), lit(1),
+        (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int"))).as("h"))
+    // candidate = inner prefix hash appearing ANYWHERE in the outer set
+    val cand = innerPrefix.as("i")
+      .join(sh.as("o"),
+        col("i.h") === col("o.h") && col("i.doc") =!= col("o.doc"))
+      .select(col("i.doc").as("inner_doc"), col("o.doc").as("outer_doc"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc").as("inner_doc"), col("arr").as("__ai"),
+        col("sz").as("__si")), "inner_doc")
+      .join(sets.select(col("doc").as("outer_doc"), col("arr").as("__ao")),
+        "outer_doc")
+      .select(col("inner_doc"), col("outer_doc"),
+        size(array_intersect(col("__ai"), col("__ao"))).cast("long").as("__c"),
+        col("__si"))
+      .filter(col("__c") >= ceil(col("__si") * lit(threshold)))
+      .select(col("inner_doc"), col("outer_doc"),
+        (col("__c") * lit(1.0) / col("__si")).as("containment"))
+  }
+
   /** Incremental form — the production shape (q61's framing): a new
     * BATCH probes the incumbent CORPUS for Jaccard ≥ `threshold`
     * matches, batch×corpus only, never a corpus self-join. The shared

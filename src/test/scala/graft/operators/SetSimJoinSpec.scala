@@ -77,6 +77,42 @@ class SetSimJoinSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs == brute-force asymmetric overlap on random corpora") {
+    forAllSeeded(corpusGen, 20) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = docs.toDF("doc_id", "text")
+      def shingleSet(t: String): Set[String] = {
+        val tk = t.split(" ").filter(_.nonEmpty)
+        if (tk.length < 3) Set.empty
+        else tk.sliding(3).map(_.mkString(" ")).toSet
+      }
+      for (thr <- Seq(0.5, 0.8)) {
+        val got = pairs(SetSimJoin.containmentPairs(df, "doc_id", "text", 3, thr))
+        val ref = (for {
+          (ia, ta) <- docs; (ib, tb) <- docs if ia != ib
+          sa = shingleSet(ta); sb = shingleSet(tb)
+          if sa.nonEmpty
+          c = (sa & sb).size
+          if c >= math.ceil(sa.size * thr)
+        } yield (ia, ib,
+          math.rint(c * 1.0 / sa.size * 1e12) / 1e12)).toSet
+        assert(got == ref, s"threshold $thr")
+      }
+    }
+  }
+
+  test("a quoted excerpt is found by containment but invisible to jaccard") {
+    val excerpt = "p q r s t u"
+    val page = ("filler" +: (1 to 40).map(i => s"w$i")).mkString(" ") +
+      s" $excerpt"
+    val df = Seq((1L, excerpt), (2L, page)).toDF("doc_id", "text")
+    val cont = pairs(SetSimJoin.containmentPairs(df, "doc_id", "text", 3, 0.8))
+    assert(cont.map(p => (p._1, p._2)) == Set((1L, 2L)))
+    assert(cont.head._3 == 1.0)
+    val jac = pairs(SetSimJoin.ppjoinPairs(df, "doc_id", "text", 3, 0.5))
+    assert(jac.isEmpty)
+  }
+
   test("threshold 1.0 keeps only exact shingle-set matches") {
     val df = Seq(
       (1L, "x y z w"), (2L, "x y z w"), (3L, "x y z q")
