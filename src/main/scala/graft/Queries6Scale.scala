@@ -159,6 +159,59 @@ private[graft] trait Queries6Scale extends Queries5Tokenizer {
       |WHERE c >= CEIL(sa.s * 0.8)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q151 — IVF index as a persisted ARTIFACT: build the q49 index
+  // (first-8 centroids), write centroids + cell-partitioned postings to
+  // parquet, reload, and SERVE the same multiprobe search from the
+  // artifact. Certification: the roundtrip answer is byte-identical to
+  // the in-memory path, so it registers against q49's own oracle — the
+  // strongest possible persistence pin. The temp artifact lives under
+  // java.io.tmpdir (construction writes it; bounded: the embeddings
+  // table, once).
+  // ---------------------------------------------------------------------
+  private[graft] def q151IvfArtifact(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ivf_artifact").toString
+    val corp = corpus(spark, dir)
+    val cents = corp.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("ce"))
+    graft.operators.Similarity.writeIvfIndex(corp, cents, out)
+    graft.operators.Similarity.annFromIndex(spark, out, probes(spark, dir),
+      k = 3, nprobe = 2)
+  }
+
+  // ---------------------------------------------------------------------
+  // q152 — JSONL ingest with corrupt-record quarantine (sources/
+  // JsonlIngest): the documents table round-trips through JSONL (the
+  // LLM-corpus interchange format) with floor(n/100)+1 deterministic
+  // malformed lines injected; the PERMISSIVE explicit-schema read
+  // quarantines them into the audit ledger instead of failing the job
+  // or silently dropping them. Hash-exact: per-source counts must
+  // survive the round trip and the corrupt count must equal the
+  // injection arithmetic.
+  // ---------------------------------------------------------------------
+  private[graft] def q152JsonlIngest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_jsonl_ingest").toString
+    val nNoise = (docs.count() / 100L + 1L).toInt
+    graft.sources.JsonlIngest.writeJsonlWithNoise(docs, out,
+      (0 until nNoise).map(i => s"""{"doc_id": $i, "text": unquoted-$i"""))
+    val back = graft.sources.JsonlIngest.readPermissive(spark, out,
+      docs.schema)
+    graft.sources.JsonlIngest.audit(back, "source", "n_chars")
+  }
+
+  private[graft] val q152Sql =
+    """SELECT source AS src, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+      |FROM documents GROUP BY 1
+      |UNION ALL
+      |SELECT '__corrupt__' AS src,
+      |  CAST(count(*) // 100 + 1 AS BIGINT) AS n_rows,
+      |  CAST(0 AS BIGINT) AS n_chars
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q150 — tokenizer selection card: the three trained families (BPE,
   // unigram-LM, WordPiece) encoded over the same corpus, fertility
   // (pieces per 100 words, integer basis points) and OOV/UNK rates per

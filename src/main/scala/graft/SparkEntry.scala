@@ -185,6 +185,8 @@ object SparkEntry extends Queries6Scale {
     Q("q148_ppjoin_probe", q148PpjoinProbe, Some(q148Sql)),
     Q("q149_containment", q149Containment, Some(q149Sql)),
     Q("q150_tokenizer_card", q150TokenizerCard, None),
+    Q("q151_ivf_artifact", q151IvfArtifact, Some(q49Sql)),
+    Q("q152_jsonl_ingest", q152JsonlIngest, Some(q152Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -166,6 +166,46 @@ object Similarity {
       }: _*)), 1, nprobe),
       s => s.getField("cell"))
 
+  /** Persist an IVF index as an ARTIFACT: the centroid table plus the
+    * corpus postings with their cell assignment materialized, postings
+    * hash-partitioned BY CELL on disk. This is the production vector-
+    * search split — build once over the at-rest corpus, then every
+    * search session (or stream, via the stream-static join) reloads
+    * the artifact and never re-scans or re-assigns the corpus. The
+    * `partitionBy("cell")` layout means a probe session reading cells
+    * c₁..cₙ scans only those directories — data skipping at the file
+    * level, the disk analog of the cell equi-join. */
+  def writeIvfIndex(corpus: DataFrame, cents: DataFrame, dir: String): Unit = {
+    val c = collectCentroids(cents)
+    cents.write.mode("overwrite").parquet(dir + "/centroids")
+    corpus.withColumn("cell", cellAssignExpr(c, col("embedding")))
+      .write.mode("overwrite").partitionBy("cell").parquet(dir + "/postings")
+  }
+
+  /** Serve ANN from a persisted index — answers are BYTE-IDENTICAL to
+    * [[annIvfWithCentroids]] over the original corpus/centroids (the
+    * roundtrip certification q151 runs against q49's oracle): the
+    * assignment is already materialized in the postings, so the serve
+    * plan is scan → cell equi-join → per-probe top-k, corpus
+    * embeddings never re-assigned. */
+  def annFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   probes: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
+    val c = collectCentroids(spark.read.parquet(dir + "/centroids"))
+    val postings = spark.read.parquet(dir + "/postings")
+    val pa = probes
+      .withColumn("__cells",
+        cellAssignTopExpr(c, col("pe"), math.max(1, nprobe)))
+      .withColumn("pcell", explode(col("__cells")))
+      .drop("__cells")
+    val scored = postings
+      .join(broadcast(pa), col("cell") === col("pcell") &&
+        col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        VectorFunctions.cosine_similarity(col("pe"), col("embedding")).as("cosine"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
+  }
+
   /** Hard-negative mining for contrastive/metric training: each probe's
     * top-k most-similar corpus vectors with a DIFFERENT label — the
     * "hardest" negatives, the pairs a contrastive loss learns most from.
