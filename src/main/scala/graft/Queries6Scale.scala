@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{HeavyHitters, Importance, SetSimJoin, WordPiece}
+import graft.operators.{HeavyHitters, Importance, MediaCodec, SetSimJoin, WordPiece}
 
 /** Registry slice 6 (round 13): scale-pattern extensions — exact
   * prefix-filtered set-similarity join, count-min-sketch heavy hitters
@@ -210,6 +210,48 @@ private[graft] trait Queries6Scale extends Queries5Tokenizer {
       |  CAST(count(*) // 100 + 1 AS BIGINT) AS n_rows,
       |  CAST(0 AS BIGINT) AS n_chars
       |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q153/q154 — AVI/RIFF container walk (operators/MediaCodec AVI
+  // section): the LITTLE-endian RIFF sibling of the q125 ISO-BMFF walk,
+  // with the two byte disciplines MP4 never exercises (LE sizes,
+  // even-byte chunk padding excluded from the size). Deterministic-
+  // encoder oracle: every field is arithmetic over (doc_id,
+  // strlen(text)); every 59th doc carries the chunk-overrun corruption
+  // and must drop (q153) / ledger as bad_riff (q154).
+  // ---------------------------------------------------------------------
+  private[graft] def q153AviMeta(spark: SparkSession, dir: String): DataFrame =
+    MediaCodec.aviMetadata(
+      MediaCodec.attachAvi(Tables.documents(spark, dir))).toDF()
+
+  private[graft] val q153Sql =
+    """WITH v AS (SELECT doc_id, strlen(text) AS len,
+      |            1 + strlen(text) // 64 AS fr
+      |       FROM documents WHERE doc_id % 59 <> 0)
+      |SELECT doc_id,
+      |  CAST(1 + doc_id % 2 AS INT) AS n_streams,
+      |  CAST(fr AS BIGINT) AS total_frames,
+      |  CAST(160 + doc_id % 1280 AS INT) AS width,
+      |  CAST(120 + (doc_id * 7) % 720 AS INT) AS height,
+      |  CAST(4 + 72*(fr-1) + 8 + len % 64 + (len % 64) % 2 AS BIGINT) AS movi_bytes,
+      |  CAST(fr AS BIGINT) AS n_chunks,
+      |  CAST(fr AS BIGINT) AS idx_entries
+      |FROM v""".stripMargin
+
+  private[graft] def q154AviAudit(spark: SparkSession, dir: String): DataFrame =
+    MediaCodec.aviAudit(MediaCodec.attachAvi(Tables.documents(spark, dir)))
+
+  private[graft] val q154Sql =
+    """WITH v AS (SELECT
+      |    CASE WHEN doc_id % 59 = 0 THEN 'bad_riff' ELSE 'avi' END AS status,
+      |    strlen(text) AS len, 1 + strlen(text) // 64 AS fr,
+      |    1 + doc_id % 2 AS st
+      |  FROM documents)
+      |SELECT status, count(*) AS n_docs,
+      |  CAST(sum(12 + 8 + (4 + 64 + 124*st) + 8
+      |    + (4 + 72*(fr-1) + 8 + len % 64 + (len % 64) % 2)
+      |    + 8 + 16*fr) AS BIGINT) AS n_bytes
+      |FROM v GROUP BY status""".stripMargin
 
   // ---------------------------------------------------------------------
   // q150 — tokenizer selection card: the three trained families (BPE,

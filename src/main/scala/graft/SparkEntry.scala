@@ -187,6 +187,8 @@ object SparkEntry extends Queries6Scale {
     Q("q150_tokenizer_card", q150TokenizerCard, None),
     Q("q151_ivf_artifact", q151IvfArtifact, Some(q49Sql)),
     Q("q152_jsonl_ingest", q152JsonlIngest, Some(q152Sql)),
+    Q("q153_avi_meta", q153AviMeta, Some(q153Sql)),
+    Q("q154_avi_audit", q154AviAudit, Some(q154Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1316,4 +1316,215 @@ object MediaCodec {
       .groupBy("status")
       .agg(count(lit(1)).as("n_docs"), sum("len").as("n_bytes"))
   }
+
+  // =====================================================================
+  // AVI / RIFF container (Microsoft AVI 1.0, the RIFF sibling of the
+  // ISO-BMFF walk): LITTLE-endian sizes, even-byte chunk padding that
+  // is NOT counted in the chunk size — two byte disciplines the
+  // big-endian MP4 walk never exercises. Layout emitted:
+  //   RIFF('AVI ' LIST('hdrl' avih [LIST('strl' strh strf)]×streams)
+  //               LIST('movi' '00dc'-chunks) idx1)
+  // Every field derives from (doc_id, strlen(text)) alone — the
+  // q102/q117/q125 deterministic-encoder oracle discipline.
+  // =====================================================================
+
+  def aviStreams(docId: Long): Int = (1 + docId % 2).toInt
+  /** One video chunk per 64-byte payload slice (+1 ragged/empty tail —
+    * the closed form 1 + len/64 the oracle recomputes). */
+  def aviFrames(len: Long): Int = (1 + len / 64).toInt
+
+  /** Minimal REAL AVI: any spec-conforming RIFF walker reads it. The
+    * last movi chunk is the ragged payload tail, odd-length tails get
+    * the RIFF pad byte (excluded from the chunk size), and idx1 holds
+    * one AVIIF_KEYFRAME entry per chunk with true movi-relative
+    * offsets. */
+  def encodeAvi(docId: Long, payload: Array[Byte]): Array[Byte] = {
+    val streams = aviStreams(docId)
+    val frames = aviFrames(payload.length.toLong)
+    val lastLen = payload.length - 64 * (frames - 1)
+    val lastPad = lastLen & 1
+    val hdrlContent = 4 + 64 + 124 * streams
+    val moviContent = 4 + (frames - 1) * 72 + 8 + lastLen + lastPad
+    val idx1Size = 16 * frames
+    val total = 12 + 8 + hdrlContent + 8 + moviContent + 8 + idx1Size
+    val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = { buf.put(s.getBytes(US_ASCII)); () }
+    fourcc("RIFF"); buf.putInt(total - 8); fourcc("AVI ")
+    fourcc("LIST"); buf.putInt(hdrlContent); fourcc("hdrl")
+    fourcc("avih"); buf.putInt(56)
+    buf.putInt(33333).putInt(0).putInt(0).putInt(0x10) // µs/frame, maxBps, padGran, HASINDEX
+    buf.putInt(frames).putInt(0).putInt(streams).putInt(0)
+    buf.putInt(mp4Width(docId)).putInt(mp4Height(docId))
+    buf.put(new Array[Byte](16)) // reserved
+    var s = 0
+    while (s < streams) {
+      fourcc("LIST"); buf.putInt(116); fourcc("strl")
+      fourcc("strh"); buf.putInt(56)
+      fourcc("vids"); fourcc("DIB ")
+      buf.putInt(0) // flags
+      buf.putShort(0.toShort).putShort(0.toShort) // priority, language
+      buf.putInt(0) // initial frames
+      buf.putInt(1).putInt(30) // scale, rate: 30 fps
+      buf.putInt(0).putInt(if (s == 0) frames else 0) // start, length
+      buf.putInt(0).putInt(0).putInt(0) // suggBuf, quality, sampleSize
+      buf.putShort(0.toShort).putShort(0.toShort) // rcFrame left, top
+      buf.putShort(mp4Width(docId).toShort).putShort(mp4Height(docId).toShort)
+      fourcc("strf"); buf.putInt(40)
+      buf.putInt(40).putInt(mp4Width(docId)).putInt(mp4Height(docId))
+      buf.putShort(1.toShort).putShort(24.toShort) // planes, bit count
+      buf.putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+      s += 1
+    }
+    fourcc("LIST"); buf.putInt(moviContent); fourcc("movi")
+    var f = 0
+    var off = 0
+    while (f < frames) {
+      val l = if (f < frames - 1) 64 else lastLen
+      fourcc("00dc"); buf.putInt(l)
+      buf.put(payload, off, l); off += l
+      if ((l & 1) == 1) buf.put(0.toByte)
+      f += 1
+    }
+    fourcc("idx1"); buf.putInt(idx1Size)
+    f = 0
+    while (f < frames) {
+      val l = if (f < frames - 1) 64 else lastLen
+      fourcc("00dc"); buf.putInt(0x10) // AVIIF_KEYFRAME
+      buf.putInt(4 + 72 * f).putInt(l) // movi-relative offset, size
+      f += 1
+    }
+    buf.array()
+  }
+
+  /** Corrupt slice for [[attachAvi]]: overrun the avih chunk size so
+    * it overflows its hdrl parent — the RIFF containment-check failure
+    * path (the LE sibling of [[corruptMp4]]'s nested overrun). */
+  def corruptAvi(raw: Array[Byte]): Array[Byte] = {
+    val out = raw.clone()
+    // avih size field: RIFF hdr 12 + LIST hdr 8 + 'hdrl' 4 + 'avih' 4
+    ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(28, Int.MaxValue)
+    out
+  }
+
+  final case class AviMeta(nStreams: Int, totalFrames: Long, width: Int,
+                           height: Int, moviListBytes: Long,
+                           nVideoChunks: Long, idxEntries: Long)
+
+  /** Strict RIFF walk: every chunk must fit its parent, LIST headers
+    * must be complete, pad bytes are skipped, the avih stream count
+    * must match the strl census, and idx1 must be a whole number of
+    * 16-byte entries. None on any violation — never throw. */
+  def parseAvi(bytes: Array[Byte]): Option[AviMeta] = {
+    def le32(off: Int): Long =
+      if (off + 4 > bytes.length) -1L
+      else (bytes(off) & 0xFFL) | ((bytes(off + 1) & 0xFFL) << 8) |
+        ((bytes(off + 2) & 0xFFL) << 16) | ((bytes(off + 3) & 0xFFL) << 24)
+    def tag(off: Int): String =
+      if (off + 4 > bytes.length) ""
+      else new String(bytes, off, 4, US_ASCII)
+    if (tag(0) != "RIFF") return None
+    val riffSize = le32(4)
+    if (riffSize < 4 || 8 + riffSize > bytes.length) return None
+    if (tag(8) != "AVI ") return None
+    var nStreams = -1
+    var totalFrames = -1L
+    var width = -1
+    var height = -1
+    var strlSeen = 0
+    var moviListBytes = -1L
+    var nVideoChunks = 0L
+    var idxEntries = -1L
+    var pos = 12
+    val end = 8 + riffSize.toInt
+    while (pos < end) {
+      if (pos + 8 > end) return None
+      val t = tag(pos)
+      val sz = le32(pos + 4)
+      if (sz < 0 || pos + 8 + sz > end) return None
+      if (t == "LIST") {
+        if (sz < 4) return None
+        val listType = tag(pos + 8)
+        val lEnd = pos + 8 + sz.toInt
+        var p = pos + 12
+        if (listType == "hdrl") {
+          while (p < lEnd) {
+            if (p + 8 > lEnd) return None
+            val ct = tag(p)
+            val cs = le32(p + 4)
+            if (cs < 0 || p + 8 + cs > lEnd) return None
+            if (ct == "avih") {
+              if (cs < 56) return None
+              totalFrames = le32(p + 8 + 16)
+              nStreams = le32(p + 8 + 24).toInt
+              width = le32(p + 8 + 32).toInt
+              height = le32(p + 8 + 36).toInt
+            } else if (ct == "LIST" && tag(p + 8) == "strl") strlSeen += 1
+            p += 8 + cs.toInt + (cs.toInt & 1)
+          }
+        } else if (listType == "movi") {
+          moviListBytes = sz
+          while (p < lEnd) {
+            if (p + 8 > lEnd) return None
+            val ct = tag(p)
+            val cs = le32(p + 4)
+            if (cs < 0 || p + 8 + cs > lEnd) return None
+            if (ct.endsWith("dc") || ct.endsWith("db")) nVideoChunks += 1
+            p += 8 + cs.toInt + (cs.toInt & 1)
+          }
+        }
+      } else if (t == "idx1") {
+        if (sz % 16 != 0) return None
+        idxEntries = sz / 16
+      }
+      pos += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    if (nStreams < 0 || totalFrames < 0 || moviListBytes < 0 ||
+      idxEntries < 0 || strlSeen != nStreams) None
+    else Some(AviMeta(nStreams, totalFrames, width, height, moviListBytes,
+      nVideoChunks, idxEntries))
+  }
+
+  /** documents → REAL AVI containers; every 59th doc gets
+    * [[corruptAvi]]'s chunk-size overrun — a slice disjoint from the
+    * 37/41/43/47/53 families so multimodal joins keep full coverage on
+    * the other modalities. */
+  def attachAvi(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val raw = encodeAvi(id, text.getBytes(UTF_8))
+        MediaRow(id, if (id % 59 == 0) corruptAvi(raw) else raw) })
+  }
+
+  final case class AviMetaRow(doc_id: Long, n_streams: Int,
+                              total_frames: Long, width: Int, height: Int,
+                              movi_bytes: Long, n_chunks: Long,
+                              idx_entries: Long)
+
+  /** RIFF-walk metadata over AVI rows; unparseable rows drop (pair
+    * with [[aviAudit]]). Narrow map — container bytes never shuffle. */
+  def aviMetadata(media: Dataset[MediaRow]): Dataset[AviMetaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      parseAvi(m.media).map(x =>
+        AviMetaRow(m.doc_id, x.nStreams, x.totalFrames, x.width, x.height,
+          x.moviListBytes, x.nVideoChunks, x.idxEntries))
+    })
+  }
+
+  /** Crawl-audit ledger for the RIFF walk: parsed vs broken containers
+    * with total bytes per status — the q126 shape for AVI. */
+  def aviAudit(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      (if (parseAvi(m.media).isDefined) "avi" else "bad_riff",
+        m.media.length.toLong)
+    }).toDF("status", "len")
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("n_bytes"))
+  }
 }

@@ -70,6 +70,47 @@ class MediaCodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("avi encode->riff-walk round trips hold for arbitrary payloads") {
+    forAllSeeded(Gen.zip(Gen.choose(0L, 5000L), rawBytes), 150) {
+      case (id, payload) =>
+        val raw = encodeAvi(id, payload)
+        val m = parseAvi(raw)
+        assert(m.isDefined, s"id=$id len=${payload.length}")
+        val frames = aviFrames(payload.length.toLong)
+        assert(m.get.nStreams == aviStreams(id))
+        assert(m.get.totalFrames == frames.toLong)
+        assert(m.get.width == mp4Width(id) && m.get.height == mp4Height(id))
+        assert(m.get.nVideoChunks == frames.toLong)
+        assert(m.get.idxEntries == frames.toLong)
+        val lastLen = payload.length - 64 * (frames - 1)
+        assert(m.get.moviListBytes ==
+          4L + 72L * (frames - 1) + 8L + lastLen + (lastLen & 1))
+        // the corrupt slice must fail through the containment check
+        assert(parseAvi(corruptAvi(raw)).isEmpty)
+        // truncation (header, mid-movi, last byte) must reject, never throw
+        Seq(raw.length / 4, raw.length / 2, raw.length - 1).foreach { cut =>
+          assert(parseAvi(raw.take(cut)).isEmpty, s"cut=$cut parsed")
+        }
+    }
+  }
+
+  test("avi walk rejects structural lies: idx1 misalignment, strl census drift") {
+    val raw = encodeAvi(7L, Array.tabulate(130)(_.toByte)) // odd tail: pad path
+    assert(parseAvi(raw).isDefined)
+    // break idx1 into a non-multiple of 16
+    val badIdx = raw.clone()
+    val idxOff = raw.length - 16 * aviFrames(130L) - 8
+    assert(new String(badIdx, idxOff, 4, US_ASCII) == "idx1")
+    ByteBuffer.wrap(badIdx).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(idxOff + 4, 16 * aviFrames(130L) - 3)
+    assert(parseAvi(badIdx).isEmpty)
+    // lie about the stream count: avih says 9, strl census disagrees
+    val badStreams = raw.clone()
+    ByteBuffer.wrap(badStreams).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(12 + 8 + 4 + 8 + 24, 9)
+    assert(parseAvi(badStreams).isEmpty)
+  }
+
   test("annex-b encode->walk round trips for arbitrary payloads incl. zero runs") {
     // raw binary payloads (00-heavy ones stress emulation prevention
     // and start-code disambiguation) must round-trip exactly
