@@ -21,8 +21,12 @@ import graft.functions.{CosineSimilarity, DotProduct, IpBytesString, Ipv4String,
   * same as the DataFrame column functions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptions.foreach(ext.injectFunction)
+    // naive range joins rewrite to the binned equi-join — see
+    // plans.BinRangeJoinRule for the guards and the BNLJ cliff it removes
+    ext.injectOptimizerRule(_ => graft.plans.BinRangeJoinRule)
+  }
 }
 
 object GraftExtensions {
