@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, DotProduct, IpBytesString, Ipv4String, SubvectorL2}
+import graft.functions.{CmsEstimate, CmsMergeAgg, CmsSketchAgg, CosineSimilarity, DotProduct, IpBytesString, Ipv4String, SubvectorL2}
 
 /** SQL surface for the engine's native Catalyst expressions: register via
   * `--conf spark.sql.extensions=graft.GraftExtensions` (cluster-wide) or
@@ -67,7 +67,28 @@ object GraftExtensions {
             s"subvector_l2 offset must be an INT literal, got $other")
         }
         SubvectorL2(args.head, args(1), off)
-      }))
+      }),
+    (FunctionIdentifier("cms_sketch_agg"),
+      info("cms_sketch_agg",
+        "cms_sketch_agg(string, depth INT literal, width INT literal) - " +
+          "aggregate a token column into one serialized count-min grid"),
+      arity("cms_sketch_agg", 3) { args =>
+        def intLit(e: Expression, what: String): Int = e match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"cms_sketch_agg $what must be an INT literal, got $other")
+        }
+        CmsSketchAgg(args.head, intLit(args(1), "depth"),
+          intLit(args(2), "width"))
+      }),
+    (FunctionIdentifier("cms_merge_agg"),
+      info("cms_merge_agg",
+        "cms_merge_agg(binary) - merge serialized count-min partials by cell addition"),
+      arity("cms_merge_agg", 1)(args => CmsMergeAgg(args.head))),
+    (FunctionIdentifier("cms_estimate"),
+      info("cms_estimate",
+        "cms_estimate(binary, string) - count-min point estimate (never underestimates)"),
+      arity("cms_estimate", 2)(args => CmsEstimate(args.head, args(1)))))
 
   /** Register into an already-running session. */
   def register(spark: SparkSession): Unit =

@@ -212,6 +212,43 @@ private[graft] trait Queries6Scale extends Queries5Tokenizer {
       |FROM documents""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q155 — heavy hitters through the NATIVE CMS aggregate (functions/
+  // CmsSketchAgg): per-source binary sketches via cms_sketch_agg,
+  // merged with cms_merge_agg (one binary VALUE per group — the shape
+  // the DataFrame cell-table path of q143/q144 cannot produce), then
+  // the same candidates → exact-verify pattern with cms_estimate as
+  // the codegen'd probe. Exists precisely to put the custom-aggregate
+  // tier under the DuckDB gate: the final answer must STILL be
+  // byte-identical to the exact HAVING query (never-underestimate ⇒
+  // candidate superset ⇒ verify trims), so any drift in the native
+  // update/merge/serialize path fails the oracle. Threshold 0.03 vs
+  // q143's 0.02 keeps the two registrations' answers distinct.
+  // ---------------------------------------------------------------------
+  private[graft] def q155CmsNative(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{CmsFunctions, CmsSketch}
+    val toks = docTokens(spark, dir)
+    val image = toks.groupBy(col("source"))
+      .agg(CmsFunctions.cms_sketch_agg(col("token"), 4, 512).as("sk"))
+      .agg(CmsFunctions.cms_merge_agg(col("sk")))
+      .collect().head.getAs[Array[Byte]](0)
+    val (_, w, cells) = CmsSketch.deserialize(image)
+    val total = cells.view.slice(0, w).sum // depth-0 row = stream length
+    val t = math.ceil(total * 0.03).toLong
+    val cand = toks.select(col("token"))
+      .filter(CmsFunctions.cms_estimate(lit(image), col("token")) >= t)
+      .distinct()
+    toks.join(broadcast(cand), Seq("token"), "left_semi")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= t)
+  }
+
+  private[graft] val q155Sql =
+    """WITH tok AS (SELECT unnest(list_filter(string_split(text,' '), x -> x <> '')) AS token FROM documents),
+      |tot AS (SELECT count(*) AS n FROM tok)
+      |SELECT token, count(*) AS cnt FROM tok CROSS JOIN tot
+      |GROUP BY token, n HAVING count(*) >= CEIL(n * 0.03)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q153/q154 — AVI/RIFF container walk (operators/MediaCodec AVI
   // section): the LITTLE-endian RIFF sibling of the q125 ISO-BMFF walk,
   // with the two byte disciplines MP4 never exercises (LE sizes,

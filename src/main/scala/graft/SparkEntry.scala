@@ -189,6 +189,7 @@ object SparkEntry extends Queries6Scale {
     Q("q152_jsonl_ingest", q152JsonlIngest, Some(q152Sql)),
     Q("q153_avi_meta", q153AviMeta, Some(q153Sql)),
     Q("q154_avi_audit", q154AviAudit, Some(q154Sql)),
+    Q("q155_cms_native", q155CmsNative, Some(q155Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
