@@ -212,6 +212,27 @@ private[graft] trait Queries6Scale extends Queries5Tokenizer {
       |FROM documents""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q156 — join-key skew diagnostic (operators/SkewAgg.keySkewCard):
+  // the pre-flight report run before committing a join/groupBy key at
+  // scale — top hot keys with share, vs-mean ratio, and the salt
+  // factor that would level each to the mean. One map-side-combined
+  // key count + 1-row broadcast stats + TakeOrdered. Hash-exact.
+  // ---------------------------------------------------------------------
+  private[graft] def q156SkewCard(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SkewAgg.keySkewCard(Tables.events(spark, dir), "user_id",
+      k = 10)
+
+  private[graft] val q156Sql =
+    """WITH c AS (SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1),
+      |s AS (SELECT sum(n_rows) AS total, count(*) AS d FROM c)
+      |SELECT user_id, n_rows,
+      |  CAST(FLOOR(n_rows * 10000 / total) AS BIGINT) AS share_bp,
+      |  CAST(FLOOR(n_rows * 100 * d / total) AS BIGINT) AS vs_mean_pct,
+      |  CAST(CEIL(n_rows * d / total) AS BIGINT) AS suggested_salts
+      |FROM c CROSS JOIN s
+      |ORDER BY n_rows DESC, user_id LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q155 — heavy hitters through the NATIVE CMS aggregate (functions/
   // CmsSketchAgg): per-source binary sketches via cms_sketch_agg,
   // merged with cms_merge_agg (one binary VALUE per group — the shape

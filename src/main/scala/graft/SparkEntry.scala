@@ -190,6 +190,7 @@ object SparkEntry extends Queries6Scale {
     Q("q153_avi_meta", q153AviMeta, Some(q153Sql)),
     Q("q154_avi_audit", q154AviAudit, Some(q154Sql)),
     Q("q155_cms_native", q155CmsNative, Some(q155Sql)),
+    Q("q156_skew_card", q156SkewCard, Some(q156Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
