@@ -18,7 +18,8 @@ class GraftExtensionsSpec extends SparkSpec {
   test("extensions class injects the same functions at session build") {
     // same builders the spark.sql.extensions conf path would inject
     assert(GraftExtensions.descriptions.map(_._1.funcName).sorted ==
-      Seq("cosine_similarity", "dot_product", "ip_bytes_string", "ip_v4_string",
+      Seq("cms_estimate", "cms_merge_agg", "cms_sketch_agg",
+        "cosine_similarity", "dot_product", "ip_bytes_string", "ip_v4_string",
         "subvector_l2"))
   }
 

@@ -13,16 +13,26 @@ import graft.{GraftExtensions, SparkTuning}
   * equi-key untouched. */
 class BinRangeJoinRuleSpec extends AnyFunSuite {
 
-  // own session: the rule only exists where the extensions are injected
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("BinRangeJoinRuleSpec")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.extensions", classOf[GraftExtensions].getName)
-    .config(SparkTuning.ExcludedRulesKey, SparkTuning.ExcludedRules)
-    .config(BinRangeJoinRule.BinWidthKey, "10")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  // own session: the rule only exists where the extensions are injected.
+  // builder().getOrCreate() CANNOT provide that here — when this suite
+  // runs after a SparkSpec suite in the same JVM it either returns the
+  // shared session unchanged, or (default cleared) builds on the
+  // EXISTING SparkContext and resolves spark.sql.extensions from the
+  // context's conf, where it is absent. The graftx Bridge constructs
+  // the session with the extensions instance applied directly, on
+  // whatever context exists (creating one only if none does).
+  private lazy val spark: SparkSession = {
+    val sc = org.apache.spark.SparkContext.getOrCreate(
+      new org.apache.spark.SparkConf()
+        .setMaster("local[4]").setAppName("BinRangeJoinRuleSpec")
+        .set("spark.ui.enabled", "false"))
+    org.apache.spark.sql.graftx.Bridge.sessionWithExtensions(
+      sc, new GraftExtensions().apply(_), Map(
+        "spark.sql.shuffle.partitions" -> "4",
+        "spark.sql.session.timeZone" -> "UTC",
+        SparkTuning.ExcludedRulesKey -> SparkTuning.ExcludedRules,
+        BinRangeJoinRule.BinWidthKey -> "10"))
+  }
 
   private def points = {
     import spark.implicits._
