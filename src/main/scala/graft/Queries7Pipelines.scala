@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfMatch, Sessionize}
+
+/** Registry slice 7 (round 13, continued): behavioural-log pipeline
+  * operators — native session-window sessionization (batch + the
+  * streaming leg sharing one expression), the session funnel card, and
+  * the general payload-carrying as-of join. */
+private[graft] trait Queries7Pipelines extends Queries6Scale {
+
+  // ---------------------------------------------------------------------
+  // q157 — gap-based sessionization via Spark's NATIVE session_window
+  // aggregation (operators/Sessionize): one exchange on user_id, a
+  // partition-local sort+merge builds the sessions — no lag/flag/
+  // running-sum window chain, and the identical expression runs under
+  // Structured Streaming (streaming/StreamSessionize, batch-equivalence
+  // pinned). Oracle: the classic gap-and-islands SQL (break when the
+  // gap STRICTLY exceeds 1800 s — session_window merges at exact
+  // equality, pinned by SessionizeSpec; a >= break would agree on this
+  // data but diverge on any gap of exactly 1800.000000 s) — the two
+  // formulations agreeing IS the semantics certificate.
+  // ---------------------------------------------------------------------
+  private[graft] def q157Sessionize(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.sessions(Tables.events(spark, dir), Seq("user_id"), "ts",
+      gapSec = 1800,
+      extraAggs = Seq(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_conv"),
+        countDistinct(col("event_type")).as("n_types")))
+
+  private[graft] val q157Cte =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM o),
+      |sess AS (
+      |  SELECT user_id, min(ts) AS session_start,
+      |    max(ts) + INTERVAL 1800 SECOND AS session_end,
+      |    count(*) AS n_events,
+      |    CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_conv,
+      |    count(DISTINCT event_type) AS n_types
+      |  FROM s GROUP BY user_id, sid)""".stripMargin
+
+  private[graft] val q157Sql =
+    s"""$q157Cte
+      |SELECT user_id, session_start, session_end, n_events, n_conv, n_types
+      |FROM sess""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q158 — session funnel card: sessions bucketed by active duration
+  // (minutes between first and last event, exact integer floordiv of
+  // the micros delta), event volume and purchase-conversion share in
+  // basis points per bucket. Composes q157's output — the oracle nests
+  // the same gap-and-islands CTE.
+  // ---------------------------------------------------------------------
+  private[graft] def q158SessionFunnel(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.durationFunnel(q157Sessionize(spark, dir), gapSec = 1800)
+
+  private[graft] val q158Sql =
+    s"""$q157Cte
+      |SELECT (epoch_us(session_end) - epoch_us(session_start)
+      |         - 1800000000) // 60000000 AS duration_min,
+      |  count(*) AS n_sessions,
+      |  CAST(sum(n_events) AS BIGINT) AS n_events,
+      |  CAST(FLOOR(sum(CASE WHEN n_conv > 0 THEN 1 ELSE 0 END) * 10000.0
+      |    / count(*)) AS BIGINT) AS converted_bp
+      |FROM sess GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q159 — general as-of join (AsOfMatch.asOfJoin): every purchase
+  // matched to the user's LATEST view at or before it, carrying the
+  // view's event id as payload — the trade↔quote join shape, planned
+  // as one window pass (no join node: nothing can degrade to a nested
+  // loop). Oracle: DuckDB's native ASOF LEFT JOIN, with right-side
+  // (user, ts) ties pre-collapsed to max event_id — the same
+  // deterministic winner the window's last() picks.
+  // ---------------------------------------------------------------------
+  private[graft] def q159AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_id").as("view_event"))
+    AsOfMatch.asOfJoin(purchases, views, keys = Seq("user_id"),
+        tsCol = "ts", tieBreak = "event_id",
+        rightPayload = Seq("view_event"))
+      .withColumn("wait_us",
+        unix_micros(col("ts")) - unix_micros(col("asof_ts")))
+  }
+
+  private[graft] val q159Sql =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase'),
+      |v0 AS (SELECT user_id, ts, event_id AS view_event
+      |       FROM events WHERE event_type='view'
+      |       QUALIFY row_number() OVER (PARTITION BY user_id, ts
+      |                                  ORDER BY event_id DESC) = 1)
+      |SELECT p.event_id, p.user_id, p.ts, v.ts AS asof_ts, v.view_event,
+      |  epoch_us(p.ts) - epoch_us(v.ts) AS wait_us
+      |FROM p ASOF LEFT JOIN v0 v
+      |  ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin
+}

@@ -25,7 +25,7 @@ import graft.operators.{AsOfMatch, CorpusStats, Dedup, GroupingSetCounter, Media
   *     (aggregator.go:496) use floor() in both dialects (DuckDB CAST
   *     rounds, Spark CAST truncates — floor sidesteps both).
   */
-object SparkEntry extends Queries6Scale {
+object SparkEntry extends Queries7Pipelines {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -191,6 +191,9 @@ object SparkEntry extends Queries6Scale {
     Q("q154_avi_audit", q154AviAudit, Some(q154Sql)),
     Q("q155_cms_native", q155CmsNative, Some(q155Sql)),
     Q("q156_skew_card", q156SkewCard, Some(q156Sql)),
+    Q("q157_sessionize", q157Sessionize, Some(q157Sql)),
+    Q("q158_session_funnel", q158SessionFunnel, Some(q158Sql)),
+    Q("q159_asof_join", q159AsofJoin, Some(q159Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

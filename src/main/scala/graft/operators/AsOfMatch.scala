@@ -40,6 +40,59 @@ object AsOfMatch {
         unix_micros(col(tsCol)) - unix_micros(col("matched_query_ts")))
   }
 
+  /** General as-of join: each left row picks the LATEST right row with
+    * the same key and `right.ts <= left.ts` — the time-series join
+    * (trade↔quote, event↔most-recent-state) that a naive formulation
+    * makes an inequality join (BNL or a skewed sort-merge at scale).
+    *
+    * Same one-window-pass shape as [[deltas]], generalized to two
+    * DataFrames and an arbitrary carried payload: the sides are tagged
+    * and unioned (schema aligned via typed-null struct columns — a
+    * union is a zero-cost narrow op), then ONE window partitioned by
+    * the key and ordered by `(ts, side, tieBreak)` finds each left
+    * row's partner with `last(right_struct, ignoreNulls)`. Right rows
+    * sort BEFORE left rows at equal timestamps, so "at or before"
+    * includes ties — DuckDB `ASOF JOIN ... ON r.ts <= l.ts` semantics
+    * exactly; among right rows sharing one (key, ts), the max
+    * `tieBreak` wins (deterministic, and what the oracle's windowed
+    * dedupe replays).
+    *
+    * Scale (100 TB): one exchange on the key + one partition-local
+    * sort, fully pipelined — no join node at all, so there is nothing
+    * for the planner to degrade to a nested loop, and the key
+    * partitioning is reusable downstream. Unmatched left rows survive
+    * with NULLs (left-outer semantics).
+    *
+    * @param rightPayload right columns carried to the output (must not
+    *                     collide with left column names; the matched
+    *                     right timestamp lands as `asof_ts`)
+    * @return all left columns + `asof_ts` + `rightPayload` */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               tsCol: String, tieBreak: String,
+               rightPayload: Seq[String]): DataFrame = {
+    val dup = rightPayload.toSet.intersect(left.columns.toSet)
+    require(dup.isEmpty, s"rightPayload collides with left columns: $dup")
+    val keyCols = keys.map(col)
+    val lpStruct = struct(left.columns.map(col): _*)
+    val rpStruct = struct(col(tsCol).as("asof_ts") +: rightPayload.map(col): _*)
+    val lpType = left.select(lpStruct).schema.head.dataType
+    val rpType = right.select(rpStruct).schema.head.dataType
+    val leftTagged = left.select(keyCols ++ Seq(col(tsCol).as("__ts"),
+      col(tieBreak).as("__tb"), lit(1).as("__side"), lpStruct.as("__lp"),
+      lit(null).cast(rpType).as("__rp")): _*)
+    val rightTagged = right.select(keyCols ++ Seq(col(tsCol).as("__ts"),
+      col(tieBreak).as("__tb"), lit(0).as("__side"),
+      lit(null).cast(lpType).as("__lp"), rpStruct.as("__rp")): _*)
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__ts"), col("__side"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    leftTagged.unionByName(rightTagged)
+      .withColumn("__m", last(col("__rp"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(c => col(s"__lp.$c")) ++
+        (col("__m.asof_ts") +: rightPayload.map(c => col(s"__m.$c"))): _*)
+  }
+
   /** Per-identity average latency (A4, aggregator.go:485-528): integer
     * division — floor() in both Spark and the DuckDB oracle (CAST semantics
     * differ: DuckDB rounds, Spark truncates; floor is unambiguous). */
