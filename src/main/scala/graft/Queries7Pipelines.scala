@@ -108,4 +108,32 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
       |  epoch_us(p.ts) - epoch_us(v.ts) AS wait_us
       |FROM p ASOF LEFT JOIN v0 v
       |  ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q160 — file-stats manifest skipping (sinks/StatsManifest): the
+  // documents table range-clustered by n_chars with a per-file min/max
+  // manifest, then read back through the manifest-pruned path under an
+  // n_chars range — the Delta/Iceberg file-skipping primitive on plain
+  // parquet. The oracle is the plain filtered aggregate: manifest
+  // pruning must be a pure optimization (StatsManifestSpec pins the
+  // opened-file collapse; this query pins result identity). Artifact
+  // under java.io.tmpdir like q151.
+  // ---------------------------------------------------------------------
+  private[graft] def q160ManifestSkip(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_stats_manifest").toString
+    graft.sinks.StatsManifest.writeWithManifest(
+      Tables.documents(spark, dir), out, clusterCol = "n_chars",
+      statsCols = Seq("n_chars", "doc_id"), numPartitions = 16)
+    graft.sinks.StatsManifest.prunedRead(spark, out,
+        Seq(("n_chars", 200L, 400L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
+  private[graft] val q160Sql =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE n_chars BETWEEN 200 AND 400
+      |GROUP BY source""".stripMargin
 }

@@ -194,6 +194,7 @@ object SparkEntry extends Queries7Pipelines {
     Q("q157_sessionize", q157Sessionize, Some(q157Sql)),
     Q("q158_session_funnel", q158SessionFunnel, Some(q158Sql)),
     Q("q159_asof_join", q159AsofJoin, Some(q159Sql)),
+    Q("q160_manifest_skip", q160ManifestSkip, Some(q160Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

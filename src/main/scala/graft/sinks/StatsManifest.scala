@@ -1,0 +1,92 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-file min/max statistics manifest — the lakehouse file-skipping
+  * primitive (Delta `add.stats` / Iceberg manifests), as a plain-parquet
+  * sink/source pair: a clustered write records each data file's min/max
+  * for chosen columns in a `_graft_manifest` side table, and a pruned
+  * read intersects a range predicate with the manifest FIRST, opening
+  * only surviving files.
+  *
+  * Why this exists next to [[ZOrderLayout]]: z-order proves ROW-GROUP
+  * pruning from parquet footers, which still requires listing and
+  * opening every file's footer. At 100 TB / O(10⁵) files the win that
+  * matters is not opening files at all — the manifest is one small
+  * parquet a driver can filter in milliseconds, exactly why every table
+  * format keeps file stats outside the files. The underscore prefix
+  * makes the manifest invisible to plain `spark.read.parquet(path)`
+  * readers (Spark skips `_`/`.`-prefixed paths), so the layout stays a
+  * valid vanilla parquet table.
+  *
+  * Scale shape: the write is one `repartitionByRange` shuffle (tight
+  * per-file ranges on the cluster column are what MAKE stats
+  * selective); the stats pass re-reads only `statsCols` (column-pruned
+  * footer-to-footer scan) and aggregates by `_metadata.file_path` —
+  * all distributed. The pruned read collects ONLY surviving file paths
+  * to the driver (bounded by the match, the same driver-side file list
+  * every format's scan planning holds), then applies the exact
+  * predicate as the scan filter — manifest pruning is an optimization,
+  * never a semantics change.
+  */
+object StatsManifest {
+
+  val ManifestDir = "_graft_manifest"
+
+  /** Range-cluster `df` by `clusterCol`, write to `path`, and record a
+    * per-file min/max manifest for `statsCols` (which should include
+    * `clusterCol`; stats on extra correlated columns are free
+    * selectivity, the z-order observation). */
+  def writeWithManifest(df: DataFrame, path: String, clusterCol: String,
+                        statsCols: Seq[String], numPartitions: Int): Unit = {
+    require(numPartitions >= 1, s"numPartitions must be >= 1")
+    require(statsCols.nonEmpty, "statsCols must be non-empty")
+    df.repartitionByRange(numPartitions, col(clusterCol))
+      .sortWithinPartitions(col(clusterCol))
+      .write.mode("overwrite").parquet(path)
+    val spark = df.sparkSession
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("n_rows")
+    spark.read.parquet(path)
+      .select((col("_metadata.file_path").as("file") +: statsCols.map(col)): _*)
+      .groupBy(col("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/$ManifestDir")
+  }
+
+  /** The manifest as a DataFrame (one row per data file). */
+  def manifest(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/$ManifestDir")
+
+  /** Data files whose stats intervals overlap EVERY `[lo, hi]` range
+    * (conjunctive pruning; a file lacking overlap on any range can hold
+    * no matching row). */
+  def selectFiles(spark: SparkSession, path: String,
+                  ranges: Seq[(String, Long, Long)]): Seq[String] = {
+    require(ranges.nonEmpty, "ranges must be non-empty")
+    val pred = ranges.map { case (c, lo, hi) =>
+      col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo)
+    }.reduce(_ && _)
+    manifest(spark, path).filter(pred)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+  }
+
+  /** Read `path` under the conjunction of `[lo, hi]` range predicates,
+    * opening only manifest-surviving files. Result EQUALS the plain
+    * full-scan filter (the exact predicate is re-applied as the scan
+    * filter); only the opened-file set shrinks. An empty survivor set
+    * degrades to a constant-false filter over the plain path (schema
+    * preserved, zero rows decoded). */
+  def prunedRead(spark: SparkSession, path: String,
+                 ranges: Seq[(String, Long, Long)]): DataFrame = {
+    val pred = ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
+    val files = selectFiles(spark, path, ranges)
+    if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+    else spark.read.parquet(files: _*).filter(pred)
+  }
+}
