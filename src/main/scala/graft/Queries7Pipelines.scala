@@ -136,4 +136,62 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents WHERE n_chars BETWEEN 200 AND 400
       |GROUP BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q161 — HTML → text extraction (operators/HtmlExtract): the
+  // deterministic encoder wraps each document into a full page (nav +
+  // link-only menu + chunked <p> blocks with inline anchors + entity
+  // escaping); the extractor must drop the structural boilerplate AND
+  // the menu by MEASURED link density, then recover the original text
+  // exactly — md5(extracted) == md5(text) certified in both engines,
+  // with tag/link/paragraph censuses replayed arithmetically from
+  // strlen (the q153/q125 deterministic-encoder oracle pattern).
+  // ---------------------------------------------------------------------
+  private[graft] def q161HtmlExtract(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.HtmlExtract.extractColumns(
+      graft.operators.HtmlExtract.attachPages(Tables.documents(spark, dir)))
+      .select(col("doc_id"), col("n_tags"), col("n_links"), col("n_pars"),
+        col("n_dropped_density"),
+        length(col("body")).as("body_len"), md5(col("body")).as("body_md5"))
+
+  private[graft] val q161Sql =
+    """WITH c AS (SELECT doc_id, strlen(text) AS len, md5(text) AS h,
+      |    (strlen(text) + 79) // 80 AS p,
+      |    2 + doc_id % 4 AS m,
+      |    strlen(text) - 80 * ((strlen(text) + 79) // 80 - 1) AS last_len
+      |  FROM documents),
+      |i AS (SELECT *,
+      |    (CASE WHEN p >= 2 THEN (p-2) // 3 + 1 ELSE 0 END)
+      |    + (CASE WHEN (p-1) % 3 = 0 AND last_len >= 11 THEN 1 ELSE 0 END)
+      |    AS inl
+      |  FROM c)
+      |SELECT doc_id,
+      |  CAST(12 + m + p + inl AS INT) AS n_tags,
+      |  CAST(4 + m + inl AS INT) AS n_links,
+      |  CAST(p AS INT) AS n_pars,
+      |  CAST(1 AS INT) AS n_dropped_density,
+      |  CAST(len AS INT) AS body_len,
+      |  h AS body_md5
+      |FROM i""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q162 — HTML decode-audit ledger: every 53rd page truncated at half;
+  // the walker flags it (no closing </html>) and BY CONTRACT certifies
+  // no body for it — partial extractions never ship. Count-don't-crash,
+  // the same ledger discipline as q118/q141/q154.
+  // ---------------------------------------------------------------------
+  private[graft] def q162HtmlAudit(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.HtmlExtract.audit(
+      graft.operators.HtmlExtract.extractColumns(
+        graft.operators.HtmlExtract.attachPages(Tables.documents(spark, dir),
+          truncateEvery = 53)))
+
+  private[graft] val q162Sql =
+    """SELECT 'html_ok' AS status, count(*) AS n_docs,
+      |  CAST(sum(strlen(text)) AS BIGINT) AS body_chars
+      |FROM documents WHERE doc_id % 53 <> 0
+      |UNION ALL
+      |SELECT 'html_truncated' AS status, count(*) AS n_docs,
+      |  CAST(0 AS BIGINT) AS body_chars
+      |FROM documents WHERE doc_id % 53 = 0""".stripMargin
 }

@@ -195,6 +195,8 @@ object SparkEntry extends Queries7Pipelines {
     Q("q158_session_funnel", q158SessionFunnel, Some(q158Sql)),
     Q("q159_asof_join", q159AsofJoin, Some(q159Sql)),
     Q("q160_manifest_skip", q160ManifestSkip, Some(q160Sql)),
+    Q("q161_html_extract", q161HtmlExtract, Some(q161Sql)),
+    Q("q162_html_audit", q162HtmlAudit, Some(q162Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
