@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // naive range joins rewrite to the binned equi-join — see
     // plans.BinRangeJoinRule for the guards and the BNLJ cliff it removes
     ext.injectOptimizerRule(_ => graft.plans.BinRangeJoinRule)
+    // aggregates over a registered base table route to its materialized
+    // cube — see plans.CubeRewrite for the merge laws and bail guards
+    ext.injectOptimizerRule(_ => graft.plans.CubeRewrite)
   }
 }
 

@@ -194,4 +194,50 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
       |SELECT 'html_truncated' AS status, count(*) AS n_docs,
       |  CAST(0 AS BIGINT) AS body_chars
       |FROM documents WHERE doc_id % 53 = 0""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q163 — materialized-cube routing (plans/CubeRewrite): events
+  // snapshotted with an exact DECIMAL measure, cubed by (event_type,
+  // user_id), then the user-shaped groupBy over the BASE table runs
+  // with the routing rule installed — the Catalyst rewrite must send it
+  // to the cube (require()-pinned in the query itself: a silent
+  // non-fire may not masquerade as a pass) and the merged answer must
+  // hash-match DuckDB aggregating the raw events. DECIMAL keeps the
+  // re-summed measure bit-exact (re-summing doubles would reorder
+  // float addition — the engine-wide exact numeric policy).
+  // ---------------------------------------------------------------------
+  private[graft] def q163CubeRoute(spark: SparkSession, dir: String): DataFrame = {
+    val basePath = java.nio.file.Files
+      .createTempDirectory("graft_cube_base").toString
+    val cubePath = java.nio.file.Files
+      .createTempDirectory("graft_cube_cube").toString
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        dec(col("value")).as("value_dec"))
+      .write.mode("overwrite").parquet(basePath)
+    graft.plans.CubeRewrite.install(spark)
+    graft.plans.CubeRewrite.buildCube(spark, basePath, cubePath,
+      dims = Seq("event_type", "user_id"), sumCols = Seq("value_dec"))
+    val routed = spark.read.parquet(basePath)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value_dec")).as("__s"))
+      .select(col("event_type"), col("n"),
+        col("__s").cast("double").as("sum_value"))
+    val scans = routed.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    require(scans.exists(_.contains(cubePath)),
+      s"cube routing did not fire; scans=$scans")
+    routed
+  }
+
+  private[graft] val q163Sql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin
 }

@@ -197,6 +197,7 @@ object SparkEntry extends Queries7Pipelines {
     Q("q160_manifest_skip", q160ManifestSkip, Some(q160Sql)),
     Q("q161_html_extract", q161HtmlExtract, Some(q161Sql)),
     Q("q162_html_audit", q162HtmlAudit, Some(q162Sql)),
+    Q("q163_cube_route", q163CubeRoute, Some(q163Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
