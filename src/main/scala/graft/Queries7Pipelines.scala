@@ -240,4 +240,39 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
     """SELECT event_type, COUNT(*) AS n,
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q164 — copy-on-write MERGE (sinks/MergeInto): documents snapshotted
+  // into a hash-partitioned table, then one merge batch replaces every
+  // 10th doc (n_chars + 1000), inserts a shifted-key row for every
+  // 25th, and deletes every 17th — rewriting ONLY the partitions the
+  // changed keys hash into (MergeIntoSpec pins untouched partitions
+  // byte-for-byte and the emptied-partition directory drop). The final
+  // table contents hash-match the oracle replaying the merge in SQL.
+  // ---------------------------------------------------------------------
+  private[graft] def q164MergeInto(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.MergeInto
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_merge_table").toString
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    MergeInto.writePartitioned(docs, path, "doc_id", nParts = 16)
+    val upserts = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("source"),
+        (col("n_chars") + 1000L).as("n_chars"))
+      .unionByName(docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+          lit(7L).as("n_chars")))
+    val dels = docs.filter(col("doc_id") % 17 === 0).select(col("doc_id"))
+    MergeInto.mergeInto(spark, path, "doc_id", 16, upserts, dels)
+    MergeInto.readTable(spark, path)
+  }
+
+  private[graft] val q164Sql =
+    """SELECT doc_id, source,
+      |  CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+      |FROM documents WHERE doc_id % 17 <> 0
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, source, CAST(7 AS BIGINT) AS n_chars
+      |FROM documents WHERE doc_id % 25 = 0""".stripMargin
 }
