@@ -275,4 +275,46 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
       |UNION ALL
       |SELECT doc_id + 1000000 AS doc_id, source, CAST(7 AS BIGINT) AS n_chars
       |FROM documents WHERE doc_id % 25 = 0""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q165 — integer-scaled PageRank (operators/LinkGraph) over a
+  // deterministic synthetic web graph on the documents table (every doc
+  // links to 1 + doc_id % 3 arithmetic targets; ids are contiguous so
+  // the modulus lands on real nodes). Ten rounds of the crawl-quality
+  // prior, exact longs end to end — the oracle replays the identical
+  // ten rounds as a GENERATED CTE chain (the q105/q135 pattern) and
+  // must land on the same integers.
+  // ---------------------------------------------------------------------
+  private[graft] def q165PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nn = docs.agg(count(lit(1)).as("__n"))
+    val edges = docs
+      .select(col("doc_id").as("src"),
+        explode(sequence(lit(1L), lit(1L) + col("doc_id") % 3)).as("k"))
+      .crossJoin(broadcast(nn))
+      .select(col("src"),
+        ((col("src") * 7 + col("k") * 13) % col("__n")).as("dst"))
+    graft.operators.LinkGraph.pageRank(edges, iters = 10)
+      .select(col("v").as("doc_id"), col("r").as("rank"))
+  }
+
+  private[graft] val q165Sql = {
+    val rounds = (1 to 10).map { i =>
+      s"""r$i AS (
+         |  SELECT n.v, 150000 + (850 * COALESCE(s.s, 0)) // 1000 AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst, SUM(r.r // e.outdeg) AS s
+         |    FROM edges e JOIN r${i - 1} r ON r.v = e.src GROUP BY e.dst) s
+         |  ON s.dst = n.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH deg AS (SELECT doc_id AS v,
+       |    CAST(1 + doc_id % 3 AS BIGINT) AS outdeg FROM documents),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |edges AS (SELECT v AS src, outdeg, (v * 7 + 13 * t.k) % nn.n AS dst
+       |          FROM deg, nn, LATERAL UNNEST(generate_series(1, outdeg)) AS t(k)),
+       |nodes AS (SELECT v FROM deg),
+       |r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |$rounds
+       |SELECT v AS doc_id, CAST(r AS BIGINT) AS rank FROM r10""".stripMargin
+  }
 }

@@ -199,6 +199,7 @@ object SparkEntry extends Queries7Pipelines {
     Q("q162_html_audit", q162HtmlAudit, Some(q162Sql)),
     Q("q163_cube_route", q163CubeRoute, Some(q163Sql)),
     Q("q164_merge_into", q164MergeInto, Some(q164Sql)),
+    Q("q165_pagerank", q165PageRank, Some(q165Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
