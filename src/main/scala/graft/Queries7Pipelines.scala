@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfMatch, Sessionize}
+import graft.operators.{AsOfMatch, Sessionize, TextAnalysis}
 
 /** Registry slice 7 (round 13, continued): behavioural-log pipeline
   * operators — native session-window sessionization (batch + the
@@ -317,4 +317,59 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
        |$rounds
        |SELECT v AS doc_id, CAST(r AS BIGINT) AS rank FROM r10""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // q166/q167 — Aho-Corasick multi-pattern blocklist scan
+  // (operators/MultiPattern): the deterministic "blocklist" is the
+  // leading bigram phrase of the first 50 docs; the broadcast automaton
+  // scans every document in one narrow pass (O(text), pattern-count-
+  // independent — the regex-alternation cliff removed). The oracle
+  // counts occurrences by an EXACT position scan (substr over
+  // generate_series), the same overlapping-included semantics the
+  // automaton implements and the spec fuzz-pins.
+  // ---------------------------------------------------------------------
+  private[graft] def blocklistPats(spark: SparkSession, dir: String): DataFrame = {
+    val tk = TextAnalysis.tokens(col("text"))
+    Tables.documents(spark, dir).filter(col("doc_id") < 50)
+      .select(tk.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(concat_ws(" ", col("tk")(0), col("tk")(1)).as("p"))
+      .distinct()
+  }
+
+  private[graft] val blocklistCte =
+    """pats AS (
+      |  SELECT DISTINCT tk[1] || ' ' || tk[2] AS p
+      |  FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      |        FROM documents WHERE doc_id < 50)
+      |  WHERE len(tk) >= 2),
+      |hits AS (
+      |  SELECT d.doc_id, p.p,
+      |    (SELECT count(*) FROM
+      |       UNNEST(generate_series(1,
+      |         GREATEST(strlen(d.text) - strlen(p.p) + 1, 0))) AS g(i)
+      |     WHERE substr(d.text, CAST(i AS INT), strlen(p.p)) = p.p) AS c
+      |  FROM documents d CROSS JOIN pats p)""".stripMargin
+
+  private[graft] def q166BlocklistScan(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.MultiPattern.scanCounts(
+      Tables.documents(spark, dir), "doc_id", "text",
+      blocklistPats(spark, dir))
+
+  private[graft] val q166Sql =
+    s"""WITH $blocklistCte
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_hits,
+      |  CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pats
+      |FROM hits GROUP BY doc_id""".stripMargin
+
+  private[graft] def q167PatternCensus(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.MultiPattern.patternCensus(
+      Tables.documents(spark, dir), "text", blocklistPats(spark, dir))
+
+  private[graft] val q167Sql =
+    s"""WITH $blocklistCte
+      |SELECT p AS pattern,
+      |  CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+      |  CAST(sum(c) AS BIGINT) AS n_hits
+      |FROM hits GROUP BY 1 HAVING sum(c) > 0""".stripMargin
 }

@@ -200,6 +200,8 @@ object SparkEntry extends Queries7Pipelines {
     Q("q163_cube_route", q163CubeRoute, Some(q163Sql)),
     Q("q164_merge_into", q164MergeInto, Some(q164Sql)),
     Q("q165_pagerank", q165PageRank, Some(q165Sql)),
+    Q("q166_blocklist_scan", q166BlocklistScan, Some(q166Sql)),
+    Q("q167_pattern_census", q167PatternCensus, Some(q167Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
