@@ -372,4 +372,30 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
       |  CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
       |  CAST(sum(c) AS BIGINT) AS n_hits
       |FROM hits GROUP BY 1 HAVING sum(c) > 0""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q168 — Bloom-index point lookup (sinks/StatsManifest.addBloomIndex):
+  // documents clustered by n_chars (so doc_id is hash-scattered across
+  // files and min/max stats can't answer a doc_id lookup), per-file
+  // Bloom side table built from the manifest's exact row counts, then a
+  // five-key IN lookup through the bloom-pruned read. False positives
+  // only open extra files — the exact IN filter makes the result
+  // identical to the plain lookup, which is what the oracle certifies;
+  // StatsManifestSpec pins the opened-file collapse.
+  // ---------------------------------------------------------------------
+  private[graft] def q168BloomLookup(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_bloom_lookup").toString
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    graft.sinks.StatsManifest.writeWithManifest(docs, out,
+      clusterCol = "n_chars", statsCols = Seq("n_chars"), numPartitions = 16)
+    graft.sinks.StatsManifest.addBloomIndex(docs, out, "doc_id")
+    graft.sinks.StatsManifest.prunedReadIn(spark, out, "doc_id",
+      Seq(7L, 137L, 211L, 303L, 449L))
+  }
+
+  private[graft] val q168Sql =
+    """SELECT doc_id, source, n_chars FROM documents
+      |WHERE doc_id IN (7, 137, 211, 303, 449)""".stripMargin
 }

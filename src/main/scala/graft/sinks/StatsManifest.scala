@@ -89,4 +89,71 @@ object StatsManifest {
     if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
     else spark.read.parquet(files: _*).filter(pred)
   }
+
+  // ------------------------------------------------------------- blooms
+
+  private def bloomDir(path: String, column: String) =
+    s"$path/_graft_bloom_$column"
+
+  /** Per-file Bloom index for POINT lookups on a high-cardinality LONG
+    * column — the case min/max stats cannot prune (every file spans the
+    * full value range once keys are hash-scattered). Two-pass build:
+    * the stats manifest's exact per-file row counts size each filter,
+    * then one grouped pass inserts the keys (bounded memory: one
+    * filter per in-flight group). Stored as a second underscore side
+    * table; `fpp` trades bytes for the false-open rate (false
+    * positives only OPEN an extra file — the exact filter still runs,
+    * so results never change). */
+  def addBloomIndex(df: DataFrame, path: String, column: String,
+                    fpp: Double = 0.01): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sizes = manifest(spark, path).select(col("file"), col("n_rows"))
+    spark.read.parquet(path)
+      .select(col("_metadata.file_path").as("file"),
+        col(column).cast("long").as("k"))
+      .join(sizes, "file")
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (file, it) =>
+        var bf: org.apache.spark.util.sketch.BloomFilter = null
+        it.foreach { case (_, k, nRows) =>
+          if (bf == null)
+            bf = org.apache.spark.util.sketch.BloomFilter
+              .create(math.max(nRows, 1L), fpp)
+          bf.putLong(k)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        (file, bos.toByteArray)
+      }
+      .toDF("file", "bloom")
+      .repartition(1)
+      .write.mode("overwrite").parquet(bloomDir(path, column))
+  }
+
+  /** Point-lookup read: open only files whose Bloom filter might
+    * contain ANY of `values`, then apply the exact IN filter. The
+    * probe runs DISTRIBUTED over the bloom side table (per-file
+    * filters can be large at scale; only surviving file names reach
+    * the driver). */
+  def prunedReadIn(spark: SparkSession, path: String, column: String,
+                   values: Seq[Long]): DataFrame = {
+    require(values.nonEmpty, "values must be non-empty")
+    import spark.implicits._
+    val vs = values.toArray
+    val files = spark.read.parquet(bloomDir(path, column))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.collect { case (f, b)
+          if {
+            val bf = org.apache.spark.util.sketch.BloomFilter
+              .readFrom(new java.io.ByteArrayInputStream(b))
+            vs.exists(bf.mightContainLong)
+          } => f
+      })
+      .collect().toSeq
+    if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+    else spark.read.parquet(files: _*)
+      .filter(col(column).isin(values: _*))
+  }
 }

@@ -59,4 +59,43 @@ class StatsManifestSpec extends SparkSpec {
     val (df, dir) = writeTable()
     assert(spark.read.parquet(dir).count() == df.count())
   }
+
+  test("bloom index prunes point lookups where min/max cannot") {
+    import spark.implicits._
+    // hash-scattered key: every file spans the full range, so range
+    // stats are useless — exactly the bloom case
+    val df = (0L until 40000L).map(i => (i * 2654435761L % 100000L, i))
+      .toDF("key", "payload")
+    val dir = Files.createTempDirectory("graft-bloom").toString
+    StatsManifest.writeWithManifest(df, dir, clusterCol = "payload",
+      statsCols = Seq("key", "payload"), numPartitions = 20)
+    StatsManifest.addBloomIndex(df, dir, "key")
+    // mid-range keys (an extreme value would let min/max prune by luck)
+    val targets = Seq(1000L, 15000L, 33000L)
+      .map(i => (i * 2654435761L) % 100000L)
+    val want = df.filter(col("key").isin(targets: _*))
+      .collect().map(_.toSeq).toSet
+    val got = StatsManifest.prunedReadIn(spark, dir, "key", targets)
+    assert(got.collect().map(_.toSeq).toSet == want)
+    // range stats on `key` cannot prune this lookup...
+    val rangeSurvivors = StatsManifest.selectFiles(spark, dir,
+      targets.map(v => ("key", v, v)).take(1))
+    assert(rangeSurvivors.size >= 15,
+      s"expected min/max near-useless here, pruned to ${rangeSurvivors.size}")
+    // ...the bloom read opens only a few files: re-derive its survivor
+    // count from the same probe the read used
+    val opened = {
+      val vs = targets.toArray
+      spark.read.parquet(s"$dir/_graft_bloom_key")
+        .as[(String, Array[Byte])].collect().count { case (_, b) =>
+          val bf = org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(b))
+          vs.exists(bf.mightContainLong)
+        }
+    }
+    assert(opened * 2 <= 20, s"bloom did not prune: opened $opened of 20")
+    // absent key: zero rows, schema intact
+    val none = StatsManifest.prunedReadIn(spark, dir, "key", Seq(999999L))
+    assert(none.count() == 0L && none.columns.toSeq == df.columns.toSeq)
+  }
 }
