@@ -223,7 +223,14 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
       .agg(count(lit(1)).as("n"), sum(col("value_dec")).as("__s"))
       .select(col("event_type"), col("n"),
         col("__s").cast("double").as("sum_value"))
-    val scans = routed.queryExecution.optimizedPlan.collect {
+    requireCubeScan(routed, cubePath)
+    routed
+  }
+
+  /** A silent routing non-fire must not masquerade as a pass: the
+    * optimized plan has to scan the cube path. */
+  private[graft] def requireCubeScan(df: DataFrame, cubePath: String): Unit = {
+    val scans = df.queryExecution.optimizedPlan.collect {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         lr.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
@@ -233,7 +240,6 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
     }.flatten
     require(scans.exists(_.contains(cubePath)),
       s"cube routing did not fire; scans=$scans")
-    routed
   }
 
   private[graft] val q163Sql =
@@ -398,4 +404,42 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
   private[graft] val q168Sql =
     """SELECT doc_id, source, n_chars FROM documents
       |WHERE doc_id IN (7, 137, 211, 303, 449)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q169 — incremental cube refresh (CubeRewrite.refreshCubeAdditive):
+  // the cube is built over the even-user half of events, the odd half
+  // is APPENDED to the base, and the cube is refreshed from the delta
+  // alone (counts/sums add — no base rescan). The routed query over
+  // the grown base must then hash-match DuckDB aggregating the FULL
+  // events table — cube freshness certified end to end.
+  // ---------------------------------------------------------------------
+  private[graft] def q169CubeRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val basePath = java.nio.file.Files
+      .createTempDirectory("graft_cube_refresh_base").toString
+    val cubePath = java.nio.file.Files
+      .createTempDirectory("graft_cube_refresh_cube").toString
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        dec(col("value")).as("value_dec"))
+    ev.filter(col("user_id") % 2 === 0)
+      .write.mode("overwrite").parquet(basePath)
+    graft.plans.CubeRewrite.install(spark)
+    graft.plans.CubeRewrite.buildCube(spark, basePath, cubePath,
+      dims = Seq("event_type", "user_id"), sumCols = Seq("value_dec"))
+    val delta = ev.filter(col("user_id") % 2 =!= 0)
+    delta.write.mode("append").parquet(basePath)
+    graft.plans.CubeRewrite.refreshCubeAdditive(spark, basePath, delta)
+    val routed = spark.read.parquet(basePath)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value_dec")).as("__s"))
+      .select(col("user_id"), col("n"),
+        col("__s").cast("double").as("sum_value"))
+    requireCubeScan(routed, cubePath)
+    routed
+  }
+
+  private[graft] val q169Sql =
+    """SELECT user_id, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin
 }

@@ -2,7 +2,7 @@ package graft.plans
 
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
@@ -91,6 +91,41 @@ object CubeRewrite extends Rule[LogicalPlan] {
   }
 
   def clearCubes(): Unit = registry.clear()
+
+  /** Incremental refresh for an APPEND-ONLY delta (the log-table case):
+    * the delta is aggregated with the cube's own shape and merged by
+    * the same laws routing uses — counts and sums add, min/max fold —
+    * so the cube stays consistent with the base WITHOUT rescanning it.
+    * (Deletes would break min/max mergeability; that path is a
+    * rebuild, deliberately.) The merged cube is localCheckpointed
+    * before overwriting the files its plan read, then re-registered
+    * (the stored scan's file listing is stale after the rewrite). */
+  def refreshCubeAdditive(spark: SparkSession, basePath: String,
+                          delta: DataFrame): CubeSpec = {
+    val spec = Option(registry.get(normalize(basePath))).getOrElse(
+      throw new IllegalArgumentException(s"no cube registered for $basePath"))
+    val aggs = (count(lit(1)).as("cnt") +:
+      spec.sumCols.map(c => sum(col(c)).as(s"sum_$c"))) ++
+      spec.minMaxCols.flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val deltaAgg = delta.groupBy(spec.dims.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val old = spark.read.parquet(spec.cubePath)
+    val mergeAggs = (sum(col("cnt")).as("cnt") +:
+      spec.sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c"))) ++
+      spec.minMaxCols.flatMap(c =>
+        Seq(min(col(s"min_$c")).as(s"min_$c"),
+          max(col(s"max_$c")).as(s"max_$c")))
+    val merged = old.unionByName(deltaAgg)
+      .groupBy(spec.dims.map(col): _*)
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
+      // re-summing widens DECIMALs: pin the cube schema stable
+      .select(old.schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      .localCheckpoint()
+    merged.write.mode("overwrite").parquet(spec.cubePath)
+    registerCube(spark, spec.basePath, spec.cubePath, spec.dims,
+      spec.sumCols, spec.minMaxCols)
+  }
 
   /** Activate the rule in this session (idempotent). */
   def install(spark: SparkSession): Unit =

@@ -126,6 +126,45 @@ class CubeRewriteSpec extends SparkSpec {
       want.select(col("d1"), col("x"), col("n1")).collect().toSet)
   }
 
+  test("additive refresh equals a full rebuild, new dim combos included") {
+    import spark.implicits._
+    val mk = (r: Range, tag: String) => r.map { i =>
+      (s"$tag${i % 5}", (i % 9).toLong, (i % 101).toLong, i.toLong)
+    }.toDF("d1", "d2", "m", "other")
+    val part1 = mk(0 until 5000, "k")
+    val delta = mk(5000 until 8000, "n") // entirely NEW d1 values too
+    val b = Files.createTempDirectory("graft-cube-rb").toString
+    val c = Files.createTempDirectory("graft-cube-rc").toString
+    part1.write.mode("overwrite").parquet(b)
+    CubeRewrite.install(spark)
+    CubeRewrite.buildCube(spark, b, c, dims = Seq("d1", "d2"),
+      sumCols = Seq("m"), minMaxCols = Seq("m"))
+    delta.write.mode("append").parquet(b)
+    CubeRewrite.refreshCubeAdditive(spark, b, delta)
+    // the refreshed cube equals a from-scratch rebuild of the full base
+    val rb = Files.createTempDirectory("graft-cube-rb2").toString
+    val full = spark.read.parquet(b)
+    full.groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("cnt"), sum(col("m")).as("sum_m"),
+        min(col("m")).as("min_m"), max(col("m")).as("max_m"))
+      .write.mode("overwrite").parquet(rb)
+    val refreshed = spark.read.parquet(c).collect().map(_.toSeq).toSet
+    val rebuilt = spark.read.parquet(rb).collect().map(_.toSeq).toSet
+    assert(refreshed == rebuilt)
+    // and routing over the appended base still answers correctly
+    // (this test has its OWN cube dir; assertRouted checks the suite's)
+    val q = spark.read.parquet(b).groupBy(col("d1"))
+      .agg(count(lit(1)).as("n"), max(col("m")).as("mx"))
+    assert(scannedPaths(q).exists(_.contains(c)), "not routed to this cube")
+    val got = q.collect().toSet
+    // reference computed with routing OFF (the same query would route)
+    spark.conf.set(CubeRewrite.EnabledKey, "false")
+    val want = try full.groupBy(col("d1"))
+      .agg(count(lit(1)).as("n"), max(col("m")).as("mx")).collect().toSet
+    finally spark.conf.set(CubeRewrite.EnabledKey, "true")
+    assert(got == want)
+  }
+
   test("two routed aggregates in one query get independent cube instances") {
     val a = base.groupBy(col("d1")).agg(count(lit(1)).as("n"))
     val b = base.groupBy(col("d1")).agg(sum(col("m")).as("s"))
