@@ -156,6 +156,39 @@ class PlanAuditSpec extends SparkSpec {
       "q79 regained the windowed (shuffling) cell assignment")
   }
 
+  test("as-of join has NO join node: one window pass over the union") {
+    // the whole design: a join-shaped semantic with nothing the
+    // planner could degrade to BroadcastNestedLoopJoin — if a Join
+    // ever appears here the scalable shape was lost
+    val plan = SparkEntry.queries("q159_asof_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"q159 plans a join:\n$plan")
+    assert(plan.contains("Window"), "q159 lost its window pass")
+  }
+
+  test("sessionization is the native session window, one exchange") {
+    // session_window must plan as the native merging-sessions
+    // aggregation keyed by user_id — not a lag/flag window chain —
+    // with a single non-broadcast exchange
+    val q = SparkEntry.queries("q157_sessionize")(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("UpdatingSessions") || plan.contains("session_window"),
+      s"q157 lost the native session window:\n$plan")
+    val shuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles <= 2, s"q157 shuffles $shuffles times")
+  }
+
+  test("blocklist scan is one narrow pass — no join, no text shuffle") {
+    // the automaton rides as a broadcast: if scanning ever regressed
+    // to a join against the pattern relation, document text would
+    // shuffle with it (the regex-alternation cliff in join form)
+    val plan = SparkEntry.queries("q166_blocklist_scan")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"q166 plans a join:\n$plan")
+    assert(plan.contains("MapPartitions"), "q166 lost the automaton scan")
+  }
+
   test("q91/q93 evaluate split/source labels above the pair aggregation") {
     // the measured 6.9 s -> 0.9 s q91 win (SparkEntry q91 scaladoc):
     // labels are computed once per DOC and joined above the pair
