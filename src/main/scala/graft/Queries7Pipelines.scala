@@ -442,4 +442,25 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
     """SELECT user_id, COUNT(*) AS n,
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q170 — the stats-manifest layout as a REGISTERED data source
+  // (sources/StatsManifestSource, PrunedFilteredScan): the user writes
+  // a plain .filter(...isin...) over format("...").load(path) and the
+  // source prunes the file list from the manifest + bloom side table
+  // inside Spark's own scan planning. Same five-key lookup and oracle
+  // as q168 — the two APIs (explicit prunedReadIn vs pushed filters)
+  // must answer identically; StatsManifestSourceSpec pins the pruning.
+  // ---------------------------------------------------------------------
+  private[graft] def q170SourcePushdown(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_source_pushdown").toString
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    graft.sinks.StatsManifest.writeWithManifest(docs, out,
+      clusterCol = "n_chars", statsCols = Seq("n_chars"), numPartitions = 16)
+    graft.sinks.StatsManifest.addBloomIndex(docs, out, "doc_id")
+    spark.read.format("graft.sources.StatsManifestSource").load(out)
+      .filter(col("doc_id").isin(7L, 137L, 211L, 303L, 449L))
+  }
 }

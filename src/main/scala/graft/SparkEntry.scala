@@ -204,6 +204,7 @@ object SparkEntry extends Queries7Pipelines {
     Q("q167_pattern_census", q167PatternCensus, Some(q167Sql)),
     Q("q168_bloom_lookup", q168BloomLookup, Some(q168Sql)),
     Q("q169_cube_refresh", q169CubeRefresh, Some(q169Sql)),
+    Q("q170_source_pushdown", q170SourcePushdown, Some(q168Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -67,6 +67,9 @@ object StatsManifest {
   def selectFiles(spark: SparkSession, path: String,
                   ranges: Seq[(String, Long, Long)]): Seq[String] = {
     require(ranges.nonEmpty, "ranges must be non-empty")
+    // an empty interval (lo > hi) is unsatisfiable — interval-overlap
+    // math would still keep files SPANNING it, so short-circuit
+    if (ranges.exists { case (_, lo, hi) => lo > hi }) return Nil
     val pred = ranges.map { case (c, lo, hi) =>
       col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo)
     }.reduce(_ && _)
@@ -132,17 +135,15 @@ object StatsManifest {
       .write.mode("overwrite").parquet(bloomDir(path, column))
   }
 
-  /** Point-lookup read: open only files whose Bloom filter might
-    * contain ANY of `values`, then apply the exact IN filter. The
-    * probe runs DISTRIBUTED over the bloom side table (per-file
-    * filters can be large at scale; only surviving file names reach
-    * the driver). */
-  def prunedReadIn(spark: SparkSession, path: String, column: String,
-                   values: Seq[Long]): DataFrame = {
+  /** Files whose Bloom filter might contain ANY of `values`. The probe
+    * runs DISTRIBUTED over the bloom side table (per-file filters can
+    * be large at scale; only surviving file names reach the driver). */
+  def prunedFilesIn(spark: SparkSession, path: String, column: String,
+                    values: Seq[Long]): Seq[String] = {
     require(values.nonEmpty, "values must be non-empty")
     import spark.implicits._
     val vs = values.toArray
-    val files = spark.read.parquet(bloomDir(path, column))
+    spark.read.parquet(bloomDir(path, column))
       .as[(String, Array[Byte])]
       .mapPartitions(_.collect { case (f, b)
           if {
@@ -152,6 +153,13 @@ object StatsManifest {
           } => f
       })
       .collect().toSeq
+  }
+
+  /** Point-lookup read: open only bloom-surviving files, then apply
+    * the exact IN filter (false positives only open extra files). */
+  def prunedReadIn(spark: SparkSession, path: String, column: String,
+                   values: Seq[Long]): DataFrame = {
+    val files = prunedFilesIn(spark, path, column, values)
     if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
     else spark.read.parquet(files: _*)
       .filter(col(column).isin(values: _*))
