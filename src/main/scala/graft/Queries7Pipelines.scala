@@ -463,4 +463,78 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
     spark.read.format("graft.sources.StatsManifestSource").load(out)
       .filter(col("doc_id").isin(7L, 137L, 211L, 303L, 449L))
   }
+
+  // ---------------------------------------------------------------------
+  // q171 — tokenizer as a persisted ARTIFACT (the q151 pattern applied
+  // to BPE): the src0-trained merge table is written to parquet,
+  // reloaded, and applied to the unseen corpus — the answer must be
+  // byte-identical to q135's in-session path, so it registers against
+  // q135's own generated-CTE oracle: the strongest persistence pin.
+  // This is how a trained tokenizer actually ships to a 1000-executor
+  // inference job (a table, not a driver object).
+  // ---------------------------------------------------------------------
+  private[graft] def q171BpeArtifact(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_bpe_artifact").toString
+    val docs = Tables.documents(spark, dir)
+    graft.operators.CorpusStats
+      .bpeTrainMerges(docs.filter(col("source") === "src0"), "text", BpeRounds)
+      .write.mode("overwrite").parquet(out)
+    graft.operators.CorpusStats.bpeApplyMerges(
+      docs.filter(col("source") =!= "src0"), "doc_id", "text",
+      spark.read.parquet(out))
+  }
+
+  // ---------------------------------------------------------------------
+  // q172 — ordered funnel card (operators/Funnel): k−1 chained
+  // min-after-previous aggregations, all keyed by user (one reusable
+  // partitioning; intermediates are |users|-sized). Strictly-after,
+  // earliest-valid-timestamp semantics replayed by the oracle's
+  // chained CTEs.
+  // ---------------------------------------------------------------------
+  private[graft] def q172Funnel(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.card(Tables.events(spark, dir), "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"))
+
+  private[graft] val q172Sql =
+    """WITH t0 AS (SELECT user_id, min(ts) AS t FROM events
+      |            WHERE event_type = 'view' GROUP BY 1),
+      |t1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |       JOIN t0 ON e.user_id = t0.user_id
+      |       WHERE e.event_type = 'click' AND e.ts > t0.t GROUP BY 1),
+      |t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |       JOIN t1 ON e.user_id = t1.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > t1.t GROUP BY 1),
+      |n AS (SELECT (SELECT count(*) FROM t0) AS n0,
+      |             (SELECT count(*) FROM t1) AS n1,
+      |             (SELECT count(*) FROM t2) AS n2)
+      |SELECT 0 AS step, 'view' AS step_name, n0 AS n_users,
+      |  CAST(FLOOR(n0 * 10000.0 / n0) AS BIGINT) AS conv_bp FROM n
+      |UNION ALL
+      |SELECT 1, 'click', n1, CAST(FLOOR(n1 * 10000.0 / n0) AS BIGINT) FROM n
+      |UNION ALL
+      |SELECT 2, 'purchase', n2, CAST(FLOOR(n2 * 10000.0 / n0) AS BIGINT) FROM n""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q173 — cohort retention matrix (Funnel.retention): integer
+  // epoch-week buckets via exact floor division (the oracle floors
+  // through FLOOR(x/wk) — DuckDB's // truncates toward zero and would
+  // disagree on pre-anchor negative offsets, which both sides then
+  // filter out identically).
+  // ---------------------------------------------------------------------
+  private[graft] def q173Retention(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.retention(Tables.events(spark, dir), "user_id",
+      "ts", "event_type", anchorType = "signup")
+
+  private[graft] val q173Sql =
+    """WITH a AS (SELECT user_id, min(ts) AS anchor FROM events
+      |           WHERE event_type = 'signup' GROUP BY 1),
+      |j AS (SELECT e.user_id,
+      |        CAST(FLOOR(epoch_us(a.anchor) / 604800000000.0) AS BIGINT)
+      |          AS cohort_week,
+      |        CAST(FLOOR((epoch_us(e.ts) - epoch_us(a.anchor))
+      |          / 604800000000.0) AS BIGINT) AS week_offset
+      |      FROM events e JOIN a ON e.user_id = a.user_id)
+      |SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_users
+      |FROM j WHERE week_offset >= 0 GROUP BY 1, 2""".stripMargin
 }

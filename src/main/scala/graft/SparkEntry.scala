@@ -205,6 +205,9 @@ object SparkEntry extends Queries7Pipelines {
     Q("q168_bloom_lookup", q168BloomLookup, Some(q168Sql)),
     Q("q169_cube_refresh", q169CubeRefresh, Some(q169Sql)),
     Q("q170_source_pushdown", q170SourcePushdown, Some(q168Sql)),
+    Q("q171_bpe_artifact", q171BpeArtifact, Some(q135Sql)),
+    Q("q172_funnel", q172Funnel, Some(q172Sql)),
+    Q("q173_retention", q173Retention, Some(q173Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.IntMath
+
+/** Ordered-funnel and cohort-retention analytics — the two queries
+  * every behavioural log answers first ("how many users made it
+  * view → click → purchase, in order?", "how do signup cohorts decay
+  * week over week?").
+  *
+  * Funnel shape: the k-step ordered funnel is k−1 chained
+  * `min(ts WHERE type = step AND ts > prev)` aggregations, every one
+  * keyed by the user — ONE hash partitioning that AQE reuses across
+  * the chain (no sort, no per-user state machine, no window over the
+  * whole event history). Strictly-after semantics (`ts > prev`): a
+  * same-microsecond event does not advance the funnel, and each step's
+  * timestamp is the EARLIEST valid one (the standard unordered-events
+  * funnel definition; the DuckDB oracle replays it as chained CTEs).
+  *
+  * Retention shape: anchor per user (earliest `anchorType` event),
+  * then one distinct-count over (cohort week, week offset) — integer
+  * week arithmetic (`floordiv` of epoch-micros) so both engines land
+  * on identical buckets; users without an anchor or with pre-anchor
+  * activity rows simply contribute nothing (offset < 0 is filtered,
+  * matching the oracle).
+  *
+  * Scale (100 TB): all joins/aggregations share the user key; the
+  * funnel's intermediate relations are |users|-sized (tiny next to
+  * |events|), and retention is one join + one aggregation. Nothing
+  * here holds per-user event lists in memory.
+  */
+object Funnel {
+
+  /** Per-user earliest completion time of each funnel step, in order.
+    * Output: (user, t0, t1, ..., t{k-1}) with NULL once a step is not
+    * reached. */
+  def userSteps(events: DataFrame, userCol: String, tsCol: String,
+                typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t0"))
+    steps.zipWithIndex.drop(1).foldLeft(first) { case (prev, (step, i)) =>
+      val nxt = events.filter(col(typeCol) === step)
+        .select(col(userCol), col(tsCol).as("__ts"))
+        .join(prev.select(col(userCol), col(s"t${i - 1}").as("__prev")),
+          userCol)
+        .filter(col("__ts") > col("__prev"))
+        .groupBy(col(userCol)).agg(min(col("__ts")).as(s"t$i"))
+      prev.join(nxt, Seq(userCol), "left")
+    }
+  }
+
+  /** The funnel card: one row per step with users reaching it and the
+    * conversion from step 0 in integer basis points. */
+  def card(events: DataFrame, userCol: String, tsCol: String,
+           typeCol: String, steps: Seq[String]): DataFrame = {
+    val per = userSteps(events, userCol, tsCol, typeCol, steps)
+    val aggs = steps.indices.map(i =>
+      count(col(s"t$i")).as(s"n$i"))
+    val totals = per.agg(aggs.head, aggs.tail: _*)
+    val rows = steps.indices.map { i =>
+      totals.select(lit(i).as("step"), lit(steps(i)).as("step_name"),
+        col(s"n$i").as("n_users"),
+        floor(col(s"n$i") * 10000 / col("n0")).cast("long").as("conv_bp"))
+    }
+    rows.reduce(_ unionByName _)
+  }
+
+  private val WeekUs = 7L * 86400L * 1000000L
+
+  /** Cohort retention matrix: users anchored by their earliest
+    * `anchorType` event; one row per (cohort_week, week_offset) with
+    * the distinct active users. Weeks are integer epoch-week indexes
+    * (floordiv of epoch micros — engine-portable, no calendar). */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+                typeCol: String, anchorType: String): DataFrame = {
+    val anchors = events.filter(col(typeCol) === anchorType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__anchor"))
+    events.select(col(userCol), col(tsCol))
+      .join(anchors, userCol)
+      .select(col(userCol),
+        IntMath.floordiv(unix_micros(col("__anchor")), WeekUs)
+          .as("cohort_week"),
+        IntMath.floordiv(
+          unix_micros(col(tsCol)) - unix_micros(col("__anchor")), WeekUs)
+          .as("week_offset"))
+      .filter(col("week_offset") >= 0)
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+}
