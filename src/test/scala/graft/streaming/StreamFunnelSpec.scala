@@ -1,0 +1,70 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+
+/** Streaming windowed funnel == the exact batch chain per (user,
+  * window), under out-of-order and cross-micro-batch arrival; windows
+  * emit exactly once when the watermark passes their end. */
+class StreamFunnelSpec extends SparkSpec {
+
+  private val Steps = Seq("view", "click", "purchase")
+  private val WinSec = 100L
+
+  // (user, ts-sec, type) — window 0: [0,100), window 1: [100,200)
+  private val rows = Seq(
+    (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"), // full, win0
+    (2L, 40L, "click"), (2L, 50L, "view"),                        // click first
+    (3L, 110L, "view"), (3L, 120L, "click"),                      // win1: 2 steps
+    (4L, 60L, "purchase"))                                        // no view
+
+  private def expected: Map[(Long, Long), Int] =
+    rows.groupBy { case (u, s, _) => (u, s / WinSec) }.map { case (k, evs) =>
+      k -> StreamFunnel.chain(
+        evs.map { case (_, s, tp) => (Steps.indexOf(tp), s * 1000L) },
+        Steps.size)
+    }
+
+  test("stream windowed funnel equals the batch chain, out of order") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val out = StreamFunnel.windowed(
+      mem.toDF().selectExpr("_1 AS user_id", "CAST(_2 AS TIMESTAMP) AS ts",
+        "_3 AS etype"),
+      "user_id", "ts", "etype", Steps, WinSec, watermark = "10 seconds")
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("sfunnel")
+      .outputMode("append").start()
+    try {
+      // OUT-OF-ORDER inside the horizon: u1's click arrives before view;
+      // u2 split across micro-batches. Batch 1's max event time stays at
+      // 20 s so the 10 s watermark (10 s) is safely behind batch 2's
+      // earliest row (30 s) — stateful operators drop rows at or behind
+      // the watermark.
+      mem.addData((1L, 20L, "click"), (1L, 10L, "view"))
+      q.processAllAvailable()
+      mem.addData((1L, 30L, "purchase"), (2L, 40L, "click"), (2L, 50L, "view"),
+        (4L, 60L, "purchase"))
+      q.processAllAvailable()
+      mem.addData((3L, 110L, "view"), (3L, 120L, "click"))
+      q.processAllAvailable()
+      // advance the watermark far past every window end to close all
+      mem.addData((99L, 10000L, "view"))
+      q.processAllAvailable()
+      mem.addData((98L, 20000L, "view"))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT user_id, window_start, steps_reached FROM sfunnel")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000) ->
+          r.getInt(2))
+        .filter(_._1._1 < 90).toMap
+      val want = expected.map { case ((u, w), n) => (u, w * WinSec) -> n }
+      assert(got == want, s"got=$got want=$want")
+    } finally q.stop()
+  }
+}
