@@ -63,7 +63,10 @@ object Funnel {
     val rows = steps.indices.map { i =>
       totals.select(lit(i).as("step"), lit(steps(i)).as("step_name"),
         col(s"n$i").as("n_users"),
-        floor(col(s"n$i") * 10000 / col("n0")).cast("long").as("conv_bp"))
+        // n0 = 0 (nobody reached step 0): conversion is 0, not NaN
+        when(col("n0") === 0, lit(0L))
+          .otherwise(floor(col(s"n$i") * 10000 / col("n0")).cast("long"))
+          .as("conv_bp"))
     }
     rows.reduce(_ unionByName _)
   }

@@ -99,8 +99,11 @@ object HtmlExtract {
       case "gt" => out.append('>'); semi - from + 1
       case "quot" => out.append('"'); semi - from + 1
       case e if e.startsWith("#") && e.drop(1).forall(_.isDigit) &&
-        e.length > 1 && e.length <= 7 =>
-        out.append(Integer.parseInt(e.drop(1)).toChar); semi - from + 1
+        e.length > 1 && e.length <= 8 &&
+        e.drop(1).toLong <= Character.MAX_CODE_POINT =>
+        // appendCodePoint, not toChar: supplementary-plane entities
+        // (&#128512;) must not truncate to a mangled BMP char
+        out.appendAll(Character.toChars(e.drop(1).toInt)); semi - from + 1
       case _ => out.append('&'); 1
     }
   }

@@ -71,6 +71,14 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(e.body == "A&&xyz;<end")
   }
 
+  test("supplementary-plane numeric entities decode as full code points") {
+    val e = HtmlExtract.extract(
+      "<html><body><p>&#128512;x&#99999999;</p></body></html>")
+    assert(e.ok)
+    // U+1F600 as a surrogate pair; out-of-range entity stays literal
+    assert(e.body == new String(Character.toChars(128512)) + "x&#99999999;")
+  }
+
   test("never throws on mangled markup (fuzz)") {
     val rnd = new Random(11)
     val base = HtmlExtract.encodePage(3L, "fuzz target text with words")
