@@ -526,6 +526,53 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
     graft.operators.Funnel.retention(Tables.events(spark, dir), "user_id",
       "ts", "event_type", anchorType = "signup")
 
+  // ---------------------------------------------------------------------
+  // q174 — versioned table TIME TRAVEL (sinks/VersionedTable): create
+  // documents as v0, apply q164's merge as v1, delete every 5th
+  // original doc as v2 — then read ALL THREE SNAPSHOTS back and union
+  // them under a version column. The oracle replays each state from
+  // the raw table; storage sharing and vacuum are spec-pinned.
+  // ---------------------------------------------------------------------
+  private[graft] def q174TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.VersionedTable
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_versioned_table").toString
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    VersionedTable.create(docs, path, "doc_id", nParts = 16)
+    val upserts = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("source"),
+        (col("n_chars") + 1000L).as("n_chars"))
+      .unionByName(docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+          lit(7L).as("n_chars")))
+    VersionedTable.merge(spark, path, "doc_id", 16, upserts,
+      docs.filter(col("doc_id") % 17 === 0).select(col("doc_id")))
+    VersionedTable.merge(spark, path, "doc_id", 16,
+      docs.limit(0), docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")))
+    (0 to 2).map(v => VersionedTable.read(spark, path, Some(v))
+      .withColumn("version", lit(v)))
+      .reduce(_ unionByName _)
+      .select(col("version"), col("doc_id"), col("source"), col("n_chars"))
+  }
+
+  private[graft] val q174Sql =
+    """SELECT 0 AS version, doc_id, source, n_chars FROM documents
+      |UNION ALL
+      |SELECT 1, doc_id, source,
+      |  CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END
+      |FROM documents WHERE doc_id % 17 <> 0
+      |UNION ALL
+      |SELECT 1, doc_id + 1000000, source, CAST(7 AS BIGINT)
+      |FROM documents WHERE doc_id % 25 = 0
+      |UNION ALL
+      |SELECT 2, doc_id, source,
+      |  CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END
+      |FROM documents WHERE doc_id % 17 <> 0 AND doc_id % 5 <> 0
+      |UNION ALL
+      |SELECT 2, doc_id + 1000000, source, CAST(7 AS BIGINT)
+      |FROM documents WHERE doc_id % 25 = 0""".stripMargin
+
   private[graft] val q173Sql =
     """WITH a AS (SELECT user_id, min(ts) AS anchor FROM events
       |           WHERE event_type = 'signup' GROUP BY 1),

@@ -208,6 +208,7 @@ object SparkEntry extends Queries7Pipelines {
     Q("q171_bpe_artifact", q171BpeArtifact, Some(q135Sql)),
     Q("q172_funnel", q172Funnel, Some(q172Sql)),
     Q("q173_retention", q173Retention, Some(q173Sql)),
+    Q("q174_time_travel", q174TimeTravel, Some(q174Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
