@@ -573,6 +573,39 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
       |SELECT 2, doc_id + 1000000, source, CAST(7 AS BIGINT)
       |FROM documents WHERE doc_id % 25 = 0""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q175 — Z-ORDER × MANIFEST composition: the Morton-clustered layout
+  // (sinks/ZOrderLayout) written through the stats manifest with
+  // min/max on BOTH dimensions, then a 2-D range read through the
+  // manifest-pruned path. Z-ordering is what makes per-file stats
+  // TIGHT on two columns at once (a single-column clustering leaves
+  // the other dimension's ranges full-width); the manifest turns that
+  // tightness into not-opening-files. Result must equal the plain 2-D
+  // filter — the oracle; the pruning itself is spec territory.
+  // ---------------------------------------------------------------------
+  private[graft] def q175ZorderManifest(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_zorder_manifest").toString
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("__z", graft.sinks.ZOrderLayout.zValue2(
+        col("doc_id").cast("long"), col("n_chars").cast("long")))
+    graft.sinks.StatsManifest.writeWithManifest(docs, out,
+      clusterCol = "__z", statsCols = Seq("doc_id", "n_chars"),
+      numPartitions = 16)
+    graft.sinks.StatsManifest.prunedRead(spark, out,
+        Seq(("doc_id", 100L, 300L), ("n_chars", 150L, 350L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
+  private[graft] val q175Sql =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |WHERE doc_id BETWEEN 100 AND 300 AND n_chars BETWEEN 150 AND 350
+      |GROUP BY source""".stripMargin
+
   private[graft] val q173Sql =
     """WITH a AS (SELECT user_id, min(ts) AS anchor FROM events
       |           WHERE event_type = 'signup' GROUP BY 1),
