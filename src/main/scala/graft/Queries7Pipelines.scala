@@ -606,6 +606,54 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
       |WHERE doc_id BETWEEN 100 AND 300 AND n_chars BETWEEN 150 AND 350
       |GROUP BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q176 — contrastive negative mining: for every 20th doc (the
+  // anchor), the top-2 deterministic pair-hash negatives drawn from a
+  // BOUNDED hash-ranked candidate pool (512 docs via TakeOrdered — the
+  // broadcastable-by-construction discipline), EXCLUDING the anchor's
+  // own near-dup cluster (q48 components — a near-dup "negative" would
+  // poison a contrastive loss). Oracle: the shared q48 recursive
+  // closure + the same md5 hash ranks, QUALIFY'd.
+  // ---------------------------------------------------------------------
+  private[graft] def q176Negatives(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val comp = q48DedupClusters(spark, dir) // (doc_id, component)
+    val anchors = comp.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("anchor"), col("component").as("__ac"))
+    val pool = comp
+      .withColumn("__ph", Dedup.baseHash32(
+        concat(col("doc_id").cast("string"), lit(":pool"))))
+      .orderBy(col("__ph"), col("doc_id")).limit(512)
+      .select(col("doc_id").as("__cand"), col("component").as("__cc"))
+    anchors.join(broadcast(pool), col("__ac") =!= col("__cc"))
+      .withColumn("__h", Dedup.baseHash32(concat(
+        col("anchor").cast("string"), lit(":"), col("__cand").cast("string"))))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("anchor"))
+          .orderBy(col("__h"), col("__cand"))))
+      .filter(col("rk") <= 2)
+      .select(col("anchor"), col("__cand").as("negative"), col("rk"))
+  }
+
+  private[graft] val q176Sql =
+    s"""$q48Closure,
+      |comp AS (SELECT v AS doc_id, MIN(l) AS component FROM r GROUP BY v),
+      |pool AS (SELECT doc_id AS cand, component AS cc FROM comp
+      |  QUALIFY row_number() OVER (ORDER BY
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pool'), 1, 8)) AS BIGINT),
+      |    doc_id) <= 512),
+      |a AS (SELECT doc_id AS anchor, component AS ac FROM comp
+      |      WHERE doc_id % 20 = 0),
+      |j AS (SELECT anchor, cand,
+      |        CAST(('0x' || substr(md5(CAST(anchor AS VARCHAR) || ':' ||
+      |          CAST(cand AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+      |      FROM a JOIN pool ON ac <> cc)
+      |SELECT anchor, cand AS negative, CAST(rk AS INT) AS rk FROM (
+      |  SELECT anchor, cand,
+      |    row_number() OVER (PARTITION BY anchor ORDER BY h, cand) AS rk
+      |  FROM j)
+      |WHERE rk <= 2""".stripMargin
+
   private[graft] val q173Sql =
     """WITH a AS (SELECT user_id, min(ts) AS anchor FROM events
       |           WHERE event_type = 'signup' GROUP BY 1),

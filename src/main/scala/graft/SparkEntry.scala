@@ -210,6 +210,7 @@ object SparkEntry extends Queries7Pipelines {
     Q("q173_retention", q173Retention, Some(q173Sql)),
     Q("q174_time_travel", q174TimeTravel, Some(q174Sql)),
     Q("q175_zorder_manifest", q175ZorderManifest, Some(q175Sql)),
+    Q("q176_negatives", q176Negatives, Some(q176Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
