@@ -654,6 +654,48 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
       |  FROM j)
       |WHERE rk <= 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q177 — per-session ORDERED transcript assembly (the SFT
+  // dialogue-shaping step: session → ordered turns → one training
+  // sample): event types concatenated in exact (ts, event_id) order
+  // INSIDE the native session_window aggregation — sort_array over
+  // collected (ts, event_id, type) structs, so the ordering is part of
+  // the aggregation, not a fragile post-sort. Certified by
+  // md5(transcript) against DuckDB's ORDER BY string_agg over the same
+  // gap-and-islands sessions.
+  // ---------------------------------------------------------------------
+  private[graft] def q177SessionTranscript(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.sessions(Tables.events(spark, dir), Seq("user_id"), "ts",
+        gapSec = 1800,
+        extraAggs = Seq(
+          concat_ws("|", transform(
+            sort_array(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type"))).as("__tr")))
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        md5(col("__tr")).as("transcript_md5"),
+        length(col("__tr")).as("transcript_len"))
+
+  private[graft] val q177Sql =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM o),
+      |tr AS (
+      |  SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+      |    string_agg(event_type, '|' ORDER BY ts, event_id) AS t
+      |  FROM s GROUP BY user_id, sid)
+      |SELECT user_id, session_start, n_events,
+      |  md5(t) AS transcript_md5, CAST(strlen(t) AS INT) AS transcript_len
+      |FROM tr""".stripMargin
+
   private[graft] val q173Sql =
     """WITH a AS (SELECT user_id, min(ts) AS anchor FROM events
       |           WHERE event_type = 'signup' GROUP BY 1),

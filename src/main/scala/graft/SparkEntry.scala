@@ -211,6 +211,7 @@ object SparkEntry extends Queries7Pipelines {
     Q("q174_time_travel", q174TimeTravel, Some(q174Sql)),
     Q("q175_zorder_manifest", q175ZorderManifest, Some(q175Sql)),
     Q("q176_negatives", q176Negatives, Some(q176Sql)),
+    Q("q177_session_transcript", q177SessionTranscript, Some(q177Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
