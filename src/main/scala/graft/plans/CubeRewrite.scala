@@ -48,6 +48,12 @@ import org.apache.spark.sql.functions._
   * ([[install]] for `experimental.extraOptimizations`, or cluster-wide
   * via `spark.sql.extensions=graft.GraftExtensions`); the
   * `spark.graft.cube.enabled` conf gates the rule at runtime.
+  *
+  * Freshness contract (every MV's): the cube answers for the base AS
+  * OF its build/refresh. Appends go through
+  * [[refreshCubeAdditive]]; rewriting or deleting base data without a
+  * rebuild leaves a stale cube, silently — the user owns that
+  * invariant, exactly as with any materialized view.
   */
 object CubeRewrite extends Rule[LogicalPlan] {
 
@@ -190,8 +196,12 @@ object CubeRewrite extends Rule[LogicalPlan] {
     // every grouping expression must be a plain dimension column
     val gDims = gs.map(asDim)
     if (gDims.exists(_.isEmpty)) return None
-    // filters may only touch dimensions (they commute with the cube)
-    if (conds.exists(_.references.exists(a => !dimSet(a.name)))) return None
+    // filters may only touch dimensions (they commute with the cube) —
+    // and must be DETERMINISTIC: a rand()-style predicate has no column
+    // references at all, yet filters ROWS, which a pre-aggregated cube
+    // cannot replay
+    if (conds.exists(c => !c.deterministic ||
+      c.references.exists(a => !dimSet(a.name)))) return None
 
     def mapRefs(e: Expression): Expression = e transform {
       case a: AttributeReference => cubeAttr(a.name)
@@ -237,6 +247,9 @@ object CubeRewrite extends Rule[LogicalPlan] {
       case ae: AggregateExpression => mergeAgg(ae)
       case a: AttributeReference =>
         if (dimSet(a.name)) Some(cubeAttr(a.name)) else None
+      case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+        None // a subplan rides inside: not ours to remap, bail
+      case other if !other.deterministic => None
       case other =>
         val kids = other.children.map(mapExpr)
         if (kids.exists(_.isEmpty)) None

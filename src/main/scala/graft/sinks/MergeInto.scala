@@ -59,9 +59,11 @@ object MergeInto {
   def readTable(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop(PartCol)
 
-  /** Merge `upserts` (full rows, same schema as the table) and
-    * `deleteKeys` (single key column) into the table at `path`.
-    * Rewrites ONLY the partitions containing changed keys. */
+  /** Merge `upserts` (full rows, same schema as the table, UNIQUE per
+    * key — duplicate-key upserts land as duplicate rows; CDC callers
+    * collapse to latest-per-key first, as `streaming.StreamMerge`
+    * does) and `deleteKeys` (single key column) into the table at
+    * `path`. Rewrites ONLY the partitions containing changed keys. */
   def mergeInto(spark: SparkSession, path: String, keyCol: String,
                 nParts: Int, upserts: DataFrame,
                 deleteKeys: DataFrame): Unit = {

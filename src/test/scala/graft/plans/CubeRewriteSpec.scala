@@ -101,6 +101,13 @@ class CubeRewriteSpec extends SparkSpec {
     assertRouted(base.groupBy(col("d1")).agg(sum(col("other"))), routed = false)
     // avg is not mergeable as-is
     assertRouted(base.groupBy(col("d1")).agg(avg(col("m"))), routed = false)
+    // a NON-DETERMINISTIC filter has no column references yet filters
+    // rows — a cube cannot replay it
+    assertRouted(base.filter(rand(7) < 0.5).groupBy(col("d1"))
+      .agg(count(lit(1))), routed = false)
+    // non-deterministic output expressions bail too
+    assertRouted(base.groupBy(col("d1"))
+      .agg((count(lit(1)) + (rand(7) * 0)).as("n")), routed = false)
   }
 
   test("runtime conf gate disables routing per session") {

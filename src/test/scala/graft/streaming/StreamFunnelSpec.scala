@@ -67,4 +67,27 @@ class StreamFunnelSpec extends SparkSpec {
       assert(got == want, s"got=$got want=$want")
     } finally q.stop()
   }
+
+  test("chain() agrees with the batch Funnel operator's step counts") {
+    import spark.implicits._
+    // the streaming reference must be the SAME semantics as
+    // operators.Funnel — pin chain() against userSteps on window-0 data
+    val w0 = rows.filter(_._2 < WinSec)
+    val batch = graft.operators.Funnel.userSteps(
+      w0.map { case (u, s, e) => (u, new Timestamp(s * 1000L), e) }
+        .toDF("user_id", "ts", "etype"),
+      "user_id", "ts", "etype", Steps)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 3).count(i => !r.isNullAt(i))).toMap
+    val viaChain = w0.groupBy(_._1).map { case (u, evs) =>
+      u -> StreamFunnel.chain(
+        evs.map { case (_, s, tp) => (Steps.indexOf(tp), s * 1000L) },
+        Steps.size)
+    }
+    // userSteps has no row for a user who never reached step 0 — that
+    // is chain() == 0, the same fact in the two shapes
+    assert(viaChain.filter(_._2 > 0) == batch, s"chain=$viaChain batch=$batch")
+    assert(viaChain.filter(_._2 == 0).keySet
+      .intersect(batch.keySet).isEmpty)
+  }
 }
