@@ -17,6 +17,13 @@ import graft.sinks.StatsManifest
   * `.filter(...)` shape; the source prunes the file list from the
   * manifest before any parquet footer is opened.
   *
+  * V1 (`PrunedFilteredScan`) over DSv2, deliberately: V1's buildScan
+  * receives pushed filters + required columns and may return any RDD —
+  * the pruned parquet sub-read slots straight in. DSv2 would demand a
+  * full PartitionReaderFactory re-implementation of the parquet read
+  * path for ZERO additional pruning power (file-list pruning happens
+  * before either API's scan). Minimal machinery for the same plan.
+  *
   * Filter translation is CONSERVATIVE: per-column bounds are
   * intersected from >, >=, <, <=, =, IN on integral stats columns;
   * any filter shape it doesn't recognize simply prunes nothing (and

@@ -72,6 +72,23 @@ class MergeIntoSpec extends SparkSpec {
       100L - victimKeys.size)
   }
 
+  test("replaying the same change batch is idempotent") {
+    import spark.implicits._
+    // the operational property that makes at-least-once upstream
+    // delivery safe: upsert-by-key replaces, delete-by-key is absent
+    // either way — applying a batch twice equals applying it once
+    val dir = mkTable()
+    val ups = Seq((5L, "NEW5", 555L), (2000L, "INS", 1L)).toDF("k", "s", "n")
+    val dels = Seq(3L).toDF("k")
+    MergeInto.mergeInto(spark, dir, "k", 8, ups, dels)
+    val once = MergeInto.readTable(spark, dir)
+      .collect().map(_.toSeq).toSet
+    MergeInto.mergeInto(spark, dir, "k", 8, ups, dels)
+    val twice = MergeInto.readTable(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(twice == once)
+  }
+
   test("empty change batch is a no-op") {
     import spark.implicits._
     val dir = mkTable()
