@@ -72,6 +72,9 @@ object AsOfMatch {
                rightPayload: Seq[String]): DataFrame = {
     val dup = rightPayload.toSet.intersect(left.columns.toSet)
     require(dup.isEmpty, s"rightPayload collides with left columns: $dup")
+    require(!left.columns.contains("asof_ts"),
+      "left already has an asof_ts column (chained as-of joins must " +
+        "rename it first) — the output would carry two")
     val keyCols = keys.map(col)
     val lpStruct = struct(left.columns.map(col): _*)
     val rpStruct = struct(col(tsCol).as("asof_ts") +: rightPayload.map(col): _*)

@@ -443,10 +443,18 @@ object CorpusStats {
       .groupBy(col("__w")).agg(count(lit(1)).as("wc"))
       .localCheckpoint(false)
     val nWords = words.count() // materializes; guards BEFORE collect
-    if (nWords > MaxBpeWordLedger)
-      bpeTrainCore(df, textCol, math.min(maxK, 1024), sep, exhaustOk = true)._1
+    if (nWords > MaxBpeWordLedger) {
+      // the distributed fallback is serial per merge round — a deep
+      // budget through it would take hours. LOUD, not a silent clamp:
+      // the caller asked for maxK merges and must choose (shard the
+      // corpus, or accept the distributed path's depth ceiling).
+      require(maxK <= 1024,
+        s"corpus has $nWords distinct words (> in-memory ledger cap " +
+          s"$MaxBpeWordLedger) and the distributed fallback is capped at " +
+          s"1024 merges; requested $maxK — shard the corpus or lower maxK")
+      bpeTrainCore(df, textCol, maxK, sep, exhaustOk = true)._1
         .toDF("round", "left_sym", "right_sym", "merged", "n_occ")
-    else {
+    } else {
       val ledger = words.select(col("__w"), col("wc")).as[(String, Long)]
         .collect()
         .map { case (w, n) => (n, w.split("").filter(_.nonEmpty)) }

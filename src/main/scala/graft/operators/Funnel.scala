@@ -59,7 +59,10 @@ object Funnel {
     val per = userSteps(events, userCol, tsCol, typeCol, steps)
     val aggs = steps.indices.map(i =>
       count(col(s"t$i")).as(s"n$i"))
-    val totals = per.agg(aggs.head, aggs.tail: _*)
+    // ONE row — localCheckpoint so the k unioned per-step selects
+    // below don't each re-execute the whole chained-join pipeline
+    // (Spark re-plans the subtree per consumer)
+    val totals = per.agg(aggs.head, aggs.tail: _*).localCheckpoint()
     val rows = steps.indices.map { i =>
       totals.select(lit(i).as("step"), lit(steps(i)).as("step_name"),
         col(s"n$i").as("n_users"),

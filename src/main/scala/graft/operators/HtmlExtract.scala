@@ -92,7 +92,9 @@ object HtmlExtract {
   private def decodeEntity(s: String, from: Int, out: StringBuilder): Int = {
     // returns chars consumed from position `from` (which holds '&')
     val semi = s.indexOf(';', from + 1)
-    if (semi < 0 || semi - from > 8) { out.append('&'); 1 }
+    // longest legal entity content is 8 chars ('#1048576', plane 16),
+    // so semi - from may reach 9
+    if (semi < 0 || semi - from > 9) { out.append('&'); 1 }
     else s.substring(from + 1, semi) match {
       case "amp" => out.append('&'); semi - from + 1
       case "lt" => out.append('<'); semi - from + 1

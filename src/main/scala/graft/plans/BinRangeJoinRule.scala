@@ -134,10 +134,19 @@ object BinRangeJoinRule extends Rule[LogicalPlan] {
             // Sequence is TimeZoneAwareExpression — without an explicit
             // timeZoneId it reports unresolved and the optimizer's plan
             // validator rejects the rewrite (irrelevant for LongType
-            // bounds, but resolution demands it regardless)
-            val gen = Explode(new Sequence(
-              binOf(lo, w), binOf(hi, w), Some(Literal(1L)),
-              Some(conf.sessionLocalTimeZone)))
+            // bounds, but resolution demands it regardless).
+            // INVERTED intervals (lo > hi) guard: the original query
+            // returns zero matches for such a row; Sequence would THROW
+            // ('Illegal sequence boundaries') — an optimizer rule must
+            // never change failure behavior, so clamp to an empty array
+            // (explode of empty = row contributes nothing, as before)
+            val binLo = binOf(lo, w)
+            val binHi = binOf(hi, w)
+            val gen = Explode(If(GreaterThan(binLo, binHi),
+              Literal.create(Array.empty[Long],
+                org.apache.spark.sql.types.ArrayType(LongType, false)),
+              new Sequence(binLo, binHi, Some(Literal(1L)),
+                Some(conf.sessionLocalTimeZone))))
             val iAttr = AttributeReference(BinCol, LongType, nullable = false)()
             val iPlan = Generate(gen, unrequiredChildIndex = Nil,
               outer = false, qualifier = None,

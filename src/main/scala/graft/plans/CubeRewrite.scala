@@ -75,6 +75,11 @@ object CubeRewrite extends Rule[LogicalPlan] {
     require(dims.nonEmpty, "cube needs at least one dimension")
     require(normalize(basePath) != normalize(cubePath),
       "cube path must differ from base path")
+    // a REBUILD over an already-registered base must not have its own
+    // aggregate routed to the stale cube it is replacing (and must not
+    // overwrite cube files a routed plan is reading) — deregister for
+    // the duration; registerCube at the end restores routing
+    registry.remove(normalize(basePath))
     val base = spark.read.parquet(basePath)
     val aggs = (count(lit(1)).as("cnt") +:
       sumCols.map(c => sum(col(c)).as(s"sum_$c"))) ++
@@ -110,6 +115,9 @@ object CubeRewrite extends Rule[LogicalPlan] {
                           delta: DataFrame): CubeSpec = {
     val spec = Option(registry.get(normalize(basePath))).getOrElse(
       throw new IllegalArgumentException(s"no cube registered for $basePath"))
+    // the delta may itself read from the base path — its aggregation
+    // must not route to the cube being refreshed
+    registry.remove(spec.basePath)
     val aggs = (count(lit(1)).as("cnt") +:
       spec.sumCols.map(c => sum(col(c)).as(s"sum_$c"))) ++
       spec.minMaxCols.flatMap(c =>
@@ -221,9 +229,11 @@ object CubeRewrite extends Rule[LogicalPlan] {
       def rollup(fn: AggregateFunction): Expression =
         ae.copy(aggregateFunction = fn)
       ae.aggregateFunction match {
-        case Count(args) if args.forall(_.foldable) =>
+        case Count(args) if args.forall(a => a.foldable && a.eval() != null) =>
           // count over base == sum of per-combination counts; coalesce
-          // restores count's 0-on-empty (and non-null type) contract
+          // restores count's 0-on-empty (and non-null type) contract.
+          // NULL literals must bail: count(NULL) is 0 over the base,
+          // not the row count — the merge law doesn't hold
           Some(Coalesce(Seq(rollup(Sum(cubeAttr("cnt"))), Literal(0L))))
         case Sum(c, _) if asMeasure(c).exists(a => spec.sumCols.contains(a.name)) =>
           val a = asMeasure(c).get

@@ -115,6 +115,9 @@ object StatsManifest {
     spark.read.parquet(path)
       .select(col("_metadata.file_path").as("file"),
         col(column).cast("long").as("k"))
+      // a NULL key can never match a point lookup; keeping it would
+      // also crash the non-nullable tuple decode below
+      .filter(col("k").isNotNull)
       .join(sizes, "file")
       .as[(String, Long, Long)]
       .groupByKey(_._1)

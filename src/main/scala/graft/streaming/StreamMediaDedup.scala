@@ -50,7 +50,14 @@ object StreamMediaDedup {
   final case class BandedFp(band: Int, bv: Long, doc_id: Long, fp: Long,
                             ts: Timestamp)
   final case class BucketEntry(doc_id: Long, fp: Long, tsMs: Long)
-  final case class Bucket(entries: List[BucketEntry])
+  /** Cap-overflow ghost: a doc_id whose pairs were emitted but whose
+    * fingerprint could not be stored (bucket at cap) — remembered so a
+    * REDELIVERY of that doc_id does not re-emit its pairs. Bounded at
+    * 4× the entry cap (FIFO); a redelivery arriving after its ghost was
+    * evicted re-emits — the bounded-state trade, documented. */
+  final case class BucketGhost(doc_id: Long, tsMs: Long)
+  final case class Bucket(entries: List[BucketEntry],
+                          ghosts: List[BucketGhost] = Nil)
   final case class PairHit(doc_a: Long, doc_b: Long, hamming: Long)
 
   val Bands = 3
@@ -98,7 +105,9 @@ object StreamMediaDedup {
           val wmMs = state.getCurrentWatermarkMs()
           var entries = state.getOption.map(_.entries).getOrElse(Nil)
             .filter(_.tsMs + horizon >= wmMs)
-          if (state.hasTimedOut && entries.isEmpty) {
+          var ghosts = state.getOption.map(_.ghosts).getOrElse(Nil)
+            .filter(_.tsMs + horizon >= wmMs)
+          if (state.hasTimedOut && entries.isEmpty && ghosts.isEmpty) {
             state.remove()
             Iterator.empty
           } else {
@@ -112,7 +121,9 @@ object StreamMediaDedup {
               // when it first arrived, so re-emitting would duplicate
               // output under at-least-once upstream delivery and break
               // the batch-join equivalence the scaladoc promises
-              if (e.ts.getTime >= wmMs && !entries.exists(_.doc_id == e.doc_id)) {
+              if (e.ts.getTime >= wmMs &&
+                  !entries.exists(_.doc_id == e.doc_id) &&
+                  !ghosts.exists(_.doc_id == e.doc_id)) {
                 entries.foreach { s =>
                   val lowerDiffer = (0 until key._1).forall(j =>
                     bandOf(s.fp, j) != bandOf(e.fp, j))
@@ -125,12 +136,18 @@ object StreamMediaDedup {
                 }
                 if (entries.size < bucketCap)
                   entries = entries :+ BucketEntry(e.doc_id, e.fp, e.ts.getTime)
+                else
+                  // emitted but not stored: ghost it so a redelivery
+                  // doesn't re-emit (the cap-overflow redelivery hole)
+                  ghosts = (ghosts :+ BucketGhost(e.doc_id, e.ts.getTime))
+                    .takeRight(4 * bucketCap)
               }
             }
-            if (entries.isEmpty) state.remove()
+            if (entries.isEmpty && ghosts.isEmpty) state.remove()
             else {
-              state.update(Bucket(entries))
-              state.setTimeoutTimestamp(entries.map(_.tsMs).max + horizon)
+              state.update(Bucket(entries, ghosts))
+              state.setTimeoutTimestamp(
+                (entries.map(_.tsMs) ++ ghosts.map(_.tsMs)).max + horizon)
             }
             out.result().iterator
           }

@@ -105,6 +105,20 @@ class BinRangeJoinRuleSpec extends AnyFunSuite {
     assert(got == expected.filter(_._2 != 30L))
   }
 
+  test("inverted intervals (lo > hi) match nothing instead of crashing") {
+    import spark.implicits._
+    // before the clamp, Sequence(bin(lo), bin(hi)) threw 'Illegal
+    // sequence boundaries' on such rows — an optimizer rule must never
+    // change a query's failure behavior
+    val ivals = Seq((10L, -30L, -20L), (20L, -5L, 5L), (66L, 50L, -50L))
+      .toDF("iid", "lo", "hi") // 66 is inverted: zero matches, no throw
+    val joined = points.join(ivals,
+      col("p") >= col("lo") && col("p") <= col("hi"))
+    val got = joined.select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (3L, 20L)))
+  }
+
   test("binWidth 0 disables the rewrite (runtime conf, per-session)") {
     spark.conf.set(BinRangeJoinRule.BinWidthKey, "0")
     try {

@@ -172,6 +172,26 @@ class CubeRewriteSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("rebuild over a registered base does not route to the stale cube") {
+    import spark.implicits._
+    val b = Files.createTempDirectory("graft-cube-stale-b").toString
+    val c = Files.createTempDirectory("graft-cube-stale-c").toString
+    (0 until 100).map(i => (s"k${i % 3}", i.toLong, i.toLong))
+      .toDF("d1", "d2", "m").write.mode("overwrite").parquet(b)
+    CubeRewrite.install(spark)
+    CubeRewrite.buildCube(spark, b, c, Seq("d1", "d2"), sumCols = Seq("m"))
+    // REWRITE the base (deletes — the documented rebuild case)...
+    (0 until 50).map(i => (s"k${i % 3}", i.toLong, i.toLong))
+      .toDF("d1", "d2", "m").write.mode("overwrite").parquet(b)
+    // ...and rebuild: the internal aggregate must read the NEW base,
+    // not route to the stale cube it is replacing
+    CubeRewrite.buildCube(spark, b, c, Seq("d1", "d2"), sumCols = Seq("m"))
+    val q = spark.read.parquet(b).groupBy(col("d1")).agg(count(lit(1)).as("n"))
+    assert(scannedPaths(q).exists(_.contains(c)))
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("k0", 17L), ("k1", 17L), ("k2", 16L)))
+  }
+
   test("two routed aggregates in one query get independent cube instances") {
     val a = base.groupBy(col("d1")).agg(count(lit(1)).as("n"))
     val b = base.groupBy(col("d1")).agg(sum(col("m")).as("s"))
