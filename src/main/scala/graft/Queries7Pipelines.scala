@@ -696,6 +696,34 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
       |  md5(t) AS transcript_md5, CAST(strlen(t) AS INT) AS transcript_len
       |FROM tr""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q178 — TRAINED quality classifier (operators/Classifier): logistic
+  // regression over hashed BoW fitted IN the engine on lang=='en'
+  // labels, then scored back — per-source confusion counts. Rows-only
+  // BY DESIGN (StrictMath sigmoid floats are not SQL-portable);
+  // ClassifierSpec pins distributed training bit-exact against an
+  // in-memory reference AND invariant to partitioning (the
+  // scaled-long-gradient determinism that makes an in-engine trainer
+  // reproducible at all).
+  // ---------------------------------------------------------------------
+  private[graft] def q178QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Classifier
+    val labeled = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        when(col("lang") === "en", 1).otherwise(0).as("label"))
+    val model = Classifier.trainLogReg(labeled, "text", "label",
+      buckets = 512, iters = 15, lr = 0.5)
+    Classifier.scoreWith(labeled, "doc_id", "text", model)
+      .join(labeled.select(col("doc_id"), col("source"), col("label")),
+        "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("label")).as("n_en"),
+        sum(col("pred")).as("n_pred_en"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+  }
+
   private[graft] val q173Sql =
     """WITH a AS (SELECT user_id, min(ts) AS anchor FROM events
       |           WHERE event_type = 'signup' GROUP BY 1),

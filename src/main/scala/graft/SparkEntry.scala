@@ -212,6 +212,7 @@ object SparkEntry extends Queries7Pipelines {
     Q("q175_zorder_manifest", q175ZorderManifest, Some(q175Sql)),
     Q("q176_negatives", q176Negatives, Some(q176Sql)),
     Q("q177_session_transcript", q177SessionTranscript, Some(q177Sql)),
+    Q("q178_quality_classifier", q178QualityClassifier, None),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
