@@ -735,4 +735,140 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
       |      FROM events e JOIN a ON e.user_id = a.user_id)
       |SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_users
       |FROM j WHERE week_offset >= 0 GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q179 — percentile ROLLUP (operators/Percentiles.rollup): the
+  // mergeable-partial law (q133 HLL / q144 CMS) applied to EXACT
+  // histograms — one corpus scan builds the (source, length) histogram,
+  // per-source percentiles fold each slice, and the global row re-merges
+  // the histogram by value-cell addition, never rescanning documents.
+  // Exact histograms merge losslessly, so one oracle certifies BOTH
+  // levels — the property no quantile sketch can offer.
+  // ---------------------------------------------------------------------
+  private[graft] def q179PercentileRollup(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Percentiles.rollup(Tables.documents(spark, dir),
+      "source", "n_chars",
+      Seq("p50_chars" -> 0.5, "p90_chars" -> 0.9, "p99_chars" -> 0.99))
+
+  private[graft] val q179Sql =
+    """WITH r AS (SELECT source, n_chars,
+      |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+      |        COUNT(*) OVER (PARTITION BY source) AS n
+      |      FROM documents WHERE n_chars IS NOT NULL),
+      |g AS (SELECT n_chars,
+      |        ROW_NUMBER() OVER (ORDER BY n_chars) AS rn,
+      |        COUNT(*) OVER () AS n
+      |      FROM documents WHERE n_chars IS NOT NULL)
+      |SELECT source AS scope,
+      |  MIN(CASE WHEN rn = CAST(floor((n-1) * 0.5) AS BIGINT) + 1 THEN n_chars END) AS p50_chars,
+      |  MIN(CASE WHEN rn = CAST(floor((n-1) * 0.9) AS BIGINT) + 1 THEN n_chars END) AS p90_chars,
+      |  MIN(CASE WHEN rn = CAST(floor((n-1) * 0.99) AS BIGINT) + 1 THEN n_chars END) AS p99_chars,
+      |  CAST(MAX(n) AS BIGINT) AS n_rows
+      |FROM r GROUP BY source
+      |UNION ALL
+      |SELECT '__ALL__',
+      |  MIN(CASE WHEN rn = CAST(floor((n-1) * 0.5) AS BIGINT) + 1 THEN n_chars END),
+      |  MIN(CASE WHEN rn = CAST(floor((n-1) * 0.9) AS BIGINT) + 1 THEN n_chars END),
+      |  MIN(CASE WHEN rn = CAST(floor((n-1) * 0.99) AS BIGINT) + 1 THEN n_chars END),
+      |  CAST(MAX(n) AS BIGINT)
+      |FROM g""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q180 — BM25 ranked retrieval (operators/Retrieval.bm25TopK):
+  // integer-exact BM25 (odds-form idf, rational k1/b length norm, one
+  // floor per term — scaladoc derivation) so the score replays
+  // bit-for-bit in the oracle. The term filter sits BELOW the tf
+  // groupBy: only query-term postings ever shuffle — the inverted-index
+  // probe shape, not a corpus tf materialization. Three queries mixing
+  // common terms (df ~ 80%) with the one rare term in the synthetic
+  // vocabulary ('dup', df ~ 5%) so the idf ordering actually bites.
+  // ---------------------------------------------------------------------
+  private[graft] val bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("hash", "join"),
+    2L -> Seq("spark", "stream"),
+    3L -> Seq("dup", "merge"))
+
+  private[graft] def q180Bm25(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.bm25TopK(Tables.documents(spark, dir),
+      "doc_id", "text", bm25Queries, k = 10)
+
+  private[graft] val bm25Cte =
+    """toks AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok
+      |         FROM documents),
+      |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+      |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |              CAST(SUM(dl) AS BIGINT) AS sum_len FROM dl),
+      |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+      |       WHERE tok IN ('hash','join','spark','stream','dup','merge')
+      |       GROUP BY 1, 2),
+      |dfr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |q AS (SELECT CAST(query_id AS BIGINT) AS query_id, term FROM (VALUES
+      |        (1,'hash'),(1,'join'),(2,'spark'),(2,'stream'),
+      |        (3,'dup'),(3,'merge')) AS t(query_id, term)),
+      |sc AS (SELECT q.query_id, tf.doc_id,
+      |        (CAST(100000 AS BIGINT) * 22000 * tf * (2*n_docs - 2*df + 1))
+      |          // ((10000*tf + 3000 + 9*((1000 * dl.dl * n_docs) // sum_len))
+      |             * (2*df + 1)) AS s
+      |       FROM tf JOIN dfr ON tf.tok = dfr.tok
+      |            JOIN q ON tf.tok = q.term
+      |            JOIN dl ON tf.doc_id = dl.doc_id
+      |            CROSS JOIN st),
+      |agg AS (SELECT query_id, doc_id, CAST(SUM(s) AS BIGINT) AS score
+      |        FROM sc GROUP BY 1, 2),
+      |rk AS (SELECT query_id, doc_id, score,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |           ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+      |       FROM agg)""".stripMargin
+
+  private[graft] val q180Sql =
+    s"""WITH $bm25Cte
+      |SELECT query_id, doc_id, score, rank FROM rk WHERE rank <= 10""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q181 — retrieve-then-rerank (operators/Retrieval.bm25Rerank): q180's
+  // BM25 candidates (top-50) re-scored by the INTEGER dot product of
+  // symmetric int8 codes (Quantize.int8Codes — the int8 GEMM a GPU
+  // reranker runs), top-5 kept. The candidate set probes the embedding
+  // table (|queries|·50 rows against it, never the reverse) and the
+  // query codes ride as a broadcast literal join — at 100 TB the rerank
+  // touches exactly the candidates, which is the entire point of the
+  // two-stage shape. Candidates without an embedding drop (inner join;
+  // the oracle mirrors).
+  // ---------------------------------------------------------------------
+  private[graft] def q181Rerank(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.bm25Rerank(Tables.documents(spark, dir),
+      "doc_id", "text",
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      bm25Queries.map { case (qid, ts) => (qid, ts, 100L + qid * 101L) },
+      kCand = 50, kOut = 5)
+
+  private[graft] val q181Sql =
+    s"""WITH $bm25Cte,
+      |cand AS (SELECT query_id, doc_id, score AS bm25_score FROM rk
+      |         WHERE rank <= 50),
+      |sv AS (SELECT vec_id, embedding,
+      |         list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+      |           (a, b) -> CASE WHEN b > a THEN b ELSE a END) / 127.0 AS scale
+      |       FROM embeddings),
+      |codes AS (SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(
+      |           CASE WHEN scale = 0 THEN 0.0
+      |                ELSE LEAST(127.0, GREATEST(-127.0,
+      |                  FLOOR(CAST(x AS DOUBLE) / scale + 0.5))) END
+      |           AS BIGINT)) AS codes
+      |        FROM sv),
+      |qm AS (SELECT CAST(query_id AS BIGINT) AS query_id, CAST(qvec_id AS BIGINT) AS qvec_id
+      |       FROM (VALUES (1, 201), (2, 302), (3, 403)) AS t(query_id, qvec_id)),
+      |qc AS (SELECT qm.query_id, codes.codes AS qcodes
+      |       FROM qm JOIN codes ON codes.vec_id = qm.qvec_id),
+      |dot AS (SELECT c.query_id, c.doc_id, c.bm25_score,
+      |          CAST(list_sum(list_transform(range(1, len(dc.codes) + 1),
+      |            i -> dc.codes[i] * qc.qcodes[i])) AS BIGINT) AS dot
+      |        FROM cand c JOIN codes dc ON dc.vec_id = c.doc_id
+      |             JOIN qc ON qc.query_id = c.query_id)
+      |SELECT query_id, doc_id, bm25_score, dot,
+      |  CAST(rr AS BIGINT) AS rerank
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY dot DESC, doc_id) AS rr FROM dot)
+      |WHERE rr <= 5""".stripMargin
 }

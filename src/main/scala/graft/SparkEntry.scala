@@ -213,6 +213,9 @@ object SparkEntry extends Queries7Pipelines {
     Q("q176_negatives", q176Negatives, Some(q176Sql)),
     Q("q177_session_transcript", q177SessionTranscript, Some(q177Sql)),
     Q("q178_quality_classifier", q178QualityClassifier, None),
+    Q("q179_percentile_rollup", q179PercentileRollup, Some(q179Sql)),
+    Q("q180_bm25", q180Bm25, Some(q180Sql)),
+    Q("q181_rerank", q181Rerank, Some(q181Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

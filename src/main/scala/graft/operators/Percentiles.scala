@@ -37,21 +37,65 @@ object Percentiles {
       else in.select(col(keyCol),
         (floor(col(valCol) / bucket) * bucket).cast("long").as("__v"))
     val hist = vals.groupBy(col(keyCol), col("__v")).agg(count(lit(1)).as("__cnt"))
-    def rankSelect(h: Column, rank: Column): Column =
-      aggregate(h,
-        struct(lit(0L).as("cum"), lit(null).cast("long").as("v")),
-        (acc, x) => struct(
-          (acc("cum") + x("__cnt")).as("cum"),
-          when(acc("v").isNull && acc("cum") + x("__cnt") >= rank, x("__v"))
-            .otherwise(acc("v")).as("v")),
-        acc => acc("v"))
-    val agged = hist.groupBy(col(keyCol))
+    foldHist(hist, col(keyCol), keyCol, ps)
+  }
+
+  private def rankSelect(h: Column, rank: Column): Column =
+    aggregate(h,
+      struct(lit(0L).as("cum"), lit(null).cast("long").as("v")),
+      (acc, x) => struct(
+        (acc("cum") + x("__cnt")).as("cum"),
+        when(acc("v").isNull && acc("cum") + x("__cnt") >= rank, x("__v"))
+          .otherwise(acc("v")).as("v")),
+      acc => acc("v"))
+
+  /** The shared sorted-histogram rank fold over a (`key`, __v, __cnt)
+    * histogram — both the per-key level and the merged-global level of
+    * [[rollup]] run exactly this. */
+  private def foldHist(hist: DataFrame, key: Column, keyName: String,
+                       ps: Seq[(String, Double)]): DataFrame = {
+    val agged = hist.groupBy(key.as(keyName))
       .agg(sum(col("__cnt")).as("__n"),
         sort_array(collect_list(struct(col("__v"), col("__cnt")))).as("__h"))
-    val outCols = col(keyCol) +:
+    val outCols = col(keyName) +:
       ps.map { case (name, p) =>
         rankSelect(col("__h"), floor((col("__n") - 1) * p) + 1).as(name)
       } :+ col("__n").as("n_rows")
     agged.select(outCols: _*)
+  }
+
+  /** Two-level percentiles from ONE corpus scan — the mergeable-partial
+    * rollup of the family (the q133/q144 law applied to exact
+    * histograms): the (key, value) histogram IS the partial state, the
+    * per-key level folds each key's slice, and the global level
+    * re-aggregates the HISTOGRAM by value-cell addition (|keys × distinct
+    * values| rows, never corpus rows) before the identical fold. Exact
+    * histograms merge losslessly by addition, so — unlike a quantile
+    * sketch — the rolled-up percentiles are exactly the percentiles of
+    * the union, which is what lets one SQL oracle certify both levels.
+    *
+    * The histogram is localCheckpointed: it is consumed by both levels,
+    * and without the cut the corpus would be scanned once per level —
+    * the exact double-scan this operator exists to avoid. At 100 TB the
+    * checkpoint is sketch-sized (use `bucket` to bound distinct values,
+    * the [[byRank]] trade). Output key column is `scope` (keys cast to
+    * string; the global row is `allLabel`). */
+  def rollup(df: DataFrame, keyCol: String, valCol: String,
+             ps: Seq[(String, Double)], bucket: Long = 1L,
+             allLabel: String = "__ALL__"): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p < 1 },
+      "percentile fractions must be in [0, 1)")
+    val in = df.filter(col(valCol).isNotNull)
+    val vals =
+      if (bucket <= 1L) in.select(col(keyCol), col(valCol).cast("long").as("__v"))
+      else in.select(col(keyCol),
+        (floor(col(valCol) / bucket) * bucket).cast("long").as("__v"))
+    val hist = vals.groupBy(col(keyCol), col("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint()
+    val perKey = foldHist(hist, col(keyCol).cast("string"), "scope", ps)
+    val merged = hist.groupBy(col("__v")).agg(sum(col("__cnt")).as("__cnt"))
+    val global = foldHist(merged, lit(allLabel), "scope", ps)
+    perKey.unionByName(global)
   }
 }

@@ -52,6 +52,21 @@ object Quantize {
       (err / size(col("__e"))).as("mse"), codeSum.as("code_sum"))
   }
 
+  /** Symmetric int8 codes as a long array — the storage/GEMM form of
+    * [[int8Quantize]] (same qv definition, exact on both engines; an
+    * integer code dot product is what an int8 reranker GEMM computes).
+    * One narrow projection, no shuffle. */
+  def int8Codes(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val e = col(embCol)
+    val scale = aggregate(e, lit(0.0), (acc, x) => greatest(acc, abs(d(x)))) / lit(127.0)
+    def qv(x: Column, s: Column): Column =
+      when(s === 0d, lit(0.0))
+        .otherwise(least(lit(127.0), greatest(lit(-127.0), floor(d(x) / s + lit(0.5)))))
+    df.select(col(idCol), e.as("__e"), scale.as("__s"))
+      .select(col(idCol),
+        transform(col("__e"), x => qv(x, col("__s")).cast("long")).as("codes"))
+  }
+
   /** Deterministic PQ codebooks: subvector `sub` of the first `ksub`
     * ids is codeword (sub, code=id). Oracle-reproducible in SQL (the
     * [[Similarity.annIvf]] first-N-centroids trick, per subspace).

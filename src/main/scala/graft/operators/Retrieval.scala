@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranked retrieval over the corpus — the missing sibling of the ANN
+  * family: term-based candidate generation (BM25) and an integer-exact
+  * quantized-embedding re-rank, the two stages a production
+  * retrieve-then-rerank pipeline actually runs over a 100 TB corpus.
+  *
+  * INTEGER-EXACT SCORING (the [[LinkGraph]] discipline): classical BM25
+  * multiplies a log idf by a float length normalization — neither
+  * replays bit-identically across engines (libm `ln` differs in the
+  * last ulp, and a floor on top of it flips on boundary inputs). Here
+  * both factors are exact rationals evaluated with 64-bit integer
+  * arithmetic and ONE final floor per (term, doc):
+  *
+  *   idf    = (2N - 2df + 1) / (2df + 1)          -- the +0.5 odds form
+  *            of Robertson idf with the log dropped (same df ordering;
+  *            the log's damping is monotone, so per-TERM ranking is
+  *            preserved — multi-term mixes weight rare terms harder,
+  *            a documented variant, not an approximation error)
+  *   tfnorm = 22000·tf / (10000·tf + 3000 + 9·L)  -- k1=1.2, b=0.75 as
+  *            exact rationals; L = ⌊1000·dl·N / Σdl⌋ is the per-mille
+  *            relative doc length, itself exact integer division
+  *   score  = Σ_terms ⌊SCALE · 22000·tf·(2N-2df+1) /
+  *                     ((10000·tf+3000+9·L)·(2df+1))⌋
+  *
+  * Every division is integer division on positives (Spark `DIV` ==
+  * DuckDB `//` here), so the oracle replays the score bit-for-bit.
+  * Magnitude bound: the numerator is SCALE·22000·tf·(2N+1) ≤ 2^63 for
+  * N ≤ 2·10⁹ at SCALE=10⁵ with tf ≤ 10⁴ — beyond that the same
+  * expressions run in DECIMAL(38,0) unchanged (documented, not built:
+  * the gate certifies the long lane).
+  *
+  * Scale shape: TWO passes over tokens, both pruned. Pass 1 (corpus
+  * stats) aggregates per-doc token counts — map-side combined, output
+  * |docs| rows + a 1-row (N, Σdl) broadcast. Pass 2 (postings) filters
+  * to the query terms BEFORE the tf groupBy — Catalyst pushes the
+  * `isin` through the aggregation to the scan, so only matching
+  * postings shuffle (at 100 TB this is the inverted-index probe; the
+  * full tf table is never materialized). The query set is a literal
+  * broadcast; df comes from the filtered postings themselves (df of
+  * term t only needs rows with tok = t). Top-k is a per-query
+  * row_number over |candidates|, never a global sort.
+  */
+object Retrieval {
+
+  /** BM25 top-k. `queries` = (query_id, terms). Output: (query_id,
+    * doc_id, score, rank) with rank 1..k by (score DESC, doc_id). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(Long, Seq[String])], k: Int,
+               scale: Long = 100000L): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "every query needs at least one term")
+    require(queries.forall(q => q._2.distinct.size == q._2.size),
+      "query terms must be distinct (a repeated term would join, and " +
+        "therefore count, twice)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+
+    // pass 1 — corpus stats: per-doc lengths (map-side combined), then
+    // the 1-row (N, sum_len) aggregate that rides every plan broadcast
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_len"))
+
+    // pass 2 — postings for the query terms only (filter pushes through
+    // the groupBy to the scan); df derived from the same filtered slice
+    val allTerms = queries.flatMap(_._2).distinct
+    val tf = toks.filter(col("tok").isin(allTerms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+
+    val qdf = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+
+    val scored = tf
+      .join(dfreq, "tok") // shares the tok shuffle key with the tf groupBy
+      .join(broadcast(qdf), col("tok") === col("term"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("__l", expr("1000L * dl * n_docs DIV sum_len"))
+      .withColumn("__s", expr(
+        s"($scale" + "L * 22000L * tf * (2L * n_docs - 2L * df + 1L)) DIV " +
+          "((10000L * tf + 3000L + 9L * __l) * (2L * df + 1L))"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__s")).as("score"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("score"), asc("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+  }
+
+  /** Retrieve-then-rerank: BM25 candidates (kCand per query) re-scored
+    * by the integer dot product of symmetric int8 codes ([[Quantize]]'s
+    * quantization — codes are exact on both engines, and an int8 GEMM
+    * is precisely what a GPU reranker runs), top `kOut` kept by
+    * (dot DESC, doc_id). Embeddings join is an equi-join on the
+    * candidate set — |queries|·kCand rows probe the embedding table,
+    * never the reverse; the query-side codes are a broadcast literal
+    * join of |queries| rows. */
+  def bm25Rerank(docs: DataFrame, idCol: String, textCol: String,
+                 emb: DataFrame, embIdCol: String, embCol: String,
+                 queries: Seq[(Long, Seq[String], Long)],
+                 kCand: Int, kOut: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val cand = bm25TopK(docs, idCol, textCol,
+      queries.map { case (qid, ts, _) => (qid, ts) }, kCand)
+      .withColumnRenamed("score", "bm25_score")
+
+    val codes = Quantize.int8Codes(emb, embIdCol, embCol)
+    val qmap = queries.map { case (qid, _, qvec) => (qid, qvec) }
+      .toDF("query_id", "qvec_id")
+    val qcodes = codes.join(broadcast(qmap), col(embIdCol) === col("qvec_id"))
+      .select(col("query_id"), col("codes").as("qc"))
+
+    val dot = cand
+      .join(codes, cand("doc_id") === codes(embIdCol))
+      .join(broadcast(qcodes), "query_id")
+      .withColumn("dot", aggregate(
+        zip_with(col("codes"), col("qc"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("dot"), asc("doc_id"))
+    dot.withColumn("rerank", row_number().over(w).cast("long"))
+      .filter(col("rerank") <= kOut)
+      .select(col("query_id"), col("doc_id"), col("bm25_score"),
+        col("dot"), col("rerank"))
+  }
+}

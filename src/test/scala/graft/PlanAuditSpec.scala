@@ -309,6 +309,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Scan parquet"), "q104 lost its parquet scan")
   }
 
+  test("q180's term filter sits BELOW the tf aggregation — only query-term postings shuffle") {
+    // the inverted-index probe shape: Catalyst must push the isin
+    // through the tf groupBy so the corpus-sized token stream is
+    // filtered to query terms before any exchange; the filter floating
+    // above the aggregate means a full tf table materializes at 100 TB
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
+    val plan = SparkEntry.queries("q180_bm25")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val termFilters = plan.collect {
+      case f: Filter if f.condition.collect {
+        case i: In => i; case s: InSet => s
+      }.nonEmpty => f
+    }
+    assert(termFilters.nonEmpty, "q180 lost its term filter entirely")
+    termFilters.foreach { f =>
+      assert(f.child.collect { case a: Aggregate => a }.isEmpty,
+        "q180's term filter floated above an aggregation — full tf " +
+          "table would materialize")
+    }
+  }
+
   test("media decode paths are narrow — no exchange below the extraction") {
     // q102 headers, q108 PCM samples, q109 PNG pixels: all pure
     // partition-local decode; sample/pixel bytes must never shuffle
