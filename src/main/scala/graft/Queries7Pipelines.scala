@@ -871,4 +871,32 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       |        ORDER BY dot DESC, doc_id) AS rr FROM dot)
       |WHERE rr <= 5""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q182 — BM25 index as a mergeable PERSISTED artifact (operators/
+  // Retrieval.writeIndex/mergeParts/bm25FromIndex): the corpus is split
+  // into a base and a delta (doc_id % 10), each indexed and written as
+  // its own parquet artifact, and the query is served from the
+  // ADDITIVE merge of the two reloaded indexes — postings/lengths by
+  // union, stats by sum — so a daily delta refreshes retrieval without
+  // rescanning the base corpus (the q169 freshness law applied to text
+  // indexes). Certified by q180's own oracle: base+delta == full
+  // corpus, so the served answer must be byte-identical to the
+  // one-shot build. The term probe reads the postings artifact with
+  // the `IN` pushed to the scan (postings are token-repartitioned).
+  // ---------------------------------------------------------------------
+  private[graft] def q182Bm25Refresh(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Retrieval
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_bm25_index").toString
+    val docs = Tables.documents(spark, dir)
+    Retrieval.writeIndex(Retrieval.indexParts(
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text"), s"$out/base")
+    Retrieval.writeIndex(Retrieval.indexParts(
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text"), s"$out/delta")
+    Retrieval.bm25FromIndex(
+      Retrieval.mergeParts(Retrieval.readIndex(spark, s"$out/base"),
+        Retrieval.readIndex(spark, s"$out/delta")),
+      bm25Queries, k = 10)
+  }
 }

@@ -216,6 +216,7 @@ object SparkEntry extends Queries7Pipelines {
     Q("q179_percentile_rollup", q179PercentileRollup, Some(q179Sql)),
     Q("q180_bm25", q180Bm25, Some(q180Sql)),
     Q("q181_rerank", q181Rerank, Some(q181Sql)),
+    Q("q182_bm25_refresh", q182Bm25Refresh, Some(q180Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -47,42 +47,84 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** BM25 top-k. `queries` = (query_id, terms). Output: (query_id,
-    * doc_id, score, rank) with rank 1..k by (score DESC, doc_id). */
-  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
-               queries: Seq[(Long, Seq[String])], k: Int,
-               scale: Long = 100000L): DataFrame = {
+  /** The inverted-index parts: postings (doc_id, tok, tf), doc lengths
+    * (doc_id, dl), and the 1-row corpus stats (n_docs, sum_len). All
+    * three merge ADDITIVELY across disjoint document sets — postings and
+    * lengths by union (each (doc, tok) lives in exactly one part), stats
+    * by summing — which is what lets a daily delta refresh the index
+    * without rescanning the base corpus ([[mergeParts]]). */
+  final case class IndexParts(postings: DataFrame, doclen: DataFrame,
+                              stats: DataFrame)
+
+  /** Build index parts from a corpus slice: one tokenization, two
+    * map-side-combined aggregations. */
+  def indexParts(docs: DataFrame, idCol: String, textCol: String): IndexParts = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_len"))
+    val postings = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    IndexParts(postings, dl, stats)
+  }
+
+  /** Additive index merge. CONTRACT: the parts' document sets are
+    * disjoint (the q61/q138 refresh discipline — a delta admits only new
+    * documents); a doc in both parts would double-count in dl/stats and
+    * split its postings. */
+  def mergeParts(a: IndexParts, b: IndexParts): IndexParts = IndexParts(
+    a.postings.unionByName(b.postings),
+    a.doclen.unionByName(b.doclen),
+    a.stats.unionByName(b.stats)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_len")).as("sum_len")))
+
+  /** Persist index parts as a parquet artifact (the q151/q171 pattern —
+    * an index is a TABLE, not a driver object). Postings are
+    * repartitioned by token so a term probe reads co-located files and
+    * the term `isin` prunes at the scan. */
+  def writeIndex(parts: IndexParts, path: String): Unit = {
+    parts.postings.repartition(col("tok"))
+      .write.mode("overwrite").parquet(s"$path/postings")
+    parts.doclen.write.mode("overwrite").parquet(s"$path/doclen")
+    parts.stats.write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  def readIndex(spark: SparkSession, path: String): IndexParts = IndexParts(
+    spark.read.parquet(s"$path/postings"),
+    spark.read.parquet(s"$path/doclen"),
+    spark.read.parquet(s"$path/stats"))
+
+  private def validated(queries: Seq[(Long, Seq[String])]): Unit = {
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
       "every query needs at least one term")
     require(queries.forall(q => q._2.distinct.size == q._2.size),
       "query terms must be distinct (a repeated term would join, and " +
         "therefore count, twice)")
-    val spark = docs.sparkSession
+  }
+
+  /** Score a query set against index parts. The term filter is the
+    * FIRST thing applied to postings — on a parquet-backed index it
+    * reaches the scan as a pushed `In` filter; on an inline build
+    * Catalyst pushes it through the tf groupBy to the corpus scan.
+    * df is derived from the filtered slice (df of term t only needs
+    * rows with tok = t). */
+  def bm25FromIndex(parts: IndexParts, queries: Seq[(Long, Seq[String])],
+                    k: Int, scale: Long = 100000L): DataFrame = {
+    validated(queries)
+    val spark = parts.postings.sparkSession
     import spark.implicits._
 
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-
-    // pass 1 — corpus stats: per-doc lengths (map-side combined), then
-    // the 1-row (N, sum_len) aggregate that rides every plan broadcast
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_len"))
-
-    // pass 2 — postings for the query terms only (filter pushes through
-    // the groupBy to the scan); df derived from the same filtered slice
     val allTerms = queries.flatMap(_._2).distinct
-    val tf = toks.filter(col("tok").isin(allTerms: _*))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val tf = parts.postings.filter(col("tok").isin(allTerms: _*))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-
     val qdf = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
       .toDF("query_id", "term")
 
     val scored = tf
-      .join(dfreq, "tok") // shares the tok shuffle key with the tf groupBy
+      .join(dfreq, "tok") // shares the tok shuffle key with the df groupBy
       .join(broadcast(qdf), col("tok") === col("term"))
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
+      .join(parts.doclen, "doc_id")
+      .crossJoin(broadcast(parts.stats))
       .withColumn("__l", expr("1000L * dl * n_docs DIV sum_len"))
       .withColumn("__s", expr(
         s"($scale" + "L * 22000L * tf * (2L * n_docs - 2L * df + 1L)) DIV " +
@@ -96,6 +138,14 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
   }
+
+  /** BM25 top-k over a corpus in one shot (inline index build + probe).
+    * `queries` = (query_id, terms). Output: (query_id, doc_id, score,
+    * rank) with rank 1..k by (score DESC, doc_id). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(Long, Seq[String])], k: Int,
+               scale: Long = 100000L): DataFrame =
+    bm25FromIndex(indexParts(docs, idCol, textCol), queries, k, scale)
 
   /** Retrieve-then-rerank: BM25 candidates (kCand per query) re-scored
     * by the integer dot product of symmetric int8 codes ([[Quantize]]'s

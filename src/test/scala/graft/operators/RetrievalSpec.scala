@@ -83,6 +83,34 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("merged base+delta index == one-shot build, through the parquet artifact") {
+    import spark.implicits._
+    val df = docs.toDF("doc_id", "text")
+    val full = Retrieval.bm25TopK(df, "doc_id", "text", queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_spec").toString
+    Retrieval.writeIndex(Retrieval.indexParts(
+      df.filter($"doc_id" <= 3L), "doc_id", "text"), s"$dir/base")
+    Retrieval.writeIndex(Retrieval.indexParts(
+      df.filter($"doc_id" > 3L), "doc_id", "text"), s"$dir/delta")
+    val merged = Retrieval.mergeParts(
+      Retrieval.readIndex(spark, s"$dir/base"),
+      Retrieval.readIndex(spark, s"$dir/delta"))
+    val served = Retrieval.bm25FromIndex(merged, queries, k = 10)
+    val got = served.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == full)
+
+    // the term probe reaches the postings SCAN as a pushed filter —
+    // the artifact's entire point: a query never reads non-term files
+    val planStr = served.queryExecution.executedPlan.toString
+    val scanLine = planStr.linesIterator
+      .filter(l => l.contains("PushedFilters") && l.contains("postings"))
+    assert(scanLine.exists(_.contains("In(tok")),
+      s"postings scan lost the pushed term filter:\n$planStr")
+  }
+
   test("bm25Rerank: integer code dot product, inner-join drop, top-kOut") {
     import spark.implicits._
     // embeddings for docs 1,2,3,5 and the query vector 100; doc 6
