@@ -64,6 +64,20 @@ object Percentiles {
     agged.select(outCols: _*)
   }
 
+  /** Fold percentiles from an EXTERNAL (keyCol, __v, __cnt) histogram —
+    * the serving side of histogram-partial pipelines (the q179 rollup's
+    * store, [[graft.streaming.StreamHist]]'s merged window partials):
+    * percentiles on demand from accumulated partials, no source rescan.
+    * Exactness is inherited from the lossless histogram merge. */
+  def fromHistogram(hist: DataFrame, keyCol: String,
+                    ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p < 1 },
+      "percentile fractions must be in [0, 1)")
+    require(Seq(keyCol, "__v", "__cnt").forall(hist.columns.contains),
+      s"histogram must carry ($keyCol, __v, __cnt); got ${hist.columns.mkString(",")}")
+    foldHist(hist, col(keyCol), keyCol, ps)
+  }
+
   /** Two-level percentiles from ONE corpus scan — the mergeable-partial
     * rollup of the family (the q133/q144 law applied to exact
     * histograms): the (key, value) histogram IS the partial state, the
