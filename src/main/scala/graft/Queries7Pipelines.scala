@@ -899,4 +899,48 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
         Retrieval.readIndex(spark, s"$out/delta")),
       bm25Queries, k = 10)
   }
+
+  // ---------------------------------------------------------------------
+  // q183 — exact phrase search via a positional index (operators/
+  // Retrieval.phraseStats): ADJACENCY, the thing term-level BM25 can't
+  // say. Positional postings are built only for the phrase terms
+  // (pushed below the groupBy like q180); each phrase is n-1 doc_id
+  // equi-joins plus ONE codegen'd array expression counting start
+  // positions — never a positional self-join of the corpus. The oracle
+  // states the naive position self-join; the two shapes agreeing is
+  // the semantics certificate. Includes a 3-term phrase so the
+  // chained-adjacency expression (p+1 AND p+2) is actually exercised.
+  // ---------------------------------------------------------------------
+  private[graft] def q183PhraseSearch(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.phraseStats(Tables.documents(spark, dir),
+      "doc_id", "text", Seq(
+        1L -> Seq("hash", "join"),
+        2L -> Seq("big", "data"),
+        3L -> Seq("key", "value", "table")))
+
+  private[graft] val q183Sql =
+    """WITH tp AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+      |    SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks
+      |    FROM documents),
+      |  unnest(list_transform(range(1, len(toks)+1),
+      |    i -> {'pos': i, 'tok': toks[i]})) AS r(u)),
+      |m2 AS (SELECT p.phrase_id, a.doc_id, count(*) AS occ
+      |       FROM (VALUES (CAST(1 AS BIGINT), 'hash', 'join'),
+      |                    (CAST(2 AS BIGINT), 'big', 'data')) p(phrase_id, t0, t1)
+      |       JOIN tp a ON a.tok = p.t0
+      |       JOIN tp b ON b.doc_id = a.doc_id AND b.tok = p.t1
+      |            AND b.pos = a.pos + 1
+      |       GROUP BY 1, 2),
+      |m3 AS (SELECT CAST(3 AS BIGINT) AS phrase_id, a.doc_id, count(*) AS occ
+      |       FROM tp a
+      |       JOIN tp b ON b.doc_id = a.doc_id AND b.tok = 'value'
+      |            AND b.pos = a.pos + 1
+      |       JOIN tp c ON c.doc_id = a.doc_id AND c.tok = 'table'
+      |            AND c.pos = a.pos + 2
+      |       WHERE a.tok = 'key'
+      |       GROUP BY 1, 2),
+      |m AS (SELECT * FROM m2 UNION ALL SELECT * FROM m3)
+      |SELECT phrase_id, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(occ) AS BIGINT) AS n_occ
+      |FROM m GROUP BY 1""".stripMargin
 }

@@ -147,6 +147,50 @@ object Retrieval {
                scale: Long = 100000L): DataFrame =
     bm25FromIndex(indexParts(docs, idCol, textCol), queries, k, scale)
 
+  /** Exact phrase search via a POSITIONAL index — the capability
+    * term-level BM25 cannot express: "hash join" as ADJACENT tokens,
+    * not co-occurrence. Positional postings (doc, term) -> sorted
+    * position array are built only for the phrase terms (same
+    * pushed-below-the-groupBy pruning as [[bm25FromIndex]]); a phrase
+    * of n terms is then n-1 equi-joins on doc_id and ONE codegen'd
+    * array expression counting start positions p with pos_i ∋ p+i for
+    * every following term — no positional self-join of the corpus, no
+    * explode of position pairs. Arrays are bounded by document length;
+    * the per-phrase join is over docs containing ALL terms, the
+    * smallest set available. Output: (phrase_id, n_docs, n_occ) with
+    * docs counted only when at least one full occurrence exists. */
+  def phraseStats(docs: DataFrame, idCol: String, textCol: String,
+                  phrases: Seq[(Long, Seq[String])]): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_._2.size >= 2),
+      "every phrase needs at least two terms")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val allTerms = phrases.flatMap(_._2).distinct
+    val postings = toks.filter(col("tok").isin(allTerms: _*))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      // consumed once per distinct term across the phrases — cut the
+      // per-phrase re-tokenization the way the rollup cuts its rescan
+      .localCheckpoint()
+
+    val perPhrase = phrases.map { case (pid, terms) =>
+      val parts = terms.zipWithIndex.map { case (t, i) =>
+        postings.filter(col("tok") === t)
+          .select(col("doc_id"), col("ps").as(s"__p$i"))
+      }
+      val joined = parts.reduce(_.join(_, "doc_id"))
+      val adjacent = filter(col("__p0"), p =>
+        terms.indices.tail.map(i => array_contains(col(s"__p$i"), p + i))
+          .reduce(_ && _))
+      joined.select(lit(pid).as("phrase_id"), col("doc_id"),
+          size(adjacent).cast("long").as("occ"))
+        .filter(col("occ") > 0)
+    }
+    perPhrase.reduce(_.unionByName(_))
+      .groupBy(col("phrase_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occ"))
+  }
+
   /** Retrieve-then-rerank: BM25 candidates (kCand per query) re-scored
     * by the integer dot product of symmetric int8 codes ([[Quantize]]'s
     * quantization — codes are exact on both engines, and an int8 GEMM

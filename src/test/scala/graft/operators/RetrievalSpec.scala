@@ -111,6 +111,26 @@ class RetrievalSpec extends SparkSpec {
       s"postings scan lost the pushed term filter:\n$planStr")
   }
 
+  test("phraseStats: adjacency not co-occurrence, overlaps, repeated terms") {
+    import spark.implicits._
+    val pdocs = Seq(
+      1L -> "hash join fast",        // one "hash join"
+      2L -> "join hash",             // both terms, WRONG order -> no hit
+      3L -> "hash join hash join",   // two occurrences
+      4L -> "hash hash hash",        // overlapping "hash hash" -> 2
+      5L -> "a hash b join c"        // co-occurrence, not adjacent
+    ).toDF("doc_id", "text")
+    val out = Retrieval.phraseStats(pdocs, "doc_id", "text", Seq(
+        10L -> Seq("hash", "join"),
+        20L -> Seq("hash", "hash"),
+        30L -> Seq("hash", "join", "hash")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(10L) == ((2L, 3L))) // docs 1 and 3; occurrences 1 + 2
+    assert(out(20L) == ((1L, 2L))) // doc 4 only, overlapping starts 0 and 1
+    assert(out(30L) == ((1L, 1L))) // doc 3: "hash join hash" once
+    assert(out.size == 3)
+  }
+
   test("bm25Rerank: integer code dot product, inner-join drop, top-kOut") {
     import spark.implicits._
     // embeddings for docs 1,2,3,5 and the query vector 100; doc 6
