@@ -771,7 +771,7 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
       |  MIN(CASE WHEN rn = CAST(floor((n-1) * 0.9) AS BIGINT) + 1 THEN n_chars END),
       |  MIN(CASE WHEN rn = CAST(floor((n-1) * 0.99) AS BIGINT) + 1 THEN n_chars END),
       |  CAST(MAX(n) AS BIGINT)
-      |FROM g""".stripMargin
+      |FROM g GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
   // q180 — BM25 ranked retrieval (operators/Retrieval.bm25TopK):

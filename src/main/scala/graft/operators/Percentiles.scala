@@ -28,17 +28,26 @@ object Percentiles {
              ps: Seq[(String, Double)], bucket: Long = 1L): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p < 1 },
       "percentile fractions must be in [0, 1)")
-    // NULL values are excluded, matching the SQL rank oracle (a window
-    // over non-null rows): un-filtered, a NULL __v would sort FIRST in
-    // sort_array and the fold could return NULL as a low percentile
-    val in = df.filter(col(valCol).isNotNull)
-    val vals =
-      if (bucket <= 1L) in.select(col(keyCol), col(valCol).cast("long").as("__v"))
-      else in.select(col(keyCol),
-        (floor(col(valCol) / bucket) * bucket).cast("long").as("__v"))
-    val hist = vals.groupBy(col(keyCol), col("__v")).agg(count(lit(1)).as("__cnt"))
-    foldHist(hist, col(keyCol), keyCol, ps)
+    foldHist(histogram(df, keyCol, valCol, bucket), col(keyCol), keyCol, ps)
   }
+
+  /** The bucket-floored long value every histogram form uses — ONE
+    * definition so byRank, rollup, and the streaming partials
+    * ([[graft.streaming.StreamHist]]) cannot drift apart (their
+    * cross-certifying specs pin the equalities). */
+  private[graft] def bucketedValue(v: Column, bucket: Long): Column =
+    if (bucket <= 1L) v.cast("long")
+    else (floor(v / bucket) * bucket).cast("long")
+
+  /** The shared (key, __v, __cnt) histogram build. NULL values are
+    * excluded, matching the SQL rank oracle (a window over non-null
+    * rows): un-filtered, a NULL __v would sort FIRST in sort_array and
+    * the fold could return NULL as a low percentile. */
+  private def histogram(df: DataFrame, keyCol: String, valCol: String,
+                        bucket: Long): DataFrame =
+    df.filter(col(valCol).isNotNull)
+      .select(col(keyCol), bucketedValue(col(valCol), bucket).as("__v"))
+      .groupBy(col(keyCol), col("__v")).agg(count(lit(1)).as("__cnt"))
 
   private def rankSelect(h: Column, rank: Column): Column =
     aggregate(h,
@@ -93,20 +102,18 @@ object Percentiles {
     * the exact double-scan this operator exists to avoid. At 100 TB the
     * checkpoint is sketch-sized (use `bucket` to bound distinct values,
     * the [[byRank]] trade). Output key column is `scope` (keys cast to
-    * string; the global row is `allLabel`). */
+    * string; the global row is `allLabel`). CONTRACT: no key's string
+    * form equals `allLabel` — a colliding key would be output-
+    * indistinguishable from the global row; pick another label then. */
   def rollup(df: DataFrame, keyCol: String, valCol: String,
              ps: Seq[(String, Double)], bucket: Long = 1L,
              allLabel: String = "__ALL__"): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p < 1 },
       "percentile fractions must be in [0, 1)")
-    val in = df.filter(col(valCol).isNotNull)
-    val vals =
-      if (bucket <= 1L) in.select(col(keyCol), col(valCol).cast("long").as("__v"))
-      else in.select(col(keyCol),
-        (floor(col(valCol) / bucket) * bucket).cast("long").as("__v"))
-    val hist = vals.groupBy(col(keyCol), col("__v"))
-      .agg(count(lit(1)).as("__cnt"))
-      .localCheckpoint()
+    // lazy: materializes once at the first action and is reused by both
+    // levels (plan-only consumers never pay the scan)
+    val hist = histogram(df, keyCol, valCol, bucket)
+      .localCheckpoint(false)
     val perKey = foldHist(hist, col(keyCol).cast("string"), "scope", ps)
     val merged = hist.groupBy(col("__v")).agg(sum(col("__cnt")).as("__cnt"))
     val global = foldHist(merged, lit(allLabel), "scope", ps)

@@ -24,6 +24,18 @@ object Quantize {
   /** Per-element double view of an ARRAY<FLOAT> column's element. */
   private def d(x: Column): Column = x.cast("double")
 
+  /** Per-vector symmetric scale: max|x| / 127. */
+  private def int8Scale(e: Column): Column =
+    aggregate(e, lit(0.0), (acc, x) => greatest(acc, abs(d(x)))) / lit(127.0)
+
+  /** The ONE quantized-value definition (double form; reconstruction is
+    * qv*scale) — [[int8Quantize]]'s error report, [[int8Codes]]'s GEMM
+    * codes, and the mirrored oracle formula all hinge on these staying
+    * identical. */
+  private def qv(x: Column, s: Column): Column =
+    when(s === 0d, lit(0.0))
+      .otherwise(least(lit(127.0), greatest(lit(-127.0), floor(d(x) / s + lit(0.5)))))
+
   /** Symmetric per-vector int8 scalar quantization with a reconstruction
     * error report. scale = max|x|/127 (0 for the all-zero vector); code_i
     * = clamp(floor(x_i/scale + 0.5), ±127) — floor(x+0.5) rather than
@@ -37,12 +49,7 @@ object Quantize {
     * UDF, whole-stage codegen throughout — scales linearly. */
   def int8Quantize(df: DataFrame, idCol: String, embCol: String): DataFrame = {
     val e = col(embCol)
-    val scale = aggregate(e, lit(0.0), (acc, x) => greatest(acc, abs(d(x)))) / lit(127.0)
-    // quantized value as a double (the reconstruction is qv*scale)
-    def qv(x: Column, s: Column): Column =
-      when(s === 0d, lit(0.0))
-        .otherwise(least(lit(127.0), greatest(lit(-127.0), floor(d(x) / s + lit(0.5)))))
-    val withS = df.select(col(idCol), e.as("__e"), scale.as("scale"))
+    val withS = df.select(col(idCol), e.as("__e"), int8Scale(e).as("scale"))
     val err = aggregate(col("__e"), lit(0.0),
       (acc, x) => acc + (d(x) - qv(x, col("scale")) * col("scale")) *
         (d(x) - qv(x, col("scale")) * col("scale")))
@@ -58,11 +65,7 @@ object Quantize {
     * One narrow projection, no shuffle. */
   def int8Codes(df: DataFrame, idCol: String, embCol: String): DataFrame = {
     val e = col(embCol)
-    val scale = aggregate(e, lit(0.0), (acc, x) => greatest(acc, abs(d(x)))) / lit(127.0)
-    def qv(x: Column, s: Column): Column =
-      when(s === 0d, lit(0.0))
-        .otherwise(least(lit(127.0), greatest(lit(-127.0), floor(d(x) / s + lit(0.5)))))
-    df.select(col(idCol), e.as("__e"), scale.as("__s"))
+    df.select(col(idCol), e.as("__e"), int8Scale(e).as("__s"))
       .select(col(idCol),
         transform(col("__e"), x => qv(x, col("__s")).cast("long")).as("codes"))
   }

@@ -29,10 +29,11 @@ import org.apache.spark.sql.functions._
   *
   * Every division is integer division on positives (Spark `DIV` ==
   * DuckDB `//` here), so the oracle replays the score bit-for-bit.
-  * Magnitude bound: the numerator is SCALE·22000·tf·(2N+1) ≤ 2^63 for
-  * N ≤ 2·10⁹ at SCALE=10⁵ with tf ≤ 10⁴ — beyond that the same
-  * expressions run in DECIMAL(38,0) unchanged (documented, not built:
-  * the gate certifies the long lane).
+  * Magnitude bound: the numerator is ≤ SCALE·22000·tf·(2N+1), which
+  * stays under 2^63 while tf·N ≤ 2·10⁹ at SCALE=10⁵ (e.g. N = 10⁸
+  * docs with tf ≤ 20, or N = 2·10⁶ with tf ≤ 10³) — beyond that,
+  * lower SCALE or run the same expressions in DECIMAL(38,0)
+  * (documented, not built: the gate certifies the long lane).
   *
   * Scale shape: TWO passes over tokens, both pruned. Pass 1 (corpus
   * stats) aggregates per-doc token counts — map-side combined, output
@@ -79,11 +80,14 @@ object Retrieval {
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_len")).as("sum_len")))
 
   /** Persist index parts as a parquet artifact (the q151/q171 pattern —
-    * an index is a TABLE, not a driver object). Postings are
-    * repartitioned by token so a term probe reads co-located files and
-    * the term `isin` prunes at the scan. */
+    * an index is a TABLE, not a driver object). Postings are RANGE-
+    * partitioned by token and sorted within partitions: each file then
+    * covers a tight token range, so the pushed `In(tok)` prunes via
+    * per-file/row-group min-max stats — a hash repartition would
+    * co-locate each token but leave every file's stats spanning the
+    * whole vocabulary, skipping nothing. */
   def writeIndex(parts: IndexParts, path: String): Unit = {
-    parts.postings.repartition(col("tok"))
+    parts.postings.repartitionByRange(col("tok")).sortWithinPartitions("tok")
       .write.mode("overwrite").parquet(s"$path/postings")
     parts.doclen.write.mode("overwrite").parquet(s"$path/doclen")
     parts.stats.write.mode("overwrite").parquet(s"$path/stats")
@@ -169,9 +173,10 @@ object Retrieval {
     val postings = toks.filter(col("tok").isin(allTerms: _*))
       .groupBy(col("doc_id"), col("tok"))
       .agg(sort_array(collect_list(col("pos"))).as("ps"))
-      // consumed once per distinct term across the phrases — cut the
-      // per-phrase re-tokenization the way the rollup cuts its rescan
-      .localCheckpoint()
+      // lazy cut: consumed once per phrase term, so without it every
+      // phrase would re-tokenize the corpus; materializes at the first
+      // action (plan-only consumers never pay the scan)
+      .localCheckpoint(false)
 
     val perPhrase = phrases.map { case (pid, terms) =>
       val parts = terms.zipWithIndex.map { case (t, i) =>
@@ -210,14 +215,18 @@ object Retrieval {
       queries.map { case (qid, ts, _) => (qid, ts) }, kCand)
       .withColumnRenamed("score", "bm25_score")
 
+    // the embedding id lands under a private name so an embIdCol that
+    // happens to be called "doc_id" (the natural schema for document
+    // embeddings) can't collide with the candidate side's doc_id
     val codes = Quantize.int8Codes(emb, embIdCol, embCol)
+      .withColumnRenamed(embIdCol, "__eid")
     val qmap = queries.map { case (qid, _, qvec) => (qid, qvec) }
       .toDF("query_id", "qvec_id")
-    val qcodes = codes.join(broadcast(qmap), col(embIdCol) === col("qvec_id"))
+    val qcodes = codes.join(broadcast(qmap), col("__eid") === col("qvec_id"))
       .select(col("query_id"), col("codes").as("qc"))
 
     val dot = cand
-      .join(codes, cand("doc_id") === codes(embIdCol))
+      .join(codes, cand("doc_id") === codes("__eid"))
       .join(broadcast(qcodes), "query_id")
       .withColumn("dot", aggregate(
         zip_with(col("codes"), col("qc"), (a, b) => a * b),

@@ -29,9 +29,9 @@ object StreamHist {
   def windowedHist(stream: DataFrame, keyCol: String, valCol: String,
                    tsCol: String, windowDur: String, watermark: String,
                    bucket: Long = 1L): DataFrame = {
-    val v =
-      if (bucket <= 1L) col(valCol).cast("long")
-      else (floor(col(valCol) / bucket) * bucket).cast("long")
+    // the ONE bucket-floor definition shared with the batch operators —
+    // StreamHistSpec's stream == batch equalities depend on it
+    val v = graft.operators.Percentiles.bucketedValue(col(valCol), bucket)
     stream
       .withWatermark(tsCol, watermark)
       .filter(col(valCol).isNotNull)

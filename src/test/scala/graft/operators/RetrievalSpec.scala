@@ -162,5 +162,14 @@ class RetrievalSpec extends SparkSpec {
     // rerank order is (dot DESC, doc_id)
     assert(out.map(_._1).toSeq ==
       out.sortBy(x => (-x._2, x._1)).map(_._1).toSeq)
+
+    // the natural schema for doc embeddings names the id column doc_id
+    // too — must not collide with the candidate side
+    val emb2 = emb.withColumnRenamed("vec_id", "doc_id")
+    val out2 = Retrieval.bm25Rerank(docs.toDF("doc_id", "text"),
+        "doc_id", "text", emb2, "doc_id", "embedding",
+        Seq((1L, Seq("hash", "scan"), 100L)), kCand = 10, kOut = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).sortBy(_._1)
+    assert(out2.toSeq == out.map(x => (x._1, x._2)).sortBy(_._1).toSeq)
   }
 }
