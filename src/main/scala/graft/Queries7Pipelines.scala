@@ -533,7 +533,10 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
   // them under a version column. The oracle replays each state from
   // the raw table; storage sharing and vacuum are spec-pinned.
   // ---------------------------------------------------------------------
-  private[graft] def q174TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared 3-version fixture (create + upsert/delete merge +
+    * delete-only merge) that q174 time-travels over and q184 diffs —
+    * one definition so the two oracles describe the same table. */
+  private def versionedFixture(spark: SparkSession, dir: String): String = {
     import graft.sinks.VersionedTable
     val path = java.nio.file.Files
       .createTempDirectory("graft_versioned_table").toString
@@ -550,6 +553,12 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
       docs.filter(col("doc_id") % 17 === 0).select(col("doc_id")))
     VersionedTable.merge(spark, path, "doc_id", 16,
       docs.limit(0), docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")))
+    path
+  }
+
+  private[graft] def q174TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.VersionedTable
+    val path = versionedFixture(spark, dir)
     (0 to 2).map(v => VersionedTable.read(spark, path, Some(v))
       .withColumn("version", lit(v)))
       .reduce(_ unionByName _)
@@ -943,4 +952,37 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
       |SELECT phrase_id, CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(sum(occ) AS BIGINT) AS n_occ
       |FROM m GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q184 — version DIFF (sinks/VersionedTable.diff): the CDC view time
+  // travel makes answerable — which keys were added, removed, or
+  // changed between q174's version 0 and version 2, with the old/new
+  // cell values side by side. One full-outer key join of the two
+  // snapshot reads (each pruned to its version's file list), null-safe
+  // comparison, unchanged rows dropped inside the join's projection.
+  // Oracle: the same two versions stated as CTEs, full-outer-joined
+  // with IS DISTINCT FROM semantics.
+  // ---------------------------------------------------------------------
+  private[graft] def q184VersionDiff(spark: SparkSession, dir: String): DataFrame =
+    graft.sinks.VersionedTable.diff(spark, versionedFixture(spark, dir),
+      "doc_id", vFrom = 0, vTo = 2, compareCols = Seq("source", "n_chars"))
+
+  private[graft] val q184Sql =
+    """WITH v0 AS (SELECT doc_id, source, n_chars FROM documents),
+      |v2 AS (SELECT doc_id, source,
+      |         CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+      |       FROM documents WHERE doc_id % 17 <> 0 AND doc_id % 5 <> 0
+      |       UNION ALL
+      |       SELECT doc_id + 1000000, source, CAST(7 AS BIGINT)
+      |       FROM documents WHERE doc_id % 25 = 0)
+      |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      |  CASE WHEN a.doc_id IS NULL THEN 'added'
+      |       WHEN b.doc_id IS NULL THEN 'removed'
+      |       ELSE 'changed' END AS change,
+      |  a.source AS source_from, b.source AS source_to,
+      |  a.n_chars AS n_chars_from, b.n_chars AS n_chars_to
+      |FROM v0 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+      |WHERE a.doc_id IS NULL OR b.doc_id IS NULL
+      |   OR a.source IS DISTINCT FROM b.source
+      |   OR a.n_chars IS DISTINCT FROM b.n_chars""".stripMargin
 }

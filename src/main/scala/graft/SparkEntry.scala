@@ -218,6 +218,7 @@ object SparkEntry extends Queries7Pipelines {
     Q("q181_rerank", q181Rerank, Some(q181Sql)),
     Q("q182_bm25_refresh", q182Bm25Refresh, Some(q180Sql)),
     Q("q183_phrase_search", q183PhraseSearch, Some(q183Sql)),
+    Q("q184_version_diff", q184VersionDiff, Some(q184Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -151,4 +151,34 @@ object VersionedTable {
     kept.write.mode("overwrite").parquet(logDir(path))
     doomed.length
   }
+
+  /** Semantic diff between two committed versions — the CDC view time
+    * travel makes answerable: which keys were added, removed, or had a
+    * `compareCols` value change between vFrom and vTo (unchanged rows
+    * are filtered BEFORE anything leaves the join). One key-equi join
+    * of the two snapshot reads — at 100 TB both sides prune to their
+    * versions' file lists first, and null-safe comparison (`<=>`) means
+    * NULL-valued cells diff correctly. Output: (keyCol, change,
+    * <c>_from, <c>_to per compare column). */
+  def diff(spark: SparkSession, path: String, keyCol: String,
+           vFrom: Int, vTo: Int, compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "need at least one compare column")
+    val a = read(spark, path, Some(vFrom)).select(
+      col(keyCol) +: compareCols.map(c => col(c).as(s"${c}_from")): _*)
+    val b = read(spark, path, Some(vTo)).select(
+      col(keyCol).as("__kb") +: compareCols.map(c => col(c).as(s"${c}_to")): _*)
+    val joined = a.join(b, col(keyCol) === col("__kb"), "full_outer")
+    val changed = compareCols
+      .map(c => !(col(s"${c}_from") <=> col(s"${c}_to")))
+      .reduce(_ || _)
+    joined
+      .withColumn("change",
+        when(col(keyCol).isNull, lit("added"))
+          .when(col("__kb").isNull, lit("removed"))
+          .when(changed, lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(coalesce(col(keyCol), col("__kb")).as(keyCol) +:
+        col("change") +:
+        compareCols.flatMap(c => Seq(col(s"${c}_from"), col(s"${c}_to"))): _*)
+  }
 }

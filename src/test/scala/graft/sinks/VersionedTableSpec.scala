@@ -37,6 +37,29 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, dir).count() == (want1 - 5L - 900L).size)
   }
 
+  test("diff: added/removed/changed with null-safe cells; unchanged filtered") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]),
+      (4L, "d")).toDF("k", "s")
+    val dir = Files.createTempDirectory("graft-versioned-diff").toString
+    VersionedTable.create(df, dir, "k", nParts = 4)
+    // v1: change k=1, null->value k=3, delete k=4, insert k=9
+    VersionedTable.merge(spark, dir, "k", 4,
+      Seq((1L, "A"), (3L, "c"), (9L, "ins")).toDF("k", "s"),
+      Seq(4L).toDF("k"))
+    val out = VersionedTable.diff(spark, dir, "k", 0, 1, Seq("s"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3))))
+      .toMap
+    assert(out == Map(
+      1L -> (("changed", "a", "A")),
+      3L -> (("changed", null, "c")), // null -> value IS a change (<=>)
+      4L -> (("removed", "d", null)),
+      9L -> (("added", null, "ins"))))
+    // k=2 unchanged: filtered before leaving the join
+    assert(!out.contains(2L))
+  }
+
   test("untouched partitions share PHYSICAL files across versions") {
     import spark.implicits._
     val (_, dir) = mk()
