@@ -985,4 +985,48 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
       |WHERE a.doc_id IS NULL OR b.doc_id IS NULL
       |   OR a.source IS DISTINCT FROM b.source
       |   OR a.n_chars IS DISTINCT FROM b.n_chars""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q185 — deterministic JL sign projection (operators/Quantize
+  // .signProject): 64-dim float32 embeddings compressed to 4 doubles
+  // through an md5-derived ±1 matrix both engines materialize from
+  // nothing — the cheap front-end for LSH/IVF candidate stages. The
+  // registered report carries the projected components AND the norm
+  // pair (‖x‖², ‖y‖²/k) that makes the JL distance-preservation claim
+  // measurable. All sums strict left-to-right doubles; hash-exact.
+  // ---------------------------------------------------------------------
+  private[graft] def q185SignProject(spark: SparkSession, dir: String): DataFrame = {
+    val proj = graft.operators.Quantize.signProject(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", k = 4)
+    val e = col("embedding")
+    val n2 = aggregate(e, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    proj.join(Tables.embeddings(spark, dir)
+        .select(col("vec_id"), n2.as("n2_orig")), "vec_id")
+      .withColumn("n2_proj",
+        (col("y0") * col("y0") + col("y1") * col("y1")
+          + col("y2") * col("y2") + col("y3") * col("y3")) / 4.0d)
+  }
+
+  private[graft] val q185Sql = {
+    def yj(j: Int) =
+      s"""list_reduce(list_transform(range(1, len(embedding) + 1),
+         |    i -> CASE WHEN CAST(('0x' || substr(md5(
+         |             CAST(i - 1 AS VARCHAR) || ':$j:jl'), 1, 8)) AS BIGINT) % 2 = 0
+         |         THEN CAST(embedding[i] AS DOUBLE)
+         |         ELSE -CAST(embedding[i] AS DOUBLE) END),
+         |  (a, b) -> a + b)""".stripMargin
+    s"""WITH p AS (SELECT vec_id,
+      |    ${yj(0)} AS y0,
+      |    ${yj(1)} AS y1,
+      |    ${yj(2)} AS y2,
+      |    ${yj(3)} AS y3,
+      |    list_reduce(list_transform(embedding,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+      |      (a, b) -> a + b) AS n2_orig
+      |  FROM embeddings)
+      |SELECT vec_id, y0, y1, y2, y3, n2_orig,
+      |  (y0*y0 + y1*y1 + y2*y2 + y3*y3) / 4.0 AS n2_proj
+      |FROM p""".stripMargin
+  }
 }

@@ -219,6 +219,7 @@ object SparkEntry extends Queries7Pipelines {
     Q("q182_bm25_refresh", q182Bm25Refresh, Some(q180Sql)),
     Q("q183_phrase_search", q183PhraseSearch, Some(q183Sql)),
     Q("q184_version_diff", q184VersionDiff, Some(q184Sql)),
+    Q("q185_sign_project", q185SignProject, Some(q185Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

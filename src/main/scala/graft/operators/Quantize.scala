@@ -70,6 +70,34 @@ object Quantize {
         transform(col("__e"), x => qv(x, col("__s")).cast("long")).as("codes"))
   }
 
+  /** Deterministic Johnson–Lindenstrauss sign projection: y_j = Σ_i
+    * s(i,j)·x_i with s(i,j) ∈ {±1} derived from an md5 hash of (i,j) —
+    * the Achlioptas construction with the random matrix replaced by the
+    * repo's dialect-portable hash, so BOTH engines materialize the SAME
+    * matrix from nothing (no matrix to ship or store, exactly why sign
+    * projections beat learned projections at 100 TB: the "model" is a
+    * formula). A 64-dim float32 embedding becomes k doubles — the cheap
+    * front-end that lets the LSH/IVF candidate stages run on k≪dim
+    * components; JL guarantees pairwise distances are preserved within
+    * (1±ε) with high probability, and the norm report the registered
+    * query emits makes that measurable per vector (E[‖y‖²/k] = ‖x‖²).
+    * Pure narrow projection — no shuffle, no UDF; sums are strict
+    * left-to-right doubles (the VectorOps contract) so the oracle
+    * replays them bit-for-bit. */
+  def signProject(df: DataFrame, idCol: String, embCol: String,
+                  k: Int, seed: String = "jl"): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
+    val e = col(embCol)
+    def signed(j: Int): Column = aggregate(
+      zip_with(e, sequence(lit(0), size(e) - 1), (x, i) =>
+        when(pmod(conv(substring(md5(
+          concat(i.cast("string"), lit(s":$j:$seed")).cast("binary")),
+          1, 8), 16, 10).cast("long"), lit(2L)) === 0L, d(x))
+          .otherwise(-d(x))),
+      lit(0.0), (acc, x) => acc + x)
+    df.select(col(idCol) +: (0 until k).map(j => signed(j).as(s"y$j")): _*)
+  }
+
   /** Deterministic PQ codebooks: subvector `sub` of the first `ksub`
     * ids is codeword (sub, code=id). Oracle-reproducible in SQL (the
     * [[Similarity.annIvf]] first-N-centroids trick, per subspace).

@@ -55,6 +55,35 @@ class QuantizeSpec extends SparkSpec {
   private lazy val books =
     Quantize.pqCodebooks(corpus, "vec_id", "embedding", m = 4, ksub = 16)
 
+  test("signProject: JL norms preserved on average, matrix is data-independent") {
+    import spark.implicits._
+    val k = 8
+    val proj = Quantize.signProject(corpus, "vec_id", "embedding", k)
+    val n2o = corpus.select(col("vec_id"), aggregate(col("embedding"),
+      lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")).as("n2"))
+    val joined = proj.join(n2o, "vec_id").collect().map { r =>
+      val y2 = (1 to k).map(j => { val v = r.getDouble(j); v * v }).sum / k
+      (y2, r.getDouble(k + 1))
+    }
+    // E[||y||^2 / k] = ||x||^2: the corpus-wide mean ratio must sit
+    // tight around 1 even though any single vector can deviate
+    val ratio = joined.map(_._1).sum / joined.map(_._2).sum
+    assert(math.abs(ratio - 1.0) < 0.15, s"JL mean norm ratio $ratio")
+
+    // the sign matrix depends only on (i, j, seed) — never on the data
+    // or partitioning: a repartitioned input projects identically
+    val again = Quantize.signProject(
+        corpus.repartition(7, col("vec_id")), "vec_id", "embedding", k)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getDouble)).toMap
+    val first = proj.collect()
+      .map(r => r.getLong(0) -> (1 to k).map(r.getDouble)).toMap
+    assert(again == first)
+    // and a different seed is a different matrix
+    val other = Quantize.signProject(corpus, "vec_id", "embedding", k, "s2")
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getDouble)).toMap
+    assert(other != first)
+  }
+
   test("PQ codes are in range and codeword vectors encode losslessly") {
     val codes = Quantize.pqEncode(corpus, "vec_id", "embedding", books)
       .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
