@@ -1029,4 +1029,58 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
       |  (y0*y0 + y1*y1 + y2*y2 + y3*y3) / 4.0 AS n2_proj
       |FROM p""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // q186 — hybrid retrieval by reciprocal rank fusion (operators/
+  // Retrieval.rrfHybrid): the BM25 rank and the int8-dot rank of the
+  // same candidates fuse as Σ ⌊10⁶/(60+rank)⌋ — RRF's 1/(k+r) is a
+  // rational, so one floor per leg keeps the hybrid ranking
+  // integer-exact (float RRF would hash-diverge). Both legs rank
+  // within the BM25 candidate set: lexical recall, vector reorder —
+  // the production two-tower serving shape.
+  // ---------------------------------------------------------------------
+  private[graft] def q186RrfHybrid(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.rrfHybrid(Tables.documents(spark, dir),
+      "doc_id", "text",
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      bm25Queries.map { case (qid, ts) => (qid, ts, 100L + qid * 101L) },
+      kCand = 50, kOut = 5)
+
+  private[graft] val q186Sql =
+    s"""WITH $bm25Cte,
+      |cand AS (SELECT query_id, doc_id, rank AS bm25_rank FROM rk
+      |         WHERE rank <= 50),
+      |sv AS (SELECT vec_id, embedding,
+      |         list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+      |           (a, b) -> CASE WHEN b > a THEN b ELSE a END) / 127.0 AS scale
+      |       FROM embeddings),
+      |codes AS (SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(
+      |           CASE WHEN scale = 0 THEN 0.0
+      |                ELSE LEAST(127.0, GREATEST(-127.0,
+      |                  FLOOR(CAST(x AS DOUBLE) / scale + 0.5))) END
+      |           AS BIGINT)) AS codes
+      |        FROM sv),
+      |qm AS (SELECT CAST(query_id AS BIGINT) AS query_id, CAST(qvec_id AS BIGINT) AS qvec_id
+      |       FROM (VALUES (1, 201), (2, 302), (3, 403)) AS t(query_id, qvec_id)),
+      |qc AS (SELECT qm.query_id, codes.codes AS qcodes
+      |       FROM qm JOIN codes ON codes.vec_id = qm.qvec_id),
+      |dot AS (SELECT c.query_id, c.doc_id, c.bm25_rank,
+      |          CAST(list_sum(list_transform(range(1, len(dc.codes) + 1),
+      |            i -> dc.codes[i] * qc.qcodes[i])) AS BIGINT) AS dot
+      |        FROM cand c JOIN codes dc ON dc.vec_id = c.doc_id
+      |             JOIN qc ON qc.query_id = c.query_id),
+      |dr AS (SELECT query_id, doc_id, bm25_rank,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |           ORDER BY dot DESC, doc_id) AS BIGINT) AS dot_rank
+      |       FROM dot),
+      |f AS (SELECT query_id, doc_id, bm25_rank, dot_rank,
+      |        CAST(1000000 // (60 + bm25_rank)
+      |           + 1000000 // (60 + dot_rank) AS BIGINT) AS fused
+      |      FROM dr)
+      |SELECT query_id, doc_id, bm25_rank, dot_rank, fused,
+      |  CAST(rn AS BIGINT) AS rank
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY fused DESC, doc_id) AS rn FROM f)
+      |WHERE rn <= 5""".stripMargin
 }

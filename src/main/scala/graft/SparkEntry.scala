@@ -220,6 +220,7 @@ object SparkEntry extends Queries7Pipelines {
     Q("q183_phrase_search", q183PhraseSearch, Some(q183Sql)),
     Q("q184_version_diff", q184VersionDiff, Some(q184Sql)),
     Q("q185_sign_project", q185SignProject, Some(q185Sql)),
+    Q("q186_rrf_hybrid", q186RrfHybrid, Some(q186Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -208,12 +208,32 @@ object Retrieval {
                  emb: DataFrame, embIdCol: String, embCol: String,
                  queries: Seq[(Long, Seq[String], Long)],
                  kCand: Int, kOut: Int): DataFrame = {
+    val dot = candidatesWithDot(docs, idCol, textCol, emb, embIdCol,
+      embCol, queries, kCand)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("dot"), asc("doc_id"))
+    dot.withColumn("rerank", row_number().over(w).cast("long"))
+      .filter(col("rerank") <= kOut)
+      .select(col("query_id"), col("doc_id"), col("bm25_score"),
+        col("dot"), col("rerank"))
+  }
+
+  /** The shared candidate stage of [[bm25Rerank]] and [[rrfHybrid]]:
+    * BM25 top-kCand with its lexical rank, joined to the int8-code
+    * integer dot product against each query's vector. Output carries
+    * (query_id, doc_id, bm25_score, bm25_rank, dot). */
+  private def candidatesWithDot(docs: DataFrame, idCol: String,
+                                textCol: String, emb: DataFrame,
+                                embIdCol: String, embCol: String,
+                                queries: Seq[(Long, Seq[String], Long)],
+                                kCand: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
 
     val cand = bm25TopK(docs, idCol, textCol,
       queries.map { case (qid, ts, _) => (qid, ts) }, kCand)
       .withColumnRenamed("score", "bm25_score")
+      .withColumnRenamed("rank", "bm25_rank")
 
     // the embedding id lands under a private name so an embIdCol that
     // happens to be called "doc_id" (the natural schema for document
@@ -225,18 +245,46 @@ object Retrieval {
     val qcodes = codes.join(broadcast(qmap), col("__eid") === col("qvec_id"))
       .select(col("query_id"), col("codes").as("qc"))
 
-    val dot = cand
+    cand
       .join(codes, cand("doc_id") === codes("__eid"))
       .join(broadcast(qcodes), "query_id")
       .withColumn("dot", aggregate(
         zip_with(col("codes"), col("qc"), (a, b) => a * b),
         lit(0L), (acc, x) => acc + x))
-
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(desc("dot"), asc("doc_id"))
-    dot.withColumn("rerank", row_number().over(w).cast("long"))
-      .filter(col("rerank") <= kOut)
       .select(col("query_id"), col("doc_id"), col("bm25_score"),
-        col("dot"), col("rerank"))
+        col("bm25_rank"), col("dot"))
+  }
+
+  /** Hybrid retrieval by reciprocal rank fusion: the candidates' BM25
+    * rank and their int8-dot rank fuse as
+    * Σ ⌊scale / (rrfK + rank)⌋ — RRF's 1/(k+r) is a RATIONAL, so with
+    * one floor per leg the fused score is integer-exact and the oracle
+    * replays the hybrid ranking bit-for-bit (the same trick that made
+    * BM25 portable; a float RRF would hash-diverge). Rank semantics:
+    * both legs are ranked WITHIN the BM25 candidate set — the
+    * production shape, where the lexical stage owns recall and the
+    * vector leg only reorders (a corpus-wide vector rank would need the
+    * full ANN index instead; that path is q49/q151). Ties break by
+    * doc_id everywhere. */
+  def rrfHybrid(docs: DataFrame, idCol: String, textCol: String,
+                emb: DataFrame, embIdCol: String, embCol: String,
+                queries: Seq[(Long, Seq[String], Long)],
+                kCand: Int, kOut: Int, rrfK: Int = 60,
+                scale: Long = 1000000L): DataFrame = {
+    val dot = candidatesWithDot(docs, idCol, textCol, emb, embIdCol,
+      embCol, queries, kCand)
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(desc("dot"), asc("doc_id"))
+    val fused = dot
+      .withColumn("dot_rank", row_number().over(we).cast("long"))
+      .withColumn("fused", expr(
+        s"$scale" + s"L DIV (${rrfK}L + bm25_rank) + " +
+          s"$scale" + s"L DIV (${rrfK}L + dot_rank)"))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(desc("fused"), asc("doc_id"))
+    fused.withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= kOut)
+      .select(col("query_id"), col("doc_id"), col("bm25_rank"),
+        col("dot_rank"), col("fused"), col("rank"))
   }
 }

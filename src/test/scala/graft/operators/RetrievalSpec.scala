@@ -111,6 +111,27 @@ class RetrievalSpec extends SparkSpec {
       s"postings scan lost the pushed term filter:\n$planStr")
   }
 
+  test("rrfHybrid: fused score is the exact floor sum of both rank legs") {
+    import spark.implicits._
+    val emb = Seq(
+      1L -> Array(127.0f, 0.0f), 2L -> Array(0.0f, 127.0f),
+      3L -> Array(64.0f, 64.0f), 5L -> Array(-127.0f, 0.0f),
+      6L -> Array(127.0f, 127.0f), 100L -> Array(127.0f, 0.0f))
+      .toDF("vec_id", "embedding")
+    val out = Retrieval.rrfHybrid(docs.toDF("doc_id", "text"),
+        "doc_id", "text", emb, "vec_id", "embedding",
+        Seq((1L, Seq("hash", "join"), 100L)), kCand = 10, kOut = 10)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    out.foreach { case (_, rb, re, fused) =>
+      assert(fused == 1000000L / (60L + rb) + 1000000L / (60L + re),
+        s"fused mismatch at ranks ($rb, $re)")
+    }
+    // both legs rank within the candidate set and ranks are complete
+    assert(out.map(_._2).sorted.toSeq == (1L to out.length).toSeq)
+    assert(out.map(_._3).sorted.toSeq == (1L to out.length).toSeq)
+  }
+
   test("phraseStats: adjacency not co-occurrence, overlaps, repeated terms") {
     import spark.implicits._
     val pdocs = Seq(
