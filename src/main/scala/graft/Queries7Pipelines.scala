@@ -1083,4 +1083,51 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       |        ORDER BY fused DESC, doc_id) AS rn FROM f)
       |WHERE rn <= 5""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q187 — PDF → text extraction (operators/PdfExtract): the
+  // deterministic encoder builds a complete single-page PDF per
+  // document (5 objects, real xref offsets, `(line) Tj` content stream,
+  // ACTUALLY FlateDecode-compressed for even doc_ids via zlib); the
+  // extractor walks objects, inflates where the dict says so, and must
+  // recover the original text exactly — md5 roundtrip + censuses from
+  // strlen arithmetic (stream BYTE length deliberately not an oracle
+  // column: zlib output size is engine-local, the q112 lesson).
+  // ---------------------------------------------------------------------
+  private[graft] def q187PdfExtract(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.PdfExtract.extractColumns(
+      graft.operators.PdfExtract.attachPdfs(Tables.documents(spark, dir)))
+      .select(col("doc_id"), col("n_objs"), col("n_lines"), col("compressed"),
+        length(col("body")).as("body_len"), md5(col("body")).as("body_md5"))
+
+  private[graft] val q187Sql =
+    """SELECT doc_id,
+      |  CAST(5 AS INT) AS n_objs,
+      |  CAST((strlen(text) + 59) // 60 AS INT) AS n_lines,
+      |  (doc_id % 2 = 0) AS compressed,
+      |  CAST(strlen(text) AS INT) AS body_len,
+      |  md5(text) AS body_md5
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q188 — PDF decode-audit ledger: every 53rd PDF truncated at half
+  // (loses %%EOF and the stream tail — for even doc_ids the cut lands
+  // inside the zlib body, so the inflate path's corruption handling is
+  // exercised too); the walker flags it and BY CONTRACT certifies no
+  // body. Count-don't-crash, the q162/q118/q154 ledger discipline.
+  // ---------------------------------------------------------------------
+  private[graft] def q188PdfAudit(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.PdfExtract.audit(
+      graft.operators.PdfExtract.extractColumns(
+        graft.operators.PdfExtract.attachPdfs(Tables.documents(spark, dir),
+          truncateEvery = 53)))
+
+  private[graft] val q188Sql =
+    """SELECT 'pdf_ok' AS status, count(*) AS n_docs,
+      |  CAST(sum(strlen(text)) AS BIGINT) AS body_chars
+      |FROM documents WHERE doc_id % 53 <> 0
+      |UNION ALL
+      |SELECT 'pdf_truncated' AS status, count(*) AS n_docs,
+      |  CAST(0 AS BIGINT) AS body_chars
+      |FROM documents WHERE doc_id % 53 = 0""".stripMargin
 }

@@ -221,6 +221,8 @@ object SparkEntry extends Queries7Pipelines {
     Q("q184_version_diff", q184VersionDiff, Some(q184Sql)),
     Q("q185_sign_project", q185SignProject, Some(q185Sql)),
     Q("q186_rrf_hybrid", q186RrfHybrid, Some(q186Sql)),
+    Q("q187_pdf_extract", q187PdfExtract, Some(q187Sql)),
+    Q("q188_pdf_audit", q188PdfAudit, Some(q188Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
