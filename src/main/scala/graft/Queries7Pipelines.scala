@@ -1130,4 +1130,75 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
       |SELECT 'pdf_truncated' AS status, count(*) AS n_docs,
       |  CAST(0 AS BIGINT) AS body_chars
       |FROM documents WHERE doc_id % 53 = 0""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q189 — retrieval quality card (operators/Retrieval.rankingEval):
+  // the q181 retrieve-then-rerank SYSTEM judged against the exact
+  // int8-dot top-10 GOLD over the whole embedding table — recall hits
+  // and MRR with 1/r floored to integer micro-units, so an evaluation
+  // metric (usually float territory) replays bit-for-bit in the
+  // oracle. This is the measurement loop a retrieval stack ships with:
+  // the candidate stage's recall ceiling made visible per query.
+  // ---------------------------------------------------------------------
+  private[graft] def q189RetrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Retrieval
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val sys = Retrieval.bm25Rerank(docs, "doc_id", "text",
+        emb, "vec_id", "embedding",
+        bm25Queries.map { case (qid, ts) => (qid, ts, 100L + qid * 101L) },
+        kCand = 50, kOut = 10)
+      .select(col("query_id"), col("doc_id"), col("rerank").as("rank"))
+    val gold = Retrieval.dotTopK(emb, "vec_id", "embedding",
+      bm25Queries.map { case (qid, _) => (qid, 100L + qid * 101L) },
+      k = 10, universe = docs, universeIdCol = "doc_id")
+    Retrieval.rankingEval(sys, gold)
+  }
+
+  private[graft] val q189Sql =
+    s"""WITH $bm25Cte,
+      |cand AS (SELECT query_id, doc_id FROM rk WHERE rank <= 50),
+      |sv AS (SELECT vec_id, embedding,
+      |         list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+      |           (a, b) -> CASE WHEN b > a THEN b ELSE a END) / 127.0 AS scale
+      |       FROM embeddings),
+      |codes AS (SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(
+      |           CASE WHEN scale = 0 THEN 0.0
+      |                ELSE LEAST(127.0, GREATEST(-127.0,
+      |                  FLOOR(CAST(x AS DOUBLE) / scale + 0.5))) END
+      |           AS BIGINT)) AS codes
+      |        FROM sv),
+      |qm AS (SELECT CAST(query_id AS BIGINT) AS query_id, CAST(qvec_id AS BIGINT) AS qvec_id
+      |       FROM (VALUES (1, 201), (2, 302), (3, 403)) AS t(query_id, qvec_id)),
+      |qc AS (SELECT qm.query_id, codes.codes AS qcodes
+      |       FROM qm JOIN codes ON codes.vec_id = qm.qvec_id),
+      |sdot AS (SELECT c.query_id, c.doc_id,
+      |           CAST(list_sum(list_transform(range(1, len(dc.codes) + 1),
+      |             i -> dc.codes[i] * qc.qcodes[i])) AS BIGINT) AS dot
+      |         FROM cand c JOIN codes dc ON dc.vec_id = c.doc_id
+      |              JOIN qc ON qc.query_id = c.query_id),
+      |sys AS (SELECT query_id, doc_id,
+      |          CAST(rr AS BIGINT) AS rank
+      |        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |                ORDER BY dot DESC, doc_id) AS rr FROM sdot)
+      |        WHERE rr <= 10),
+      |gall AS (SELECT qc.query_id, dc.vec_id AS doc_id,
+      |           CAST(list_sum(list_transform(range(1, len(dc.codes) + 1),
+      |             i -> dc.codes[i] * qc.qcodes[i])) AS BIGINT) AS dot
+      |         FROM codes dc CROSS JOIN qc
+      |         WHERE dc.vec_id IN (SELECT doc_id FROM documents)),
+      |gold AS (SELECT query_id, doc_id
+      |         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |                 ORDER BY dot DESC, doc_id) AS rg FROM gall)
+      |         WHERE rg <= 10),
+      |j AS (SELECT s.query_id, s.rank,
+      |        CASE WHEN g.doc_id IS NULL THEN 0 ELSE 1 END AS rel
+      |      FROM sys s LEFT JOIN gold g
+      |        ON s.query_id = g.query_id AND s.doc_id = g.doc_id)
+      |SELECT query_id, CAST(count(*) AS BIGINT) AS n_sys,
+      |  CAST(sum(rel) AS BIGINT) AS hits,
+      |  CAST(COALESCE(1000000 // MIN(CASE WHEN rel = 1 THEN rank END), 0)
+      |    AS BIGINT) AS mrr_micro
+      |FROM j GROUP BY 1""".stripMargin
 }

@@ -223,6 +223,7 @@ object SparkEntry extends Queries7Pipelines {
     Q("q186_rrf_hybrid", q186RrfHybrid, Some(q186Sql)),
     Q("q187_pdf_extract", q187PdfExtract, Some(q187Sql)),
     Q("q188_pdf_audit", q188PdfAudit, Some(q188Sql)),
+    Q("q189_retrieval_eval", q189RetrievalEval, Some(q189Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -255,6 +255,54 @@ object Retrieval {
         col("bm25_rank"), col("dot"))
   }
 
+  /** Exact int8-dot top-k over the WHOLE embedding table (restricted to
+    * ids present in `universe`) — the gold standard a candidate-stage
+    * system is judged against. |queries| narrow dot computations per
+    * row, one top-k window; no pairs, no cartesian. */
+  def dotTopK(emb: DataFrame, embIdCol: String, embCol: String,
+              queries: Seq[(Long, Long)], k: Int,
+              universe: DataFrame, universeIdCol: String): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val codes = Quantize.int8Codes(emb, embIdCol, embCol)
+      .withColumnRenamed(embIdCol, "__eid")
+      .join(universe.select(col(universeIdCol).as("__eid")).distinct(),
+        Seq("__eid"), "left_semi")
+    val qmap = queries.toDF("query_id", "qvec_id")
+    val qcodes = Quantize.int8Codes(emb, embIdCol, embCol)
+      .withColumnRenamed(embIdCol, "__eid")
+      .join(broadcast(qmap), col("__eid") === col("qvec_id"))
+      .select(col("query_id"), col("codes").as("qc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("dot"), asc("doc_id"))
+    codes.crossJoin(broadcast(qcodes))
+      .withColumn("dot", aggregate(
+        zip_with(col("codes"), col("qc"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .select(col("query_id"), col("__eid").as("doc_id"), col("dot"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Ranking-quality card: recall hits and MRR of a `system` ranking
+    * (query_id, doc_id, rank) against a `gold` relevant set (query_id,
+    * doc_id). MRR's 1/r is floored to integer micro-units
+    * (⌊10⁶/first_relevant_rank⌋, 0 when nothing relevant surfaced) so
+    * the metric replays bit-for-bit cross-engine — the same
+    * rational-exactness trick as RRF. One left join + one groupBy. */
+  def rankingEval(system: DataFrame, gold: DataFrame): DataFrame = {
+    val j = system.join(
+      gold.select(col("query_id"), col("doc_id"), lit(1).as("__rel")),
+      Seq("query_id", "doc_id"), "left")
+    j.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_sys"),
+        sum(coalesce(col("__rel"), lit(0))).cast("long").as("hits"),
+        min(when(col("__rel") === 1, col("rank"))).as("__fr"))
+      .withColumn("mrr_micro",
+        coalesce(expr("1000000L DIV __fr"), lit(0L)))
+      .drop("__fr")
+  }
+
   /** Hybrid retrieval by reciprocal rank fusion: the candidates' BM25
     * rank and their int8-dot rank fuse as
     * Σ ⌊scale / (rrfK + rank)⌋ — RRF's 1/(k+r) is a RATIONAL, so with
