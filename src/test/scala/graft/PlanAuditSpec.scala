@@ -331,6 +331,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q187's PDF encode+decode is one narrow pass — no exchange, no join") {
+    // the byte-codec discipline: PDFs are built and parsed inside one
+    // partition-local map over the scan; an Exchange or Join here means
+    // document bytes started shuffling
+    val plan = SparkEntry.queries("q187_pdf_extract")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    Seq("Exchange", "Join", "CartesianProduct").foreach(bad =>
+      assert(!plan.contains(bad), s"q187 plans a $bad"))
+    assert(plan.contains("Scan parquet"), "q187 lost its parquet scan")
+  }
+
   test("media decode paths are narrow — no exchange below the extraction") {
     // q102 headers, q108 PCM samples, q109 PNG pixels: all pure
     // partition-local decode; sample/pixel bytes must never shuffle
