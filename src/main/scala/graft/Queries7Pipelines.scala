@@ -996,13 +996,13 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
   // measurable. All sums strict left-to-right doubles; hash-exact.
   // ---------------------------------------------------------------------
   private[graft] def q185SignProject(spark: SparkSession, dir: String): DataFrame = {
-    val proj = graft.operators.Quantize.signProject(
-      Tables.embeddings(spark, dir), "vec_id", "embedding", k = 4)
-    val e = col("embedding")
-    val n2 = aggregate(e, lit(0.0),
+    val n2 = aggregate(col("embedding"), lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double"))
-    proj.join(Tables.embeddings(spark, dir)
-        .select(col("vec_id"), n2.as("n2_orig")), "vec_id")
+    // one narrow projection: y0..y3 AND the norm report ride a single
+    // scan (carry) — no second scan, no join
+    graft.operators.Quantize.signProject(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", k = 4,
+        carry = Seq(n2.as("n2_orig")))
       .withColumn("n2_proj",
         (col("y0") * col("y0") + col("y1") * col("y1")
           + col("y2") * col("y2") + col("y3") * col("y3")) / 4.0d)

@@ -59,7 +59,11 @@ object PdfExtract {
       val buf = new Array[Byte](4096)
       while (!i.finished()) {
         val n = i.inflate(buf)
-        if (n == 0 && i.needsInput()) throw new java.util.zip.DataFormatException("truncated")
+        // n == 0 while unfinished covers truncated input AND the
+        // no-progress states (needsDictionary, bogus FDICT headers) —
+        // without this the "never throws" parser could instead never
+        // RETURN on a hostile byte pattern
+        if (n == 0 && !i.finished()) throw new java.util.zip.DataFormatException("stalled")
         out.write(buf, 0, n)
       }
       i.end()
@@ -78,7 +82,13 @@ object PdfExtract {
       (0 until nLines).foreach { i =>
         val line = text.substring(i * LineWidth,
           math.min((i + 1) * LineWidth, text.length))
-        b.append('(').append(escapePdf(line)).append(") Tj 0 -14 Td\n")
+        // the string payload is the line's UTF-8 BYTES (viewed as
+        // latin-1 chars): lossless for all of Unicode, so the md5
+        // roundtrip contract holds for any input text — a plain
+        // latin-1 encode would silently '?'-substitute and ship a
+        // "successful" wrong body
+        val bytes = new String(line.getBytes("UTF-8"), "ISO-8859-1")
+        b.append('(').append(escapePdf(bytes)).append(") Tj 0 -14 Td\n")
       }
       b.append("ET")
       b.toString.getBytes("ISO-8859-1")
@@ -145,47 +155,81 @@ object PdfExtract {
         if (content.startsWith(" Tj", i)) { body.append(s); nTj += 1 }
       } else i += 1
     }
-    (body.toString, nTj)
+    // body chars are UTF-8 BYTES viewed as latin-1 (the encoder's
+    // string payload contract) — decode once over the concatenation
+    (new String(body.toString.getBytes("ISO-8859-1"), "UTF-8"), nTj)
   }
 
-  /** Single-pass object walk. Never throws. */
+  private def parseLength(dict: String): Option[Int] = {
+    val at = dict.indexOf("/Length ")
+    if (at < 0) None
+    else {
+      var j = at + "/Length ".length
+      var v = 0L
+      var any = false
+      while (j < dict.length && dict.charAt(j).isDigit && v <= Int.MaxValue) {
+        v = v * 10 + (dict.charAt(j) - '0'); j += 1; any = true
+      }
+      if (any && v <= Int.MaxValue) Some(v.toInt) else None
+    }
+  }
+
+  /** Single-pass object walk, STREAM-EXTENT AWARE: each stream's data
+    * is skipped by its dict's /Length (verified to land exactly on
+    * `\nendstream`), so marker substrings INSIDE document text or zlib
+    * bytes — "%%EOF", " 0 obj", ">> stream" — can never be mistaken
+    * for structure: the object census counts only outside stream
+    * extents, and the trailer %%EOF must sit after the last stream.
+    * Never throws. */
   def extract(pdf: Array[Byte]): Parsed = {
     val s = latin1(pdf)
-    val header = s.startsWith("%PDF-")
-    val eof = s.lastIndexOf("%%EOF") >= 0
-    var nObjs = 0
-    var idx = s.indexOf(" 0 obj")
-    while (idx >= 0) { nObjs += 1; idx = s.indexOf(" 0 obj", idx + 1) }
-
+    var corrupt = !s.startsWith("%PDF-")
     var nStreams = 0
     var compressed = false
     var body: String = null
     var nLines = 0
-    var corrupt = !header || !eof
-    var at = s.indexOf(">> stream\n")
-    while (at >= 0) {
+    val streamRanges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var pos = 0
+    var lastStreamEnd = 0
+    var at = s.indexOf(">> stream\n", pos)
+    while (at >= 0 && !corrupt) {
       nStreams += 1
       val dictStart = s.lastIndexOf("<<", at)
-      val dict = if (dictStart >= 0) s.substring(dictStart, at + 2) else ""
+      val dict =
+        if (dictStart >= lastStreamEnd) s.substring(dictStart, at + 2) else ""
       val isFlate = dict.contains("/FlateDecode")
       val dataStart = at + ">> stream\n".length
-      val end = s.indexOf("\nendstream", dataStart)
-      if (end < 0) corrupt = true
-      else {
-        val raw = java.util.Arrays.copyOfRange(pdf, dataStart, end)
-        val contentBytes = if (isFlate) inflate(raw) else Some(raw)
-        contentBytes match {
-          case None => corrupt = true
-          case Some(cb) =>
-            compressed ||= isFlate
-            val (t, k) = textFromContent(latin1(cb))
-            if (t == null) corrupt = true
-            else { body = (if (body == null) "" else body) + t; nLines += k }
-        }
+      parseLength(dict) match {
+        case Some(len) if dataStart + len + "\nendstream".length <= s.length &&
+          s.startsWith("\nendstream", dataStart + len) =>
+          val raw = java.util.Arrays.copyOfRange(pdf, dataStart, dataStart + len)
+          (if (isFlate) inflate(raw) else Some(raw)) match {
+            case None => corrupt = true
+            case Some(cb) =>
+              compressed ||= isFlate
+              val (t, k) = textFromContent(latin1(cb))
+              if (t == null) corrupt = true
+              else { body = (if (body == null) "" else body) + t; nLines += k }
+          }
+          streamRanges += ((dataStart, dataStart + len))
+          pos = dataStart + len + "\nendstream".length
+          lastStreamEnd = pos
+          at = s.indexOf(">> stream\n", pos)
+        case _ => corrupt = true
       }
-      at = s.indexOf(">> stream\n", at + 1)
     }
     if (nStreams == 0) corrupt = true
+    // the trailer's %%EOF must come AFTER the last stream's data — a
+    // "%%EOF" inside a truncated document's surviving text never
+    // certifies the file
+    if (s.lastIndexOf("%%EOF") < lastStreamEnd || s.lastIndexOf("%%EOF") < 0)
+      corrupt = true
+    var nObjs = 0
+    var idx = s.indexOf(" 0 obj")
+    while (idx >= 0) {
+      if (!streamRanges.exists { case (a, b) => idx >= a && idx < b }) nObjs += 1
+      idx = s.indexOf(" 0 obj", idx + 1)
+    }
     val ok = !corrupt
     Parsed(ok, if (ok && body != null) body else "", nObjs, nStreams,
       compressed, nLines)

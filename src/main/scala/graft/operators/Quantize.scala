@@ -85,7 +85,8 @@ object Quantize {
     * left-to-right doubles (the VectorOps contract) so the oracle
     * replays them bit-for-bit. */
   def signProject(df: DataFrame, idCol: String, embCol: String,
-                  k: Int, seed: String = "jl"): DataFrame = {
+                  k: Int, seed: String = "jl",
+                  carry: Seq[Column] = Nil): DataFrame = {
     require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
     val e = col(embCol)
     def signed(j: Int): Column = aggregate(
@@ -95,7 +96,10 @@ object Quantize {
           1, 8), 16, 10).cast("long"), lit(2L)) === 0L, d(x))
           .otherwise(-d(x))),
       lit(0.0), (acc, x) => acc + x)
-    df.select(col(idCol) +: (0 until k).map(j => signed(j).as(s"y$j")): _*)
+    // `carry` rides the same single projection (e.g. the norm report) —
+    // a separate select would force a second scan plus a join
+    df.select(col(idCol) +: (0 until k).map(j => signed(j).as(s"y$j"))
+      ++: carry: _*)
   }
 
   /** Deterministic PQ codebooks: subvector `sub` of the first `ksub`

@@ -264,13 +264,13 @@ object Retrieval {
               universe: DataFrame, universeIdCol: String): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val codes = Quantize.int8Codes(emb, embIdCol, embCol)
+    val allCodes = Quantize.int8Codes(emb, embIdCol, embCol)
       .withColumnRenamed(embIdCol, "__eid")
+    val codes = allCodes
       .join(universe.select(col(universeIdCol).as("__eid")).distinct(),
         Seq("__eid"), "left_semi")
     val qmap = queries.toDF("query_id", "qvec_id")
-    val qcodes = Quantize.int8Codes(emb, embIdCol, embCol)
-      .withColumnRenamed(embIdCol, "__eid")
+    val qcodes = allCodes
       .join(broadcast(qmap), col("__eid") === col("qvec_id"))
       .select(col("query_id"), col("codes").as("qc"))
     val w = Window.partitionBy(col("query_id"))

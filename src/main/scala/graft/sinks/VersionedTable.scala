@@ -163,18 +163,23 @@ object VersionedTable {
   def diff(spark: SparkSession, path: String, keyCol: String,
            vFrom: Int, vTo: Int, compareCols: Seq[String]): DataFrame = {
     require(compareCols.nonEmpty, "need at least one compare column")
+    // presence markers, not key NULL-ness, decide the side: a row whose
+    // KEY is null never joins, and classifying it by key nullability
+    // would label a vFrom-only null-key row "added"
     val a = read(spark, path, Some(vFrom)).select(
-      col(keyCol) +: compareCols.map(c => col(c).as(s"${c}_from")): _*)
+      col(keyCol) +: lit(1).as("__pa") +:
+        compareCols.map(c => col(c).as(s"${c}_from")): _*)
     val b = read(spark, path, Some(vTo)).select(
-      col(keyCol).as("__kb") +: compareCols.map(c => col(c).as(s"${c}_to")): _*)
+      col(keyCol).as("__kb") +: lit(1).as("__pb") +:
+        compareCols.map(c => col(c).as(s"${c}_to")): _*)
     val joined = a.join(b, col(keyCol) === col("__kb"), "full_outer")
     val changed = compareCols
       .map(c => !(col(s"${c}_from") <=> col(s"${c}_to")))
       .reduce(_ || _)
     joined
       .withColumn("change",
-        when(col(keyCol).isNull, lit("added"))
-          .when(col("__kb").isNull, lit("removed"))
+        when(col("__pa").isNull, lit("added"))
+          .when(col("__pb").isNull, lit("removed"))
           .when(changed, lit("changed")))
       .filter(col("change").isNotNull)
       .select(coalesce(col(keyCol), col("__kb")).as(keyCol) +:

@@ -22,11 +22,18 @@ import graft.operators.Retrieval
 object StreamIndex {
 
   /** Maintain `path` from a stream of documents. Each micro-batch
-    * writes one delta index at `path/delta=<batchId>`. */
+    * writes one delta index at `path/delta=<batchId>`. The checkpoint
+    * is REQUIRED: batch ids must survive restarts, or a restarted
+    * stream would begin again at batch 0 and mode("overwrite") would
+    * silently replace an earlier run's delta with different documents.
+    * With the checkpoint, a replayed batch id re-delivers the SAME
+    * rows, so overwriting its own delta directory is the idempotent
+    * recovery Structured Streaming's foreachBatch contract asks for. */
   def maintain(docs: DataFrame, idCol: String, textCol: String,
-               path: String): StreamingQuery = {
+               path: String, checkpoint: String): StreamingQuery = {
     docs.writeStream
       .outputMode("append")
+      .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           Retrieval.writeIndex(Retrieval.indexParts(batch, idCol, textCol),

@@ -24,8 +24,10 @@ class StreamIndexSpec extends SparkSpec {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_stream_index").toString
 
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_index_ckpt").toString
     val mem = MemoryStream[RawDoc]
-    val query = StreamIndex.maintain(mem.toDF(), "doc_id", "text", dir)
+    val query = StreamIndex.maintain(mem.toDF(), "doc_id", "text", dir, ckpt)
     try {
       mem.addData(batch1: _*)
       query.processAllAvailable()
