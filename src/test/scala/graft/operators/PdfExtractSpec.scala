@@ -51,6 +51,38 @@ class PdfExtractSpec extends AnyFunSuite {
     }
   }
 
+  test("PDF structure markers INSIDE document text cannot confuse the parser") {
+    // text that embeds every marker the extractor keys on — the
+    // /Length-based stream walk must see them as payload, not structure
+    val hostile = Seq(
+      "before %%EOF after",
+      "a 0 obj b",
+      "x >> stream\n y",
+      "p \nendstream q",
+      "%%EOF\nendstream 4 0 obj >> stream\n",
+      "trailer << /Size 6 >> startxref")
+    for (t <- hostile; id <- Seq(2L, 3L)) {
+      val p = PdfExtract.extract(PdfExtract.encodePdf(id, t))
+      assert(p.ok && p.body == t && p.nObjs == 5 && p.nStreams == 1,
+        s"marker text broke parse: id=$id '$t'")
+    }
+    // and the q188 contract under truncation: text containing %%EOF in
+    // the surviving half must NOT certify a truncated file
+    val pdf = PdfExtract.encodePdf(3L, ("%%EOF " * 20) + ("pad " * 50))
+    val cut = PdfExtract.extract(
+      java.util.Arrays.copyOfRange(pdf, 0, pdf.length * 3 / 4))
+    assert(!cut.ok && cut.body == "")
+  }
+
+  test("roundtrip exact for full Unicode (UTF-8 string payloads)") {
+    val texts = Seq("café naïve", "中文 文本",
+      "emoji 😀🎉 end", "mixed (é\\x) t")
+    for (t <- texts; id <- Seq(2L, 3L)) {
+      val p = PdfExtract.extract(PdfExtract.encodePdf(id, t))
+      assert(p.ok && p.body == t, s"unicode roundtrip failed: id=$id '$t'")
+    }
+  }
+
   test("garbage input is rejected, not thrown on") {
     assert(!PdfExtract.extract(Array.emptyByteArray).ok)
     assert(!PdfExtract.extract("not a pdf at all".getBytes("ISO-8859-1")).ok)

@@ -23,7 +23,9 @@ class RetrievalSpec extends SparkSpec {
     3L -> Seq("absent")) // no doc contains it -> no rows for query 3
 
   /** The reference: same rationals, same floors, Long arithmetic. */
-  private def refBm25(k: Int, scale: Long): Seq[(Long, Long, Long, Long)] = {
+  private def refBm25For(docs: Seq[(Long, String)],
+                         queries: Seq[(Long, Seq[String])],
+                         k: Int, scale: Long): Seq[(Long, Long, Long, Long)] = {
     val toks = docs.map { case (id, t) =>
       id -> t.split(' ').filter(_.nonEmpty).toSeq
     }.filter(_._2.nonEmpty)
@@ -52,6 +54,9 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  private def refBm25(k: Int, scale: Long): Seq[(Long, Long, Long, Long)] =
+    refBm25For(docs, queries, k, scale)
+
   test("bm25TopK == in-memory reference (scores, ranks, absent terms)") {
     import spark.implicits._
     val got = Retrieval.bm25TopK(docs.toDF("doc_id", "text"),
@@ -63,6 +68,28 @@ class RetrievalSpec extends SparkSpec {
     // query 3's term appears nowhere: it contributes zero rows, not
     // zero-scored rows
     assert(!got.exists(_._1 == 3L))
+  }
+
+  test("bm25TopK == reference on RANDOM corpora (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "dd", "ee", "fff", "gg", "h")
+    (1 to 5).foreach { trial =>
+      val rdocs = (1L to 40L).map { id =>
+        val n = rnd.nextInt(25) // 0..24 tokens; 0 => tokenless doc
+        id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val rqueries = (1L to 3L).map { qid =>
+        qid -> rnd.shuffle(vocab).take(1 + rnd.nextInt(3)).toSeq
+      }
+      val got = Retrieval.bm25TopK(rdocs.toDF("doc_id", "text"),
+          "doc_id", "text", rqueries, k = 7)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(x => (x._1, x._4))
+      assert(got.toSeq == refBm25For(rdocs, rqueries, k = 7, scale = 100000L),
+        s"trial $trial diverged")
+    }
   }
 
   test("rare-term idf outranks common-term tf at equal length") {
