@@ -1201,4 +1201,29 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
       |  CAST(COALESCE(1000000 // MIN(CASE WHEN rel = 1 THEN rank END), 0)
       |    AS BIGINT) AS mrr_micro
       |FROM j GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q190 — dense time-series gap-fill (operators/TimeSeries.gapFill):
+  // zero-filled per-type hourly counts across the observed range. The
+  // dense axis is GENERATED (sequence over a 1-row min/max broadcast ×
+  // the distinct key set), never scanned — axis size is calendar time
+  // × key cardinality, independent of row count, and everything after
+  // the one map-side-combined count aggregation is axis-sized.
+  // ---------------------------------------------------------------------
+  private[graft] def q190GapFill(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.gapFill(Tables.events(spark, dir),
+      "event_type", "ts", bucketSec = 3600L)
+
+  private[graft] val q190Sql =
+    """WITH b AS (SELECT event_type,
+      |    epoch_us(ts) // 3600000000 AS bucket_id FROM events),
+      |c AS (SELECT event_type, bucket_id, count(*) AS n FROM b GROUP BY 1, 2),
+      |st AS (SELECT min(bucket_id) AS lo, max(bucket_id) AS hi FROM b),
+      |hours AS (SELECT unnest(range(lo, hi + 1)) AS bucket_id FROM st),
+      |types AS (SELECT DISTINCT event_type FROM events)
+      |SELECT t.event_type, h.bucket_id,
+      |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+      |FROM types t CROSS JOIN hours h
+      |LEFT JOIN c ON c.event_type = t.event_type
+      |           AND c.bucket_id = h.bucket_id""".stripMargin
 }

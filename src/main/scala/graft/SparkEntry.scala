@@ -224,6 +224,7 @@ object SparkEntry extends Queries7Pipelines {
     Q("q187_pdf_extract", q187PdfExtract, Some(q187Sql)),
     Q("q188_pdf_audit", q188PdfAudit, Some(q188Sql)),
     Q("q189_retrieval_eval", q189RetrievalEval, Some(q189Sql)),
+    Q("q190_gapfill", q190GapFill, Some(q190Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
