@@ -291,18 +291,23 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
   // ten rounds as a GENERATED CTE chain (the q105/q135 pattern) and
   // must land on the same integers.
   // ---------------------------------------------------------------------
-  private[graft] def q165PageRank(spark: SparkSession, dir: String): DataFrame = {
+  /** The deterministic synthetic web graph shared by q165 (PageRank)
+    * and q191 (triangles): every doc links to 1 + doc_id % 3 arithmetic
+    * targets; ids are contiguous so the modulus lands on real nodes. */
+  private[graft] def q165Edges(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val nn = docs.agg(count(lit(1)).as("__n"))
-    val edges = docs
+    docs
       .select(col("doc_id").as("src"),
         explode(sequence(lit(1L), lit(1L) + col("doc_id") % 3)).as("k"))
       .crossJoin(broadcast(nn))
       .select(col("src"),
         ((col("src") * 7 + col("k") * 13) % col("__n")).as("dst"))
-    graft.operators.LinkGraph.pageRank(edges, iters = 10)
-      .select(col("v").as("doc_id"), col("r").as("rank"))
   }
+
+  private[graft] def q165PageRank(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.LinkGraph.pageRank(q165Edges(spark, dir), iters = 10)
+      .select(col("v").as("doc_id"), col("r").as("rank"))
 
   private[graft] val q165Sql = {
     val rounds = (1 to 10).map { i =>

@@ -1,0 +1,330 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, EditPairs, GraphStats, NgramModel, Profile, Sampling, TextAnalysis, TimeSeries}
+
+/** Registry slice 8 (round 13, continued): structural analytics and
+  * selection — exact triangle counting over the link graph, MMR
+  * diversified retrieval, FastSS edit-distance-1 vocabulary mining,
+  * deterministic weighted (priority) sampling in both global-sort and
+  * native-mergeable-aggregate forms, trailing-window feature
+  * engineering, rendezvous sharding, bigram predictability scoring,
+  * and the integer-exact correlation card. */
+private[graft] trait Queries8Analytics extends Queries7Pipelines {
+
+  // ---------------------------------------------------------------------
+  // q191 — exact triangle counting + local clustering coefficients
+  // (operators/GraphStats) over the SAME deterministic q165 link graph.
+  // Spark runs the degree-ordered compact-forward enumeration (out-
+  // degrees bounded by O(sqrt m), wedge join cost O(m^1.5) — the shape
+  // that survives power-law graphs); the oracle enumerates naively in
+  // id order. The two orders finding the IDENTICAL triangle set is the
+  // correctness certificate.
+  // ---------------------------------------------------------------------
+  private[graft] def q191Triangles(spark: SparkSession, dir: String): DataFrame =
+    GraphStats.triangleStats(q165Edges(spark, dir))
+
+  private[graft] val q191Sql =
+    """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |raw AS (SELECT doc_id AS src, (doc_id * 7 + 13 * t.k) % nn.n AS dst
+      |        FROM documents, nn,
+      |        LATERAL UNNEST(generate_series(1, 1 + doc_id % 3)) AS t(k)),
+      |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |        FROM raw WHERE src <> dst),
+      |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM
+      |        (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+      |        GROUP BY v),
+      |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |        FROM und e1 JOIN und e2 ON e2.a = e1.b
+      |             JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |corners AS (SELECT x AS v FROM tri UNION ALL SELECT y AS v FROM tri
+      |            UNION ALL SELECT z AS v FROM tri),
+      |tc AS (SELECT v, CAST(count(*) AS BIGINT) AS tri FROM corners GROUP BY v)
+      |SELECT d.v AS doc_id, d.deg,
+      |  COALESCE(t.tri, CAST(0 AS BIGINT)) AS tri,
+      |  CAST(CASE WHEN d.deg >= 2
+      |       THEN (2000000 * COALESCE(t.tri, 0)) // (d.deg * (d.deg - 1))
+      |       ELSE 0 END AS BIGINT) AS lcc_micro
+      |FROM deg d LEFT JOIN tc t ON t.v = d.v""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q192 — MMR diversified re-rank (operators/Retrieval.mmrRerank):
+  // greedy λ·rel − (1−λ)·maxsim selection over the BM25 candidate set,
+  // integer-exact (int8 dots, λ in tenths), ties by doc_id. The oracle
+  // replays the greedy chain as three chained CTE picks — the funnel
+  // pattern, applied to diversity selection.
+  // ---------------------------------------------------------------------
+  private[graft] def q192Mmr(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.mmrRerank(Tables.documents(spark, dir),
+      "doc_id", "text",
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      bm25Queries.map { case (qid, ts) => (qid, ts, 100L + qid * 101L) },
+      kCand = 20, kOut = 3, lambdaTenths = 7)
+
+  private[graft] val q192Sql = {
+    val pick = (p: Int, prev: String) =>
+      s"""rem$p AS (SELECT c.* FROM cand c LEFT JOIN $prev s
+         |  ON s.query_id = c.query_id AND s.doc_id = c.doc_id
+         |  WHERE s.doc_id IS NULL),
+         |ms$p AS (SELECT r.query_id, r.doc_id, r.rel,
+         |    CAST(max(sim.s) AS BIGINT) AS max_sim
+         |  FROM rem$p r JOIN $prev p ON p.query_id = r.query_id
+         |       JOIN sim ON sim.query_id = r.query_id
+         |            AND sim.d1 = r.doc_id AND sim.d2 = p.doc_id
+         |  GROUP BY 1, 2, 3),
+         |sel$p AS (SELECT query_id, doc_id, rel, max_sim,
+         |    CAST(7 * rel - 3 * max_sim AS BIGINT) AS mmr_score,
+         |    CAST($p AS BIGINT) AS pick FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY 7 * rel - 3 * max_sim DESC, doc_id) AS rn FROM ms$p)
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH $bm25Cte,
+      |cand0 AS (SELECT query_id, doc_id FROM rk WHERE rank <= 20),
+      |sv AS (SELECT vec_id, embedding,
+      |         list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+      |           (a, b) -> CASE WHEN b > a THEN b ELSE a END) / 127.0 AS scale
+      |       FROM embeddings),
+      |codes AS (SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(
+      |           CASE WHEN scale = 0 THEN 0.0
+      |                ELSE LEAST(127.0, GREATEST(-127.0,
+      |                  FLOOR(CAST(x AS DOUBLE) / scale + 0.5))) END
+      |           AS BIGINT)) AS codes
+      |        FROM sv),
+      |qm AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+      |              CAST(qvec_id AS BIGINT) AS qvec_id
+      |       FROM (VALUES (1, 201), (2, 302), (3, 403)) AS t(query_id, qvec_id)),
+      |qc AS (SELECT qm.query_id, codes.codes AS qcodes
+      |       FROM qm JOIN codes ON codes.vec_id = qm.qvec_id),
+      |cand AS (SELECT c.query_id, c.doc_id,
+      |          CAST(list_sum(list_transform(range(1, len(dc.codes) + 1),
+      |            i -> dc.codes[i] * qc.qcodes[i])) AS BIGINT) AS rel
+      |         FROM cand0 c JOIN codes dc ON dc.vec_id = c.doc_id
+      |              JOIN qc ON qc.query_id = c.query_id),
+      |sim AS (SELECT a.query_id, a.doc_id AS d1, b.doc_id AS d2,
+      |          CAST(list_sum(list_transform(range(1, len(ca.codes) + 1),
+      |            i -> ca.codes[i] * cb.codes[i])) AS BIGINT) AS s
+      |        FROM cand0 a JOIN cand0 b ON a.query_id = b.query_id
+      |             AND a.doc_id <> b.doc_id
+      |             JOIN codes ca ON ca.vec_id = a.doc_id
+      |             JOIN codes cb ON cb.vec_id = b.doc_id),
+      |sel1 AS (SELECT query_id, doc_id, rel, CAST(0 AS BIGINT) AS max_sim,
+      |           CAST(7 * rel AS BIGINT) AS mmr_score,
+      |           CAST(1 AS BIGINT) AS pick FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY query_id
+      |           ORDER BY 7 * rel DESC, doc_id) AS rn FROM cand) WHERE rn = 1),
+      |${pick(2, "sel1")},
+      |sel12 AS (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2),
+      |${pick(3, "sel12")}
+      |SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+      |UNION ALL SELECT * FROM sel3""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q193 — FastSS edit-distance-1 pair mining (operators/EditPairs)
+  // over a deterministically-corrupted token stream: occurrences picked
+  // by a position-salted hash (1-in-11, tokens of ≥ 3 chars) lose their
+  // second character, and the deletion-neighborhood equi-join mines the
+  // (clean, typo) variant pairs back out of the resulting vocabulary —
+  // candidates by shared variant, truth by exact levenshtein ≤ 1 (both
+  // engines' levenshtein is the standard unit-cost DP).
+  // ---------------------------------------------------------------------
+  private[graft] def q193TypoPairs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text")))
+        .as(Seq("pos", "tok")))
+    val corrupt = length(col("tok")) >= 3 &&
+      pmod(Dedup.baseHash32(concat(col("doc_id"), lit(":"), col("pos"),
+        lit(":typo"))), lit(11)) === 0
+    val vocab = toks
+      .select(when(corrupt, concat(substring(col("tok"), 1, 1),
+          expr("substring(tok, 3, 2147483647)")))
+        .otherwise(col("tok")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    EditPairs.distanceOnePairs(vocab, "w", "c")
+  }
+
+  private[graft] val q193Sql =
+    """WITH tk AS (SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS ts
+      |  FROM documents),
+      |occ AS (SELECT doc_id, i - 1 AS pos, ts[i] AS tok
+      |        FROM tk, LATERAL UNNEST(generate_series(1, len(ts))) AS t(i)),
+      |cor AS (SELECT CASE WHEN length(tok) >= 3 AND
+      |          CAST(('0x' || substr(md5(doc_id || ':' || pos || ':typo'), 1, 8))
+      |            AS BIGINT) % 11 = 0
+      |        THEN substr(tok, 1, 1) || substr(tok, 3) ELSE tok END AS w
+      |        FROM occ),
+      |voc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM cor GROUP BY w),
+      |vars AS (SELECT DISTINCT w, c,
+      |          CASE WHEN t.i = 0 THEN w
+      |               ELSE substr(w, 1, t.i - 1) || substr(w, t.i + 1) END AS var
+      |         FROM voc, LATERAL UNNEST(generate_series(0, length(w))) AS t(i)),
+      |pairs AS (SELECT DISTINCT a.w AS w1, b.w AS w2, a.c AS c1, b.c AS c2
+      |          FROM vars a JOIN vars b ON a.var = b.var AND a.w < b.w)
+      |SELECT w1, w2, c1, c2 FROM pairs WHERE levenshtein(w1, w2) <= 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q194 — deterministic weighted sampling without replacement
+  // (operators/Sampling.prioritySample): top-100 documents by the
+  // priority w/u with the hash-derived 60-bit uniform — inclusion
+  // probability ∝ n_chars, bit-replayable (the priority is ONE IEEE
+  // double division on both engines, ties by doc_id; only integers are
+  // emitted). Plans as TakeOrderedAndProject: no full sort, no shuffle.
+  // ---------------------------------------------------------------------
+  private[graft] def q194PrioritySample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.prioritySample(Tables.documents(spark, dir), "doc_id",
+      "n_chars", k = 100)
+      .select(col("doc_id"), col("n_chars"), col("rank"))
+
+  private[graft] val q194Sql =
+    """WITH u AS (SELECT doc_id, n_chars,
+      |    CAST(('0x' || substr(md5(doc_id || ':pri'), 1, 15)) AS BIGINT) + 1 AS u
+      |  FROM documents),
+      |r AS (SELECT doc_id, n_chars,
+      |    CAST(row_number() OVER (ORDER BY
+      |      CAST(n_chars AS DOUBLE) / CAST(u AS DOUBLE) DESC, doc_id)
+      |      AS BIGINT) AS rank
+      |  FROM u)
+      |SELECT doc_id, n_chars, rank FROM r WHERE rank <= 100""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q195 — trailing-window rolling features (operators/TimeSeries
+  // .rollingFeatures): per-user trailing-hour count / cent-sum / max
+  // over a RANGE frame on integer microseconds (frame membership is
+  // tie-order-free — the reason this is hash-stable), plus the exact
+  // inter-event gap under the total (ts, event_id) order. One exchange
+  // on user_id serves all four features.
+  // ---------------------------------------------------------------------
+  private[graft] def q195Rolling(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.rollingFeatures(Tables.events(spark, dir), "user_id", "ts",
+      "event_id", "value", windowSec = 3600L)
+
+  private[graft] val q195Sql =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events)
+      |SELECT event_id, user_id, ts_us,
+      |  CAST(count(*) OVER wr AS BIGINT) AS n_win,
+      |  CAST(sum(cents) OVER wr AS BIGINT) AS cents_win,
+      |  CAST(max(cents) OVER wr AS BIGINT) AS max_cents_win,
+      |  CAST(COALESCE(ts_us - lag(ts_us) OVER wl, -1) AS BIGINT) AS gap_us
+      |FROM e
+      |WINDOW wr AS (PARTITION BY user_id ORDER BY ts_us
+      |         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+      |       wl AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q196 — rendezvous (HRW) sharding balance + movement card
+  // (operators/Sampling.rendezvousCard): per-shard rows/weight under 16
+  // shards plus how many rows relocate under 17 — the measured
+  // minimal-movement property (≈ 1/17 of rows move, vs ~15/16 for
+  // mod-n). The argmax is one narrow generated-array expression per
+  // row; ties break toward the lowest shard id on both engines.
+  // ---------------------------------------------------------------------
+  private[graft] def q196Shards(spark: SparkSession, dir: String): DataFrame =
+    Sampling.rendezvousCard(Tables.documents(spark, dir), "doc_id",
+      "n_chars", nShards = 16)
+
+  private[graft] val q196Sql = {
+    val assign = (name: String, n: Int) =>
+      s"""h$name AS (SELECT d.doc_id, d.n_chars, t.s,
+         |    CAST(('0x' || substr(md5(d.doc_id || ':hrw:' || t.s), 1, 15))
+         |      AS BIGINT) AS h
+         |  FROM documents d,
+         |  LATERAL UNNEST(generate_series(0, ${n - 1})) AS t(s)),
+         |a$name AS (SELECT doc_id, n_chars, CAST(s AS BIGINT) AS shard FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY h DESC, s) AS rn FROM h$name) WHERE rn = 1)""".stripMargin
+    s"""WITH ${assign("16", 16)},
+      |${assign("17", 17)}
+      |SELECT a16.shard,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(a16.n_chars) AS BIGINT) AS sum_w,
+      |  CAST(sum(CASE WHEN a17.shard <> a16.shard THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_moved
+      |FROM a16 JOIN a17 ON a16.doc_id = a17.doc_id
+      |GROUP BY a16.shard""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q197 — bigram predictability scoring (operators/NgramModel
+  // .bigramPredictability): per-document Σ ⌊10⁶·c(w₁w₂)/c(w₁·)⌋ — the
+  // surprisal-shaped CCNet-style quality signal kept integer-exact
+  // (one floor per rational). Counts key on 60-bit hashes; the oracle
+  // counts raw strings — agreement certifies the hash lane.
+  // ---------------------------------------------------------------------
+  private[graft] def q197BigramPred(spark: SparkSession, dir: String): DataFrame =
+    NgramModel.bigramPredictability(Tables.documents(spark, dir),
+      "doc_id", "text")
+
+  private[graft] val q197Sql =
+    """WITH tk AS (SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS ts
+      |  FROM documents),
+      |bg AS (SELECT doc_id, ts[i] AS w1, ts[i] || ' ' || ts[i + 1] AS g
+      |       FROM tk, LATERAL UNNEST(generate_series(1, len(ts) - 1)) AS t(i)),
+      |bc AS (SELECT g, CAST(count(*) AS BIGINT) AS cbg FROM bg GROUP BY g),
+      |wc AS (SELECT w1, CAST(count(*) AS BIGINT) AS cw1 FROM bg GROUP BY w1),
+      |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |         CAST(sum((1000000 * bc.cbg) // wc.cw1) AS BIGINT) AS pred_micro
+      |       FROM bg JOIN bc USING (g) JOIN wc USING (w1) GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(sc.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+      |  COALESCE(sc.pred_micro, CAST(0 AS BIGINT)) AS pred_micro
+      |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q198 — integer-exact Pearson correlation card (operators/Profile
+  // .corrCard): r² in micro-units + sign between raw length and token
+  // count per source, from the six integer sufficient statistics with
+  // DECIMAL(38,0) squares and ONE floor — the feature-drift check that
+  // must not itself be subject to float drift.
+  // ---------------------------------------------------------------------
+  private[graft] def q198FeatureCorr(spark: SparkSession, dir: String): DataFrame =
+    Profile.corrCard(
+      Tables.documents(spark, dir)
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text"))),
+      "source", "n_chars", "n_tokens")
+
+  private[graft] val q198Sql =
+    """WITH d AS (SELECT source, CAST(n_chars AS HUGEINT) AS x,
+      |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+      |      AS HUGEINT) AS y
+      |  FROM documents),
+      |a AS (SELECT source, CAST(count(*) AS HUGEINT) AS n,
+      |        sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+      |        sum(x * x) AS sxx, sum(y * y) AS syy
+      |      FROM d GROUP BY source)
+      |SELECT source, CAST(n AS BIGINT) AS n,
+      |  CAST(CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+      |    THEN (1000000 * (n * sxy - sx * sy) * (n * sxy - sx * sy))
+      |         // ((n * sxx - sx * sx) * (n * syy - sy * sy))
+      |    ELSE 0 END AS BIGINT) AS corr2_micro,
+      |  CAST(CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+      |    THEN sign(n * sxy - sx * sy) ELSE 0 END AS BIGINT) AS corr_sign
+      |FROM a""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q199 — per-source weighted sample via the NATIVE mergeable k-ledger
+  // aggregate (functions/TopKPriorityAgg through operators/Sampling
+  // .groupedPrioritySample): the same draw as q194 but ONE aggregation
+  // with O(k) state per group instead of a per-group sort window — the
+  // form that also runs under Structured Streaming
+  // (streaming/StreamPrioritySample, batch-equivalence pinned).
+  // ---------------------------------------------------------------------
+  private[graft] def q199GroupedSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.groupedPrioritySample(Tables.documents(spark, dir),
+      "doc_id", "n_chars", "source", k = 10)
+
+  private[graft] val q199Sql =
+    """WITH u AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w,
+      |    CAST(n_chars AS DOUBLE) /
+      |      (CAST(('0x' || substr(md5(doc_id || ':pri'), 1, 15)) AS BIGINT) + 1)
+      |      AS pri
+      |  FROM documents)
+      |SELECT source, doc_id, w, CAST(rn AS BIGINT) AS rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY source
+      |    ORDER BY pri DESC, doc_id) AS rn FROM u) WHERE rn <= 10""".stripMargin
+}

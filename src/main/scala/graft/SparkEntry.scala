@@ -25,7 +25,7 @@ import graft.operators.{AsOfMatch, CorpusStats, Dedup, GroupingSetCounter, Media
   *     (aggregator.go:496) use floor() in both dialects (DuckDB CAST
   *     rounds, Spark CAST truncates — floor sidesteps both).
   */
-object SparkEntry extends Queries7Pipelines {
+object SparkEntry extends Queries8Analytics {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -225,6 +225,15 @@ object SparkEntry extends Queries7Pipelines {
     Q("q188_pdf_audit", q188PdfAudit, Some(q188Sql)),
     Q("q189_retrieval_eval", q189RetrievalEval, Some(q189Sql)),
     Q("q190_gapfill", q190GapFill, Some(q190Sql)),
+    Q("q191_triangles", q191Triangles, Some(q191Sql)),
+    Q("q192_mmr_rerank", q192Mmr, Some(q192Sql)),
+    Q("q193_typo_pairs", q193TypoPairs, Some(q193Sql)),
+    Q("q194_priority_sample", q194PrioritySample, Some(q194Sql)),
+    Q("q195_rolling_features", q195Rolling, Some(q195Sql)),
+    Q("q196_rendezvous_shards", q196Shards, Some(q196Sql)),
+    Q("q197_bigram_pred", q197BigramPred, Some(q197Sql)),
+    Q("q198_feature_corr", q198FeatureCorr, Some(q198Sql)),
+    Q("q199_grouped_sample", q199GroupedSample, Some(q199Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph structure analytics beyond the PageRank prior
+  * ([[LinkGraph]]): exact triangle counting and local clustering
+  * coefficients — the cheapest structural spam/quality signal a web
+  * corpus has (link farms are near-cliques: high LCC at high degree;
+  * organic hub pages are star-shaped: LCC ~ 0).
+  *
+  * Algorithm: compact-forward / degree-ordered wedge counting. Every
+  * undirected edge is oriented from its LOWER endpoint to its HIGHER
+  * endpoint under the total order (degree, id); wedges are pairs of
+  * out-neighbors of a common node, and a wedge (u→v, u→w) closes into
+  * a triangle iff the oriented edge v→w exists. Each triangle is found
+  * exactly once (at its lowest-order corner), so the per-corner counts
+  * come from one explode of the triangle list.
+  *
+  * Scale (100 TB of edges): the naive id-ordered enumeration the
+  * DuckDB oracle runs is quadratic on a skewed graph — one celebrity
+  * node with degree d contributes d² wedges at its own corner. The
+  * (degree, id) orientation bounds every out-degree by O(√m) (a node
+  * can only point at nodes of ≥ its own degree, and there are at most
+  * 2√m nodes of degree ≥ √m), so Σ outdeg² = O(m^1.5) — the classic
+  * bound, and the reason this shape survives power-law graphs where
+  * the naive one dies. Every join is an equi hash join on node ids
+  * (the closing check is a join on the (v, w) pair), the undirected
+  * edge set is localCheckpointed once and reused by all three
+  * consumers (degrees, wedges, closing probe), and the LCC division
+  * is exact integer floor division so the card replays cross-engine.
+  *
+  * The two enumeration orders (degree-order here, id-order in the
+  * oracle) produce the SAME triangle set — agreement of the two
+  * derivations is precisely the correctness certificate.
+  */
+object GraphStats {
+
+  /** Per-node triangle card over a directed edge list (src, dst):
+    * (doc_id, deg, tri, lcc_micro) where deg counts distinct
+    * undirected neighbors, tri the triangles through the node, and
+    * lcc_micro = ⌊10⁶ · 2·tri / (deg·(deg−1))⌋ (0 when deg < 2).
+    * Self-loops and parallel edges are dropped first. */
+  def triangleStats(edges: DataFrame, scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1L, s"scale must be positive, got $scale")
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint()
+
+    val deg = und.select(col("a").as("v"))
+      .union(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+
+    // orient by the (degree, id) total order: u → w with key(u) < key(w)
+    val withDeg = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    val aLower = (col("da") < col("db")) ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aLower, col("a")).otherwise(col("b")).as("u"),
+      when(aLower, col("b")).otherwise(col("a")).as("w"),
+      when(aLower, col("db")).otherwise(col("da")).as("dw"))
+      .localCheckpoint()
+
+    // wedges at the lowest-order corner, ordered pairs of out-neighbors
+    val e1 = oriented.select(col("u"), col("w").as("v1"), col("dw").as("d1"))
+    val e2 = oriented.select(col("u"), col("w").as("v2"), col("dw").as("d2"))
+    val wedges = e1.join(e2, Seq("u"))
+      .filter((col("d1") < col("d2")) ||
+        (col("d1") === col("d2") && col("v1") < col("v2")))
+    val triangles = wedges.join(
+      oriented.select(col("u").as("v1"), col("w").as("v2")),
+      Seq("v1", "v2"), "left_semi")
+
+    val corners = triangles.select(explode(
+      array(col("u"), col("v1"), col("v2"))).as("v"))
+    val tcnt = corners.groupBy(col("v")).agg(count(lit(1)).as("tri"))
+
+    deg.join(tcnt, Seq("v"), "left")
+      .select(col("v").as("doc_id"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        when(col("deg") >= 2,
+          expr(s"(${2 * scale} * coalesce(tri, CAST(0 AS BIGINT)))" +
+            s" div (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("lcc_micro"))
+  }
+}

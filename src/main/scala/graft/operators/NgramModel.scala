@@ -58,4 +58,53 @@ object NgramModel {
         coalesce(col("matched_ngrams"), lit(0L)).as("matched_ngrams"),
         coalesce(col("model_mass"), lit(0L)).as("model_mass"))
   }
+
+  /** Per-document bigram predictability — the surprisal-shaped quality
+    * score ([[ngramCommonness]]'s conditional sibling): each adjacent
+    * token pair (w₁, w₂) contributes ⌊10⁶ · c(w₁w₂) / c(w₁·)⌋, the
+    * corpus probability of w₂ GIVEN w₁ in integer micro-units, and a
+    * document's score is the sum — boilerplate scores near 10⁶ per
+    * bigram (every continuation is the usual one), unpredictable or
+    * garbled text near 0. One floor per rational (the BM25/RRF
+    * discipline) keeps the score integer-exact cross-engine where a
+    * log-probability sum would hash-diverge.
+    *
+    * Scale: counts are built in one pass over the exploded bigram
+    * stream — two hash aggregations keyed by 60-bit hashes (bigram,
+    * and bigram-start for the denominator), map-side combined, carrying
+    * 8-byte keys only. Scoring joins the stream to both count tables by
+    * hash equi-join (model sides are vocabulary-sized; AQE broadcasts
+    * them when small, degrades to sort-merge when not — never a forced
+    * broadcast) and re-aggregates per document. c(w₁·) counts w₁'s
+    * occurrences AS a bigram start, so every contribution is a true
+    * conditional: the per-document sum is ≤ 10⁶ · n_bigrams.
+    *
+    * @return (doc_id, n_bigrams, pred_micro) for every input doc;
+    *         docs with < 2 tokens carry zeros. */
+  def bigramPredictability(docs: DataFrame, idCol: String,
+                           textCol: String,
+                           scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1L, s"scale must be positive, got $scale")
+    val bigrams = docs
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.shinglesOfTokens(col("__tk"), 2)).as("__bg"),
+        lit(1))
+      .select(col("doc_id"), Dedup.baseHash60(col("__bg")).as("bh"),
+        Dedup.baseHash60(expr("substring_index(__bg, ' ', 1)")).as("w1h"))
+    val bgCnt = bigrams.groupBy(col("bh")).agg(count(lit(1)).as("__cbg"))
+    val w1Cnt = bigrams.groupBy(col("w1h")).agg(count(lit(1)).as("__cw1"))
+    val scored = bigrams
+      .join(bgCnt, Seq("bh"))
+      .join(w1Cnt, Seq("w1h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr(s"(${scale}L * __cbg) div __cw1")).as("pred_micro"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("pred_micro"), lit(0L)).as("pred_micro"))
+  }
 }

@@ -57,4 +57,48 @@ object Profile {
     }
     wide.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
+
+  /** Per-group Pearson correlation between two INTEGER features,
+    * integer-exact — the feature-drift card a pipeline runs when a
+    * derived signal (token count, quality score) should track a raw one
+    * (char length) and silent divergence means a bug upstream.
+    *
+    * Exactness: r itself needs a square root, so the card reports
+    * r² in micro-units plus the sign — r² = num²/(dx·dy) is a RATIONAL
+    * of the six integer sufficient statistics (n, Σx, Σy, Σxy, Σx²,
+    * Σy²), and ⌊10⁶·num²/(dx·dy)⌋ with ONE floor replays bit-for-bit
+    * cross-engine (the BM25 discipline; a float corr() would not).
+    * The whole lane runs in DECIMAL(38,0) — Σx² overflows a long as
+    * soon as |x| passes ~3·10⁹·√n, and a silent double round-trip here
+    * is exactly the bug class this card exists to catch. The decimal
+    * lane's own bound is |num| < 10¹⁹ (num² must fit 38 digits); past
+    * it the arithmetic fails LOUDLY (ANSI overflow) instead of
+    * degrading — center/rescale the feature first. Constant features
+    * (dx·dy = 0) report (0, 0).
+    *
+    * Scale: one map-side-combined aggregation over one scan — six
+    * decimal sums per group, |groups| output rows, nothing else moves. */
+  def corrCard(df: DataFrame, groupCol: String, xCol: String,
+               yCol: String, scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1L, s"scale must be positive, got $scale")
+    val x = col(xCol).cast("decimal(38,0)")
+    val y = col(yCol).cast("decimal(38,0)")
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * y).as("__sxy"), sum(x * x).as("__sxx"),
+        sum(y * y).as("__syy"))
+      .withColumn("__num", expr(
+        "CAST(n AS DECIMAL(38,0)) * __sxy - CAST(__sx AS DECIMAL(38,0)) * __sy"))
+      .withColumn("__dx", expr(
+        "CAST(n AS DECIMAL(38,0)) * __sxx - CAST(__sx AS DECIMAL(38,0)) * __sx"))
+      .withColumn("__dy", expr(
+        "CAST(n AS DECIMAL(38,0)) * __syy - CAST(__sy AS DECIMAL(38,0)) * __sy"))
+      .select(col(groupCol), col("n"),
+        when(col("__dx") > 0 && col("__dy") > 0,
+          expr(s"CAST((${scale}L * __num * __num) div (__dx * __dy) AS BIGINT)"))
+          .otherwise(lit(0L)).as("corr2_micro"),
+        when(col("__dx") > 0 && col("__dy") > 0,
+          signum(col("__num")).cast("long")).otherwise(lit(0L)).as("corr_sign"))
+  }
 }

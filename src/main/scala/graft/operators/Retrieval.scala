@@ -284,6 +284,95 @@ object Retrieval {
       .filter(col("rank") <= k)
   }
 
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+    * diversified re-rank: greedily pick kOut of the BM25 candidates,
+    * each pick maximizing λ·relevance − (1−λ)·max-similarity-to-
+    * already-picked — the diversity stage that keeps a RAG context
+    * window or a dedup-aware search page from filling with k copies of
+    * the same document.
+    *
+    * Integer-exact: relevance is the int8-code query dot, similarity
+    * the int8-code doc-doc dot, λ is in tenths, so every MMR score is
+    * λ₁₀·rel − (10−λ₁₀)·maxsim — pure 64-bit integers, ties by doc_id;
+    * the DuckDB oracle replays the greedy chain pick by pick. The
+    * first pick's maxsim is defined as 0 (nothing selected yet), which
+    * makes pick 1 the pure-relevance argmax under the same formula.
+    *
+    * Scale: greedy selection is inherently sequential in k, but every
+    * per-iteration frame is CANDIDATE-sized, never corpus-sized — the
+    * pairwise similarity table is |queries|·kCand² rows built ONCE
+    * (localCheckpointed; kCand is a knob, 20–100), and each of the
+    * kOut rounds is two joins + one window over ≤ |queries|·kCand
+    * rows. The corpus is touched exactly as often as [[bm25Rerank]]
+    * touches it: once for postings, once for candidate codes. */
+  def mmrRerank(docs: DataFrame, idCol: String, textCol: String,
+                emb: DataFrame, embIdCol: String, embCol: String,
+                queries: Seq[(Long, Seq[String], Long)],
+                kCand: Int, kOut: Int, lambdaTenths: Int = 7): DataFrame = {
+    require(kOut >= 1 && kCand >= kOut,
+      s"need kCand >= kOut >= 1, got kCand=$kCand kOut=$kOut")
+    require(lambdaTenths >= 0 && lambdaTenths <= 10,
+      s"lambdaTenths must be in [0, 10], got $lambdaTenths")
+    val lam = lambdaTenths.toLong
+    val cand = candidatesWithDot(docs, idCol, textCol, emb, embIdCol,
+      embCol, queries, kCand)
+      .select(col("query_id"), col("doc_id"), col("dot").as("rel"))
+      .localCheckpoint()
+
+    val codes = Quantize.int8Codes(emb, embIdCol, embCol)
+      .withColumnRenamed(embIdCol, "__eid")
+    val candCodes = cand.select(col("query_id"), col("doc_id"))
+      .join(codes, cand("doc_id") === codes("__eid"))
+      .select(col("query_id"), col("doc_id"), col("codes"))
+    val c1 = candCodes.select(col("query_id"), col("doc_id").as("d1"),
+      col("codes").as("__ca"))
+    val c2 = candCodes.select(col("query_id"), col("doc_id").as("d2"),
+      col("codes").as("__cb"))
+    val sims = c1.join(c2, Seq("query_id"))
+      .filter(col("d1") =!= col("d2"))
+      .withColumn("s", aggregate(
+        zip_with(col("__ca"), col("__cb"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .select(col("query_id"), col("d1"), col("d2"), col("s"))
+      .localCheckpoint()
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("mmr_score"), asc("doc_id"))
+    def pickTop(scored: DataFrame, pick: Int): DataFrame = scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .withColumn("pick", lit(pick.toLong))
+
+    var picked = pickTop(cand
+      .withColumn("max_sim", lit(0L))
+      .withColumn("mmr_score", lit(lam) * col("rel")), 1)
+      .localCheckpoint()
+    for (p <- 2 to kOut) {
+      val remaining = cand.join(picked.select(col("query_id"), col("doc_id")),
+        Seq("query_id", "doc_id"), "left_anti")
+      // fresh aliases for the join keys: sims/remaining both descend
+      // from cand through localCheckpoint (which PRESERVES exprIds), so
+      // joining on the original attributes would be a self-referential
+      // trivially-true predicate
+      val ms = sims.join(picked.select(col("query_id"),
+          col("doc_id").as("d2")), Seq("query_id", "d2"))
+        .groupBy(col("query_id"), col("d1"))
+        .agg(max(col("s")).as("max_sim"))
+        .select(col("query_id").as("__mq"), col("d1").as("__md"),
+          col("max_sim"))
+      val scored = remaining.join(ms,
+        remaining("query_id") === col("__mq") &&
+          remaining("doc_id") === col("__md"))
+        .select(col("query_id"), col("doc_id"), col("rel"),
+          col("max_sim"))
+        .withColumn("mmr_score",
+          lit(lam) * col("rel") - lit(10L - lam) * col("max_sim"))
+      picked = picked.union(pickTop(scored, p)).localCheckpoint()
+    }
+    picked.select(col("query_id"), col("doc_id"), col("rel"),
+      col("max_sim"), col("mmr_score"), col("pick"))
+  }
+
   /** Ranking-quality card: recall hits and MRR of a `system` ranking
     * (query_id, doc_id, rank) against a `gold` relevant set (query_id,
     * doc_id). MRR's 1/r is floored to integer micro-units

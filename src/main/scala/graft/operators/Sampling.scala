@@ -424,4 +424,105 @@ object Sampling {
       .withColumn("pos", col("__off") + row_number().over(wb) - 1)
       .drop("__hv", "__bk", "__g", "__b", "__cnt", "__off")
   }
+
+  /** Deterministic weighted sampling without replacement (priority
+    * sampling, Duffield–Lund–Thorup): each row draws the deterministic
+    * 60-bit uniform u = hash(id||":pri") + 1 and gets priority w/u —
+    * the top-k rows by priority are a weighted sample in which a row's
+    * inclusion probability is ∝ its weight, and the whole draw replays
+    * bit-identically under retry/replay/engine (the [[hashSample]]
+    * guarantee extended to WEIGHTED selection, which `rand()`-based
+    * A-Res sampling can never certify).
+    *
+    * Exactness discipline: the priority itself is ONE double division
+    * w/u (identical IEEE-754 operation on both engines, so the ORDER
+    * is cross-engine deterministic; ties — distinct rationals colliding
+    * after rounding — break by id in both engines) and is never
+    * emitted: output columns are integers only.
+    *
+    * Scale: orderBy+limit plans as TakeOrderedAndProject — each
+    * partition keeps a k-row heap and only |partitions|·k rows ever
+    * reach the driver-side merge; there is NO full sort and NO shuffle
+    * of the corpus. The rejected 1 − k/n of the data dies at the scan.
+    */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pri = priorityDraw(col(idCol), col(weightCol))
+    // the unpartitioned rank window runs AFTER limit(k): a deliberate
+    // bounded single task over <= k rows (the globalOrder convention),
+    // never over the input
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(pri.desc, col(idCol))
+    df.withColumn("__pri", pri)
+      .orderBy(col("__pri").desc, col(idCol)).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .drop("__pri")
+  }
+
+  /** 60-bit per-purpose salted hash — [[purposeHash]]'s wide sibling
+    * for order-by-priority use where 32 bits of u granularity would
+    * make rounding ties common. */
+  private def purposeHash60(id: Column, salt: String): Column =
+    Dedup.baseHash60(concat(id.cast("string"), lit(salt)))
+
+  /** THE priority draw of [[prioritySample]] — shared by the grouped
+    * aggregate form and the streaming leg so all three select the same
+    * sample: one IEEE double division of the weight by the
+    * deterministic 60-bit uniform. */
+  private[graft] def priorityDraw(id: Column, w: Column): Column =
+    w.cast("double") / (purposeHash60(id, ":pri") + lit(1L)).cast("double")
+
+  /** Per-group weighted sample via the native mergeable k-ledger
+    * aggregate ([[graft.functions.TopKPriorityAgg]]) — same draw as
+    * [[prioritySample]], but ONE aggregation instead of a per-group
+    * sort window: map-side partials keep ≤ k entries each, so a
+    * billion-row group costs its scan plus k-ledger merges, and the
+    * identical expression runs under Structured Streaming
+    * ([[graft.streaming.StreamPrioritySample]]).
+    * Output: (groupCol, doc_id, w, rank). */
+  def groupedPrioritySample(df: DataFrame, idCol: String,
+                            weightCol: String, groupCol: String,
+                            k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.TopKPriorityFunctions.topk_priority_agg(
+        col(idCol).cast("long"), col(weightCol).cast("long"),
+        priorityDraw(col(idCol), col(weightCol)), k).as("__top"))
+      .select(col(groupCol), posexplode(col("__top")).as(Seq("__i", "__e")))
+      .select(col(groupCol), col("__e.doc_id").as("doc_id"),
+        col("__e.w").as("w"), (col("__i") + 1).cast("long").as("rank"))
+  }
+
+  /** Rendezvous (highest-random-weight) shard assignment: a row's
+    * shard under n shards is argmax over s ∈ [0, n) of
+    * hash(id||":hrw:"||s). Unlike mod-n sharding ([[shardId]]), moving
+    * n → n+1 relocates only ~1/(n+1) of the rows — the property that
+    * makes resharding a 100 TB corpus an incremental copy instead of a
+    * full rewrite. The argmax is one narrow generated-array expression
+    * per row (no explode, no join, no shuffle); ties are impossible in
+    * practice (60-bit hashes) and break toward the lowest shard id on
+    * both engines by construction. */
+  def rendezvousShard(id: Column, nShards: Int): Column = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val hashes = array((0 until nShards).map(s =>
+      purposeHash60(id, s":hrw:$s")): _*)
+    (array_position(hashes, array_max(hashes)) - 1).cast("long")
+  }
+
+  /** Per-shard balance + movement card for [[rendezvousShard]]: rows
+    * and weight per shard under `nShards`, plus how many of the
+    * shard's rows would RELOCATE under nShards+1 — the measured
+    * minimal-movement property (expect ≈ n_rows/(nShards+1) total,
+    * vs ~all for mod-n). */
+  def rendezvousCard(df: DataFrame, idCol: String, weightCol: String,
+                     nShards: Int): DataFrame =
+    df.select(rendezvousShard(col(idCol), nShards).as("shard"),
+        rendezvousShard(col(idCol), nShards + 1).as("__next"),
+        col(weightCol).as("__w"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__w")).cast("long").as("sum_w"),
+        sum(when(col("__next") =!= col("shard"), 1L).otherwise(0L))
+          .as("n_moved"))
 }

@@ -41,4 +41,46 @@ object TimeSeries {
       .select(col(keyCol), col("bucket_id"),
         coalesce(col("__n"), lit(0L)).as("n_events"))
   }
+
+  /** Per-key trailing-window features over an event stream — the
+    * feature-engineering primitive of fraud/abuse/engagement models:
+    * for every event, the count / integer-cent sum / max of the key's
+    * events in the trailing `windowSec` seconds, plus the exact gap to
+    * the key's previous event.
+    *
+    * Exactness: the trailing frame is a RANGE frame over integer epoch
+    * microseconds, so frame MEMBERSHIP is integer-exact and identical
+    * regardless of how ties are ordered (a RANGE frame includes every
+    * peer row — the reason this is hash-stable where a ROWS frame over
+    * a tie would not be). The summed quantity is ⌊value·100⌋ — one
+    * deterministic double multiply+floor per row, then integer sums —
+    * never a float accumulation; max is order-free. The gap feature
+    * does depend on order, so ITS window orders by (ts, event_id) —
+    * total, hence deterministic.
+    *
+    * Scale: ONE exchange on the key; all three windows declare the
+    * same partitioning so Catalyst plans a single shuffle and sorts
+    * within it. Frame state is bounded by the window's time width, not
+    * the key's history — a hot key costs memory proportional to its
+    * event rate × windowSec only.
+    */
+  def rollingFeatures(df: DataFrame, keyCol: String, tsCol: String,
+                      idCol: String, valueCol: String,
+                      windowSec: Long): DataFrame = {
+    require(windowSec >= 1, s"windowSec must be positive, got $windowSec")
+    val us = windowSec * 1000000L
+    val withT = df.withColumn("__tus", unix_micros(col(tsCol)))
+      .withColumn("__cents", floor(col(valueCol) * lit(100.0)).cast("long"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("__tus"))
+      .rangeBetween(-us, 0)
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("__tus"), col(idCol))
+    withT.select(col(idCol), col(keyCol), col("__tus").as("ts_us"),
+      count(lit(1)).over(wr).as("n_win"),
+      sum(col("__cents")).over(wr).as("cents_win"),
+      max(col("__cents")).over(wr).as("max_cents_win"),
+      coalesce(col("__tus") - lag(col("__tus"), 1).over(wl), lit(-1L))
+        .as("gap_us"))
+  }
 }

@@ -358,6 +358,61 @@ class PlanAuditSpec extends SparkSpec {
       assert(!z.contains(bad), s"q112 plans a $bad"))
   }
 
+  test("q194 plans TakeOrderedAndProject — top-k heap, never a global sort") {
+    // priority sampling's whole scale story: each partition keeps a
+    // k-row heap; a range-partitioned global Sort appearing here means
+    // the corpus started shuffling for a 100-row answer
+    val plan = SparkEntry.queries("q194_priority_sample")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "q194 lost its TakeOrderedAndProject")
+    assert(!plan.contains("rangepartitioning"),
+      "q194 plans a global range-partitioned sort")
+  }
+
+  test("q199 samples via the mergeable aggregate — no rank window, partial agg present") {
+    // the native k-ledger replaces the per-group sort window; a
+    // row_number reappearing here means the aggregate form regressed
+    // to the single-task-per-group shape q53 exists to avoid
+    val plan = SparkEntry.queries("q199_grouped_sample")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("row_number"), "q199 regressed to a rank window")
+    assert(plan.contains("topk_priority_agg"), "q199 lost the native aggregate")
+    assert(plan.toLowerCase.contains("partial_topk_priority_agg"),
+      "q199's ledger does not combine map-side (no partial aggregate)")
+  }
+
+  test("q196's rendezvous card is one narrow pass + one aggregation — no join") {
+    // the HRW argmax is a per-row generated-array expression; a join or
+    // second scan means the 16 shard hashes started materializing as rows
+    val plan = SparkEntry.queries("q196_rendezvous_shards")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    Seq("Join", "CartesianProduct", "Generate").foreach(bad =>
+      assert(!plan.contains(bad), s"q196 plans a $bad"))
+  }
+
+  test("q191's triangle join tree is all equi-joins (degree-ordered wedges)") {
+    // wedge enumeration + closing probe + degree attach: every join
+    // must be hash/sort-merge on node-id keys; a nested-loop appearing
+    // means the orientation predicate leaked into a join condition
+    // without an equi-key
+    val plan = SparkEntry.queries("q191_triangles")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    Seq("BroadcastNestedLoop", "CartesianProduct").foreach(bad =>
+      assert(!plan.contains(bad), s"q191 plans a $bad"))
+  }
+
+  test("q195's four rolling features share ONE exchange on the key") {
+    // two RANGE frames + max + lag all partition by user_id: Catalyst
+    // must plan a single hashpartitioning(user_id) exchange feeding
+    // both window operators — a second exchange means the orderings
+    // stopped sharing the partitioning
+    val plan = SparkEntry.queries("q195_rolling_features")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"q195 plans $exchanges exchanges:\n$plan")
+  }
+
   test("column pruning reaches the parquet scan") {
     // q1 projects 4 of lineitem's 16 columns; a scan still reading
     // l_comment means the projection never reached the source
@@ -415,8 +470,11 @@ abstract class PlanSweepSpec(lo: Int, hi: Int) extends SparkSpec {
     // .buildVocab: q82/q86, composed by q90). Any other query planning
     // one has regressed to a single-task global sort.
     import org.apache.spark.sql.catalyst.plans.logical.Window
+    // q194's rank window is unpartitioned but runs ABOVE limit(k) —
+    // a bounded <= k-row single task (its own PlanAuditSpec pin
+    // asserts the TakeOrderedAndProject below it)
     val allowed = Set("q77_curriculum_order", "q82_bpe_pairs",
-      "q86_build_vocab", "q90_vocab_encode")
+      "q86_build_vocab", "q90_vocab_encode", "q194_priority_sample")
     val offenders = shard
       .filterNot { case (name, _) => allowed(name) }
       .flatMap { case (name, fn) =>
