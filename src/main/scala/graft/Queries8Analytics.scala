@@ -327,4 +327,221 @@ private[graft] trait Queries8Analytics extends Queries7Pipelines {
       |SELECT source, doc_id, w, CAST(rn AS BIGINT) AS rank FROM (
       |  SELECT *, row_number() OVER (PARTITION BY source
       |    ORDER BY pri DESC, doc_id) AS rn FROM u) WHERE rn <= 10""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q200/q201 — entity resolution (operators/RecordLinkage) over a
+  // deterministically-dirtied customer set: every third customer gains
+  // a duplicate with one name digit bumped and the balance nudged by a
+  // few cents. OR-blocking (nation+balance-band ∪ name-suffix) bounds
+  // the comparison space; scoring runs levenshtein on candidates only;
+  // match = name within 1 edit AND (balance within 5 cents + same
+  // nation) reaching score ≥ 4. q201 closes matches transitively and
+  // emits the golden-record survivorship card. Blocking recall is BY
+  // DESIGN part of the answer: a pair both keys miss is absent on both
+  // engines — the oracle replays blocking, scoring and closure alike.
+  // ---------------------------------------------------------------------
+  private[graft] def erRecords(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir).select(
+      col("c_custkey").as("rid"), col("c_name").as("name"),
+      col("c_nationkey").cast("long").as("nat"),
+      floor(col("c_acctbal") * 100).cast("long").as("bal"))
+    val dirty = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 3 === 0)
+      .select((col("c_custkey") + 100000L).as("rid"),
+        concat(
+          expr("substring(c_name, 1, 9 + CAST(c_custkey % 9 AS INT))"),
+          ((expr("CAST(substring(c_name, 10 + CAST(c_custkey % 9 AS INT), 1) AS BIGINT)")
+            + 1L) % 10L).cast("string"),
+          expr("substring(c_name, 11 + CAST(c_custkey % 9 AS INT), 2147483647)"))
+          .as("name"),
+        col("c_nationkey").cast("long").as("nat"),
+        (floor(col("c_acctbal") * 100).cast("long")
+          + col("c_custkey") % 7 - 3L).as("bal"))
+    base.union(dirty)
+  }
+
+  private[graft] def erMatches(spark: SparkSession, dir: String): DataFrame = {
+    val recs = erRecords(spark, dir).localCheckpoint()
+    val pairs = graft.operators.RecordLinkage.blockPairs(recs, "rid", Seq(
+      concat(col("nat"), lit(":"),
+        graft.functions.IntMath.floordiv(col("bal"), 1000L)),
+      substring(col("name"), 15, 4)))
+    graft.operators.RecordLinkage
+      .attachSides(pairs, recs, "rid", Seq("name", "nat", "bal"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("a_name"), col("b_name")).cast("long").as("name_dist"),
+        abs(col("a_bal") - col("b_bal")).as("bal_diff"),
+        (when(levenshtein(col("a_name"), col("b_name")) <= 1, 3L).otherwise(0L)
+          + when(abs(col("a_bal") - col("b_bal")) <= 5, 1L).otherwise(0L)
+          + when(col("a_nat") === col("b_nat"), 1L).otherwise(0L)).as("score"))
+      .filter(col("score") >= 4)
+  }
+
+  private[graft] def q200ErPairs(spark: SparkSession, dir: String): DataFrame =
+    erMatches(spark, dir)
+
+  private[graft] val erRecordsCte =
+    """recs AS (
+      |  SELECT c_custkey AS rid, c_name AS name,
+      |    CAST(c_nationkey AS BIGINT) AS nat,
+      |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey + 100000, concat(
+      |      substr(c_name, 1, 9 + (c_custkey % 9)),
+      |      CAST((CAST(substr(c_name, 10 + (c_custkey % 9), 1) AS BIGINT)
+      |            + 1) % 10 AS VARCHAR),
+      |      substr(c_name, 11 + (c_custkey % 9))),
+      |    CAST(c_nationkey AS BIGINT),
+      |    CAST(floor(c_acctbal * 100) AS BIGINT) + c_custkey % 7 - 3
+      |  FROM customer WHERE c_custkey % 3 = 0),
+      |kk AS (SELECT rid, name, nat, bal,
+      |         concat(CAST(nat AS VARCHAR), ':',
+      |                CAST(bal // 1000 AS VARCHAR)) AS k1,
+      |         substr(name, 15, 4) AS k2 FROM recs),
+      |cand AS (SELECT a.rid AS id_a, b.rid AS id_b
+      |         FROM kk a JOIN kk b ON a.k1 = b.k1 AND a.rid < b.rid
+      |         UNION
+      |         SELECT a.rid, b.rid
+      |         FROM kk a JOIN kk b ON a.k2 = b.k2 AND a.rid < b.rid),
+      |sc AS (SELECT c.id_a, c.id_b,
+      |        CAST(levenshtein(ra.name, rb.name) AS BIGINT) AS name_dist,
+      |        CAST(abs(ra.bal - rb.bal) AS BIGINT) AS bal_diff,
+      |        CAST(CASE WHEN levenshtein(ra.name, rb.name) <= 1 THEN 3 ELSE 0 END
+      |           + CASE WHEN abs(ra.bal - rb.bal) <= 5 THEN 1 ELSE 0 END
+      |           + CASE WHEN ra.nat = rb.nat THEN 1 ELSE 0 END AS BIGINT) AS score
+      |       FROM cand c JOIN recs ra ON ra.rid = c.id_a
+      |            JOIN recs rb ON rb.rid = c.id_b),
+      |m AS (SELECT id_a, id_b, name_dist, bal_diff, score FROM sc
+      |      WHERE score >= 4)""".stripMargin
+
+  private[graft] val q200Sql =
+    s"""WITH $erRecordsCte
+      |SELECT id_a, id_b, name_dist, bal_diff, score FROM m""".stripMargin
+
+  private[graft] def q201ErClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.RecordLinkage.clusterCard(erRecords(spark, dir), "rid",
+      erMatches(spark, dir), "bal")
+
+  private[graft] val q201Sql =
+    s"""WITH RECURSIVE $erRecordsCte,
+      |e AS (SELECT id_a AS src, id_b AS dst FROM m
+      |      UNION ALL SELECT id_b, id_a FROM m),
+      |r(v, l) AS (
+      |  SELECT rid, rid FROM recs
+      |  UNION
+      |  SELECT e.dst, r.l FROM r JOIN e ON e.src = r.v WHERE r.l < e.dst),
+      |comp AS (SELECT v, MIN(l) AS component FROM r GROUP BY v),
+      |j AS (SELECT comp.component, recs.bal
+      |      FROM comp JOIN recs ON recs.rid = comp.v)
+      |SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+      |  CAST(max(bal) - min(bal) AS BIGINT) AS val_spread
+      |FROM j GROUP BY component HAVING count(*) >= 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q202 — k-core decomposition (operators/GraphStats.kCore) of the
+  // q165 graph at k = 3: 12 peeling rounds, exact integer degrees; the
+  // oracle replays the identical rounds as generated CTEs (the
+  // q165/q105 pattern). GraphStatsSpec pins that round 13 would be a
+  // no-op — the fixed count IS the fixpoint on this graph.
+  // ---------------------------------------------------------------------
+  private[graft] def q202KCore(spark: SparkSession, dir: String): DataFrame =
+    GraphStats.kCore(q165Edges(spark, dir), k = 3, iters = 12)
+
+  private[graft] val q202Sql = {
+    // every eN is referenced 3x by round N+1 (twice for degrees, once
+    // as the surviving edge set) — without MATERIALIZED DuckDB inlines
+    // the chain into 3^12 copies of the base scan and dies on file
+    // handles before it dies on CPU
+    val rounds = (1 to 12).map { i =>
+      s"""d$i AS (SELECT v, count(*) AS deg FROM
+         |  (SELECT a AS v FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+         |  GROUP BY v),
+         |k$i AS (SELECT v FROM d$i WHERE deg >= 3),
+         |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+         |        JOIN k$i x ON x.v = e.a JOIN k$i y ON y.v = e.b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |raw AS (SELECT doc_id AS src, (doc_id * 7 + 13 * t.k) % nn.n AS dst
+      |        FROM documents, nn,
+      |        LATERAL UNNEST(generate_series(1, 1 + doc_id % 3)) AS t(k)),
+      |e0 AS MATERIALIZED (
+      |       SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |       FROM raw WHERE src <> dst),
+      |$rounds
+      |SELECT v AS doc_id, CAST(count(*) AS BIGINT) AS core_deg FROM
+      |  (SELECT a AS v FROM e12 UNION ALL SELECT b FROM e12)
+      |GROUP BY v""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q203 — declarative data-quality card (operators/QualityRules): the
+  // Deequ-shaped gate a drop clears before anything trusts it. All
+  // per-table rules fold into ONE aggregation per table; uniqueness is
+  // count−distinct in the same pass; referential integrity is the one
+  // joining rule (left-anti against distinct parent keys). Output is
+  // |rules| rows.
+  // ---------------------------------------------------------------------
+  private[graft] def q203QualityCard(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.QualityRules._
+    val li = Tables.lineitem(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    checkTable(li, Seq(
+        Rule("li_qty_range", col("l_quantity") < 1 || col("l_quantity") > 50),
+        Rule("li_price_positive", col("l_extendedprice") <= 0),
+        Rule("li_discount_range", col("l_discount") < 0 || col("l_discount") > 0.1)))
+      .union(checkTable(cust, Seq(
+        Rule("cust_name_shape", length(col("c_name")) =!= 18),
+        Rule("cust_acctbal_range",
+          col("c_acctbal") < -1000.0 || col("c_acctbal") > 10000.0))))
+      .union(checkUnique(orders, "orders_key_unique", col("o_orderkey")))
+      .union(checkUnique(li, "li_key_unique",
+        struct(col("l_orderkey"), col("l_linenumber"))))
+      .union(checkReferential(orders, "orders_custkey_fk",
+        col("o_custkey"), cust, col("c_custkey")))
+      .union(checkReferential(li, "li_orderkey_fk",
+        col("l_orderkey"), orders, col("o_orderkey")))
+  }
+
+  private[graft] val q203Sql =
+    """SELECT 'li_qty_range' AS rule,
+      |  CAST(count(*) AS BIGINT) AS n_checked,
+      |  CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_violations FROM lineitem
+      |UNION ALL
+      |SELECT 'li_price_positive', CAST(count(*) AS BIGINT),
+      |  CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'li_discount_range', CAST(count(*) AS BIGINT),
+      |  CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END)
+      |    AS BIGINT)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'cust_name_shape', CAST(count(*) AS BIGINT),
+      |  CAST(sum(CASE WHEN length(c_name) <> 18 THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM customer
+      |UNION ALL
+      |SELECT 'cust_acctbal_range', CAST(count(*) AS BIGINT),
+      |  CAST(sum(CASE WHEN c_acctbal < -1000.0 OR c_acctbal > 10000.0
+      |      THEN 1 ELSE 0 END) AS BIGINT) FROM customer
+      |UNION ALL
+      |SELECT 'orders_key_unique', CAST(count(*) AS BIGINT),
+      |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+      |UNION ALL
+      |SELECT 'li_key_unique', CAST(count(*) AS BIGINT),
+      |  CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'orders_custkey_fk',
+      |  (SELECT CAST(count(*) AS BIGINT) FROM orders),
+      |  (SELECT CAST(count(*) AS BIGINT) FROM orders o LEFT JOIN
+      |     (SELECT DISTINCT c_custkey FROM customer) c
+      |     ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+      |UNION ALL
+      |SELECT 'li_orderkey_fk',
+      |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+      |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l LEFT JOIN
+      |     (SELECT DISTINCT o_orderkey FROM orders) o
+      |     ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)""".stripMargin
 }

@@ -234,6 +234,10 @@ object SparkEntry extends Queries8Analytics {
     Q("q197_bigram_pred", q197BigramPred, Some(q197Sql)),
     Q("q198_feature_corr", q198FeatureCorr, Some(q198Sql)),
     Q("q199_grouped_sample", q199GroupedSample, Some(q199Sql)),
+    Q("q200_er_pairs", q200ErPairs, Some(q200Sql)),
+    Q("q201_er_clusters", q201ErClusters, Some(q201Sql)),
+    Q("q202_kcore", q202KCore, Some(q202Sql)),
+    Q("q203_quality_card", q203QualityCard, Some(q203Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

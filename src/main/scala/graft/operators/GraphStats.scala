@@ -88,4 +88,43 @@ object GraphStats {
             s" div (deg * (deg - 1))"))
           .otherwise(lit(0L)).as("lcc_micro"))
   }
+
+  /** k-core decomposition by iterative peeling: drop every node of
+    * degree < k, recompute degrees on the induced subgraph, repeat —
+    * the fixpoint is the k-core, the densest-neighborhood spam/quality
+    * signal after the LCC (link farms live in deep cores; long-tail
+    * organic pages fall out at k = 2).
+    *
+    * Runs EXACTLY `iters` peeling rounds — deterministic and
+    * replayable (the oracle states the same rounds as generated CTEs);
+    * callers pick `iters` past the graph's peeling depth and
+    * [[GraphStatsSpec]] pins that one more round is a no-op at the
+    * registered setting, so the fixed count IS the fixpoint. Per
+    * round: one map-side-combined degree count + two semi-joins on
+    * node ids — never an all-pairs anything; lineage cut every 3
+    * rounds (the iterative-loop discipline).
+    *
+    * @return (doc_id, core_deg): the k-core members with their degree
+    *         INSIDE the core subgraph (>= k by construction). */
+  def kCore(edges: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    var es = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    for (i <- 1 to iters) {
+      val deg = es.select(col("a").as("v")).union(es.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("v"))
+      es = es
+        .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+      if (i % 3 == 0 || i == iters) es = es.localCheckpoint()
+    }
+    es.select(col("a").as("v")).union(es.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("core_deg"))
+      .select(col("v").as("doc_id"), col("core_deg"))
+  }
 }

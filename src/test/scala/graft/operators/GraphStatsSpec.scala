@@ -43,6 +43,32 @@ class GraphStatsSpec extends SparkSpec {
     assert(m(3L) == ((1L, 0L, 0L)))
   }
 
+  private def core(edges: Seq[(Long, Long)], k: Int,
+                   iters: Int): Map[Long, Long] = {
+    import spark.implicits._
+    GraphStats.kCore(edges.toDF("src", "dst"), k, iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("k-core: a chain unravels from the ends, one layer per round") {
+    // path 1-2-3-4-5-6 at k=2: endpoints peel, exposing new endpoints —
+    // the multi-round case a single filter pass would get wrong
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    assert(core(path, 2, 3).isEmpty)
+    // one round only strips the outermost layer — 3-4 still standing
+    assert(core(path, 2, 1) == Map(2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("k-core: clique survives, tail peels, extra rounds are a no-op") {
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    val clique = for { a <- nodes; b <- nodes if a < b } yield (a, b)
+    val tail = Seq((4L, 5L), (5L, 6L))
+    val expected = nodes.map(_ -> 3L).toMap
+    assert(core(clique ++ tail, 3, 5) == expected)
+    // fixpoint: more rounds change nothing (the q202 iters-pick law)
+    assert(core(clique ++ tail, 3, 9) == expected)
+  }
+
   test("degree-ordered enumeration matches the naive id-ordered count on a star+rim") {
     // wheel graph: hub 0 connected to rim 1..6, rim is a cycle — each
     // rim triangle (0, i, i+1); rim node is in 2 triangles, hub in 6
