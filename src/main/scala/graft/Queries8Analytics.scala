@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, EditPairs, GraphStats, NgramModel, Profile, Sampling, TextAnalysis, TimeSeries}
+import graft.operators.{AsOfMatch, Dedup, EditPairs, GraphStats, NgramModel, Profile, Sampling, TextAnalysis, TimeSeries}
 
 /** Registry slice 8 (round 13, continued): structural analytics and
   * selection — exact triangle counting over the link graph, MMR
@@ -544,4 +544,139 @@ private[graft] trait Queries8Analytics extends Queries7Pipelines {
       |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l LEFT JOIN
       |     (SELECT DISTINCT o_orderkey FROM orders) o
       |     ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q204 — content-defined chunking dedup card (operators/Chunker): the
+  // windowed rolling fingerprint is POSITIONAL (last 8 codepoints), so
+  // both engines state boundaries per position with no sequential
+  // recurrence; chunks are mask-hit spans, hashed with the portable
+  // 60-bit md5 lane, and the card measures cross-document chunk
+  // sharing — content addressing's storage win, replayed exactly.
+  // ---------------------------------------------------------------------
+  private[graft] def q204CdcChunks(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunker.dedupCard(Tables.documents(spark, dir),
+      "doc_id", "text")
+
+  private[graft] val q204Sql = {
+    val pows = (0 until graft.operators.Chunker.Window)
+      .map(j => math.pow(31.0, j).toLong)
+    val hTerms = pows.zipWithIndex.map { case (p, j) =>
+      if (j == 0) s"CAST(ord(cs[i]) AS BIGINT) * $p"
+      else s"CASE WHEN i - $j >= 1 THEN CAST(ord(cs[i - $j]) AS BIGINT) * $p ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+    """WITH c0 AS (SELECT doc_id, text, string_split(text, '') AS cs
+      |            FROM documents),
+      |h AS (SELECT doc_id, text, len(cs) AS n,
+      |        list_transform(range(1, len(cs) + 1), i -> HTERMS) AS hs
+      |      FROM c0),
+      |b AS (SELECT doc_id, text, n,
+      |        list_append(list_filter(range(1, n + 1),
+      |          i -> hs[i] % 16 = 0 AND i <> n), n) AS bounds
+      |      FROM h WHERE n > 0),
+      |ck AS (SELECT doc_id,
+      |        CASE WHEN t.k = 1 THEN 1 ELSE bounds[t.k - 1] + 1 END AS start,
+      |        bounds[t.k] - (CASE WHEN t.k = 1 THEN 1
+      |                       ELSE bounds[t.k - 1] + 1 END) + 1 AS len,
+      |        text
+      |       FROM b, LATERAL UNNEST(range(1, len(bounds) + 1)) AS t(k)),
+      |ch AS (SELECT doc_id, CAST(len AS BIGINT) AS len,
+      |        CAST(('0x' || substr(md5(substr(text, start, len)), 1, 15))
+      |          AS BIGINT) AS h
+      |       FROM ck),
+      |cen AS (SELECT h, count(DISTINCT doc_id) AS docs FROM ch GROUP BY h)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+      |  CAST(sum(len) AS BIGINT) AS n_bytes
+      |FROM ch JOIN cen USING (h) GROUP BY doc_id""".stripMargin
+      .replace("HTERMS", hTerms)
+  }
+
+  // ---------------------------------------------------------------------
+  // q205 — exponentially-decayed trailing feature (operators/TimeSeries
+  // .decayedFeatures): newest event full weight, halved per step back
+  // over the last 16 events, FLOOR division per term — the exact-
+  // arithmetic EWMA both engines replay (a float decay or an unbounded
+  // recursion could not).
+  // ---------------------------------------------------------------------
+  private[graft] def q205Decayed(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.decayedFeatures(Tables.events(spark, dir),
+      "user_id", "ts", "event_id", "value", depth = 16)
+
+  private[graft] val q205Sql =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+      |w AS (SELECT event_id, user_id, ts_us,
+      |        list(cents) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |          ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS lst
+      |      FROM e)
+      |SELECT event_id, user_id, ts_us,
+      |  CAST(len(lst) AS BIGINT) AS n_frame,
+      |  CAST(list_sum(list_transform(range(1, len(lst) + 1),
+      |    k -> lst[k] // (CAST(1 AS BIGINT) << (len(lst) - k))))
+      |    AS BIGINT) AS decayed_cents
+      |FROM w""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q206 — last-touch attribution (operators/AsOfMatch.asOfJoin reused
+  // as the marketing join): each purchase credits the latest view/click
+  // touch within a 7-day lookback, else 'direct'; ties at one timestamp
+  // resolve to the highest event id on both engines (the asOfJoin
+  // (ts, side, tiebreak) order == the oracle's QUALIFY pre-dedup).
+  // One window pass, no join node — the q159 shape with a CASE on top.
+  // ---------------------------------------------------------------------
+  private[graft] def q206Attribution(spark: SparkSession, dir: String): DataFrame =
+    AsOfMatch.lastTouchAttribution(Tables.events(spark, dir), "user_id",
+      "ts", "event_id", "value", "event_type", convType = "purchase",
+      touchTypes = Seq("view", "click"), lookbackUs = 604800000000L)
+
+  private[graft] val q206Sql =
+    """WITH p AS (SELECT event_id, user_id, ts,
+      |    CAST(floor(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |t0 AS (SELECT user_id, ts, event_type AS ch
+      |       FROM events WHERE event_type IN ('view', 'click')
+      |       QUALIFY row_number() OVER (PARTITION BY user_id, ts
+      |                                  ORDER BY event_id DESC) = 1),
+      |a AS (SELECT p.cents,
+      |        CASE WHEN t.ts IS NULL
+      |               OR epoch_us(p.ts) - epoch_us(t.ts) > 604800000000
+      |             THEN 'direct' ELSE t.ch END AS channel
+      |      FROM p ASOF LEFT JOIN t0 t
+      |        ON p.user_id = t.user_id AND t.ts <= p.ts)
+      |SELECT channel, CAST(count(*) AS BIGINT) AS n_conv,
+      |  CAST(sum(cents) AS BIGINT) AS cents
+      |FROM a GROUP BY channel""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q207 — σ-outlier buckets (operators/TimeSeries.anomalyBuckets) on
+  // the q190 gap-filled series: (n − mean)² > 9·var stated as the
+  // cross-multiplied integer comparison in a DECIMAL/HUGEINT lane, so
+  // the boundary decision replays bit-for-bit. Zero-filled silence
+  // counts toward (and can itself be) the anomaly.
+  // ---------------------------------------------------------------------
+  private[graft] def q207Anomaly(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.anomalyBuckets(Tables.events(spark, dir),
+      "event_type", "ts", bucketSec = 3600L, sigmas = 3)
+
+  private[graft] val q207Sql =
+    """WITH b AS (SELECT event_type,
+      |    epoch_us(ts) // 3600000000 AS bucket_id FROM events),
+      |c AS (SELECT event_type, bucket_id, count(*) AS n FROM b GROUP BY 1, 2),
+      |st AS (SELECT min(bucket_id) AS lo, max(bucket_id) AS hi FROM b),
+      |hours AS (SELECT unnest(range(lo, hi + 1)) AS bucket_id FROM st),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |ser AS (SELECT t.event_type, h.bucket_id,
+      |          CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+      |        FROM types t CROSS JOIN hours h
+      |        LEFT JOIN c ON c.event_type = t.event_type
+      |                   AND c.bucket_id = h.bucket_id),
+      |s AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS m,
+      |        CAST(sum(n_events) AS HUGEINT) AS s1,
+      |        CAST(sum(n_events * n_events) AS HUGEINT) AS s2
+      |      FROM ser GROUP BY event_type)
+      |SELECT ser.event_type, ser.bucket_id, ser.n_events,
+      |  CAST(sign(m * ser.n_events - s1) AS BIGINT) AS dev_sign
+      |FROM ser JOIN s USING (event_type)
+      |WHERE (m * ser.n_events - s1) * (m * ser.n_events - s1)
+      |      > 9 * (m * s2 - s1 * s1)""".stripMargin
 }

@@ -238,6 +238,10 @@ object SparkEntry extends Queries8Analytics {
     Q("q201_er_clusters", q201ErClusters, Some(q201Sql)),
     Q("q202_kcore", q202KCore, Some(q202Sql)),
     Q("q203_quality_card", q203QualityCard, Some(q203Sql)),
+    Q("q204_cdc_chunks", q204CdcChunks, Some(q204Sql)),
+    Q("q205_decayed_features", q205Decayed, Some(q205Sql)),
+    Q("q206_attribution", q206Attribution, Some(q206Sql)),
+    Q("q207_anomaly_buckets", q207Anomaly, Some(q207Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -96,6 +96,37 @@ object AsOfMatch {
         (col("__m.asof_ts") +: rightPayload.map(c => col(s"__m.$c"))): _*)
   }
 
+  /** Last-touch attribution — [[asOfJoin]] applied to the marketing
+    * question: each `convType` event credits the latest `touchTypes`
+    * event of the same user at-or-before it and within `lookbackUs`,
+    * else the 'direct' channel; the card sums conversions and cents
+    * per credited channel. Ties at one timestamp resolve to the
+    * highest event id (the asOfJoin (ts, side, tiebreak) order).
+    * One window pass over the tagged union — no join node exists for
+    * the planner to degrade. */
+  def lastTouchAttribution(events: DataFrame, userCol: String,
+                           tsCol: String, idCol: String, valueCol: String,
+                           typeCol: String, convType: String,
+                           touchTypes: Seq[String],
+                           lookbackUs: Long): DataFrame = {
+    require(lookbackUs >= 1, s"lookbackUs must be positive, got $lookbackUs")
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(idCol), col(userCol), col(tsCol),
+        floor(col(valueCol) * 100).cast("long").as("__cents"))
+    val touches = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol), col(tsCol), col(idCol),
+        col(typeCol).as("__ch"))
+    asOfJoin(conv, touches, Seq(userCol), tsCol, tieBreak = idCol,
+        rightPayload = Seq("__ch"))
+      .select(col("__cents"),
+        when(col("asof_ts").isNull ||
+          unix_micros(col(tsCol)) - unix_micros(col("asof_ts")) > lookbackUs,
+          lit("direct")).otherwise(col("__ch")).as("channel"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conv"), sum(col("__cents")).as("cents"))
+  }
+
   /** Per-identity average latency (A4, aggregator.go:485-528): integer
     * division — floor() in both Spark and the DuckDB oracle (CAST semantics
     * differ: DuckDB rounds, Spark truncates; floor is unambiguous). */

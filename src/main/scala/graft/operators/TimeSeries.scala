@@ -83,4 +83,75 @@ object TimeSeries {
       coalesce(col("__tus") - lag(col("__tus"), 1).over(wl), lit(-1L))
         .as("gap_us"))
   }
+
+  /** Exponentially-decayed trailing feature ([[rollingFeatures]]'s
+    * recency-weighted sibling): over the last `depth` events of the
+    * key, Σ ⌊cents_j / 2^(age_j)⌋ — the newest event counts in full,
+    * each step back halves, with FLOOR division per term (the
+    * one-floor-per-rational discipline; a float decay would
+    * hash-diverge, and an unbounded recursive EWMA cannot replay
+    * positionally — the power-of-two kernel over a bounded ROWS frame
+    * is the exact-arithmetic formulation of the same signal).
+    *
+    * Scale: one exchange on the key (shared with any other window on
+    * the same partitioning); the per-row frame array is ≤ depth
+    * elements, folded by a codegen'd aggregate — no UDF.
+    *
+    * @return (idCol, keyCol, ts_us, n_frame, decayed_cents) */
+  def decayedFeatures(df: DataFrame, keyCol: String, tsCol: String,
+                      idCol: String, valueCol: String,
+                      depth: Int = 16): DataFrame = {
+    require(depth >= 1 && depth <= 62, s"depth must be in [1, 62], got $depth")
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col("__tus"), col(idCol))
+      .rowsBetween(-(depth - 1), 0)
+    // powers[j+1] = 2^j as a literal array — shiftleft() only takes a
+    // static count, so the variable exponent routes through element_at
+    val pows = array((0 until depth).map(j => lit(1L << j)): _*)
+    val withT = df.withColumn("__tus", unix_micros(col(tsCol)))
+      .withColumn("__cents", floor(col(valueCol) * lit(100.0)).cast("long"))
+    val lst = collect_list(col("__cents")).over(wl)
+    withT
+      .withColumn("__lst", lst)
+      .select(col(idCol), col(keyCol), col("__tus").as("ts_us"),
+        size(col("__lst")).cast("long").as("n_frame"),
+        aggregate(
+          transform(sequence(lit(1), size(col("__lst"))), k => {
+            val c = element_at(col("__lst"), k)
+            val p = element_at(pows, size(col("__lst")) - k + 1)
+            // floor division robust to negative cents: (c - pmod) / p
+            // is exact (numerator divisible, magnitudes << 2^53)
+            ((c - pmod(c, p)) / p).cast("long")
+          }),
+          lit(0L), (acc, x) => acc + x).as("decayed_cents"))
+  }
+
+  /** σ-outlier buckets over the gap-filled series — the anomaly layer
+    * a dense series exists for: a (key, bucket) is anomalous when
+    * (n − mean)² > sigmas²·var over ITS key's buckets. Stated as the
+    * cross-multiplied integer comparison
+    * (m·n − Σn)² > sigmas²·(m·Σn² − (Σn)²) in a DECIMAL(38,0) lane, so
+    * the flag replays bit-for-bit (a float z-score at the threshold
+    * boundary would not). Zero-filled gaps COUNT toward the
+    * statistics — silence is signal for anomaly purposes.
+    *
+    * Scale: the series is axis-sized ([[gapFill]]); stats are one
+    * |keys|-row aggregation joined back by key. Output only the
+    * flagged rows. */
+  def anomalyBuckets(df: DataFrame, keyCol: String, tsCol: String,
+                     bucketSec: Long, sigmas: Int = 3): DataFrame = {
+    require(sigmas >= 1, s"sigmas must be >= 1, got $sigmas")
+    val series = gapFill(df, keyCol, tsCol, bucketSec)
+    val n = col("n_events").cast("decimal(38,0)")
+    val stats = series.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__m"),
+        sum(n).as("__s1"), sum(n * n).as("__s2"))
+    series.join(stats, Seq(keyCol))
+      .withColumn("__dev", expr("__m * n_events - __s1"))
+      .filter(expr(
+        s"__dev * __dev > ${sigmas.toLong * sigmas} * (__m * __s2 - __s1 * __s1)"))
+      .select(col(keyCol), col("bucket_id"), col("n_events"),
+        signum(col("__dev")).cast("long").as("dev_sign"))
+  }
 }

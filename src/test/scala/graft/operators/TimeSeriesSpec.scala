@@ -34,4 +34,54 @@ class TimeSeriesSpec extends SparkSpec {
     // 300, so the dense range is that single bucket
     assert(out == Map(300L -> 2L))
   }
+
+  test("decayed feature: halving weights, floor per term, frame cap") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 7L, t(0, 1), 1.0), // cents 100
+      (2L, 7L, t(0, 2), 0.5), // cents 50
+      (3L, 7L, t(0, 3), 0.07), // cents 7
+      (4L, 9L, t(0, 1), -0.03)) // cents -3, separate key
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = TimeSeries.decayedFeatures(df, "user_id", "ts", "event_id",
+      "value", depth = 16)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out(1L) == ((1L, 100L)))
+    assert(out(2L) == ((2L, 100L))) // 100 div 2 + 50
+    assert(out(3L) == ((3L, 57L))) // 100 div 4 + 50 div 2 + 7
+    assert(out(4L) == ((1L, -3L)))
+  }
+
+  test("decayed feature floors negative cents toward -inf like the oracle's //") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 7L, t(0, 1), -0.03), // cents -3
+      (2L, 7L, t(0, 2), 0.08)) // cents 8
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = TimeSeries.decayedFeatures(df, "user_id", "ts", "event_id",
+      "value", depth = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    // -3 div 2 floored = -2 (truncation would give -1), +8 = 6
+    assert(out(2L) == 6L)
+  }
+
+  test("anomaly buckets: a spike past 3 sigma flags, quiet buckets do not") {
+    import spark.implicits._
+    // one event in hour 0, thirty in hour 11, hours 1-10 zero-filled:
+    // m=12, s1=31, s2=901; spike dev=329, 329^2=108241 > 9*9851=88659
+    val rows = Seq(("k", t(0, 1))) ++ (1 to 30).map(_ => ("k", t(11, 30)))
+    val out = TimeSeries.anomalyBuckets(rows.toDF("k", "ts"), "k", "ts",
+      bucketSec = 3600L, sigmas = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((11L, 30L, 1L)))
+  }
+
+  test("anomaly buckets: a flat series flags nothing") {
+    import spark.implicits._
+    val rows = (0 to 9).map(h => ("k", t(h.toLong, 1)))
+    val out = TimeSeries.anomalyBuckets(rows.toDF("k", "ts"), "k", "ts",
+      bucketSec = 3600L, sigmas = 3)
+    assert(out.isEmpty)
+  }
 }
