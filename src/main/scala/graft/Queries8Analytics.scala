@@ -360,8 +360,7 @@ private[graft] trait Queries8Analytics extends Queries7Pipelines {
     base.union(dirty)
   }
 
-  private[graft] def erMatches(spark: SparkSession, dir: String): DataFrame = {
-    val recs = erRecords(spark, dir).localCheckpoint()
+  private[graft] def erMatchesFrom(recs: DataFrame): DataFrame = {
     val pairs = graft.operators.RecordLinkage.blockPairs(recs, "rid", Seq(
       concat(col("nat"), lit(":"),
         graft.functions.IntMath.floordiv(col("bal"), 1000L)),
@@ -378,7 +377,7 @@ private[graft] trait Queries8Analytics extends Queries7Pipelines {
   }
 
   private[graft] def q200ErPairs(spark: SparkSession, dir: String): DataFrame =
-    erMatches(spark, dir)
+    erMatchesFrom(erRecords(spark, dir).localCheckpoint())
 
   private[graft] val erRecordsCte =
     """recs AS (
@@ -418,9 +417,13 @@ private[graft] trait Queries8Analytics extends Queries7Pipelines {
     s"""WITH $erRecordsCte
       |SELECT id_a, id_b, name_dist, bal_diff, score FROM m""".stripMargin
 
-  private[graft] def q201ErClusters(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.RecordLinkage.clusterCard(erRecords(spark, dir), "rid",
-      erMatches(spark, dir), "bal")
+  private[graft] def q201ErClusters(spark: SparkSession, dir: String): DataFrame = {
+    // ONE checkpointed record set feeds both the match pipeline and
+    // the card's member join — the base+dirty union never builds twice
+    val recs = erRecords(spark, dir).localCheckpoint()
+    graft.operators.RecordLinkage.clusterCard(recs, "rid",
+      erMatchesFrom(recs), "bal")
+  }
 
   private[graft] val q201Sql =
     s"""WITH RECURSIVE $erRecordsCte,

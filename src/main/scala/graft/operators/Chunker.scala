@@ -41,10 +41,10 @@ object Chunker {
     * starts; chunks tile the text exactly. */
   def chunks(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val pows = (0 until Window).map(j => math.pow(31.0, j).toLong)
-    val s1 = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+    val s1 = docs.select(col(idCol).as("doc_id"),
       split(col(textCol), "").as("__cs"))
     // h(i) = sum_{j=0..min(7,i-1)} ord(c_{i-j}) * 31^j, one pass
-    val s2 = s1.select(col("doc_id"), col("__t"), size(col("__cs")).as("__n"),
+    val s2 = s1.select(col("doc_id"), col("__cs"), size(col("__cs")).as("__n"),
       transform(sequence(lit(1), size(col("__cs"))), i =>
         (0 until Window).map(j =>
           when(i - j >= 1,
@@ -52,13 +52,23 @@ object Chunker {
             .otherwise(lit(0L)))
           .reduce(_ + _)).as("__hs"))
     // mask hits (except the final position) + the final position
-    val s3 = s2.select(col("doc_id"), col("__t"),
+    val s3 = s2.select(col("doc_id"), col("__cs"),
       when(col("__n") > 0, concat(
         filter(sequence(lit(1), col("__n")),
           i => element_at(col("__hs"), i) % MaskMod === 0 && i =!= col("__n")),
         array(col("__n"))))
         .otherwise(array().cast("array<int>")).as("__bd"))
-    val s4 = s3.select(col("doc_id"), col("__t"),
+    // chunk text is re-assembled from the SAME split array the
+    // boundaries were computed over (array_join of the span slice),
+    // never substring over the original string — Spark's split works
+    // in UTF-16 code units while substring counts code points, and
+    // mixing the two index spaces corrupts chunks on astral-plane
+    // input. In one space the tiling invariant (chunks concat back to
+    // the split array) holds for ALL input; cross-engine hash parity
+    // is certified for BMP text (code units == code points there, and
+    // DuckDB's per-character split agrees), astral chunking stays
+    // deterministic per engine.
+    val s4 = s3.select(col("doc_id"), col("__cs"),
       explode(transform(sequence(lit(1), size(col("__bd"))), k =>
         struct(
           when(k === 1, lit(1)).otherwise(element_at(col("__bd"), k - 1) + 1)
@@ -67,8 +77,9 @@ object Chunker {
     s4.select(col("doc_id"),
       col("__c.start").cast("long").as("start"),
       (col("__c.end") - col("__c.start") + 1).cast("long").as("len"),
-      Dedup.baseHash60(
-        expr("substring(__t, __c.start, __c.end - __c.start + 1)"))
+      Dedup.baseHash60(array_join(
+        slice(col("__cs"), col("__c.start"),
+          col("__c.end") - col("__c.start") + 1), ""))
         .as("chunk_hash"))
   }
 

@@ -89,8 +89,7 @@ object NgramModel {
       .select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("__tk"))
       .select(col("doc_id"),
-        explode(TextAnalysis.shinglesOfTokens(col("__tk"), 2)).as("__bg"),
-        lit(1))
+        explode(TextAnalysis.shinglesOfTokens(col("__tk"), 2)).as("__bg"))
       .select(col("doc_id"), Dedup.baseHash60(col("__bg")).as("bh"),
         Dedup.baseHash60(expr("substring_index(__bg, ' ', 1)")).as("w1h"))
     val bgCnt = bigrams.groupBy(col("bh")).agg(count(lit(1)).as("__cbg"))

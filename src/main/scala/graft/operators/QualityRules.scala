@@ -37,11 +37,15 @@ object QualityRules {
 
   /** Key-uniqueness rule as a card row: n_checked = rows,
     * n_violations = rows − distinct keys (0 when unique). Composite
-    * keys pass a struct column. */
+    * keys pass a struct column — counted EXACTLY over the key itself
+    * (a stringified struct would conflate keys whose fields contain
+    * the separator; a governance surface must not manufacture false
+    * violations). The full key shuffles — acceptable here because
+    * uniqueness keys are id-shaped; hash the key yourself upstream if
+    * it is text-sized. */
   def checkUnique(df: DataFrame, name: String, key: Column): DataFrame =
     df.agg(count(lit(1)).as("n_checked"),
-        (count(lit(1)) - countDistinct(xxhash64(key.cast("string"))))
-          .as("n_violations"))
+        (count(lit(1)) - countDistinct(key)).as("n_violations"))
       .select(lit(name).as("rule"), col("n_checked"), col("n_violations"))
 
   /** Referential-integrity rule: child rows whose `childKey` has no

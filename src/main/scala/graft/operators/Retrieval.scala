@@ -319,22 +319,27 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("dot").as("rel"))
       .localCheckpoint()
 
-    val codes = Quantize.int8Codes(emb, embIdCol, embCol)
-      .withColumnRenamed(embIdCol, "__eid")
-    val candCodes = cand.select(col("query_id"), col("doc_id"))
-      .join(codes, cand("doc_id") === codes("__eid"))
-      .select(col("query_id"), col("doc_id"), col("codes"))
-    val c1 = candCodes.select(col("query_id"), col("doc_id").as("d1"),
-      col("codes").as("__ca"))
-    val c2 = candCodes.select(col("query_id"), col("doc_id").as("d2"),
-      col("codes").as("__cb"))
-    val sims = c1.join(c2, Seq("query_id"))
-      .filter(col("d1") =!= col("d2"))
-      .withColumn("s", aggregate(
-        zip_with(col("__ca"), col("__cb"), (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x))
-      .select(col("query_id"), col("d1"), col("d2"), col("s"))
-      .localCheckpoint()
+    // the pairwise-similarity table only exists when diversity is
+    // actually consulted (kOut >= 2) — a pure-relevance kOut=1 call
+    // must not pay the candidate self-join or its checkpoint job
+    lazy val sims = {
+      val codes = Quantize.int8Codes(emb, embIdCol, embCol)
+        .withColumnRenamed(embIdCol, "__eid")
+      val candCodes = cand.select(col("query_id"), col("doc_id"))
+        .join(codes, cand("doc_id") === codes("__eid"))
+        .select(col("query_id"), col("doc_id"), col("codes"))
+      val c1 = candCodes.select(col("query_id"), col("doc_id").as("d1"),
+        col("codes").as("__ca"))
+      val c2 = candCodes.select(col("query_id"), col("doc_id").as("d2"),
+        col("codes").as("__cb"))
+      c1.join(c2, Seq("query_id"))
+        .filter(col("d1") =!= col("d2"))
+        .withColumn("s", aggregate(
+          zip_with(col("__ca"), col("__cb"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+        .select(col("query_id"), col("d1"), col("d2"), col("s"))
+        .localCheckpoint()
+    }
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("mmr_score"), asc("doc_id"))

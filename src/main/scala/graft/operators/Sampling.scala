@@ -485,10 +485,14 @@ object Sampling {
                             weightCol: String, groupCol: String,
                             k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // the draw uses the LONG-CAST weight — the same value the ledger
+    // stores and StreamPrioritySample.mergeSamples re-derives the
+    // priority from; drawing from a fractional raw weight would make
+    // the merged sample provably differ near the k boundary
     df.groupBy(col(groupCol))
       .agg(graft.functions.TopKPriorityFunctions.topk_priority_agg(
         col(idCol).cast("long"), col(weightCol).cast("long"),
-        priorityDraw(col(idCol), col(weightCol)), k).as("__top"))
+        priorityDraw(col(idCol), col(weightCol).cast("long")), k).as("__top"))
       .select(col(groupCol), posexplode(col("__top")).as(Seq("__i", "__e")))
       .select(col(groupCol), col("__e.doc_id").as("doc_id"),
         col("__e.w").as("w"), (col("__i") + 1).cast("long").as("rank"))

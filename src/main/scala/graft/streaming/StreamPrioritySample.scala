@@ -37,7 +37,11 @@ object StreamPrioritySample {
       .groupBy(window(col(tsCol), windowDur), col(keyCol))
       .agg(topk_priority_agg(col(idCol).cast("long"),
         col(weightCol).cast("long"),
-        Sampling.priorityDraw(col(idCol), col(weightCol)), k).as("sample"))
+        // draw from the LONG-CAST weight — the value the ledger stores
+        // and mergeSamples re-derives from (fractional raw weights
+        // would break the merge law at the k boundary)
+        Sampling.priorityDraw(col(idCol), col(weightCol).cast("long")),
+        k).as("sample"))
   }
 
   /** Merge emitted partials (any window slicing) back into the one
