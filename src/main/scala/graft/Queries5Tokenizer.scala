@@ -1205,7 +1205,10 @@ private[graft] trait Queries5Tokenizer extends Queries4Mixtures {
       .agg(count(col("__k")).as("n_with_k"),
         sum(col("__k")).as("sum_k"),
         floor(sum(col("__k")) / count(col("__k"))).cast("long").as("avg_k_floor"),
-        sum(graft.functions.IntMath.floordiv(col("__k"), 10L)).as("sum_decile"))
+        // TRUNCATING div matches DuckDB's integer `//` for all signs
+        // (DuckDB // truncates toward zero on integers — verified
+        // empirically; a floor-division here diverges on negative k)
+        sum(expr("__k div 10")).as("sum_decile"))
 
   private[graft] val q137Sql =
     """SELECT event_type,

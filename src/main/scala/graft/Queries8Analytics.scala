@@ -361,9 +361,12 @@ private[graft] trait Queries8Analytics extends Queries7Pipelines {
   }
 
   private[graft] def erMatchesFrom(recs: DataFrame): DataFrame = {
+    // the balance band TRUNCATES (Spark `div` == DuckDB's integer `//`
+    // for all signs — empirically DuckDB // truncates toward zero on
+    // integers; floor-division here would shift every negative-balance
+    // record one band off the oracle)
     val pairs = graft.operators.RecordLinkage.blockPairs(recs, "rid", Seq(
-      concat(col("nat"), lit(":"),
-        graft.functions.IntMath.floordiv(col("bal"), 1000L)),
+      concat(col("nat"), lit(":"), expr("bal div 1000")),
       substring(col("name"), 15, 4)))
     graft.operators.RecordLinkage
       .attachSides(pairs, recs, "rid", Seq("name", "nat", "bal"))
@@ -682,4 +685,210 @@ private[graft] trait Queries8Analytics extends Queries7Pipelines {
       |FROM ser JOIN s USING (event_type)
       |WHERE (m * ser.n_events - s1) * (m * ser.n_events - s1)
       |      > 9 * (m * s2 - s1 * s1)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q208 — incremental ER probe (RecordLinkage.blockProbe): a "daily
+  // drop" of re-imported customers links against the resolved base as
+  // (delta × base) ∪ (delta × delta) — never base × base, so per-drop
+  // cost is linear in the drop (the q148/q61 incremental discipline
+  // applied to linkage). Same OR-keys and scoring as q200.
+  // ---------------------------------------------------------------------
+  private[graft] def erDelta(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 5 === 0)
+      .select((col("c_custkey") + 200000L).as("rid"),
+        concat(
+          expr("substring(c_name, 1, 9 + CAST((c_custkey + 4) % 9 AS INT))"),
+          ((expr("CAST(substring(c_name, 10 + CAST((c_custkey + 4) % 9 AS INT), 1) AS BIGINT)")
+            + 1L) % 10L).cast("string"),
+          expr("substring(c_name, 11 + CAST((c_custkey + 4) % 9 AS INT), 2147483647)"))
+          .as("name"),
+        col("c_nationkey").cast("long").as("nat"),
+        (floor(col("c_acctbal") * 100).cast("long")
+          + col("c_custkey") % 5 - 2L).as("bal"))
+
+  private[graft] def q208ErProbe(spark: SparkSession, dir: String): DataFrame = {
+    val base = erRecords(spark, dir).localCheckpoint()
+    val delta = erDelta(spark, dir).localCheckpoint()
+    val keys = Seq(
+      concat(col("nat"), lit(":"), expr("bal div 1000")), // truncating, see q200
+      substring(col("name"), 15, 4))
+    val pairs = graft.operators.RecordLinkage.blockProbe(base, delta,
+      "rid", keys)
+    graft.operators.RecordLinkage
+      .attachSides(pairs, base.union(delta), "rid", Seq("name", "nat", "bal"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("a_name"), col("b_name")).cast("long").as("name_dist"),
+        abs(col("a_bal") - col("b_bal")).as("bal_diff"),
+        (when(levenshtein(col("a_name"), col("b_name")) <= 1, 3L).otherwise(0L)
+          + when(abs(col("a_bal") - col("b_bal")) <= 5, 1L).otherwise(0L)
+          + when(col("a_nat") === col("b_nat"), 1L).otherwise(0L)).as("score"))
+      .filter(col("score") >= 4)
+  }
+
+  private[graft] val q208Sql =
+    """WITH recsB AS (
+      |  SELECT c_custkey AS rid, c_name AS name,
+      |    CAST(c_nationkey AS BIGINT) AS nat,
+      |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey + 100000, concat(
+      |      substr(c_name, 1, 9 + (c_custkey % 9)),
+      |      CAST((CAST(substr(c_name, 10 + (c_custkey % 9), 1) AS BIGINT)
+      |            + 1) % 10 AS VARCHAR),
+      |      substr(c_name, 11 + (c_custkey % 9))),
+      |    CAST(c_nationkey AS BIGINT),
+      |    CAST(floor(c_acctbal * 100) AS BIGINT) + c_custkey % 7 - 3
+      |  FROM customer WHERE c_custkey % 3 = 0),
+      |recsD AS (
+      |  SELECT c_custkey + 200000 AS rid, concat(
+      |      substr(c_name, 1, 9 + ((c_custkey + 4) % 9)),
+      |      CAST((CAST(substr(c_name, 10 + ((c_custkey + 4) % 9), 1) AS BIGINT)
+      |            + 1) % 10 AS VARCHAR),
+      |      substr(c_name, 11 + ((c_custkey + 4) % 9))) AS name,
+      |    CAST(c_nationkey AS BIGINT) AS nat,
+      |    CAST(floor(c_acctbal * 100) AS BIGINT) + c_custkey % 5 - 2 AS bal
+      |  FROM customer WHERE c_custkey % 5 = 0),
+      |allr AS (SELECT * FROM recsB UNION ALL SELECT * FROM recsD),
+      |kk AS (SELECT rid, name, nat, bal,
+      |         concat(CAST(nat AS VARCHAR), ':',
+      |                CAST(bal // 1000 AS VARCHAR)) AS k1,
+      |         substr(name, 15, 4) AS k2,
+      |         rid >= 200000 AS is_delta FROM allr),
+      |cand AS (
+      |  SELECT least(a.rid, b.rid) AS id_a, greatest(a.rid, b.rid) AS id_b
+      |  FROM kk a JOIN kk b ON a.k1 = b.k1 AND a.rid <> b.rid
+      |  WHERE a.is_delta
+      |  UNION
+      |  SELECT least(a.rid, b.rid), greatest(a.rid, b.rid)
+      |  FROM kk a JOIN kk b ON a.k2 = b.k2 AND a.rid <> b.rid
+      |  WHERE a.is_delta),
+      |sc AS (SELECT c.id_a, c.id_b,
+      |        CAST(levenshtein(ra.name, rb.name) AS BIGINT) AS name_dist,
+      |        CAST(abs(ra.bal - rb.bal) AS BIGINT) AS bal_diff,
+      |        CAST(CASE WHEN levenshtein(ra.name, rb.name) <= 1 THEN 3 ELSE 0 END
+      |           + CASE WHEN abs(ra.bal - rb.bal) <= 5 THEN 1 ELSE 0 END
+      |           + CASE WHEN ra.nat = rb.nat THEN 1 ELSE 0 END AS BIGINT) AS score
+      |       FROM cand c JOIN allr ra ON ra.rid = c.id_a
+      |            JOIN allr rb ON rb.rid = c.id_b)
+      |SELECT id_a, id_b, name_dist, bal_diff, score FROM sc
+      |WHERE score >= 4""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q209 — nearest-in-time join (AsOfMatch.nearestJoin): each purchase
+  // matched to the CLOSEST error event of its user on either side,
+  // ties preferring the backward candidate — two window passes on one
+  // key exchange, replayed by two DuckDB ASOF joins (<= and >=) with
+  // the per-timestamp tie pre-dedups the window orders imply.
+  // ---------------------------------------------------------------------
+  private[graft] def q209NearestError(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_id").as("err_id"))
+    AsOfMatch.nearestJoin(purchases, errors, Seq("user_id"), "ts",
+        tieBreak = "event_id", rightPayload = Seq("err_id"))
+      .select(col("event_id"), col("user_id"), col("nearest_ts"),
+        col("dt_us"), col("err_id"))
+  }
+
+  private[graft] val q209Sql =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events
+      |           WHERE event_type = 'purchase'),
+      |eb AS (SELECT user_id, ts, event_id FROM events
+      |       WHERE event_type = 'error'
+      |       QUALIFY row_number() OVER (PARTITION BY user_id, ts
+      |                                  ORDER BY event_id DESC) = 1),
+      |ef AS (SELECT user_id, ts, event_id FROM events
+      |       WHERE event_type = 'error'
+      |       QUALIFY row_number() OVER (PARTITION BY user_id, ts
+      |                                  ORDER BY event_id ASC) = 1),
+      |b AS (SELECT p.event_id, p.user_id, p.ts, t.ts AS bts,
+      |        t.event_id AS bid
+      |      FROM p ASOF LEFT JOIN eb t
+      |        ON p.user_id = t.user_id AND t.ts <= p.ts),
+      |f AS (SELECT p.event_id, t.ts AS fts, t.event_id AS fid
+      |      FROM p ASOF LEFT JOIN ef t
+      |        ON p.user_id = t.user_id AND t.ts >= p.ts),
+      |j AS (SELECT b.event_id, b.user_id, b.ts, b.bts, b.bid, f.fts, f.fid
+      |      FROM b JOIN f USING (event_id)),
+      |sel AS (SELECT *,
+      |    CASE WHEN bts IS NULL AND fts IS NULL THEN NULL
+      |         WHEN fts IS NULL THEN 'b' WHEN bts IS NULL THEN 'f'
+      |         WHEN epoch_us(ts) - epoch_us(bts)
+      |              <= epoch_us(fts) - epoch_us(ts) THEN 'b'
+      |         ELSE 'f' END AS side
+      |  FROM j)
+      |SELECT event_id, user_id,
+      |  CASE side WHEN 'b' THEN bts WHEN 'f' THEN fts END AS nearest_ts,
+      |  CASE WHEN side IS NULL THEN NULL
+      |       ELSE epoch_us(ts) - epoch_us(CASE side WHEN 'b' THEN bts
+      |                                    ELSE fts END) END AS dt_us,
+      |  CASE side WHEN 'b' THEN bid WHEN 'f' THEN fid END AS err_id
+      |FROM sel""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q210 — trailing-window exact distinct count (TimeSeries
+  // .rollingDistinct): distinct event types per user over the trailing
+  // hour — RANGE-frame collect_set vs the oracle's windowed
+  // list_distinct, both tie-order-free.
+  // ---------------------------------------------------------------------
+  private[graft] def q210RollingDistinct(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.rollingDistinct(Tables.events(spark, dir), "user_id", "ts",
+      "event_id", "event_type", windowSec = 3600L)
+
+  private[graft] val q210Sql =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |    event_type FROM events)
+      |SELECT event_id, user_id, ts_us,
+      |  CAST(len(list_distinct(list(event_type) OVER (
+      |    PARTITION BY user_id ORDER BY ts_us
+      |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)))
+      |    AS BIGINT) AS n_distinct_win
+      |FROM e""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q211 — equal-frequency feature binning (Sampling.equalFreqBins):
+  // per-source n_chars deciles via the two-phase banded rank engine
+  // (never a bare-group sort window) and the explicit
+  // ⌊nBins·(rank−1)/n⌋ formula — the oracle states the same formula
+  // over the naive single window; the two agreeing certifies the
+  // banded rank.
+  // ---------------------------------------------------------------------
+  private[graft] def q211FeatureBins(spark: SparkSession, dir: String): DataFrame =
+    Sampling.equalFreqBins(Tables.documents(spark, dir), "source",
+      "n_chars", "doc_id", nBins = 10, bandWidth = 8L)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("bin"))
+
+  private[graft] val q211Sql =
+    """WITH r AS (SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id) AS rk,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM documents)
+      |SELECT doc_id, source, n_chars,
+      |  CAST((10 * (rk - 1)) // n AS BIGINT) AS bin
+      |FROM r""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q212 — χ² association card (Profile.chiSquareCard) between lang
+  // and source: per-cell ⌊10⁶·(O·N−R·C)²/(N·R·C)⌋ in the DECIMAL/
+  // HUGEINT lanes — the bias/independence governance check with no
+  // float in the loop.
+  // ---------------------------------------------------------------------
+  private[graft] def q212ChiSquare(spark: SparkSession, dir: String): DataFrame =
+    Profile.chiSquareCard(Tables.documents(spark, dir), "lang", "source")
+
+  private[graft] val q212Sql =
+    """WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+      |               FROM documents GROUP BY 1, 2),
+      |r AS (SELECT lang, CAST(sum(n) AS HUGEINT) AS rr FROM cells GROUP BY lang),
+      |c AS (SELECT source, CAST(sum(n) AS HUGEINT) AS cc FROM cells GROUP BY source),
+      |t AS (SELECT CAST(sum(n) AS HUGEINT) AS tt FROM cells)
+      |SELECT cells.lang, cells.source, cells.n,
+      |  CAST((1000000 * (n * tt - rr * cc) * (n * tt - rr * cc))
+      |       // (tt * rr * cc) AS BIGINT) AS chi_micro
+      |FROM cells JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t""".stripMargin
 }

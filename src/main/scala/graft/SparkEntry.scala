@@ -242,6 +242,11 @@ object SparkEntry extends Queries8Analytics {
     Q("q205_decayed_features", q205Decayed, Some(q205Sql)),
     Q("q206_attribution", q206Attribution, Some(q206Sql)),
     Q("q207_anomaly_buckets", q207Anomaly, Some(q207Sql)),
+    Q("q208_er_probe", q208ErProbe, Some(q208Sql)),
+    Q("q209_nearest_join", q209NearestError, Some(q209Sql)),
+    Q("q210_rolling_distinct", q210RollingDistinct, Some(q210Sql)),
+    Q("q211_feature_bins", q211FeatureBins, Some(q211Sql)),
+    Q("q212_chi_square", q212ChiSquare, Some(q212Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -96,6 +96,61 @@ object AsOfMatch {
         (col("__m.asof_ts") +: rightPayload.map(c => col(s"__m.$c"))): _*)
   }
 
+  /** Nearest-in-time join — [[asOfJoin]]'s bidirectional sibling (the
+    * sensor-alignment / diagnostics shape: "the closest error to each
+    * purchase", either side of it): every left row matches the right
+    * row minimizing |Δt|, ties preferring the backward (at-or-before)
+    * candidate. Two window passes over ONE tagged union sharing ONE
+    * key exchange — backward is last(right) over preceding rows with
+    * rights sorting before lefts at equal ts (exact-ts rights match),
+    * forward is first(right) over following rows with lefts sorting
+    * first (so an exact-ts right is also visible forward); no join
+    * node exists to degrade. Among multiple rights at one timestamp
+    * the backward pick is the highest tiebreak id, the forward pick
+    * the lowest — both total orders, both replayed by the oracle.
+    *
+    * @return left columns + `nearest_ts` + `dt_us` (signed: positive
+    *         when the match is before the left row, negative after,
+    *         null when no right row exists) + `rightPayload` */
+  def nearestJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  tsCol: String, tieBreak: String,
+                  rightPayload: Seq[String]): DataFrame = {
+    val dup = rightPayload.toSet.intersect(left.columns.toSet)
+    require(dup.isEmpty, s"rightPayload collides with left columns: $dup")
+    val keyCols = keys.map(col)
+    val lpStruct = struct(left.columns.map(col): _*)
+    val rpStruct = struct(col(tsCol).as("nearest_ts") +: rightPayload.map(col): _*)
+    val lpType = left.select(lpStruct).schema.head.dataType
+    val rpType = right.select(rpStruct).schema.head.dataType
+    val leftTagged = left.select(keyCols ++ Seq(col(tsCol).as("__ts"),
+      col(tieBreak).as("__tb"), lit(1).as("__side"), lpStruct.as("__lp"),
+      lit(null).cast(rpType).as("__rp")): _*)
+    val rightTagged = right.select(keyCols ++ Seq(col(tsCol).as("__ts"),
+      col(tieBreak).as("__tb"), lit(0).as("__side"),
+      lit(null).cast(lpType).as("__lp"), rpStruct.as("__rp")): _*)
+    val wBack = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__ts"), col("__side"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__ts"), (lit(1) - col("__side")).asc, col("__tb"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val us = (c: Column) => unix_micros(c.getField("nearest_ts"))
+    val lts = unix_micros(col("__ts"))
+    val picked = leftTagged.unionByName(rightTagged)
+      .withColumn("__b", last(col("__rp"), ignoreNulls = true).over(wBack))
+      .withColumn("__f", first(col("__rp"), ignoreNulls = true).over(wFwd))
+      .filter(col("__side") === 1)
+      .withColumn("__m",
+        when(col("__b").isNull, col("__f"))
+          .when(col("__f").isNull, col("__b"))
+          .when(lts - us(col("__b")) <= us(col("__f")) - lts, col("__b"))
+          .otherwise(col("__f")))
+    picked.select(left.columns.map(c => col(s"__lp.$c")) ++
+      Seq(col("__m.nearest_ts"),
+        (lts - unix_micros(col("__m.nearest_ts"))).as("dt_us")) ++
+      rightPayload.map(c => col(s"__m.$c")): _*)
+  }
+
   /** Last-touch attribution — [[asOfJoin]] applied to the marketing
     * question: each `convType` event credits the latest `touchTypes`
     * event of the same user at-or-before it and within `lookbackUs`,

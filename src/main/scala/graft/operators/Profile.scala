@@ -58,6 +58,40 @@ object Profile {
     wide.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 
+  /** χ² association card between two categorical columns — the "is
+    * language independent of source" governance check (a skewed
+    * association in a training mix is a bias finding): each (a, b)
+    * cell contributes ⌊scale·(O·N − R·C)² / (N·R·C)⌋, the exact
+    * integer form of (O−E)²/E scaled by N (multiply (O−E)²/E by N²/N²:
+    * numerator (O·N−R·C)², denominator N·R·C — one floor per cell, so
+    * the whole card replays cross-engine; Σ cells ≈ scale·N·χ²).
+    *
+    * Scale: one contingency aggregation (map-side combined) + two
+    * marginal re-aggregations of the |A|·|B|-sized cell table + a
+    * 1-row total — everything after the first groupBy is
+    * contingency-sized. Squares run in DECIMAL(38,0) (O·N overflows a
+    * long at ~3·10⁹ rows; the governance lane must not wrap).
+    *
+    * @return (aCol, bCol, n, chi_micro) one row per observed cell */
+  def chiSquareCard(df: DataFrame, aCol: String, bCol: String,
+                    scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1L, s"scale must be positive, got $scale")
+    val cells = df.groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val rowTot = cells.groupBy(col(aCol)).agg(sum(col("n")).as("__r"))
+    val colTot = cells.groupBy(col(bCol)).agg(sum(col("n")).as("__c"))
+    val total = cells.agg(sum(col("n")).as("__t"))
+    cells.join(rowTot, Seq(aCol)).join(colTot, Seq(bCol))
+      .crossJoin(broadcast(total))
+      .withColumn("__num", expr(
+        "CAST(n AS DECIMAL(38,0)) * __t - CAST(__r AS DECIMAL(38,0)) * __c"))
+      .select(col(aCol), col(bCol), col("n"),
+        expr(s"CAST(($scale" +
+          "L * __num * __num) div (CAST(__t AS DECIMAL(38,0)) * __r * __c)" +
+          " AS BIGINT)").as("chi_micro"))
+  }
+
   /** Per-group Pearson correlation between two INTEGER features,
     * integer-exact — the feature-drift card a pipeline runs when a
     * derived signal (token count, quality score) should track a raw one

@@ -44,6 +44,33 @@ object RecordLinkage {
     }.reduce(_ union _).distinct()
   }
 
+  /** Incremental blocking — the daily-drop form of [[blockPairs]]:
+    * candidates are (delta × base) ∪ (delta × delta), NEVER
+    * base × base — the base corpus was already resolved, so a
+    * re-link of n_base² pairs per drop would make ER cost quadratic
+    * in corpus age instead of linear in the drop (the q148/q61
+    * incremental-probe discipline applied to linkage). Same OR-key
+    * semantics; pairs are (id_a < id_b) dedup'd, so a delta pair is
+    * reported once however many keys it shares. */
+  def blockProbe(base: DataFrame, delta: DataFrame, idCol: String,
+                 keys: Seq[Column]): DataFrame = {
+    require(keys.nonEmpty, "blockProbe needs at least one blocking key")
+    def withKeys(df: DataFrame) = df.select(
+      col(idCol).as("__rid") +:
+        keys.zipWithIndex.map { case (k, i) => k.as(s"__bk$i") }: _*)
+    val b = withKeys(base).localCheckpoint()
+    val d = withKeys(delta).localCheckpoint()
+    keys.indices.map { i =>
+      val dl = d.select(col("__rid").as("id_a"), col(s"__bk$i").as("__k"))
+      val bothSides = b.select(col("__rid").as("id_b"), col(s"__bk$i").as("__k"))
+        .union(d.select(col("__rid").as("id_b"), col(s"__bk$i").as("__k")))
+      dl.join(bothSides, Seq("__k"))
+        .filter(col("id_a") =!= col("id_b"))
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+    }.reduce(_ union _).distinct()
+  }
+
   /** Attach both sides' `cols` to a pair frame as `a_<col>` /
     * `b_<col>` — two equi-joins against the record table, the standard
     * prelude to pairwise scoring. */

@@ -498,6 +498,47 @@ object Sampling {
         col("__e.w").as("w"), (col("__i") + 1).cast("long").as("rank"))
   }
 
+  /** Equal-frequency (quantile) feature binning — the discretization
+    * step before bucketed training features or stratified reporting:
+    * each row's bin is ⌊nBins·(rank−1)/n⌋ over its group's exact
+    * (value, id) rank. NOT ntile(): the explicit floor formula is
+    * stated identically in both engines (ntile's remainder rule is a
+    * second thing to keep in sync), and the rank comes from the
+    * TWO-PHASE banded engine — counts per (group, value-band), a
+    * bounded running-offset window over ≤ bands rows per group, then
+    * row_number INSIDE each (group, band) — never a bare-group sort
+    * window (the q53/q32 single-reducer discipline; bands preserve
+    * value order, so offset + in-band rank is the exact global rank).
+    *
+    * @param bandWidth width of the value bands phase 1 counts —
+    *        pick so groups' value ranges span ≥ ~64 bands
+    * @return input columns + `bin` (0-based, < nBins) */
+  def equalFreqBins(df: DataFrame, groupCol: String, valueCol: String,
+                    idCol: String, nBins: Int, bandWidth: Long): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    require(bandWidth >= 1, s"bandWidth must be >= 1, got $bandWidth")
+    val withB = df.withColumn("__band",
+      graft.functions.IntMath.floordiv(col(valueCol), bandWidth))
+    val counts = withB.groupBy(col(groupCol).as("__g"), col("__band").as("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col("__g"))
+    val cum = counts
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+      .withColumn("__n", sum(col("__cnt")).over(wTot))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("__band"))
+      .orderBy(col(valueCol), col(idCol))
+    withB
+      .join(cum, withB(groupCol) <=> cum("__g") && withB("__band") === cum("__b"))
+      .withColumn("__rank", col("__off") + row_number().over(wIn))
+      .withColumn("bin",
+        expr(s"($nBins" + "L * (__rank - 1)) div __n"))
+      .drop("__band", "__g", "__b", "__cnt", "__off", "__n", "__rank")
+  }
+
   /** Rendezvous (highest-random-weight) shard assignment: a row's
     * shard under n shards is argmax over s ∈ [0, n) of
     * hash(id||":hrw:"||s). Unlike mod-n sharding ([[shardId]]), moving

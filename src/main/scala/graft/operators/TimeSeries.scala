@@ -86,10 +86,10 @@ object TimeSeries {
 
   /** Exponentially-decayed trailing feature ([[rollingFeatures]]'s
     * recency-weighted sibling): over the last `depth` events of the
-    * key, Σ ⌊cents_j / 2^(age_j)⌋ — the newest event counts in full,
-    * each step back halves, with FLOOR division per term (the
-    * one-floor-per-rational discipline; a float decay would
-    * hash-diverge, and an unbounded recursive EWMA cannot replay
+    * key, Σ trunc(cents_j / 2^(age_j)) — the newest event counts in
+    * full, each step back halves, with ONE truncating integer division
+    * per term (the one-division-per-rational discipline; a float decay
+    * would hash-diverge, and an unbounded recursive EWMA cannot replay
     * positionally — the power-of-two kernel over a bounded ROWS frame
     * is the exact-arithmetic formulation of the same signal).
     *
@@ -120,11 +120,37 @@ object TimeSeries {
           transform(sequence(lit(1), size(col("__lst"))), k => {
             val c = element_at(col("__lst"), k)
             val p = element_at(pows, size(col("__lst")) - k + 1)
-            // floor division robust to negative cents: (c - pmod) / p
-            // is exact (numerator divisible, magnitudes << 2^53)
-            ((c - pmod(c, p)) / p).cast("long")
+            // TRUNCATING division per term — (c - c % p) / p is exact
+            // (numerator divisible, magnitudes << 2^53) and matches
+            // DuckDB's integer `//`, which truncates toward zero for
+            // all signs (verified empirically; floor would diverge on
+            // negative cents)
+            ((c - (c % p)) / p).cast("long")
           }),
           lit(0L), (acc, x) => acc + x).as("decayed_cents"))
+  }
+
+  /** Trailing-window exact distinct count — the cardinality sibling of
+    * [[rollingFeatures]] ("how many distinct event types / endpoints /
+    * SKUs did this key touch in the last hour"): a RANGE frame
+    * collect_set sized by the window's time width. Frame membership is
+    * integer and tie-order-free like the other RANGE features; the
+    * per-row set is bounded by the category cardinality × window rate
+    * (use a sketch beyond that — this is the exact lane).
+    *
+    * @return (idCol, keyCol, ts_us, n_distinct_win) */
+  def rollingDistinct(df: DataFrame, keyCol: String, tsCol: String,
+                      idCol: String, catCol: String,
+                      windowSec: Long): DataFrame = {
+    require(windowSec >= 1, s"windowSec must be positive, got $windowSec")
+    val us = windowSec * 1000000L
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("__tus"))
+      .rangeBetween(-us, 0)
+    df.withColumn("__tus", unix_micros(col(tsCol)))
+      .select(col(idCol), col(keyCol), col("__tus").as("ts_us"),
+        size(collect_set(col(catCol)).over(wr)).cast("long")
+          .as("n_distinct_win"))
   }
 
   /** σ-outlier buckets over the gap-filled series — the anomaly layer

@@ -54,6 +54,30 @@ class RecordLinkageSpec extends SparkSpec {
     assert(card.toSeq == Seq((1L, 3L, 10L)))
   }
 
+  test("blockProbe pairs delta against base and itself, never base x base") {
+    import spark.implicits._
+    // base 1 and 2 share a block; delta 10 shares it too; delta 11
+    // pairs only with delta 10 through the second key
+    val base = Seq((1L, "x", "m"), (2L, "x", "n"), (3L, "y", "o"))
+      .toDF("rid", "k1", "k2")
+    val delta = Seq((10L, "x", "p"), (11L, "z", "p"))
+      .toDF("rid", "k1", "k2")
+    val pairs = RecordLinkage.blockProbe(base, delta, "rid",
+      Seq(col("k1"), col("k2")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // base pair (1,2) must NOT appear — the base is already resolved
+    assert(pairs == Set((1L, 10L), (2L, 10L), (10L, 11L)))
+  }
+
+  test("blockProbe dedups a redelivered record (same rid in base and delta)") {
+    import spark.implicits._
+    val base = Seq((1L, "x")).toDF("rid", "k")
+    val delta = Seq((1L, "x"), (2L, "x")).toDF("rid", "k")
+    val pairs = RecordLinkage.blockProbe(base, delta, "rid", Seq(col("k")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("end-to-end: a dirtied duplicate links back to its source") {
     import spark.implicits._
     val recs = Seq(

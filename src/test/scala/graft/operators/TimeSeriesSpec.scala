@@ -53,7 +53,7 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(4L) == ((1L, -3L)))
   }
 
-  test("decayed feature floors negative cents toward -inf like the oracle's //") {
+  test("decayed feature truncates negative cents toward zero like DuckDB's //") {
     import spark.implicits._
     val df = Seq(
       (1L, 7L, t(0, 1), -0.03), // cents -3
@@ -62,8 +62,8 @@ class TimeSeriesSpec extends SparkSpec {
     val out = TimeSeries.decayedFeatures(df, "user_id", "ts", "event_id",
       "value", depth = 16)
       .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
-    // -3 div 2 floored = -2 (truncation would give -1), +8 = 6
-    assert(out(2L) == 6L)
+    // -3 trunc-div 2 = -1 (DuckDB // semantics; floor would give -2), +8 = 7
+    assert(out(2L) == 7L)
   }
 
   test("anomaly buckets: a spike past 3 sigma flags, quiet buckets do not") {
@@ -75,6 +75,21 @@ class TimeSeriesSpec extends SparkSpec {
       bucketSec = 3600L, sigmas = 3)
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.toSeq == Seq((11L, 30L, 1L)))
+  }
+
+  test("rolling distinct: trailing-hour category cardinality, inclusive boundary") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 7L, t(0, 0), "a"),
+      (2L, 7L, t(0, 1800), "b"),
+      (3L, 7L, t(1, 0), "a"), // frame back to t=0: {a, b}
+      (4L, 7L, t(2, 1), "c"), // 0 and 1800 fell out; t(1,0) is 3601 s back -> out
+      (5L, 9L, t(0, 0), "z"))
+      .toDF("event_id", "user_id", "ts", "cat")
+    val out = TimeSeries.rollingDistinct(df, "user_id", "ts", "event_id",
+      "cat", windowSec = 3600L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
   }
 
   test("anomaly buckets: a flat series flags nothing") {
