@@ -413,6 +413,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges == 1, s"q195 plans $exchanges exchanges:\n$plan")
   }
 
+  test("q209's nearest join is windows on ONE exchange — no join node") {
+    // the bidirectional as-of: backward + forward passes share the
+    // user_id hashpartitioning; a Join or second Exchange appearing
+    // means the tagged-union design degraded
+    val plan = SparkEntry.queries("q209_nearest_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    Seq("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoop",
+      "CartesianProduct").foreach(bad =>
+      assert(!plan.contains(bad), s"q209 plans a $bad"))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"q209 plans $exchanges exchanges")
+  }
+
+  test("q211 ranks inside (group, band) windows, never the bare group") {
+    // the equal-frequency binning two-phase engine: a row_number over
+    // the bare source column is the q53 single-reducer regression
+    val plan = SparkEntry.queries("q211_feature_bins")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val rankLines = plan.linesIterator.filter(_.contains("row_number")).toSeq
+    assert(rankLines.nonEmpty, "q211 lost its rank window")
+    rankLines.foreach(l => assert(l.contains("__band"),
+      s"q211 ranks over an unbanded window: $l"))
+  }
+
   test("column pruning reaches the parquet scan") {
     // q1 projects 4 of lineitem's 16 columns; a scan still reading
     // l_comment means the projection never reached the source
