@@ -891,4 +891,101 @@ private[graft] trait Queries8Analytics extends Queries7Pipelines {
       |  CAST((1000000 * (n * tt - rr * cc) * (n * tt - rr * cc))
       |       // (tt * rr * cc) AS BIGINT) AS chi_micro
       |FROM cells JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q213 — first-order Markov transition matrix (Funnel
+  // .transitionMatrix): adjacent event-type pairs under the total
+  // (ts, id) order per user, conditional probability in integer
+  // micro-units — one truncating division per cell.
+  // ---------------------------------------------------------------------
+  private[graft] def q213Transitions(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.transitionMatrix(Tables.events(spark, dir),
+      "user_id", "ts", "event_id", "event_type")
+
+  private[graft] val q213Sql =
+    """WITH p AS (SELECT event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |c AS (SELECT prev AS from_type, event_type AS to_type,
+      |        CAST(count(*) AS BIGINT) AS n
+      |      FROM p WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS ft FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, c.n,
+      |  CAST((1000000 * n) // ft AS BIGINT) AS p_micro
+      |FROM c JOIN f USING (from_type)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q214 — Gini diversity card (Profile.giniDiversity) over tokens per
+  // source: the log-free concentration metric an entropy card cannot
+  // state cross-engine exactly; 60-bit token hashes vs the oracle's
+  // raw-string counts — agreement certifies the hash lane.
+  // ---------------------------------------------------------------------
+  private[graft] def q214Gini(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    Profile.giniDiversity(docs, "source", col("tok"))
+  }
+
+  private[graft] val q214Sql =
+    """WITH tk AS (SELECT source,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |c AS (SELECT source, tok, CAST(count(*) AS HUGEINT) AS c
+      |      FROM tk GROUP BY 1, 2),
+      |g AS (SELECT source, CAST(sum(c) AS HUGEINT) AS n,
+      |        CAST(count(*) AS BIGINT) AS d,
+      |        CAST(sum(c * c) AS HUGEINT) AS s2
+      |      FROM c GROUP BY source)
+      |SELECT source, CAST(n AS BIGINT) AS n_items, d AS n_distinct,
+      |  CAST((1000000 * (n * n - s2)) // (n * n) AS BIGINT) AS gini_micro
+      |FROM g""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q215 — SCD2 interval builder (operators/Scd2): a synthetic 3-
+  // version change log over documents (v2 touches only source, and
+  // only for every 4th doc — every 2nd doc's v2 is a NO-OP the change
+  // compression must drop; v3 bumps n_chars for every 6th) turned into
+  // validity-interval history rows. The oracle states the same
+  // compression + lead() interval assignment.
+  // ---------------------------------------------------------------------
+  private[graft] def q215Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val srcAt = when(col("doc_id") % 4 === 0,
+      concat(col("source"), lit("_b"))).otherwise(col("source"))
+    val v1 = docs.select(col("doc_id"), lit(1L).as("v"), col("source"),
+      col("n_chars"))
+    val v2 = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), lit(2L).as("v"), srcAt.as("source"),
+        col("n_chars"))
+    val v3 = docs.filter(col("doc_id") % 6 === 0)
+      .select(col("doc_id"), lit(3L).as("v"), srcAt.as("source"),
+        (col("n_chars") + 10L).as("n_chars"))
+    graft.operators.Scd2.intervals(v1.union(v2).union(v3), "doc_id", "v",
+      Seq("source", "n_chars"))
+  }
+
+  private[graft] val q215Sql =
+    """WITH log AS (
+      |  SELECT doc_id, 1 AS v, source, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 2, CASE WHEN doc_id % 4 = 0 THEN source || '_b'
+      |                    ELSE source END, n_chars
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 3, CASE WHEN doc_id % 4 = 0 THEN source || '_b'
+      |                    ELSE source END, n_chars + 10
+      |  FROM documents WHERE doc_id % 6 = 0),
+      |c AS (SELECT *,
+      |        lag(v) OVER w IS NULL AS first,
+      |        (lag(source) OVER w IS NOT DISTINCT FROM source) AND
+      |        (lag(n_chars) OVER w IS NOT DISTINCT FROM n_chars) AS same
+      |      FROM log WINDOW w AS (PARTITION BY doc_id ORDER BY v)),
+      |k AS (SELECT doc_id, v, source, n_chars FROM c WHERE first OR NOT same)
+      |SELECT doc_id, CAST(v AS BIGINT) AS valid_from,
+      |  CAST(lead(v) OVER (PARTITION BY doc_id ORDER BY v) - 1
+      |    AS BIGINT) AS valid_to,
+      |  source, CAST(n_chars AS BIGINT) AS n_chars
+      |FROM k""".stripMargin
 }

@@ -247,6 +247,9 @@ object SparkEntry extends Queries8Analytics {
     Q("q210_rolling_distinct", q210RollingDistinct, Some(q210Sql)),
     Q("q211_feature_bins", q211FeatureBins, Some(q211Sql)),
     Q("q212_chi_square", q212ChiSquare, Some(q212Sql)),
+    Q("q213_transitions", q213Transitions, Some(q213Sql)),
+    Q("q214_gini_diversity", q214Gini, Some(q214Sql)),
+    Q("q215_scd2", q215Scd2, Some(q215Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -23,40 +23,107 @@ import org.apache.spark.sql.functions._
   * Scale: narrow codegen'd projections per document (no UDF, no
   * shuffle — text never moves); only 60-bit chunk hashes reach the
   * corpus-level census aggregation, which is map-side combined.
-  * IMPORTANT shape constraint: each intermediate array (chars, hash
-  * series, boundary list) is projected as its OWN column, one stage
-  * per step — a lambda referencing a sibling array EXPRESSION
-  * re-evaluates it per element (O(len³) measured before the split;
-  * the q66/q72 inlined-generator lesson applied to higher-order
-  * functions), and CollapseProject keeps multiply-referenced
-  * non-cheap projections apart.
+  * IMPORTANT shape constraint (the q66/q72 inlined-generator lesson
+  * applied to higher-order functions): a lambda that reads a sibling
+  * ARRAY EXPRESSION re-evaluates it per element, and CollapseProject
+  * re-inlines any single-referenced projection — so per-position
+  * work is computed INSIDE the consuming lambda (O(len·W) total),
+  * and the boundary list, which three span expressions consume, is
+  * a multiply-referenced projection CollapseProject leaves alone.
   */
 object Chunker {
 
   val Window = 8
   val MaskMod = 16
 
+  /** One document's chunk spans as (start, len, hash60) — the tight
+    * partition-local loop ([[chunks]]' kernel): O(len·W) integer
+    * arithmetic over UTF-16 code units, hash = the portable 60-bit
+    * md5 lane (first 15 hex digits of the chunk's UTF-8 md5, exactly
+    * `conv(substring(md5(x), 1, 15), 16, 10)`). */
+  private[operators] def chunkRow(text: String): Seq[(Int, Int, Long)] = {
+    val n = text.length
+    if (n == 0) return Nil
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = Seq.newBuilder[(Int, Int, Long)]
+    var start = 1
+    var i = 1
+    while (i <= n) {
+      var h = 0L
+      var j = 0
+      while (j < Window && i - j >= 1) {
+        h += text.charAt(i - j - 1).toLong * powsArr(j)
+        j += 1
+      }
+      if ((h % MaskMod == 0 && i != n) || i == n) {
+        val chunk = text.substring(start - 1, i)
+        md.reset()
+        val dig = md.digest(chunk.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first 15 hex chars == top 60 bits of the first 8 digest bytes
+        var hv = 0L
+        var b = 0
+        while (b < 8) { hv = (hv << 8) | (dig(b) & 0xffL); b += 1 }
+        out += ((start, i - start + 1, hv >>> 4))
+        start = i + 1
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  private val powsArr: Array[Long] =
+    (0 until Window).map(j => math.pow(31.0, j).toLong).toArray
+
   /** Per-document chunk rows: (doc_id, start, len, chunk_hash) — the
     * content-addressed manifest a blob store dedups on. 1-based
-    * starts; chunks tile the text exactly. */
+    * starts; chunks tile the text exactly.
+    *
+    * Runs as ONE partition-local map in plain Scala (the
+    * MediaCodec/PdfExtract byte-codec lane): the per-character rolling
+    * hash in declarative higher-order functions evaluates lambdas
+    * INTERPRETED, outside whole-stage codegen — measured 6 s at sf0.1
+    * vs sub-second for this loop. Text never shuffles either way;
+    * only (doc_id, start, len, hash) rows leave the map. */
   def chunks(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        chunkRow(if (text == null) "" else text).map { case (s, l, h) =>
+          (id, s.toLong, l.toLong, h)
+        }
+      })
+      .toDF("doc_id", "start", "len", "chunk_hash")
+  }
+
+  /** The declarative (column-expression) form of [[chunks]] — kept as
+    * the cross-implementation certificate: ChunkerSpec pins it equal
+    * to the Scala kernel row-for-row, so the loop can never drift
+    * from the replayable positional definition the oracle states. */
+  private[operators] def chunksDeclarative(docs: DataFrame, idCol: String,
+                                           textCol: String): DataFrame = {
     val pows = (0 until Window).map(j => math.pow(31.0, j).toLong)
     val s1 = docs.select(col(idCol).as("doc_id"),
       split(col(textCol), "").as("__cs"))
-    // h(i) = sum_{j=0..min(7,i-1)} ord(c_{i-j}) * 31^j, one pass
-    val s2 = s1.select(col("doc_id"), col("__cs"), size(col("__cs")).as("__n"),
-      transform(sequence(lit(1), size(col("__cs"))), i =>
-        (0 until Window).map(j =>
-          when(i - j >= 1,
-            ascii(element_at(col("__cs"), i - j)) * lit(pows(j)))
-            .otherwise(lit(0L)))
-          .reduce(_ + _)).as("__hs"))
+    // h(i) = sum_{j=0..min(7,i-1)} ord(c_{i-j}) * 31^j, computed
+    // DIRECTLY inside the boundary filter — each position evaluates
+    // its own O(W) hash exactly once. (An intermediate hash-array
+    // column is a trap here: referenced once downstream,
+    // CollapseProject inlines the whole array expression into the
+    // consumer's lambda and every element re-builds it — O(len²·W),
+    // measured 8 s at sf0.1 vs ~1 s for this form.)
+    def hashAt(i: org.apache.spark.sql.Column) =
+      (0 until Window).map(j =>
+        when(i - j >= 1,
+          ascii(element_at(col("__cs"), i - j)) * lit(pows(j)))
+          .otherwise(lit(0L)))
+        .reduce(_ + _)
     // mask hits (except the final position) + the final position
-    val s3 = s2.select(col("doc_id"), col("__cs"),
-      when(col("__n") > 0, concat(
-        filter(sequence(lit(1), col("__n")),
-          i => element_at(col("__hs"), i) % MaskMod === 0 && i =!= col("__n")),
-        array(col("__n"))))
+    val s3 = s1.select(col("doc_id"), col("__cs"),
+      when(size(col("__cs")) > 0, concat(
+        filter(sequence(lit(1), size(col("__cs"))),
+          i => hashAt(i) % MaskMod === 0 && i =!= size(col("__cs"))),
+        array(size(col("__cs")))))
         .otherwise(array().cast("array<int>")).as("__bd"))
     // chunk text is re-assembled from the SAME split array the
     // boundaries were computed over (array_join of the span slice),

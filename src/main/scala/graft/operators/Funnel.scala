@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.IntMath
@@ -80,6 +81,37 @@ object Funnel {
     * `anchorType` event; one row per (cohort_week, week_offset) with
     * the distinct active users. Weeks are integer epoch-week indexes
     * (floordiv of epoch micros — engine-portable, no calendar). */
+  /** First-order Markov transition matrix over each user's ordered
+    * event stream — the behavior model behind "what usually follows a
+    * view": counts of adjacent (from, to) type pairs under the total
+    * (ts, id) order, with the conditional probability in integer
+    * micro-units (⌊10⁶·n(from,to)/n(from,·)⌋ — one truncating division
+    * per cell, so the matrix replays cross-engine).
+    *
+    * Scale: one exchange on the user for the lag pass (shared with any
+    * sibling per-user window), then a map-side-combined |types|² count
+    * aggregation; the denominator join runs on the |types|-sized
+    * margin frame. Each user's FIRST event has no predecessor and
+    * feeds no cell.
+    *
+    * @return (from_type, to_type, n, p_micro) */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+                       idCol: String, typeCol: String,
+                       scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1L, s"scale must be positive, got $scale")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTot = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("__ft"))
+    pairs.join(fromTot, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr(s"(${scale}L * n) div __ft").as("p_micro"))
+  }
+
   def retention(events: DataFrame, userCol: String, tsCol: String,
                 typeCol: String, anchorType: String): DataFrame = {
     val anchors = events.filter(col(typeCol) === anchorType)

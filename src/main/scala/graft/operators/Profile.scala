@@ -58,6 +58,37 @@ object Profile {
     wide.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 
+  /** Gini diversity card per group — the log-free concentration
+    * metric (1 − Σp²; 0 = one item owns the group, →1 = uniform):
+    * the "is this source a million copies of one template" governance
+    * check that an entropy card cannot state exactly (log is not
+    * cross-engine exact; the Gini rational is). Reported as
+    * ⌊scale·(n² − Σc²)/n²⌋ with the sums in DECIMAL(38,0).
+    *
+    * Scale: one (group, item) count aggregation — map-side combined,
+    * itemCol hashed to 60 bits first so text never shuffles — then a
+    * |groups|-row re-aggregation. Nothing data-sized survives the
+    * first groupBy.
+    *
+    * @return (groupCol, n_items, n_distinct, gini_micro) */
+  def giniDiversity(df: DataFrame, groupCol: String, itemCol: Column,
+                    scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1L, s"scale must be positive, got $scale")
+    val counts = df
+      .select(col(groupCol),
+        graft.operators.Dedup.baseHash60(itemCol).as("__ih"))
+      .groupBy(col(groupCol), col("__ih"))
+      .agg(count(lit(1)).as("__c"))
+    counts.groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n_items"),
+        count(lit(1)).as("n_distinct"),
+        sum(expr("CAST(__c AS DECIMAL(38,0)) * __c")).as("__s2"))
+      .select(col(groupCol), col("n_items"), col("n_distinct"),
+        expr(s"CAST((${scale}L * (CAST(n_items AS DECIMAL(38,0)) * n_items" +
+          " - __s2)) div (CAST(n_items AS DECIMAL(38,0)) * n_items)" +
+          " AS BIGINT)").as("gini_micro"))
+  }
+
   /** χ² association card between two categorical columns — the "is
     * language independent of source" governance check (a skewed
     * association in a training mix is a bias finding): each (a, b)

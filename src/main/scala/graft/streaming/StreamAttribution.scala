@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming last-touch attribution — the online form of
+  * [[graft.operators.AsOfMatch.lastTouchAttribution]]: conversions are
+  * credited AT EVENT TIME against the user's latest in-lookback touch,
+  * so the marketing dashboard sees credit within a micro-batch of the
+  * purchase instead of at the nightly batch join.
+  *
+  * State per user is ONE (channel, ts) pair — the last touch seen —
+  * plus nothing else: the as-of semantics need no ledger because only
+  * the latest touch can ever win. Equivalence contract (spec-pinned):
+  * per-conversion credits aggregate to exactly the batch card when
+  * events arrive in event-time order (same-timestamp tie groups
+  * unsplit); the within-batch replay sorts (ts, touches-before-
+  * conversions, id), the batch operator's exact tagged-union order.
+  * Late rows drop against the watermark; a redelivered conversion
+  * within one batch dedups by id (cross-batch conversion redelivery
+  * needs an upstream [[StreamDedup]], the composition the scaladocs
+  * of the other legs also assume). */
+object StreamAttribution {
+
+  final case class AttrIn(key: Long, id: Long, kind: Int, ch: String,
+                          cents: Long, tsUs: Long, ts: Timestamp)
+  final case class TouchState(ch: String, tsUs: Long)
+  final case class Credit(event_id: Long, key: Long, ts_us: Long,
+                          channel: String, cents: Long)
+
+  /** Per-conversion credit stream. `kind` ordering inside a timestamp
+    * tie is touches (0) before conversions (1) — a touch at exactly
+    * the conversion's timestamp is credited, like batch. */
+  def lastTouch(events: DataFrame, userCol: String, tsCol: String,
+                idCol: String, valueCol: String, typeCol: String,
+                convType: String, touchTypes: Seq[String],
+                lookbackUs: Long, watermark: String): Dataset[Credit] = {
+    require(lookbackUs >= 1, s"lookbackUs must be positive, got $lookbackUs")
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val prepared = events
+      .withWatermark(tsCol, watermark)
+      .filter(col(typeCol) === convType || col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).cast("long").as("key"),
+        col(idCol).cast("long").as("id"),
+        when(col(typeCol) === convType, 1).otherwise(0).as("kind"),
+        col(typeCol).as("ch"),
+        floor(col(valueCol) * 100).cast("long").as("cents"),
+        unix_micros(col(tsCol)).as("tsUs"),
+        col(tsCol).as("ts"))
+      .as[AttrIn]
+    prepared
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, events: Iterator[AttrIn], state: GroupState[TouchState]) => {
+          val wmMs = state.getCurrentWatermarkMs()
+          var touch = state.getOption
+          val out = List.newBuilder[Credit]
+          val seenConv = scala.collection.mutable.Set.empty[Long]
+          val ordered = events.toSeq
+            .filter(_.ts.getTime >= wmMs)
+            .sortBy(e => (e.tsUs, e.kind, e.id))
+          ordered.foreach { e =>
+            if (e.kind == 0) {
+              touch = Some(TouchState(e.ch, e.tsUs))
+            } else if (!seenConv.contains(e.id)) {
+              seenConv += e.id
+              val channel = touch match {
+                case Some(t) if e.tsUs - t.tsUs <= lookbackUs => t.ch
+                case _ => "direct"
+              }
+              out += Credit(e.id, key, e.tsUs, channel, e.cents)
+            }
+          }
+          touch.foreach(state.update)
+          out.result().iterator
+        })
+  }
+}

@@ -48,6 +48,22 @@ class ChunkerSpec extends SparkSpec {
       s"only $shared of ${ha.size} chunks survive a prefix edit")
   }
 
+  test("Scala kernel == declarative column form, row for row") {
+    import spark.implicits._
+    // the cross-implementation certificate: the fast partition-local
+    // loop must never drift from the replayable positional definition
+    // the q204 oracle states (exercised on varied lengths incl. the
+    // empty-adjacent shapes)
+    val rows = Seq((1L, textA), (2L, textB), (3L, "a"), (4L, "ab"),
+      (5L, "xyzzy plugh " * 9), (6L, "Z"))
+      .toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(norm(Chunker.chunks(rows, "doc_id", "text")) ==
+      norm(Chunker.chunksDeclarative(rows, "doc_id", "text")))
+  }
+
   test("identical repeated content is fully shared in the dedup card") {
     import spark.implicits._
     val card = Chunker.dedupCard(
