@@ -988,4 +988,93 @@ private[graft] trait Queries8Analytics extends Queries7Pipelines {
       |    AS BIGINT) AS valid_to,
       |  source, CAST(n_chars AS BIGINT) AS n_chars
       |FROM k""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q216 — winsorized robust-stats card (Percentiles.winsorizedCard):
+  // per-source [p10, p90] bounds from the exact histogram fold, then
+  // the clipped integer mean — outlier-immune location, one floor per
+  // mean (the q6 discipline).
+  // ---------------------------------------------------------------------
+  private[graft] def q216Winsorized(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Percentiles.winsorizedCard(Tables.documents(spark, dir),
+      "source", "n_chars", loP = 0.1, hiP = 0.9)
+
+  private[graft] val q216Sql =
+    """WITH v AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents),
+      |r AS (SELECT source, v,
+      |        row_number() OVER (PARTITION BY source ORDER BY v) AS rk,
+      |        count(*) OVER (PARTITION BY source) AS n FROM v),
+      |b AS (SELECT source,
+      |        max(CASE WHEN rk = CAST(floor((n - 1) * 0.1) AS BIGINT) + 1
+      |            THEN v END) AS lo,
+      |        max(CASE WHEN rk = CAST(floor((n - 1) * 0.9) AS BIGINT) + 1
+      |            THEN v END) AS hi
+      |      FROM r GROUP BY source),
+      |c AS (SELECT v.source, v.v,
+      |        least(greatest(v.v, b.lo), b.hi) AS w, b.lo, b.hi
+      |      FROM v JOIN b USING (source))
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(min(lo) AS BIGINT) AS lo, CAST(min(hi) AS BIGINT) AS hi,
+      |  CAST(floor(sum(v) / count(*)) AS BIGINT) AS mean_floor,
+      |  CAST(floor(sum(w) / count(*)) AS BIGINT) AS wins_mean_floor,
+      |  CAST(sum(CASE WHEN v <> w THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+      |FROM c GROUP BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q217 — source-distribution cosine (Profile.distributionCosine):
+  // pairwise cos² between sources' token-count vectors — the mirror-
+  // feed detector at the distribution level; inverted-index pair dots,
+  // DECIMAL/HUGEINT squares.
+  // ---------------------------------------------------------------------
+  private[graft] def q217SourceCosine(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    Profile.distributionCosine(toks, "source", col("tok"))
+  }
+
+  private[graft] val q217Sql =
+    """WITH tk AS (SELECT source,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |c AS (SELECT source, tok, CAST(count(*) AS HUGEINT) AS c
+      |      FROM tk GROUP BY 1, 2),
+      |nrm AS (SELECT source, sum(c * c) AS n2 FROM c GROUP BY source),
+      |d AS (SELECT a.source AS g_a, b.source AS g_b,
+      |        CAST(sum(a.c * b.c) AS BIGINT) AS dot
+      |      FROM c a JOIN c b ON a.tok = b.tok AND a.source < b.source
+      |      GROUP BY 1, 2)
+      |SELECT g_a, g_b, dot,
+      |  CAST((1000000 * CAST(dot AS HUGEINT) * dot) // (na.n2 * nb.n2)
+      |    AS BIGINT) AS cos2_micro
+      |FROM d JOIN nrm na ON na.source = d.g_a
+      |       JOIN nrm nb ON nb.source = d.g_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q218 — token lift pairs (NgramModel.tokenLift): document-level
+  // PMI-shaped association with the log traded for the exact ratio;
+  // pairs from per-document DISTINCT token sets, never a vocabulary
+  // cross join.
+  // ---------------------------------------------------------------------
+  private[graft] def q218TokenLift(spark: SparkSession, dir: String): DataFrame =
+    NgramModel.tokenLift(Tables.documents(spark, dir), "doc_id", "text",
+      minDocs = 5L)
+
+  private[graft] val q218Sql =
+    """WITH tk AS (SELECT doc_id,
+      |    list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS ts
+      |  FROM documents),
+      |occ AS (SELECT doc_id, unnest(ts) AS w FROM tk),
+      |dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM occ GROUP BY w),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tk),
+      |p AS (SELECT a.w AS w1, b.w AS w2
+      |      FROM occ a JOIN occ b ON a.doc_id = b.doc_id AND a.w < b.w),
+      |pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_docs_both
+      |       FROM p GROUP BY 1, 2 HAVING count(*) >= 5)
+      |SELECT pc.w1, pc.w2, pc.n_docs_both,
+      |  CAST((1000000 * CAST(n_docs_both AS HUGEINT) * nn.n)
+      |       // (CAST(d1.df AS HUGEINT) * d2.df) AS BIGINT) AS lift_micro
+      |FROM pc JOIN dfq d1 ON d1.w = pc.w1
+      |        JOIN dfq d2 ON d2.w = pc.w2 CROSS JOIN nn""".stripMargin
 }

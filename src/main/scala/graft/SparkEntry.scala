@@ -250,6 +250,9 @@ object SparkEntry extends Queries8Analytics {
     Q("q213_transitions", q213Transitions, Some(q213Sql)),
     Q("q214_gini_diversity", q214Gini, Some(q214Sql)),
     Q("q215_scd2", q215Scd2, Some(q215Sql)),
+    Q("q216_winsorized", q216Winsorized, Some(q216Sql)),
+    Q("q217_source_cosine", q217SourceCosine, Some(q217Sql)),
+    Q("q218_token_lift", q218TokenLift, Some(q218Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

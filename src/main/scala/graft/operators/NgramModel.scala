@@ -106,4 +106,48 @@ object NgramModel {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("pred_micro"), lit(0L)).as("pred_micro"))
   }
+
+  /** Document-level token LIFT pairs — the PMI-shaped association
+    * miner ("which terms travel together across documents"), kept
+    * exact by trading the log for the raw ratio:
+    * lift(a,b) = P(ab)/(P(a)·P(b)) = c(ab)·N/(c(a)·c(b)), reported
+    * as ⌊10⁶·lift⌋ per unordered pair with document-level counts
+    * (a document contributes one co-occurrence however often the
+    * tokens repeat inside it).
+    *
+    * Scale: pairs come from each document's DISTINCT token set —
+    * O(distinct²) per doc, bounded by document length, never a
+    * vocabulary cross join; pair counts map-side combine, marginal
+    * doc frequencies are a |vocab|-row frame joined twice, N rides as
+    * a 1-row broadcast. `minDocs` prunes the long tail BEFORE the
+    * joins.
+    *
+    * @return (w1, w2, n_docs_both, lift_micro) with w1 < w2 */
+  def tokenLift(docs: DataFrame, idCol: String, textCol: String,
+                minDocs: Long = 2L, scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1L, s"scale must be positive, got $scale")
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        array_distinct(TextAnalysis.tokens(col(textCol))).as("__tk"))
+      .localCheckpoint()
+    val occur = toks.select(col("doc_id"), explode(col("__tk")).as("w"))
+    val dfreq = occur.groupBy(col("w")).agg(count(lit(1)).as("__df"))
+    val n = toks.agg(count(lit(1)).as("__n"))
+    val pairs = toks
+      .select(col("doc_id"), explode(col("__tk")).as("w1"), col("__tk"))
+      .select(col("doc_id"), col("w1"), explode(col("__tk")).as("w2"))
+      .filter(col("w1") < col("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_docs_both"))
+      .filter(col("n_docs_both") >= minDocs)
+    pairs
+      .join(dfreq.select(col("w").as("w1"), col("__df").as("__d1")), Seq("w1"))
+      .join(dfreq.select(col("w").as("w2"), col("__df").as("__d2")), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("n_docs_both"),
+        // numerator in DECIMAL(38,0): scale·c(ab)·N wraps a long past
+        // ~10⁹ documents, and a governance miner must not wrap
+        expr(s"(${scale}L * CAST(n_docs_both AS DECIMAL(38,0)) * __n)" +
+          " div (CAST(__d1 AS DECIMAL(38,0)) * __d2)").as("lift_micro"))
+  }
 }

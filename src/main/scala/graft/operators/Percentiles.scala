@@ -119,4 +119,39 @@ object Percentiles {
     val global = foldHist(merged, lit(allLabel), "scope", ps)
     perKey.unionByName(global)
   }
+
+  /** Winsorized robust-stats card: per key, the exact [loP, hiP]
+    * percentile bounds and the integer mean of values CLIPPED to them
+    * — the outlier-immune location estimate a mean-of-raw can't give
+    * (one viral document shifts a raw mean; it moves a winsorized
+    * mean by at most the clip bound). Means are one floor of exact
+    * integer sums (the A4/q6 discipline).
+    *
+    * Scale: the percentile side is the [[byRank]] histogram fold
+    * (sketch-sized via `bucket`); the clip pass re-joins the |keys|-row
+    * bounds frame (AQE broadcasts it) and aggregates once.
+    *
+    * @return (keyCol, n_rows, lo, hi, mean_floor, wins_mean_floor,
+    *         n_clipped) */
+  def winsorizedCard(df: DataFrame, keyCol: String, valCol: String,
+                     loP: Double, hiP: Double,
+                     bucket: Long = 1L): DataFrame = {
+    require(loP < hiP, s"need loP < hiP, got $loP >= $hiP")
+    val bounds = byRank(df, keyCol, valCol, Seq("lo" -> loP, "hi" -> hiP),
+      bucket).select(col(keyCol), col("lo"), col("hi"))
+    val v = col(valCol).cast("long")
+    df.filter(col(valCol).isNotNull)
+      .join(bounds, Seq(keyCol))
+      .select(col(keyCol), v.as("__v"),
+        least(greatest(v, col("lo")), col("hi")).as("__w"),
+        col("lo"), col("hi"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+        floor(sum(col("__v")) / count(lit(1))).cast("long").as("mean_floor"),
+        floor(sum(col("__w")) / count(lit(1))).cast("long")
+          .as("wins_mean_floor"),
+        sum(when(col("__v") =!= col("__w"), 1L).otherwise(0L))
+          .as("n_clipped"))
+  }
 }

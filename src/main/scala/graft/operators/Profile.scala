@@ -58,6 +58,44 @@ object Profile {
     wide.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 
+  /** Pairwise cosine² between GROUPS' item-count distributions — "do
+    * these two sources publish the same distribution" (mirror feeds,
+    * re-crawls, laundered copies), answered at the distribution level
+    * where document-level dedup sees nothing. cos² = dot²/(‖a‖²·‖b‖²)
+    * is an exact rational of integer counts; reported as
+    * ⌊scale·dot²/(n2a·n2b)⌋ with DECIMAL(38,0) squares.
+    *
+    * Scale: the inverted-index shape — counts key on the 60-bit item
+    * hash, the pair dot is a self-equi-join ON THE ITEM (each item
+    * contributes its groups² pairs, bounded by group count, never an
+    * all-pairs of items), and norms join in at |groups| rows. Output
+    * is |groups|² rows at most.
+    *
+    * @return (g_a, g_b, dot, cos2_micro) with g_a < g_b */
+  def distributionCosine(df: DataFrame, groupCol: String, itemCol: Column,
+                         scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1L, s"scale must be positive, got $scale")
+    val counts = df
+      .select(col(groupCol).as("__g"),
+        graft.operators.Dedup.baseHash60(itemCol).as("__ih"))
+      .groupBy(col("__g"), col("__ih"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val norms = counts.groupBy(col("__g"))
+      .agg(sum(expr("CAST(__c AS DECIMAL(38,0)) * __c")).as("__n2"))
+    val a = counts.select(col("__ih"), col("__g").as("g_a"), col("__c").as("__ca"))
+    val b = counts.select(col("__ih"), col("__g").as("g_b"), col("__c").as("__cb"))
+    a.join(b, Seq("__ih"))
+      .filter(col("g_a") < col("g_b"))
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(sum(col("__ca") * col("__cb")).as("dot"))
+      .join(norms.select(col("__g").as("g_a"), col("__n2").as("__na")), Seq("g_a"))
+      .join(norms.select(col("__g").as("g_b"), col("__n2").as("__nb")), Seq("g_b"))
+      .select(col("g_a"), col("g_b"), col("dot"),
+        expr(s"CAST((${scale}L * CAST(dot AS DECIMAL(38,0)) * dot)" +
+          " div (__na * __nb) AS BIGINT)").as("cos2_micro"))
+  }
+
   /** Gini diversity card per group — the log-free concentration
     * metric (1 − Σp²; 0 = one item owns the group, →1 = uniform):
     * the "is this source a million copies of one template" governance
