@@ -347,7 +347,7 @@ private[graft] trait Queries8Analytics extends Queries7Pipelines {
       floor(col("c_acctbal") * 100).cast("long").as("bal"))
     val dirty = Tables.customer(spark, dir)
       .filter(col("c_custkey") % 3 === 0)
-      .select((col("c_custkey") + 100000L).as("rid"),
+      .select((col("c_custkey") + 10000000L).as("rid"),
         concat(
           expr("substring(c_name, 1, 9 + CAST(c_custkey % 9 AS INT))"),
           ((expr("CAST(substring(c_name, 10 + CAST(c_custkey % 9 AS INT), 1) AS BIGINT)")
@@ -388,7 +388,7 @@ private[graft] trait Queries8Analytics extends Queries7Pipelines {
       |    CAST(c_nationkey AS BIGINT) AS nat,
       |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal FROM customer
       |  UNION ALL
-      |  SELECT c_custkey + 100000, concat(
+      |  SELECT c_custkey + 10000000, concat(
       |      substr(c_name, 1, 9 + (c_custkey % 9)),
       |      CAST((CAST(substr(c_name, 10 + (c_custkey % 9), 1) AS BIGINT)
       |            + 1) % 10 AS VARCHAR),
@@ -696,7 +696,7 @@ private[graft] trait Queries8Analytics extends Queries7Pipelines {
   private[graft] def erDelta(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
       .filter(col("c_custkey") % 5 === 0)
-      .select((col("c_custkey") + 200000L).as("rid"),
+      .select((col("c_custkey") + 20000000L).as("rid"),
         concat(
           expr("substring(c_name, 1, 9 + CAST((c_custkey + 4) % 9 AS INT))"),
           ((expr("CAST(substring(c_name, 10 + CAST((c_custkey + 4) % 9 AS INT), 1) AS BIGINT)")
@@ -732,7 +732,7 @@ private[graft] trait Queries8Analytics extends Queries7Pipelines {
       |    CAST(c_nationkey AS BIGINT) AS nat,
       |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal FROM customer
       |  UNION ALL
-      |  SELECT c_custkey + 100000, concat(
+      |  SELECT c_custkey + 10000000, concat(
       |      substr(c_name, 1, 9 + (c_custkey % 9)),
       |      CAST((CAST(substr(c_name, 10 + (c_custkey % 9), 1) AS BIGINT)
       |            + 1) % 10 AS VARCHAR),
@@ -741,7 +741,7 @@ private[graft] trait Queries8Analytics extends Queries7Pipelines {
       |    CAST(floor(c_acctbal * 100) AS BIGINT) + c_custkey % 7 - 3
       |  FROM customer WHERE c_custkey % 3 = 0),
       |recsD AS (
-      |  SELECT c_custkey + 200000 AS rid, concat(
+      |  SELECT c_custkey + 20000000 AS rid, concat(
       |      substr(c_name, 1, 9 + ((c_custkey + 4) % 9)),
       |      CAST((CAST(substr(c_name, 10 + ((c_custkey + 4) % 9), 1) AS BIGINT)
       |            + 1) % 10 AS VARCHAR),
@@ -749,12 +749,13 @@ private[graft] trait Queries8Analytics extends Queries7Pipelines {
       |    CAST(c_nationkey AS BIGINT) AS nat,
       |    CAST(floor(c_acctbal * 100) AS BIGINT) + c_custkey % 5 - 2 AS bal
       |  FROM customer WHERE c_custkey % 5 = 0),
-      |allr AS (SELECT * FROM recsB UNION ALL SELECT * FROM recsD),
+      |allr AS (SELECT *, FALSE AS is_delta FROM recsB
+      |         UNION ALL SELECT *, TRUE FROM recsD),
       |kk AS (SELECT rid, name, nat, bal,
       |         concat(CAST(nat AS VARCHAR), ':',
       |                CAST(bal // 1000 AS VARCHAR)) AS k1,
       |         substr(name, 15, 4) AS k2,
-      |         rid >= 200000 AS is_delta FROM allr),
+      |         is_delta FROM allr),
       |cand AS (
       |  SELECT least(a.rid, b.rid) AS id_a, greatest(a.rid, b.rid) AS id_b
       |  FROM kk a JOIN kk b ON a.k1 = b.k1 AND a.rid <> b.rid

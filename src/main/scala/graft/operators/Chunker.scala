@@ -43,8 +43,22 @@ object Chunker {
     * `conv(substring(md5(x), 1, 15), 16, 10)`). */
   private[operators] def chunkRow(text: String): Seq[(Int, Int, Long)] = {
     val n = text.length
-    if (n == 0) return Nil
     val md = java.security.MessageDigest.getInstance("MD5")
+    def hash60(bytes: Array[Byte]): Long = {
+      md.reset()
+      val dig = md.digest(bytes)
+      var hv = 0L
+      var b = 0
+      while (b < 8) { hv = (hv << 8) | (dig(b) & 0xffL); b += 1 }
+      hv >>> 4
+    }
+    if (n == 0) {
+      // split("") yields one empty element in BOTH engines, so the
+      // declarative form and the oracle emit exactly one (1, 1)
+      // empty-hash chunk for an empty document — the kernel must too
+      // (certificate-pinned, including the empty row)
+      return Seq((1, 1, hash60(Array.emptyByteArray)))
+    }
     val out = Seq.newBuilder[(Int, Int, Long)]
     var start = 1
     var i = 1
@@ -57,13 +71,9 @@ object Chunker {
       }
       if ((h % MaskMod == 0 && i != n) || i == n) {
         val chunk = text.substring(start - 1, i)
-        md.reset()
-        val dig = md.digest(chunk.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         // first 15 hex chars == top 60 bits of the first 8 digest bytes
-        var hv = 0L
-        var b = 0
-        while (b < 8) { hv = (hv << 8) | (dig(b) & 0xffL); b += 1 }
-        out += ((start, i - start + 1, hv >>> 4))
+        out += ((start, i - start + 1,
+          hash60(chunk.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
         start = i + 1
       }
       i += 1
@@ -98,8 +108,13 @@ object Chunker {
 
   /** The declarative (column-expression) form of [[chunks]] — kept as
     * the cross-implementation certificate: ChunkerSpec pins it equal
-    * to the Scala kernel row-for-row, so the loop can never drift
-    * from the replayable positional definition the oracle states. */
+    * to the Scala kernel row-for-row (empty text included), so the
+    * loop can never drift from the replayable positional definition
+    * the oracle states. Certificate scope is BMP text: for
+    * astral-plane input this form sees UTF8String's lone-surrogate
+    * mangling ('?') where the kernel hashes the raw code units — the
+    * KERNEL is authoritative there (deterministic, documented; the
+    * oracle lane is BMP either way). */
   private[operators] def chunksDeclarative(docs: DataFrame, idCol: String,
                                            textCol: String): DataFrame = {
     val pows = (0 until Window).map(j => math.pow(31.0, j).toLong)

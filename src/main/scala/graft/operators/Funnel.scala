@@ -106,6 +106,10 @@ object Funnel {
       .filter(col("__prev").isNotNull)
       .groupBy(col("__prev").as("from_type"), col(typeCol).as("to_type"))
       .agg(count(lit(1)).as("n"))
+      // the |types|²-sized matrix feeds both the output and its own
+      // margins — checkpoint once or the per-user lag pass over the
+      // corpus runs twice
+      .localCheckpoint()
     val fromTot = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("__ft"))
     pairs.join(fromTot, Seq("from_type"))
       .select(col("from_type"), col("to_type"), col("n"),

@@ -88,11 +88,16 @@ object Profile {
     a.join(b, Seq("__ih"))
       .filter(col("g_a") < col("g_b"))
       .groupBy(col("g_a"), col("g_b"))
-      .agg(sum(col("__ca") * col("__cb")).as("dot"))
+      // the dot accumulates in the SAME decimal lane as the norms —
+      // by Cauchy-Schwarz it reaches the same magnitudes, and a raw
+      // long product would wrap exactly where the norms are protected;
+      // the BIGINT output cast fails loudly (ANSI) past 2^63
+      .agg(sum(expr("CAST(__ca AS DECIMAL(38,0)) * __cb")).as("__dot"))
       .join(norms.select(col("__g").as("g_a"), col("__n2").as("__na")), Seq("g_a"))
       .join(norms.select(col("__g").as("g_b"), col("__n2").as("__nb")), Seq("g_b"))
-      .select(col("g_a"), col("g_b"), col("dot"),
-        expr(s"CAST((${scale}L * CAST(dot AS DECIMAL(38,0)) * dot)" +
+      .select(col("g_a"), col("g_b"),
+        expr("CAST(__dot AS BIGINT)").as("dot"),
+        expr(s"CAST((${scale}L * __dot * __dot)" +
           " div (__na * __nb) AS BIGINT)").as("cos2_micro"))
   }
 

@@ -517,7 +517,9 @@ object Sampling {
                     idCol: String, nBins: Int, bandWidth: Long): DataFrame = {
     require(nBins >= 1, s"nBins must be >= 1, got $nBins")
     require(bandWidth >= 1, s"bandWidth must be >= 1, got $bandWidth")
-    val withB = df.withColumn("__band",
+    // NULL values are excluded (the byRank convention, stated rather
+    // than silently losing them through the band equi-join)
+    val withB = df.filter(col(valueCol).isNotNull).withColumn("__band",
       graft.functions.IntMath.floordiv(col(valueCol), bandWidth))
     val counts = withB.groupBy(col(groupCol).as("__g"), col("__band").as("__b"))
       .agg(count(lit(1)).as("__cnt"))

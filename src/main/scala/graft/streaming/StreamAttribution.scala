@@ -12,9 +12,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * so the marketing dashboard sees credit within a micro-batch of the
   * purchase instead of at the nightly batch join.
   *
-  * State per user is ONE (channel, ts) pair — the last touch seen —
-  * plus nothing else: the as-of semantics need no ledger because only
-  * the latest touch can ever win. Equivalence contract (spec-pinned):
+  * State per user is ONE (channel, ts, id) triple — the max-(ts, id)
+  * touch seen — plus nothing else: the as-of semantics need no ledger
+  * because only the latest touch can ever win, and updates are
+  * MONOTONE in (ts, id) so a within-watermark late touch from a later
+  * micro-batch cannot overwrite a newer one. State expires once the
+  * watermark passes the touch's lookback horizon (it can never win
+  * another credit), bounding the store by active users. Equivalence contract (spec-pinned):
   * per-conversion credits aggregate to exactly the batch card when
   * events arrive in event-time order (same-timestamp tie groups
   * unsplit); the within-batch replay sorts (ts, touches-before-
@@ -27,7 +31,7 @@ object StreamAttribution {
 
   final case class AttrIn(key: Long, id: Long, kind: Int, ch: String,
                           cents: Long, tsUs: Long, ts: Timestamp)
-  final case class TouchState(ch: String, tsUs: Long)
+  final case class TouchState(ch: String, tsUs: Long, id: Long)
   final case class Credit(event_id: Long, key: Long, ts_us: Long,
                           channel: String, cents: Long)
 
@@ -55,28 +59,47 @@ object StreamAttribution {
       .as[AttrIn]
     prepared
       .groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (key: Long, events: Iterator[AttrIn], state: GroupState[TouchState]) => {
           val wmMs = state.getCurrentWatermarkMs()
           var touch = state.getOption
           val out = List.newBuilder[Credit]
-          val seenConv = scala.collection.mutable.Set.empty[Long]
-          val ordered = events.toSeq
-            .filter(_.ts.getTime >= wmMs)
-            .sortBy(e => (e.tsUs, e.kind, e.id))
-          ordered.foreach { e =>
-            if (e.kind == 0) {
-              touch = Some(TouchState(e.ch, e.tsUs))
-            } else if (!seenConv.contains(e.id)) {
-              seenConv += e.id
-              val channel = touch match {
-                case Some(t) if e.tsUs - t.tsUs <= lookbackUs => t.ch
-                case _ => "direct"
+          if (state.hasTimedOut) {
+            // a touch the watermark has pushed past its lookback can
+            // never win another credit — expired state drops, bounding
+            // the store by ACTIVE users instead of all users ever seen
+            state.remove()
+          } else {
+            val seenConv = scala.collection.mutable.Set.empty[Long]
+            val ordered = events.toSeq
+              .filter(_.ts.getTime >= wmMs)
+              .sortBy(e => (e.tsUs, e.kind, e.id))
+            ordered.foreach { e =>
+              if (e.kind == 0) {
+                // MONOTONE update: a within-watermark late touch from a
+                // later micro-batch must not overwrite a newer one —
+                // the batch winner is the max-(ts, id) touch, so only
+                // that order advances state
+                if (!touch.exists(t => t.tsUs > e.tsUs ||
+                    (t.tsUs == e.tsUs && t.id >= e.id)))
+                  touch = Some(TouchState(e.ch, e.tsUs, e.id))
+              } else if (!seenConv.contains(e.id)) {
+                seenConv += e.id
+                val channel = touch match {
+                  case Some(t) if t.tsUs <= e.tsUs &&
+                    e.tsUs - t.tsUs <= lookbackUs => t.ch
+                  case _ => "direct"
+                }
+                out += Credit(e.id, key, e.tsUs, channel, e.cents)
               }
-              out += Credit(e.id, key, e.tsUs, channel, e.cents)
+            }
+            touch match {
+              case Some(t) =>
+                state.update(t)
+                state.setTimeoutTimestamp(t.tsUs / 1000L + lookbackUs / 1000L + 1L)
+              case None =>
             }
           }
-          touch.foreach(state.update)
           out.result().iterator
         })
   }

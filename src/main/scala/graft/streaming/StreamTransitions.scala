@@ -13,18 +13,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * window/merge aggregation serves it, the StreamHist law) stays
   * fresh without replaying user histories.
   *
-  * State per user is ONE (last type, last id) pair. Equivalence
-  * (spec-pinned): emitted pairs aggregate to exactly the batch
-  * matrix's counts under in-order delivery; within a batch the replay
-  * sorts (ts, id) — the batch lag's total order. Consecutive
-  * redelivery of an event id within a batch emits once; cross-batch
-  * redelivery composes with an upstream [[StreamDedup]] like the
-  * other legs. */
+  * State per user is ONE (last type, ts, id) triple, advanced
+  * MONOTONICALLY in (ts, id) — a redelivered or out-of-order event
+  * at-or-before the chain head is skipped outright (emitting from it
+  * would rewrite adjacency the batch lag already fixed). The triple
+  * is kept across idle periods like RollingFeatures' lastTs (a chain
+  * must survive a quiet user), which is the documented 24-byte-per-
+  * user state floor. Equivalence (spec-pinned): emitted pairs
+  * aggregate to exactly the batch matrix's counts under in-order
+  * delivery; within a batch the replay sorts (ts, id) — the batch
+  * lag's total order. */
 object StreamTransitions {
 
   final case class TransIn(key: Long, id: Long, ch: String, tsUs: Long,
                            ts: Timestamp)
-  final case class LastType(ch: String, id: Long)
+  final case class LastType(ch: String, tsUs: Long, id: Long)
   final case class Transition(key: Long, event_id: Long, ts_us: Long,
                               from_type: String, to_type: String)
 
@@ -52,10 +55,15 @@ object StreamTransitions {
             .filter(_.ts.getTime >= wmMs)
             .sortBy(e => (e.tsUs, e.id))
           ordered.foreach { e =>
-            if (!last.exists(_.id == e.id)) { // same-batch redelivery
+            // MONOTONE chain: an event at-or-before the chain head is a
+            // redelivery or out-of-order straggler — emitting from it
+            // would rewrite history the batch lag already fixed; skip
+            // it entirely (no emission, no state regression)
+            if (!last.exists(l => l.tsUs > e.tsUs ||
+                (l.tsUs == e.tsUs && l.id >= e.id))) {
               last.foreach(l =>
                 out += Transition(key, e.id, e.tsUs, l.ch, e.ch))
-              last = Some(LastType(e.ch, e.id))
+              last = Some(LastType(e.ch, e.tsUs, e.id))
             }
           }
           last.foreach(state.update)

@@ -54,8 +54,13 @@ class ChunkerSpec extends SparkSpec {
     // loop must never drift from the replayable positional definition
     // the q204 oracle states (exercised on varied lengths incl. the
     // empty-adjacent shapes)
+    // BMP scope: ASCII, an accented BMP char, and the empty string
+    // (both engines' split of "" yields one empty element — the
+    // kernel's special case); astral input is kernel-authoritative
+    // and deliberately NOT in the certificate
     val rows = Seq((1L, textA), (2L, textB), (3L, "a"), (4L, "ab"),
-      (5L, "xyzzy plugh " * 9), (6L, "Z"))
+      (5L, "xyzzy plugh " * 9), (6L, "Z"), (7L, ""),
+      (8L, "café au lait déjà vu " * 6))
       .toDF("doc_id", "text")
     def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
