@@ -1078,4 +1078,42 @@ private[graft] trait Queries8Analytics extends Queries7Pipelines {
       |       // (CAST(d1.df AS HUGEINT) * d2.df) AS BIGINT) AS lift_micro
       |FROM pc JOIN dfq d1 ON d1.w = pc.w1
       |        JOIN dfq d2 ON d2.w = pc.w2 CROSS JOIN nn""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q219 — KWIC snippets (Retrieval.snippets) for the q180 BM25 top-10:
+  // first query-term hit position + a ±2-token window, exact strings —
+  // the search-results page's last mile riding the same hash oracle as
+  // the ranking it annotates. Positions probe only query-term tokens;
+  // token arrays re-join for RANKED docs only.
+  // ---------------------------------------------------------------------
+  private[graft] def q219Snippets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ranked = graft.operators.Retrieval.bm25TopK(docs, "doc_id", "text",
+      bm25Queries, k = 10)
+    graft.operators.Retrieval.snippets(docs, "doc_id", "text", ranked,
+      bm25Queries, context = 2)
+  }
+
+  private[graft] val q219Sql =
+    s"""WITH $bm25Cte,
+      |top AS (SELECT query_id, doc_id FROM rk WHERE rank <= 10),
+      |tk AS (SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS ts
+      |  FROM documents
+      |  WHERE doc_id IN (SELECT DISTINCT doc_id FROM top)),
+      |qt AS (SELECT CAST(query_id AS BIGINT) AS query_id, term FROM (VALUES
+      |        (1, 'hash'), (1, 'join'), (2, 'spark'), (2, 'stream'),
+      |        (3, 'dup'), (3, 'merge')) AS t(query_id, term)),
+      |pos AS (SELECT qt.query_id, tk.doc_id, t.i AS p
+      |        FROM tk, LATERAL UNNEST(generate_series(1, len(ts))) AS t(i)
+      |        JOIN qt ON tk.ts[t.i] = qt.term),
+      |fp AS (SELECT top.query_id, top.doc_id,
+      |         CAST(min(pos.p) AS BIGINT) AS first_pos
+      |       FROM top JOIN pos ON pos.query_id = top.query_id
+      |            AND pos.doc_id = top.doc_id
+      |       GROUP BY 1, 2)
+      |SELECT fp.query_id, fp.doc_id, fp.first_pos,
+      |  array_to_string(tk.ts[greatest(fp.first_pos - 2, 1)
+      |    :least(fp.first_pos + 2, len(tk.ts))], ' ') AS snippet
+      |FROM fp JOIN tk ON tk.doc_id = fp.doc_id""".stripMargin
 }

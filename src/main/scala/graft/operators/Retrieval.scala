@@ -378,6 +378,52 @@ object Retrieval {
       col("max_sim"), col("mmr_score"), col("pick"))
   }
 
+  /** KWIC snippets for a ranked result set — the search-results page's
+    * last mile: for every (query, doc) pair of `ranked`, the FIRST
+    * occurrence position of any query term in the document and a
+    * ±`context`-token window around it, joined with spaces. Exact
+    * strings and integer positions, so the snippet surface rides the
+    * same hash oracle as the ranking that produced it.
+    *
+    * Scale: term positions come from one posexplode filtered to the
+    * query terms BEFORE any join (the postings-probe discipline — only
+    * matching positions shuffle); the snippet slice re-joins the
+    * |ranked|-sized pair set to the token arrays of RANKED DOCUMENTS
+    * ONLY (semi-join pruned), never re-tokenizing the corpus at large.
+    *
+    * @return (query_id, doc_id, first_pos, snippet); pairs whose doc
+    *         contains no query term (possible when `ranked` came from
+    *         another stage) are absent. */
+  def snippets(docs: DataFrame, idCol: String, textCol: String,
+               ranked: DataFrame, queries: Seq[(Long, Seq[String])],
+               context: Int = 2): DataFrame = {
+    require(context >= 0, s"context must be >= 0, got $context")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs = ranked.select(col("query_id"), col("doc_id"))
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .join(pairs.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val qterms = queries.flatMap { case (qid, ts) => ts.map(qid -> _) }
+      .toDF("query_id", "__term")
+    val positions = toks
+      .select(col("doc_id"), posexplode(col("__tk")).as(Seq("__p", "__w")))
+      .join(broadcast(qterms), col("__w") === col("__term"))
+      .select(col("query_id"), col("doc_id"), (col("__p") + 1).as("__pos"))
+    val firstPos = pairs.join(positions, Seq("query_id", "doc_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(min(col("__pos")).cast("long").as("first_pos"))
+    firstPos.join(toks, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"), col("first_pos"),
+        array_join(slice(col("__tk"),
+          greatest(col("first_pos") - context, lit(1)),
+          least(col("first_pos") + context, size(col("__tk")))
+            - greatest(col("first_pos") - context, lit(1)) + 1), " ")
+          .as("snippet"))
+  }
+
   /** Ranking-quality card: recall hits and MRR of a `system` ranking
     * (query_id, doc_id, rank) against a `gold` relevant set (query_id,
     * doc_id). MRR's 1/r is floored to integer micro-units
