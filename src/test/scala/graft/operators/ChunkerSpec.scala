@@ -69,6 +69,31 @@ class ChunkerSpec extends SparkSpec {
       norm(Chunker.chunksDeclarative(rows, "doc_id", "text")))
   }
 
+  test("fuzz: kernel == declarative on 60 random BMP strings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    // mixed alphabet: ASCII, punctuation, accented/BMP unicode —
+    // everything the certificate covers (astral is kernel-authoritative
+    // by documented scope)
+    val alphabet = "abcXYZ 0189.,!éüñΩλж中日"
+    val rows = (1L to 60L).map { i =>
+      val len = rnd.nextInt(120)
+      (i, Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }.toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val kernel = norm(Chunker.chunks(rows, "doc_id", "text"))
+    assert(kernel == norm(Chunker.chunksDeclarative(rows, "doc_id", "text")))
+    // tiling invariant holds on the fuzz corpus too
+    val byDoc = kernel.groupBy(_._1)
+    rows.collect().foreach { r =>
+      val id = r.getLong(0); val len = r.getString(1).length.toLong
+      val spans = byDoc(id).toSeq.sortBy(_._2)
+      assert(spans.map(_._3).sum == math.max(len, 1L), s"doc $id")
+    }
+  }
+
   test("identical repeated content is fully shared in the dedup card") {
     import spark.implicits._
     val card = Chunker.dedupCard(
