@@ -166,11 +166,25 @@ object TimeSeries {
     * |keys|-row aggregation joined back by key. Output only the
     * flagged rows. */
   def anomalyBuckets(df: DataFrame, keyCol: String, tsCol: String,
-                     bucketSec: Long, sigmas: Int = 3): DataFrame = {
+                     bucketSec: Long, sigmas: Int = 3): DataFrame =
+    anomalyFromSeries(gapFill(df, keyCol, tsCol, bucketSec), keyCol, sigmas)
+
+  /** The stats + flag stage of [[anomalyBuckets]] over an ALREADY
+    * dense (keyCol, bucket_id, n_events) series — public so the
+    * streaming path serves the identical card: per-window bucket
+    * counts are ADDITIVE ([[graft.streaming.StreamHist]]'s law — a
+    * bucket count IS a 1-cell histogram), so merged streamed partials
+    * gap-fill batch-side into exactly this series and the anomaly
+    * answer equals batch (StreamAnomalySpec pins the equality). */
+  def anomalyFromSeries(series: DataFrame, keyCol: String,
+                        sigmas: Int = 3): DataFrame = {
     require(sigmas >= 1, s"sigmas must be >= 1, got $sigmas")
-    val series = gapFill(df, keyCol, tsCol, bucketSec)
     val n = col("n_events").cast("decimal(38,0)")
-    val stats = series.groupBy(col(keyCol))
+    // stats aggregate over a fresh-attribute clone: joining a frame
+    // with an aggregate of ITSELF otherwise trips conflicting-
+    // reference resolution on some lineages (densified streaming
+    // partials; parquet-scan lineages happen to dedup)
+    val stats = series.toDF(series.columns: _*).groupBy(col(keyCol))
       .agg(count(lit(1)).cast("decimal(38,0)").as("__m"),
         sum(n).as("__s1"), sum(n * n).as("__s2"))
     series.join(stats, Seq(keyCol))
@@ -179,5 +193,27 @@ object TimeSeries {
         s"__dev * __dev > ${sigmas.toLong * sigmas} * (__m * __s2 - __s1 * __s1)"))
       .select(col(keyCol), col("bucket_id"), col("n_events"),
         signum(col("__dev")).cast("long").as("dev_sign"))
+  }
+
+  /** Densify a MERGED sparse (keyCol, bucket_id, n) bucket-count
+    * frame (e.g. re-aggregated streaming partials) into the gap-fill
+    * shape — the serving-side counterpart of [[gapFill]] for
+    * pipelines whose counts arrive as partials instead of raw rows.
+    * Same axis law: range from the observed min/max, keys × buckets,
+    * zeros where silent. */
+  def densify(counts: DataFrame, keyCol: String): DataFrame = {
+    val range = counts.agg(min(col("bucket_id")).as("lo"),
+      max(col("bucket_id")).as("hi"))
+    val keys = counts.select(col(keyCol)).distinct()
+    val axis = keys.crossJoin(broadcast(range))
+      .select(col(keyCol),
+        explode(sequence(col("lo"), col("hi"))).as("bucket_id"))
+    // fresh attribute ids for the probe side: axis derives FROM counts
+    // (keys + range), and joining a frame against its own ancestor
+    // trips conflicting-reference resolution
+    val probe = counts.toDF(counts.columns: _*)
+    axis.join(probe, Seq(keyCol, "bucket_id"), "left")
+      .select(col(keyCol), col("bucket_id"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
   }
 }
