@@ -1101,12 +1101,9 @@ private[graft] trait Queries8Analytics extends Queries7Pipelines {
       |    list_filter(string_split(text, ' '), x -> x <> '') AS ts
       |  FROM documents
       |  WHERE doc_id IN (SELECT DISTINCT doc_id FROM top)),
-      |qt AS (SELECT CAST(query_id AS BIGINT) AS query_id, term FROM (VALUES
-      |        (1, 'hash'), (1, 'join'), (2, 'spark'), (2, 'stream'),
-      |        (3, 'dup'), (3, 'merge')) AS t(query_id, term)),
-      |pos AS (SELECT qt.query_id, tk.doc_id, t.i AS p
+      |pos AS (SELECT q.query_id, tk.doc_id, t.i AS p
       |        FROM tk, LATERAL UNNEST(generate_series(1, len(ts))) AS t(i)
-      |        JOIN qt ON tk.ts[t.i] = qt.term),
+      |        JOIN q ON tk.ts[t.i] = q.term),
       |fp AS (SELECT top.query_id, top.doc_id,
       |         CAST(min(pos.p) AS BIGINT) AS first_pos
       |       FROM top JOIN pos ON pos.query_id = top.query_id

@@ -401,11 +401,14 @@ object Retrieval {
     val spark = docs.sparkSession
     import spark.implicits._
     val pairs = ranked.select(col("query_id"), col("doc_id"))
+    // lazy: both consumers (positions, snippet slice) share one
+    // materialization at the first action, and plan-only consumers
+    // (Explain, plan audits) never pay the upstream retrieval pipeline
     val toks = docs
       .select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("__tk"))
       .join(pairs.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val qterms = queries.flatMap { case (qid, ts) => ts.map(qid -> _) }
       .toDF("query_id", "__term")
     val positions = toks

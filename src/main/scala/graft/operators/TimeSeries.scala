@@ -29,17 +29,12 @@ object TimeSeries {
     require(bucketSec >= 1, s"bucketSec must be positive, got $bucketSec")
     val b = df.select(col(keyCol),
       expr(s"CAST(${tsCol} AS LONG) DIV ${bucketSec}L").as("bucket_id"))
-    val counts = b.groupBy(col(keyCol), col("bucket_id"))
-      .agg(count(lit(1)).as("__n"))
-    val range = b.agg(min(col("bucket_id")).as("lo"),
-      max(col("bucket_id")).as("hi"))
-    val keys = df.select(col(keyCol)).distinct()
-    val axis = keys.crossJoin(broadcast(range))
-      .select(col(keyCol),
-        explode(sequence(col("lo"), col("hi"))).as("bucket_id"))
-    axis.join(counts, Seq(keyCol, "bucket_id"), "left")
-      .select(col(keyCol), col("bucket_id"),
-        coalesce(col("__n"), lit(0L)).as("n_events"))
+    // the axis law lives ONCE, in densify — every observed key and
+    // bucket appears in the count frame, so densifying it is exactly
+    // the keys × [min, max] axis with zeros (StreamAnomalySpec's
+    // stream == batch equality leans on there being one definition)
+    densify(b.groupBy(col(keyCol), col("bucket_id"))
+      .agg(count(lit(1)).as("n")), keyCol)
   }
 
   /** Per-key trailing-window features over an event stream — the
