@@ -951,7 +951,7 @@ private[graft] trait Queries8Analytics extends Queries7Pipelines {
   // validity-interval history rows. The oracle states the same
   // compression + lead() interval assignment.
   // ---------------------------------------------------------------------
-  private[graft] def q215Scd2(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def scd2Log(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val srcAt = when(col("doc_id") % 4 === 0,
       concat(col("source"), lit("_b"))).otherwise(col("source"))
@@ -963,9 +963,12 @@ private[graft] trait Queries8Analytics extends Queries7Pipelines {
     val v3 = docs.filter(col("doc_id") % 6 === 0)
       .select(col("doc_id"), lit(3L).as("v"), srcAt.as("source"),
         (col("n_chars") + 10L).as("n_chars"))
-    graft.operators.Scd2.intervals(v1.union(v2).union(v3), "doc_id", "v",
-      Seq("source", "n_chars"))
+    v1.union(v2).union(v3)
   }
+
+  private[graft] def q215Scd2(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Scd2.intervals(scd2Log(spark, dir), "doc_id", "v",
+      Seq("source", "n_chars"))
 
   private[graft] val q215Sql =
     """WITH log AS (
@@ -989,6 +992,51 @@ private[graft] trait Queries8Analytics extends Queries7Pipelines {
       |    AS BIGINT) AS valid_to,
       |  source, CAST(n_chars AS BIGINT) AS n_chars
       |FROM k""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q220 — point-in-time read (Scd2.pointInTime) against the q215
+  // history: every doc asked for its state as of version
+  // 1 + doc_id % 3 — the leakage-free feature-store join, an EQUI join
+  // on the key with containment as a per-key residual (no bins needed;
+  // contrast q131/q134's keyless range joins). The oracle restates the
+  // q215 compression + intervals and the same containment.
+  // ---------------------------------------------------------------------
+  private[graft] def q220PitRead(spark: SparkSession, dir: String): DataFrame = {
+    val history = q215Scd2(spark, dir)
+    val facts = Tables.documents(spark, dir)
+      .select(col("doc_id"), (lit(1L) + col("doc_id") % 3).as("asof_v"))
+    graft.operators.Scd2.pointInTime(history, "doc_id", facts, "asof_v",
+      Seq("source", "n_chars"))
+  }
+
+  private[graft] val q220Sql =
+    """WITH log AS (
+      |  SELECT doc_id, 1 AS v, source, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 2, CASE WHEN doc_id % 4 = 0 THEN source || '_b'
+      |                    ELSE source END, n_chars
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 3, CASE WHEN doc_id % 4 = 0 THEN source || '_b'
+      |                    ELSE source END, n_chars + 10
+      |  FROM documents WHERE doc_id % 6 = 0),
+      |c AS (SELECT *,
+      |        lag(v) OVER w IS NULL AS first,
+      |        (lag(source) OVER w IS NOT DISTINCT FROM source) AND
+      |        (lag(n_chars) OVER w IS NOT DISTINCT FROM n_chars) AS same
+      |      FROM log WINDOW w AS (PARTITION BY doc_id ORDER BY v)),
+      |k AS (SELECT doc_id, v, source, n_chars FROM c WHERE first OR NOT same),
+      |h AS (SELECT doc_id, CAST(v AS BIGINT) AS valid_from,
+      |        CAST(lead(v) OVER (PARTITION BY doc_id ORDER BY v) - 1
+      |          AS BIGINT) AS valid_to,
+      |        source, CAST(n_chars AS BIGINT) AS n_chars
+      |      FROM k),
+      |f AS (SELECT doc_id, CAST(1 + doc_id % 3 AS BIGINT) AS asof_v
+      |      FROM documents)
+      |SELECT f.doc_id, f.asof_v, h.source, h.n_chars
+      |FROM f JOIN h ON h.doc_id = f.doc_id
+      |WHERE h.valid_from <= f.asof_v
+      |  AND (h.valid_to IS NULL OR f.asof_v <= h.valid_to)""".stripMargin
 
   // ---------------------------------------------------------------------
   // q216 — winsorized robust-stats card (Percentiles.winsorizedCard):

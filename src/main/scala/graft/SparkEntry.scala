@@ -254,6 +254,7 @@ object SparkEntry extends Queries8Analytics {
     Q("q217_source_cosine", q217SourceCosine, Some(q217Sql)),
     Q("q218_token_lift", q218TokenLift, Some(q218Sql)),
     Q("q219_snippets", q219Snippets, Some(q219Sql)),
+    Q("q220_pit_read", q220PitRead, Some(q220Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

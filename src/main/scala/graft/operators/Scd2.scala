@@ -54,4 +54,30 @@ object Scd2 {
     kept.select(keyOrFail +: col("valid_from") +: col("valid_to") +:
       attrCols.map(col): _*)
   }
+
+  /** Point-in-time read against [[intervals]] output — THE reason the
+    * history rows exist: each fact row `(keyCol, asOfCol)` picks the
+    * interval containing its version (`valid_from ≤ asof ≤ valid_to`,
+    * open current interval included), i.e. the record's state as the
+    * fact saw it — the leakage-free feature-store join.
+    *
+    * Scale: an EQUI join on the key with the containment as residual —
+    * each key holds its own (few) history rows, so the residual scans
+    * a per-key handful, never a banded replication (keys are the
+    * partitioning; compare the keyless range joins q131/q134, which
+    * need [[RangeJoin]]'s bins precisely because they lack this key).
+    *
+    * @return fact columns + the interval's attrCols */
+  def pointInTime(history: DataFrame, keyCol: String,
+                  facts: DataFrame, asOfCol: String,
+                  attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "pointInTime needs at least one attribute")
+    val h = history.select(
+      col(keyCol) +: col("valid_from") +: col("valid_to") +:
+        attrCols.map(col): _*)
+    facts.join(h, Seq(keyCol))
+      .filter(col("valid_from") <= col(asOfCol) &&
+        (col("valid_to").isNull || col(asOfCol) <= col("valid_to")))
+      .drop("valid_from", "valid_to")
+  }
 }

@@ -39,6 +39,23 @@ class Scd2Spec extends SparkSpec {
       (1L, 3L, None, Some("x"), 10L)))
   }
 
+  test("point-in-time read picks the covering interval, open interval included") {
+    import spark.implicits._
+    val history = Scd2.intervals(Seq(
+      (1L, 1L, Some("x"), 10L), (1L, 3L, Some("y"), 20L),
+      (2L, 2L, Some("z"), 7L))
+      .toDF("k", "v", "a", "b"), "k", "v", Seq("a", "b"))
+    val facts = Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 9L),
+      (2L, 1L), (2L, 2L)).toDF("k", "asof_v")
+    val got = Scd2.pointInTime(history, "k", facts, "asof_v", Seq("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 1L, "x", 10L), (1L, 2L, "x", 10L), // interval [1,2]
+      (1L, 3L, "y", 20L), (1L, 9L, "y", 20L), // open current interval
+      (2L, 2L, "z", 7L))) // asof 1 predates key 2's history: absent
+  }
+
   test("duplicate versions for one key fail loudly") {
     val ex = intercept[Exception] {
       run(Seq((1L, 1L, Some("x"), 1L), (1L, 1L, Some("y"), 2L)))
