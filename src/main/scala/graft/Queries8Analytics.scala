@@ -1039,6 +1039,42 @@ private[graft] trait Queries8Analytics extends Queries7Pipelines {
       |  AND (h.valid_to IS NULL OR f.asof_v <= h.valid_to)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q221 — interval-union covered time (TimeSeries.coveredTime): each
+  // event opens a 5-minute activity interval; overlaps merge into
+  // islands (touching intervals merge — zero gap is no gap) and the
+  // per-user active time is the union length, never double-counted.
+  // Oracle: the classic gaps-and-islands SQL over the same intervals.
+  // ---------------------------------------------------------------------
+  private[graft] def q221CoveredTime(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.coveredTime(
+      Tables.events(spark, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("s"),
+          (unix_micros(col("ts")) + 300000000L).as("e")),
+      "user_id", "s", "e")
+
+  private[graft] val q221Sql =
+    """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+      |    epoch_us(ts) + 300000000 AS e FROM events),
+      |m AS (SELECT user_id, s, e,
+      |        max(e) OVER (PARTITION BY user_id ORDER BY s, e
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |      FROM iv),
+      |f AS (SELECT user_id, s, e,
+      |        CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS new
+      |      FROM m),
+      |g AS (SELECT user_id, s, e,
+      |        sum(new) OVER (PARTITION BY user_id ORDER BY s, e
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      |      FROM f),
+      |isls AS (SELECT user_id, isl, min(s) AS ms, max(e) AS me,
+      |           count(*) AS cnt
+      |         FROM g GROUP BY 1, 2)
+      |SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_intervals,
+      |  CAST(count(*) AS BIGINT) AS n_islands,
+      |  CAST(sum(me - ms) AS BIGINT) AS covered_us
+      |FROM isls GROUP BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q216 — winsorized robust-stats card (Percentiles.winsorizedCard):
   // per-source [p10, p90] bounds from the exact histogram fold, then
   // the clipped integer mean — outlier-immune location, one floor per

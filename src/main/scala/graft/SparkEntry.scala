@@ -255,6 +255,7 @@ object SparkEntry extends Queries8Analytics {
     Q("q218_token_lift", q218TokenLift, Some(q218Sql)),
     Q("q219_snippets", q219Snippets, Some(q219Sql)),
     Q("q220_pit_read", q220PitRead, Some(q220Sql)),
+    Q("q221_covered_time", q221CoveredTime, Some(q221Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

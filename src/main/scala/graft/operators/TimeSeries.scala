@@ -190,6 +190,46 @@ object TimeSeries {
         signum(col("__dev")).cast("long").as("dev_sign"))
   }
 
+  /** Covered time per key — the interval-UNION aggregate ("how long
+    * was this user active / this host down", from possibly-overlapping
+    * interval rows): overlaps must not double-count, so intervals
+    * merge into islands first (gaps-and-islands: an interval whose
+    * start exceeds the running max end of its predecessors opens a new
+    * island) and the answer is Σ island lengths. All integer
+    * microseconds; touching intervals (start == previous end) MERGE —
+    * zero-length gap is no gap.
+    *
+    * Scale: one exchange on the key, two window passes over it (the
+    * running max end, then the island running count), one aggregation.
+    * The q157 sessionize shape generalized to arbitrary,
+    * possibly-overlapping intervals — session_window cannot express
+    * pre-built intervals, which is why this exists.
+    *
+    * @return (keyCol, n_intervals, n_islands, covered_us) */
+  def coveredTime(df: DataFrame, keyCol: String, startCol: String,
+                  endCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(startCol), col(endCol))
+    val wPrev = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wRun = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.filter(col(endCol) >= col(startCol))
+      .withColumn("__pmax", max(col(endCol)).over(wPrev))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col(startCol) > col("__pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(wRun))
+      .groupBy(col(keyCol), col("__isl"))
+      .agg(min(col(startCol)).as("__s"), max(col(endCol)).as("__e"),
+        count(lit(1)).as("__cnt"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__cnt")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("__e") - col("__s")).cast("long").as("covered_us"))
+  }
+
   /** Densify a MERGED sparse (keyCol, bucket_id, n) bucket-count
     * frame (e.g. re-aggregated streaming partials) into the gap-fill
     * shape — the serving-side counterpart of [[gapFill]] for

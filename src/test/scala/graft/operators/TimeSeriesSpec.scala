@@ -92,6 +92,33 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
   }
 
+  test("covered time: overlaps merge, touching intervals merge, gaps split") {
+    import spark.implicits._
+    val df = Seq(
+      ("u", 0L, 100L), ("u", 50L, 150L), // overlap -> one island [0,150]
+      ("u", 150L, 200L), // touching -> same island [0,200]
+      ("u", 300L, 400L), // gap -> second island
+      ("v", 0L, 10L), ("v", 0L, 10L)) // duplicate interval: one island
+      .toDF("k", "s", "e")
+    val out = TimeSeries.coveredTime(df, "k", "s", "e")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("u") == ((4L, 2L, 300L))) // 200 + 100
+    assert(out("v") == ((2L, 1L, 10L)))
+  }
+
+  test("covered time: a contained interval never extends its island") {
+    import spark.implicits._
+    // [0,1000] contains [10,20]; a later [500,600] is also contained —
+    // the running-max formulation must not let the short intervals
+    // close the island early
+    val df = Seq(("k", 0L, 1000L), ("k", 10L, 20L), ("k", 500L, 600L),
+      ("k", 2000L, 2100L)).toDF("k", "s", "e")
+    val out = TimeSeries.coveredTime(df, "k", "s", "e").head()
+    assert((out.getLong(1), out.getLong(2), out.getLong(3)) ==
+      ((4L, 2L, 1100L)))
+  }
+
   test("anomaly buckets: a flat series flags nothing") {
     import spark.implicits._
     val rows = (0 to 9).map(h => ("k", t(h.toLong, 1)))
