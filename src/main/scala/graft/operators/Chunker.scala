@@ -118,8 +118,11 @@ object Chunker {
   private[operators] def chunksDeclarative(docs: DataFrame, idCol: String,
                                            textCol: String): DataFrame = {
     val pows = (0 until Window).map(j => math.pow(31.0, j).toLong)
+    // coalesce null text to '' so the certificate's domain matches the
+    // kernel (which maps null -> "" and emits the one-empty-chunk row);
+    // split(null) would otherwise drop null-text docs from this form
     val s1 = docs.select(col(idCol).as("doc_id"),
-      split(col(textCol), "").as("__cs"))
+      split(coalesce(col(textCol), lit("")), "").as("__cs"))
     // h(i) = sum_{j=0..min(7,i-1)} ord(c_{i-j}) * 31^j, computed
     // DIRECTLY inside the boundary filter — each position evaluates
     // its own O(W) hash exactly once. (An intermediate hash-array

@@ -434,8 +434,12 @@ object Retrieval {
     * the metric replays bit-for-bit cross-engine — the same
     * rational-exactness trick as RRF. One left join + one groupBy. */
   def rankingEval(system: DataFrame, gold: DataFrame): DataFrame = {
+    // gold may come from an external judgment table with duplicate
+    // (query_id, doc_id) rows — distinct BEFORE the join so duplicates
+    // cannot fan out system rows and inflate n_sys/hits
     val j = system.join(
-      gold.select(col("query_id"), col("doc_id"), lit(1).as("__rel")),
+      gold.select(col("query_id"), col("doc_id")).distinct()
+        .withColumn("__rel", lit(1)),
       Seq("query_id", "doc_id"), "left")
     j.groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_sys"),

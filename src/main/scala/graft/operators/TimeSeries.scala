@@ -22,8 +22,13 @@ object TimeSeries {
 
   /** Zero-filled per-`keyCol` counts in `bucketSec`-wide buckets over
     * the data's observed [min, max] bucket range. Output: (keyCol,
-    * bucket_id, n_events) with bucket_id = ⌊epoch_seconds/bucketSec⌋ —
-    * integer floor division on both engines. */
+    * bucket_id, n_events) with bucket_id = epoch_seconds DIV bucketSec
+    * — integer division TRUNCATING toward zero, the cross-engine-paired
+    * semantics (Spark `DIV` == DuckDB `//`; for pre-1970 timestamps
+    * this is NOT floor division). Rows with NULL `tsCol` are excluded
+    * from the densified axis (min/max ignore the NULL bucket and the
+    * generated axis never contains it — the same NULL exclusion
+    * Percentiles.byRank documents). */
   def gapFill(df: DataFrame, keyCol: String, tsCol: String,
               bucketSec: Long): DataFrame = {
     require(bucketSec >= 1, s"bucketSec must be positive, got $bucketSec")

@@ -95,8 +95,18 @@ object StreamAttribution {
             }
             touch match {
               case Some(t) =>
-                state.update(t)
-                state.setTimeoutTimestamp(t.tsUs / 1000L + lookbackUs / 1000L + 1L)
+                val horizonMs = t.tsUs / 1000L + lookbackUs / 1000L + 1L
+                if (horizonMs <= wmMs) {
+                  // the stored touch is already past its lookback horizon
+                  // (a batch can deliver a conversion for the key and
+                  // preempt the pending timeout) — re-arming with a
+                  // timestamp <= watermark would throw in GroupStateImpl,
+                  // so drop the state inline: it can never win a credit
+                  if (state.exists) state.remove()
+                } else {
+                  state.update(t)
+                  state.setTimeoutTimestamp(horizonMs)
+                }
               case None =>
             }
           }

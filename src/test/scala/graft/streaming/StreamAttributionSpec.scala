@@ -72,4 +72,18 @@ class StreamAttributionSpec extends SparkSpec {
   test("same-batch redelivered conversion emits once") {
     assert(runStream(Seq(events :+ events(2))) == batchCard())
   }
+
+  test("conversion preempting an overdue timeout drops stale touch, no crash") {
+    // batch 1 arms user 5's touch (horizon t=110s) and pushes the
+    // watermark to 290s via another key; batch 2 delivers user 5's
+    // conversion, which preempts the pending timeout (hasTimedOut is
+    // false) — re-arming the t=110s timeout below the 290s watermark
+    // would throw in GroupStateImpl, so the stale touch must drop
+    // inline and the credit is 'direct'
+    val out = runStream(Seq(
+      Seq(MktEvt(20L, 5L, t(10), "view", 0.0),
+        MktEvt(21L, 9L, t(300), "view", 0.0)),
+      Seq(MktEvt(22L, 5L, t(295), "purchase", 2.0))))
+    assert(out == Map("direct" -> ((1L, 200L))))
+  }
 }
