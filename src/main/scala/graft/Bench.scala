@@ -136,6 +136,28 @@ object Bench {
       }
     if (iso.nonEmpty)
       println(s"""{"detail":"isolated_rerun","queries":${toJson(iso)}}""")
+
+    // ingest→aggregate→sink throughput of the reference pipeline
+    // (BASELINE.md:34-36's rows/s line): dnstap frames from the events
+    // table pushed through the unix-socket framestream source into the
+    // W1 grouping-set branch and counting sinks. One untimed warm run
+    // (streaming-plan codegen + query startup), then the timed feed.
+    // SPARK_GRAFT_PIPELINE_BENCH=0 disables; SPARK_GRAFT_PIPELINE_FRAMES
+    // sets the sustained feed size (default 4M frames ≈ 10 s).
+    val pipe: Option[PipelineThroughput.Result] =
+      if (sys.env.getOrElse("SPARK_GRAFT_PIPELINE_BENCH", "1") == "0") None
+      else try {
+        PipelineThroughput.run(spark, sfDir, targetFrames = 1L)
+        val r = PipelineThroughput.run(spark, sfDir,
+          sys.env.getOrElse("SPARK_GRAFT_PIPELINE_FRAMES", "4000000").toLong)
+        println(f"""{"detail":"pipeline","rows_per_sec":${r.rowsPerSec}%.0f,"frames":${r.frames},"secs":${BigDecimal(r.secs).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"query_agg_rows":${r.queryAggRows},"response_agg_rows":${r.responseAggRows},"batches":${r.batches}}""")
+        Some(r)
+      } catch {
+        case e: Throwable =>
+          println(s"""{"detail":"pipeline","error":"${e.getClass.getSimpleName}"}""")
+          None
+      }
+
     println(s"""{"detail":"queries","sf":"$sfDir","queries":${toJson(results)}}""")
 
     val failed = results.collect { case (name, v) if v < 0 => name }
@@ -155,7 +177,9 @@ object Bench {
     // headlines that lack the field (count() under-reported queries
     // with expensive pruned projections)
     val isoJson = if (iso.isEmpty) "" else s""","slowest_isolated":${toJson(iso)}"""
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","action":"materialize","sf":"$sfDir","nqueries":${results.size},"errors":$errorsJson,"load1m":$load,"slowest":${toJson(slowest)}$isoJson}""")
+    val pipeJson = pipe.map(r =>
+      f""","pipeline_rows_per_sec":${r.rowsPerSec}%.0f,"pipeline_frames":${r.frames},"pipeline_secs":${BigDecimal(r.secs).setScale(3, BigDecimal.RoundingMode.HALF_UP)}""").getOrElse("")
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","action":"materialize","sf":"$sfDir","nqueries":${results.size},"errors":$errorsJson,"load1m":$load,"slowest":${toJson(slowest)}$pipeJson$isoJson}""")
     spark.stop()
   }
 }
