@@ -99,6 +99,21 @@ class WordPieceSpec extends SparkSpec {
     }
   }
 
+  test("distributed trainer == in-memory trainer on random corpora") {
+    // the over-MaxWordLedger path, driven directly (a test corpus can't
+    // exceed 4M distinct words): same word table through both trainers
+    forAllSeeded(corpusGen, 12) { texts =>
+      val words = texts.flatMap(_.split(" ").filter(_.nonEmpty))
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      val ledger = words.map { case (w, c) => (c, WordPiece.toSymbols(w)) }
+      val inMem = WordPiece.trainInMemory(ledger.toArray, 24)
+      val ds = ledger.toDS()
+      val (dist, alphabet) = WordPiece.trainDistributed(ds, 24)
+      assert(dist == inMem, s"corpus: $texts")
+      assert(alphabet == ledger.iterator.flatMap(_._2).toSet)
+    }
+  }
+
   test("training is replay-deterministic") {
     val texts = Seq("abc abc ab", "bca cab abc", "aa bb aa")
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
