@@ -811,16 +811,17 @@ private[graft] trait Queries5Tokenizer extends Queries4Mixtures {
   // ---------------------------------------------------------------------
   // q124 — multimodal dedup clusters: the capstone of the dedup family.
   // A document is a duplicate if ANY modality says so — text (the q21
-  // Jaccard graph, q48's edge set), image (q119 dHash pairs), or audio
-  // (q121 fingerprint pairs) — so the three pair sets union into one
-  // edge list and connected components collapse transitive chains
-  // ACROSS modalities (text-dup A~B and image-dup B~C put A and C in
-  // one cluster even though no single modality compared them). Output
-  // is the q48-shaped (doc_id, component) map over every document.
-  // Oracle: one recursive min-label closure over the union of the three
-  // already-certified pair CTEs — the clusters cannot drift from the
-  // pair queries they compose. Plan: each modality contributes only
-  // 8-byte-keyed pairs; the CC fixpoint runs over (id, id) edges.
+  // Jaccard graph, q48's edge set), image (q119 dHash pairs), audio
+  // (q121 fingerprint pairs), or video (q223 frame-hash pairs, r14) —
+  // so the four pair sets union into one edge list and connected
+  // components collapse transitive chains ACROSS modalities (text-dup
+  // A~B and image-dup B~C put A and C in one cluster even though no
+  // single modality compared them). Output is the q48-shaped (doc_id,
+  // component) map over every document. Oracle: one recursive min-label
+  // closure over the union of the four already-certified pair CTEs —
+  // the clusters cannot drift from the pair queries they compose. Plan:
+  // each modality contributes only 8-byte-keyed pairs; the CC fixpoint
+  // runs over (id, id) edges through the SHARED closure.
   // ---------------------------------------------------------------------
   private[graft] def q124MultimodalDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -835,7 +836,12 @@ private[graft] trait Queries5Tokenizer extends Queries4Mixtures {
         MediaCodec.audioFingerprints(MediaCodec.attachAudio(docs)).toDF(),
         "doc_id", "fingerprint", maxHamming = 2)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val edges = text.unionByName(image).unionByName(audio).distinct()
+    val video = Dedup.videoFrameDupPairs(
+        MediaCodec.videoFrameHashes(MediaCodec.attachVideo(docs)).toDF(),
+        "doc_id", "frame_idx", "vhash", maxHamming = 2, minFrames = 2)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = text.unionByName(image).unionByName(audio)
+      .unionByName(video).distinct()
     Dedup.connectedComponents(docs.select(col("doc_id").as("id")), edges)
       .select(col("id").as("doc_id"), col("component"))
   }
@@ -852,9 +858,15 @@ private[graft] trait Queries5Tokenizer extends Queries4Mixtures {
       |mm_ap AS (SELECT a.doc_id AS src, b.doc_id AS dst
       |      FROM au_fp a JOIN au_fp b ON a.doc_id < b.doc_id
       |      WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 2),
+      |$videoFhCtes,
+      |mm_vp AS (SELECT a.doc_id AS src, b.doc_id AS dst
+      |      FROM vf_dh a JOIN vf_dh b ON a.doc_id < b.doc_id
+      |      WHERE bit_count(xor(a.vhash, b.vhash)) <= 2
+      |      GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2),
       |mm_p AS (SELECT src, dst FROM mm_tp UNION
       |         SELECT src, dst FROM mm_ip UNION
-      |         SELECT src, dst FROM mm_ap),
+      |         SELECT src, dst FROM mm_ap UNION
+      |         SELECT src, dst FROM mm_vp),
       |mm_e AS (SELECT src, dst FROM mm_p UNION ALL SELECT dst, src FROM mm_p),
       |mm_r(v, l) AS (
       |  SELECT doc_id, doc_id FROM documents
@@ -935,6 +947,83 @@ private[graft] trait Queries5Tokenizer extends Queries4Mixtures {
       |    i -> ord(substr(text, CAST(i + 1 AS INTEGER), 1)))), 0) AS BIGINT)
       |    AS sum_bytes
       |FROM f""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q222/q223 — VIDEO perceptual near-dup (r14): the fourth modality of
+  // the near-dup family (text q21 / image q119 / audio q121). The mdat
+  // payload from the q125-certified box walk segments into FIXED
+  // 48-byte frames (fixed — a fingerprint grid must align across
+  // videos; the per-doc container frame size q127 samples cannot),
+  // every 2nd frame stretches onto the q119 thumbnail canvas and
+  // hashes with the SAME dHash63. q222 certifies EVERY sampled frame
+  // hash bit-for-bit from (doc_id, text) arithmetic (the q120
+  // discipline: an error on an unpaired frame still breaks the hash);
+  // q223 emits video pairs sharing >= 2 frame pairs within hamming 2 —
+  // the banded q119 join at frame grain, aggregated to owners. Corrupt
+  // containers (%47) drop as in q125-q127. Plan: frame bytes never
+  // shuffle; only (doc, frame, 8-byte hash) rows ride the band join.
+  // ---------------------------------------------------------------------
+  private[graft] def videoFhOf(spark: SparkSession, dir: String) =
+    MediaCodec.videoFrameHashes(
+      MediaCodec.attachVideo(Tables.documents(spark, dir)))
+
+  private[graft] def q222VideoFrameHash(spark: SparkSession, dir: String): DataFrame =
+    videoFhOf(spark, dir).toDF()
+
+  private[graft] def q223VideoDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.videoFrameDupPairs(videoFhOf(spark, dir).toDF(),
+      "doc_id", "frame_idx", "vhash", maxHamming = 2, minFrames = 2)
+
+  /** CTE list (no WITH) computing vf_dh(doc_id, frame_idx, vhash):
+    * fixed 48-byte frames of the mdat payload (= the text bytes),
+    * every 2nd sampled, each stretched onto the q119 canvas formula
+    * with the frame slice as the window source. Shared by q222/q223
+    * and the q124 closure. */
+  private[graft] lazy val videoFhCtes =
+    """vf_d AS (SELECT doc_id, text, strlen(text) AS pl FROM documents
+      |         WHERE doc_id % 47 <> 0),
+      |vf_f AS (SELECT doc_id, text,
+      |        CAST(frame_idx * 48 AS INTEGER) AS off,
+      |        CAST(LEAST(48, pl - frame_idx * 48) AS INTEGER) AS flen,
+      |        CAST(frame_idx AS INTEGER) AS frame_idx
+      |      FROM (SELECT doc_id, text, pl,
+      |              unnest(list_filter(range(0, CAST((pl + 47) // 48 AS INTEGER)),
+      |                x -> x % 2 = 0)) AS frame_idx
+      |            FROM vf_d)),
+      |vf_px AS (SELECT doc_id, frame_idx,
+      |        list_transform(range(0, 840), k ->
+      |          ord(substr(text, CAST(off + ((k * 192) // 840) % flen + 1 AS INTEGER), 1))) AS p
+      |      FROM vf_f),
+      |vf_gy AS (SELECT doc_id, frame_idx,
+      |        list_transform(range(0, 280), q ->
+      |          (p[CAST(3 * q + 1 AS INTEGER)]
+      |         + p[CAST(3 * q + 2 AS INTEGER)]
+      |         + p[CAST(3 * q + 3 AS INTEGER)]) // 3) AS gr
+      |      FROM vf_px),
+      |vf_gg AS (SELECT doc_id, frame_idx,
+      |        list_transform(range(0, 70), t ->
+      |          (gr[CAST((t // 10) * 40 + (t % 10) * 2 + 1 AS INTEGER)]
+      |         + gr[CAST((t // 10) * 40 + (t % 10) * 2 + 2 AS INTEGER)]
+      |         + gr[CAST((t // 10) * 40 + (t % 10) * 2 + 21 AS INTEGER)]
+      |         + gr[CAST((t // 10) * 40 + (t % 10) * 2 + 22 AS INTEGER)]) // 4) AS g
+      |      FROM vf_gy),
+      |vf_dh AS (SELECT doc_id, frame_idx,
+      |        CAST(list_sum(list_transform(range(0, 63), b ->
+      |          CASE WHEN g[CAST((b // 9) * 10 + (b % 9) + 2 AS INTEGER)]
+      |                    > g[CAST((b // 9) * 10 + (b % 9) + 1 AS INTEGER)]
+      |               THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END)) AS BIGINT) AS vhash
+      |      FROM vf_gg)""".stripMargin
+
+  private[graft] val q222Sql =
+    s"""WITH $videoFhCtes
+      |SELECT doc_id, frame_idx, vhash FROM vf_dh""".stripMargin
+
+  private[graft] val q223Sql =
+    s"""WITH $videoFhCtes
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_frames
+      |FROM vf_dh a JOIN vf_dh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.vhash, b.vhash)) <= 2
+      |GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2""".stripMargin
 
   // ---------------------------------------------------------------------
   // q128-q130 — UNIGRAM-LM tokenizer (SentencePiece family, r12): the

@@ -256,6 +256,8 @@ object SparkEntry extends Queries8Analytics {
     Q("q219_snippets", q219Snippets, Some(q219Sql)),
     Q("q220_pit_read", q220PitRead, Some(q220Sql)),
     Q("q221_covered_time", q221CoveredTime, Some(q221Sql)),
+    Q("q222_video_frame_hash", q222VideoFrameHash, Some(q222Sql)),
+    Q("q223_video_dedup", q223VideoDedup, Some(q223Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -567,6 +567,46 @@ object Dedup {
           .as("hamming"))
   }
 
+  /** Video near-dup pairs from FRAME-grained 63-bit perceptual hashes
+    * ([[graft.operators.MediaCodec.videoFrameHashes]]): the
+    * [[hammingPairs63]] band join run at frame grain, then aggregated
+    * to owner pairs — two videos are near-duplicates when at least
+    * `minFrames` cross-video frame pairs land within `maxHamming`.
+    * Output (doc_a, doc_b, n_frames), doc_a < doc_b.
+    *
+    * Scale: identical to [[hammingPairs63]] — 2 097 152 buckets per
+    * 21-bit band, only (doc, frame, 8-byte hash) rows ride the
+    * self-join, canonical-band emit keeps each FRAME pair single
+    * without a distinct() (so the per-owner count is exact), and the
+    * final aggregation is map-side combinable on (doc_a, doc_b). Frame
+    * bytes never shuffle. */
+  def videoFrameDupPairs(frames: DataFrame, idCol: String, frameCol: String,
+                         hashCol: String, maxHamming: Int = 2,
+                         minFrames: Int = 2): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 2,
+      s"videoFrameDupPairs: 21-bit×3 banding guarantees candidate recall " +
+        s"only for maxHamming <= 2 (got $maxHamming)")
+    require(minFrames >= 1, s"minFrames must be >= 1, got $minFrames")
+    def band(hc: Column, b: Int): Column =
+      shiftright(hc, 21 * b).bitwiseAND(lit(0x1FFFFFL))
+    val s = frames.select(col(idCol).as("doc_id"), col(frameCol).as("__f"),
+      col(hashCol).as("__dh")).localCheckpoint()
+    val banded = s.select(col("doc_id"), col("__f"), col("__dh"),
+      posexplode(array((0 until 3).map(band(col("__dh"), _)): _*))
+        .as(Seq("band", "bv")))
+    val lowerBandsDiffer = (0 until 2).map { j =>
+      col("a.band") <= j || band(col("a.__dh"), j) =!= band(col("b.__dh"), j)
+    }.reduce(_ && _)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id") && lowerBandsDiffer &&
+          bit_count(col("a.__dh").bitwiseXOR(col("b.__dh"))) <= maxHamming)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_frames"))
+      .filter(col("n_frames") >= minFrames)
+  }
+
   /** Span-level duplicate REMOVAL — the transform [[duplicateSpanCoverage]]
     * is the signal for: every token position covered by some k-token
     * window whose text occurs at least twice in the corpus is CUT, and

@@ -1030,6 +1030,40 @@ object MediaCodec {
     })
   }
 
+  final case class VideoFrameHashRow(doc_id: Long, frame_idx: Int, vhash: Long)
+
+  /** Frame-sampled perceptual hashing — the video leg of the near-dup
+    * family (image = q119 thumbnails, audio = q121 fingerprints): the
+    * mdat payload located by the certified box walk segments into FIXED
+    * `frameBytes`-byte frames (fixed, unlike [[mp4FrameSize]]'s per-doc
+    * container framing: a fingerprint grid must align across videos,
+    * the reason real systems hash at a fixed sampling cadence), every
+    * `stride`-th frame stretches onto the [[attachThumbnails]] 20×14
+    * canvas (pixel k reads frame position k·192/840 mod frame length —
+    * the same fixed-divisor standardization) and hashes with
+    * [[dHash63]]. Partition-local: frame BYTES never shuffle, only
+    * (doc, frame, 8-byte hash) rows leave the map. Corrupt containers
+    * (the %47 slice) drop exactly as in the other mdat consumers. */
+  def videoFrameHashes(media: Dataset[MediaRow], frameBytes: Int = 48,
+                       stride: Int = 2): Dataset[VideoFrameHashRow] = {
+    require(frameBytes >= 1 && stride >= 1,
+      s"frameBytes/stride must be positive, got $frameBytes/$stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      mp4MdatPayload(m.media).toSeq.flatMap { payload =>
+        val nFrames = (payload.length + frameBytes - 1) / frameBytes
+        (0 until nFrames by stride).map { f =>
+          val off = f * frameBytes
+          val flen = math.min(frameBytes, payload.length - off)
+          val px = Array.tabulate(840)(k =>
+            payload(off + (k * ThumbWindowBytes / 840) % flen))
+          VideoFrameHashRow(m.doc_id, f, dHash63(20, 14, px))
+        }
+      }
+    })
+  }
+
   /** documents → REAL MP4 containers (payload = text bytes in mdat);
     * every 47th doc gets [[corruptMp4]]'s nested-size overrun — a slice
     * disjoint from the 37/41/43 families so multimodal joins keep full

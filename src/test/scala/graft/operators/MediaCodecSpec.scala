@@ -384,4 +384,62 @@ class MediaCodecSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in decode plan:\n$plan")
   }
+
+  test("videoFrameHashes == from-scratch reference; corrupt %47 drops") {
+    val vdocs = Seq(
+      (0L, "x" * 50), // 0 % 47 == 0: corrupt, must drop
+      (1L, "the quick brown fox jumps over the lazy dog " * 4), // 176 B
+      (2L, "abcdefgh" * 20), // 160 B
+      (3L, "short")) // one ragged frame
+      .toDF("doc_id", "text")
+    val got = MediaCodec.videoFrameHashes(MediaCodec.attachVideo(vdocs))
+      .collect().map(r => (r.doc_id, r.frame_idx) -> r.vhash).toMap
+    // reference: fixed 48-byte frames of the raw text bytes, every 2nd,
+    // canvas pixel k reads frame byte (k*192/840) % flen, dHash63
+    val want = Seq(1L, 2L, 3L).flatMap { id =>
+      val tb = vdocs.collect().find(_.getLong(0) == id).get.getString(1)
+        .getBytes(UTF_8)
+      val nF = (tb.length + 47) / 48
+      (0 until nF by 2).map { f =>
+        val off = f * 48
+        val flen = math.min(48, tb.length - off)
+        val px = Array.tabulate(840)(k => tb(off + (k * 192 / 840) % flen))
+        (id, f) -> MediaCodec.dHash63(20, 14, px)
+      }
+    }.toMap
+    assert(got == want)
+    assert(!got.keySet.exists(_._1 == 0L))
+  }
+
+  test("videoFrameDupPairs counts exact frame matches, honors minFrames") {
+    // ids 1 and 2 share text (identical frames at every index); id 3
+    // shares only its first 48 bytes with them (one matching frame)
+    val base = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKL" // 48 B
+    val vdocs = Seq(
+      (1L, base + base + base), // frames 0,2 sampled (nF=3)
+      (2L, base + base + base),
+      (3L, base + "Z" * 96)) // frame 0 == base, frame 2 differs
+      .toDF("doc_id", "text")
+    val fh = MediaCodec.videoFrameHashes(MediaCodec.attachVideo(vdocs)).toDF()
+    val hashes = fh.collect().map(r =>
+      (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // brute-force reference pair counts at hamming <= 2
+    def brute(minF: Int) = hashes.keys.toSeq.flatMap { ka =>
+      hashes.keys.toSeq.collect {
+        case kb if ka._1 < kb._1 &&
+          java.lang.Long.bitCount(hashes(ka) ^ hashes(kb)) <= 2 =>
+          (ka._1, kb._1)
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= minF)
+    val got2 = Dedup.videoFrameDupPairs(fh, "doc_id", "frame_idx", "vhash",
+        maxHamming = 2, minFrames = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got2 == brute(2))
+    assert(got2.contains((1L, 2L))) // identical videos pair
+    val got1 = Dedup.videoFrameDupPairs(fh, "doc_id", "frame_idx", "vhash",
+        maxHamming = 2, minFrames = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got1 == brute(1))
+  }
 }
