@@ -355,7 +355,12 @@ private[graft] trait Queries6Scale extends Queries5Tokenizer {
   // the target distribution, deterministic top-k. Rows-only BY DESIGN
   // (StrictMath.log table vs DuckDB ln are different floats);
   // ImportanceSpec pins scores + selection against an in-memory
-  // reference.
+  // reference. The q189 micro-floor conversion was evaluated (r14) and
+  // is UNSOUND here: 1/rank is a rational both engines evaluate
+  // identically, but ln(t/r) is transcendental — floor(1e6·ln(x)) can
+  // disagree across libm implementations at floor boundaries, and the
+  // exact alternative (comparing Π(t/r)^c as rationals) overflows any
+  // fixed-width integer. The float stays; the spec pins it.
   // ---------------------------------------------------------------------
   private[graft] def q147DsirSelect(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)

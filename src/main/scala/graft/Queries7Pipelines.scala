@@ -718,7 +718,12 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
   // ClassifierSpec pins distributed training bit-exact against an
   // in-memory reference AND invariant to partitioning (the
   // scaled-long-gradient determinism that makes an in-engine trainer
-  // reproducible at all).
+  // reproducible at all). The q189 micro-floor conversion was
+  // evaluated (r14) and is UNSOUND here: the trick needs a rational
+  // both engines evaluate identically, but sigmoid is transcendental
+  // AND the trained weight table is data-dependent — oracle SQL is a
+  // static string, so the weights can't ride into it as literals the
+  // way the (fixed, seeded) MinHash coefficient tables do.
   // ---------------------------------------------------------------------
   private[graft] def q178QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Classifier
