@@ -43,18 +43,66 @@ object StreamIndex {
       .start()
   }
 
-  /** Serve-side: merge every delta under `path` into one index. The
-    * per-delta parts stay tiny (one micro-batch each); a periodic
-    * compaction would re-write them as one part via the same
-    * writeIndex — the q169/Compaction discipline, not repeated here. */
+  /** Serve-side: merge the compacted base (if any) and every remaining
+    * delta under `path` into one index. Between [[compactDeltas]] runs
+    * the delta count grows with batches; after one it is O(1) again —
+    * the law StreamIndexSpec measures. */
   def readMerged(spark: SparkSession, path: String): Retrieval.IndexParts = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val deltas = fs.listStatus(new org.apache.hadoop.fs.Path(path))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("delta="))
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(s => s.isDirectory && (s.getPath.getName.startsWith("delta=") ||
+        s.getPath.getName.startsWith("compacted=")))
       .map(_.getPath.toString).sorted
-    require(deltas.nonEmpty, s"no index deltas under $path")
-    deltas.map(d => Retrieval.readIndex(spark, d))
+    require(parts.nonEmpty, s"no index deltas under $path")
+    parts.map(d => Retrieval.readIndex(spark, d))
       .reduce(Retrieval.mergeParts)
+  }
+
+  /** Periodic artifact maintenance — the [[graft.sinks.Compaction]]
+    * discipline applied to the index: every delta with batch id
+    * ≤ `upTo`, together with any earlier compacted base, merges into
+    * ONE `compacted=<upTo>` index and the swallowed directories
+    * delete. Without this the artifact holds one directory per
+    * micro-batch forever (4 320/day at a 20 s cadence — the small-files
+    * failure q182's O(10⁵)-files story must not reintroduce); after it
+    * the directory count is O(1) regardless of batches served.
+    *
+    * SAFETY: `upTo` must be at or below the stream's COMMITTED batch
+    * frontier — a replayed batch id below `upTo` would re-create its
+    * delta directory next restart and [[readMerged]] would then count
+    * those documents twice (the exact frontier rule
+    * [[graft.sinks.Compaction.compact]] documents for the parquet
+    * sink). The merged base is staged under a dot-prefixed temp dir and
+    * renamed into place BEFORE the swallowed dirs delete, so a crash
+    * leaves either the old layout plus an ignorable temp dir or the new
+    * base plus not-yet-deleted sources; concurrent READERS during the
+    * swap are the caller's transaction, as with Compaction. Returns the
+    * number of directories swallowed. */
+  def compactDeltas(spark: SparkSession, path: String, upTo: Long): Int = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+    val deltas = entries.filter { p =>
+      val n = p.getName
+      n.startsWith("delta=") && n.stripPrefix("delta=").toLong <= upTo
+    }
+    val bases = entries.filter(_.getName.startsWith("compacted="))
+    require(bases.length <= 1,
+      s"multiple compacted bases under $path: ${bases.mkString(", ")}")
+    require(bases.forall(_.getName.stripPrefix("compacted=").toLong < upTo),
+      s"compacted base already at or past upTo=$upTo")
+    if (deltas.isEmpty) 0
+    else {
+      val merged = (bases ++ deltas).sortBy(_.getName)
+        .map(p => Retrieval.readIndex(spark, p.toString))
+        .reduce(Retrieval.mergeParts)
+      val tmp = new org.apache.hadoop.fs.Path(root, s".compact-$upTo")
+      Retrieval.writeIndex(merged, tmp.toString) // reads sources: write first
+      require(fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"compacted=$upTo")),
+        s"rename of the compacted index into $path failed")
+      (bases ++ deltas).foreach(p => fs.delete(p, true))
+      bases.length + deltas.length
+    }
   }
 }

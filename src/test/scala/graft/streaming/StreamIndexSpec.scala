@@ -51,4 +51,54 @@ class StreamIndexSpec extends SparkSpec {
     // or join terms; the score only matches if N/sum_len re-summed)
     assert(served.exists { case (q, d, _, _) => q == 1L && d == 4L })
   }
+
+  test("compaction keeps the artifact O(1) directories; answers unchanged") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_index_c").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_index_c_ckpt").toString
+
+    def dirs(): Seq[String] = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+    }
+
+    val allDocs = (0 until 6).map(b =>
+      Seq(RawDoc(10L * b + 1, s"term$b hash join"),
+        RawDoc(10L * b + 2, s"term$b scan")))
+    val mem = MemoryStream[RawDoc]
+    val query = StreamIndex.maintain(mem.toDF(), "doc_id", "text", dir, ckpt)
+    try {
+      // 4 committed batches -> 4 delta dirs
+      allDocs.take(4).foreach { b => mem.addData(b: _*); query.processAllAvailable() }
+      assert(dirs().count(_.startsWith("delta=")) == 4)
+      // compact the committed frontier: one base, zero deltas
+      val swallowed = StreamIndex.compactDeltas(spark, dir, upTo = 3L)
+      assert(swallowed == 4)
+      assert(dirs() == Seq("compacted=3"))
+      // two more batches, compact again: base + deltas -> ONE base
+      allDocs.drop(4).foreach { b => mem.addData(b: _*); query.processAllAvailable() }
+      assert(dirs().count(_.startsWith("delta=")) == 2)
+      assert(StreamIndex.compactDeltas(spark, dir, upTo = 5L) == 3)
+      assert(dirs() == Seq("compacted=5"))
+    } finally query.stop()
+
+    // the compacted artifact serves EXACTLY the one-shot batch answers
+    val queries = Seq(1L -> Seq("hash", "join"), 2L -> Seq("scan"))
+    val served = Retrieval.bm25FromIndex(
+        StreamIndex.readMerged(spark, dir), queries, k = 20)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = Retrieval.bm25TopK(
+        allDocs.flatten.toDF(), "doc_id", "text", queries, k = 20)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(served == batch)
+    // idempotence guard: nothing left to compact, base refuses re-swallow
+    assert(StreamIndex.compactDeltas(spark, dir, upTo = 6L) == 0)
+  }
 }
