@@ -106,10 +106,12 @@ object Bench {
       println(s"""{"detail":"scaling","dir":"$scalingDir","queries":${toJson(lo)}}""")
       println(s"""{"detail":"ratio_vs_primary","queries":${toJson(ratios)}}""")
     }
-    // isolated rerun (r10 judge task, widened r13: EVERY query whose
-    // loaded time exceeds 2 s, plus the slowest-5 floor — q73's r12
-    // regression went unattributed because the block was slowest-5
-    // only): two forced GCs and a short quiesce, then a min-of-2
+    // isolated rerun (r10 judge task, widened r13 to >2 s, widened
+    // again r14 to >0.9 s: EVERY query whose loaded time exceeds the
+    // threshold, plus the slowest-5 floor — q90's r13 0.98 s loaded
+    // number went unattributed below the 2 s cutoff; isolated it
+    // re-timed at 0.62 s, pure contention): two forced GCs and a short
+    // quiesce, then a min-of-2
     // re-time of just those queries on an otherwise idle scheduler. A
     // slowest entry whose isolated number is far below its primary one
     // was measuring JVM/allocator noise (q96's 3x swing in r9/r10), not
@@ -118,7 +120,7 @@ object Bench {
     // headline (the driver tail-captures ~2 KB, and the full per-query
     // detail line can push earlier detail lines out of the window).
     val ranked = results.filter(_._2 >= 0).sortBy(-_._2)
-    val slow5 = (ranked.take(5) ++ ranked.filter(_._2 > 2.0)).distinct
+    val slow5 = (ranked.take(5) ++ ranked.filter(_._2 > 0.9)).distinct
     val iso =
       if (slow5.isEmpty || sys.env.getOrElse("SPARK_GRAFT_ISOLATED_RERUN", "1") == "0")
         Seq.empty[(String, Double)]
@@ -176,7 +178,12 @@ object Bench {
     // row materialization — totals are NOT comparable with pre-r9
     // headlines that lack the field (count() under-reported queries
     // with expensive pruned projections)
-    val isoJson = if (iso.isEmpty) "" else s""","slowest_isolated":${toJson(iso)}"""
+    // the 0.9 s threshold can put 20+ queries in `iso`; the HEADLINE
+    // embeds only the worst 10 by isolated time (the full map is the
+    // detail line above) so the last-line JSON stays well inside the
+    // driver's ~2 KB tail-capture window
+    val isoHead = iso.filter(_._2 >= 0).sortBy(-_._2).take(10)
+    val isoJson = if (isoHead.isEmpty) "" else s""","slowest_isolated":${toJson(isoHead)}"""
     val pipeJson = pipe.map(r =>
       f""","pipeline_rows_per_sec":${r.rowsPerSec}%.0f,"pipeline_frames":${r.frames},"pipeline_secs":${BigDecimal(r.secs).setScale(3, BigDecimal.RoundingMode.HALF_UP)}""").getOrElse("")
     println(s"""{"metric":"total","value":$totalStr,"unit":"sec","action":"materialize","sf":"$sfDir","nqueries":${results.size},"errors":$errorsJson,"load1m":$load,"slowest":${toJson(slowest)}$pipeJson$isoJson}""")
