@@ -1197,4 +1197,39 @@ private[graft] trait Queries8Analytics extends Queries7Pipelines {
       |  array_to_string(tk.ts[greatest(fp.first_pos - 2, 1)
       |    :least(fp.first_pos + 2, len(tk.ts))], ' ') AS snippet
       |FROM fp JOIN tk ON tk.doc_id = fp.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q224 — robust scaling (Percentiles.robustScale, r14): per-source
+  // median/IQR standardization of document lengths — the feature-
+  // normalization step done integer-exact where a z-score can't be
+  // (z needs sqrt; quartiles are rank selections, so
+  // 1e6·(x − median) DIV IQR is pure integer arithmetic, truncating
+  // division on both engines). One histogram pass builds the card;
+  // the |sources|-row card broadcasts back onto the rows.
+  // ---------------------------------------------------------------------
+  private[graft] def q224RobustScale(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Percentiles.robustScale(
+      Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+        col("n_chars")),
+      "source", "n_chars")
+
+  private[graft] val q224Sql =
+    """WITH v AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS v
+      |           FROM documents),
+      |r AS (SELECT source, v,
+      |        row_number() OVER (PARTITION BY source ORDER BY v) AS rk,
+      |        count(*) OVER (PARTITION BY source) AS n FROM v),
+      |c AS (SELECT source,
+      |        max(CASE WHEN rk = CAST(floor((n - 1) * 0.25) AS BIGINT) + 1
+      |            THEN v END) AS p25,
+      |        max(CASE WHEN rk = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1
+      |            THEN v END) AS median,
+      |        max(CASE WHEN rk = CAST(floor((n - 1) * 0.75) AS BIGINT) + 1
+      |            THEN v END) AS p75
+      |      FROM r GROUP BY source)
+      |SELECT v.doc_id, v.source, v.v AS n_chars, c.p25, c.median, c.p75,
+      |  CASE WHEN c.p75 - c.p25 = 0 THEN NULL
+      |       ELSE (1000000 * (v.v - c.median)) // (c.p75 - c.p25)
+      |  END AS scaled_micro
+      |FROM v JOIN c USING (source)""".stripMargin
 }

@@ -154,4 +154,33 @@ object Percentiles {
         sum(when(col("__v") =!= col("__w"), 1L).otherwise(0L))
           .as("n_clipped"))
   }
+
+  /** Row-level ROBUST scaling (median/IQR standardization) per key —
+    * the feature-normalization step of a training pipeline done
+    * integer-exact where a z-score cannot be (z needs a sqrt; median
+    * and quartiles are rank SELECTIONS, so
+    * `scale·(x − median) DIV (p75 − p25)` is pure integer arithmetic
+    * and replays bit-for-bit cross-engine — truncating division on
+    * both engines, the q200 sign rule).
+    *
+    * One histogram pass computes the per-key (p25, median, p75) card
+    * via [[byRank]] (map-side-combined histogram; fold state bounded by
+    * distinct values), and the |keys|-row card BROADCASTS back onto the
+    * rows — at 100 TB the only data-sized work is the histogram shuffle
+    * and the row-local scale map. Degenerate keys (IQR = 0) emit NULL
+    * scaled values rather than a division error. NULL `valCol` rows
+    * pass through with NULL scaled value (excluded from the card, the
+    * [[byRank]] convention). */
+  def robustScale(df: DataFrame, keyCol: String, valCol: String,
+                  scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1L, s"scale must be positive, got $scale")
+    val card = byRank(df, keyCol, valCol,
+      Seq("p25" -> 0.25, "median" -> 0.5, "p75" -> 0.75))
+      .select(col(keyCol), col("p25"), col("median"), col("p75"))
+    df.join(broadcast(card), Seq(keyCol))
+      .withColumn("scaled_micro",
+        when(col("p75") - col("p25") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            s"(${scale}L * (CAST($valCol AS LONG) - median)) DIV (p75 - p25)")))
+  }
 }

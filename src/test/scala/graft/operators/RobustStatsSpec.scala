@@ -30,4 +30,33 @@ class RobustStatsSpec extends SparkSpec {
     assert((r.getLong(2), r.getLong(3), r.getLong(6)) == ((5L, 6L, 1L)))
     assert(r.getLong(5) == (5L + 6 + 6) / 3)
   }
+
+  test("robustScale == brute reference; IQR-0 key yields NULL scaled") {
+    import spark.implicits._
+    // g1: 1..8 -> p25 = rank floor(7*.25)+1 = 2 -> 2, median rank 4 -> 4,
+    // p75 rank floor(7*.75)+1 = 6 -> 6; IQR 4. Negative numerators
+    // exercise the truncation rule. g2: constant -> IQR 0 -> NULL
+    val df = ((1L to 8L).map(i => (i, "g1", i)) ++
+      Seq((20L, "g2", 7L), (21L, "g2", 7L), (22L, "g2", 7L)))
+      .toDF("id", "g", "v")
+    val got = Percentiles.robustScale(df, "g", "v")
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("p25"), r.getAs[Long]("median"), r.getAs[Long]("p75"),
+          Option(r.getAs[java.lang.Long]("scaled_micro")).map(_.toLong))))
+      .toMap
+    (1L to 8L).foreach { i =>
+      val want = 1000000L * (i - 4L) / 4L // Long division truncates like DIV
+      assert(got(i) == ((2L, 4L, 6L, Some(want))), s"id $i: ${got(i)}")
+    }
+    Seq(20L, 21L, 22L).foreach { i =>
+      assert(got(i) == ((7L, 7L, 7L, None)), s"id $i: ${got(i)}")
+    }
+    // the card side is a broadcast join: no shuffle of the row stream
+    // beyond the histogram aggregation
+    val plan = Percentiles.robustScale(df, "g", "v")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"robustScale card should broadcast:\n$plan")
+  }
 }
