@@ -1199,6 +1199,29 @@ private[graft] trait Queries8Analytics extends Queries7Pipelines {
       |FROM fp JOIN tk ON tk.doc_id = fp.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q225 — frequent event paths (Funnel.frequentPaths, r14): 3-step
+  // sliding windows of each user's time-ordered event-type sequence,
+  // counted corpus-wide with a support floor — path mining, the k=3
+  // generalization of q213's transition matrix. One per-user sort
+  // window carries both lags; counts combine map-side.
+  // ---------------------------------------------------------------------
+  private[graft] def q225FrequentPaths(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.frequentPaths(Tables.events(spark, dir),
+      "user_id", "ts", "event_id", "event_type", k = 3, minSupport = 5L)
+
+  private[graft] val q225Sql =
+    """WITH o AS (SELECT user_id, event_type,
+      |        lag(event_type, 2) OVER w AS a,
+      |        lag(event_type, 1) OVER w AS b
+      |      FROM events
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |p AS (SELECT user_id, a || '>' || b || '>' || event_type AS path
+      |      FROM o WHERE a IS NOT NULL)
+      |SELECT path, CAST(count(*) AS BIGINT) AS n_occ,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM p GROUP BY path HAVING count(*) >= 5""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q224 — robust scaling (Percentiles.robustScale, r14): per-source
   // median/IQR standardization of document lengths — the feature-
   // normalization step done integer-exact where a z-score can't be

@@ -259,6 +259,7 @@ object SparkEntry extends Queries8Analytics {
     Q("q222_video_frame_hash", q222VideoFrameHash, Some(q222Sql)),
     Q("q223_video_dedup", q223VideoDedup, Some(q223Sql)),
     Q("q224_robust_scale", q224RobustScale, Some(q224Sql)),
+    Q("q225_frequent_paths", q225FrequentPaths, Some(q225Sql)),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -116,6 +116,43 @@ object Funnel {
         expr(s"(${scale}L * n) div __ft").as("p_micro"))
   }
 
+  /** Frequent event paths — k-length sliding windows of each user's
+    * time-ordered event-type sequence, counted corpus-wide with a
+    * support floor: the "what do users actually do" path-mining
+    * companion to [[transitionMatrix]] (which is this at k = 2 with
+    * probabilities). Output: (path, n_occ, n_users), paths joined with
+    * `sep`.
+    *
+    * Scale: the k−1 lags all ride the ONE per-user sort window (a
+    * single shuffle on the user key — the sessionize partitioning);
+    * path counts combine map-side, and `minSupport` prunes the
+    * long-tail paths before the distinct-user count aggregates. The
+    * tie order inside a user is (ts, id) — total, so replay-stable.
+    * CONTRACT: event types must not contain `sep` (a type containing
+    * the separator would alias two different paths — guarded). */
+  def frequentPaths(events: DataFrame, userCol: String, tsCol: String,
+                    idCol: String, typeCol: String, k: Int = 3,
+                    minSupport: Long = 2L, sep: String = ">"): DataFrame = {
+    require(k >= 2 && k <= 8, s"path length k must be in [2, 8], got $k")
+    require(minSupport >= 1L, s"minSupport must be >= 1, got $minSupport")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val guarded = when(col(typeCol).contains(lit(sep)),
+      raise_error(concat(lit(s"frequentPaths: event type contains '$sep': "),
+        col(typeCol)))).otherwise(col(typeCol))
+    val lags = (k - 1 to 1 by -1).map(j => lag(guarded, j).over(w))
+    val withPath = events
+      .withColumn("__head", lags.head)
+      .withColumn("__path",
+        concat_ws(sep, (lags :+ guarded): _*))
+    // concat_ws silently skips NULLs, so gate on the OLDEST lag: rows
+    // whose window is not yet full drop instead of emitting short paths
+    withPath.filter(col("__head").isNotNull)
+      .groupBy(col("__path").as("path"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col(userCol)).as("n_users"))
+      .filter(col("n_occ") >= minSupport)
+  }
+
   def retention(events: DataFrame, userCol: String, tsCol: String,
                 typeCol: String, anchorType: String): DataFrame = {
     val anchors = events.filter(col(typeCol) === anchorType)

@@ -71,4 +71,39 @@ class FunnelSpec extends SparkSpec {
       (10L, 0L, 1L), (10L, 1L, 1L), // u1's signup + same-week view; next week
       (11L, 0L, 1L), (11L, 2L, 1L))) // u2's signup week; activity 2 weeks on
   }
+
+  test("frequentPaths == brute sliding-window reference; support prunes") {
+    import spark.implicits._
+    val raw = Seq( // (user, sec, id, type)
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "c"),
+      (1L, 40L, 4L, "a"), (1L, 50L, 5L, "b"), (1L, 60L, 6L, "c"),
+      (2L, 10L, 7L, "a"), (2L, 20L, 8L, "b"), (2L, 30L, 9L, "c"),
+      (2L, 30L, 10L, "d"), // tie on ts: id breaks it deterministically
+      (3L, 10L, 11L, "x"), (3L, 20L, 12L, "y")) // too short for k=3
+    val ev = raw.map { case (u, s, i, e) => (u, t(s), i, e) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    def brute(minSupport: Long): Map[String, (Long, Long)] = raw
+      .groupBy(_._1).toSeq
+      .flatMap { case (u, es) =>
+        es.sortBy(e => (e._2, e._3)).map(_._4).sliding(3)
+          .filter(_.size == 3).map(w => u -> w.mkString(">")).toSeq
+      }
+      .groupBy(_._2).view
+      .mapValues(v => (v.size.toLong, v.map(_._1).distinct.size.toLong))
+      .filter(_._2._1 >= minSupport).toMap
+    Seq(1L, 2L, 3L).foreach { s =>
+      val got = Funnel.frequentPaths(ev, "user_id", "ts", "event_id",
+          "event_type", k = 3, minSupport = s)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(got == brute(s), s"minSupport $s")
+    }
+    // the guard: a type containing the separator must fail loudly
+    val bad = Seq((1L, t(10), 1L, "a>b"), (1L, t(20), 2L, "c"),
+      (1L, t(30), 3L, "d")).toDF("user_id", "ts", "event_id", "event_type")
+    intercept[Exception] {
+      Funnel.frequentPaths(bad, "user_id", "ts", "event_id", "event_type",
+        k = 3, minSupport = 1L).collect()
+    }
+  }
 }
