@@ -884,4 +884,62 @@ object CorpusStats {
       .agg(count(lit(1)).as("n_words"),
         sum(col("__nsym")).as("n_bpe_tokens"))
   }
+
+  /** Vocabulary-growth (Heaps' law) card — the corpus-health curve a
+    * crawl pipeline reads before believing its own scale: in ingestion
+    * order (id bands of `bandWidth` documents), how many NEW types does
+    * each band contribute, and how does the cumulative type-token ratio
+    * decay? A feed whose new-type rate stops falling is minting tokens
+    * (OCR noise, ids); one that collapses to zero is re-crawling itself
+    * — both invisible to per-document quality gates.
+    *
+    * Exactness: a token's first band is min(band) over its 60-bit
+    * hash (text never shuffles — the dedup-family discipline; the
+    * oracle mins over raw strings, agreement certifies the hash lane);
+    * cumulative sums are generated by exploding each band's
+    * contribution over band..max — bands are calendar-like (corpus
+    * size / bandWidth), so the explode is axis²-bounded, window-free
+    * (no global running-sum window, the sweep's banned shape).
+    * ttr_micro = ⌊10⁶·cum_types/cum_tokens⌋, one truncating division.
+    *
+    * Scale: one token explode feeding two map-side-combined
+    * aggregations (occurrences per band; first-band per type, |vocab|-
+    * sized then band-sized). Everything after is axis-sized.
+    *
+    * @return (band, n_tokens, new_types, cum_tokens, cum_types,
+    *         ttr_micro) */
+  def heapsCard(df: DataFrame, idCol: String, textCol: String,
+                bandWidth: Long, scale: Long = 1000000L): DataFrame = {
+    require(bandWidth >= 1L, s"bandWidth must be positive, got $bandWidth")
+    require(scale >= 1L, s"scale must be positive, got $scale")
+    val toks = df
+      .select(expr(s"$idCol DIV ${bandWidth}L").as("__band"),
+        TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col("__band"), explode(col("__tk")).as("__w"))
+      .select(col("__band"), Dedup.baseHash60(col("__w")).as("__wh"))
+      .localCheckpoint() // consumed by both the occurrence and
+                         // first-band aggregations — one scan, not two
+    val occ = toks.groupBy(col("__band"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val firsts = toks.groupBy(col("__wh"))
+      .agg(min(col("__band")).as("__band"))
+      .groupBy(col("__band"))
+      .agg(count(lit(1)).as("new_types"))
+    val bands = occ.join(firsts, Seq("__band"), "left")
+      .select(col("__band"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .localCheckpoint()
+    val hi = bands.agg(max(col("__band")).as("__hi"))
+    val cums = bands.crossJoin(broadcast(hi))
+      .select(explode(sequence(col("__band"), col("__hi"))).as("band"),
+        col("n_tokens"), col("new_types"))
+      .groupBy(col("band"))
+      .agg(sum(col("n_tokens")).as("cum_tokens"),
+        sum(col("new_types")).as("cum_types"))
+    bands.select(col("__band").as("band"), col("n_tokens"),
+        col("new_types"))
+      .join(cums, Seq("band"))
+      .withColumn("ttr_micro",
+        expr(s"(${scale}L * cum_types) div cum_tokens"))
+  }
 }

@@ -56,8 +56,46 @@ object Funnel {
   /** The funnel card: one row per step with users reaching it and the
     * conversion from step 0 in integer basis points. */
   def card(events: DataFrame, userCol: String, tsCol: String,
-           typeCol: String, steps: Seq[String]): DataFrame = {
-    val per = userSteps(events, userCol, tsCol, typeCol, steps)
+           typeCol: String, steps: Seq[String]): DataFrame =
+    cardFrom(userSteps(events, userCol, tsCol, typeCol, steps), steps)
+
+  /** [[userSteps]] with a completion deadline — every later step must
+    * land within `windowSec` of the STEP-0 time (the product-analytics
+    * "converted within 24 h of first view" funnel; the unbounded form
+    * overstates conversion by counting week-later purchases). Same
+    * strictly-after, earliest-valid semantics inside the window; the
+    * deadline comparison is integer epoch-micros, engine-portable.
+    * Same scale shape as [[userSteps]] — the deadline rides the
+    * existing per-step join as one more predicate, |users|-sized
+    * intermediates throughout. */
+  def windowedUserSteps(events: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, steps: Seq[String],
+                        windowSec: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(windowSec >= 1, s"windowSec must be positive, got $windowSec")
+    val us = windowSec * 1000000L
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t0"))
+    steps.zipWithIndex.drop(1).foldLeft(first) { case (prev, (step, i)) =>
+      val nxt = events.filter(col(typeCol) === step)
+        .select(col(userCol), col(tsCol).as("__ts"))
+        .join(prev.select(col(userCol), col(s"t${i - 1}").as("__prev"),
+          col("t0").as("__t0")), userCol)
+        .filter(col("__ts") > col("__prev") &&
+          unix_micros(col("__ts")) <= unix_micros(col("__t0")) + us)
+        .groupBy(col(userCol)).agg(min(col("__ts")).as(s"t$i"))
+      prev.join(nxt, Seq(userCol), "left")
+    }
+  }
+
+  /** [[card]] under the [[windowedUserSteps]] deadline. */
+  def windowedCard(events: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, steps: Seq[String],
+                   windowSec: Long): DataFrame =
+    cardFrom(windowedUserSteps(events, userCol, tsCol, typeCol, steps,
+      windowSec), steps)
+
+  private def cardFrom(per: DataFrame, steps: Seq[String]): DataFrame = {
     val aggs = steps.indices.map(i =>
       count(col(s"t$i")).as(s"n$i"))
     // ONE row — localCheckpoint so the k unioned per-step selects
@@ -151,6 +189,58 @@ object Funnel {
       .agg(count(lit(1)).as("n_occ"),
         countDistinct(col(userCol)).as("n_users"))
       .filter(col("n_occ") >= minSupport)
+  }
+
+  /** Discrete-time churn hazard card — the CONDITIONAL decay curve
+    * [[retention]] cannot state: for each week k since a user's anchor
+    * event, of the users still observable at week k (their last event
+    * falls in week ≥ k), what fraction made week k their last
+    * ("churned at k")? hazard = d_k/n_k, the per-week exit rate —
+    * retention's unconditional counts hide whether decay is front-
+    * loaded or constant; the hazard is the curve that answers it.
+    *
+    * Semantics: anchor = earliest `anchorType` event; a user's "last
+    * week" is ⌊(last event − anchor)/week⌋ over ALL their events
+    * (integer floordiv of epoch micros). The card is right-censored at
+    * the corpus edge: users whose last week is the global maximum may
+    * simply not have lived longer — that week's hazard is an
+    * OVERESTIMATE by construction (documented; a production run feeds
+    * a closed observation window). hazard_micro = ⌊10⁶·d_k/n_k⌋, one
+    * truncating division per row.
+    *
+    * Scale: two user-keyed aggregations collapse the corpus to one row
+    * per anchored user; the at-risk counts come from exploding each
+    * user's 0..last_week range — |users| × weeks rows, calendar-
+    * bounded (the gapFill axis law), map-side combined, window-free.
+    *
+    * @return (week_offset, n_at_risk, n_churned, hazard_micro) */
+  def hazardCard(events: DataFrame, userCol: String, tsCol: String,
+                 typeCol: String, anchorType: String,
+                 scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1L, s"scale must be positive, got $scale")
+    val anchors = events.filter(col(typeCol) === anchorType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__anchor"))
+    val lastWeek = events.select(col(userCol), col(tsCol))
+      .join(anchors, userCol)
+      .groupBy(col(userCol), col("__anchor"))
+      .agg(max(col(tsCol)).as("__last"))
+      .select(col(userCol),
+        IntMath.floordiv(
+          unix_micros(col("__last")) - unix_micros(col("__anchor")), WeekUs)
+          .as("__lw"))
+      .localCheckpoint()
+    val atRisk = lastWeek
+      .select(explode(sequence(lit(0L), col("__lw"))).as("week_offset"))
+      .groupBy(col("week_offset"))
+      .agg(count(lit(1)).as("n_at_risk"))
+    val churned = lastWeek
+      .groupBy(col("__lw").as("week_offset"))
+      .agg(count(lit(1)).as("n_churned"))
+    atRisk.join(churned, Seq("week_offset"), "left")
+      .select(col("week_offset"), col("n_at_risk"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .withColumn("hazard_micro",
+        expr(s"(${scale}L * n_churned) div n_at_risk"))
   }
 
   def retention(events: DataFrame, userCol: String, tsCol: String,

@@ -89,6 +89,106 @@ object GraphStats {
           .otherwise(lit(0L)).as("lcc_micro"))
   }
 
+  /** Degree assortativity card — "do hubs link to hubs?", the one-row
+    * structural summary after triangles and cores: the Pearson
+    * correlation of degrees at the two ends of every undirected edge
+    * (positive = social-network-like degree mixing, negative =
+    * web/biology-like hub-to-leaf). Stated exactly through
+    * [[Profile.corrCard]]'s integer sufficient statistics — r² in
+    * micro-units + sign, no float path (a square root would not
+    * replay cross-engine; its absence is the corrCard convention).
+    *
+    * Each undirected edge contributes BOTH orientations — the standard
+    * symmetrized definition, and what makes the card orientation-free.
+    *
+    * Scale: dedup + degree count (map-side combined) + two id-keyed
+    * joins to attach endpoint degrees, then corrCard's single
+    * aggregation to ONE output row. Nothing beyond the edge list ever
+    * materializes.
+    *
+    * @return (graph, n, corr2_micro, corr_sign) — one row */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select(col("a").as("v"))
+      .union(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("v").as("a"), col("deg").as("__da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("__db")), "b")
+    val sym = withDeg.select(col("__da").as("dx"), col("__db").as("dy"))
+      .union(withDeg.select(col("__db").as("dx"), col("__da").as("dy")))
+      .withColumn("graph", lit("link_graph"))
+    Profile.corrCard(sym, "graph", "dx", "dy")
+  }
+
+  /** Synchronous label propagation — deterministic community detection
+    * over the undirected link graph ("which pages form one topical /
+    * template cluster"), the O(m)-per-round sibling of the connected-
+    * components closure when MULTIPLE dense communities share a
+    * component: labels seed as node ids and each round every node
+    * adopts the plurality label among its neighbors AND ITSELF
+    * (count desc, then SMALLEST label — a total tie order, so the
+    * synchronous update is exactly replayable; classic async LPA is
+    * run-order-dependent and could never hash-match an oracle). The
+    * self-vote is the deterministic damping: pure-neighbor synchronous
+    * updates provably oscillate on near-bipartite structure (measured
+    * on the registered graph: most nodes relabel every round), while
+    * the self-vote makes a node flip only when neighbors OUTVOTE its
+    * current label — measured relabel counts then decay monotonically.
+    *
+    * Runs EXACTLY `rounds` synchronous rounds; the round count is part
+    * of the operator's definition (the q165 PageRank convention, not
+    * kCore's fixpoint claim), and the oracle states the same R rounds
+    * as unrolled CTEs. Per round:
+    * one edge×labels equi-join per direction + ONE map-side-combined
+    * (node, label) count + one argmax aggregation — the argmax is
+    * max(struct(count, −label)), an ordinary partial-aggregable max,
+    * NOT a per-node rank window (a hot node's vote list never sorts in
+    * one task). Labels localCheckpoint per round (iterative-loop
+    * lineage discipline).
+    *
+    * @return (doc_id, community, n_members) — final label per node
+    *         plus its community's size. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"rounds must be in [1, 16], got $rounds")
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    var labels = und.select(col("a").as("v"))
+      .union(und.select(col("b").as("v")))
+      .distinct()
+      .select(col("v"), col("v").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val la = und.join(labels.select(col("v").as("a"), col("label")), "a")
+        .select(col("b").as("v"), col("label"))
+      val lb = und.join(labels.select(col("v").as("b"), col("label")), "b")
+        .select(col("a").as("v"), col("label"))
+      labels = la.union(lb).union(labels)
+        .groupBy(col("v"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("v"))
+        // argmax by (count desc, label asc): max over struct(count,
+        // -label) — partial-aggregable, window-free
+        .agg(max(struct(col("__c"), (-col("label")).as("__nl")))
+          .as("__top"))
+        .select(col("v"), (-col("__top.__nl")).as("label"))
+        .localCheckpoint()
+    }
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, Seq("label"))
+      .select(col("v").as("doc_id"), col("label").as("community"),
+        col("n_members"))
+  }
+
   /** k-core decomposition by iterative peeling: drop every node of
     * degree < k, recompute degrees on the induced subgraph, repeat —
     * the fixpoint is the k-core, the densest-neighborhood spam/quality

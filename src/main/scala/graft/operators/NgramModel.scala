@@ -107,6 +107,58 @@ object NgramModel {
         coalesce(col("pred_micro"), lit(0L)).as("pred_micro"))
   }
 
+  /** Transactional basket LIFT pairs — [[tokenLift]]'s shape on
+    * (basket, item) facts instead of (document, token) text: the
+    * co-purchase / co-occurrence association miner over orders,
+    * sessions, or playlists. Same exact rational,
+    * lift(a,b) = c(ab)·N / (c(a)·c(b)) in micro-units with one floor,
+    * over basket-level distinct membership.
+    *
+    * Scale: the pair generator is a self-equi-join ON THE BASKET KEY
+    * of the distinct (basket, item) frame — each basket contributes
+    * C(size, 2) pairs, so cost is Σ size², which a single pathological
+    * mega-basket would blow quadratically: baskets wider than
+    * `maxBasket` are EXCLUDED up front (from pairs, marginals, AND N —
+    * one consistent universe), the documented df-cap convention of the
+    * dedup family. Pair counts map-side combine; `minSupport` prunes
+    * before the marginal joins; N rides as a 1-row broadcast.
+    *
+    * @return (item_a, item_b, n_both, n_a, n_b, lift_micro) with
+    *         item_a < item_b */
+  def basketLift(df: DataFrame, basketCol: String, itemCol: String,
+                 minSupport: Long = 2L, maxBasket: Long = 1024L,
+                 scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1L, s"scale must be positive, got $scale")
+    require(minSupport >= 1L, s"minSupport must be >= 1, got $minSupport")
+    require(maxBasket >= 2L, s"maxBasket must be >= 2, got $maxBasket")
+    val items = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+      .localCheckpoint()
+    val kept = items.join(
+      items.groupBy(col("__b")).agg(count(lit(1)).as("__sz"))
+        .filter(col("__sz") <= maxBasket).select(col("__b")),
+      Seq("__b"), "left_semi")
+      .localCheckpoint()
+    val n = kept.agg(countDistinct(col("__b")).as("__n"))
+    val freq = kept.groupBy(col("__i")).agg(count(lit(1)).as("__d"))
+    val pairs = kept
+      .join(kept.select(col("__b"), col("__i").as("__i2")), Seq("__b"))
+      .filter(col("__i") < col("__i2"))
+      .groupBy(col("__i").as("item_a"), col("__i2").as("item_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minSupport)
+    pairs
+      .join(freq.select(col("__i").as("item_a"), col("__d").as("n_a")),
+        Seq("item_a"))
+      .join(freq.select(col("__i").as("item_b"), col("__d").as("n_b")),
+        Seq("item_b"))
+      .crossJoin(broadcast(n))
+      .select(col("item_a"), col("item_b"), col("n_both"),
+        col("n_a"), col("n_b"),
+        expr(s"(${scale}L * CAST(n_both AS DECIMAL(38,0)) * __n)" +
+          " div (CAST(n_a AS DECIMAL(38,0)) * n_b)").as("lift_micro"))
+  }
+
   /** Document-level token LIFT pairs — the PMI-shaped association
     * miner ("which terms travel together across documents"), kept
     * exact by trading the log for the raw ratio:

@@ -166,6 +166,142 @@ object Profile {
           " AS BIGINT)").as("chi_micro"))
   }
 
+  /** Two-arm A/B experiment card with an EXACT Welch test decision —
+    * "did arm B move the metric, per metric, with no floats anywhere":
+    * units (users) aggregate to one integer value each, arms compare
+    * by Welch's unequal-variance t², and both the statistic and the
+    * significance flag are stated as exact integer comparisons, so the
+    * ship/no-ship boundary replays bit-for-bit (a float z at the
+    * threshold is precisely where an experiment framework must not
+    * flap).
+    *
+    * Exactness: with per-arm sufficient statistics (n, Σx, Σx²) over
+    * integer unit values, Welch's t² = Δ²/(s²ₐ/nₐ + s²ᵦ/nᵦ) is the
+    * RATIONAL t² = Δnum²·(nₐ−1)(nᵦ−1) / Dv where
+    * Δnum = Σxₐ·nᵦ − Σxᵦ·nₐ and
+    * Dv = (nₐΣx²ₐ−Σxₐ²)·nᵦ²(nᵦ−1) + (nᵦΣx²ᵦ−Σxᵦ²)·nₐ²(nₐ−1).
+    * One floor for t2_micro; significance is the cross-multiplied
+    * comparison 10⁴·Δnum²·(nₐ−1)(nᵦ−1) > z2ThresholdBp·Dv (default
+    * 38416 bp = 1.96², the two-sided 5% normal bound — arms large
+    * enough to A/B test are far past the t-distribution's small-n
+    * correction). The whole lane runs in DECIMAL(38,0) and fails
+    * LOUDLY on overflow (ANSI) — |Σx|·n must stay under 10¹⁹, so
+    * center or rescale a huge-cent metric first (the corrCard bound).
+    * Degenerate cells (an arm with < 2 units, or zero variance in
+    * both arms) report t2_micro = 0, significant = 0: no measurable
+    * variance means no test, not an infinite statistic.
+    *
+    * Scale: two map-side-combined aggregations over one scan — per
+    * (metric, unit, arm) then per (metric, arm) — and a |metrics|-row
+    * self-join of the two arm slices. Nothing row-sized survives the
+    * first groupBy; the decision arithmetic runs on |metrics| rows.
+    *
+    * @param armCol  0/1 arm assignment — MUST be a deterministic
+    *                function of the unit (e.g. `pmod(user_id, 2)`);
+    *                a unit in both arms would double-count
+    * @param valueCents integer metric contribution per row
+    * @return (metric, n_a, n_b, sum_a_cents, sum_b_cents, delta_sign,
+    *         t2_micro, significant) */
+  def abWelchCard(df: DataFrame, metricCol: String, unitCol: String,
+                  armCol: Column, valueCents: Column,
+                  z2ThresholdBp: Long = 38416L,
+                  scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1L, s"scale must be positive, got $scale")
+    require(z2ThresholdBp >= 1L,
+      s"z2ThresholdBp must be positive, got $z2ThresholdBp")
+    val perUnit = df
+      .groupBy(col(metricCol).as("metric"), col(unitCol).as("__u"),
+        armCol.as("__arm"))
+      .agg(sum(valueCents).as("__x"))
+    val perArm = perUnit
+      .withColumn("__xd", col("__x").cast("decimal(38,0)"))
+      .groupBy(col("metric"), col("__arm"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__xd")).as("__sx"),
+        sum(expr("__xd * __xd")).as("__sxx"))
+      .localCheckpoint()
+    val a = perArm.filter(col("__arm") === 0)
+      .select(col("metric"), col("__n").as("__na"),
+        col("__sx").as("__sxa"), col("__sxx").as("__sxxa"))
+    val b = perArm.filter(col("__arm") === 1)
+      .select(col("metric"), col("__n").as("__nb"),
+        col("__sx").as("__sxb"), col("__sxx").as("__sxxb"))
+    a.join(b, Seq("metric"))
+      .withColumn("__dn", expr(
+        "__sxa * CAST(__nb AS DECIMAL(38,0)) - __sxb * CAST(__na AS DECIMAL(38,0))"))
+      .withColumn("__aa", expr(
+        "CAST(__na AS DECIMAL(38,0)) * __sxxa - __sxa * __sxa"))
+      .withColumn("__ab", expr(
+        "CAST(__nb AS DECIMAL(38,0)) * __sxxb - __sxb * __sxb"))
+      .withColumn("__dv", expr(
+        "__aa * CAST(__nb AS DECIMAL(38,0)) * __nb * (__nb - 1)" +
+          " + __ab * CAST(__na AS DECIMAL(38,0)) * __na * (__na - 1)"))
+      .withColumn("__tn", expr(
+        "__dn * __dn * (CAST(__na AS DECIMAL(38,0)) - 1) * (__nb - 1)"))
+      .select(col("metric"),
+        col("__na").as("n_a"), col("__nb").as("n_b"),
+        expr("CAST(__sxa AS BIGINT)").as("sum_a_cents"),
+        expr("CAST(__sxb AS BIGINT)").as("sum_b_cents"),
+        when(col("__na") >= 2 && col("__nb") >= 2 && col("__dv") > 0,
+          signum(col("__dn")).cast("long")).otherwise(lit(0L))
+          .as("delta_sign"),
+        when(col("__na") >= 2 && col("__nb") >= 2 && col("__dv") > 0,
+          expr(s"CAST((${scale}L * __tn) div __dv AS BIGINT)"))
+          .otherwise(lit(0L)).as("t2_micro"),
+        when(col("__na") >= 2 && col("__nb") >= 2 && col("__dv") > 0 &&
+          expr(s"10000 * __tn > ${z2ThresholdBp}L * __dv"), lit(1L))
+          .otherwise(lit(0L)).as("significant"))
+  }
+
+  /** ⌊10⁶·log₁₀(1+1/d)⌋ for d = 1..9 — Benford's law as integer micro
+    * constants, hardcoded so no engine ever evaluates a logarithm. */
+  private[graft] val BenfordMicro: Seq[Long] =
+    Seq(301029L, 176091L, 124938L, 96910L, 79181L,
+      66946L, 57991L, 51152L, 45757L)
+
+  /** Benford first-digit audit per group — the forensic data-quality
+    * check for amount-like columns (invoice totals, prices, transfer
+    * sizes): organically-generated amounts follow log₁₀(1+1/d) digit
+    * frequencies; fabricated or truncated feeds don't. The expected
+    * frequencies are HARDCODED integer micro constants
+    * ([[BenfordMicro]]) — no log is ever evaluated, so observed,
+    * expected and deviation all replay bit-for-bit cross-engine.
+    *
+    * Semantics: only amounts ≥ 1 participate (the first significant
+    * digit of the integer part; sub-unit amounts would need decimal
+    * re-scaling — out of scope, documented). Every group reports all
+    * nine digits, zero-filled, so the card's shape is |groups|×9
+    * regardless of which digits occur.
+    *
+    * Scale: one map-side-combined (group, digit) count over one scan;
+    * the dense digit axis is GENERATED (|groups|×9, the gapFill law),
+    * everything after the first groupBy is axis-sized.
+    *
+    * @return (groupCol, digit, n_amounts, n_obs, obs_micro, exp_micro,
+    *         dev_micro) */
+  def benfordCard(df: DataFrame, groupCol: String,
+                  amountCol: Column): DataFrame = {
+    val digits = df.filter(amountCol >= 1)
+      .select(col(groupCol),
+        substring(floor(amountCol).cast("long").cast("string"), 1, 1)
+          .cast("long").as("digit"))
+    val counts = digits.groupBy(col(groupCol), col("digit"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val totals = counts.groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n_amounts"))
+    val expected = array(BenfordMicro.map(lit): _*)
+    val axis = totals.select(col(groupCol), col("n_amounts"),
+      explode(sequence(lit(1L), lit(9L))).as("digit"))
+    axis.join(counts, Seq(groupCol, "digit"), "left")
+      .withColumn("n_obs", coalesce(col("__c"), lit(0L)))
+      .select(col(groupCol), col("digit"), col("n_amounts"), col("n_obs"),
+        expr("(1000000L * n_obs) div n_amounts").as("obs_micro"),
+        element_at(expected, col("digit").cast("int")).as("exp_micro"))
+      .withColumn("dev_micro",
+        abs(col("obs_micro") - col("exp_micro")))
+  }
+
   /** Per-group Pearson correlation between two INTEGER features,
     * integer-exact — the feature-drift card a pipeline runs when a
     * derived signal (token count, quality score) should track a raw one

@@ -235,6 +235,62 @@ object TimeSeries {
         sum(col("__e") - col("__s")).cast("long").as("covered_us"))
   }
 
+  /** Seasonal-naive forecast backtest per key — the "can we even
+    * forecast this series, and does seasonality help" triage every
+    * capacity/demand pipeline runs before reaching for a model: on the
+    * DENSE integer-cent bucket series, score the two zero-parameter
+    * baselines (predict bucket t from t−season vs from t−1) by total
+    * absolute error, and name the winner. A trained model that cannot
+    * beat the winning baseline is noise — this card is the floor it
+    * must clear.
+    *
+    * Exactness: bucket values are Σ⌊value·100⌋ per (key, bucket) —
+    * integer cents, zero-filled gaps counting as 0 (silence is a real
+    * observation for forecasting) — and both scores are Σ|cₜ − cₜ₋ₗ|
+    * over the buckets where BOTH lags exist (the dense axis makes lag
+    * membership positional, not data-dependent). Integer sums,
+    * truncating-division MAE, winner by exact comparison: the whole
+    * card replays cross-engine.
+    *
+    * Scale: one map-side-combined (key, bucket) cent aggregation over
+    * the scan; the axis is generated ([[gapFill]]'s law) and the two
+    * lags ride ONE per-key sort window over the axis-sized frame —
+    * |keys| × calendar buckets, independent of row count.
+    *
+    * @return (keyCol, n_eval, sae_seasonal_cents, sae_naive_cents,
+    *         mae_seasonal_cents, mae_naive_cents, winner) */
+  def forecastBacktest(df: DataFrame, keyCol: String, tsCol: String,
+                       valueCol: String, bucketSec: Long,
+                       season: Int = 7): DataFrame = {
+    require(bucketSec >= 1, s"bucketSec must be positive, got $bucketSec")
+    require(season >= 2, s"season must be >= 2, got $season")
+    val cents = df.select(col(keyCol),
+      expr(s"CAST(${tsCol} AS LONG) DIV ${bucketSec}L").as("bucket_id"),
+      floor(col(valueCol) * lit(100.0)).cast("long").as("__cents"))
+      .groupBy(col(keyCol), col("bucket_id"))
+      .agg(sum(col("__cents")).as("n"))
+    val dense = densify(cents, keyCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("bucket_id"))
+    dense
+      .withColumn("__ls", lag(col("n_events"), season).over(w))
+      .withColumn("__l1", lag(col("n_events"), 1).over(w))
+      .filter(col("__ls").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("n_events") - col("__ls"))).as("sae_seasonal_cents"),
+        sum(abs(col("n_events") - col("__l1"))).as("sae_naive_cents"))
+      .select(col(keyCol), col("n_eval"),
+        col("sae_seasonal_cents"), col("sae_naive_cents"),
+        expr("sae_seasonal_cents div n_eval").as("mae_seasonal_cents"),
+        expr("sae_naive_cents div n_eval").as("mae_naive_cents"),
+        when(col("sae_seasonal_cents") < col("sae_naive_cents"),
+          lit("seasonal"))
+          .when(col("sae_seasonal_cents") > col("sae_naive_cents"),
+            lit("naive"))
+          .otherwise(lit("tie")).as("winner"))
+  }
+
   /** Densify a MERGED sparse (keyCol, bucket_id, n) bucket-count
     * frame (e.g. re-aggregated streaming partials) into the gap-fill
     * shape — the serving-side counterpart of [[gapFill]] for
