@@ -418,6 +418,91 @@ private[graft] trait Queries9Experiments extends Queries8Analytics {
       |JOIN freq fb ON fb.i = p.item_b
       |CROSS JOIN nn""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q237 — k-anonymity audit (operators/Scrub.kAnonymityCard) over the
+  // documents quasi-identifiers (lang, source, 200-char length band):
+  // per threshold k ∈ {2, 5, 10}, groups below k and the exact share
+  // of rows at re-identification risk in basis points — the governance
+  // companion to PII redaction (q54/q98 remove direct identifiers;
+  // this measures what the quasi columns still leak).
+  // ---------------------------------------------------------------------
+  private[graft] def q237KAnonymity(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Scrub.kAnonymityCard(
+      Tables.documents(spark, dir)
+        .select(col("lang"), col("source"),
+          expr("n_chars DIV 200").as("len_band")),
+      Seq("lang", "source", "len_band"), ks = Seq(2L, 5L, 10L))
+
+  private[graft] val q237Sql =
+    """WITH g AS (SELECT lang, source, n_chars // 200 AS len_band,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2, 3),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+      |    CAST(sum(c) AS BIGINT) AS n_rows,
+      |    CAST(min(c) AS BIGINT) AS min_group_size FROM g),
+      |pk AS (SELECT CAST(t.k AS BIGINT) AS k,
+      |    CAST(sum(CASE WHEN g.c < t.k THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_groups_below,
+      |    CAST(sum(CASE WHEN g.c < t.k THEN g.c ELSE 0 END) AS BIGINT)
+      |      AS n_rows_at_risk
+      |  FROM g, LATERAL UNNEST([2, 5, 10]) AS t(k) GROUP BY 1)
+      |SELECT pk.k, tot.n_groups, tot.n_rows, pk.n_groups_below,
+      |  pk.n_rows_at_risk, tot.min_group_size,
+      |  CAST((10000 * pk.n_rows_at_risk) // tot.n_rows AS BIGINT) AS risk_bp
+      |FROM pk CROSS JOIN tot""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q238 — RFM customer segmentation: recency (last order day) /
+  // frequency (order count) / monetary (exact cent total) each cut
+  // into equal-frequency quartiles by the two-phase banded rank engine
+  // (Sampling.equalFreqBins — the q211 engine applied three times on
+  // one |customers|-sized frame), then the 4×4×4 segment census. The
+  // oracle replays the same (value, custkey) global ranks.
+  // ---------------------------------------------------------------------
+  private[graft] def q238Rfm(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(expr(
+        "max(unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 1000000 DIV 86400)")
+        .as("r_day"),
+        count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100).cast("long"))
+          .as("monetary_cents"))
+      .withColumn("__all", lit("all")) // NOT "__g": equalFreqBins' internal name
+      .localCheckpoint() // three bin passes + the census share one build
+    def binned(d: DataFrame, v: String, out: String, bw: Long) =
+      Sampling.equalFreqBins(d, "__all", v, "o_custkey", nBins = 4,
+        bandWidth = bw)
+        .withColumnRenamed("bin", out)
+    val b = binned(binned(binned(per,
+      "r_day", "r_bin", 30L),
+      "n_orders", "f_bin", 1L),
+      "monetary_cents", "m_bin", 10000000L)
+    b.groupBy(col("r_bin"), col("f_bin"), col("m_bin"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("monetary_cents")).as("sum_monetary_cents"))
+  }
+
+  private[graft] val q238Sql =
+    """WITH per AS (SELECT o_custkey,
+      |    max(epoch_us(o_orderdate) // 1000000 // 86400) AS r_day,
+      |    CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS monetary_cents
+      |  FROM orders GROUP BY 1),
+      |r AS (SELECT *,
+      |    CAST((4 * (row_number() OVER (ORDER BY r_day, o_custkey) - 1))
+      |      // (count(*) OVER ()) AS BIGINT) AS r_bin,
+      |    CAST((4 * (row_number() OVER (ORDER BY n_orders, o_custkey) - 1))
+      |      // (count(*) OVER ()) AS BIGINT) AS f_bin,
+      |    CAST((4 * (row_number() OVER (ORDER BY monetary_cents, o_custkey) - 1))
+      |      // (count(*) OVER ()) AS BIGINT) AS m_bin
+      |  FROM per)
+      |SELECT r_bin, f_bin, m_bin, CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(monetary_cents) AS BIGINT) AS sum_monetary_cents
+      |FROM r GROUP BY 1, 2, 3""".stripMargin
+
   private[graft] val q232Sql =
     """WITH a AS (SELECT user_id, min(ts) AS anchor FROM events
       |           WHERE event_type = 'signup' GROUP BY 1),

@@ -198,4 +198,50 @@ object Scrub {
       .filter(col("dist_bp") <= maxDistBp)
     out.select(col("__tid").as(idCol), col("eval_id"), col("lev"), col("dist_bp"))
   }
+
+  /** k-anonymity audit card — the re-identification governance check
+    * PII REDACTION cannot give ([[redactPii]] removes direct
+    * identifiers; this measures the QUASI-identifiers left behind): for
+    * each threshold k, how many (quasi-column combination) groups hold
+    * fewer than k rows, and what share of all rows sits in them? A row
+    * in a size-1 group is unique on its quasi-identifiers —
+    * re-identifiable by anyone holding an external table with the same
+    * columns; risk_bp is the exact share of such rows in basis points.
+    *
+    * Scale: ONE map-side-combined groupBy over the quasi columns
+    * collapses the corpus to |distinct combinations| rows; the
+    * per-threshold lines come from exploding the (literal, tiny) k
+    * axis over that frame — everything after the first aggregation is
+    * combination-sized, window-free, and the totals ride a 1-row
+    * broadcast. Bucket continuous quasi columns BEFORE calling (a
+    * raw measurement column would make every group size 1 and the
+    * audit vacuous — caller's modeling decision, documented).
+    *
+    * @return one row per k: (k, n_groups, n_rows, n_groups_below,
+    *         n_rows_at_risk, min_group_size, risk_bp) */
+  def kAnonymityCard(df: DataFrame, quasiCols: Seq[String],
+                     ks: Seq[Long] = Seq(2L, 5L, 10L)): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(ks.nonEmpty && ks.forall(_ >= 2L),
+      s"thresholds must all be >= 2, got ${ks.mkString(",")}")
+    val sizes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // consumed by totals AND the per-k explode
+    val totals = sizes.agg(count(lit(1)).as("n_groups"),
+      sum(col("__c")).as("n_rows"),
+      min(col("__c")).as("min_group_size"))
+    val kAxis = array(ks.map(lit): _*)
+    sizes
+      .select(explode(kAxis).as("k"), col("__c"))
+      .groupBy(col("k"))
+      .agg(sum(when(col("__c") < col("k"), 1L).otherwise(0L))
+        .as("n_groups_below"),
+        sum(when(col("__c") < col("k"), col("__c")).otherwise(0L))
+          .as("n_rows_at_risk"))
+      .crossJoin(broadcast(totals))
+      .select(col("k"), col("n_groups"), col("n_rows"),
+        col("n_groups_below"), col("n_rows_at_risk"),
+        col("min_group_size"),
+        expr("(10000L * n_rows_at_risk) div n_rows").as("risk_bp"))
+  }
 }

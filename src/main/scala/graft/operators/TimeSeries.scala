@@ -269,7 +269,19 @@ object TimeSeries {
       floor(col(valueCol) * lit(100.0)).cast("long").as("__cents"))
       .groupBy(col(keyCol), col("bucket_id"))
       .agg(sum(col("__cents")).as("n"))
-    val dense = densify(cents, keyCol)
+    backtestFromSeries(densify(cents, keyCol), keyCol, season)
+  }
+
+  /** The lag + scoring stage of [[forecastBacktest]] over an ALREADY
+    * dense (keyCol, bucket_id, n_events) series — public so streamed
+    * partials serve the identical card: per-window (key, bucket) cent
+    * sums are ADDITIVE (the StreamHist law — a cent sum is a 1-cell
+    * weighted histogram), so merged streaming partials densify into
+    * exactly this series and the backtest equals batch
+    * (StreamForecastSpec pins the equality). */
+  def backtestFromSeries(dense: DataFrame, keyCol: String,
+                         season: Int): DataFrame = {
+    require(season >= 2, s"season must be >= 2, got $season")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col("bucket_id"))
     dense

@@ -235,6 +235,40 @@ class ExperimentsSpec extends SparkSpec {
         (1L, 3L, 1L, 7L, 3L, 428571L)))
   }
 
+  test("kAnonymityCard: group sizes, per-threshold risk shares, " +
+    "and the totals") {
+    import spark.implicits._
+    // combos: (a,1)x3, (a,2)x1, (b,1)x2 -> sizes 3,1,2; n_rows=6
+    val df = Seq(("a", 1), ("a", 1), ("a", 1), ("a", 2), ("b", 1), ("b", 1))
+      .toDF("q1", "q2")
+    val r = Scrub.kAnonymityCard(df, Seq("q1", "q2"), ks = Seq(2L, 3L, 4L))
+      .orderBy("k").collect()
+    assert(r.map(x => (x.getAs[Long]("k"), x.getAs[Long]("n_groups_below"),
+      x.getAs[Long]("n_rows_at_risk"), x.getAs[Long]("risk_bp"))).toSeq ===
+      Seq((2L, 1L, 1L, 1666L), (3L, 2L, 3L, 5000L), (4L, 3L, 6L, 10000L)))
+    assert(r.head.getAs[Long]("n_groups") === 3L)
+    assert(r.head.getAs[Long]("n_rows") === 6L)
+    assert(r.head.getAs[Long]("min_group_size") === 1L)
+  }
+
+  test("backtestFromSeries equals forecastBacktest on its own dense series") {
+    import spark.implicits._
+    val rows = Seq(
+      ("k", "2024-01-01 00:00:00", 1.00), ("k", "2024-01-02 00:00:00", 2.00),
+      ("k", "2024-01-03 00:00:00", 1.00), ("k", "2024-01-04 00:00:00", 2.40))
+    val df = rows.toDF("k", "s", "value")
+      .select(col("k"), col("s").cast("timestamp").as("ts"), col("value"))
+    val direct = TimeSeries.forecastBacktest(df, "k", "ts", "value",
+      86400L, season = 2).collect().toSeq
+    val series = df.select(col("k"),
+        expr("CAST(ts AS LONG) DIV 86400").as("bucket_id"),
+        floor(col("value") * 100).cast("long").as("__c"))
+      .groupBy("k", "bucket_id").agg(sum("__c").as("n"))
+    val via = TimeSeries.backtestFromSeries(
+      TimeSeries.densify(series, "k"), "k", season = 2).collect().toSeq
+    assert(direct === via)
+  }
+
   test("hazardCard: at-risk denominators and conditional exits") {
     import spark.implicits._
     // anchor week 0 for all three; last weeks: u1 -> 0, u2 -> 1, u3 -> 1
