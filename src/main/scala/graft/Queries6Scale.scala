@@ -352,19 +352,77 @@ private[graft] trait Queries6Scale extends Queries5Tokenizer {
   // ---------------------------------------------------------------------
   // q147 — DSIR importance selection (operators/Importance): hashed-
   // unigram log-likelihood-ratio scores against the English slice as
-  // the target distribution, deterministic top-k. Rows-only BY DESIGN
-  // (StrictMath.log table vs DuckDB ln are different floats);
-  // ImportanceSpec pins scores + selection against an in-memory
-  // reference. The q189 micro-floor conversion was evaluated (r14) and
-  // is UNSOUND here: 1/rank is a rational both engines evaluate
-  // identically, but ln(t/r) is transcendental — floor(1e6·ln(x)) can
-  // disagree across libm implementations at floor boundaries, and the
-  // exact alternative (comparing Π(t/r)^c as rationals) overflows any
-  // fixed-width integer. The float stays; the spec pins it.
+  // the target distribution, deterministic top-k. HASH-EXACT since r14
+  // via the quantized-integer path (Importance.dsirSelectMicro): libm
+  // ln is transcendental — floor(1e6·ln(x)) can disagree across
+  // implementations at floor boundaries, and comparing Π(t/r)^c as
+  // exact rationals overflows any fixed width — so the score replaces
+  // ln with ilog2Micro, a 20-step truncating square-and-compare
+  // fixed-point iteration in pure 64-bit integers that BOTH engines
+  // replay bit-identically (the oracle's recursive CTE runs the same
+  // iteration; md5 bucketing replaces xxhash64 for the same reason).
+  // The float path (StrictMath table) remains for StreamImportance,
+  // pinned by ImportanceSpec against an in-memory reference.
   // ---------------------------------------------------------------------
   private[graft] def q147DsirSelect(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    Importance.dsirSelect(docs, docs.filter(col("lang") === "en"),
+    Importance.dsirSelectMicro(docs, docs.filter(col("lang") === "en"),
       "doc_id", "text", k = 100, buckets = 4096)
   }
+
+  private[graft] val q147Sql =
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      |  FROM documents),
+      |tb AS (
+      |  SELECT doc_id, lang,
+      |    CAST(('0x' || substr(md5(t.tok), 1, 8)) AS BIGINT) % 4096 AS b
+      |  FROM tok, LATERAL UNNEST(tk) AS t(tok)),
+      |rawc AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM tb GROUP BY 1),
+      |tgtc AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM tb
+      |         WHERE lang = 'en' GROUP BY 1),
+      |tots AS (SELECT (SELECT COALESCE(sum(c), 0) FROM rawc) + 4096 AS rtot,
+      |                (SELECT COALESCE(sum(c), 0) FROM tgtc) + 4096 AS ttot),
+      |vals AS (
+      |  SELECT DISTINCT v FROM (
+      |    SELECT c + 1 AS v FROM rawc UNION ALL SELECT c + 1 FROM tgtc
+      |    UNION ALL SELECT rtot FROM tots UNION ALL SELECT ttot FROM tots
+      |    UNION ALL SELECT 1)),
+      |ipt AS (SELECT v, (SELECT max(e) FROM range(63) t(e)
+      |                   WHERE (v >> CAST(e AS INT)) >= 1) AS ip FROM vals),
+      |fx(v, ip, x, acc, i) AS (
+      |  SELECT v, ip,
+      |    CAST(CASE WHEN ip <= 30 THEN v << CAST(30 - ip AS INT)
+      |              ELSE v >> CAST(ip - 30 AS INT) END AS BIGINT),
+      |    CAST(0 AS BIGINT), 0 FROM ipt
+      |  UNION ALL
+      |  SELECT v, ip,
+      |    CASE WHEN ((x*x) >> 30) >= 2147483648 THEN ((x*x) >> 30) >> 1
+      |         ELSE (x*x) >> 30 END,
+      |    CASE WHEN ((x*x) >> 30) >= 2147483648 THEN (acc << 1) | 1
+      |         ELSE acc << 1 END,
+      |    i + 1 FROM fx WHERE i < 20),
+      |ilog AS (SELECT v, (CAST(ip AS BIGINT) << 20) + acc AS lm
+      |         FROM fx WHERE i = 20),
+      |konst AS (SELECT
+      |    (SELECT lm FROM ilog, tots WHERE v = rtot)
+      |  - (SELECT lm FROM ilog, tots WHERE v = ttot) AS k0),
+      |lr AS (
+      |  SELECT CAST(g.b AS BIGINT) AS b,
+      |    (SELECT lm FROM ilog WHERE v = COALESCE(t.c, 0) + 1)
+      |  - (SELECT lm FROM ilog WHERE v = COALESCE(r.c, 0) + 1)
+      |  + (SELECT k0 FROM konst) AS lrm
+      |  FROM range(4096) g(b)
+      |  LEFT JOIN tgtc t ON t.b = g.b
+      |  LEFT JOIN rawc r ON r.b = g.b),
+      |sc AS (
+      |  SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS nt,
+      |    CAST(sum(lr.lrm) AS BIGINT) AS s
+      |  FROM tb JOIN lr ON lr.b = tb.b GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(sc.nt, 0) AS n_tokens,
+      |  COALESCE(sc.s, 0) AS score_micro
+      |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+      |ORDER BY score_micro DESC, d.doc_id
+      |LIMIT 100""".stripMargin
 }
