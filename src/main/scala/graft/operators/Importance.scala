@@ -110,20 +110,7 @@ object Importance {
     * any engine with 64-bit integers replays it bit-identically —
     * THE property libm `ln` can't give (floor(1e6·ln x) may disagree
     * across implementations at floor boundaries). */
-  def ilog2Micro(n: Long): Long = {
-    require(n >= 1L, s"ilog2Micro needs n >= 1, got $n")
-    val ip = 63 - java.lang.Long.numberOfLeadingZeros(n)
-    var x = if (ip <= 30) n << (30 - ip) else n >> (ip - 30)
-    var acc = 0L
-    var i = 0
-    while (i < 20) {
-      x = (x * x) >> 30 // x ∈ [2³⁰, 2³¹) ⇒ x² < 2⁶², no overflow
-      if (x >= (1L << 31)) { x >>= 1; acc = (acc << 1) | 1L }
-      else acc <<= 1
-      i += 1
-    }
-    (ip.toLong << 20) + acc
-  }
+  def ilog2Micro(n: Long): Long = graft.functions.IntLog.ilog2Micro(n)
 
   /** [[RatioTable]]'s integer sibling: per-bucket log-likelihood
     * ratios in 2⁻²⁰·log2 units ("micro-bits"), exact BIGINTs. */

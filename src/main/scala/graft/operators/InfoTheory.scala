@@ -1,0 +1,271 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.IntLogFunctions.ilog2_micro
+
+/** Information-theoretic corpus cards in EXACT integer micro-bits
+  * (2⁻²⁰·log2 units), built on [[graft.functions.IntLog]]'s
+  * deterministic fixed-point logarithm: Shannon entropy per group,
+  * KL-divergence drift against the corpus reference, and sublinear
+  * tf-idf distinctive terms. Every score is a BIGINT both engines
+  * reproduce bit-for-bit — the float-log versions of these cards can
+  * never be oracle-compared (libm divergence at floor boundaries),
+  * which is why entropy/KL/tf-idf are usually the first casualties of
+  * a cross-engine correctness gate.
+  *
+  * Scale shape, shared by all three: tokens hash to fixed-width keys
+  * before any shuffle (the dedup-family discipline — text never
+  * shuffles), every aggregation is map-side combined, and the
+  * post-aggregation frames are vocabulary- or bucket-bounded, so the
+  * corpus is touched exactly once per card.
+  *
+  * Overflow bound (documented, not checked row-wise): Σ c·ilog(c) ≤
+  * T·ilog(T) stays inside a signed 64-bit integer for per-group token
+  * counts T up to ~1.4×10¹¹ — beyond that, shift to a coarser
+  * quantization before summing. */
+object InfoTheory {
+
+  /** Per-group Shannon entropy of the token distribution, in
+    * micro-bits: H_mb = ilog(T) − (Σ_types c·ilog(c)) div T — the
+    * quantized form of H = log2 T − (1/T)·Σ c·log2 c. High-entropy
+    * sources are lexically diverse; a collapsing entropy across
+    * ingestion rounds is the minted-token / template-spam detector
+    * ([[CorpusStats.heapsCard]]'s information-theoretic sibling).
+    *
+    * One token scan → one (group, token) count aggregation (map-side
+    * combined — the keys are RAW single tokens, not hashes: a word is
+    * barely wider than an 8-byte hash, grouping is collision-free by
+    * construction on both engines, and skipping the per-token md5
+    * measured 2× on the whole card) → one per-group fold over the
+    * vocabulary-bounded count frame. No joins, no windows.
+    *
+    * @return (group, n_tokens, n_types, entropy_mb), one row per
+    *         group with at least one token. */
+  def entropyCard(df: DataFrame, groupCol: String,
+                  textCol: String): DataFrame =
+    df.select(col(groupCol).as("__g"),
+        TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col("__g"), explode(col("__tk")).as("__t"))
+      .groupBy(col("__g"), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("__c") * ilog2_micro(col("__c"))).as("__sumci"))
+      .select(col("__g").as(groupCol), col("n_tokens"), col("n_types"),
+        (ilog2_micro(col("n_tokens")) -
+          expr("__sumci div n_tokens")).as("entropy_mb"))
+
+  /** Per-group KL-divergence drift card KL(group ‖ corpus) in
+    * micro-bits over `buckets` hashed-token buckets, add-one smoothed:
+    * kl_mb = (Σ_b (c_gb+1)·lr_b) div (T_g+B) with
+    * lr_b = ilog(c_gb+1) − ilog(T_g+B) − ilog(c_cb+1) + ilog(T_c+B) —
+    * the quantized Σ p·log2(p/q). The drift companion to the cosine
+    * card (q217): cosine sees direction, KL weighs the tails — a
+    * source quietly swapping its long tail for boilerplate moves KL
+    * first. Near-identical distributions may quantize to a slightly
+    * negative kl_mb (true KL ≥ 0); consumers should clamp at read.
+    *
+    * Scale: the corpus is scanned once into (group, bucket) counts —
+    * a ≤ |groups|·B-row aggregation with map-side combine (md5
+    * bucketing, the portable hash, replaces the raw token key before
+    * the shuffle). The corpus reference (≤ B rows) and the two totals
+    * broadcast; the dense (group × bucket) axis never touches text.
+    *
+    * @return (group, n_tokens, kl_mb), one row per group. */
+  def klDriftCard(df: DataFrame, groupCol: String, textCol: String,
+                  buckets: Int = 1024): DataFrame = {
+    require(buckets >= 1 && buckets <= Importance.MaxBuckets,
+      s"buckets must be in [1, ${Importance.MaxBuckets}], got $buckets")
+    val spark = df.sparkSession
+    val b = lit(buckets.toLong)
+    val tb = df.select(col(groupCol).as("__g"),
+        TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col("__g"), explode(col("__tk")).as("__t"))
+      .select(col("__g"), pmod(Dedup.baseHash32(col("__t")), b).as("__b"))
+      .localCheckpoint() // feeds group counts AND the corpus reference
+    val gc = tb.groupBy(col("__g"), col("__b")).agg(count(lit(1)).as("__cg"))
+    val cc = tb.groupBy(col("__b")).agg(count(lit(1)).as("__cc"))
+    val gt = gc.groupBy(col("__g")).agg(sum(col("__cg")).as("__tg"))
+    val ct = cc.agg(sum(col("__cc")).as("__tc"))
+    val axis = gt.crossJoin(
+      spark.range(buckets.toLong).select(col("id").as("__b")))
+    axis
+      .join(gc, Seq("__g", "__b"), "left")
+      .join(broadcast(cc), Seq("__b"), "left")
+      .crossJoin(broadcast(ct))
+      .select(col("__g"), col("__tg"),
+        (coalesce(col("__cg"), lit(0L)) + 1L).as("__cg1"),
+        (coalesce(col("__cc"), lit(0L)) + 1L).as("__cc1"),
+        col("__tc"))
+      .select(col("__g"), col("__tg"),
+        (col("__cg1") * (ilog2_micro(col("__cg1")) -
+          ilog2_micro(col("__tg") + b) -
+          ilog2_micro(col("__cc1")) +
+          ilog2_micro(col("__tc") + b))).as("__term"))
+      .groupBy(col("__g"))
+      .agg(first(col("__tg")).as("n_tokens"), sum(col("__term")).as("__kls"))
+      .select(col("__g").as(groupCol), col("n_tokens"),
+        expr(s"__kls div (n_tokens + ${buckets}L)").as("kl_mb"))
+  }
+
+  /** Top-`k` DISTINCTIVE terms per group by sublinear tf-idf in
+    * micro-bits: w_mb = ((2²⁰ + ilog(tf_g)) · (ilog(N) − ilog(df)))
+    * div 2²⁰ — the classic (1 + log2 tf)·log2(N/df) "ltc" weighting,
+    * where tf_g counts occurrences in the GROUP and df counts the
+    * DOCUMENTS containing the term corpus-wide. The per-source data
+    * card's "what words make this source itself" panel.
+    *
+    * Scale: one token scan feeds both frequency tables (per-group tf;
+    * per-term distinct-doc df) keyed by 60-bit hashes; the top-k per
+    * group is the mergeable k-ledger aggregate
+    * ([[graft.functions.TopKPriorityAgg]] — map-side partials keep
+    * ≤ k entries, NO per-group sort window), exact because w_mb <
+    * 2⁵³ rides the ledger's double priority losslessly; winners
+    * (≤ k·|groups| rows) broadcast back against the distinct vocab to
+    * recover term strings — text never shuffles.
+    *
+    * @return (group, rank, term, tf, df_docs, w_mb), rank 1..k by
+    *         (w_mb DESC, term-hash ASC). */
+  def tfidfTopTerms(docs: DataFrame, groupCol: String, idCol: String,
+                    textCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 1024, s"k must be in [1, 1024], got $k")
+    val tok = docs.select(col(groupCol).as("__g"), col(idCol).as("__d"),
+        TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col("__g"), col("__d"), explode(col("__tk")).as("__t"))
+      .select(col("__g"), col("__d"), col("__t"),
+        Dedup.baseHash60(col("__t")).as("__th"))
+      .localCheckpoint() // tf, df, and the vocab all read it
+    val tf = tok.groupBy(col("__g"), col("__th")).agg(count(lit(1)).as("__tf"))
+    val dfDocs = tok.select(col("__d"), col("__th")).distinct()
+      .groupBy(col("__th")).agg(count(lit(1)).as("__df"))
+    val n = docs.select(col(idCol)).distinct().count() // ALL docs, even token-less
+    val ilogN = graft.functions.IntLog.ilog2Micro(n)
+    val scored = tf.join(dfDocs, Seq("__th"))
+      .withColumn("__iltf", ilog2_micro(col("__tf")))
+      .withColumn("__ildf", ilog2_micro(col("__df")))
+      .withColumn("__w",
+        expr(s"((1048576L + __iltf) * (${ilogN}L - __ildf)) div 1048576L"))
+    // exact double ride: __w ≤ (64+1)·63·2²⁰ ≈ 2³², far below 2⁵³
+    val winners = scored
+      .groupBy(col("__g"))
+      .agg(graft.functions.TopKPriorityFunctions.topk_priority_agg(
+        col("__th"), col("__w"), col("__w").cast("double"), k).as("__top"))
+      .select(col("__g"), posexplode(col("__top")).as(Seq("__p", "__e")))
+      .select(col("__g"), (col("__p") + 1).cast("long").as("rank"),
+        col("__e.doc_id").as("__th"), col("__e.w").as("w_mb"))
+    // winners are ≤ k·|groups| rows — THEY broadcast; the tf-table and
+    // token scans stream against them (text never shuffles), and the
+    // term-string recovery DISTINCTs only the winner-filtered slice
+    // (a full-vocab distinct measured ~2× the card's cost)
+    val enriched = scored.select(col("__g"), col("__th"),
+        col("__tf"), col("__df"))
+      .join(broadcast(winners), Seq("__g", "__th"))
+    val terms = tok.select(col("__th"), col("__t"))
+      .join(broadcast(winners.select(col("__th")).distinct()), Seq("__th"))
+      .distinct()
+    terms.join(broadcast(enriched), Seq("__th"))
+      .select(col("__g").as(groupCol), col("rank"), col("__t").as("term"),
+        col("__tf").as("tf"), col("__df").as("df_docs"), col("w_mb"))
+  }
+
+  /** Per-group histogram of per-document unigram cross-entropy under
+    * the corpus MLE model, in micro-bit bands: xent_mb(doc) =
+    * (Σ_t∈doc c_dt·(ilog(T) − ilog(c_t))) div len_d — the quantized
+    * −(1/len)·Σ log2 p(t), i.e. the CCNet-style "perplexity" quality
+    * score with the corpus itself as the language model. Low bands are
+    * boilerplate/templates (every token common), very high bands are
+    * noise/garble (every token rare); curation keeps the middle. The
+    * card is the per-source distribution over `bandMb`-wide bands
+    * (default 2¹⁸ = quarter-bit), with band min/max for drill-down.
+    *
+    * Scale: one token scan → per-(doc, token-hash) counts (map-side
+    * combined, 8-byte keys — text never shuffles) feeding BOTH the
+    * vocabulary table and the per-doc fold; the only corpus-sized
+    * shuffle joins doc-term rows to the vocabulary on the 60-bit hash.
+    * The corpus total is one bounded construction-time action (a
+    * 1-row aggregate, the q241 `N` convention). Token-less documents
+    * are excluded (no distribution to score — documented, like
+    * gapFill's NULL-ts exclusion).
+    *
+    * @return (group, band, n_docs, min_xent_mb, max_xent_mb). */
+  def xentQualityCard(docs: DataFrame, groupCol: String, idCol: String,
+                      textCol: String, bandMb: Long = 1L << 18): DataFrame = {
+    require(bandMb >= 1L, s"bandMb must be >= 1, got $bandMb")
+    val dt = docs.select(col(groupCol).as("__g"), col(idCol).as("__d"),
+        TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col("__g"), col("__d"), explode(col("__tk")).as("__t"))
+      .select(col("__g"), col("__d"), Dedup.baseHash60(col("__t")).as("__th"))
+      .groupBy(col("__g"), col("__d"), col("__th"))
+      .agg(count(lit(1)).as("__cdt"))
+      .localCheckpoint() // vocabulary AND the per-doc fold read it
+    val vocab = dt.groupBy(col("__th")).agg(sum(col("__cdt")).as("__ct"))
+    // corpus total: one row, construction-time — its ilog rides as a literal
+    val totRow = vocab.agg(sum(col("__ct"))).head()
+    val totalTokens = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
+    val ilogT = graft.functions.IntLog.ilog2Micro(math.max(totalTokens, 1L))
+    dt.join(vocab, Seq("__th"))
+      .groupBy(col("__g"), col("__d"))
+      .agg(sum(col("__cdt") * (lit(ilogT) - ilog2_micro(col("__ct"))))
+          .as("__num"),
+        sum(col("__cdt")).as("__len"))
+      .select(col("__g"), expr("__num div __len").as("__x"))
+      .groupBy(col("__g"), expr(s"__x div ${bandMb}L").as("band"))
+      .agg(count(lit(1)).as("n_docs"), min(col("__x")).as("min_xent_mb"),
+        max(col("__x")).as("max_xent_mb"))
+      .select(col("__g").as(groupCol), col("band"), col("n_docs"),
+        col("min_xent_mb"), col("max_xent_mb"))
+  }
+
+  /** Top-`k` token buckets by mutual-information contribution between
+    * group and token — the feature-selection card (information gain per
+    * hashed-BoW bucket, exactly the features [[Classifier]] trains on):
+    * mi_mb(b) = (Σ_g c_gb·(ilog(c_gb) + ilog(T) − ilog(T_g) −
+    * ilog(T_b))) div T, the quantized Σ_g p(g,b)·log2(p(g,b)/(p(g)p(b)))
+    * with empty cells contributing exactly 0 (the MLE convention — no
+    * smoothing, so no dense axis is ever materialized, unlike the KL
+    * card where smoothing is the point). High-MI buckets are the tokens
+    * that identify a source; rank-by-MI is the standard filter-method
+    * feature selector.
+    *
+    * Scale: one token scan collapses to ≤ |groups|·B cell counts
+    * (map-side combined); group totals (≤ |groups| rows) and bucket
+    * totals (≤ B rows) BROADCAST back onto the cell frame; the top-k
+    * is a global TakeOrdered (no window, no extra shuffle). The corpus
+    * total is the same 1-row construction-time action as
+    * [[xentQualityCard]].
+    *
+    * @return (bucket, n_tokens, mi_mb), the k buckets with highest
+    *         mi_mb (ties broken by bucket ASC). */
+  def miFeatureCard(df: DataFrame, groupCol: String, textCol: String,
+                    buckets: Int = 1024, k: Int = 50): DataFrame = {
+    require(buckets >= 1 && buckets <= Importance.MaxBuckets,
+      s"buckets must be in [1, ${Importance.MaxBuckets}], got $buckets")
+    require(k >= 1 && k <= buckets, s"k must be in [1, $buckets], got $k")
+    val b = lit(buckets.toLong)
+    val gc = df.select(col(groupCol).as("__g"),
+        TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col("__g"), explode(col("__tk")).as("__t"))
+      .select(col("__g"), pmod(Dedup.baseHash32(col("__t")), b).as("__b"))
+      .groupBy(col("__g"), col("__b")).agg(count(lit(1)).as("__cgb"))
+      .localCheckpoint() // totals AND the cell fold read it
+    val gt = gc.groupBy(col("__g")).agg(sum(col("__cgb")).as("__tg"))
+    val bt = gc.groupBy(col("__b")).agg(sum(col("__cgb")).as("__tb"))
+    val totRow = gt.agg(sum(col("__tg"))).head()
+    val totalTokens = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
+    val ilogT = graft.functions.IntLog.ilog2Micro(math.max(totalTokens, 1L))
+    gc.join(broadcast(gt), Seq("__g"))
+      .join(broadcast(bt), Seq("__b"))
+      .select(col("__b"), col("__cgb"),
+        (col("__cgb") * (ilog2_micro(col("__cgb")) + lit(ilogT) -
+          ilog2_micro(col("__tg")) - ilog2_micro(col("__tb")))).as("__term"))
+      .groupBy(col("__b"))
+      .agg(sum(col("__cgb")).as("n_tokens"), sum(col("__term")).as("__s"))
+      .select(col("__b").as("bucket"), col("n_tokens"),
+        expr(s"__s div ${totalTokens}L").as("mi_mb"))
+      .orderBy(col("mi_mb").desc, col("bucket").asc)
+      .limit(k)
+  }
+}

@@ -244,4 +244,58 @@ object Scrub {
         col("min_group_size"),
         expr("(10000L * n_rows_at_risk) div n_rows").as("risk_bp"))
   }
+
+  /** Cross-source overlap matrix: exact pairwise shingle-set Jaccard
+    * between every pair of groups (sources, crawls, snapshots), in
+    * parts-per-million. The contamination panel [[decontaminate]]
+    * doesn't give: decontaminate answers "is THIS doc tainted by THAT
+    * benchmark"; this answers "which ingestion sources are feeding me
+    * the same content" — the dedup-budget planner and the
+    * provenance-dispute auditor read the same matrix.
+    *
+    * Scale: the corpus collapses to DISTINCT (group, shingle-hash)
+    * pairs (60-bit portable hashes — text never shuffles; map-side
+    * combine on the distinct). The intersection self-join fans each
+    * shingle out by at most |groups|² — sound ONLY for modest group
+    * cardinality, so the operator counts groups first and refuses
+    * loudly past `maxGroups` (the kAnonymityCard caller-contract made
+    * enforceable: one cheap single-column distinct count). Group sizes
+    * (≤ |groups| rows) broadcast onto the pair frame; the full matrix
+    * including zero-overlap pairs comes from the size-frame pair axis
+    * (≤ |groups|² rows, broadcast nested loop over two tiny frames).
+    *
+    * @return one row per unordered pair (group_a < group_b):
+    *         (group_a, group_b, n_a, n_b, n_common, jaccard_ppm). */
+  def sourceOverlapMatrix(docs: DataFrame, groupCol: String,
+                          textCol: String, n: Int = 3,
+                          maxGroups: Int = 1024): DataFrame = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    val nGroups = docs.select(col(groupCol)).distinct().count()
+    require(nGroups <= maxGroups,
+      s"sourceOverlapMatrix saw $nGroups groups (> $maxGroups): the " +
+        "intersection join fans out by |groups|^2 per shingle — bucket " +
+        "the group column or raise maxGroups deliberately")
+    val sh = docs
+      .withColumn("__tk", TextAnalysis.tokens(col(textCol)))
+      .select(col(groupCol).as("__g"),
+        explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("__s"))
+      .select(col("__g"), Dedup.baseHash60(col("__s")).as("__h"))
+      .distinct()
+      .localCheckpoint() // sizes AND both sides of the intersection join
+    val sizes = sh.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val inter = sh.as("a").join(sh.as("b"), Seq("__h"))
+      .where(col("a.__g") < col("b.__g"))
+      .groupBy(col("a.__g").as("__ga"), col("b.__g").as("__gb"))
+      .agg(count(lit(1)).as("n_common"))
+    val axis = sizes.as("sa").join(sizes.as("sb"),
+        col("sa.__g") < col("sb.__g"))
+      .select(col("sa.__g").as("__ga"), col("sb.__g").as("__gb"),
+        col("sa.__n").as("n_a"), col("sb.__n").as("n_b"))
+    axis.join(broadcast(inter), Seq("__ga", "__gb"), "left")
+      .select(col("__ga").as("group_a"), col("__gb").as("group_b"),
+        col("n_a"), col("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .withColumn("jaccard_ppm",
+        expr("(1000000L * n_common) div (n_a + n_b - n_common)"))
+  }
 }

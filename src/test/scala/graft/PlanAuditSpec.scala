@@ -514,11 +514,11 @@ abstract class PlanSweepSpec(lo: Int, hi: Int) extends SparkSpec {
 class PlanSweepSpec1 extends PlanSweepSpec(1, 40) {
   test("the shards jointly cover the whole registry") {
     val covered = SparkEntry.queries.keySet.forall { name =>
-      val n = queryNumber(name); n >= 1 && n <= 240
+      val n = queryNumber(name); n >= 1 && n <= 280
     }
     assert(covered, "a registered query falls outside every sweep shard " +
       "— extend the PlanSweepSpec ranges")
   }
 }
 class PlanSweepSpec2 extends PlanSweepSpec(41, 75)
-class PlanSweepSpec3 extends PlanSweepSpec(76, 240)
+class PlanSweepSpec3 extends PlanSweepSpec(76, 280)
