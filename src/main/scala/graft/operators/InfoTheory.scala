@@ -45,16 +45,27 @@ object InfoTheory {
     *         group with at least one token. */
   def entropyCard(df: DataFrame, groupCol: String,
                   textCol: String): DataFrame =
-    df.select(col(groupCol).as("__g"),
-        TextAnalysis.tokens(col(textCol)).as("__tk"))
-      .select(col("__g"), explode(col("__tk")).as("__t"))
-      .groupBy(col("__g"), col("__t"))
-      .agg(count(lit(1)).as("__c"))
-      .groupBy(col("__g"))
-      .agg(sum(col("__c")).as("n_tokens"),
+    entropyFromCounts(
+      df.select(col(groupCol).as("__g"),
+          TextAnalysis.tokens(col(textCol)).as("__tk"))
+        .select(col("__g"), explode(col("__tk")).as("__t"))
+        .groupBy(col("__g"), col("__t"))
+        .agg(count(lit(1)).as("__c")),
+      "__g", "__c").withColumnRenamed("__g", groupCol)
+
+  /** The entropy fold over an already-aggregated (group, token, count)
+    * frame — shared by [[entropyCard]] and the streaming serving path:
+    * per-(group, token) counts are ADDITIVE across micro-batch windows,
+    * so a streaming job emits windowed count partials and serve-time
+    * merges them (one sum) before this fold lands on exactly the batch
+    * card (the q207/q227 partials-serving law). Counts must be > 0. */
+  def entropyFromCounts(counts: DataFrame, groupCol: String,
+                        countCol: String): DataFrame =
+    counts.groupBy(col(groupCol))
+      .agg(sum(col(countCol)).as("n_tokens"),
         count(lit(1)).as("n_types"),
-        sum(col("__c") * ilog2_micro(col("__c"))).as("__sumci"))
-      .select(col("__g").as(groupCol), col("n_tokens"), col("n_types"),
+        sum(col(countCol) * ilog2_micro(col(countCol))).as("__sumci"))
+      .select(col(groupCol), col("n_tokens"), col("n_types"),
         (ilog2_micro(col("n_tokens")) -
           expr("__sumci div n_tokens")).as("entropy_mb"))
 
