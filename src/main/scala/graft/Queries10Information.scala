@@ -258,4 +258,83 @@ private[graft] trait Queries10Information extends Queries9Experiments {
       |    (sa.n + sb.n - COALESCE(i.nc, 0)) AS BIGINT) AS jaccard_ppm
       |FROM sz sa JOIN sz sb ON sa.g < sb.g
       |LEFT JOIN inter i ON i.ga = sa.g AND i.gb = sb.g""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q245 — PMI collocation mining (operators/InfoTheory
+  // .pmiCollocations): every within-document bigram at support >= 5,
+  // scored by exact micro-bit pointwise mutual information. High-PMI
+  // pairs are multiword expressions; navigation chrome at the top of
+  // this card is the template-spam tell.
+  // ---------------------------------------------------------------------
+  private[graft] def q245PmiCollocations(spark: SparkSession, dir: String): DataFrame =
+    InfoTheory.pmiCollocations(Tables.documents(spark, dir), "text",
+      minCount = 5L)
+
+  private[graft] val q245Sql =
+    s"""WITH RECURSIVE t AS (SELECT list_filter(string_split(text, ' '),
+      |    x -> x <> '') AS tk FROM documents),
+      |bg AS (SELECT split_part(s, ' ', 1) AS x, split_part(s, ' ', 2) AS y,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(CASE WHEN len(tk) >= 2
+      |    THEN list_transform(generate_series(1, len(tk)-1),
+      |           i -> tk[i] || ' ' || tk[i+1])
+      |    ELSE [] END) AS s FROM t)
+      |  GROUP BY 1, 2),
+      |lmx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM bg GROUP BY 1),
+      |rmy AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM bg GROUP BY 1),
+      |tt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM bg),
+      |vals AS (SELECT DISTINCT v FROM (
+      |  SELECT c AS v FROM bg UNION ALL SELECT cx FROM lmx
+      |  UNION ALL SELECT cy FROM rmy UNION ALL SELECT t FROM tt)),
+      |$ilogCteSql
+      |SELECT bg.x, bg.y, bg.c AS n_xy,
+      |  CAST(l1.lm + (SELECT lm FROM ilog, tt WHERE v = tt.t)
+      |       - l2.lm - l3.lm AS BIGINT) AS pmi_mb
+      |FROM bg JOIN lmx ON lmx.x = bg.x JOIN rmy ON rmy.y = bg.y
+      |  JOIN ilog l1 ON l1.v = bg.c
+      |  JOIN ilog l2 ON l2.v = lmx.cx
+      |  JOIN ilog l3 ON l3.v = rmy.cy
+      |WHERE bg.c >= 5""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q246 — bigram entropy rate (operators/InfoTheory
+  // .bigramEntropyRate): per-source H(next | current) = H(X,Y) − H(X)
+  // in exact micro-bits. Structural-determinism detector: template
+  // spam collapses toward 0 even when unigram entropy (q239) still
+  // looks healthy.
+  // ---------------------------------------------------------------------
+  private[graft] def q246BigramEntropy(spark: SparkSession, dir: String): DataFrame =
+    InfoTheory.bigramEntropyRate(Tables.documents(spark, dir), "source",
+      "text")
+
+  private[graft] val q246Sql =
+    s"""WITH RECURSIVE t AS (SELECT source,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      |  FROM documents),
+      |jb AS (SELECT source, split_part(s, ' ', 1) AS x,
+      |    split_part(s, ' ', 2) AS y, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT source, unnest(CASE WHEN len(tk) >= 2
+      |    THEN list_transform(generate_series(1, len(tk)-1),
+      |           i -> tk[i] || ' ' || tk[i+1])
+      |    ELSE [] END) AS s FROM t)
+      |  GROUP BY 1, 2, 3),
+      |mx AS (SELECT source, x, CAST(sum(c) AS BIGINT) AS cx
+      |       FROM jb GROUP BY 1, 2),
+      |tg AS (SELECT source, CAST(sum(c) AS BIGINT) AS tb FROM jb GROUP BY 1),
+      |vals AS (SELECT DISTINCT v FROM (
+      |  SELECT c AS v FROM jb UNION ALL SELECT cx FROM mx
+      |  UNION ALL SELECT tb FROM tg)),
+      |$ilogCteSql,
+      |hxy AS (SELECT jb.source, CAST(sum(c * il.lm) AS BIGINT) AS s
+      |  FROM jb JOIN ilog il ON il.v = jb.c GROUP BY 1),
+      |hx AS (SELECT mx.source, CAST(sum(cx * il.lm) AS BIGINT) AS s
+      |  FROM mx JOIN ilog il ON il.v = mx.cx GROUP BY 1)
+      |SELECT tg.source, tg.tb AS n_bigrams,
+      |  CAST((SELECT lm FROM ilog WHERE v = tg.tb) - (hxy.s // tg.tb)
+      |    AS BIGINT) AS hxy_mb,
+      |  CAST((SELECT lm FROM ilog WHERE v = tg.tb) - (hx.s // tg.tb)
+      |    AS BIGINT) AS hx_mb,
+      |  CAST((hx.s // tg.tb) - (hxy.s // tg.tb) AS BIGINT) AS cond_mb
+      |FROM tg JOIN hxy ON hxy.source = tg.source
+      |        JOIN hx ON hx.source = tg.source""".stripMargin
 }

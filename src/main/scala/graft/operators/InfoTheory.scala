@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.IntLogFunctions.ilog2_micro
@@ -278,5 +278,92 @@ object InfoTheory {
         expr(s"__s div ${totalTokens}L").as("mi_mb"))
       .orderBy(col("mi_mb").desc, col("bucket").asc)
       .limit(k)
+  }
+
+  /** Corpus-wide (group-col optional elsewhere) bigram counts: one
+    * row per ordered within-document token pair, via the shared
+    * 2-shingle machinery (tokens contain no spaces, so "x y" splits
+    * back losslessly). Map-side combined; the frame is
+    * vocabulary²-bounded, not corpus-sized. */
+  private def bigramCounts(docs: DataFrame, textCol: String,
+                           extraNames: Seq[String] = Nil): DataFrame = {
+    def extra: Seq[Column] = extraNames.map(col)
+    docs.withColumn("__tk", TextAnalysis.tokens(col(textCol)))
+      .select(extra :+
+        explode(TextAnalysis.shinglesOfTokens(col("__tk"), 2)).as("__bg"): _*)
+      .select(extra :+ split(col("__bg"), " ").getItem(0).as("__x")
+        :+ split(col("__bg"), " ").getItem(1).as("__y"): _*)
+      .groupBy(extra :+ col("__x") :+ col("__y"): _*)
+      .agg(count(lit(1)).as("__c"))
+  }
+
+  /** Collocation mining: pointwise mutual information of every
+    * within-document bigram at or above `minCount`, in exact
+    * micro-bits — pmi_mb = ilog(c_xy) + ilog(T) − ilog(c_x·) −
+    * ilog(c_·y), the quantized log2(p(x,y)/(p(x)p(y))) over the bigram
+    * universe. High-PMI pairs are multiword expressions ("new york");
+    * a corpus whose top collocations are navigation chrome
+    * ("click here", "all rights") is template-heavy — the phrase-level
+    * sibling of the q243 feature card.
+    *
+    * Scale: the corpus collapses to vocabulary²-bounded bigram counts
+    * in one map-side-combined pass; BOTH marginals derive from that
+    * frame (no second scan) and broadcast back onto it; the total
+    * rides a 1-row broadcast. The support floor prunes before the
+    * joins. No windows, no corpus-sized shuffle after the first
+    * aggregation.
+    *
+    * @return (x, y, n_xy, pmi_mb) for every bigram with n_xy >=
+    *         minCount. */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+                      minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    val bg = bigramCounts(docs, textCol).localCheckpoint() // marginals + total + the scored frame
+    val lm = bg.groupBy(col("__x")).agg(sum(col("__c")).as("__cx"))
+    val rm = bg.groupBy(col("__y")).agg(sum(col("__c")).as("__cy"))
+    val tot = bg.agg(sum(col("__c")).as("__t"))
+    bg.where(col("__c") >= minCount)
+      .join(broadcast(lm), Seq("__x"))
+      .join(broadcast(rm), Seq("__y"))
+      .crossJoin(broadcast(tot))
+      .select(col("__x").as("x"), col("__y").as("y"),
+        col("__c").as("n_xy"),
+        (ilog2_micro(col("__c")) + ilog2_micro(col("__t")) -
+          ilog2_micro(col("__cx")) - ilog2_micro(col("__cy"))).as("pmi_mb"))
+  }
+
+  /** Per-group bigram entropy rate: H(next | current) = H(X,Y) − H(X)
+    * in exact micro-bits, both entropies over the group's bigram
+    * universe (the left-marginal unigram distribution sums to the same
+    * total, so the subtraction is well-posed). The language-structure
+    * card: natural text sits well above 0; template spam collapses
+    * toward 0 (every token determines its successor) even when plain
+    * unigram entropy (q239) still looks healthy — repetition q55
+    * catches literal copies, this catches STRUCTURAL determinism.
+    *
+    * Scale: one pass to per-group bigram counts (vocabulary²-bounded,
+    * map-side combined); the left marginal derives from that frame;
+    * two [[entropyFromCounts]] folds join on the group key
+    * (group-cardinality-sized frames).
+    *
+    * @return (group, n_bigrams, hxy_mb, hx_mb, cond_mb), groups with
+    *         at least one bigram. */
+  def bigramEntropyRate(docs: DataFrame, groupCol: String,
+                        textCol: String): DataFrame = {
+    val bg = bigramCounts(
+        docs.select(col(groupCol).as("__g"), col(textCol).as("__text")),
+        "__text", Seq("__g"))
+      .localCheckpoint() // joint AND marginal folds read it
+    val hxy = entropyFromCounts(
+      bg.select(col("__g"), col("__c")), "__g", "__c")
+      .select(col("__g"), col("n_tokens").as("n_bigrams"),
+        col("entropy_mb").as("hxy_mb"))
+    val hx = entropyFromCounts(
+      bg.groupBy(col("__g"), col("__x")).agg(sum(col("__c")).as("__cx")),
+      "__g", "__cx")
+      .select(col("__g"), col("entropy_mb").as("hx_mb"))
+    hxy.join(hx, Seq("__g"))
+      .select(col("__g").as(groupCol), col("n_bigrams"), col("hxy_mb"),
+        col("hx_mb"), (col("hxy_mb") - col("hx_mb")).as("cond_mb"))
   }
 }

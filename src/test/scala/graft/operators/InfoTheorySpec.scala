@@ -128,6 +128,41 @@ class InfoTheorySpec extends SparkSpec {
       n === 2L && m === (1L << 19) })
   }
 
+  test("pmiCollocations: perfectly-bound pair replays the formula; " +
+    "support floor prunes; cross-doc pairs never form") {
+    // "aa bb" always together (3x, support floor 2 keeps it);
+    // "cc dd" once (pruned); doc boundary between bb|cc never pairs
+    val docs = Seq("aa bb aa bb", "aa bb", "cc dd").toDF("text")
+    val got = InfoTheory.pmiCollocations(docs, "text", minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // bigram universe: (aa,bb) x3, (bb,aa) x1, (cc,dd) x1 -> T=5;
+    // marginals cx(aa)=3, cy(bb)=3
+    def pmi(cxy: Long, cx: Long, cy: Long): Long =
+      IntLog.ilog2Micro(cxy) + IntLog.ilog2Micro(5L) -
+        IntLog.ilog2Micro(cx) - IntLog.ilog2Micro(cy)
+    assert(got === Map(("aa", "bb") -> ((3L, pmi(3L, 3L, 3L)))))
+  }
+
+  test("bigramEntropyRate: deterministic successor -> cond exactly 0; " +
+    "uniform successor -> cond exactly 1 bit") {
+    val docs = Seq(
+      ("det", "aa bb aa bb aa bb aa bb aa"), // aa->bb, bb->aa only
+      ("uni", "aa xx aa yy aa xx aa yy aa")) // aa-> {xx,yy} uniform
+      .toDF("g", "text")
+    val got = InfoTheory.bigramEntropyRate(docs, "g", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(4)))).toMap
+    assert(got(("det"))._1 === 8L)
+    assert(got(("det"))._2 === 0L) // H(X,Y)=H(X): successor determined
+    // uni: bigrams (aa,xx)x2 (xx,aa)x2 (aa,yy)x2 (yy,aa)x2 -> H(X,Y)=2 bits
+    // left marginal: aa x4, xx x2, yy x2 -> H(X)=1.5 bits -> cond=0.5?
+    // hmm — cond = H(successor|current): aa->{xx,yy} uniform (1 bit,
+    // weight 1/2), xx->aa, yy->aa deterministic (0, weight 1/2) -> 0.5 bit
+    assert(got(("uni"))._1 === 8L)
+    assert(got(("uni"))._2 === (1L << 19)) // exactly 0.5 bit
+  }
+
   test("sourceOverlapMatrix: identical groups 1000000 ppm, disjoint 0, " +
     "half-overlap computed exactly; group cap enforced") {
     // 4-token docs -> 2 distinct 3-shingles each
