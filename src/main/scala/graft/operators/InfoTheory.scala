@@ -308,9 +308,12 @@ object InfoTheory {
     *
     * Scale: the corpus collapses to vocabulary²-bounded bigram counts
     * in one map-side-combined pass; BOTH marginals derive from that
-    * frame (no second scan) and broadcast back onto it; the total
-    * rides a 1-row broadcast. The support floor prunes before the
-    * joins. No windows, no corpus-sized shuffle after the first
+    * frame (no second scan) and join back on the token key — they are
+    * VOCABULARY-sized, so they are deliberately NOT hinted into a
+    * broadcast (a web-scale vocabulary runs to 10⁷ rows; AQE still
+    * broadcasts when the actual size is small). The total rides a
+    * 1-row broadcast. The support floor prunes the scored frame before
+    * the joins. No windows, no corpus-sized shuffle after the first
     * aggregation.
     *
     * @return (x, y, n_xy, pmi_mb) for every bigram with n_xy >=
@@ -323,8 +326,8 @@ object InfoTheory {
     val rm = bg.groupBy(col("__y")).agg(sum(col("__c")).as("__cy"))
     val tot = bg.agg(sum(col("__c")).as("__t"))
     bg.where(col("__c") >= minCount)
-      .join(broadcast(lm), Seq("__x"))
-      .join(broadcast(rm), Seq("__y"))
+      .join(lm, Seq("__x"))
+      .join(rm, Seq("__y"))
       .crossJoin(broadcast(tot))
       .select(col("__x").as("x"), col("__y").as("y"),
         col("__c").as("n_xy"),
