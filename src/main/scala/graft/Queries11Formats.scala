@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Warc
+
+/** Registry slice 11 (round 14): ingest-format codecs beyond the media
+  * containers — WARC, the archive format web-scale corpora actually
+  * arrive in. Certification follows the deterministic-encoder pattern:
+  * the oracle replays every length census arithmetically from strlen,
+  * pinning the byte layout (Content-Length digits included), and the
+  * parser must hand back the original text bit-for-bit. */
+private[graft] trait Queries11Formats extends Queries10Information {
+
+  // ---------------------------------------------------------------------
+  // q247 — WARC parse (operators/Warc): two-record request+response
+  // archive per document; the Content-Length-hopping walk must recover
+  // URI, HTTP status, content type and the EXACT body, and the total
+  // archive length census pins the encoder layout arithmetically
+  // (digit counts of the Content-Length values included — the
+  // strongest layout certificate in the codec family).
+  // ---------------------------------------------------------------------
+  private[graft] def q247WarcParse(spark: SparkSession, dir: String): DataFrame =
+    Warc.parseColumns(Warc.attachArchives(Tables.documents(spark, dir)))
+      .select(col("doc_id"), col("n_records"), col("uri"),
+        col("http_status"), col("content_type"),
+        length(col("body")).cast("int").as("body_len"),
+        md5(col("body")).as("body_md5"), col("warc_len"))
+
+  private[graft] val q247Sql =
+    """WITH c AS (SELECT doc_id, source, text,
+      |    strlen(CAST(doc_id AS VARCHAR)) AS d, strlen(source) AS s,
+      |    strlen(text) AS t FROM documents),
+      |l AS (SELECT *, 30 + d + s AS cl1,
+      |    63 + strlen(CAST(t AS VARCHAR)) + t AS cl2 FROM c)
+      |SELECT doc_id, CAST(2 AS INT) AS n_records,
+      |  'http://' || source || '/doc/' || doc_id AS uri,
+      |  CAST(200 AS INT) AS http_status,
+      |  'text/plain' AS content_type,
+      |  CAST(t AS INT) AS body_len,
+      |  md5(text) AS body_md5,
+      |  CAST(264 + 3*s + 3*d + strlen(CAST(cl1 AS VARCHAR))
+      |    + strlen(CAST(cl2 AS VARCHAR)) + strlen(CAST(t AS VARCHAR)) + t
+      |    AS INT) AS warc_len
+      |FROM l""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q248 — WARC tear audit: every 53rd archive cut at half (the
+  // interrupted-transfer case). Complete records ahead of the tear are
+  // KEPT — the request record survives whenever the half-cut clears
+  // record 1, which the oracle decides arithmetically — but a torn
+  // archive certifies no body chars (the response is always the torn
+  // record under a half-cut, since record 1 is a strict prefix of
+  // half the archive only when the cut clears it).
+  // ---------------------------------------------------------------------
+  private[graft] def q248WarcAudit(spark: SparkSession, dir: String): DataFrame =
+    Warc.audit(Warc.parseColumns(
+      Warc.attachArchives(Tables.documents(spark, dir), truncateEvery = 53)))
+
+  private[graft] val q248Sql =
+    """WITH c AS (SELECT doc_id, source, text,
+      |    strlen(CAST(doc_id AS VARCHAR)) AS d, strlen(source) AS s,
+      |    strlen(text) AS t FROM documents),
+      |l AS (SELECT *, 30 + d + s AS cl1,
+      |    63 + strlen(CAST(t AS VARCHAR)) + t AS cl2 FROM c),
+      |w AS (SELECT *, 264 + 3*s + 3*d + strlen(CAST(cl1 AS VARCHAR))
+      |    + strlen(CAST(cl2 AS VARCHAR)) + strlen(CAST(t AS VARCHAR)) + t
+      |      AS wl,
+      |    115 + 2*s + 2*d + strlen(CAST(cl1 AS VARCHAR)) AS r1 FROM l)
+      |SELECT source, 'warc_ok' AS status, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(2 * count(*) AS BIGINT) AS n_records_kept,
+      |  CAST(sum(t) AS BIGINT) AS body_chars
+      |FROM w WHERE doc_id % 53 <> 0 GROUP BY 1
+      |UNION ALL
+      |SELECT source, 'warc_torn', CAST(count(*) AS BIGINT),
+      |  CAST(sum(CASE WHEN wl // 2 >= r1 THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(0 AS BIGINT)
+      |FROM w WHERE doc_id % 53 = 0 GROUP BY 1""".stripMargin
+}

@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** WARC (Web ARChive, ISO 28500) ingest — the container every web-scale
+  * training corpus actually arrives in (Common Crawl ships WARC): a
+  * concatenation of records, each a header block (`WARC/1.0` + `Key:
+  * Value` lines), a blank line, exactly `Content-Length` payload bytes,
+  * and a `\r\n\r\n` separator. Response-record payloads are themselves
+  * HTTP messages (status line + headers + blank line + body).
+  *
+  * The parser hops records BY `Content-Length` — never by scanning for
+  * separators — because a payload may legally contain anything,
+  * including bytes that look like a record boundary (the classic
+  * naive-split corruption). Complete records ahead of a tear are KEPT
+  * (an interrupted crawl transfer loses the tail, not the archive);
+  * the torn record itself certifies nothing — count-don't-crash, the
+  * decode-audit discipline of every codec in this engine.
+  *
+  * Certification follows the media-codec pattern (q117/q125/q161): a
+  * deterministic ENCODER writes a request+response record pair per
+  * document with a fixed layout, the parser must recover the original
+  * text exactly (`md5(body) == md5(text)` in both engines), and the
+  * DuckDB oracle replays every length census arithmetically from
+  * `strlen` — including the total archive length, which pins the
+  * encoder's byte layout, Content-Length digits and all.
+  *
+  * Scale shape: encode and parse are narrow partition-local
+  * `mapPartitions` maps (the sanctioned shape for byte/char walks —
+  * Catalyst cannot express a Content-Length hop); no shuffle, the
+  * archive string never moves. Scope note (the Chunker BMP
+  * convention): lengths are CHARACTER counts, so the certificate
+  * domain is ASCII payloads — real byte-WARC swaps String for
+  * Array[Byte] with the identical walk.
+  */
+object Warc {
+
+  // ------------------------------------------------------------- encode
+
+  /** Deterministic two-record archive for (docId, source, text):
+    * every offset is arithmetic in strlen(text), strlen(source) and
+    * the digit counts — which is what lets the oracle replay the full
+    * layout. */
+  def encodeArchive(docId: Long, source: String, text: String): String = {
+    val uri = s"http://$source/doc/$docId"
+    val reqHttp = s"GET /doc/$docId HTTP/1.1\r\nHost: $source\r\n\r\n"
+    val respHttp = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+      s"Content-Length: ${text.length}\r\n\r\n$text"
+    def record(recType: String, payload: String): String =
+      s"WARC/1.0\r\nWARC-Type: $recType\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n$payload\r\n\r\n"
+    record("request", reqHttp) + record("response", respHttp)
+  }
+
+  final case class ArchiveRow(doc_id: Long, source: String, warc: String)
+
+  /** Attach a `warc` column; every `truncateEvery`-th archive is cut at
+    * half (mid-transfer tear) when the knob is positive. */
+  def attachArchives(docs: DataFrame, truncateEvery: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, src, text) =>
+        val a = encodeArchive(id, src, text)
+        val out =
+          if (truncateEvery > 0 && id % truncateEvery == 0)
+            a.substring(0, a.length / 2)
+          else a
+        ArchiveRow(id, src, out)
+      }).toDF()
+  }
+
+  // -------------------------------------------------------------- parse
+
+  /** One parsed record. For torn/malformed records nothing is emitted —
+    * the archive-level result carries the tear flag instead. */
+  final case class Rec(recType: String, uri: String, httpStatus: Int,
+                       contentType: String, body: String)
+
+  /** Archive-level parse result: the complete records plus whether the
+    * walk ended cleanly (`torn = false`) or on a tear/malformation. */
+  final case class Parsed(records: List[Rec], torn: Boolean)
+
+  private def headerMap(block: String): Map[String, String] =
+    block.split("\r\n").iterator.drop(1).flatMap { line =>
+      val i = line.indexOf(": ")
+      if (i <= 0) None else Some(line.substring(0, i) -> line.substring(i + 2))
+    }.toMap
+
+  /** Content-Length-hopping record walk. Never throws. */
+  def parse(warc: String): Parsed = {
+    val recs = List.newBuilder[Rec]
+    var pos = 0
+    while (pos < warc.length) {
+      val hdrEnd = warc.indexOf("\r\n\r\n", pos)
+      if (hdrEnd < 0 || !warc.startsWith("WARC/1.0\r\n", pos))
+        return Parsed(recs.result(), torn = true)
+      val hdrs = headerMap(warc.substring(pos, hdrEnd))
+      val len = hdrs.get("Content-Length").flatMap(_.toLongOption)
+      val recType = hdrs.getOrElse("WARC-Type", "")
+      val uri = hdrs.getOrElse("WARC-Target-URI", "")
+      if (len.isEmpty || recType.isEmpty)
+        return Parsed(recs.result(), torn = true)
+      val payloadStart = hdrEnd + 4
+      val payloadEnd = payloadStart + len.get
+      // the record ends with a \r\n\r\n separator AFTER the payload
+      if (payloadEnd + 4 > warc.length ||
+        !warc.startsWith("\r\n\r\n", payloadEnd.toInt))
+        return Parsed(recs.result(), torn = true)
+      val payload = warc.substring(payloadStart, payloadEnd.toInt)
+      recs += (recType match {
+        case "response" =>
+          val he = payload.indexOf("\r\n\r\n")
+          val (status, cType, body) =
+            if (he < 0 || !payload.startsWith("HTTP/1.1 ") ||
+              payload.length < 12) (0, "", "")
+            else (payload.substring(9, 12).toIntOption.getOrElse(0),
+              // headerMap's drop(1) skips the HTTP status line here,
+              // exactly as it skips the WARC/1.0 line above
+              headerMap(payload.substring(0, he))
+                .getOrElse("Content-Type", ""),
+              payload.substring(he + 4))
+          Rec(recType, uri, status, cType, body)
+        case _ => Rec(recType, uri, 0, "", "")
+      })
+      pos = payloadEnd.toInt + 4
+    }
+    Parsed(recs.result(), torn = false)
+  }
+
+  final case class WarcStatsRow(doc_id: Long, source: String,
+                                warc_ok: Boolean, n_records: Int,
+                                uri: String, http_status: Int,
+                                content_type: String, body: String,
+                                warc_len: Int)
+
+  /** Parse over the `warc` column: narrow partition-local map. The
+    * certified body is the LAST complete response record's (our
+    * encoder writes one); archives with no complete response certify
+    * an empty body. */
+  def parseColumns(archives: DataFrame): DataFrame = {
+    val spark = archives.sparkSession
+    import spark.implicits._
+    archives.select(col("doc_id").cast("long"), col("source"), col("warc"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, src, warc) =>
+        val p = parse(warc)
+        val resp = p.records.reverse.find(_.recType == "response")
+        WarcStatsRow(id, src, !p.torn, p.records.length,
+          resp.map(_.uri).getOrElse(""),
+          resp.map(_.httpStatus).getOrElse(0),
+          resp.map(_.contentType).getOrElse(""),
+          resp.map(_.body).getOrElse(""),
+          warc.length)
+      }).toDF()
+  }
+
+  /** Per-(source, status) audit ledger: clean archives certify their
+    * body volume; torn archives certify their KEPT complete records
+    * but no body chars. */
+  def audit(stats: DataFrame): DataFrame =
+    stats
+      .groupBy(col("source"),
+        when(col("warc_ok"), lit("warc_ok"))
+          .otherwise(lit("warc_torn")).as("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_records")).cast("long").as("n_records_kept"),
+        sum(when(col("warc_ok"), length(col("body"))).otherwise(lit(0L)))
+          .as("body_chars"))
+}
