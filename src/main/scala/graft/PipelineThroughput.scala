@@ -180,7 +180,23 @@ object PipelineThroughput {
       val secs = (tDone - t0) / 1e9
       Result(total, secs, total / secs, qSink.rows.get(), rSink.rows.get(),
         dataBatches.size.toLong)
-    } finally running.foreach(_.stop())
+    } finally {
+      running.foreach(_.stop())
+      // the temp dir holds the socket plus the full streaming checkpoint
+      // (offsets/state for millions of frames) — repeated bench runs
+      // would otherwise accumulate checkpoint trees in /tmp
+      deleteRecursively(dir)
+    }
+  }
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import scala.util.Try
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Try(Files.deleteIfExists(p)); () })
+      finally walk.close()
+    }
   }
 
   /** Standalone drive: `runMain graft.PipelineThroughput [sfDir] [frames]`. */

@@ -178,13 +178,16 @@ object Funnel {
       raise_error(concat(lit(s"frequentPaths: event type contains '$sep': "),
         col(typeCol)))).otherwise(col(typeCol))
     val lags = (k - 1 to 1 by -1).map(j => lag(guarded, j).over(w))
+    val elems = lags :+ guarded
     val withPath = events
-      .withColumn("__head", lags.head)
-      .withColumn("__path",
-        concat_ws(sep, (lags :+ guarded): _*))
-    // concat_ws silently skips NULLs, so gate on the OLDEST lag: rows
-    // whose window is not yet full drop instead of emitting short paths
-    withPath.filter(col("__head").isNotNull)
+      // concat_ws silently skips NULLs, so gate on EVERY element: a
+      // not-yet-full window drops, and so does any window crossing a
+      // NULL event type — otherwise the (k-1)-gram it silently emits
+      // would alias a real shorter path (the oracle's || concatenation
+      // null-propagates, so anything less diverges from it)
+      .withColumn("__full", elems.map(_.isNotNull).reduce(_ && _))
+      .withColumn("__path", concat_ws(sep, elems: _*))
+    withPath.filter(col("__full"))
       .groupBy(col("__path").as("path"))
       .agg(count(lit(1)).as("n_occ"),
         countDistinct(col(userCol)).as("n_users"))

@@ -159,6 +159,8 @@ object InfoTheory {
       .withColumn("__ildf", ilog2_micro(col("__df")))
       .withColumn("__w",
         expr(s"((1048576L + __iltf) * (${ilogN}L - __ildf)) div 1048576L"))
+      .localCheckpoint() // winners AND enriched read it: without the cut
+      // the tf⋈df join (the card's dominant shuffle) would execute twice
     // exact double ride: __w ≤ (64+1)·63·2²⁰ ≈ 2³², far below 2⁵³
     val winners = scored
       .groupBy(col("__g"))

@@ -177,7 +177,10 @@ object Percentiles {
     val card = byRank(df, keyCol, valCol,
       Seq("p25" -> 0.25, "median" -> 0.5, "p75" -> 0.75))
       .select(col(keyCol), col("p25"), col("median"), col("p75"))
-    df.join(broadcast(card), Seq(keyCol))
+    // LEFT join: a key whose values are all NULL has no card row (NULLs
+    // are excluded from the histogram), and the documented contract is
+    // pass-through-with-NULL-scaled, not silent row deletion
+    df.join(broadcast(card), Seq(keyCol), "left")
       .withColumn("scaled_micro",
         when(col("p75") - col("p25") === 0L, lit(null).cast("long"))
           .otherwise(expr(

@@ -101,7 +101,9 @@ object Warc {
       val len = hdrs.get("Content-Length").flatMap(_.toLongOption)
       val recType = hdrs.getOrElse("WARC-Type", "")
       val uri = hdrs.getOrElse("WARC-Target-URI", "")
-      if (len.isEmpty || recType.isEmpty)
+      // negative lengths are adversarial garbage, not a tear — but the
+      // contract is the same: stop, keep what parsed, never throw
+      if (len.isEmpty || len.get < 0L || recType.isEmpty)
         return Parsed(recs.result(), torn = true)
       val payloadStart = hdrEnd + 4
       val payloadEnd = payloadStart + len.get

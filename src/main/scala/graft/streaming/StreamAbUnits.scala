@@ -80,13 +80,24 @@ object StreamAbUnits {
                 if (r.tsUs > lastTs) lastTs = r.tsUs
               }
             }
-            state.update(AbState(cents, lastTs, seen))
-            if (lastTs >= 0L)
+            if (lastTs >= 0L) {
+              state.update(AbState(cents, lastTs, seen))
               // re-arm clamped above the watermark (the StreamAttribution
               // crash class: a quiet horizon already below the watermark
               // must still fire, not throw)
               state.setTimeoutTimestamp(
                 math.max(lastTs / 1000L + quietSec * 1000L + 1L, wmMs + 1L))
+            } else if (state.exists) {
+              // nothing accepted this batch but prior state exists —
+              // unreachable in practice (prior state implies lastTs >= 0),
+              // kept as the defensive arm of the invariant below
+              state.update(AbState(cents, lastTs, seen))
+            }
+            // else: every delivered row was late (below the watermark)
+            // for a key with NO prior state — writing state here would
+            // create a zombie entry no timeout ever clears (lastTs = -1
+            // arms nothing), an unbounded leak under recurring
+            // late-only keys; accept nothing, store nothing
             Iterator.empty
           }
         })

@@ -50,10 +50,21 @@ object StreamIndex {
   def readMerged(spark: SparkSession, path: String): Retrieval.IndexParts = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+    val all = fs.listStatus(new org.apache.hadoop.fs.Path(path))
       .filter(s => s.isDirectory && (s.getPath.getName.startsWith("delta=") ||
         s.getPath.getName.startsWith("compacted=")))
-      .map(_.getPath.toString).sorted
+      .map(_.getPath)
+    // a delta at or below the base id is ALREADY folded into the base —
+    // it only exists when compactDeltas crashed between its rename and
+    // its delete pass; merging it again would double-count every one of
+    // its documents, so the base id is the read-side watermark
+    val baseId = all.filter(_.getName.startsWith("compacted="))
+      .map(_.getName.stripPrefix("compacted=").toLong)
+      .sorted.lastOption.getOrElse(Long.MinValue)
+    val parts = all.filter { p =>
+      !p.getName.startsWith("delta=") ||
+        p.getName.stripPrefix("delta=").toLong > baseId
+    }.map(_.toString).sorted
     require(parts.nonEmpty, s"no index deltas under $path")
     parts.map(d => Retrieval.readIndex(spark, d))
       .reduce(Retrieval.mergeParts)
@@ -76,23 +87,43 @@ object StreamIndex {
     * sink). The merged base is staged under a dot-prefixed temp dir and
     * renamed into place BEFORE the swallowed dirs delete, so a crash
     * leaves either the old layout plus an ignorable temp dir or the new
-    * base plus not-yet-deleted sources; concurrent READERS during the
+    * base plus not-yet-deleted sources — and those leftovers are INERT:
+    * a delta at or below the base id is already folded into the base,
+    * so [[readMerged]] skips it (base-id watermark) and the next
+    * compactDeltas run deletes it instead of re-merging it (a rerun at
+    * the same `upTo` is therefore the legal crash-recovery move);
+    * concurrent READERS during the
     * swap are the caller's transaction, as with Compaction. Returns the
     * number of directories swallowed. */
   def compactDeltas(spark: SparkSession, path: String, upTo: Long): Int = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val entries = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-    val deltas = entries.filter { p =>
-      val n = p.getName
-      n.startsWith("delta=") && n.stripPrefix("delta=").toLong <= upTo
-    }
     val bases = entries.filter(_.getName.startsWith("compacted="))
     require(bases.length <= 1,
       s"multiple compacted bases under $path: ${bases.mkString(", ")}")
-    require(bases.forall(_.getName.stripPrefix("compacted=").toLong < upTo),
-      s"compacted base already at or past upTo=$upTo")
-    if (deltas.isEmpty) 0
+    val baseId = bases.headOption
+      .map(_.getName.stripPrefix("compacted=").toLong)
+      .getOrElse(Long.MinValue)
+    require(baseId <= upTo,
+      s"compacted base $baseId already past upTo=$upTo")
+    // deltas at or below the base id are already inside the base — the
+    // crash-between-rename-and-delete leftovers; finish their delete
+    // instead of merging them a second time (readMerged ignores them
+    // for the same reason, so this pass is pure hygiene)
+    val stale = entries.filter { p =>
+      val n = p.getName
+      n.startsWith("delta=") && n.stripPrefix("delta=").toLong <= baseId
+    }
+    stale.foreach(p => fs.delete(p, true))
+    val deltas = entries.filter { p =>
+      val n = p.getName
+      n.startsWith("delta=") && {
+        val id = n.stripPrefix("delta=").toLong
+        id > baseId && id <= upTo
+      }
+    }
+    if (deltas.isEmpty) stale.length
     else {
       val merged = (bases ++ deltas).sortBy(_.getName)
         .map(p => Retrieval.readIndex(spark, p.toString))
@@ -102,7 +133,7 @@ object StreamIndex {
       require(fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"compacted=$upTo")),
         s"rename of the compacted index into $path failed")
       (bases ++ deltas).foreach(p => fs.delete(p, true))
-      bases.length + deltas.length
+      bases.length + deltas.length + stale.length
     }
   }
 }

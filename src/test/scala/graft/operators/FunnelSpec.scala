@@ -105,5 +105,18 @@ class FunnelSpec extends SparkSpec {
       Funnel.frequentPaths(bad, "user_id", "ts", "event_id", "event_type",
         k = 3, minSupport = 1L).collect()
     }
+    // a NULL event type mid-window: concat_ws would silently emit the
+    // (k-1)-gram 'a>b' and alias a real shorter path — every window
+    // crossing the NULL must drop instead (the oracle's || concatenation
+    // null-propagates)
+    val withNull = Seq(
+      (1L, t(10), 1L, Some("a")), (1L, t(20), 2L, None),
+      (1L, t(30), 3L, Some("b")), (1L, t(40), 4L, Some("c")),
+      (1L, t(50), 5L, Some("d")))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val gotNull = Funnel.frequentPaths(withNull, "user_id", "ts",
+        "event_id", "event_type", k = 3, minSupport = 1L)
+      .collect().map(_.getString(0)).toSet
+    assert(gotNull === Set("b>c>d"))
   }
 }

@@ -59,4 +59,18 @@ class RobustStatsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"robustScale card should broadcast:\n$plan")
   }
+
+  test("robustScale: a key with only NULL values passes through with " +
+    "NULL scaled, not silent row deletion") {
+    import spark.implicits._
+    val df = Seq((1L, "g1", Some(4L)), (2L, "g1", Some(8L)),
+      (3L, "gnull", None), (4L, "gnull", None))
+      .toDF("id", "g", "v")
+    val got = Percentiles.robustScale(df, "g", "v").collect()
+      .map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[java.lang.Long]("scaled_micro"))).toMap
+    // every input row survives; the card-less key scores NULL
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+    assert(got(3L).isEmpty && got(4L).isEmpty)
+  }
 }

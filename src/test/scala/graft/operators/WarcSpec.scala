@@ -42,6 +42,12 @@ class WarcSpec extends SparkSpec {
     assert(Warc.parse("HTTP/1.1 200 OK\r\n\r\n").torn)
     // missing Content-Length header
     assert(Warc.parse("WARC/1.0\r\nWARC-Type: request\r\n\r\nxx\r\n\r\n").torn)
+    // adversarial NEGATIVE Content-Length: payloadEnd lands before
+    // payloadStart on the header's own separator — must report torn,
+    // not throw StringIndexOutOfBounds
+    val neg = Warc.parse("WARC/1.0\r\nWARC-Type: request\r\n" +
+      "WARC-Target-URI: u\r\nContent-Length: -4\r\n\r\n")
+    assert(neg.torn && neg.records.isEmpty)
   }
 
   test("distributed parse certifies md5(body) == md5(text) and the " +

@@ -60,6 +60,33 @@ class StreamAbUnitsSpec extends SparkSpec {
       .toMap
   }
 
+  test("late-only rows for an unknown key leave NO state behind " +
+    "(zombie guard: a lastTs=-1 entry would never time out)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[AbEvt]
+    val out = StreamAbUnits.finalizedUnits(mem.toDF(), "event_type",
+      "user_id", "event_id", "ts", "value", quietSec = 60L,
+      watermark = "5 seconds")
+    val query = out.writeStream.format("memory").queryName("ab_zombie")
+      .outputMode("append").start()
+    try {
+      // batch 1 pushes the watermark to ~4995 s
+      mem.addData(AbEvt(1L, 999L, t(5000), "wm", 0.0))
+      query.processAllAvailable()
+      // batch 2: a NEW key whose only row is far below the watermark —
+      // it must be dropped without creating state
+      mem.addData(AbEvt(2L, 50L, t(10), "m", 1.0))
+      query.processAllAvailable()
+      val stateRows = query.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows === 1L, // the wm key only; 2 would be the zombie
+        s"expected only the watermark key's state, got $stateRows rows")
+    } finally query.stop()
+    // and the late key never emits a unit
+    assert(spark.table("ab_zombie")
+      .filter(col("metric") === "m").count() === 0L)
+  }
+
   test("one batch: finalized units equal the batch per-unit totals") {
     assert(runStream(Seq(events)) == batchTotals)
   }

@@ -101,4 +101,44 @@ class StreamIndexSpec extends SparkSpec {
     // idempotence guard: nothing left to compact, base refuses re-swallow
     assert(StreamIndex.compactDeltas(spark, dir, upTo = 6L) == 0)
   }
+
+  test("crash leftovers: a delta at or below the base id is ignored by " +
+    "readMerged and swept by the next compaction, never re-merged") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_index_r").toString
+    def dirs(): Seq[String] = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+    }
+    val d01 = Seq(RawDoc(1L, "hash join"), RawDoc(2L, "scan scan"))
+    val d1 = Seq(RawDoc(3L, "hash"))
+    Retrieval.writeIndex(
+      Retrieval.indexParts(d01.toDF(), "doc_id", "text"), s"$dir/delta=0")
+    Retrieval.writeIndex(
+      Retrieval.indexParts(d1.toDF(), "doc_id", "text"), s"$dir/delta=1")
+    assert(StreamIndex.compactDeltas(spark, dir, upTo = 1L) == 2)
+    // simulate the crash window: rename landed, the delete pass did not
+    Retrieval.writeIndex(
+      Retrieval.indexParts(d1.toDF(), "doc_id", "text"), s"$dir/delta=1")
+    val queries = Seq(1L -> Seq("hash"), 2L -> Seq("scan"))
+    def serve(): Set[(Long, Long, Long, Long)] =
+      Retrieval.bm25FromIndex(StreamIndex.readMerged(spark, dir), queries,
+          k = 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val batch = Retrieval.bm25TopK((d01 ++ d1).toDF(), "doc_id", "text",
+        queries, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // the leftover delta must NOT double-count doc 3's postings
+    assert(serve() == batch)
+    // a rerun at the SAME upTo is the legal recovery: sweeps the stale
+    // delta, keeps the base, changes no answers
+    assert(StreamIndex.compactDeltas(spark, dir, upTo = 1L) == 1)
+    assert(dirs() == Seq("compacted=1"))
+    assert(serve() == batch)
+  }
 }
