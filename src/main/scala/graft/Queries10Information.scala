@@ -337,4 +337,55 @@ private[graft] trait Queries10Information extends Queries9Experiments {
       |  CAST((hx.s // tg.tb) - (hxy.s // tg.tb) AS BIGINT) AS cond_mb
       |FROM tg JOIN hxy ON hxy.source = tg.source
       |        JOIN hx ON hx.source = tg.source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q249 — leave-one-out ablation entropy (operators/InfoTheory
+  // .leaveOneOutEntropy): corpus entropy WITHOUT each source, in delta
+  // form (only the source's own (token, count) rows are touched; the
+  // corpus constant S carries the rest) — the data-ablation card and
+  // the incremental-stats law in one: removing a shard updates the
+  // card without rescanning the corpus.
+  // ---------------------------------------------------------------------
+  private[graft] def q249LeaveOneOut(spark: SparkSession, dir: String): DataFrame =
+    InfoTheory.leaveOneOutEntropy(Tables.documents(spark, dir), "source",
+      "text")
+
+  private[graft] val q249Sql =
+    s"""WITH RECURSIVE gt AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT source, unnest(list_filter(string_split(text, ' '),
+      |          x -> x <> '')) AS t FROM documents)
+      |  GROUP BY 1, 2),
+      |cp AS (SELECT t, CAST(sum(c) AS BIGINT) AS cc FROM gt GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cc) AS BIGINT) AS tt,
+      |        CAST(count(*) AS BIGINT) AS types FROM cp),
+      |g2 AS (SELECT source, CAST(sum(c) AS BIGINT) AS tg FROM gt GROUP BY 1),
+      |vals AS (SELECT DISTINCT v FROM (
+      |  SELECT cc AS v FROM cp
+      |  UNION ALL SELECT cc - c FROM gt JOIN cp USING (t) WHERE cc > c
+      |  UNION ALL SELECT tt FROM tot
+      |  UNION ALL SELECT tt - tg FROM g2, tot WHERE tg < tt)),
+      |$ilogCteSql,
+      |sc AS (SELECT CAST(sum(cp.cc * il.lm) AS BIGINT) AS s
+      |       FROM cp JOIN ilog il ON il.v = cp.cc),
+      |d AS (SELECT gt.source, gt.c, cp.cc,
+      |    cp.cc * ilc.lm - CASE WHEN cp.cc > gt.c
+      |      THEN (cp.cc - gt.c) * ilr.lm ELSE 0 END AS dd
+      |  FROM gt JOIN cp USING (t)
+      |  JOIN ilog ilc ON ilc.v = cp.cc
+      |  LEFT JOIN ilog ilr ON ilr.v = cp.cc - gt.c),
+      |agg AS (SELECT source, CAST(sum(c) AS BIGINT) AS tg,
+      |    CAST(sum(dd) AS BIGINT) AS dsum,
+      |    CAST(sum(CASE WHEN cc = c THEN 1 ELSE 0 END) AS BIGINT) AS gone
+      |  FROM d GROUP BY 1),
+      |f AS (SELECT a.source, tt - tg AS ntr, types - gone AS nyr,
+      |    (SELECT lm FROM ilog WHERE v = tt - tg)
+      |      - ((s - dsum) // (tt - tg)) AS hr,
+      |    (SELECT lm FROM ilog WHERE v = tt) - (s // tt) AS hc
+      |  FROM agg a, tot, sc WHERE tg < tt)
+      |SELECT source, CAST(ntr AS BIGINT) AS n_tokens_rest,
+      |  CAST(nyr AS BIGINT) AS n_types_rest,
+      |  CAST(hr AS BIGINT) AS entropy_mb_rest,
+      |  CAST(hc AS BIGINT) AS corpus_mb,
+      |  CAST(hr - hc AS BIGINT) AS delta_mb
+      |FROM f""".stripMargin
 }

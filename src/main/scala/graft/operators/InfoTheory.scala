@@ -337,6 +337,76 @@ object InfoTheory {
           ilog2_micro(col("__cx")) - ilog2_micro(col("__cy"))).as("pmi_mb"))
   }
 
+  /** Leave-one-out ablation entropy: for every group (source, crawl,
+    * shard), the corpus token entropy WITHOUT that group, in exact
+    * micro-bits, plus the delta against the full-corpus entropy — the
+    * data-ablation card ("which source moves the corpus most"): a
+    * large positive delta means removing the source RAISES diversity
+    * (it was flooding the corpus with its own distribution), the
+    * prioritized-for-dedup signal.
+    *
+    * Computed in DELTA form, the incremental-stats law: H_rest needs
+    * Σ_t c_rest·ilog(c_rest) over ALL tokens, but tokens the group
+    * never uses contribute the same term as in the corpus constant, so
+    * per group only its OWN (group, token) rows are touched:
+    * Σ_rest = S − Σ_{t∈group} [C_t·ilog(C_t) − c_rest·ilog(c_rest)],
+    * with the c_rest = 0 term defined as 0 (x·log x → 0). One corpus
+    * scan builds both frames; the corpus constants (S, T) are one
+    * bounded 1-row action; the join is vocabulary-keyed between
+    * vocabulary-bounded frames; output is |groups| rows. Removing a
+    * shard updates the card without rescanning the corpus — the same
+    * additivity the streaming entropy leg ships.
+    *
+    * Groups owning the ENTIRE corpus (T_rest = 0) are excluded — there
+    * is no rest distribution to score (documented, the token-less-doc
+    * convention of [[xentQualityCard]]).
+    *
+    * @return (group, n_tokens_rest, n_types_rest, entropy_mb_rest,
+    *         corpus_mb, delta_mb). */
+  def leaveOneOutEntropy(df: DataFrame, groupCol: String,
+                         textCol: String): DataFrame = {
+    val gt = df.select(col(groupCol).as("__g"),
+        TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col("__g"), explode(col("__tk")).as("__t"))
+      .groupBy(col("__g"), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // corpus counts AND the per-group delta read it
+    // rename before the re-aggregation: gt joins back against this
+    // frame, and a self-join whose right side still carries the left's
+    // column names trips AMBIGUOUS_REFERENCE at resolution
+    val corpus = gt.select(col("__t"), col("__c").as("__c0"))
+      .groupBy(col("__t"))
+      .agg(sum(col("__c0")).as("__cc"))
+    val const = corpus.agg(
+      sum(col("__cc")).as("__T"),
+      count(lit(1)).as("__types"),
+      sum(col("__cc") * ilog2_micro(col("__cc"))).as("__S")).head()
+    if (const.isNullAt(0)) return df.sparkSession.emptyDataFrame
+    val (tTot, types, s) =
+      (const.getLong(0), const.getLong(1), const.getLong(2))
+    val corpusMb =
+      graft.functions.IntLog.ilog2Micro(tTot) - s / tTot
+    gt.join(corpus, Seq("__t"))
+      .select(col("__g"), col("__c"), col("__cc"),
+        (col("__cc") * ilog2_micro(col("__cc")) -
+          when(col("__cc") > col("__c"),
+            (col("__cc") - col("__c")) * ilog2_micro(col("__cc") - col("__c")))
+            .otherwise(lit(0L))).as("__d"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__c")).as("__tg"), sum(col("__d")).as("__dsum"),
+        sum(when(col("__cc") === col("__c"), 1L).otherwise(0L))
+          .as("__gone"))
+      .where(col("__tg") < tTot) // a group owning everything has no rest
+      .select(col("__g").as(groupCol),
+        (lit(tTot) - col("__tg")).as("n_tokens_rest"),
+        (lit(types) - col("__gone")).as("n_types_rest"),
+        (ilog2_micro(lit(tTot) - col("__tg")) -
+          expr(s"(${s}L - __dsum) div (${tTot}L - __tg)"))
+          .as("entropy_mb_rest"))
+      .withColumn("corpus_mb", lit(corpusMb))
+      .withColumn("delta_mb", col("entropy_mb_rest") - col("corpus_mb"))
+  }
+
   /** Per-group bigram entropy rate: H(next | current) = H(X,Y) − H(X)
     * in exact micro-bits, both entropies over the group's bigram
     * universe (the left-marginal unigram distribution sums to the same

@@ -128,6 +128,29 @@ class InfoTheorySpec extends SparkSpec {
       n === 2L && m === (1L << 19) })
   }
 
+  test("leaveOneOutEntropy: delta form equals the direct rest-corpus " +
+    "entropy; owner-of-everything excluded") {
+    // corpus: x:2 (all from a), y:2 (one each), z:1 (from b); T=5
+    val docs = Seq(("a", "x x y"), ("b", "y z")).toDF("g", "text")
+    val got = InfoTheory.leaveOneOutEntropy(docs, "g", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5)))).toMap
+    def h(counts: Seq[Long]): Long = {
+      val t = counts.sum
+      IntLog.ilog2Micro(t) -
+        counts.map(c => c * IntLog.ilog2Micro(c)).sum / t
+    }
+    val hc = h(Seq(2L, 2L, 1L))
+    // without a: y:1, z:1 -> exactly 1 bit, x vanished (types 3 -> 2)
+    assert(got("a") === ((2L, 2L, 1L << 20, (1L << 20) - hc)))
+    // without b: x:2, y:1 -> replay the integer formula
+    val hb = h(Seq(2L, 1L))
+    assert(got("b") === ((3L, 2L, hb, hb - hc)))
+    // a single-group corpus has no rest distribution: zero rows
+    val solo = Seq(("only", "p q")).toDF("g", "text")
+    assert(InfoTheory.leaveOneOutEntropy(solo, "g", "text").count() === 0L)
+  }
+
   test("pmiCollocations: perfectly-bound pair replays the formula; " +
     "support floor prunes; cross-doc pairs never form") {
     // "aa bb" always together (3x, support floor 2 keeps it);
