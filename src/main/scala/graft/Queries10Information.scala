@@ -388,4 +388,32 @@ private[graft] trait Queries10Information extends Queries9Experiments {
       |  CAST(hc AS BIGINT) AS corpus_mb,
       |  CAST(hr - hc AS BIGINT) AS delta_mb
       |FROM f""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q250 — token burstiness card (operators/InfoTheory.burstinessCard):
+  // top-50 tokens by exact integer variance-to-mean ratio of per-doc
+  // counts over ALL documents — the dispersion axis frequency cards
+  // can't see (topical/template tokens concentrate, function words sit
+  // near Poisson). Cross-multiplied in DECIMAL/HUGEINT, one truncating
+  // division.
+  // ---------------------------------------------------------------------
+  private[graft] def q250Burstiness(spark: SparkSession, dir: String): DataFrame =
+    InfoTheory.burstinessCard(Tables.documents(spark, dir), "doc_id",
+      "text", minCount = 5L, k = 50)
+
+  private[graft] val q250Sql =
+    """WITH n AS (SELECT CAST(count(DISTINCT doc_id) AS HUGEINT) AS nd
+      |           FROM documents),
+      |dt AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+      |          x -> x <> '')) AS t FROM documents)
+      |  GROUP BY 1, 2),
+      |s AS (SELECT t, CAST(sum(c) AS HUGEINT) AS sx,
+      |    CAST(sum(c * c) AS HUGEINT) AS sxx,
+      |    CAST(count(*) AS BIGINT) AS ndw FROM dt GROUP BY 1)
+      |SELECT t AS token, CAST(sx AS BIGINT) AS n_occ, ndw AS n_docs_with,
+      |  CAST((1000000 * (nd * sxx - sx * sx)) // (nd * sx) AS BIGINT)
+      |    AS burst_micro
+      |FROM s, n WHERE sx >= 5
+      |ORDER BY burst_micro DESC, token ASC LIMIT 50""".stripMargin
 }

@@ -407,6 +407,51 @@ object InfoTheory {
       .withColumn("delta_mb", col("entropy_mb_rest") - col("corpus_mb"))
   }
 
+  /** Top-`k` BURSTY tokens: exact integer variance-to-mean ratio of
+    * per-document counts, in micro-units —
+    * burst_micro = ⌊10⁶·(N·Σx² − (Σx)²) / (N·Σx)⌋ over ALL N documents
+    * (absent = 0, which the sufficient statistics encode for free).
+    * Topical/template tokens are bursty (VMR ≫ 1: concentrated in few
+    * docs), function words sit near Poisson (VMR ≈ 1), and a token
+    * appearing exactly once per document everywhere scores exactly 0 —
+    * the dispersion axis the pure-frequency cards (q143, q241) cannot
+    * see. Products route through DECIMAL(38,0) (the q226 exact-numeric
+    * convention) so the cross-multiplied variance never overflows at
+    * corpus scale.
+    *
+    * Scale: one scan → per-(doc, token) counts (map-side combined, raw
+    * token keys — the q239 lesson) → one vocabulary-bounded fold to
+    * (token, Σx, Σx²); the support floor prunes before the global
+    * TakeOrdered top-k. No joins, no windows.
+    *
+    * @return (token, n_occ, n_docs_with, burst_micro), the k highest
+    *         by (burst_micro DESC, token ASC); requires N >= 1 doc. */
+  def burstinessCard(docs: DataFrame, idCol: String, textCol: String,
+                     minCount: Long = 5L, k: Int = 50): DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val nDocs = docs.select(col(idCol)).distinct().count()
+    require(nDocs >= 1L, "burstinessCard needs at least one document")
+    docs.select(col(idCol).as("__d"),
+        TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col("__d"), explode(col("__tk")).as("__t"))
+      .groupBy(col("__d"), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("__t"))
+      .agg(sum(col("__c")).as("__sx"),
+        sum(col("__c") * col("__c")).as("__sxx"),
+        count(lit(1)).as("n_docs_with"))
+      .where(col("__sx") >= minCount)
+      .select(col("__t").as("token"), col("__sx").as("n_occ"),
+        col("n_docs_with"),
+        expr(s"CAST((1000000 * (${nDocs} * CAST(__sxx AS DECIMAL(38,0))" +
+          s" - CAST(__sx AS DECIMAL(38,0)) * __sx))" +
+          s" div (${nDocs} * CAST(__sx AS DECIMAL(38,0))) AS BIGINT)")
+          .as("burst_micro"))
+      .orderBy(col("burst_micro").desc, col("token").asc)
+      .limit(k)
+  }
+
   /** Per-group bigram entropy rate: H(next | current) = H(X,Y) − H(X)
     * in exact micro-bits, both entropies over the group's bigram
     * universe (the left-marginal unigram distribution sums to the same

@@ -151,6 +151,21 @@ class InfoTheorySpec extends SparkSpec {
     assert(InfoTheory.leaveOneOutEntropy(solo, "g", "text").count() === 0L)
   }
 
+  test("burstinessCard: one-per-doc-everywhere scores exactly 0; " +
+    "concentrated token replays the cross-multiplied formula") {
+    // N = 3 docs. 'u' once in every doc -> VMR 0. 'b' 6x in one doc:
+    // sx = 6, sxx = 36 -> (3*36 - 36)*1e6 / (3*6) = 72e6/18 = 4e6.
+    val docs = Seq((1L, "u b b b b b b"), (2L, "u"), (3L, "u"))
+      .toDF("doc_id", "text")
+    val got = InfoTheory.burstinessCard(docs, "doc_id", "text",
+        minCount = 3L, k = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      "b" -> ((6L, 1L, 4000000L)),
+      "u" -> ((3L, 3L, 0L))))
+  }
+
   test("pmiCollocations: perfectly-bound pair replays the formula; " +
     "support floor prunes; cross-doc pairs never form") {
     // "aa bb" always together (3x, support floor 2 keeps it);
