@@ -59,6 +59,12 @@ object StatsReporter {
         def info(m: String): Unit = logInfo(m)
       }.info
     val counters = new Counters
+    // per-query last-seen state sizes: the gauges report the SUM across
+    // monitored queries — overwriting the gauge with whichever query
+    // progressed last would flap between per-query values and mask the
+    // very leak the state gauge exists to expose
+    val perQuery =
+      new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
     val listener = new StreamingQueryListener {
       override def onQueryStarted(
           e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -69,8 +75,12 @@ object StatsReporter {
           counters.batches.incrementAndGet()
           val ops = e.progress.stateOperators
           if (ops != null && ops.nonEmpty) {
-            counters.stateRows.set(ops.map(_.numRowsTotal).sum)
-            counters.stateBytes.set(ops.map(_.memoryUsedBytes).sum)
+            perQuery.put(e.progress.name,
+              (ops.map(_.numRowsTotal).sum, ops.map(_.memoryUsedBytes).sum))
+            var rows = 0L; var bytes = 0L
+            perQuery.values().forEach { v => rows += v._1; bytes += v._2 }
+            counters.stateRows.set(rows)
+            counters.stateBytes.set(bytes)
           }
           ()
         }

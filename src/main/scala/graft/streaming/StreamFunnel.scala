@@ -85,9 +85,16 @@ object StreamFunnel {
             val items = state.getOption.map(_.items).getOrElse(Nil) ++ fresh
             if (items.nonEmpty) {
               state.update(FBuf(items))
-              // fire once the watermark passes the window end (which is
-              // strictly ahead of any in-window event, hence valid)
-              state.setTimeoutTimestamp((key._2 + 1L) * winMs)
+              // fire once the watermark passes the window end — CLAMPED
+              // above the current watermark: under continuous arrival a
+              // straggler for an expired window passes Spark's late
+              // filter (which lags one batch behind the eviction
+              // watermark, SPARK-42376) and reaches this branch; an
+              // unclamped re-arm below the watermark throws in
+              // GroupStateImpl and kills the query (the
+              // StreamAttribution crash class)
+              state.setTimeoutTimestamp(
+                math.max((key._2 + 1L) * winMs, wm + 1L))
             }
             Iterator.empty
           }

@@ -35,9 +35,16 @@ object StreamIndex {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
-          Retrieval.writeIndex(Retrieval.indexParts(batch, idCol, textCol),
-            s"$path/delta=$batchId")
+        // persist around the multiple actions (isEmpty + the three
+        // artifact writes): each action would otherwise re-tokenize the
+        // whole micro-batch from source — the StreamMediaAudit
+        // multi-action convention
+        batch.persist()
+        try {
+          if (!batch.isEmpty)
+            Retrieval.writeIndex(Retrieval.indexParts(batch, idCol, textCol),
+              s"$path/delta=$batchId")
+        } finally { batch.unpersist(); () }
         ()
       }
       .start()
@@ -54,16 +61,18 @@ object StreamIndex {
       .filter(s => s.isDirectory && (s.getPath.getName.startsWith("delta=") ||
         s.getPath.getName.startsWith("compacted=")))
       .map(_.getPath)
-    // a delta at or below the base id is ALREADY folded into the base —
-    // it only exists when compactDeltas crashed between its rename and
-    // its delete pass; merging it again would double-count every one of
-    // its documents, so the base id is the read-side watermark
+    // anything at or below the NEWEST base id is ALREADY folded into it —
+    // older compacted bases and low deltas only exist when compactDeltas
+    // crashed between its rename and its delete pass; merging either
+    // again would double-count every one of their documents, so the max
+    // base id is the read-side watermark over BOTH directory kinds
     val baseId = all.filter(_.getName.startsWith("compacted="))
       .map(_.getName.stripPrefix("compacted=").toLong)
       .sorted.lastOption.getOrElse(Long.MinValue)
     val parts = all.filter { p =>
-      !p.getName.startsWith("delta=") ||
-        p.getName.stripPrefix("delta=").toLong > baseId
+      val n = p.getName
+      if (n.startsWith("delta=")) n.stripPrefix("delta=").toLong > baseId
+      else n.stripPrefix("compacted=").toLong == baseId
     }.map(_.toString).sorted
     require(parts.nonEmpty, s"no index deltas under $path")
     parts.map(d => Retrieval.readIndex(spark, d))
@@ -99,21 +108,25 @@ object StreamIndex {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val entries = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-    val bases = entries.filter(_.getName.startsWith("compacted="))
-    require(bases.length <= 1,
-      s"multiple compacted bases under $path: ${bases.mkString(", ")}")
-    val baseId = bases.headOption
+    val allBases = entries.filter(_.getName.startsWith("compacted="))
+    // the NEWEST base wins; older compacted dirs are crash leftovers
+    // (rename landed, the delete pass did not) already folded into it
+    val baseId = allBases
       .map(_.getName.stripPrefix("compacted=").toLong)
-      .getOrElse(Long.MinValue)
+      .sorted.lastOption.getOrElse(Long.MinValue)
+    val bases = allBases.filter(
+      _.getName.stripPrefix("compacted=").toLong == baseId)
     require(baseId <= upTo,
       s"compacted base $baseId already past upTo=$upTo")
-    // deltas at or below the base id are already inside the base — the
+    // anything at or below the base id is already inside the base — the
     // crash-between-rename-and-delete leftovers; finish their delete
     // instead of merging them a second time (readMerged ignores them
     // for the same reason, so this pass is pure hygiene)
     val stale = entries.filter { p =>
       val n = p.getName
-      n.startsWith("delta=") && n.stripPrefix("delta=").toLong <= baseId
+      (n.startsWith("delta=") && n.stripPrefix("delta=").toLong <= baseId) ||
+        (n.startsWith("compacted=") &&
+          n.stripPrefix("compacted=").toLong < baseId)
     }
     stale.foreach(p => fs.delete(p, true))
     val deltas = entries.filter { p =>

@@ -33,14 +33,21 @@ object StreamMerge {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val w = Window.partitionBy(col(keyCol))
           .orderBy(col("seq").desc)
+        // persist the deduped frame: the two isEmpty probes plus
+        // mergeInto's own actions would otherwise recompute the
+        // row_number window shuffle up to five times per trigger (the
+        // StreamMediaAudit multi-action convention)
         val last = batch
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
-        val ups = last.filter(col("op") === "upsert").drop("op", "seq")
-        val dels = last.filter(col("op") === "delete").select(col(keyCol))
-        if (!(ups.isEmpty && dels.isEmpty))
-          MergeInto.mergeInto(batch.sparkSession, path, keyCol, nParts,
-            ups, dels)
+          .persist()
+        try {
+          val ups = last.filter(col("op") === "upsert").drop("op", "seq")
+          val dels = last.filter(col("op") === "delete").select(col(keyCol))
+          if (!(ups.isEmpty && dels.isEmpty))
+            MergeInto.mergeInto(batch.sparkSession, path, keyCol, nParts,
+              ups, dels)
+        } finally { last.unpersist(); () }
         ()
       }
       .start()

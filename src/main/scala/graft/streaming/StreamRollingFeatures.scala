@@ -96,11 +96,16 @@ object StreamRollingFeatures {
             }
           }
           // the ledger drains by watermark; lastTs stays so gaps across
-          // idle periods match batch
-          state.update(RollState(entries, prevTs))
+          // idle periods match batch. But a key whose ONLY delivered rows
+          // were late-filtered must not write state: RollState(Nil, -1)
+          // arms no timeout and would live forever (the StreamAbUnits
+          // zombie class)
+          if (entries.nonEmpty || prevTs >= 0L || state.exists)
+            state.update(RollState(entries, prevTs))
           if (entries.nonEmpty)
-            state.setTimeoutTimestamp(
-              entries.map(_.tsUs / 1000L).max + windowSec * 1000L + 1L)
+            state.setTimeoutTimestamp(math.max(
+              entries.map(_.tsUs / 1000L).max + windowSec * 1000L + 1L,
+              state.getCurrentWatermarkMs() + 1L))
           out.result().iterator
         })
   }

@@ -90,4 +90,42 @@ class StreamFunnelSpec extends SparkSpec {
     assert(viaChain.filter(_._2 == 0).keySet
       .intersect(batch.keySet).isEmpty)
   }
+
+  test("stragglers for an expired window drop cleanly and the buffered " +
+    "window still emits (timeout re-arm clamp scenario)") {
+    // The clamp in StreamFunnel.windowed guards the SPARK-42376 lag:
+    // under CONTINUOUS arrival the input late filter runs one batch
+    // behind the eviction watermark, so a straggler for an expired
+    // window reaches the function and an unclamped re-arm below the
+    // watermark would throw. That interleaving is not reachable from
+    // this harness — MemoryStream coalesces queued blocks into one
+    // micro-batch and processAllAvailable interposes a timer batch that
+    // syncs both watermarks — so this test pins the adjacent behavior
+    // (stragglers drop, windows still emit exactly once); the clamp
+    // itself is the StreamAttribution/StreamAbUnits convention.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val out = StreamFunnel.windowed(
+      mem.toDF().selectExpr("_1 AS user_id", "CAST(_2 AS TIMESTAMP) AS ts",
+        "_3 AS etype"),
+      "user_id", "ts", "etype", Steps, WinSec, watermark = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("sfunnel_late")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 10L, "view"))          // win 0 buffers, timer 100 s
+      q.processAllAvailable()
+      mem.addData((7L, 3600L, "view"))        // eviction wm -> ~3590 s
+      q.processAllAvailable()                 // win 0 times out and emits
+      mem.addData((1L, 25L, "click"))         // straggler for expired win 0
+      q.processAllAvailable()
+      mem.addData((8L, 9000L, "view"))        // close everything
+      q.processAllAvailable()
+      val u1 = spark.sql(
+        "SELECT steps_reached FROM sfunnel_late WHERE user_id = 1")
+        .collect().map(_.getInt(0)).toSeq
+      assert(u1 === Seq(1)) // exactly one emission; the straggler never
+      // rewrote the already-closed window
+    } finally q.stop()
+  }
 }

@@ -120,9 +120,13 @@ class StreamIndexSpec extends SparkSpec {
     Retrieval.writeIndex(
       Retrieval.indexParts(d1.toDF(), "doc_id", "text"), s"$dir/delta=1")
     assert(StreamIndex.compactDeltas(spark, dir, upTo = 1L) == 2)
-    // simulate the crash window: rename landed, the delete pass did not
+    // simulate the crash window: rename landed, the delete pass did not —
+    // BOTH leftover kinds: a low delta and an OLD compacted base (the
+    // compact-over-compact crash leaves the previous base behind too)
     Retrieval.writeIndex(
       Retrieval.indexParts(d1.toDF(), "doc_id", "text"), s"$dir/delta=1")
+    Retrieval.writeIndex(
+      Retrieval.indexParts(d01.toDF(), "doc_id", "text"), s"$dir/compacted=0")
     val queries = Seq(1L -> Seq("hash"), 2L -> Seq("scan"))
     def serve(): Set[(Long, Long, Long, Long)] =
       Retrieval.bm25FromIndex(StreamIndex.readMerged(spark, dir), queries,
@@ -133,11 +137,11 @@ class StreamIndexSpec extends SparkSpec {
         queries, k = 10).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
-    // the leftover delta must NOT double-count doc 3's postings
+    // neither leftover may double-count any document's postings
     assert(serve() == batch)
-    // a rerun at the SAME upTo is the legal recovery: sweeps the stale
-    // delta, keeps the base, changes no answers
-    assert(StreamIndex.compactDeltas(spark, dir, upTo = 1L) == 1)
+    // a rerun at the SAME upTo is the legal recovery: sweeps both stale
+    // dirs, keeps the newest base, changes no answers
+    assert(StreamIndex.compactDeltas(spark, dir, upTo = 1L) == 2)
     assert(dirs() == Seq("compacted=1"))
     assert(serve() == batch)
   }

@@ -59,6 +59,30 @@ class StreamRollingFeaturesSpec extends SparkSpec {
     assert(runStream(Seq(events)) == runBatch(events))
   }
 
+  test("late-only rows for an unknown key leave NO state behind " +
+    "(zombie guard: RollState(Nil, -1) arms no timeout)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[RollEvt]
+    val out = StreamRollingFeatures.perKey(mem.toDF(), "user_id",
+      "event_id", "ts", "value", windowSec = 3600L, watermark = "10 seconds")
+    val query = out.writeStream.format("memory").queryName("roll_zombie")
+      .outputMode("append").start()
+    try {
+      // batch 1 pushes the watermark far ahead
+      mem.addData(RollEvt(1L, 999L, t(50000), 1.0))
+      query.processAllAvailable()
+      // batch 2: a NEW key whose only row is far below the watermark
+      mem.addData(RollEvt(2L, 50L, t(10), 1.0))
+      query.processAllAvailable()
+      val stateRows = query.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows === 1L,
+        s"expected only the live key's state, got $stateRows rows")
+    } finally query.stop()
+    assert(spark.table("roll_zombie")
+      .filter(col("key") === 50L).count() === 0L)
+  }
+
   test("in-order delivery across micro-batches == batch operator") {
     // the split respects GLOBAL event-time order (e6 at t=110 goes in
     // batch 1) and does not divide a tie group — the two conditions of
