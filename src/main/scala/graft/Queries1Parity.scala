@@ -437,11 +437,14 @@ private[graft] trait Queries1Parity extends QueriesBase {
   // expression; the DuckDB oracle reproduces the identical left-to-right
   // double accumulation via list_reduce (verified bit-exact).
   // ---------------------------------------------------------------------
-  /** DuckDB cosine with the same op order as functions.VectorOps.cosine. */
-  private[graft] def duckCosine(a: String, b: String): String =
-    s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)" +
-      s" / (sqrt(list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)), (x,y) -> x+y))" +
-      s" * sqrt(list_reduce(list_transform(generate_series(1, len($b)), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)))"
+  /** DuckDB cosine with the same op order as functions.VectorOps.cosine,
+    * including its zero-vector guard (either norm 0 → 0.0, never NaN). */
+  private[graft] def duckCosine(a: String, b: String): String = {
+    def dotOf(x: String, y: String): String =
+      s"list_reduce(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (x,y) -> x+y)"
+    s"CASE WHEN ${dotOf(a, a)} = 0 OR ${dotOf(b, b)} = 0 THEN 0.0 " +
+      s"ELSE ${dotOf(a, b)} / (sqrt(${dotOf(a, a)}) * sqrt(${dotOf(b, b)})) END"
+  }
 
   private[graft] def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))

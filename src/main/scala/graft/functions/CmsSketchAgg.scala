@@ -9,7 +9,8 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.graftx.Bridge
-import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Count-min sketch as a NATIVE Catalyst aggregate — the custom-
@@ -203,6 +204,12 @@ case class CmsMergeAgg(child: Expression,
 case class CmsEstimate(left: Expression, right: Expression)
   extends BinaryExpression with BinaryLike[Expression] {
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "cms_estimate requires (BINARY sketch, STRING item), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
   override def dataType: DataType = LongType
   override def nullSafeEval(sketch: Any, item: Any): Any =
     CmsSketch.estimate(sketch.asInstanceOf[Array[Byte]],

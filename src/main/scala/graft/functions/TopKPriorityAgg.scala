@@ -46,9 +46,14 @@ object TopKPriority {
   def better(a: Entry, b: Entry): Boolean =
     a.pri > b.pri || (a.pri == b.pri && a.id < b.id)
 
-  /** Insert into a rank-sorted, ≤ k ledger. */
+  /** Insert into a rank-sorted, ≤ k ledger. NaN priorities are skipped
+    * outright: NaN is incomparable (every `better` test false), so a
+    * NaN entry would insert at the front, break the rank-sorted
+    * invariant, and never be evicted — k NaN rows would permanently
+    * displace every real candidate. */
   def insert(ledger: Vector[Entry], e: Entry, k: Int): Vector[Entry] = {
-    if (ledger.size == k && better(ledger.last, e)) ledger
+    if (e.pri.isNaN) ledger
+    else if (ledger.size == k && better(ledger.last, e)) ledger
     else {
       val i = ledger.indexWhere(x => better(e, x)) match {
         case -1 => ledger.size

@@ -25,7 +25,12 @@ object VectorOps {
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-vector guard: 0/0 would be NaN, and NaN silently fails every
+    // downstream threshold AND poisons aggregates — an all-zeros
+    // embedding (padding row, failed encode) scores 0 ("no similarity"),
+    // mirrored by duckCosine's CASE guard
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   def dot(a: ArrayData, b: ArrayData): Double = {

@@ -43,6 +43,7 @@ import org.apache.spark.sql.types.LongType
 object BinRangeJoinRule extends Rule[LogicalPlan] {
 
   val BinWidthKey = "spark.graft.rangejoin.binWidth"
+  val MaxBinsKey = "spark.graft.rangejoin.maxBinsPerInterval"
   private val BinCol = "__graft_bin"
 
   private def splitConj(e: Expression): Seq[Expression] = e match {
@@ -50,8 +51,16 @@ object BinRangeJoinRule extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  private def binOf(e: Expression, w: Long): Expression =
-    IntegralDivide(Subtract(e, Pmod(e, Literal(w))), Literal(w))
+  /** Floor division at Expression level, the [[graft.functions.IntMath
+    * .floordiv]] construction: truncating IntegralDivide minus one when
+    * the remainder is negative. NOT the subtract-pmod form — e − pmod(e,
+    * w) underflows Long.MinValue-adjacent values for non-power-of-two
+    * widths and silently mis-bins the row (missed matches). */
+  private def binOf(e: Expression, w: Long): Expression = {
+    val q = IntegralDivide(e, Literal(w))
+    val negRem = LessThan(Remainder(e, Literal(w)), Literal(0L))
+    Subtract(q, If(negRem, Literal(1L), Literal(0L)))
+  }
 
   /** (point, lo, hi, pointsOnLeft) when the condition is a pure
     * interval containment between the two sides. */
@@ -139,14 +148,27 @@ object BinRangeJoinRule extends Rule[LogicalPlan] {
             // returns zero matches for such a row; Sequence would THROW
             // ('Illegal sequence boundaries') — an optimizer rule must
             // never change failure behavior, so clamp to an empty array
-            // (explode of empty = row contributes nothing, as before)
+            // (explode of empty = row contributes nothing, as before).
+            // WIDE intervals: one lo=0/hi=10^12 row would make Sequence
+            // build a ~10^9-element array (throw or OOM where the
+            // original BNLJ merely ran slow) — refuse LOUDLY with the
+            // remediation in the message instead of letting the
+            // replication blow up an executor mid-job.
+            val maxBins = conf.getConfString(MaxBinsKey, "1048576").toLong
+            val arrTy = org.apache.spark.sql.types.ArrayType(LongType, false)
             val binLo = binOf(lo, w)
             val binHi = binOf(hi, w)
+            val tooWide = Cast(new RaiseError(Literal(
+              s"BinRangeJoinRule: an interval spans more than $maxBins " +
+                s"bins at binWidth=$w — raise $BinWidthKey, raise " +
+                s"$MaxBinsKey, or set $BinWidthKey=0 to keep the " +
+                "unrewritten nested-loop plan")), arrTy)
             val gen = Explode(If(GreaterThan(binLo, binHi),
-              Literal.create(Array.empty[Long],
-                org.apache.spark.sql.types.ArrayType(LongType, false)),
-              new Sequence(binLo, binHi, Some(Literal(1L)),
-                Some(conf.sessionLocalTimeZone))))
+              Literal.create(Array.empty[Long], arrTy),
+              If(GreaterThan(Subtract(binHi, binLo), Literal(maxBins)),
+                tooWide,
+                new Sequence(binLo, binHi, Some(Literal(1L)),
+                  Some(conf.sessionLocalTimeZone)))))
             val iAttr = AttributeReference(BinCol, LongType, nullable = false)()
             val iPlan = Generate(gen, unrequiredChildIndex = Nil,
               outer = false, qualifier = None,

@@ -112,11 +112,15 @@ final class RowSkippingSink(inner: BatchSink,
     // cheap emptiness probe and both writes against the cached frame
     val persisted = df.persist()
     try {
+      // null-safe split: a predicate evaluating to NULL (e.g. a length
+      // test over a NULL column) matches neither filter(p) nor
+      // filter(!p) — such rows must dead-letter, not silently vanish
+      val ok = valid.eqNullSafe(org.apache.spark.sql.functions.lit(true))
       deadLetter.foreach { dl =>
-        val bad = persisted.filter(!valid)
+        val bad = persisted.filter(!ok)
         if (!bad.isEmpty) dl.write(bad, batchId)
       }
-      inner.write(persisted.filter(valid), batchId)
+      inner.write(persisted.filter(ok), batchId)
     } finally { persisted.unpersist(); () }
   }
 }

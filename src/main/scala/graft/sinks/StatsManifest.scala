@@ -65,7 +65,13 @@ object StatsManifest {
     * (conjunctive pruning; a file lacking overlap on any range can hold
     * no matching row). */
   def selectFiles(spark: SparkSession, path: String,
-                  ranges: Seq[(String, Long, Long)]): Seq[String] = {
+                  ranges: Seq[(String, Long, Long)]): Seq[String] =
+    selectFilesOf(manifest(spark, path), ranges)
+
+  /** [[selectFiles]] over an already-built manifest frame — callers
+    * that also probe the manifest schema share one DataFrame. */
+  def selectFilesOf(manifest: DataFrame,
+                    ranges: Seq[(String, Long, Long)]): Seq[String] = {
     require(ranges.nonEmpty, "ranges must be non-empty")
     // an empty interval (lo > hi) is unsatisfiable — interval-overlap
     // math would still keep files SPANNING it, so short-circuit
@@ -73,7 +79,7 @@ object StatsManifest {
     val pred = ranges.map { case (c, lo, hi) =>
       col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo)
     }.reduce(_ && _)
-    manifest(spark, path).filter(pred)
+    manifest.filter(pred)
       .select(col("file")).collect().map(_.getString(0)).toSeq
   }
 

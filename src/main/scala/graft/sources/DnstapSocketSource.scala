@@ -97,17 +97,29 @@ final class DnstapSocketMicroBatchStream(path: String, readers: Int,
     extends MicroBatchStream with SupportsAdmissionControl {
 
   // Frame buffer: frames(i) holds offset firstOffset + i. Committed
-  // prefixes are trimmed (the agg channel analog, bounded by commit pace).
+  // prefixes are trimmed; intake is BOUNDED — a producer outpacing the
+  // trigger cadence blocks the reader thread once the buffer holds
+  // MaxBufferedFrames (backpressure through the socket, the reference's
+  // bounded-channel semantics, aggregator.go:203 — Go channel writers
+  // block when full), instead of growing driver memory until OOM.
   private val frames = mutable.ArrayBuffer.empty[Array[Byte]]
   private var firstOffset = 0L
   private val lock = new Object
+  @volatile private var stopped = false
 
   // attach (not own) the listener: several streaming queries over the same
   // socket path — e.g. the pipeline's W1 and W2 branches — share one bound
   // server, each keeping its own offset-tracked buffer (the reference's
-  // one-listener / N-consumers shape)
+  // one-listener / N-consumers shape). The timed wait keeps a blocked
+  // reader responsive to stop() (a bare wait could outlive the server's
+  // close and strand the thread).
   private val server = FrameSocketServer.attach(path, readers, maxFrameBytes,
-    readTimeoutSecs)(frame => lock.synchronized { frames += frame })
+    readTimeoutSecs)(frame => lock.synchronized {
+      while (!stopped && frames.length >=
+        DnstapSocketMicroBatchStream.MaxBufferedFrames)
+        lock.wait(100L)
+      if (!stopped) frames += frame
+    })
 
   private def endOffset: Long = lock.synchronized(firstOffset + frames.length)
 
@@ -175,10 +187,24 @@ final class DnstapSocketMicroBatchStream(path: String, readers: Int,
       // beyond the buffer (recovered checkpoint) rebases without dropping
       frames.dropInPlace(math.min(e - firstOffset, frames.length.toLong).toInt)
       firstOffset = math.max(firstOffset, e)
+      lock.notifyAll() // wake reader threads blocked on the intake bound
     }
   }
 
-  override def stop(): Unit = server.close()
+  override def stop(): Unit = {
+    stopped = true
+    lock.synchronized(lock.notifyAll())
+    server.close()
+  }
+}
+
+object DnstapSocketMicroBatchStream {
+  /** Intake bound: past this many buffered frames the socket reader
+    * threads block until a commit trims the prefix — backpressure, not
+    * loss (and not an OOM). At the 1 MiB frame cap this bounds the
+    * buffer's worst case to ~1 GiB; typical dnstap frames are a few
+    * hundred bytes. */
+  val MaxBufferedFrames: Int = 1 << 20
 }
 
 final case class FramesPartition(frames: Array[Array[Byte]]) extends InputPartition

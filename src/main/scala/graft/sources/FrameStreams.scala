@@ -67,6 +67,12 @@ object FrameStreams {
     while (in.available() >= 8) {
       val field = in.readInt()
       val len = in.readInt()
+      // the length is wire data: validate against the bytes actually
+      // remaining BEFORE allocating — a corrupt/malicious field header
+      // claiming Int.MaxValue would otherwise allocate ~2 GB on the
+      // driver (and a negative length throws) ahead of any read
+      if (len < 0 || len > in.available())
+        return ControlFrame(ctype, cts.result())
       val v = new Array[Byte](len)
       in.readFully(v)
       if (field == FieldContentType) cts += new String(v, UTF_8)

@@ -67,7 +67,7 @@ object JsonlIngest {
       .groupBy(col(srcCol).as("src"))
       .agg(count(lit(1)).as("n_rows"), sum(col(charsCol)).as("n_chars"))
     val bad = df.filter(col(CorruptCol).isNotNull)
-      .select(lit("__corrupt__").as("src"), lit(1L).as("__one"))
+      .select(lit("__corrupt__").as("src"))
       .groupBy(col("src"))
       .agg(count(lit(1)).as("n_rows"), lit(0L).as("n_chars"))
     ok.unionByName(bad)

@@ -102,15 +102,18 @@ class StatsManifestRelation(ctx: SQLContext, path: String)
   /** Files surviving stats + bloom pruning for these filters — also
     * the spec's observability hook. */
   private[sources] def selectedFiles(filters: Array[Filter]): Seq[String] = {
-    val statCols = StatsManifest.manifest(spark, path).columns
+    // ONE manifest DataFrame serves both the schema probe (.columns is a
+    // footer read, no job) and the file-list job — re-building it per
+    // consumer would launch redundant planning work on every scan
+    val mf = StatsManifest.manifest(spark, path)
+    val statCols = mf.columns
       .filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSet
     val ranged = bounds(filters).filter { case (c, _) => statCols(c) }
     var files: Seq[String] =
       if (ranged.isEmpty)
-        StatsManifest.manifest(spark, path)
-          .select(col("file")).collect().map(_.getString(0)).toSeq
+        mf.select(col("file")).collect().map(_.getString(0)).toSeq
       else
-        StatsManifest.selectFiles(spark, path,
+        StatsManifest.selectFilesOf(mf,
           ranged.map { case (c, (lo, hi)) => (c, lo, hi) }.toSeq)
     points(filters).foreach { case (c, vs) =>
       val dir = s"$path/_graft_bloom_$c"
