@@ -390,6 +390,55 @@ private[graft] trait Queries10Information extends Queries9Experiments {
       |FROM f""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q251 — pairwise symmetric KL drift matrix (operators/InfoTheory
+  // .klDriftMatrix): which sources are distributionally alike — each
+  // direction is exactly the q240 quantization with the other source
+  // standing in for the corpus. Near-zero q244 Jaccard with near-zero
+  // KL here is the template-rewrite signature.
+  // ---------------------------------------------------------------------
+  private[graft] def q251KlMatrix(spark: SparkSession, dir: String): DataFrame =
+    InfoTheory.klDriftMatrix(Tables.documents(spark, dir), "source",
+      "text", buckets = 256)
+
+  private[graft] val q251Sql =
+    s"""WITH RECURSIVE tb AS (
+      |  SELECT source,
+      |    CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 256 AS b
+      |  FROM (SELECT source, unnest(list_filter(string_split(text, ' '),
+      |          x -> x <> '')) AS t FROM documents)),
+      |gc AS (SELECT source, b, CAST(count(*) AS BIGINT) AS c
+      |       FROM tb GROUP BY 1, 2),
+      |gt AS (SELECT source, CAST(sum(c) AS BIGINT) AS tg FROM gc GROUP BY 1),
+      |ax AS (SELECT a.source AS ga, a.tg AS ta, b.source AS gb, b.tg AS tb2,
+      |    r.range AS b
+      |  FROM gt a JOIN gt b ON a.source < b.source CROSS JOIN range(256) r),
+      |j AS (SELECT ax.ga, ax.gb, ax.ta, ax.tb2,
+      |    COALESCE(ca.c, 0) + 1 AS a1, COALESCE(cb.c, 0) + 1 AS b1
+      |  FROM ax
+      |  LEFT JOIN gc ca ON ca.source = ax.ga AND ca.b = ax.b
+      |  LEFT JOIN gc cb ON cb.source = ax.gb AND cb.b = ax.b),
+      |vals AS (SELECT DISTINCT v FROM (
+      |  SELECT a1 AS v FROM j UNION ALL SELECT b1 FROM j
+      |  UNION ALL SELECT tg + 256 FROM gt)),
+      |$ilogCteSql,
+      |term AS (SELECT j.ga, j.gb, j.ta, j.tb2,
+      |    j.a1 * (la.lm - lta.lm - lb.lm + ltb.lm) AS t1,
+      |    j.b1 * (lb.lm - ltb.lm - la.lm + lta.lm) AS t2
+      |  FROM j JOIN ilog la ON la.v = j.a1
+      |         JOIN ilog lb ON lb.v = j.b1
+      |         JOIN ilog lta ON lta.v = j.ta + 256
+      |         JOIN ilog ltb ON ltb.v = j.tb2 + 256),
+      |agg AS (SELECT ga, gb, CAST(any_value(ta) AS BIGINT) AS ta,
+      |    CAST(any_value(tb2) AS BIGINT) AS tb2,
+      |    CAST(sum(t1) // (any_value(ta) + 256) AS BIGINT) AS klab,
+      |    CAST(sum(t2) // (any_value(tb2) + 256) AS BIGINT) AS klba
+      |  FROM term GROUP BY 1, 2)
+      |SELECT ga AS group_a, gb AS group_b, ta AS n_tokens_a,
+      |  tb2 AS n_tokens_b, klab AS kl_ab_mb, klba AS kl_ba_mb,
+      |  CAST(klab + klba AS BIGINT) AS skl_mb
+      |FROM agg""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q250 — token burstiness card (operators/InfoTheory.burstinessCard):
   // top-50 tokens by exact integer variance-to-mean ratio of per-doc
   // counts over ALL documents — the dispersion axis frequency cards

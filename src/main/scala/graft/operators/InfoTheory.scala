@@ -122,6 +122,78 @@ object InfoTheory {
         expr(s"__kls div (n_tokens + ${buckets}L)").as("kl_mb"))
   }
 
+  /** Pairwise symmetric KL drift matrix: for every unordered group
+    * pair, KL(a‖b), KL(b‖a) and their sum in exact micro-bits over the
+    * same `buckets` hashed-token grid and add-one smoothing as
+    * [[klDriftCard]] — each direction is exactly the q240 quantization
+    * with the other group standing in for the corpus. The pairwise
+    * completion of the drift story: q240 ranks sources against the
+    * corpus mean, this says WHICH sources are alike (feed dedup
+    * budgeting) and which pair drifted apart between crawls; q244's
+    * Jaccard matrix sees shared shingles, this sees shared
+    * DISTRIBUTION — near-zero Jaccard with near-zero KL is the
+    * template-rewrite signature (same language, no shared text).
+    *
+    * Scale: one corpus scan → ≤ |groups|·B cell counts; the dense
+    * axis is |groups|²/2 · B rows — bounded, but quadratic in groups,
+    * so the operator counts groups first and refuses loudly past
+    * `maxGroups` (the [[Scrub.sourceOverlapMatrix]] guard). Totals
+    * ride the pair axis; the cell frame joins in twice by (group,
+    * bucket).
+    *
+    * @return (group_a, group_b, n_tokens_a, n_tokens_b, kl_ab_mb,
+    *         kl_ba_mb, skl_mb) for every pair group_a < group_b. */
+  def klDriftMatrix(df: DataFrame, groupCol: String, textCol: String,
+                    buckets: Int = 1024, maxGroups: Int = 64): DataFrame = {
+    require(buckets >= 1 && buckets <= Importance.MaxBuckets,
+      s"buckets must be in [1, ${Importance.MaxBuckets}], got $buckets")
+    val spark = df.sparkSession
+    val nGroups = df.select(col(groupCol)).distinct().count()
+    require(nGroups <= maxGroups,
+      s"klDriftMatrix saw $nGroups groups (> $maxGroups): the pair axis " +
+        "is |groups|^2 * buckets rows — bucket the group column or " +
+        "raise maxGroups deliberately")
+    val b = lit(buckets.toLong)
+    val gc = df.select(col(groupCol).as("__g"),
+        TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col("__g"), explode(col("__tk")).as("__t"))
+      .select(col("__g"), pmod(Dedup.baseHash32(col("__t")), b).as("__b"))
+      .groupBy(col("__g"), col("__b")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // totals AND both sides of the pair axis
+    val gt = gc.groupBy(col("__g")).agg(sum(col("__c")).as("__tg"))
+    val axis = gt.select(col("__g").as("__ga"), col("__tg").as("__ta"))
+      .join(gt.select(col("__g").as("__gb"), col("__tg").as("__tb")),
+        col("__ga") < col("__gb"))
+      .crossJoin(broadcast(
+        spark.range(buckets.toLong).select(col("id").as("__b"))))
+    axis
+      .join(gc.select(col("__g").as("__ga"), col("__b"),
+        col("__c").as("__cga")), Seq("__ga", "__b"), "left")
+      .join(gc.select(col("__g").as("__gb"), col("__b"),
+        col("__c").as("__cgb")), Seq("__gb", "__b"), "left")
+      .select(col("__ga"), col("__gb"), col("__ta"), col("__tb"),
+        (coalesce(col("__cga"), lit(0L)) + 1L).as("__a1"),
+        (coalesce(col("__cgb"), lit(0L)) + 1L).as("__b1"))
+      .select(col("__ga"), col("__gb"), col("__ta"), col("__tb"),
+        (col("__a1") * (ilog2_micro(col("__a1")) -
+          ilog2_micro(col("__ta") + b) -
+          ilog2_micro(col("__b1")) +
+          ilog2_micro(col("__tb") + b))).as("__t1"),
+        (col("__b1") * (ilog2_micro(col("__b1")) -
+          ilog2_micro(col("__tb") + b) -
+          ilog2_micro(col("__a1")) +
+          ilog2_micro(col("__ta") + b))).as("__t2"))
+      .groupBy(col("__ga"), col("__gb"))
+      .agg(first(col("__ta")).as("n_tokens_a"),
+        first(col("__tb")).as("n_tokens_b"),
+        sum(col("__t1")).as("__s1"), sum(col("__t2")).as("__s2"))
+      .select(col("__ga").as("group_a"), col("__gb").as("group_b"),
+        col("n_tokens_a"), col("n_tokens_b"),
+        expr(s"__s1 div (n_tokens_a + ${buckets}L)").as("kl_ab_mb"),
+        expr(s"__s2 div (n_tokens_b + ${buckets}L)").as("kl_ba_mb"))
+      .withColumn("skl_mb", col("kl_ab_mb") + col("kl_ba_mb"))
+  }
+
   /** Top-`k` DISTINCTIVE terms per group by sublinear tf-idf in
     * micro-bits: w_mb = ((2²⁰ + ilog(tf_g)) · (ilog(N) − ilog(df)))
     * div 2²⁰ — the classic (1 + log2 tf)·log2(N/df) "ltc" weighting,

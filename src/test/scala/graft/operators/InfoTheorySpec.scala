@@ -151,6 +151,26 @@ class InfoTheorySpec extends SparkSpec {
     assert(InfoTheory.leaveOneOutEntropy(solo, "g", "text").count() === 0L)
   }
 
+  test("klDriftMatrix: identical distributions -> exactly 0 both ways; " +
+    "disjoint pair positive; group cap enforced") {
+    val docs = Seq(
+      ("p", "aa bb aa bb"), ("q", "aa bb aa bb"), // identical to p
+      ("r", "cc cc cc cc"))                       // disjoint
+      .toDF("g", "text")
+    val got = InfoTheory.klDriftMatrix(docs, "g", "text", buckets = 32)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got.keySet === Set(("p", "q"), ("p", "r"), ("q", "r")))
+    // identical cell counts: every per-bucket term cancels exactly
+    assert(got(("p", "q")) === ((0L, 0L, 0L)))
+    assert(got(("p", "r"))._3 > 0L && got(("q", "r"))._3 > 0L)
+    val err = intercept[IllegalArgumentException] {
+      InfoTheory.klDriftMatrix(docs, "g", "text", buckets = 32,
+        maxGroups = 2)
+    }
+    assert(err.getMessage.contains("groups"))
+  }
+
   test("burstinessCard: one-per-doc-everywhere scores exactly 0; " +
     "concentrated token replays the cross-multiplied formula") {
     // N = 3 docs. 'u' once in every doc -> VMR 0. 'b' 6x in one doc:
