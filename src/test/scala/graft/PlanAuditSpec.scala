@@ -331,6 +331,46 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q239's entropy card is two aggregations over one scan — no join") {
+    // the fold-over-counts shape: (group, token) counts then the
+    // per-group entropy fold; a Join appearing means the vocabulary
+    // started joining back against the corpus
+    val plan = SparkEntry.queries("q239_entropy_card")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    Seq("Join", "CartesianProduct").foreach(bad =>
+      assert(!plan.contains(bad), s"q239 plans a $bad"))
+    assert(plan.contains("Scan parquet"), "q239 lost its parquet scan")
+  }
+
+  test("q243's MI totals broadcast onto the cell frame — no sort-merge join") {
+    // group totals (<=|groups| rows) and bucket totals (<=B rows) must
+    // broadcast; a SortMergeJoin means a bounded side started shuffling
+    // the cell frame with it
+    val plan = SparkEntry.queries("q243_mi_features")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), "q243 shuffles a totals join")
+    assert(plan.contains("BroadcastHashJoin"), "q243 lost its broadcasts")
+  }
+
+  test("q250's burstiness never joins — sufficient statistics only") {
+    // absent-doc zeros ride the (N, sum x, sum x^2) statistics; a Join
+    // means a dense doc x token axis started materializing
+    val plan = SparkEntry.queries("q250_burstiness")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    Seq("Join", "CartesianProduct").foreach(bad =>
+      assert(!plan.contains(bad), s"q250 plans a $bad"))
+  }
+
+  test("q247's WARC encode+parse is one narrow pass — no exchange, no join") {
+    // the byte-codec discipline applied to the archive walk: encode and
+    // Content-Length hop run partition-local over the scan
+    val plan = SparkEntry.queries("q247_warc_parse")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    Seq("Exchange", "Join", "CartesianProduct").foreach(bad =>
+      assert(!plan.contains(bad), s"q247 plans a $bad"))
+    assert(plan.contains("Scan parquet"), "q247 lost its parquet scan")
+  }
+
   test("q187's PDF encode+decode is one narrow pass — no exchange, no join") {
     // the byte-codec discipline: PDFs are built and parsed inside one
     // partition-local map over the scan; an Exchange or Join here means
