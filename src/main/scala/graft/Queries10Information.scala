@@ -249,13 +249,17 @@ private[graft] trait Queries10Information extends Queries9Experiments {
       |    THEN list_transform(generate_series(1, len(tk)-2),
       |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
       |    ELSE [] END) AS sg FROM t)),
-      |sz AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+      |allg AS (SELECT DISTINCT source AS g FROM documents),
+      |szx AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+      |sz AS (SELECT allg.g, COALESCE(szx.n, CAST(0 AS BIGINT)) AS n
+      |       FROM allg LEFT JOIN szx ON szx.g = allg.g),
       |inter AS (SELECT a.g AS ga, b.g AS gb, CAST(count(*) AS BIGINT) AS nc
       |  FROM sh a JOIN sh b ON a.h = b.h AND a.g < b.g GROUP BY 1, 2)
       |SELECT sa.g AS group_a, sb.g AS group_b, sa.n AS n_a, sb.n AS n_b,
       |  COALESCE(i.nc, CAST(0 AS BIGINT)) AS n_common,
-      |  CAST((1000000 * COALESCE(i.nc, 0)) //
-      |    (sa.n + sb.n - COALESCE(i.nc, 0)) AS BIGINT) AS jaccard_ppm
+      |  CAST(CASE WHEN sa.n + sb.n - COALESCE(i.nc, 0) = 0 THEN 0
+      |    ELSE (1000000 * COALESCE(i.nc, 0)) //
+      |      (sa.n + sb.n - COALESCE(i.nc, 0)) END AS BIGINT) AS jaccard_ppm
       |FROM sz sa JOIN sz sb ON sa.g < sb.g
       |LEFT JOIN inter i ON i.ga = sa.g AND i.gb = sb.g""".stripMargin
 
@@ -408,7 +412,10 @@ private[graft] trait Queries10Information extends Queries9Experiments {
       |          x -> x <> '')) AS t FROM documents)),
       |gc AS (SELECT source, b, CAST(count(*) AS BIGINT) AS c
       |       FROM tb GROUP BY 1, 2),
-      |gt AS (SELECT source, CAST(sum(c) AS BIGINT) AS tg FROM gc GROUP BY 1),
+      |allg AS (SELECT DISTINCT source FROM documents),
+      |gtx AS (SELECT source, CAST(sum(c) AS BIGINT) AS tg FROM gc GROUP BY 1),
+      |gt AS (SELECT allg.source, COALESCE(gtx.tg, CAST(0 AS BIGINT)) AS tg
+      |       FROM allg LEFT JOIN gtx ON gtx.source = allg.source),
       |ax AS (SELECT a.source AS ga, a.tg AS ta, b.source AS gb, b.tg AS tb2,
       |    r.range AS b
       |  FROM gt a JOIN gt b ON a.source < b.source CROSS JOIN range(256) r),

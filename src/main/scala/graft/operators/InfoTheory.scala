@@ -148,7 +148,13 @@ object InfoTheory {
     require(buckets >= 1 && buckets <= Importance.MaxBuckets,
       s"buckets must be in [1, ${Importance.MaxBuckets}], got $buckets")
     val spark = df.sparkSession
-    val nGroups = df.select(col(groupCol)).distinct().count()
+    // ONE narrow scan serves the guard AND the pair axis, which must
+    // include token-less groups (they score the pure-smoothing drift
+    // against every partner instead of silently vanishing — the
+    // sourceOverlapMatrix completeness convention)
+    val groups = df.select(col(groupCol).as("__g")).distinct()
+      .localCheckpoint()
+    val nGroups = groups.count()
     require(nGroups <= maxGroups,
       s"klDriftMatrix saw $nGroups groups (> $maxGroups): the pair axis " +
         "is |groups|^2 * buckets rows — bucket the group column or " +
@@ -160,7 +166,10 @@ object InfoTheory {
       .select(col("__g"), pmod(Dedup.baseHash32(col("__t")), b).as("__b"))
       .groupBy(col("__g"), col("__b")).agg(count(lit(1)).as("__c"))
       .localCheckpoint() // totals AND both sides of the pair axis
-    val gt = gc.groupBy(col("__g")).agg(sum(col("__c")).as("__tg"))
+    val gt = groups.join(
+        gc.groupBy(col("__g")).agg(sum(col("__c")).as("__tg0")),
+        Seq("__g"), "left")
+      .select(col("__g"), coalesce(col("__tg0"), lit(0L)).as("__tg"))
     val axis = gt.select(col("__g").as("__ga"), col("__tg").as("__ta"))
       .join(gt.select(col("__g").as("__gb"), col("__tg").as("__tb")),
         col("__ga") < col("__gb"))
@@ -225,7 +234,9 @@ object InfoTheory {
     val dfDocs = tok.select(col("__d"), col("__th")).distinct()
       .groupBy(col("__th")).agg(count(lit(1)).as("__df"))
     val n = docs.select(col(idCol)).distinct().count() // ALL docs, even token-less
-    val ilogN = graft.functions.IntLog.ilog2Micro(n)
+    // empty corpus: ilog(0) throws — max(n,1) keeps the plan valid and
+    // it naturally yields zero rows (the xentQualityCard convention)
+    val ilogN = graft.functions.IntLog.ilog2Micro(math.max(n, 1L))
     val scored = tf.join(dfDocs, Seq("__th"))
       .withColumn("__iltf", ilog2_micro(col("__tf")))
       .withColumn("__ildf", ilog2_micro(col("__df")))
@@ -453,7 +464,20 @@ object InfoTheory {
       sum(col("__cc")).as("__T"),
       count(lit(1)).as("__types"),
       sum(col("__cc") * ilog2_micro(col("__cc"))).as("__S")).head()
-    if (const.isNullAt(0)) return df.sparkSession.emptyDataFrame
+    if (const.isNullAt(0)) {
+      // empty corpus: keep the documented 6-column schema (a bare
+      // emptyDataFrame has ZERO columns and breaks every downstream
+      // select), just with no rows
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val schema = StructType(
+        StructField(groupCol,
+          df.schema(df.schema.fieldIndex(groupCol)).dataType) +:
+        Seq("n_tokens_rest", "n_types_rest", "entropy_mb_rest",
+          "corpus_mb", "delta_mb").map(StructField(_, LongType)))
+      return df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], schema)
+    }
     val (tTot, types, s) =
       (const.getLong(0), const.getLong(1), const.getLong(2))
     val corpusMb =

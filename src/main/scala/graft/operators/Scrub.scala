@@ -270,7 +270,13 @@ object Scrub {
                           textCol: String, n: Int = 3,
                           maxGroups: Int = 1024): DataFrame = {
     require(n >= 1, s"shingle width must be >= 1, got $n")
-    val nGroups = docs.select(col(groupCol)).distinct().count()
+    // ONE narrow (column-pruned) scan serves BOTH the group-cardinality
+    // guard and the pair axis — the axis must be built from ALL groups,
+    // not just shingle-bearing ones, or a source of sub-n-token docs
+    // silently vanishes from the matrix instead of reporting 0 ppm
+    val groups = docs.select(col(groupCol).as("__g")).distinct()
+      .localCheckpoint()
+    val nGroups = groups.count()
     require(nGroups <= maxGroups,
       s"sourceOverlapMatrix saw $nGroups groups (> $maxGroups): the " +
         "intersection join fans out by |groups|^2 per shingle — bucket " +
@@ -282,7 +288,10 @@ object Scrub {
       .select(col("__g"), Dedup.baseHash60(col("__s")).as("__h"))
       .distinct()
       .localCheckpoint() // sizes AND both sides of the intersection join
-    val sizes = sh.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val sizes = groups.join(
+        sh.groupBy(col("__g")).agg(count(lit(1)).as("__n0")),
+        Seq("__g"), "left")
+      .select(col("__g"), coalesce(col("__n0"), lit(0L)).as("__n"))
     val inter = sh.as("a").join(sh.as("b"), Seq("__h"))
       .where(col("a.__g") < col("b.__g"))
       .groupBy(col("a.__g").as("__ga"), col("b.__g").as("__gb"))
@@ -295,7 +304,11 @@ object Scrub {
       .select(col("__ga").as("group_a"), col("__gb").as("group_b"),
         col("n_a"), col("n_b"),
         coalesce(col("n_common"), lit(0L)).as("n_common"))
+      // two shingle-less groups share nothing and miss nothing: 0 ppm
+      // by convention (the CASE also keeps the division away from 0/0)
       .withColumn("jaccard_ppm",
-        expr("(1000000L * n_common) div (n_a + n_b - n_common)"))
+        expr("CAST(CASE WHEN n_a + n_b - n_common = 0 THEN 0 " +
+          "ELSE (1000000L * n_common) div (n_a + n_b - n_common) END " +
+          "AS BIGINT)"))
   }
 }

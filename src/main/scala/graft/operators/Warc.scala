@@ -101,9 +101,14 @@ object Warc {
       val len = hdrs.get("Content-Length").flatMap(_.toLongOption)
       val recType = hdrs.getOrElse("WARC-Type", "")
       val uri = hdrs.getOrElse("WARC-Target-URI", "")
-      // negative lengths are adversarial garbage, not a tear — but the
-      // contract is the same: stop, keep what parsed, never throw
-      if (len.isEmpty || len.get < 0L || recType.isEmpty)
+      // adversarial lengths are garbage, not a tear — but the contract
+      // is the same: stop, keep what parsed, never throw. Negative is
+      // rejected outright; anything beyond the archive itself is
+      // rejected BEFORE the offset arithmetic, because payloadStart +
+      // hugeLen overflows Long and the wrapped offset can land exactly
+      // on the header's own separator (reproduced: substring threw)
+      if (len.isEmpty || len.get < 0L || len.get > warc.length.toLong ||
+        recType.isEmpty)
         return Parsed(recs.result(), torn = true)
       val payloadStart = hdrEnd + 4
       val payloadEnd = payloadStart + len.get

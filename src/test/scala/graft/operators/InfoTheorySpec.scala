@@ -164,6 +164,14 @@ class InfoTheorySpec extends SparkSpec {
     // identical cell counts: every per-bucket term cancels exactly
     assert(got(("p", "q")) === ((0L, 0L, 0L)))
     assert(got(("p", "r"))._3 > 0L && got(("q", "r"))._3 > 0L)
+    // a token-less group still appears in every pair (pure-smoothing
+    // drift), never silently vanishes from the matrix
+    val withEmpty = docs.union(Seq(("z", "")).toDF("g", "text"))
+    val keys = InfoTheory.klDriftMatrix(withEmpty, "g", "text",
+        buckets = 32)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(keys === Set(("p", "q"), ("p", "r"), ("q", "r"),
+      ("p", "z"), ("q", "z"), ("r", "z")))
     val err = intercept[IllegalArgumentException] {
       InfoTheory.klDriftMatrix(docs, "g", "text", buckets = 32,
         maxGroups = 2)
@@ -235,6 +243,15 @@ class InfoTheorySpec extends SparkSpec {
     assert(got(("a", "b")) === ((2L, 2L, 2L, 1000000L)))
     assert(got(("a", "c")) === ((2L, 2L, 1L, 1000000L / 3L)))
     assert(got(("b", "c")) === ((2L, 2L, 1L, 1000000L / 3L)))
+    // a shingle-less group (docs shorter than n tokens) reports 0 ppm
+    // against every partner instead of vanishing from the matrix
+    val withShort = docs.union(Seq(("d", "x y")).toDF("g", "text"))
+    val got2 = Scrub.sourceOverlapMatrix(withShort, "g", "text", n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(4), r.getLong(5)))).toMap
+    assert(got2.size === 6)
+    assert(got2(("a", "d")) === ((2L, 0L, 0L)))
+    assert(got2(("c", "d")) === ((2L, 0L, 0L)))
     val err = intercept[IllegalArgumentException] {
       Scrub.sourceOverlapMatrix(docs, "g", "text", n = 3, maxGroups = 2)
     }

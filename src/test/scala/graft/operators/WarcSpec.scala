@@ -48,6 +48,12 @@ class WarcSpec extends SparkSpec {
     val neg = Warc.parse("WARC/1.0\r\nWARC-Type: request\r\n" +
       "WARC-Target-URI: u\r\nContent-Length: -4\r\n\r\n")
     assert(neg.torn && neg.records.isEmpty)
+    // near-Long.MaxValue Content-Length: payloadStart + len overflows
+    // Long and the wrapped offset can land exactly on the header's own
+    // separator — must report torn, never throw
+    val huge = Warc.parse("WARC/1.0\r\nWARC-Type: request\r\n" +
+      "WARC-Target-URI: u\r\nContent-Length: 9223372036854775804\r\n\r\n")
+    assert(huge.torn && huge.records.isEmpty)
   }
 
   test("distributed parse certifies md5(body) == md5(text) and the " +
