@@ -56,6 +56,36 @@ class WarcSpec extends SparkSpec {
     assert(huge.torn && huge.records.isEmpty)
   }
 
+  test("fuzz certificate: random archives round-trip exactly; EVERY cut " +
+    "position of an archive parses without throwing, keeps exactly the " +
+    "complete-record prefix, and never invents a record") {
+    val rnd = new scala.util.Random(0x4a7cL)
+    def randText(): String = {
+      val words = Seq("alpha", "beta", "x", "WARC/1.0", "\r\n\r\n", "12",
+        "Content-Length:", "")
+      (0 until rnd.nextInt(8)).map(_ => words(rnd.nextInt(words.length)))
+        .mkString(" ")
+    }
+    (0 until 40).foreach { i =>
+      val (id, src, text) = (rnd.nextLong(1L << 40), s"s$i", randText())
+      val arch = Warc.encodeArchive(id, src, text)
+      val p = Warc.parse(arch)
+      assert(!p.torn && p.records.length === 2, s"case $i")
+      assert(p.records.last.body === text, s"case $i body")
+    }
+    // exhaustive cut sweep over one archive: the walk must never throw,
+    // and the kept records are exactly those whose full extent
+    // (including the trailing separator) survived the cut
+    val arch = Warc.encodeArchive(7L, "src", "some body text here")
+    val r1End = arch.indexOf("WARC/1.0", 1)
+    (0 to arch.length).foreach { cut =>
+      val p = Warc.parse(arch.substring(0, cut))
+      val expect = if (cut >= arch.length) 2 else if (cut >= r1End) 1 else 0
+      assert(p.records.length === expect, s"cut=$cut")
+      assert(p.torn === (cut < arch.length), s"cut=$cut torn")
+    }
+  }
+
   test("distributed parse certifies md5(body) == md5(text) and the " +
     "arithmetic archive length") {
     import spark.implicits._
