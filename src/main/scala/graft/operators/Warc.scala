@@ -89,7 +89,10 @@ object Warc {
       if (i <= 0) None else Some(line.substring(0, i) -> line.substring(i + 2))
     }.toMap
 
-  /** Content-Length-hopping record walk. Never throws. */
+  /** Content-Length-hopping record walk. Never throws. EMPTY input is a
+    * valid zero-record archive (`torn = false`): a tear means a record
+    * was interrupted, and an empty string contains no record to
+    * interrupt — only input that starts or ends mid-record is torn. */
   def parse(warc: String): Parsed = {
     val recs = List.newBuilder[Rec]
     var pos = 0

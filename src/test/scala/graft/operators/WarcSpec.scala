@@ -82,7 +82,12 @@ class WarcSpec extends SparkSpec {
       val p = Warc.parse(arch.substring(0, cut))
       val expect = if (cut >= arch.length) 2 else if (cut >= r1End) 1 else 0
       assert(p.records.length === expect, s"cut=$cut")
-      assert(p.torn === (cut < arch.length), s"cut=$cut torn")
+      // a tear means a RECORD was interrupted: cuts at record
+      // boundaries — 0 (empty archive), r1End (a complete one-record
+      // archive), arch.length (untouched) — parse cleanly; every other
+      // cut lands mid-record and must report torn
+      val boundary = cut == 0 || cut == r1End || cut == arch.length
+      assert(p.torn === !boundary, s"cut=$cut torn")
     }
   }
 
