@@ -40,6 +40,21 @@ object Bench {
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.queryExecution.toRdd.foreach(_ => ())
 
+    /** Release the localCheckpoint blocks the just-timed query created.
+      * Without this the loaded pass accumulates ~250 queries of
+      * checkpointed frames in storage memory until RDD GC, and
+      * late-suite queries measured 6–14x their isolated cost under that
+      * pressure (r14: q68 1.30 s isolated vs 18.5 s loaded, q241 42.8 s
+      * loaded vs ≤3.7 s) — the headline was measuring block-manager
+      * pressure, not plans. Nothing is reused across queries OR across
+      * min-of-N runs of the same query (every fn() call reconstructs
+      * its frames and re-checkpoints from scratch), so releasing
+      * between queries removes only the false signal. Runs OUTSIDE the
+      * timed region. */
+    def releaseCheckpoints(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+
     /** min-of-N timing of every bench query against one sf directory.
       * A run that throws contributes no timing; a query whose every run
       * failed records the -1 sentinel so it can't deflate the headline
@@ -52,6 +67,7 @@ object Bench {
           try { force(fn(spark, dir)); Some((System.nanoTime() - t0) / 1e9) }
           catch { case _: Throwable => None }
         }
+        releaseCheckpoints()
         name -> (if (good.isEmpty) -1.0 else good.min)
     }
     // 4 decimal places (0.1 ms resolution): keeps the per-query detail
@@ -67,6 +83,7 @@ object Bench {
     if (sys.env.getOrElse("SPARK_GRAFT_WARM_PASS", "1") != "0")
       ordered.foreach { case (_, fn) =>
         try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+        releaseCheckpoints()
       }
     // fixed name order: stable timing attribution across rounds; min of
     // `iters` timed runs damps scheduler noise in the reported numbers
@@ -125,15 +142,11 @@ object Bench {
       if (slow5.isEmpty || sys.env.getOrElse("SPARK_GRAFT_ISOLATED_RERUN", "1") == "0")
         Seq.empty[(String, Double)]
       else {
-        // free the full run's accumulated localCheckpoint blocks FIRST:
-        // ~250 queries of checkpointed frames sit in storage memory
-        // until their RDDs are GC'd, and under that pressure the
-        // "isolated" re-times measured 6x the fresh-JVM cost (observed
-        // r14: q65 5.3 s fresh vs 35 s at end-of-run). The reruns
-        // re-construct every query from scratch, so nothing here is
-        // reused.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
+        // checkpoint blocks are now released per-query in the loaded
+        // pass (releaseCheckpoints above — the r14 6–14x inflation fix);
+        // this belt-and-braces sweep plus the GC quiesce gives the
+        // isolated re-times a fully settled heap and scheduler
+        releaseCheckpoints()
         spark.catalog.clearCache()
         System.gc(); Thread.sleep(500); System.gc(); Thread.sleep(200)
         val byName = ordered.toMap
@@ -169,6 +182,31 @@ object Bench {
           println(s"""{"detail":"pipeline","error":"${e.getClass.getSimpleName}"}""")
           None
       }
+
+    // WordPiece distributed-trainer price (r15, VERDICT item 7): the
+    // over-ledger fallback is SERIAL — one distributed job per merge
+    // (scores move globally with symbol counts; WordPiece.scala:55-60)
+    // — so its practical k ceiling is wall-per-merge × budget. This
+    // measures per-merge wall on the sf corpus via the forced
+    // distributed entry; the 1024-round cap then prices out directly.
+    // SPARK_GRAFT_WORDPIECE_MERGES overrides the depth; 0 disables.
+    val wpK = sys.env.getOrElse("SPARK_GRAFT_WORDPIECE_MERGES", "32").toInt
+    if (wpK > 0) try {
+      val docs = Tables.documents(spark, sfDir)
+      val t0 = System.nanoTime()
+      val n = graft.operators.WordPiece
+        .trainMergesDistributed(docs, "text", wpK).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val per = if (n > 0) secs / n else -1.0
+      println(s"""{"detail":"wordpiece_distributed","merges":$n,"secs":${
+        BigDecimal(secs).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"per_merge_secs":${
+        BigDecimal(per).setScale(4, BigDecimal.RoundingMode.HALF_UP)},"cap_rounds":${
+        graft.operators.WordPiece.MaxDistributedMerges}}""")
+      releaseCheckpoints()
+    } catch {
+      case e: Throwable =>
+        println(s"""{"detail":"wordpiece_distributed","error":"${e.getClass.getSimpleName}"}""")
+    }
 
     println(s"""{"detail":"queries","sf":"$sfDir","queries":${toJson(results)}}""")
 

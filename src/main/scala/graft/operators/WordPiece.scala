@@ -194,6 +194,27 @@ object WordPiece {
       .toDF("round", "left_sym", "right_sym", "merged", "n_occ")
   }
 
+  /** [[trainMerges]] FORCED onto the distributed path regardless of
+    * corpus size — the explicit entry for (a) corpora known to be over
+    * the word ledger without paying the routing count, and (b) pricing
+    * the serial one-job-per-merge contract (the Bench
+    * `wordpiece_distributed` detail line measures per-merge wall with
+    * it; WordPieceSpec pins merge-sequence equality against the
+    * in-memory path). Same [[MaxDistributedMerges]] cap. */
+  def trainMergesDistributed(df: DataFrame, textCol: String,
+                             maxK: Int): DataFrame = {
+    require(maxK > 0 && maxK <= MaxDistributedMerges,
+      s"maxK must be in [1, $MaxDistributedMerges] on the serial " +
+        s"distributed path, got $maxK")
+    val spark = df.sparkSession
+    import spark.implicits._
+    trainDistributed(
+      distinctWords(df, textCol).select(col("__w"), col("wc"))
+        .as[(String, Long)].map { case (w, c) => (c, toSymbols(w)) },
+      maxK)._1
+      .toDF("round", "left_sym", "right_sym", "merged", "n_occ")
+  }
+
   /** Argmax of `count(ab) / (count(a)·count(b))` over the live pair
     * ledger — exact cross-multiplied BigInt compare, ties by (left,
     * right) UTF-8 byte order. Shared by the in-memory and distributed

@@ -123,6 +123,17 @@ class WordPieceSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("the public forced-distributed entry == the routed trainer " +
+    "(the Bench measurement path trains the same tokenizer)") {
+    val texts = Seq("abc abc ab", "bca cab abc", "aa bb aa", "cab ba")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val routed = WordPiece.trainMerges(df, "text", 16).collect().toSeq
+    val forced = WordPiece.trainMergesDistributed(df, "text", 16)
+      .collect().toSeq
+    assert(forced == routed)
+  }
+
   // ---- greedy encoder ----
 
   private def refEncode(w: String, vocab: Set[String]): (Int, Boolean) = {
