@@ -210,14 +210,16 @@ object InfoTheory {
     * DOCUMENTS containing the term corpus-wide. The per-source data
     * card's "what words make this source itself" panel.
     *
-    * Scale: one token scan feeds both frequency tables (per-group tf;
-    * per-term distinct-doc df) keyed by 60-bit hashes; the top-k per
-    * group is the mergeable k-ledger aggregate
+    * Scale: one hash-only token scan — checkpointed as (group, doc,
+    * 60-bit hash), NO term strings — feeds both frequency tables
+    * (per-group tf; per-term distinct-doc df); the top-k per group is
+    * the mergeable k-ledger aggregate
     * ([[graft.functions.TopKPriorityAgg]] — map-side partials keep
     * ≤ k entries, NO per-group sort window), exact because w_mb <
     * 2⁵³ rides the ledger's double priority losslessly; winners
-    * (≤ k·|groups| rows) broadcast back against the distinct vocab to
-    * recover term strings — text never shuffles.
+    * (≤ k·|groups| rows) broadcast against a SECOND narrow tokenize
+    * scan to recover term strings — text never shuffles and never
+    * enters storage memory.
     *
     * @return (group, rank, term, tf, df_docs, w_mb), rank 1..k by
     *         (w_mb DESC, term-hash ASC). */
@@ -227,9 +229,12 @@ object InfoTheory {
     val tok = docs.select(col(groupCol).as("__g"), col(idCol).as("__d"),
         TextAnalysis.tokens(col(textCol)).as("__tk"))
       .select(col("__g"), col("__d"), explode(col("__tk")).as("__t"))
-      .select(col("__g"), col("__d"), col("__t"),
-        Dedup.baseHash60(col("__t")).as("__th"))
-      .localCheckpoint() // tf, df, and the vocab all read it
+      .select(col("__g"), col("__d"), Dedup.baseHash60(col("__t")).as("__th"))
+      .localCheckpoint() // tf AND df read it — HASH-ONLY (group, doc,
+      // 60-bit hash): checkpointing the term string too would
+      // materialize every token occurrence WITH its text in storage
+      // memory, corpus-sized at 100 TB; winner strings come from the
+      // second narrow tokenize scan below instead (r14 verdict fix)
     val tf = tok.groupBy(col("__g"), col("__th")).agg(count(lit(1)).as("__tf"))
     val dfDocs = tok.select(col("__d"), col("__th")).distinct()
       .groupBy(col("__th")).agg(count(lit(1)).as("__df"))
@@ -259,7 +264,13 @@ object InfoTheory {
     val enriched = scored.select(col("__g"), col("__th"),
         col("__tf"), col("__df"))
       .join(broadcast(winners), Seq("__g", "__th"))
-    val terms = tok.select(col("__th"), col("__t"))
+    // term-string recovery: a SECOND tokenize scan (text column only,
+    // never checkpointed, never shuffled before the winner filter) —
+    // the broadcast winner-hash semi-filter drops all but ≤ k·|groups|
+    // distinct terms before the distinct's shuffle
+    val terms = docs.select(TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(explode(col("__tk")).as("__t"))
+      .select(Dedup.baseHash60(col("__t")).as("__th"), col("__t"))
       .join(broadcast(winners.select(col("__th")).distinct()), Seq("__th"))
       .distinct()
     terms.join(broadcast(enriched), Seq("__th"))

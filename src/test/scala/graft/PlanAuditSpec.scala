@@ -527,6 +527,32 @@ abstract class PlanSweepSpec(lo: Int, hi: Int) extends SparkSpec {
       s"cartesian product in: ${offenders.mkString(", ")}")
   }
 
+  test(s"checkpointed frames in q$lo..q$hi carry no undocumented StringType column") {
+    // localCheckpoint pins its frame in storage memory — at 100 TB a
+    // checkpointed per-OCCURRENCE text column materializes the corpus
+    // (the r14 q241 finding: the tf-idf card checkpointed every token
+    // occurrence WITH its term string). A checkpoint may carry strings
+    // only when the frame is provably bounded — group labels, vocab- or
+    // candidate-shaped aggregates — and each such column is pinned in
+    // the allowlist below with its boundedness argument. Anything else
+    // is a regression.
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.types.StringType
+    val offenders = shard.flatMap { case (name, fn) =>
+      val strCols = fn(spark, sfDir).queryExecution.analyzed.collect {
+        case r: LogicalRDD => r.output.filter(_.dataType == StringType).map(_.name)
+      }.flatten.toSet
+      val extra = strCols --
+        PlanSweepSpec.allowedCheckpointStrings.getOrElse(name, Set.empty)
+      if (extra.nonEmpty) Some(s"$name -> ${extra.mkString(",")}") else None
+    }
+    assert(offenders.isEmpty,
+      "undocumented StringType column(s) in a checkpointed frame — " +
+        "either slim the checkpoint to hashes (the q241 fix) or add the " +
+        s"column to the allowlist WITH a boundedness argument: " +
+        offenders.mkString("; "))
+  }
+
   test(s"unpartitioned windows in q$lo..q$hi appear only in the band-histogram family") {
     // an unpartitioned window sorts EVERY row in one task — allowed only
     // over the <= 64-row score/count band histograms of the two-phase
@@ -549,6 +575,58 @@ abstract class PlanSweepSpec(lo: Int, hi: Int) extends SparkSpec {
     assert(offenders.isEmpty,
       s"unpartitioned window in: ${offenders.mkString(", ")}")
   }
+}
+
+object PlanSweepSpec {
+  /** Checkpointed StringType columns that are BOUNDED by construction —
+    * the only ones the checkpoint sweep admits. Justifications:
+    *   - `side` / `metric` / `status`-like literals: 2–5 label values;
+    *   - `source` / `lang` / `__g` / `o_orderpriority` / `from_type` /
+    *     `to_type` / `__all`: grouping labels, cardinality = |groups|
+    *     (≤ tens), never per-row text;
+    *   - q152 `text`,`_corrupt` + passthrough labels: the documented
+    *     JSONL quarantine single-materialization (JsonlIngest.audit
+    *     scaladoc) — Spark refuses a corrupt-column-only scan, so the
+    *     parsed read materializes once; a production pipeline writes
+    *     both branches to sinks instead of holding them;
+    *   - q183 `tok`: postings are pre-filtered to the PHRASE terms
+    *     (`isin(allTerms)`) — bounded by the query literal, not the
+    *     corpus;
+    *   - ER family `name`/`__bk0`/`__bk1`: record-linkage key fields of
+    *     the customer-shaped entity table — the blocked-join design
+    *     needs the strings for its similarity residual; bounded by the
+    *     entity table, which is the operator's input, not a derived
+    *     explosion;
+    *   - q245/q246 `__x`,`__y`, q249 `__t`: VOCAB-shaped aggregated
+    *     count tables (distinct bigrams / distinct tokens with counts),
+    *     orders of magnitude below occurrence grain; the strings are
+    *     the output/join keys of vocabulary-sized frames. */
+  val allowedCheckpointStrings: Map[String, Set[String]] = Map(
+    "q61_incremental_dedup" -> Set("side"),
+    "q68_incremental_dedup_bloom" -> Set("side"),
+    "q138_corpus_refresh" -> Set("side"),
+    "q152_jsonl_ingest" -> Set("text", "lang", "source", "_corrupt"),
+    "q179_percentile_rollup" -> Set("source"),
+    "q183_phrase_search" -> Set("tok"),
+    "q200_er_pairs" -> Set("__bk0", "__bk1", "name"),
+    "q201_er_clusters" -> Set("name"),
+    "q208_er_probe" -> Set("__bk0", "__bk1", "name"),
+    "q212_chi_square" -> Set("lang", "source"),
+    "q213_transitions" -> Set("from_type", "to_type"),
+    "q217_source_cosine" -> Set("__g"),
+    "q226_ab_welch" -> Set("metric"),
+    "q229_benford" -> Set("o_orderpriority"),
+    "q237_kanonymity" -> Set("lang", "source"),
+    "q238_rfm" -> Set("__all"),
+    "q240_kl_drift" -> Set("__g"),
+    "q241_tfidf_terms" -> Set("__g"),
+    "q242_xent_bands" -> Set("__g"),
+    "q243_mi_features" -> Set("__g"),
+    "q244_source_overlap" -> Set("__g"),
+    "q245_pmi_collocations" -> Set("__x", "__y"),
+    "q246_bigram_entropy" -> Set("__g", "__x", "__y"),
+    "q249_loo_entropy" -> Set("__g", "__t"),
+    "q251_kl_matrix" -> Set("__g"))
 }
 
 class PlanSweepSpec1 extends PlanSweepSpec(1, 40) {
