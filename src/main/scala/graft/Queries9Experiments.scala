@@ -507,8 +507,8 @@ private[graft] trait Queries9Experiments extends Queries8Analytics {
     """WITH a AS (SELECT user_id, min(ts) AS anchor FROM events
       |           WHERE event_type = 'signup' GROUP BY 1),
       |lw AS (SELECT e.user_id,
-      |        CAST(FLOOR((epoch_us(max(e.ts)) - epoch_us(a.anchor))
-      |          / 604800000000.0) AS BIGINT) AS lwk
+      |        CAST((epoch_us(max(e.ts)) - epoch_us(a.anchor))
+      |          // 604800000000 AS BIGINT) AS lwk
       |       FROM events e JOIN a ON e.user_id = a.user_id
       |       GROUP BY e.user_id, a.anchor),
       |ar AS (SELECT CAST(t.k AS BIGINT) AS week_offset,

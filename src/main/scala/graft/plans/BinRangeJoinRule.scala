@@ -165,7 +165,11 @@ object BinRangeJoinRule extends Rule[LogicalPlan] {
                 "unrewritten nested-loop plan")), arrTy)
             val gen = Explode(If(GreaterThan(binLo, binHi),
               Literal.create(Array.empty[Long], arrTy),
-              If(GreaterThan(Subtract(binHi, binLo), Literal(maxBins)),
+              // guard on the BIN COUNT (hi - lo + 1), not the difference:
+              // the difference allowed maxBins + 1 bins, one more than
+              // the config and the error message state
+              If(GreaterThan(Add(Subtract(binHi, binLo), Literal(1L)),
+                Literal(maxBins)),
                 tooWide,
                 new Sequence(binLo, binHi, Some(Literal(1L)),
                   Some(conf.sessionLocalTimeZone)))))

@@ -65,6 +65,16 @@ object StatsReporter {
     // very leak the state gauge exists to expose
     val perQuery =
       new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    // terminated events carry only the query id, not its name — track
+    // the mapping so termination can evict the query's gauge entry
+    val idToName =
+      new java.util.concurrent.ConcurrentHashMap[java.util.UUID, String]()
+    def recomputeGauges(): Unit = {
+      var rows = 0L; var bytes = 0L
+      perQuery.values().forEach { v => rows += v._1; bytes += v._2 }
+      counters.stateRows.set(rows)
+      counters.stateBytes.set(bytes)
+    }
     val listener = new StreamingQueryListener {
       override def onQueryStarted(
           e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -73,19 +83,23 @@ object StatsReporter {
         if (queryNames.contains(e.progress.name)) {
           counters.inputRows.addAndGet(e.progress.numInputRows)
           counters.batches.incrementAndGet()
+          idToName.put(e.progress.id, e.progress.name)
           val ops = e.progress.stateOperators
           if (ops != null && ops.nonEmpty) {
             perQuery.put(e.progress.name,
               (ops.map(_.numRowsTotal).sum, ops.map(_.memoryUsedBytes).sum))
-            var rows = 0L; var bytes = 0L
-            perQuery.values().forEach { v => rows += v._1; bytes += v._2 }
-            counters.stateRows.set(rows)
-            counters.stateBytes.set(bytes)
+            recomputeGauges()
           }
           ()
         }
+      // a stopped query holds no state — leaving its last-seen entry in
+      // the sums would permanently overstate the leak signal the gauge
+      // exists to expose
       override def onQueryTerminated(
-          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
+        val name = idToName.remove(e.id)
+        if (name != null && perQuery.remove(name) != null) recomputeGauges()
+      }
     }
     spark.streams.addListener(listener)
 

@@ -119,6 +119,31 @@ class BinRangeJoinRuleSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L), (3L, 20L)))
   }
 
+  test("maxBinsPerInterval bounds the bin COUNT: exactly maxBins bins " +
+    "pass, one more refuses loudly") {
+    import spark.implicits._
+    spark.conf.set(BinRangeJoinRule.MaxBinsKey, "3")
+    try {
+      // binWidth=10: [0,29] spans bins {0,1,2} = exactly 3 — allowed
+      val ok = Seq((1L, 0L, 29L)).toDF("iid", "lo", "hi")
+      val got = points.join(ok,
+          col("p") >= col("lo") && col("p") <= col("hi"))
+        .select("pid").collect().map(_.getLong(0)).toSet
+      assert(got == Set(3L, 4L, 5L))
+      // [0,39] spans bins {0,1,2,3} = 4 — one over; the pre-fix guard
+      // (difference > maxBins) let this through silently
+      val wide = Seq((1L, 0L, 39L)).toDF("iid", "lo", "hi")
+      val e = intercept[Throwable] {
+        points.join(wide,
+          col("p") >= col("lo") && col("p") <= col("hi")).collect()
+      }
+      def chain(t: Throwable): String =
+        if (t == null) "" else t.toString + chain(t.getCause)
+      assert(chain(e).contains("BinRangeJoinRule"),
+        s"expected the loud wide-interval refusal, got: ${chain(e)}")
+    } finally spark.conf.set(BinRangeJoinRule.MaxBinsKey, "1048576")
+  }
+
   test("binWidth 0 disables the rewrite (runtime conf, per-session)") {
     spark.conf.set(BinRangeJoinRule.BinWidthKey, "0")
     try {

@@ -50,6 +50,22 @@ class StatsReporterStateSpec extends graft.SparkSpec {
       assert(seen.isDefined, s"no state-carrying report line in $lines")
       assert(seen.get.matches(".*stateRows=[1-9]\\d* stateBytes=[1-9]\\d*.*"),
         s"gauges missing in: ${seen.get}")
+      // termination must EVICT the query's gauge entry: a stopped query
+      // holds no state, and before the fix the last-seen sizes stayed in
+      // the sums forever, overstating the leak signal the gauge exists
+      // to expose. Only lines emitted AFTER the stop count (early lines
+      // legitimately read stateRows=0 before any data arrived).
+      val linesBeforeStop = lines.size()
+      query.stop()
+      val deadline2 = System.nanoTime() + 20_000_000_000L
+      var evicted = false
+      while (!evicted && System.nanoTime() < deadline2) {
+        Thread.sleep(200)
+        evicted = lines.toArray(Array.empty[String]).drop(linesBeforeStop)
+          .exists(_.contains("stateRows=0 "))
+      }
+      assert(evicted,
+        s"gauges not evicted after query termination; lines: $lines")
     } finally {
       query.stop()
       handle.close()
