@@ -77,4 +77,55 @@ private[graft] trait Queries11Formats extends Queries10Information {
       |  CAST(sum(CASE WHEN wl // 2 >= r1 THEN 1 ELSE 0 END) AS BIGINT),
       |  CAST(0 AS BIGINT)
       |FROM w WHERE doc_id % 53 = 0 GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q252 — real-FILE WARC ingest (sources/WarcFiles): the crawl analogue
+  // of the reference's socket source, and the missing end of q247/q248 —
+  // a directory of .warc/.warc.gz FILES read via binaryFile (one file =
+  // one task, the non-splittable-gzip crawl grain), each file audited
+  // with the tear taxonomy: 16 clean (8 plain + 8 gzip), 2 torn plain
+  // (last archive half-cut — complete records ahead of the tear kept),
+  // 2 corrupt gzip (zeroed magic — decode fails, file COUNTED, never
+  // thrown). Hash-exact: the oracle replays the bucketing (doc_id % 20),
+  // the kept-record census (the q248 half-cut arithmetic on each
+  // bucket's LAST archive) and the certified body volume from strlen.
+  // ---------------------------------------------------------------------
+  private[graft] def q252WarcFiles(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_warc_files").toString
+    graft.sources.WarcFiles.writeArchiveDir(
+      Tables.documents(spark, dir), out)
+    graft.sources.WarcFiles.readAudit(spark, out)
+  }
+
+  private[graft] val q252Sql =
+    """WITH c AS (SELECT doc_id, source, text, doc_id % 20 AS f,
+      |    strlen(CAST(doc_id AS VARCHAR)) AS d, strlen(source) AS s,
+      |    strlen(text) AS t FROM documents),
+      |l AS (SELECT *, 30 + d + s AS cl1,
+      |    63 + strlen(CAST(t AS VARCHAR)) + t AS cl2 FROM c),
+      |w AS (SELECT *, 264 + 3*s + 3*d + strlen(CAST(cl1 AS VARCHAR))
+      |    + strlen(CAST(cl2 AS VARCHAR)) + strlen(CAST(t AS VARCHAR)) + t
+      |      AS wl,
+      |    115 + 2*s + 2*d + strlen(CAST(cl1 AS VARCHAR)) AS r1 FROM l),
+      |ld AS (SELECT f, max(doc_id) AS last_id FROM w GROUP BY 1),
+      |agg AS (SELECT w.f, count(*) AS n, sum(w.t) AS sum_t,
+      |    max(CASE WHEN w.doc_id = ld.last_id THEN w.t END) AS t_last,
+      |    max(CASE WHEN w.doc_id = ld.last_id THEN w.wl END) AS wl_last,
+      |    max(CASE WHEN w.doc_id = ld.last_id THEN w.r1 END) AS r1_last
+      |  FROM w JOIN ld ON w.f = ld.f GROUP BY 1)
+      |SELECT 'part-' || CAST(f AS VARCHAR) ||
+      |    (CASE WHEN f % 2 = 1 THEN '.warc.gz' ELSE '.warc' END) AS file,
+      |  CASE WHEN f % 5 <> 0 THEN 'warc_ok'
+      |       WHEN f % 2 = 1 THEN 'warc_corrupt' ELSE 'warc_torn' END AS status,
+      |  CAST(CASE WHEN f % 5 <> 0 THEN 2 * n
+      |       WHEN f % 2 = 1 THEN 0
+      |       ELSE 2 * (n - 1) +
+      |         (CASE WHEN wl_last // 2 >= r1_last THEN 1 ELSE 0 END)
+      |       END AS INT) AS n_records,
+      |  CAST(CASE WHEN f % 5 <> 0 THEN n WHEN f % 2 = 1 THEN 0
+      |       ELSE n - 1 END AS INT) AS n_responses,
+      |  CAST(CASE WHEN f % 5 <> 0 THEN sum_t WHEN f % 2 = 1 THEN 0
+      |       ELSE sum_t - t_last END AS BIGINT) AS body_chars
+      |FROM agg""".stripMargin
 }

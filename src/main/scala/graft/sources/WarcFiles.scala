@@ -1,0 +1,137 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets.US_ASCII
+import java.nio.file.{Files, Paths}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Warc
+
+/** Real-FILE WARC ingestion — the crawl analogue of the reference's
+  * socket source (dnstap.go:90-248 ingests a real external format from
+  * the outside world; a 100 TB training corpus arrives as directories
+  * of `.warc` / `.warc.gz` files, the Common Crawl convention). This
+  * source reads such a directory and certifies it with the per-file
+  * decode-audit discipline of every codec in this engine: complete
+  * records are kept, tears and corrupt files are COUNTED, never thrown.
+  *
+  * Scale shape: `binaryFile` delivers one (path, content) row per file
+  * — exactly right for WARC, because gzipped members are NOT splittable
+  * and the crawl convention bounds files (~1 GiB), so one-file-one-task
+  * is the real-world parallelism grain; 100k files spread over 1000
+  * executors with no shuffle (the record walk and the gunzip are
+  * partition-local). The per-file audit aggregates file-grain rows, so
+  * nothing corpus-sized ever shuffles. A petabyte deployment would swap
+  * the whole-file byte array for a streaming V2 reader with the same
+  * walk; the audit contract and the Content-Length hop are unchanged.
+  *
+  * Failure taxonomy (all counted, nothing thrown — the JsonlIngest
+  * quarantine discipline):
+  *   - `warc_ok`: every record complete;
+  *   - `warc_torn`: the byte walk hit a tear (interrupted transfer) —
+  *     complete records ahead of the tear are kept and certified;
+  *   - `warc_corrupt`: the file could not be decoded at all (bad gzip
+  *     header / garbage container) — zero records, but the FILE is
+  *     still a row; corrupt data must never silently vanish.
+  */
+object WarcFiles {
+
+  // ------------------------------------------------------------- encode
+
+  /** Test-fixture writer (driver-side, bounded by `require`): bucket
+    * documents into `files` archives by `doc_id % files` (ascending
+    * doc_id within a file), odd buckets gzipped. Every `tornEvery`-th
+    * bucket is damaged deterministically so the audit arithmetic stays
+    * oracle-replayable:
+    *   - plain file: the LAST archive is cut at half (the q248
+    *     interrupted-transfer tear — partial decode is well-defined);
+    *   - gzip file: the gzip MAGIC is zeroed (decode fails outright) —
+    *     a mid-stream gzip cut is NOT used because the bytes recovered
+    *     before the break depend on deflate block boundaries, which no
+    *     arithmetic oracle can replay.
+    * Files with no documents are not written (no row, no oracle row). */
+  def writeArchiveDir(docs: DataFrame, dir: String, files: Int = 20,
+                      tornEvery: Int = 5): Unit = {
+    require(files >= 1, s"files must be >= 1, got $files")
+    val rows = docs
+      .select(col("doc_id").cast("long"), col("source"), col("text"))
+      .collect()
+    require(rows.length <= 100000,
+      s"writeArchiveDir is a test-fixture writer (driver-side collect); " +
+        s"refusing ${rows.length} > 100000 docs")
+    val byFile = rows.groupBy(r => ((r.getLong(0) % files) + files) % files)
+    byFile.toSeq.sortBy(_._1).foreach { case (f, docsF) =>
+      val archives = docsF.sortBy(_.getLong(0)).map(r =>
+        Warc.encodeArchive(r.getLong(0), r.getString(1), r.getString(2)))
+      val damaged = tornEvery > 0 && f % tornEvery == 0
+      val gz = f % 2 == 1
+      val content =
+        if (damaged && !gz)
+          archives.init.mkString +
+            archives.last.substring(0, archives.last.length / 2)
+        else archives.mkString
+      val bytes = content.getBytes(US_ASCII)
+      val out =
+        if (!gz) bytes
+        else {
+          val bos = new ByteArrayOutputStream()
+          val g = new GZIPOutputStream(bos)
+          g.write(bytes); g.close()
+          val arr = bos.toByteArray
+          if (damaged) { arr(0) = 0; arr(1) = 0 } // zeroed gzip magic
+          arr
+        }
+      val name = s"part-$f" + (if (gz) ".warc.gz" else ".warc")
+      Files.write(Paths.get(dir, name), out)
+    }
+  }
+
+  // --------------------------------------------------------------- read
+
+  final case class FileAuditRow(file: String, status: String,
+                                n_records: Int, n_responses: Int,
+                                body_chars: Long)
+
+  /** Gunzip fully, or None when the container itself is undecodable —
+    * the `warc_corrupt` class. */
+  private def gunzip(bytes: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      Some(out.toByteArray)
+    } catch { case _: java.io.IOException => None }
+
+  /** Read a directory of `.warc` / `.warc.gz` files and audit each:
+    * one row per FILE with its status, kept-record counts and certified
+    * response-body volume. Partition-local end to end — the only
+    * exchange is whatever consumes the file-grain result. */
+  def readAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (path, bytes) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        val decoded =
+          if (name.endsWith(".gz")) gunzip(bytes) else Some(bytes)
+        decoded match {
+          case None => FileAuditRow(name, "warc_corrupt", 0, 0, 0L)
+          case Some(b) =>
+            val p = Warc.parse(new String(b, US_ASCII))
+            val responses = p.records.filter(_.recType == "response")
+            FileAuditRow(name,
+              if (p.torn) "warc_torn" else "warc_ok",
+              p.records.length, responses.length,
+              responses.map(_.body.length.toLong).sum)
+        }
+      }).toDF()
+  }
+}

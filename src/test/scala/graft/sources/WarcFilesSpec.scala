@@ -1,0 +1,109 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.Row
+
+import graft.SparkSpec
+import graft.operators.Warc
+
+/** The real-file WARC source must read a directory of .warc/.warc.gz
+  * files, keep complete records ahead of a tear, count (never throw on)
+  * undecodable files, and replay the deterministic damage arithmetic
+  * the q252 oracle pins. */
+class WarcFilesSpec extends SparkSpec {
+
+  private def docsDf = {
+    import spark.implicits._
+    // 10 docs over 4 files: f = doc_id % 4; f∈{1,3} gzipped;
+    // tornEvery=2 damages f∈{0,2}: f=0 torn plain, f=2 torn plain,
+    // none gzip-corrupt (0 and 2 are even) — a second fixture below
+    // covers the corrupt-gzip class
+    (0L until 10L).map(i => (i, s"src${i % 3}", s"body text $i " * (i.toInt + 1)))
+      .toDF("doc_id", "source", "text")
+  }
+
+  private def audit(dir: String): Map[String, Row] =
+    WarcFiles.readAudit(spark, dir).collect()
+      .map(r => r.getAs[String]("file") -> r).toMap
+
+  test("round trip: clean plain and gzip files certify all records and " +
+    "the exact body volume") {
+    val dir = Files.createTempDirectory("warcfiles_clean").toString
+    WarcFiles.writeArchiveDir(docsDf, dir, files = 4, tornEvery = 0)
+    val got = audit(dir)
+    assert(got.keySet ===
+      Set("part-0.warc", "part-1.warc.gz", "part-2.warc", "part-3.warc.gz"))
+    val docs = docsDf.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2)))
+    (0 until 4).foreach { f =>
+      val mine = docs.filter(_._1 % 4 == f)
+      val name = s"part-$f" + (if (f % 2 == 1) ".warc.gz" else ".warc")
+      val row = got(name)
+      assert(row.getAs[String]("status") === "warc_ok", name)
+      assert(row.getAs[Int]("n_records") === 2 * mine.length, name)
+      assert(row.getAs[Int]("n_responses") === mine.length, name)
+      assert(row.getAs[Long]("body_chars") ===
+        mine.map(_._3.length.toLong).sum, name)
+    }
+  }
+
+  test("torn plain file: complete records ahead of the half-cut tear " +
+    "are kept; the last doc's request survives iff the cut clears it") {
+    val dir = Files.createTempDirectory("warcfiles_torn").toString
+    WarcFiles.writeArchiveDir(docsDf, dir, files = 4, tornEvery = 2)
+    val got = audit(dir)
+    val docs = docsDf.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2)))
+    Seq(0, 2).foreach { f =>
+      val mine = docs.filter(_._1 % 4 == f).sortBy(_._1)
+      val (lid, lsrc, ltext) = mine.last
+      val lastArch = Warc.encodeArchive(lid, lsrc, ltext)
+      // replay the cut in memory: request record length r1
+      val r1 = lastArch.indexOf("WARC/1.0", 1)
+      val reqKept = if (lastArch.length / 2 >= r1) 1 else 0
+      val row = got(s"part-$f.warc")
+      assert(row.getAs[String]("status") === "warc_torn")
+      assert(row.getAs[Int]("n_records") === 2 * (mine.length - 1) + reqKept)
+      assert(row.getAs[Int]("n_responses") === mine.length - 1)
+      assert(row.getAs[Long]("body_chars") ===
+        mine.init.map(_._3.length.toLong).sum)
+    }
+    // untouched gzip files still certify clean
+    Seq(1, 3).foreach(f =>
+      assert(got(s"part-$f.warc.gz").getAs[String]("status") === "warc_ok"))
+  }
+
+  test("corrupt gzip (zeroed magic) is COUNTED as a zero-record file, " +
+    "never thrown") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("warcfiles_corrupt").toString
+    // 10 files: f=5 is odd (gzip) AND divisible by 5 → corrupt class
+    WarcFiles.writeArchiveDir(
+      (0L until 10L).map(i => (i, "s", s"t$i")).toDF("doc_id", "source", "text"),
+      dir, files = 10, tornEvery = 5)
+    val got = audit(dir)
+    val bad = got("part-5.warc.gz")
+    assert(bad.getAs[String]("status") === "warc_corrupt")
+    assert(bad.getAs[Int]("n_records") === 0)
+    assert(bad.getAs[Long]("body_chars") === 0L)
+    // f=0 is even and divisible by 5 → torn plain, single doc: the
+    // half-cut never clears the request of a tiny archive? replay it
+    val arch = Warc.encodeArchive(0L, "s", "t0")
+    val reqKept = if (arch.length / 2 >= arch.indexOf("WARC/1.0", 1)) 1 else 0
+    val torn = got("part-0.warc")
+    assert(torn.getAs[String]("status") === "warc_torn")
+    assert(torn.getAs[Int]("n_records") === reqKept)
+    // the other 8 files are clean single-doc archives
+    assert(got.values.count(_.getAs[String]("status") === "warc_ok") === 8)
+  }
+
+  test("a stray non-warc file in the directory is not read (glob filter)") {
+    val dir = Files.createTempDirectory("warcfiles_glob").toString
+    WarcFiles.writeArchiveDir(docsDf, dir, files = 2, tornEvery = 0)
+    Files.write(Paths.get(dir, "README.txt"),
+      "not an archive".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val got = audit(dir)
+    assert(got.keySet === Set("part-0.warc", "part-1.warc.gz"))
+  }
+}
