@@ -101,6 +101,74 @@ class StreamStateBoundsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("StreamScd2 state rows == keys, never versions (history length)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[StreamScd2.ChangeIn]
+    val out = StreamScd2.intervals(mem.toDF(), "key", "ts", "attrs",
+      watermark = "10 seconds")
+    val query = out.writeStream.format("memory").queryName("sb_scd2")
+      .outputMode("append").start()
+    try {
+      // 200 versions over 4 keys, attrs changing — hundreds of closed
+      // intervals emit, but per key the state is ONE row (open run +
+      // in-horizon buffer live INSIDE it): 4 rows, not 200
+      mem.addData((0 until 200).map(i => StreamScd2.ChangeIn(
+        i % 4, t(10 + i), s"a${i % 3}")))
+      query.processAllAvailable()
+      awaitState(query)(_ == 4L)
+      // 200 MORE versions on the same keys: churn must not grow state
+      mem.addData((0 until 200).map(i => StreamScd2.ChangeIn(
+        i % 4, t(400 + i), s"b${i % 3}")))
+      query.processAllAvailable()
+      val maxSeen = awaitState(query)(_ == 4L)
+      assert(maxSeen <= 4L,
+        s"SCD2 state grew past the key count under version churn: $maxSeen")
+      assert(spark.sql("SELECT * FROM sb_scd2").count() >= 100L,
+        "the closed-interval stream stalled while state stayed bounded")
+    } finally query.stop()
+  }
+
+  test("StreamFunnel state rows == open (user, window) groups, purged " +
+    "when the watermark fires them") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val out = StreamFunnel.windowed(
+      mem.toDF().selectExpr("_1 AS user", "CAST(_2 AS TIMESTAMP) AS ts",
+        "_3 AS etype"),
+      "user", "ts", "etype", steps = Seq("view", "click"),
+      windowSec = 100, watermark = "10 seconds")
+    val query = out.writeStream.format("memory").queryName("sb_funnel")
+      .outputMode("append").start()
+    try {
+      // 60 step events from 3 users, all inside window 0: state is 3
+      // buffered groups — per (user, window), never per event
+      mem.addData((0 until 60).map(i =>
+        (i % 3L, i.toLong, if (i % 2 == 0) "view" else "click")))
+      query.processAllAvailable()
+      val maxSeen = awaitState(query)(_ == 3L)
+      assert(maxSeen <= 3L,
+        s"funnel state exceeded the open-group bound: $maxSeen")
+      // watermark far past the window end: the 3 groups fire (one exact
+      // funnel row each) and PURGE; only the watermark-driver events'
+      // own fresh groups may remain
+      mem.addData((99L, 100000L, "view"))
+      query.processAllAvailable()
+      mem.addData((98L, 200000L, "view"))
+      query.processAllAvailable()
+      awaitState(query)(_ <= 2L)
+      val fired = spark.sql(
+        "SELECT * FROM sb_funnel WHERE user_id < 3").count()
+      assert(fired == 3L, s"expected 3 fired funnel rows, got $fired")
+    } finally query.stop()
+  }
+
+  // StreamIndex is NOT listed here by design: it keeps no state store
+  // (foreachBatch writes additive delta directories; the bounded
+  // quantity is the directory count, which StreamIndexSpec measures
+  // around compactDeltas).
+
   test("StreamMediaDedup state rows == touched buckets, never per doc") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
