@@ -128,4 +128,42 @@ private[graft] trait Queries11Formats extends Queries10Information {
       |  CAST(CASE WHEN f % 5 <> 0 THEN sum_t WHEN f % 2 = 1 THEN 0
       |       ELSE sum_t - t_last END AS BIGINT) AS body_chars
       |FROM agg""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q254 — crawl-to-corpus COMPOSITION: documents → HTML page
+  // (HtmlExtract.encodePage) → archived as a text/html WARC response →
+  // Content-Length record walk recovers the page → tag walker strips
+  // boilerplate and recovers the ORIGINAL text bit-for-bit through BOTH
+  // container layers (md5(extracted) == md5(text)) — the actual shape
+  // of web-crawl training-data ingestion, certified end to end. One
+  // linear narrow pipeline (three partition-local maps, no shuffle, no
+  // checkpoint); the oracle reuses q161's page-structure arithmetic —
+  // the composition cannot drift from the layers it composes.
+  // ---------------------------------------------------------------------
+  private[graft] def q254CrawlExtract(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.HtmlExtract.extractColumns(
+        Warc.parseColumns(Warc.attachHtmlArchives(Tables.documents(spark, dir)))
+          .select(col("doc_id"), col("source"), col("body").as("html")))
+      .select(col("doc_id"), col("n_tags"), col("n_links"), col("n_pars"),
+        length(col("body")).cast("int").as("text_len"),
+        md5(col("body")).as("text_md5"))
+
+  private[graft] val q254Sql =
+    """WITH c AS (SELECT doc_id, strlen(text) AS len, md5(text) AS h,
+      |    (strlen(text) + 79) // 80 AS p,
+      |    2 + doc_id % 4 AS m,
+      |    strlen(text) - 80 * ((strlen(text) + 79) // 80 - 1) AS last_len
+      |  FROM documents),
+      |i AS (SELECT *,
+      |    (CASE WHEN p >= 2 THEN (p-2) // 3 + 1 ELSE 0 END)
+      |    + (CASE WHEN (p-1) % 3 = 0 AND last_len >= 11 THEN 1 ELSE 0 END)
+      |    AS inl
+      |  FROM c)
+      |SELECT doc_id,
+      |  CAST(12 + m + p + inl AS INT) AS n_tags,
+      |  CAST(4 + m + inl AS INT) AS n_links,
+      |  CAST(p AS INT) AS n_pars,
+      |  CAST(len AS INT) AS text_len,
+      |  h AS text_md5
+      |FROM i""".stripMargin
 }

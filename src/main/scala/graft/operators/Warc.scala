@@ -42,11 +42,18 @@ object Warc {
     * every offset is arithmetic in strlen(text), strlen(source) and
     * the digit counts — which is what lets the oracle replay the full
     * layout. */
-  def encodeArchive(docId: Long, source: String, text: String): String = {
+  def encodeArchive(docId: Long, source: String, text: String): String =
+    encodeArchiveAs(docId, source, text, "text/plain")
+
+  /** Generalized encoder: arbitrary response payload + Content-Type —
+    * the crawl-composition entry (q254 wraps an [[HtmlExtract]] page as
+    * the response body, exactly what a real crawl archive holds). */
+  def encodeArchiveAs(docId: Long, source: String, body: String,
+                      contentType: String): String = {
     val uri = s"http://$source/doc/$docId"
     val reqHttp = s"GET /doc/$docId HTTP/1.1\r\nHost: $source\r\n\r\n"
-    val respHttp = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
-      s"Content-Length: ${text.length}\r\n\r\n$text"
+    val respHttp = s"HTTP/1.1 200 OK\r\nContent-Type: $contentType\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n$body"
     def record(recType: String, payload: String): String =
       s"WARC/1.0\r\nWARC-Type: $recType\r\nWARC-Target-URI: $uri\r\n" +
         s"Content-Length: ${payload.length}\r\n\r\n$payload\r\n\r\n"
@@ -69,6 +76,21 @@ object Warc {
             a.substring(0, a.length / 2)
           else a
         ArchiveRow(id, src, out)
+      }).toDF()
+  }
+
+  /** The crawl fixture: each document's [[HtmlExtract.encodePage]] page
+    * archived as a `text/html` response — what a real web crawl
+    * actually stores (pages inside archives, two container layers
+    * between the bytes and the training text). */
+  def attachHtmlArchives(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, src, text) =>
+        ArchiveRow(id, src, encodeArchiveAs(id, src,
+          HtmlExtract.encodePage(id, text), "text/html"))
       }).toDF()
   }
 

@@ -107,16 +107,15 @@ object WarcFiles {
       Some(out.toByteArray)
     } catch { case _: java.io.IOException => None }
 
-  /** Read a directory of `.warc` / `.warc.gz` files and audit each:
-    * one row per FILE with its status, kept-record counts and certified
-    * response-body volume. Partition-local end to end — the only
-    * exchange is whatever consumes the file-grain result. */
-  def readAudit(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared per-file decode map over binaryFile rows — one audit
+    * row per (path, content). Used by the batch reader below AND the
+    * streaming leg ([[graft.streaming.StreamWarc]]), so stream == batch
+    * by construction. Works unchanged on a streaming frame (narrow
+    * map, no aggregation). */
+  private[graft] def auditColumns(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
     import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.warc*")
-      .load(dir)
-      .select(col("path"), col("content"))
+    bin.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.map { case (path, bytes) =>
         val name = path.substring(path.lastIndexOf('/') + 1)
@@ -134,4 +133,14 @@ object WarcFiles {
         }
       }).toDF()
   }
+
+  /** Read a directory of `.warc` / `.warc.gz` files and audit each:
+    * one row per FILE with its status, kept-record counts and certified
+    * response-body volume. Partition-local end to end — the only
+    * exchange is whatever consumes the file-grain result. */
+  def readAudit(spark: SparkSession, dir: String): DataFrame =
+    auditColumns(
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(dir))
 }

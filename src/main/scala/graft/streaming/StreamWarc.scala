@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.WarcFiles
+
+/** Streaming crawl ingest — the reference's defining capability is a
+  * SOURCE that continuously ingests a real external format
+  * (/root/reference/src/dnstap/dnstap.go:90-248, the unix-socket
+  * framestream listener); the web-crawl analogue watches a landing
+  * directory for new `.warc` / `.warc.gz` files and audits each one
+  * exactly like the batch reader — the decode map is SHARED
+  * ([[WarcFiles.auditColumns]]), so stream == batch by construction
+  * (StreamWarcSpec pins it across multi-batch arrival).
+  *
+  * Scale shape: Structured Streaming's file source gives exactly-once
+  * per file via its own source log (a crashed batch re-lists, already-
+  * committed files never reprocess); one file = one task (gzip members
+  * are not splittable), the same grain as batch; the walk and gunzip
+  * are partition-local, so a micro-batch of N landed files is N
+  * independent tasks and nothing corpus-sized ever shuffles. Corrupt
+  * files COUNT as `warc_corrupt` rows — never thrown, never dropped —
+  * the quarantine discipline a continuously-fed pipeline cannot live
+  * without (a single bad archive must not kill the stream).
+  */
+object StreamWarc {
+
+  /** binaryFile's FIXED schema, spelled out because a streaming file
+    * source demands an explicit schema up front (no inference pass —
+    * the files don't exist yet). */
+  private val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("modificationTime",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("length",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("content",
+      org.apache.spark.sql.types.BinaryType)))
+
+  /** Per-file audit rows as an APPEND stream over a landing directory.
+    * Stateless (a narrow map over the file source) — no watermark, no
+    * state store; the bounded quantity is the source log, which grows
+    * with files listed, the documented file-source contract. */
+  def audit(spark: SparkSession, dir: String): DataFrame =
+    WarcFiles.auditColumns(
+      spark.readStream.format("binaryFile")
+        .schema(binaryFileSchema)
+        .option("pathGlobFilter", "*.warc*")
+        .load(dir))
+}

@@ -116,6 +116,26 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("crawl composition: an HtmlExtract page archived as text/html " +
+    "round-trips to the ORIGINAL text through both container layers") {
+    import spark.implicits._
+    val docs = Seq((3L, "s0", "the quick brown fox " * 9),
+        (14L, "s1", "tiny"))
+      .toDF("doc_id", "source", "text")
+    val parsed = Warc.parseColumns(Warc.attachHtmlArchives(docs))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    docs.collect().foreach { d =>
+      val (id, text) = (d.getLong(0), d.getString(2))
+      val row = parsed(id)
+      assert(row.getAs[Boolean]("warc_ok"))
+      assert(row.getAs[String]("content_type") === "text/html")
+      val page = row.getAs[String]("body")
+      assert(page.startsWith("<html>") && page.endsWith("</html>"))
+      val e = HtmlExtract.extract(page)
+      assert(e.ok && e.body === text, s"doc $id")
+    }
+  }
+
   test("half-cut audit law: response never survives, request survives " +
     "iff the cut clears record 1") {
     import spark.implicits._
