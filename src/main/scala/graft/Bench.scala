@@ -30,6 +30,17 @@ object Bench {
     // report a reassuring low value for exactly that run
     val loadStart = loadAvg()
 
+    // SIDECAR (r15, VERDICT "what's missing" #2): the driver tail-captures
+    // only ~2 KB of stdout, so at 250+ queries the full loaded/isolated
+    // per-query picture was unrecoverable from the artifact (r14's
+    // q241/q242/q68/q60 inflation had to be INFERRED from absence in a
+    // top-10 list). Every JSON line the bench prints is also appended to
+    // this file, so the loaded-vs-isolated maps stay attributable at a
+    // glance. Override the path with SPARK_GRAFT_DETAIL_FILE; set it
+    // empty to disable.
+    val detailLines = scala.collection.mutable.ArrayBuffer.empty[String]
+    def emit(line: String): Unit = { println(line); detailLines += line }
+
     /** The timed action: FULL row materialization, not count(). Under
       * count() Catalyst prunes every column the row count doesn't need —
       * an expensive final projection simply never runs (measured r9:
@@ -120,8 +131,8 @@ object Bench {
         val l = loMap.getOrElse(name, -1.0)
         name -> (if (l > 0 && hi > 0) hi / l else -1.0)
       }
-      println(s"""{"detail":"scaling","dir":"$scalingDir","queries":${toJson(lo)}}""")
-      println(s"""{"detail":"ratio_vs_primary","queries":${toJson(ratios)}}""")
+      emit(s"""{"detail":"scaling","dir":"$scalingDir","queries":${toJson(lo)}}""")
+      emit(s"""{"detail":"ratio_vs_primary","queries":${toJson(ratios)}}""")
     }
     // isolated rerun (r10 judge task, widened r13 to >2 s, widened
     // again r14 to >0.9 s: EVERY query whose loaded time exceeds the
@@ -160,7 +171,7 @@ object Bench {
         }
       }
     if (iso.nonEmpty)
-      println(s"""{"detail":"isolated_rerun","queries":${toJson(iso)}}""")
+      emit(s"""{"detail":"isolated_rerun","queries":${toJson(iso)}}""")
 
     // ingest→aggregate→sink throughput of the reference pipeline
     // (BASELINE.md:34-36's rows/s line): dnstap frames from the events
@@ -175,11 +186,11 @@ object Bench {
         PipelineThroughput.run(spark, sfDir, targetFrames = 1L)
         val r = PipelineThroughput.run(spark, sfDir,
           sys.env.getOrElse("SPARK_GRAFT_PIPELINE_FRAMES", "4000000").toLong)
-        println(f"""{"detail":"pipeline","rows_per_sec":${r.rowsPerSec}%.0f,"frames":${r.frames},"secs":${BigDecimal(r.secs).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"query_agg_rows":${r.queryAggRows},"response_agg_rows":${r.responseAggRows},"batches":${r.batches}}""")
+        emit(f"""{"detail":"pipeline","rows_per_sec":${r.rowsPerSec}%.0f,"frames":${r.frames},"secs":${BigDecimal(r.secs).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"query_agg_rows":${r.queryAggRows},"response_agg_rows":${r.responseAggRows},"batches":${r.batches}}""")
         Some(r)
       } catch {
         case e: Throwable =>
-          println(s"""{"detail":"pipeline","error":"${e.getClass.getSimpleName}"}""")
+          emit(s"""{"detail":"pipeline","error":"${e.getClass.getSimpleName}"}""")
           None
       }
 
@@ -198,17 +209,17 @@ object Bench {
         .trainMergesDistributed(docs, "text", wpK).count()
       val secs = (System.nanoTime() - t0) / 1e9
       val per = if (n > 0) secs / n else -1.0
-      println(s"""{"detail":"wordpiece_distributed","merges":$n,"secs":${
+      emit(s"""{"detail":"wordpiece_distributed","merges":$n,"secs":${
         BigDecimal(secs).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"per_merge_secs":${
         BigDecimal(per).setScale(4, BigDecimal.RoundingMode.HALF_UP)},"cap_rounds":${
         graft.operators.WordPiece.MaxDistributedMerges}}""")
       releaseCheckpoints()
     } catch {
       case e: Throwable =>
-        println(s"""{"detail":"wordpiece_distributed","error":"${e.getClass.getSimpleName}"}""")
+        emit(s"""{"detail":"wordpiece_distributed","error":"${e.getClass.getSimpleName}"}""")
     }
 
-    println(s"""{"detail":"queries","sf":"$sfDir","queries":${toJson(results)}}""")
+    emit(s"""{"detail":"queries","sf":"$sfDir","queries":${toJson(results)}}""")
 
     val failed = results.collect { case (name, v) if v < 0 => name }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
@@ -234,7 +245,16 @@ object Bench {
     val isoJson = if (isoHead.isEmpty) "" else s""","slowest_isolated":${toJson(isoHead)}"""
     val pipeJson = pipe.map(r =>
       f""","pipeline_rows_per_sec":${r.rowsPerSec}%.0f,"pipeline_frames":${r.frames},"pipeline_secs":${BigDecimal(r.secs).setScale(3, BigDecimal.RoundingMode.HALF_UP)}""").getOrElse("")
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","action":"materialize","sf":"$sfDir","nqueries":${results.size},"errors":$errorsJson,"load1m":$load,"slowest":${toJson(slowest)}$pipeJson$isoJson}""")
+    emit(s"""{"metric":"total","value":$totalStr,"unit":"sec","action":"materialize","sf":"$sfDir","nqueries":${results.size},"errors":$errorsJson,"load1m":$load,"slowest":${toJson(slowest)}$pipeJson$isoJson}""")
+    // sidecar dump (JSONL, one object per line — the same lines stdout
+    // carried, without the 2 KB tail window). Best-effort: a read-only
+    // working dir must not fail the bench.
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_DETAIL_FILE",
+      "/root/repo/BENCH_DETAIL.jsonl")
+    if (sidecar.nonEmpty) try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(sidecar),
+        detailLines.mkString("", "\n", "\n"))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

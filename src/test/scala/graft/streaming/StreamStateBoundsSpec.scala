@@ -164,6 +164,74 @@ class StreamStateBoundsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("StreamAttribution state rows == users with a live touch, " +
+    "expired once the watermark passes the lookback horizon") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Double, Long)]
+    val out = StreamAttribution.lastTouch(
+      mem.toDF().selectExpr("_1 AS user", "_2 AS id", "_3 AS etype",
+        "_4 AS value", "CAST(_5 AS TIMESTAMP) AS ts"),
+      "user", "ts", "id", "value", "etype",
+      convType = "purchase", touchTypes = Seq("ad"),
+      lookbackUs = 60L * 1000000L, watermark = "10 seconds")
+    val query = out.writeStream.format("memory").queryName("sb_attr")
+      .outputMode("append").start()
+    try {
+      // 100 touches over 10 users: ONE max-(ts,id) triple per user
+      mem.addData((0 until 100).map(i =>
+        (i % 10L, i.toLong, "ad", 0.0, 10L + i)))
+      query.processAllAvailable()
+      val maxSeen = awaitState(query)(_ == 10L)
+      assert(maxSeen <= 10L,
+        s"attribution state exceeded the active-user bound: $maxSeen")
+      // 10 conversions inside the lookback: credits emit, state stays 10
+      mem.addData((0 until 10).map(i =>
+        (i.toLong, 1000L + i, "purchase", 5.0, 115L)))
+      query.processAllAvailable()
+      awaitState(query)(_ == 10L)
+      assert(spark.sql(
+        "SELECT * FROM sb_attr WHERE channel = 'ad'").count() == 10L)
+      // watermark far past every touch's lookback horizon: expired
+      // state drops; the driver conversion itself stores no touch
+      mem.addData((999L, 9999L, "purchase", 1.0, 100000L))
+      query.processAllAvailable()
+      mem.addData((998L, 9998L, "purchase", 1.0, 200000L))
+      query.processAllAvailable()
+      awaitState(query)(_ == 0L)
+    } finally query.stop()
+  }
+
+  test("StreamTransitions state rows == distinct users (the documented " +
+    "per-user chain-head floor), flat under event churn") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Long)]
+    val out = StreamTransitions.pairs(
+      mem.toDF().selectExpr("_1 AS user", "_2 AS id", "_3 AS etype",
+        "CAST(_4 AS TIMESTAMP) AS ts"),
+      "user", "ts", "id", "etype", watermark = "10 seconds")
+    val query = out.writeStream.format("memory").queryName("sb_trans")
+      .outputMode("append").start()
+    try {
+      // 200 events over 5 users -> 5 chain heads, not 200 rows
+      mem.addData((0 until 200).map(i =>
+        (i % 5L, i.toLong, if (i % 2 == 0) "a" else "b", 10L + i)))
+      query.processAllAvailable()
+      val maxSeen = awaitState(query)(_ == 5L)
+      assert(maxSeen <= 5L,
+        s"transition state exceeded the chain-head bound: $maxSeen")
+      // 200 MORE events on the same users: churn must not grow state
+      mem.addData((0 until 200).map(i =>
+        (i % 5L, 1000L + i, if (i % 3 == 0) "a" else "c", 300L + i)))
+      query.processAllAvailable()
+      awaitState(query)(_ == 5L)
+      // 40 events per user per wave: 39 pairs each in wave 1, 40 in
+      // wave 2 (the chain head survives across batches)
+      assert(spark.sql("SELECT * FROM sb_trans").count() === 395L)
+    } finally query.stop()
+  }
+
   // StreamIndex is NOT listed here by design: it keeps no state store
   // (foreachBatch writes additive delta directories; the bounded
   // quantity is the directory count, which StreamIndexSpec measures
