@@ -166,4 +166,40 @@ private[graft] trait Queries11Formats extends Queries10Information {
       |  CAST(len AS INT) AS text_len,
       |  h AS text_md5
       |FROM i""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q255 — GPT-style concat-and-chunk packing (Packing.concatChunks):
+  // per-source token streams cut every 512 tokens, documents spanning
+  // chunk boundaries (the packing most LLM training actually runs; the
+  // consumer masks cross-document attention). The assignment is a pure
+  // function of the per-stream window cumsum — hash-exact against a
+  // DuckDB cumsum + generate_series oracle — closing the gap q51's
+  // partitioning-dependent first-fit leaves open (that one is rows-only
+  // TERMINALLY; this sibling discipline is fully certifiable).
+  // ---------------------------------------------------------------------
+  private[graft] def q255ConcatPack(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.concatChunks(
+      Tables.documents(spark, dir)
+        .select(col("source"), col("doc_id"),
+          size(graft.operators.TextAnalysis.tokens(col("text")))
+            .cast("long").as("n_toks")),
+      "source", "doc_id", "n_toks", capacity = 512L)
+
+  private[graft] val q255Sql =
+    """WITH d AS (SELECT source AS stream, doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS BIGINT) AS n
+      |  FROM documents),
+      |o AS (SELECT *, CAST(COALESCE(SUM(n) OVER (PARTITION BY stream
+      |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    0) AS BIGINT) AS s
+      |  FROM d WHERE n > 0),
+      |x AS (SELECT stream, doc_id, n, s,
+      |    UNNEST(generate_series(s // 512, (s + n - 1) // 512)) AS k
+      |  FROM o)
+      |SELECT stream, CAST(k AS BIGINT) AS chunk_id, doc_id,
+      |  CAST(GREATEST(s, k * 512) - k * 512 AS BIGINT) AS start_in_chunk,
+      |  CAST(LEAST((k + 1) * 512, s + n) - GREATEST(k * 512, s) AS BIGINT)
+      |    AS n_toks_in_chunk
+      |FROM x""".stripMargin
 }

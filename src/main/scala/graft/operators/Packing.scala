@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sequence packing for training-batch construction: place documents into
@@ -49,6 +50,46 @@ object Packing {
         }
       }
       .toDF("doc_id", "pack_id", "pack_offset", "doc_tokens")
+  }
+
+  /** GPT-style CONCAT-AND-CHUNK packing — the other packing discipline
+    * real LLM pipelines run: documents concatenate into one token
+    * stream per `streamCol` group (in `idCol` order) and the stream is
+    * cut every `capacity` tokens; documents legally SPAN chunk
+    * boundaries (the consumer masks cross-document attention). Unlike
+    * first-fit ([[packSequences]], whose assignment depends on hash
+    * partitioning and is therefore rows-only-checkable), this placement
+    * is a pure function of the per-stream cumulative sums — replayable
+    * cross-engine, hash-exact against a window-cumsum oracle.
+    *
+    * Output: one row per (document × chunk it spans):
+    * (stream, chunk_id, doc_id, start_in_chunk, n_toks_in_chunk).
+    * Chunk ids are per-stream. Token-less documents are excluded (no
+    * tokens to place — the gapFill exclusion convention).
+    *
+    * Scale: ONE exchange — the per-stream window cumsum (partitioned
+    * window, ordered by id); the chunk explode adds ≤ len/capacity + 1
+    * rows per doc, bounded by the token volume itself. No placement
+    * state, no driver action. */
+  def concatChunks(df: DataFrame, streamCol: String, idCol: String,
+                   lenCol: String, capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val w = Window.partitionBy(col("stream")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(streamCol).as("stream"),
+        col(idCol).cast("long").as("doc_id"),
+        col(lenCol).cast("long").as("n_toks"))
+      .filter(col("n_toks") > 0)
+      .withColumn("__s", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .select(col("stream"), col("doc_id"), col("n_toks"), col("__s"),
+        explode(sequence(expr(s"__s div ${capacity}L"),
+          expr(s"(__s + n_toks - 1) div ${capacity}L"))).as("chunk_id"))
+      .select(col("stream"), col("chunk_id"), col("doc_id"),
+        (greatest(col("__s"), col("chunk_id") * capacity)
+          - col("chunk_id") * capacity).as("start_in_chunk"),
+        (least((col("chunk_id") + 1L) * capacity, col("__s") + col("n_toks"))
+          - greatest(col("chunk_id") * capacity, col("__s")))
+          .as("n_toks_in_chunk"))
   }
 
   /** First-fit over open packs via a max-segment-tree on remaining
