@@ -477,6 +477,41 @@ class PlanAuditSpec extends SparkSpec {
       s"q211 ranks over an unbanded window: $l"))
   }
 
+  test("q254's two-container crawl pipeline is narrow end to end — " +
+    "zero exchanges") {
+    // documents -> WARC encode -> record walk -> tag walker is three
+    // chained partition-local maps; an Exchange appearing means the
+    // composition started shuffling corpus text between the layers
+    val plan = SparkEntry.queries("q254_crawl_extract")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"q254 shuffles:\n$plan")
+  }
+
+  test("q255's concat packing is ONE window exchange — no join, no " +
+    "unpartitioned window") {
+    val plan = SparkEntry.queries("q255_concat_pack")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"q255 plans $exchanges exchanges:\n$plan")
+    Seq("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct")
+      .foreach(bad => assert(!plan.contains(bad), s"q255 plans a $bad"))
+  }
+
+  test("q253 serves the closure FROM the pairs artifact — no edge-family " +
+    "rebuild in the plan") {
+    // the q124 rebuild explodes shingles / media frames (Generate nodes);
+    // the artifact path must show a parquet scan of the persisted pairs
+    // and no generator — otherwise the memoized build leaked into the
+    // serving plan and the bench entry is measuring the wrong thing
+    val plan = SparkEntry.queries("q253_dedup_pairs_artifact")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      s"q253 rebuilds an edge family in the serving plan:\n$plan")
+    assert(plan.contains("Scan parquet"),
+      "q253 lost the artifact parquet scan")
+  }
+
   test("column pruning reaches the parquet scan") {
     // q1 projects 4 of lineitem's 16 columns; a scan still reading
     // l_comment means the projection never reached the source
