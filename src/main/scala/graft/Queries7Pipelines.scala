@@ -482,8 +482,15 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
     val out = java.nio.file.Files
       .createTempDirectory("graft_bpe_artifact").toString
     val docs = Tables.documents(spark, dir)
+    // DEEP trainer, not the batched distributed one: merges are
+    // byte-identical (BpeFuzzSpec pins the cores against each other) and
+    // this query certifies the ARTIFACT roundtrip, not the trainer —
+    // q105 certifies the batched core against the oracle fold. Measured
+    // r15: the per-merge distributed jobs were most of q171's 6.0 s
+    // isolated cost (the q150 card saw the same 3.5x).
     graft.operators.CorpusStats
-      .bpeTrainMerges(docs.filter(col("source") === "src0"), "text", BpeRounds)
+      .bpeTrainMergesDeep(docs.filter(col("source") === "src0"), "text",
+        BpeRounds)
       .write.mode("overwrite").parquet(out)
     graft.operators.CorpusStats.bpeApplyMerges(
       docs.filter(col("source") =!= "src0"), "doc_id", "text",
