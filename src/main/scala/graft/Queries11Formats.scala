@@ -202,4 +202,62 @@ private[graft] trait Queries11Formats extends Queries10Information {
       |  CAST(LEAST((k + 1) * 512, s + n) - GREATEST(k * 512, s) AS BIGINT)
       |    AS n_toks_in_chunk
       |FROM x""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q256 — INCREMENTAL closure maintenance (Dedup.incrementalComponents):
+  // a daily drop (doc_id % 7 = 0) joins an already-labeled corpus; its
+  // edges come from the delta-probe (incrementalJaccardPairs — the
+  // corpus never self-joins) plus the delta's own tiny pair table, and
+  // the labeling updates by contracting existing components to their
+  // labels and running the fixpoint over the DELTA-SIZED reduced graph
+  // only. Hash-exact against the FULL closure oracle over base ∪ delta —
+  // the contraction law (min∘min = min over the union) is what the
+  // oracle certifies. Edges run WITHOUT the df cap: a cap computed over
+  // the base corpus could differ from one over the union, and the
+  // incremental == full equality needs population-independent edges.
+  // ---------------------------------------------------------------------
+  private[graft] def q256IncrementalClosure(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, dir)
+    val base = docs.filter(col("doc_id") % 7 =!= 0)
+    val delta = docs.filter(col("doc_id") % 7 === 0)
+    val baseEdges = Dedup.ngramJaccardPairs(base, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val baseLabels = Dedup.connectedComponents(
+      base.select(col("doc_id").as("id")), baseEdges)
+    val deltaBase = Dedup.incrementalJaccardPairs(base, delta,
+        "doc_id", "text", n = 3, threshold = 0.5)
+      .select(col("batch_doc").as("src"), col("corpus_doc").as("dst"))
+    val deltaDelta = Dedup.ngramJaccardPairs(delta, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    Dedup.incrementalComponents(baseLabels,
+        delta.select(col("doc_id").as("id")),
+        deltaBase.unionByName(deltaDelta))
+      .select(col("id").as("doc_id"), col("component"))
+  }
+
+  private[graft] val q256Sql =
+    """WITH RECURSIVE
+      |t AS (SELECT doc_id, list_filter(string_split(text, ' '),
+      |        x -> x <> '') AS tk FROM documents),
+      |sh AS (SELECT DISTINCT doc_id AS doc, sg FROM (
+      |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+      |    THEN list_transform(generate_series(1, len(tk)-2),
+      |           i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])
+      |    ELSE [] END) AS sg FROM t)),
+      |sz AS (SELECT doc, count(*) AS s FROM sh GROUP BY 1),
+      |i AS (SELECT a.doc AS x, b.doc AS y, count(*) AS c
+      |      FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc < b.doc
+      |      GROUP BY 1, 2),
+      |p AS (SELECT x AS src, y AS dst
+      |      FROM i JOIN sz sa ON i.x = sa.doc JOIN sz sb ON i.y = sb.doc
+      |      WHERE c*1.0/(sa.s + sb.s - c) >= 0.5),
+      |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+      |r(v, l) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.l FROM r JOIN e ON e.src = r.v WHERE r.l < e.dst)
+      |SELECT v AS doc_id, MIN(l) AS component FROM r GROUP BY v""".stripMargin
 }

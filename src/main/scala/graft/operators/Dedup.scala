@@ -446,6 +446,59 @@ object Dedup {
         coalesce(col("component"), col("id")).as("component"))
   }
 
+  /** Incrementally extend a component labeling with a NEW batch of
+    * nodes and the edges that touch it — the clustering counterpart of
+    * [[incrementalJaccardPairs]] (which admits documents; this one
+    * maintains their component labels). A daily crawl drop must NOT
+    * re-run the closure over the whole corpus: existing components are
+    * internally connected by construction, so CONTRACTING each to its
+    * label preserves the union graph's connectivity exactly, and only
+    * the components the new edges TOUCH can change. The reduced graph —
+    * nodes = touched labels, edges = new edges mapped through the
+    * labeling — is delta-sized, not corpus-sized: untouched components
+    * never enter a shuffle, and the fixpoint runs over a graph bounded
+    * by the batch's edge count.
+    *
+    * Label algebra: labels are min-ids, the super-label of a merged
+    * group is the min over its member labels, and min∘min = min over
+    * the union — so the result is BIT-IDENTICAL to a full
+    * [[connectedComponents]] over (base ∪ delta) with the full edge
+    * set (q256 pins this against the full-closure oracle; the edge
+    * operators must be run WITHOUT population-dependent df caps for
+    * that equality, since a cap computed over the base corpus can
+    * differ from one over the union).
+    *
+    * @param baseLabels (id, component) — an existing labeling (from
+    *        [[connectedComponents]] or a previous incremental round)
+    * @param deltaIds one column `id` — the new nodes (label themselves
+    *        until an edge says otherwise)
+    * @param newEdges (src, dst) — every edge with at least one new
+    *        endpoint (delta↔base and delta↔delta)
+    * @return (id, component) over base ∪ delta */
+  def incrementalComponents(baseLabels: DataFrame, deltaIds: DataFrame,
+                            newEdges: DataFrame): DataFrame = {
+    // the working labeling feeds the two edge-endpoint joins AND the
+    // final re-attach — materialize once (fixed-width rows only)
+    val labels = baseLabels.select(col("id"), col("component"))
+      .unionByName(deltaIds.select(col("id"), col("id").as("component")))
+      .localCheckpoint()
+    val el = newEdges.select(col("src"), col("dst"))
+      .join(labels.select(col("id").as("src"), col("component").as("__ls")),
+        Seq("src"))
+      .join(labels.select(col("id").as("dst"), col("component").as("__ld")),
+        Seq("dst"))
+      .select(col("__ls").as("src"), col("__ld").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val touched = el.select(col("src").as("id"))
+      .union(el.select(col("dst").as("id"))).distinct()
+    // delta-sized fixpoint over the contracted graph: (label → super)
+    val superOf = connectedComponents(touched, el)
+      .select(col("id").as("component"), col("component").as("__sup"))
+    labels.join(superOf, Seq("component"), "left")
+      .select(col("id"),
+        coalesce(col("__sup"), col("component")).as("component"))
+  }
+
   /** 64-bit SimHash over distinct whitespace tokens: bit j of the
     * fingerprint is set when more token hashes have bit j set than clear.
     * The 64 hash bits per token come from two dialect-portable 32-bit
