@@ -482,6 +482,12 @@ object Dedup {
     val labels = baseLabels.select(col("id"), col("component"))
       .unionByName(deltaIds.select(col("id"), col("id").as("component")))
       .localCheckpoint()
+    // materialize the label-mapped edge list ONCE: it feeds the touched
+    // node set AND connectedComponents' edge restriction (two semi-joins)
+    // AND its symmetric union — without the cut the (possibly expensive)
+    // newEdges pipeline upstream re-executes per consumer (measured on
+    // q256: the delta probe ran ~4x, 8.0 s vs 3.4 s). Fixed-width label
+    // pairs only, delta-sized.
     val el = newEdges.select(col("src"), col("dst"))
       .join(labels.select(col("id").as("src"), col("component").as("__ls")),
         Seq("src"))
@@ -489,6 +495,7 @@ object Dedup {
         Seq("dst"))
       .select(col("__ls").as("src"), col("__ld").as("dst"))
       .filter(col("src") =!= col("dst"))
+      .localCheckpoint()
     val touched = el.select(col("src").as("id"))
       .union(el.select(col("dst").as("id"))).distinct()
     // delta-sized fixpoint over the contracted graph: (label → super)
