@@ -639,6 +639,7 @@ object PlanSweepSpec {
   val allowedCheckpointStrings: Map[String, Set[String]] = Map(
     "q61_incremental_dedup" -> Set("side"),
     "q68_incremental_dedup_bloom" -> Set("side"),
+    "q256_incremental_closure" -> Set("side"),
     "q138_corpus_refresh" -> Set("side"),
     "q152_jsonl_ingest" -> Set("text", "lang", "source", "_corrupt"),
     "q179_percentile_rollup" -> Set("source"),
