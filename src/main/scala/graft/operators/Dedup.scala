@@ -471,7 +471,9 @@ object Dedup {
     * @param baseLabels (id, component) — an existing labeling (from
     *        [[connectedComponents]] or a previous incremental round)
     * @param deltaIds one column `id` — the new nodes (label themselves
-    *        until an edge says otherwise)
+    *        until an edge says otherwise). MUST be disjoint from the
+    *        base ids (the q61/q138 admission discipline: arriving ids
+    *        are NEW); an overlapping id would carry two label rows
     * @param newEdges (src, dst) — every edge with at least one new
     *        endpoint (delta↔base and delta↔delta)
     * @return (id, component) over base ∪ delta */
