@@ -446,6 +446,62 @@ object Dedup {
         coalesce(col("component"), col("id")).as("component"))
   }
 
+  /** Per-document shingle index as a PERSISTABLE frame: (doc, h, sz) —
+    * fixed-width rows (never shingle text), the artifact a continuously
+    * maintained dedup pipeline stores so new batches can probe the
+    * corpus without re-tokenizing it ([[graft.streaming.StreamCluster]]
+    * appends one generation of these per micro-batch). `sz` is the
+    * doc's distinct-shingle count, carried per row so the exact
+    * size-ratio prune runs inside the candidate join. */
+  def shingleIndex(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("doc"),
+        TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col("doc"),
+        explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("sg"))
+      .select(col("doc"), xxhash64(col("sg")).as("h"))
+      .distinct()
+    sh.join(sh.groupBy(col("doc")).agg(count(lit(1)).as("sz")), "doc")
+  }
+
+  /** Jaccard pairs of a batch index against a stored corpus index —
+    * [[incrementalJaccardPairs]]' candidate join over PRE-SHINGLED
+    * (doc, h, sz) frames: the corpus is probed, never re-tokenized and
+    * never self-joined. No df cap here by design: caps are
+    * population-dependent, and this entry exists for the incremental ==
+    * full-closure equality (q256's contract). */
+  def jaccardPairsAgainstIndex(corpusIdx: DataFrame, batchIdx: DataFrame,
+                               threshold: Double): DataFrame =
+    batchIdx.as("b")
+      .join(corpusIdx.as("c"),
+        col("b.h") === col("c.h") &&
+          least(col("b.sz"), col("c.sz")) >=
+            lit(threshold) * greatest(col("b.sz"), col("c.sz")))
+      .groupBy(col("b.doc").as("batch_doc"), col("c.doc").as("corpus_doc"),
+        col("b.sz").as("szb"), col("c.sz").as("szc"))
+      .agg(count(lit(1)).as("__c"))
+      .select(col("batch_doc"), col("corpus_doc"),
+        (col("__c") * lit(1.0) / (col("szb") + col("szc") - col("__c")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** Jaccard pairs WITHIN one index (doc_a < doc_b) — the
+    * [[ngramJaccardPairs]] tail over a pre-shingled frame. */
+  def jaccardPairsWithinIndex(idx: DataFrame, threshold: Double): DataFrame =
+    idx.as("a")
+      .join(idx.as("b"),
+        col("a.h") === col("b.h") && col("a.doc") < col("b.doc") &&
+          least(col("a.sz"), col("b.sz")) >=
+            lit(threshold) * greatest(col("a.sz"), col("b.sz")))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"))
+      .agg(count(lit(1)).as("__c"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("__c") * lit(1.0) / (col("sza") + col("szb") - col("__c")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
   /** Incrementally extend a component labeling with a NEW batch of
     * nodes and the edges that touch it — the clustering counterpart of
     * [[incrementalJaccardPairs]] (which admits documents; this one

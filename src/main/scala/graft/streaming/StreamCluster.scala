@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Dedup
+
+/** Continuously maintained dedup CLUSTERING artifact — the closure
+  * counterpart of [[StreamDedup]] (which answers "is this new doc a
+  * duplicate"; this leg answers "which component does every doc belong
+  * to, right now"). Each micro-batch of NEW documents:
+  *
+  *   1. shingles the batch ([[Dedup.shingleIndex]], fixed-width rows);
+  *   2. probes the STORED corpus shingle index for batch↔corpus edges
+  *      and self-joins the batch index for batch↔batch edges — the
+  *      corpus is never re-tokenized and never self-joined;
+  *   3. extends the previous labeling through the label-contracted
+  *      reduced graph ([[Dedup.incrementalComponents]] — only touched
+  *      components shuffle);
+  *   4. writes the new labeling generation and APPENDS the batch's
+  *      shingle generation.
+  *
+  * Artifact layout (the [[StreamIndex]] generation discipline):
+  * `path/shingles/gen=<batchId>` (append-only, one per batch) and
+  * `path/labels/gen=<batchId>` (full labeling snapshot — 2 longs per
+  * doc; serve-side reads the NEWEST generation). The checkpoint makes
+  * batch ids stable across restarts, so a replayed batch overwrites
+  * its OWN generation directories with identical content — idempotent
+  * recovery. [[readLabels]] reads only the max-gen labels dir, so a
+  * crash between the two writes leaves the artifact serving the
+  * previous consistent generation.
+  *
+  * CONTRACT: arriving doc_ids are NEW (the q61/q138 admission
+  * discipline — [[Dedup.incrementalComponents]] requires base/delta
+  * disjointness). Edges run WITHOUT df caps: caps are
+  * population-dependent and the leg's certificate is labeling ==
+  * full [[Dedup.connectedComponents]] over every document fed so far
+  * (StreamClusterSpec pins it batch over batch, including a bridge
+  * merge of two earlier components).
+  */
+object StreamCluster {
+
+  def maintain(docs: DataFrame, idCol: String, textCol: String,
+               path: String, checkpoint: String,
+               n: Int = 3, threshold: Double = 0.5): StreamingQuery = {
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          if (!batch.isEmpty) {
+            val spark = batch.sparkSession
+            val bIdx = Dedup.shingleIndex(batch, idCol, textCol, n)
+              .localCheckpoint() // probed by two edge joins + written
+            val prevLabels = latestLabels(spark, path)
+            val batchIds = batch.select(col(idCol).cast("long").as("id"))
+            val within = Dedup.jaccardPairsWithinIndex(bIdx, threshold)
+              .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+            val labels = prevLabels match {
+              case None =>
+                Dedup.connectedComponents(batchIds, within)
+              case Some(prev) =>
+                val corpusIdx = spark.read
+                  .parquet(s"$path/shingles/gen=*")
+                val cross = Dedup
+                  .jaccardPairsAgainstIndex(corpusIdx, bIdx, threshold)
+                  .select(col("batch_doc").as("src"),
+                    col("corpus_doc").as("dst"))
+                Dedup.incrementalComponents(prev, batchIds,
+                  cross.unionByName(within))
+            }
+            // SHINGLES land first, labels second: readLabels keys on the
+            // max LABELS generation, so until the labels write commits
+            // the artifact still serves the previous consistent
+            // labeling, and an early-landed shingle generation is inert
+            // (the next batch only reads shingles of batches whose ids
+            // the source log replays anyway). A crash anywhere re-runs
+            // the same batch id and overwrites both generations with
+            // identical content (same input rows, deterministic
+            // operators) — no generation is ever half-new.
+            bIdx.write.mode("overwrite")
+              .parquet(s"$path/shingles/gen=$batchId")
+            labels.write.mode("overwrite")
+              .parquet(s"$path/labels/gen=$batchId")
+          }
+        } finally { batch.unpersist(); () }
+        ()
+      }
+      .start()
+  }
+
+  private def latestLabels(spark: SparkSession,
+                           path: String): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/labels")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) None
+    else {
+      val gens = fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+        .map(_.getPath.getName.stripPrefix("gen=").toLong)
+      if (gens.isEmpty) None
+      else Some(spark.read.parquet(s"$path/labels/gen=${gens.max}"))
+    }
+  }
+
+  /** Serve-side: the newest consistent labeling. */
+  def readLabels(spark: SparkSession, path: String): DataFrame =
+    latestLabels(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no labeling generations under $path"))
+}

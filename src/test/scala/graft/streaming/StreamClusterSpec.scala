@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+import graft.operators.Dedup
+
+/** The continuously maintained clustering artifact must equal the full
+  * batch closure over every document fed so far, after every
+  * micro-batch — including the bridge case where a later doc merges two
+  * components formed in an earlier batch. */
+class StreamClusterSpec extends SparkSpec {
+
+  // near-dup families: docs sharing a body string are Jaccard-1 pairs;
+  // distinct bodies share no 3-shingle
+  private val bodyA = "alpha beta gamma delta epsilon zeta"
+  private val bodyB = "one two three four five six seven"
+  private val bodyC = "red orange yellow green blue indigo"
+
+  private def fullClosure(docs: Seq[(Long, String)],
+                          threshold: Double = 0.5): Map[Long, Long] = {
+    import spark.implicits._
+    val df = docs.toDF("doc_id", "text")
+    val edges = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+        n = 3, threshold = threshold)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    Dedup.connectedComponents(
+        df.select(col("doc_id").as("id")), edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  private def labels(path: String): Map[Long, Long] =
+    StreamCluster.readLabels(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("labeling == full closure after every batch; a later doc bridges " +
+    "two earlier components") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val path = Files.createTempDirectory("stream_cluster").toString
+    val ckpt = Files.createTempDirectory("stream_cluster_ck").toString
+    val mem = MemoryStream[(Long, String)]
+    val query = StreamCluster.maintain(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", path, ckpt)
+    try {
+      // batch 1: components {1,2} (bodyA) and {3,4} (bodyB), singleton 5
+      val b1 = Seq(1L -> bodyA, 2L -> bodyA, 3L -> bodyB, 4L -> bodyB,
+        5L -> bodyC)
+      mem.addData(b1)
+      query.processAllAvailable()
+      assert(labels(path) === fullClosure(b1))
+      assert(labels(path)(2L) === 1L)
+      assert(labels(path)(4L) === 3L)
+      // batch 2: doc 6 joins the earlier bodyA component, doc 7 joins
+      // singleton 5's bodyC; the 9~10 pair clusters inside the batch
+      val b2 = Seq(6L -> bodyA, 7L -> bodyC, 9L -> "w x y z q r s",
+        10L -> "w x y z q r s")
+      mem.addData(b2)
+      query.processAllAvailable()
+      val all = b1 ++ b2
+      assert(labels(path) === fullClosure(all))
+      assert(labels(path)(6L) === 1L) // joined the earlier component
+      assert(labels(path)(7L) === 5L)
+      assert(labels(path)(10L) === 9L) // batch-internal pair
+      // batch 3: more members of the first component — three
+      // generations deep, the labeling must still equal the closure
+      val b3 = Seq(11L -> bodyA, 12L -> bodyA)
+      mem.addData(b3)
+      query.processAllAvailable()
+      assert(labels(path) === fullClosure(all ++ b3))
+    } finally query.stop()
+  }
+
+  test("a genuine cross-component bridge merges two earlier components") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val path = Files.createTempDirectory("stream_cluster_b").toString
+    val ckpt = Files.createTempDirectory("stream_cluster_b_ck").toString
+    val mem = MemoryStream[(Long, String)]
+    val query = StreamCluster.maintain(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", path, ckpt,
+      threshold = 0.3)
+    try {
+      // components {20} and {30} from distinct bodies
+      val b1 = Seq(20L -> bodyA, 30L -> bodyB)
+      mem.addData(b1)
+      query.processAllAvailable()
+      assert(labels(path) === Map(20L -> 20L, 30L -> 30L))
+      // doc 10 = bodyA ++ bodyB (13 tokens → 11 shingles, including the
+      // two crossing ones): jaccard vs the pure-A doc is 4/11 ≈ 0.364
+      // and vs the pure-B doc 5/11 ≈ 0.455 — both above the 0.3
+      // threshold, neither pure doc pairs with the other — ONE delta
+      // doc merges two existing components through the reduced graph
+      val b2 = Seq(10L -> s"$bodyA $bodyB")
+      mem.addData(b2)
+      query.processAllAvailable()
+      val got = labels(path)
+      assert(got === fullClosure(b1 ++ b2, threshold = 0.3))
+      assert(got(20L) === got(30L) && got(20L) === 10L,
+        s"bridge did not merge the components: $got")
+    } finally query.stop()
+  }
+}
