@@ -455,6 +455,10 @@ object Dedup {
     * size-ratio prune runs inside the candidate join. */
   def shingleIndex(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3): DataFrame = {
+    // materialized once: the size aggregation AND the size-attach join
+    // both read it, and without the cut the tokenize/explode/distinct
+    // pipeline executes per consumer (the ngramJaccardPairs sh0
+    // rationale); only fixed-width (doc, h) rows are stored
     val sh = df
       .select(col(idCol).as("doc"),
         TextAnalysis.tokens(col(textCol)).as("__tk"))
@@ -462,6 +466,7 @@ object Dedup {
         explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("sg"))
       .select(col("doc"), xxhash64(col("sg")).as("h"))
       .distinct()
+      .localCheckpoint()
     sh.join(sh.groupBy(col("doc")).agg(count(lit(1)).as("sz")), "doc")
   }
 
