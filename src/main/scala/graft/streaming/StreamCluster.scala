@@ -54,7 +54,15 @@ object StreamCluster {
             val spark = batch.sparkSession
             val bIdx = Dedup.shingleIndex(batch, idCol, textCol, n)
               .localCheckpoint() // probed by two edge joins + written
-            val prevLabels = latestLabels(spark, path)
+            // a REPLAYED batch must extend the PREVIOUS labeling, never
+            // read its own crashed partial output: both artifact reads
+            // are restricted to generations strictly below this batch id
+            // AND to directories whose _SUCCESS marker landed (a partial
+            // parquet dir from a killed write would otherwise fail every
+            // retry of this batch forever)
+            val prevLabels = genDirs(spark, s"$path/labels", batchId)
+              .lastOption.map(spark.read.parquet(_))
+            val shingleGens = genDirs(spark, s"$path/shingles", batchId)
             val batchIds = batch.select(col(idCol).cast("long").as("id"))
             val within = Dedup.jaccardPairsWithinIndex(bIdx, threshold)
               .select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -62,8 +70,7 @@ object StreamCluster {
               case None =>
                 Dedup.connectedComponents(batchIds, within)
               case Some(prev) =>
-                val corpusIdx = spark.read
-                  .parquet(s"$path/shingles/gen=*")
+                val corpusIdx = spark.read.parquet(shingleGens: _*)
                 val cross = Dedup
                   .jaccardPairsAgainstIndex(corpusIdx, bIdx, threshold)
                   .select(col("batch_doc").as("src"),
@@ -91,22 +98,30 @@ object StreamCluster {
       .start()
   }
 
-  private def latestLabels(spark: SparkSession,
-                           path: String): Option[DataFrame] = {
-    val root = new org.apache.hadoop.fs.Path(s"$path/labels")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) None
-    else {
-      val gens = fs.listStatus(root)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
-        .map(_.getPath.getName.stripPrefix("gen=").toLong)
-      if (gens.isEmpty) None
-      else Some(spark.read.parquet(s"$path/labels/gen=${gens.max}"))
-    }
+  /** Generation directories under `root` with id < `beforeGen`, oldest
+    * first, COMMITTED ones only (_SUCCESS landed — a partial dir from a
+    * killed write is invisible to both the maintainer and serve reads). */
+  private def genDirs(spark: SparkSession, root: String,
+                      beforeGen: Long): Seq[String] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) Seq.empty
+    else fs.listStatus(rootPath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+      .flatMap { s =>
+        val id = s.getPath.getName.stripPrefix("gen=").toLong
+        if (id < beforeGen &&
+          fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+          Some((id, s.getPath.toString))
+        else None
+      }
+      .sortBy(_._1).map(_._2).toSeq
   }
 
-  /** Serve-side: the newest consistent labeling. */
+  /** Serve-side: the newest consistent (committed) labeling. */
   def readLabels(spark: SparkSession, path: String): DataFrame =
-    latestLabels(spark, path).getOrElse(
-      throw new IllegalArgumentException(s"no labeling generations under $path"))
+    genDirs(spark, s"$path/labels", Long.MaxValue).lastOption
+      .map(spark.read.parquet(_))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed labeling generations under $path"))
 }

@@ -74,6 +74,31 @@ class StreamClusterSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("a partial (uncommitted) generation from a crashed write is " +
+    "invisible: serve reads keep the previous consistent labeling") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val path = Files.createTempDirectory("stream_cluster_crash").toString
+    val ckpt = Files.createTempDirectory("stream_cluster_crash_ck").toString
+    val mem = MemoryStream[(Long, String)]
+    val query = StreamCluster.maintain(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", path, ckpt)
+    try {
+      mem.addData(Seq(1L -> bodyA, 2L -> bodyA))
+      query.processAllAvailable()
+      val committed = labels(path)
+      assert(committed === Map(1L -> 1L, 2L -> 1L))
+      // simulate a crash mid-write of a NEWER generation: a directory
+      // with data but no _SUCCESS marker
+      val partial = java.nio.file.Paths.get(path, "labels", "gen=99")
+      Files.createDirectories(partial)
+      Files.write(partial.resolve("part-junk.parquet"),
+        Array[Byte](1, 2, 3))
+      assert(labels(path) === committed,
+        "serve read leaked a partial generation")
+    } finally query.stop()
+  }
+
   test("a genuine cross-component bridge merges two earlier components") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
