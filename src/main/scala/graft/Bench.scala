@@ -34,12 +34,51 @@ object Bench {
     // only ~2 KB of stdout, so at 250+ queries the full loaded/isolated
     // per-query picture was unrecoverable from the artifact (r14's
     // q241/q242/q68/q60 inflation had to be INFERRED from absence in a
-    // top-10 list). Every JSON line the bench prints is also appended to
-    // this file, so the loaded-vs-isolated maps stay attributable at a
-    // glance. Override the path with SPARK_GRAFT_DETAIL_FILE; set it
-    // empty to disable.
-    val detailLines = scala.collection.mutable.ArrayBuffer.empty[String]
-    def emit(line: String): Unit = { println(line); detailLines += line }
+    // top-10 list). Every JSON line the bench prints is APPENDED to this
+    // file as it is emitted (r16, ADVICE: a buffered end-of-run write
+    // lost every detail line on a crash mid-bench — exactly the
+    // unrecoverable-artifact problem the sidecar exists to fix — and a
+    // rerun clobbered the previous round; with append semantics each run
+    // opens with a run_start marker and the file is a cross-run
+    // journal). Default path derives from the working directory.
+    // Override with SPARK_GRAFT_DETAIL_FILE; set it empty to disable.
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_DETAIL_FILE",
+      new java.io.File("BENCH_DETAIL.jsonl").getAbsolutePath)
+    def emit(line: String): Unit = {
+      println(line)
+      if (sidecar.nonEmpty) try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),
+          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      } catch { case _: Throwable => () } // read-only dir must not fail the bench
+    }
+    emit(s"""{"detail":"run_start","sf":"$sfDir","epoch_ms":${System.currentTimeMillis()},"load1m":${BigDecimal(loadStart).setScale(1, BigDecimal.RoundingMode.HALF_UP)}}""")
+
+    // LOAD GATE (r16, VERDICT #1): identical code measured 208.1 s and
+    // 253.8 s on the same day because the lane had no defense against
+    // box load (a concurrently exiting sbt/test JVM inflates totals by
+    // tens of seconds) — which made the "within 2x of BASELINE" gate
+    // and every round-over-round comparison float on whatever else the
+    // machine was doing. Before each timed section the gate samples
+    // load1m and waits (up to SPARK_GRAFT_LOAD_WAIT_SECS, default 180)
+    // for it to fall below SPARK_GRAFT_LOAD_GATE (default 4.0 — well
+    // above the idle bench JVM's own footprint, well below a concurrent
+    // build). Every sample lands in the sidecar, so a number taken
+    // under residual load is at least ATTRIBUTABLE. The gate never
+    // aborts: on a genuinely busy box the bench still runs, flagged.
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "4.0").toDouble
+    val loadWaitSecs = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_SECS", "180").toInt
+    def gateLoad(section: String): Double = {
+      var waited = 0
+      var l = loadAvg()
+      while (l > loadGate && waited < loadWaitSecs) {
+        Thread.sleep(10000); waited += 10; l = loadAvg()
+      }
+      emit(s"""{"detail":"load_gate","section":"$section","load1m":${
+        BigDecimal(l).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"waited_secs":$waited,"gated":${l <= loadGate}}""")
+      l
+    }
 
     /** The timed action: FULL row materialization, not count(). Under
       * count() Catalyst prunes every column the row count doesn't need —
@@ -98,6 +137,7 @@ object Bench {
       }
     // fixed name order: stable timing attribution across rounds; min of
     // `iters` timed runs damps scheduler noise in the reported numbers
+    gateLoad("primary")
     val results = timeAll(sfDir)
 
     // scaling probe: re-time against a smaller SF and report the per-query
@@ -160,6 +200,7 @@ object Bench {
         releaseCheckpoints()
         spark.catalog.clearCache()
         System.gc(); Thread.sleep(500); System.gc(); Thread.sleep(200)
+        gateLoad("isolated")
         val byName = ordered.toMap
         slow5.map { case (name, _) =>
           val good = (0 until 2).flatMap { _ =>
@@ -180,13 +221,28 @@ object Bench {
     // (streaming-plan codegen + query startup), then the timed feed.
     // SPARK_GRAFT_PIPELINE_BENCH=0 disables; SPARK_GRAFT_PIPELINE_FRAMES
     // sets the sustained feed size (default 4M frames ≈ 10 s).
+    // BEST of SPARK_GRAFT_PIPELINE_TRIALS (default 2) feeds, each
+    // load-gated and recorded per-trial (r16, VERDICT #1): this is the
+    // one measured BASELINE.md contract line, and a single trial let a
+    // load artifact become the number of record (280,577 vs 190,241
+    // rows/s for identical code). Best-of — not min-of — because
+    // contention only ever DEFLATES throughput.
     val pipe: Option[PipelineThroughput.Result] =
       if (sys.env.getOrElse("SPARK_GRAFT_PIPELINE_BENCH", "1") == "0") None
       else try {
         PipelineThroughput.run(spark, sfDir, targetFrames = 1L)
-        val r = PipelineThroughput.run(spark, sfDir,
-          sys.env.getOrElse("SPARK_GRAFT_PIPELINE_FRAMES", "4000000").toLong)
-        emit(f"""{"detail":"pipeline","rows_per_sec":${r.rowsPerSec}%.0f,"frames":${r.frames},"secs":${BigDecimal(r.secs).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"query_agg_rows":${r.queryAggRows},"response_agg_rows":${r.responseAggRows},"batches":${r.batches}}""")
+        val frames =
+          sys.env.getOrElse("SPARK_GRAFT_PIPELINE_FRAMES", "4000000").toLong
+        val trials =
+          sys.env.getOrElse("SPARK_GRAFT_PIPELINE_TRIALS", "2").toInt
+        val runs = (1 to trials).map { i =>
+          val l = gateLoad(s"pipeline_trial_$i")
+          val r = PipelineThroughput.run(spark, sfDir, frames)
+          emit(f"""{"detail":"pipeline_trial","trial":$i,"rows_per_sec":${r.rowsPerSec}%.0f,"secs":${BigDecimal(r.secs).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"batches":${r.batches},"load1m":${BigDecimal(l).setScale(2, BigDecimal.RoundingMode.HALF_UP)}}""")
+          r
+        }
+        val r = runs.maxBy(_.rowsPerSec)
+        emit(f"""{"detail":"pipeline","rows_per_sec":${r.rowsPerSec}%.0f,"frames":${r.frames},"secs":${BigDecimal(r.secs).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"query_agg_rows":${r.queryAggRows},"response_agg_rows":${r.responseAggRows},"batches":${r.batches},"trials":$trials}""")
         Some(r)
       } catch {
         case e: Throwable =>
@@ -246,15 +302,6 @@ object Bench {
     val pipeJson = pipe.map(r =>
       f""","pipeline_rows_per_sec":${r.rowsPerSec}%.0f,"pipeline_frames":${r.frames},"pipeline_secs":${BigDecimal(r.secs).setScale(3, BigDecimal.RoundingMode.HALF_UP)}""").getOrElse("")
     emit(s"""{"metric":"total","value":$totalStr,"unit":"sec","action":"materialize","sf":"$sfDir","nqueries":${results.size},"errors":$errorsJson,"load1m":$load,"slowest":${toJson(slowest)}$pipeJson$isoJson}""")
-    // sidecar dump (JSONL, one object per line — the same lines stdout
-    // carried, without the 2 KB tail window). Best-effort: a read-only
-    // working dir must not fail the bench.
-    val sidecar = sys.env.getOrElse("SPARK_GRAFT_DETAIL_FILE",
-      "/root/repo/BENCH_DETAIL.jsonl")
-    if (sidecar.nonEmpty) try {
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(sidecar),
-        detailLines.mkString("", "\n", "\n"))
-    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -90,11 +90,21 @@ private[graft] trait Queries11Formats extends Queries10Information {
   // the kept-record census (the q248 half-cut arithmetic on each
   // bucket's LAST archive) and the certified body volume from strlen.
   // ---------------------------------------------------------------------
+  // fixture memoized per (JVM, sf dir) like the q253 pairs artifact
+  // (r16, ADVICE): the archive-dir WRITE is a driver-side collect plus
+  // local file I/O — fixture construction, not the WARC ingest path this
+  // entry certifies — so the warm pass pays it once and every timed run
+  // measures only readAudit; the dirs delete on JVM exit (scopedTempDir)
+  private val warcFixtureDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private[graft] def q252WarcFiles(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_warc_files").toString
-    graft.sources.WarcFiles.writeArchiveDir(
-      Tables.documents(spark, dir), out)
+    val out = warcFixtureDir.computeIfAbsent(dir, _ => {
+      val d = scopedTempDir("graft_warc_files")
+      graft.sources.WarcFiles.writeArchiveDir(
+        Tables.documents(spark, dir), d)
+      d
+    })
     graft.sources.WarcFiles.readAudit(spark, out)
   }
 

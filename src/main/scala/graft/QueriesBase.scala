@@ -19,6 +19,21 @@ private[graft] trait QueriesBase {
   /** Exact 2-dp decimal view of a double money/quantity column. */
   private[graft] def dec(c: Column): Column = c.cast(DecimalType(12, 2))
 
+  /** Temp directory that is recursively deleted on JVM exit — for
+    * query-local fixture/artifact dirs (the memoized per-(JVM, sf dir)
+    * pattern), which otherwise accumulate under /tmp across bench and
+    * verify runs. */
+  private[graft] def scopedTempDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        java.nio.file.Files.walk(dir)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      } catch { case _: Throwable => () }))
+    dir.toString
+  }
+
   /** DuckDB form of VectorFunctions.hyperplaneBucket over the same fixed
     * coefficients: integer-valued plane entries make every product exact,
     * and `t1 + t2 + ...` associates left like the Scala dot loop. */

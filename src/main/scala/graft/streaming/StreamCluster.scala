@@ -49,6 +49,15 @@ object StreamCluster {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
+        // the batch work localCheckpoints several frames (bIdx here,
+        // sh inside Dedup.shingleIndex, labels/el inside
+        // incrementalComponents); in a long-running stream they would
+        // otherwise linger in storage memory until driver GC lets
+        // ContextCleaner reap them — the r14 block-manager-pressure
+        // class. Snapshot the persistent-RDD ids now and release
+        // exactly the ones this batch creates after its writes commit.
+        val sc = batch.sparkSession.sparkContext
+        val preexisting = sc.getPersistentRDDs.keySet
         try {
           if (!batch.isEmpty) {
             val spark = batch.sparkSession
@@ -92,7 +101,12 @@ object StreamCluster {
             labels.write.mode("overwrite")
               .parquet(s"$path/labels/gen=$batchId")
           }
-        } finally { batch.unpersist(); () }
+        } finally {
+          batch.unpersist()
+          sc.getPersistentRDDs.foreach { case (id, rdd) =>
+            if (!preexisting.contains(id)) rdd.unpersist(blocking = false)
+          }
+        }
         ()
       }
       .start()
@@ -109,11 +123,16 @@ object StreamCluster {
     else fs.listStatus(rootPath)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
       .flatMap { s =>
-        val id = s.getPath.getName.stripPrefix("gen=").toLong
-        if (id < beforeGen &&
-          fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
-          Some((id, s.getPath.toString))
-        else None
+        // non-numeric gen=* names (a tool's gen=tmp, a compaction
+        // staging dir) are skipped, not thrown — a stray directory must
+        // not permanently kill the maintainer batch or serve reads
+        scala.util.Try(s.getPath.getName.stripPrefix("gen=").toLong)
+          .toOption.flatMap { id =>
+            if (id < beforeGen &&
+              fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+              Some((id, s.getPath.toString))
+            else None
+          }
       }
       .sortBy(_._1).map(_._2).toSeq
   }

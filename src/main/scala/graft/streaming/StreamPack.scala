@@ -16,8 +16,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * pins `numRowsTotal == |streams|` under document churn. Admission
   * order IS packing order: within a batch documents sort by (doc_id),
   * and a document at-or-below the stream's high-water doc_id is a
-  * redelivery/straggler and is SKIPPED (emitting it would repack
-  * history — the StreamTransitions monotone-chain rule). Token-less
+  * redelivery/straggler and is NOT packed (packing it would repack
+  * history — the StreamTransitions monotone-chain rule). A skip is
+  * never silent (the WarcFiles/JsonlIngest counted-never-dropped
+  * discipline): each skipped document emits one SENTINEL span with
+  * `chunk_id = -1` (start/len zeroed), so a legitimately-new-but-late
+  * document surfaces in the manifest as a quarantine row a monitor can
+  * alert on; manifest consumers read `chunk_id >= 0`. Token-less
   * documents are excluded, the batch operator's own convention.
   * Equivalence (spec-pinned): under in-order admission the emitted
   * spans equal `Packing.concatChunks` over the accumulated corpus,
@@ -59,7 +64,10 @@ object StreamPack {
                 }
                 st = PackState(start + d.n_toks, d.doc_id)
               } else st = PackState(st.nextOff, d.doc_id)
-            } // else: redelivery/straggler — repacking history is worse
+            } else
+              // redelivery/straggler: repacking history is worse, but a
+              // silent drop is unobservable — emit the quarantine row
+              out += Span(stream, -1L, d.doc_id, 0L, 0L)
           }
           // a stream with only skipped redeliveries and no prior state
           // stores nothing (the zombie-state guard)

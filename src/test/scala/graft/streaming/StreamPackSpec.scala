@@ -33,7 +33,11 @@ class StreamPackSpec extends SparkSpec {
       // wave 2: continuation + a REDELIVERY of ("a", 2) that must skip
       mem.addData(Seq(("a", 3L, 7L), ("a", 2L, 250L), ("b", 12L, 65L)))
       query.processAllAvailable()
-      val got = spans(spark.sql("SELECT * FROM sp_pack").collect().toSeq)
+      val all = spans(spark.sql("SELECT * FROM sp_pack").collect().toSeq)
+      // the redelivery is skipped from packing but NOT silent: it
+      // surfaces as exactly one chunk_id = -1 quarantine row
+      assert(all.filter(_._2 < 0) === Set(("a", -1L, 2L, 0L, 0L)))
+      val got = all.filter(_._2 >= 0)
       // batch reference over the accumulated corpus, same order
       val batch = Packing.concatChunks(
         Seq(("a", 1L, 30L), ("a", 2L, 250L), ("a", 3L, 7L),
