@@ -1,5 +1,7 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -18,18 +20,45 @@ import graft.operators.Dedup
   *   3. extends the previous labeling through the label-contracted
   *      reduced graph ([[Dedup.incrementalComponents]] — only touched
   *      components shuffle);
-  *   4. writes the new labeling generation and APPENDS the batch's
-  *      shingle generation.
+  *   4. writes the batch's shingle generation and the labeling DELTA.
   *
-  * Artifact layout (the [[StreamIndex]] generation discipline):
-  * `path/shingles/gen=<batchId>` (append-only, one per batch) and
-  * `path/labels/gen=<batchId>` (full labeling snapshot — 2 longs per
-  * doc; serve-side reads the NEWEST generation). The checkpoint makes
-  * batch ids stable across restarts, so a replayed batch overwrites
-  * its OWN generation directories with identical content — idempotent
-  * recovery. [[readLabels]] reads only the max-gen labels dir, so a
-  * crash between the two writes leaves the artifact serving the
-  * previous consistent generation.
+  * Artifact layout (r16 — the [[StreamIndex]] base+delta discipline,
+  * applied to both halves):
+  *
+  *   - `path/shingles/gen=<batchId>/hb=<h mod nBuckets>/…` — one
+  *     generation per batch, HASH-BUCKETED by shingle hash so the
+  *     per-batch corpus probe reads only the buckets the batch's own
+  *     shingles can join (a trickle batch touches few buckets; the
+  *     probe scan prunes to exactly those directories instead of
+  *     reading the whole corpus index every micro-batch).
+  *   - `path/labels/gen=<batchId>` — the labeling DELTA: only rows
+  *     whose component CHANGED plus the new batch's rows, each stamped
+  *     with its `gen` column. Serve-side folds newest-wins (labels are
+  *     min-ids, monotonically nonincreasing per id, so newest-wins is
+  *     exact). A full corpus-sized snapshot per micro-batch was the
+  *     r15 scale-killer; the delta is bounded by the batch's touched
+  *     components.
+  *   - `path/{shingles,labels}/base=<id>` — COMPACTION output: every
+  *     `compactEvery` batches the committed generations at or below
+  *     `id` fold into one base (shingles: row union, re-bucketed;
+  *     labels: newest-wins snapshot). Generations otherwise accumulate
+  *     one directory per micro-batch forever — 4 320/day at a 20 s
+  *     cadence, the small-files class that kills 100 TB scans. Readers
+  *     use the max-base-id WATERMARK: anything at or below the newest
+  *     base id is already folded into it, so crash leftovers between
+  *     the compactor's rename and its delete pass are INERT (skipped by
+  *     every read, swept by the next compaction) — the exact
+  *     [[StreamIndex.compactDeltas]] crash discipline.
+  *
+  * The checkpoint makes batch ids stable across restarts, so a
+  * replayed batch overwrites its OWN generation directories with
+  * identical content — idempotent recovery. Both maintainer reads are
+  * restricted to generations strictly below the replaying batch id AND
+  * to directories whose _SUCCESS landed, so a replayed batch extends
+  * the PREVIOUS labeling and a crashed partial write is invisible;
+  * compaction only ever folds generations strictly below the running
+  * batch id (they belong to committed batches), so a replay after a
+  * crash still sees exactly the pre-batch corpus through the base.
   *
   * CONTRACT: arriving doc_ids are NEW (the q61/q138 admission
   * discipline — [[Dedup.incrementalComponents]] requires base/delta
@@ -37,13 +66,16 @@ import graft.operators.Dedup
   * population-dependent and the leg's certificate is labeling ==
   * full [[Dedup.connectedComponents]] over every document fed so far
   * (StreamClusterSpec pins it batch over batch, including a bridge
-  * merge of two earlier components).
+  * merging two earlier components, compaction, and an engine-level
+  * restart replay).
   */
 object StreamCluster {
 
   def maintain(docs: DataFrame, idCol: String, textCol: String,
                path: String, checkpoint: String,
-               n: Int = 3, threshold: Double = 0.5): StreamingQuery = {
+               n: Int = 3, threshold: Double = 0.5,
+               nBuckets: Int = 16, compactEvery: Int = 8): StreamingQuery = {
+    require(nBuckets > 0, "nBuckets must be positive")
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -63,15 +95,7 @@ object StreamCluster {
             val spark = batch.sparkSession
             val bIdx = Dedup.shingleIndex(batch, idCol, textCol, n)
               .localCheckpoint() // probed by two edge joins + written
-            // a REPLAYED batch must extend the PREVIOUS labeling, never
-            // read its own crashed partial output: both artifact reads
-            // are restricted to generations strictly below this batch id
-            // AND to directories whose _SUCCESS marker landed (a partial
-            // parquet dir from a killed write would otherwise fail every
-            // retry of this batch forever)
-            val prevLabels = genDirs(spark, s"$path/labels", batchId)
-              .lastOption.map(spark.read.parquet(_))
-            val shingleGens = genDirs(spark, s"$path/shingles", batchId)
+            val prevLabels = foldLabels(spark, path, batchId)
             val batchIds = batch.select(col(idCol).cast("long").as("id"))
             val within = Dedup.jaccardPairsWithinIndex(bIdx, threshold)
               .select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -79,16 +103,47 @@ object StreamCluster {
               case None =>
                 Dedup.connectedComponents(batchIds, within)
               case Some(prev) =>
-                val corpusIdx = spark.read.parquet(shingleGens: _*)
-                val cross = Dedup
-                  .jaccardPairsAgainstIndex(corpusIdx, bIdx, threshold)
-                  .select(col("batch_doc").as("src"),
-                    col("corpus_doc").as("dst"))
+                // the batch's own bucket set bounds the corpus probe: a
+                // shingle hash joins only within its bucket, so corpus
+                // directories for buckets the batch never touches are
+                // pruned from the scan entirely (driver-side collect of
+                // at most nBuckets ints)
+                val buckets = bIdx
+                  .select(pmod(col("h"), lit(nBuckets.toLong)).cast("int")
+                    .as("hb"))
+                  .distinct().collect().map(_.getInt(0)).toSet
+                // a batch whose buckets are all absent from the corpus
+                // (or an all-short-doc batch with no shingles) has no
+                // possible corpus edge — nothing to probe
+                val cross = readPrunedShingles(spark, path, batchId,
+                  buckets, nBuckets) match {
+                  case None =>
+                    spark.range(0).select(col("id").as("src"),
+                      col("id").as("dst"))
+                  case Some(corpusIdx) => Dedup
+                    .jaccardPairsAgainstIndex(corpusIdx, bIdx, threshold)
+                    .select(col("batch_doc").as("src"),
+                      col("corpus_doc").as("dst"))
+                }
                 Dedup.incrementalComponents(prev, batchIds,
                   cross.unionByName(within))
             }
-            // SHINGLES land first, labels second: readLabels keys on the
-            // max LABELS generation, so until the labels write commits
+            // the labeling DELTA: new ids (no previous row) plus ids
+            // whose component changed. Labels are min-ids — they only
+            // ever decrease — so newest-wins folding reconstructs the
+            // exact full labeling from the delta chain.
+            val delta = prevLabels match {
+              case None => labels
+              case Some(prev) =>
+                labels
+                  .join(prev.select(col("id"),
+                    col("component").as("__prev")), Seq("id"), "left")
+                  .filter(col("__prev").isNull ||
+                    col("__prev") =!= col("component"))
+                  .select(col("id"), col("component"))
+            }
+            // SHINGLES land first, labels second: serve reads key on
+            // the LABELS generations, so until the labels write commits
             // the artifact still serves the previous consistent
             // labeling, and an early-landed shingle generation is inert
             // (the next batch only reads shingles of batches whose ids
@@ -96,10 +151,27 @@ object StreamCluster {
             // the same batch id and overwrites both generations with
             // identical content (same input rows, deterministic
             // operators) — no generation is ever half-new.
-            bIdx.write.mode("overwrite")
+            bIdx
+              .withColumn("hb",
+                pmod(col("h"), lit(nBuckets.toLong)).cast("int"))
+              .write.mode("overwrite").partitionBy("hb")
               .parquet(s"$path/shingles/gen=$batchId")
-            labels.write.mode("overwrite")
+            delta.withColumn("gen", lit(batchId))
+              .write.mode("overwrite")
               .parquet(s"$path/labels/gen=$batchId")
+            // artifact maintenance: fold committed generations STRICTLY
+            // BELOW this batch (they belong to committed batches; this
+            // batch's own generations stay separate until a later batch
+            // folds them, so a replay of THIS batch still sees the
+            // exact pre-batch corpus)
+            if (compactEvery > 0) {
+              val gens = committed(spark, s"$path/shingles", "gen=",
+                batchId).map(_._1)
+              val baseId = newestBase(spark, s"$path/shingles", batchId)
+                .map(_._1).getOrElse(Long.MinValue)
+              if (gens.count(_ > baseId) >= compactEvery)
+                compact(spark, path, gens.max)
+            }
           }
         } finally {
           batch.unpersist()
@@ -112,35 +184,175 @@ object StreamCluster {
       .start()
   }
 
-  /** Generation directories under `root` with id < `beforeGen`, oldest
-    * first, COMMITTED ones only (_SUCCESS landed — a partial dir from a
-    * killed write is invisible to both the maintainer and serve reads). */
-  private def genDirs(spark: SparkSession, root: String,
-                      beforeGen: Long): Seq[String] = {
-    val rootPath = new org.apache.hadoop.fs.Path(root)
+  // ------------------------------------------------------------- reads
+
+  /** Serve-side: the newest consistent (committed) labeling — the
+    * newest-wins fold of the base snapshot and every delta. */
+  def readLabels(spark: SparkSession, path: String): DataFrame =
+    foldLabels(spark, path, Long.MaxValue)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed labeling generations under $path"))
+
+  /** Newest-wins fold of the committed labeling state strictly below
+    * `beforeGen`: the base snapshot (if any) plus the delta chain above
+    * it. Each row carries the `gen` that wrote it; an id's newest row
+    * is its current label (min-ids only ever decrease). */
+  private def foldLabels(spark: SparkSession, path: String,
+                         beforeGen: Long): Option[DataFrame] = {
+    val root = s"$path/labels"
+    val base = newestBase(spark, root, beforeGen)
+    val baseId = base.map(_._1).getOrElse(Long.MinValue)
+    val dirs = base.map(_._2).toSeq ++
+      committed(spark, root, "gen=", beforeGen)
+        .filter(_._1 > baseId).map(_._2)
+    if (dirs.isEmpty) None
+    else Some(readUnion(spark, dirs)
+      .groupBy(col("id"))
+      .agg(max_by(col("component"), col("gen")).as("component")))
+  }
+
+  /** The shingle-index leaf directories a batch touching `buckets` must
+    * probe: for every committed generation (and the base) strictly
+    * below `beforeGen`, only its `hb=<b>` subdirectories with `b` in
+    * the batch's bucket set — the scan-prune that keeps the per-batch
+    * corpus probe proportional to the batch, not the corpus. Exposed
+    * package-private so the spec can measure the prune. */
+  private[streaming] def prunedShingleDirs(spark: SparkSession, path: String,
+                                           beforeGen: Long, buckets: Set[Int],
+                                           nBuckets: Int): Seq[String] = {
+    val root = s"$path/shingles"
+    val base = newestBase(spark, root, beforeGen)
+    val baseId = base.map(_._1).getOrElse(Long.MinValue)
+    val roots = base.map(_._2).toSeq ++
+      committed(spark, root, "gen=", beforeGen)
+        .filter(_._1 > baseId).map(_._2)
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    roots.flatMap { r =>
+      fs.listStatus(new Path(r))
+        .filter { s =>
+          s.isDirectory && s.getPath.getName.startsWith("hb=") &&
+            scala.util.Try(s.getPath.getName.stripPrefix("hb=").toInt)
+              .toOption.exists(buckets.contains)
+        }
+        .map(_.getPath.toString)
+    }
+  }
+
+  /** The pruned corpus-probe read: the batch's bucket leaf dirs grouped
+    * by generation root, each root read with its own basePath (mixed
+    * `base=`/`gen=` parent names break a single multi-root partition
+    * discovery), unioned by name. None when the corpus has nothing the
+    * batch could join. */
+  private def readPrunedShingles(spark: SparkSession, path: String,
+                                 beforeGen: Long, buckets: Set[Int],
+                                 nBuckets: Int): Option[DataFrame] = {
+    val leaves = prunedShingleDirs(spark, path, beforeGen, buckets, nBuckets)
+    if (leaves.isEmpty) None
+    else Some(leaves.groupBy(l => l.substring(0, l.lastIndexOf('/')))
+      .toSeq.sortBy(_._1)
+      .map { case (root, ls) =>
+        spark.read.option("basePath", root).parquet(ls: _*)
+          .select(col("doc"), col("h"), col("sz"))
+      }
+      .reduce(_.unionByName(_)))
+  }
+
+  // ------------------------------------------------------- maintenance
+
+  /** Fold every committed generation with id ≤ `upTo` (plus any earlier
+    * base) into `base=<upTo>` for both artifact halves — shingles as a
+    * re-bucketed row union, labels as the newest-wins snapshot (stamped
+    * `gen = upTo`, so later folds order it correctly). Staged under a
+    * dot-prefixed temp dir and RENAMED into place before the swallowed
+    * directories delete: a crash leaves either the old layout plus an
+    * ignorable temp dir, or the new base plus stale sources that every
+    * read already skips (max-base-id watermark) and the next compaction
+    * sweeps. `upTo` must stay strictly below the running batch id —
+    * [[maintain]] only folds generations of committed batches. */
+  private[streaming] def compact(spark: SparkSession, path: String,
+                                 upTo: Long): Unit = {
+    foldHalf(spark, s"$path/shingles", upTo) { dirs =>
+      (readUnion(spark, dirs), Seq("hb"))
+    }
+    foldHalf(spark, s"$path/labels", upTo) { dirs =>
+      (readUnion(spark, dirs)
+        .groupBy(col("id"))
+        .agg(max_by(col("component"), col("gen")).as("component"))
+        .withColumn("gen", lit(upTo)), Seq.empty)
+    }
+  }
+
+  /** Union of several generation/base directories read ONE ROOT AT A
+    * TIME: a single multi-root read trips partition discovery over the
+    * mixed `base=`/`gen=` parent names (conflicting-directory-structures),
+    * while a per-root read infers each root's own `hb=` partitions
+    * correctly and the union is by name. Root counts are bounded by
+    * `compactEvery`, so the per-root plan fan-in stays O(1). */
+  private def readUnion(spark: SparkSession, dirs: Seq[String]): DataFrame =
+    dirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+
+  private def foldHalf(spark: SparkSession, root: String, upTo: Long)
+                      (fold: Seq[String] => (DataFrame, Seq[String])): Unit = {
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // hygiene: crashed staging dirs are invisible to reads; sweep them
+    fs.listStatus(new Path(root))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".compact-"))
+      .foreach(s => fs.delete(s.getPath, true))
+    val base = newestBase(spark, root, upTo + 1)
+    val baseId = base.map(_._1).getOrElse(Long.MinValue)
+    // stale = already folded into the newest base (crash leftovers of a
+    // delete pass); finish their delete instead of double-counting them
+    val stale = committed(spark, root, "gen=", upTo + 1)
+      .filter(_._1 <= baseId).map(_._2) ++
+      committed(spark, root, "base=", upTo + 1)
+        .filter(_._1 < baseId).map(_._2)
+    stale.foreach(d => fs.delete(new Path(d), true))
+    val gens = committed(spark, root, "gen=", upTo + 1)
+      .filter(g => g._1 > baseId && g._1 <= upTo)
+    if (gens.nonEmpty) {
+      val (df, partitionCols) = fold(base.map(_._2).toSeq ++ gens.map(_._2))
+      val tmp = new Path(root, s".compact-$upTo")
+      val writer = df.write.mode("overwrite")
+      (if (partitionCols.isEmpty) writer
+       else writer.partitionBy(partitionCols: _*)).parquet(tmp.toString)
+      require(fs.rename(tmp, new Path(root, s"base=$upTo")),
+        s"rename of the compacted base into $root failed")
+      (base.map(_._2).toSeq ++ gens.map(_._2))
+        .foreach(d => fs.delete(new Path(d), true))
+    }
+  }
+
+  // ---------------------------------------------------------- listings
+
+  /** Committed `<prefix><id>` directories under `root` with id strictly
+    * below `beforeGen`, oldest first (_SUCCESS landed — a partial dir
+    * from a killed write is invisible to both the maintainer and serve
+    * reads). Non-numeric names (a tool's gen=tmp, a staging dir) are
+    * skipped, not thrown. */
+  private def committed(spark: SparkSession, root: String, prefix: String,
+                        beforeGen: Long): Seq[(Long, String)] = {
+    val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootPath)) Seq.empty
     else fs.listStatus(rootPath)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
       .flatMap { s =>
-        // non-numeric gen=* names (a tool's gen=tmp, a compaction
-        // staging dir) are skipped, not thrown — a stray directory must
-        // not permanently kill the maintainer batch or serve reads
-        scala.util.Try(s.getPath.getName.stripPrefix("gen=").toLong)
+        scala.util.Try(s.getPath.getName.stripPrefix(prefix).toLong)
           .toOption.flatMap { id =>
             if (id < beforeGen &&
-              fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+              fs.exists(new Path(s.getPath, "_SUCCESS")))
               Some((id, s.getPath.toString))
             else None
           }
       }
-      .sortBy(_._1).map(_._2).toSeq
+      .sortBy(_._1).toSeq
   }
 
-  /** Serve-side: the newest consistent (committed) labeling. */
-  def readLabels(spark: SparkSession, path: String): DataFrame =
-    genDirs(spark, s"$path/labels", Long.MaxValue).lastOption
-      .map(spark.read.parquet(_))
-      .getOrElse(throw new IllegalArgumentException(
-        s"no committed labeling generations under $path"))
+  /** The newest committed base strictly below `beforeGen` — everything
+    * at or below its id is already folded into it (the read watermark). */
+  private def newestBase(spark: SparkSession, root: String,
+                         beforeGen: Long): Option[(Long, String)] =
+    committed(spark, root, "base=", beforeGen).lastOption
 }

@@ -99,6 +99,141 @@ class StreamClusterSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("labels generations are DELTAS: a batch that leaves old components " +
+    "untouched writes only its new/changed rows, never a corpus snapshot") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val path = Files.createTempDirectory("stream_cluster_delta").toString
+    val ckpt = Files.createTempDirectory("stream_cluster_delta_ck").toString
+    val mem = MemoryStream[(Long, String)]
+    val query = StreamCluster.maintain(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", path, ckpt)
+    try {
+      val b1 = Seq(1L -> bodyA, 2L -> bodyA, 3L -> bodyB, 4L -> bodyB,
+        5L -> bodyC)
+      mem.addData(b1)
+      query.processAllAvailable()
+      // batch 2: 6 joins component 1 (label 1 — no existing row changes,
+      // min stays 1), 7 joins component 5, 9~10 pair internally: the
+      // delta is exactly the four NEW ids, not the 9-doc corpus
+      val b2 = Seq(6L -> bodyA, 7L -> bodyC, 9L -> "w x y z q r s",
+        10L -> "w x y z q r s")
+      mem.addData(b2)
+      query.processAllAvailable()
+      val deltaRows = spark.read
+        .parquet(s"$path/labels/gen=1").collect()
+      assert(deltaRows.length === 4,
+        s"expected a 4-row delta, got ${deltaRows.length}")
+      assert(deltaRows.map(_.getLong(0)).toSet === Set(6L, 7L, 9L, 10L))
+      assert(labels(path) === fullClosure(b1 ++ b2))
+    } finally query.stop()
+  }
+
+  test("generation compaction bounds the directory count under a long " +
+    "feed, labels stay equal to the closure, and the bucketed probe " +
+    "prunes to the batch's own buckets") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val path = Files.createTempDirectory("stream_cluster_compact").toString
+    val ckpt = Files.createTempDirectory("stream_cluster_compact_ck").toString
+    val mem = MemoryStream[(Long, String)]
+    val query = StreamCluster.maintain(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", path, ckpt,
+      nBuckets = 4, compactEvery = 2)
+    val bodies = Seq(bodyA, bodyB, bodyC, "p q r s t u v", bodyA,
+      "m n o p q r s", bodyB, "j k l m n o p")
+    try {
+      var fed = Seq.empty[(Long, String)]
+      bodies.zipWithIndex.foreach { case (b, i) =>
+        val doc = Seq((i + 1).toLong -> b)
+        fed = fed ++ doc
+        mem.addData(doc)
+        query.processAllAvailable()
+        assert(labels(path) === fullClosure(fed),
+          s"labeling drifted from the closure after batch $i")
+      }
+      def dirCount(half: String): Int =
+        new java.io.File(s"$path/$half").listFiles()
+          .count(f => f.isDirectory &&
+            (f.getName.startsWith("gen=") || f.getName.startsWith("base=")))
+      // compactEvery=2 folds pairs of generations into one base as the
+      // feed advances: 8 batches must not leave 8 directories
+      assert(dirCount("shingles") <= 4,
+        s"shingle generations unbounded: ${dirCount("shingles")} dirs")
+      assert(dirCount("labels") <= 4,
+        s"label generations unbounded: ${dirCount("labels")} dirs")
+      // the probe prune: a batch touching one bucket reads only that
+      // bucket's directories, a strict subset of the full corpus index
+      val all = StreamCluster.prunedShingleDirs(spark, path,
+        Long.MaxValue, Set(0, 1, 2, 3), nBuckets = 4)
+      val one = StreamCluster.prunedShingleDirs(spark, path,
+        Long.MaxValue, Set(2), nBuckets = 4)
+      assert(one.forall(_.contains("hb=2")))
+      assert(one.nonEmpty && one.size < all.size,
+        s"bucket prune did not reduce the scan: ${one.size} of ${all.size}")
+    } finally query.stop()
+  }
+
+  test("restart from checkpoint replays the same batch id end-to-end " +
+    "through the engine: generation overwrite is idempotent, including " +
+    "after a mid-artifact kill") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val path = Files.createTempDirectory("stream_cluster_restart").toString
+    val ckpt = Files.createTempDirectory("stream_cluster_restart_ck").toString
+    val mem = MemoryStream[(Long, String)]
+    def start() = StreamCluster.maintain(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", path, ckpt)
+    val b1 = Seq(1L -> bodyA, 2L -> bodyA, 3L -> bodyB)
+    val b2 = Seq(4L -> bodyB, 5L -> bodyC)
+    val q1 = start()
+    try {
+      mem.addData(b1)
+      q1.processAllAvailable()
+      mem.addData(b2)
+      q1.processAllAvailable()
+      assert(labels(path) === fullClosure(b1 ++ b2))
+    } finally q1.stop()
+    // stop() returns once the query is terminated, but deregistration
+    // from the session's active set can lag a beat — the engine rejects
+    // a second query on the same checkpoint while the first lingers
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    // crash simulation: batch 1's engine commit never landed (delete the
+    // commit log entry) and its artifact write was killed mid-flight
+    // (labels generation gone entirely, shingles generation still there
+    // — the worst half-written state the write order allows)
+    assert(Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", "1")))
+    // the local ChecksumFileSystem keeps a .1.crc sidecar; left behind it
+    // makes the replayed batch's atomic commit-rename throw
+    // FileAlreadyExists ("multiple streaming queries are concurrently
+    // using ..."). A real HDFS/S3 crash loses both together.
+    Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+    def rmr(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).forEach(rmr(_))
+      Files.deleteIfExists(p); ()
+    }
+    rmr(java.nio.file.Paths.get(path, "labels", "gen=1"))
+    // the engine must now replay batch 1 from the checkpoint with the
+    // SAME offsets, and the generation overwrite must reconverge the
+    // artifact to the exact same labeling
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(labels(path) === fullClosure(b1 ++ b2),
+        "replayed batch did not reconverge the artifact")
+      // and the stream continues normally past the replay
+      val b3 = Seq(6L -> bodyA)
+      mem.addData(b3)
+      q2.processAllAvailable()
+      assert(labels(path) === fullClosure(b1 ++ b2 ++ b3))
+      assert(labels(path)(6L) === 1L)
+    } finally q2.stop()
+  }
+
   test("a genuine cross-component bridge merges two earlier components") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
