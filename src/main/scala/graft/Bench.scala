@@ -140,40 +140,6 @@ object Bench {
     gateLoad("primary")
     val results = timeAll(sfDir)
 
-    // scaling probe: re-time against a smaller SF and report the per-query
-    // hi/lo time ratio — the sf0.1-only numbers cannot distinguish an
-    // O(n log n) plan from a quadratic one, the ratio across 10x data can.
-    // Default on (vs sf0.01) unless the primary IS the small SF; override
-    // dir with SPARK_GRAFT_SCALING_DIR, disable with SPARK_GRAFT_SCALING_DIR=0.
-    val scalingDir = sys.env.getOrElse("SPARK_GRAFT_SCALING_DIR",
-      if (sfDir.contains("sf0.01") || sfDir.contains("sf0.001")) "0"
-      else "/root/testdata/sf0.01")
-    // Print order matters to the driver's ~2 KB stdout tail capture: the
-    // headline prints LAST, and the PRIMARY per-query seconds map prints
-    // immediately before it, so what the tail window retains is always
-    // (seconds, headline) — never the scaling-ratio map, whose entries
-    // read like seconds (a "18.1" 10x-data ratio masqueraded as an
-    // 18-second query in the r6/r7 artifacts). Scaling detail prints
-    // first and is sacrificed to the window when the tail overflows.
-    if (scalingDir != "0" && new java.io.File(scalingDir).isDirectory) {
-      // NO dedicated warm pass for the secondary SF (round 9): the
-      // primary passes already compiled every query's codegen and JIT —
-      // both keyed on expressions, not data paths — so the only cold
-      // cost left is the small-SF parquet footer reads, noise at ratio
-      // granularity. With the materialize action a full extra warm+timed
-      // pass pushed the whole bench toward driver-timeout territory.
-      // Single timed pass for the same reason: the probe reports RATIOS
-      // for superlinearity detection, which tolerate the noise
-      // min-of-N exists to damp.
-      val lo = timeAll(scalingDir, nIters = 1)
-      val loMap = lo.toMap
-      val ratios = results.map { case (name, hi) =>
-        val l = loMap.getOrElse(name, -1.0)
-        name -> (if (l > 0 && hi > 0) hi / l else -1.0)
-      }
-      emit(s"""{"detail":"scaling","dir":"$scalingDir","queries":${toJson(lo)}}""")
-      emit(s"""{"detail":"ratio_vs_primary","queries":${toJson(ratios)}}""")
-    }
     // isolated rerun (r10 judge task, widened r13 to >2 s, widened
     // again r14 to >0.9 s: EVERY query whose loaded time exceeds the
     // threshold, plus the slowest-5 floor — q90's r13 0.98 s loaded
@@ -211,6 +177,50 @@ object Bench {
           name -> (if (good.isEmpty) -1.0 else good.min)
         }
       }
+    // scaling probe: re-time against a smaller SF and report the per-query
+    // hi/lo time ratio — the sf0.1-only numbers cannot distinguish an
+    // O(n log n) plan from a quadratic one, the ratio across 10x data can.
+    // Default on (vs sf0.01) unless the primary IS the small SF; override
+    // dir with SPARK_GRAFT_SCALING_DIR, disable with SPARK_GRAFT_SCALING_DIR=0.
+    val scalingDir = sys.env.getOrElse("SPARK_GRAFT_SCALING_DIR",
+      if (sfDir.contains("sf0.01") || sfDir.contains("sf0.001")) "0"
+      else "/root/testdata/sf0.01")
+    // Print order matters to the driver's ~2 KB stdout tail capture: the
+    // headline prints LAST, and the PRIMARY per-query seconds map prints
+    // immediately before it, so what the tail window retains is always
+    // (seconds, headline) — never the scaling-ratio map, whose entries
+    // read like seconds (a "18.1" 10x-data ratio masqueraded as an
+    // 18-second query in the r6/r7 artifacts). Scaling detail prints
+    // first and is sacrificed to the window when the tail overflows.
+    if (scalingDir != "0" && new java.io.File(scalingDir).isDirectory) {
+      // NO dedicated warm pass for the secondary SF (round 9): the
+      // primary passes already compiled every query's codegen and JIT —
+      // both keyed on expressions, not data paths — so the only cold
+      // cost left is the small-SF parquet footer reads, noise at ratio
+      // granularity. With the materialize action a full extra warm+timed
+      // pass pushed the whole bench toward driver-timeout territory.
+      // Single timed pass for the same reason: the probe reports RATIOS
+      // for superlinearity detection, which tolerate the noise
+      // min-of-N exists to damp.
+      val lo = timeAll(scalingDir, nIters = 1)
+      val loMap = lo.toMap
+      // the ratio's numerator is min(loaded, isolated) where an isolated
+      // re-time exists (r16, VERDICT #7): the r15 artifact carried a
+      // "52.5x" for q25 that was 13.28 s of box-load contention on the
+      // registry's one whole-row Dataset-serde lane divided by a 0.25 s
+      // probe — the isolated re-time of the same query was 1.44 s
+      // (ratio ~5.7, and ~2.1 on an idle box). A loaded primary pass
+      // must not be able to masquerade as a superlinear PLAN.
+      val isoMap = iso.toMap
+      val ratios = results.map { case (name, hi) =>
+        val hiEff = isoMap.get(name).filter(_ > 0)
+          .map(math.min(_, hi)).getOrElse(hi)
+        val l = loMap.getOrElse(name, -1.0)
+        name -> (if (l > 0 && hiEff > 0) hiEff / l else -1.0)
+      }
+      emit(s"""{"detail":"scaling","dir":"$scalingDir","queries":${toJson(lo)}}""")
+      emit(s"""{"detail":"ratio_vs_primary","queries":${toJson(ratios)}}""")
+    }
     if (iso.nonEmpty)
       emit(s"""{"detail":"isolated_rerun","queries":${toJson(iso)}}""")
 
