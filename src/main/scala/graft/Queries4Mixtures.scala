@@ -453,8 +453,7 @@ private[graft] trait Queries4Mixtures extends Queries3Curation {
   // ---------------------------------------------------------------------
   private[graft] def q93SourceDupRate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      n = 3, threshold = 0.5, maxShingleDfFrac = 0.1)
+    val pairs = textPairsArtifact(spark, dir) // serving path; q21 stays live
     val dup = pairs
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct().withColumn("__isdup", lit(1L))
@@ -548,7 +547,7 @@ private[graft] trait Queries4Mixtures extends Queries3Curation {
   // aggregations over the component labels.
   // ---------------------------------------------------------------------
   private[graft] def q96ClusterSizes(spark: SparkSession, dir: String): DataFrame =
-    q48DedupClusters(spark, dir)
+    dedupClustersArtifact(spark, dir)
       .groupBy(col("component")).agg(count(lit(1)).as("sz"))
       .groupBy(col("sz").as("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"))
@@ -690,7 +689,7 @@ private[graft] trait Queries4Mixtures extends Queries3Curation {
   // projection; no additional shuffle beyond the closure itself.
   // ---------------------------------------------------------------------
   private[graft] def q101ClusterSplit(spark: SparkSession, dir: String): DataFrame =
-    q48DedupClusters(spark, dir)
+    dedupClustersArtifact(spark, dir)
       .select(col("doc_id"),
         Sampling.splitLabel(col("component"),
           Seq("val" -> 10, "test" -> 10), rest = "train").as("split"))

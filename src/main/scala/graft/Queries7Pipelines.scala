@@ -638,7 +638,7 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
   // ---------------------------------------------------------------------
   private[graft] def q176Negatives(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup
-    val comp = q48DedupClusters(spark, dir) // (doc_id, component)
+    val comp = dedupClustersArtifact(spark, dir) // (doc_id, component)
     val anchors = comp.filter(col("doc_id") % 20 === 0)
       .select(col("doc_id").as("anchor"), col("component").as("__ac"))
     val pool = comp
