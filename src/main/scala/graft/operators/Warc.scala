@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -160,6 +162,114 @@ object Warc {
       pos = payloadEnd.toInt + 4
     }
     Parsed(recs.result(), torn = false)
+  }
+
+  // -------------------------------------------------------- byte domain
+
+  /** One parsed record in the BYTE domain: the body is returned
+    * bit-exact as the payload bytes — a UTF-8 page or raw binary
+    * payload survives the walk unchanged. */
+  final case class BRec(recType: String, uri: String, httpStatus: Int,
+                        contentType: String, body: Array[Byte])
+
+  final case class BParsed(records: List[BRec], torn: Boolean)
+
+  private val WarcMagic = "WARC/1.0\r\n".getBytes(ISO_8859_1)
+  private val CrlfCrlf = "\r\n\r\n".getBytes(ISO_8859_1)
+  private val HttpMagic = "HTTP/1.1 ".getBytes(ISO_8859_1)
+
+  private def startsWithAt(b: Array[Byte], pat: Array[Byte], at: Int): Boolean =
+    at >= 0 && at + pat.length <= b.length && {
+      var i = 0
+      while (i < pat.length && b(at + i) == pat(i)) i += 1
+      i == pat.length
+    }
+
+  private def indexOfCrlfCrlf(b: Array[Byte], from: Int): Int = {
+    var i = from
+    val last = b.length - 4
+    while (i <= last) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' &&
+        b(i + 3) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Byte-domain record walk — the REAL-FILE path ([[graft.sources
+    * .WarcFiles]] decodes crawl files through this, not through the
+    * char-domain [[parse]]): the identical Content-Length hop over raw
+    * bytes, with String decode applied ONLY to the header lines
+    * (ISO-8859-1 — WARC and HTTP header bytes are ASCII per ISO 28500,
+    * and Latin-1 maps every byte 1:1 so a stray high byte degrades a
+    * header value instead of corrupting offsets or throwing). Payload
+    * bodies stay `Array[Byte]`: a UTF-8 or binary payload round-trips
+    * bit-exact, which the char-domain walk cannot promise (its
+    * certificate domain is ASCII — scope note in the object doc). Here
+    * Content-Length counts BYTES, the on-the-wire meaning. Same
+    * never-throw tear taxonomy as [[parse]]; WarcBytesSpec pins the two
+    * walks record-for-record equal on ASCII archives. */
+  def parseBytes(warc: Array[Byte]): BParsed = {
+    val recs = List.newBuilder[BRec]
+    var pos = 0
+    while (pos < warc.length) {
+      val hdrEnd = indexOfCrlfCrlf(warc, pos)
+      if (hdrEnd < 0 || !startsWithAt(warc, WarcMagic, pos))
+        return BParsed(recs.result(), torn = true)
+      val hdrs = headerMap(
+        new String(warc, pos, hdrEnd - pos, ISO_8859_1))
+      val len = hdrs.get("Content-Length").flatMap(_.toLongOption)
+      val recType = hdrs.getOrElse("WARC-Type", "")
+      val uri = hdrs.getOrElse("WARC-Target-URI", "")
+      // same adversarial-length rejection order as the char walk: a
+      // huge length is rejected before payloadStart + len can overflow
+      if (len.isEmpty || len.get < 0L || len.get > warc.length.toLong ||
+        recType.isEmpty)
+        return BParsed(recs.result(), torn = true)
+      val payloadStart = hdrEnd + 4
+      val payloadEnd = payloadStart + len.get
+      if (payloadEnd + 4 > warc.length ||
+        !startsWithAt(warc, CrlfCrlf, payloadEnd.toInt))
+        return BParsed(recs.result(), torn = true)
+      val payload = java.util.Arrays.copyOfRange(
+        warc, payloadStart, payloadEnd.toInt)
+      recs += (recType match {
+        case "response" =>
+          val he = indexOfCrlfCrlf(payload, 0)
+          if (he < 0 || !startsWithAt(payload, HttpMagic, 0) ||
+            payload.length < 12)
+            BRec(recType, uri, 0, "", Array.emptyByteArray)
+          else {
+            val head = new String(payload, 0, he, ISO_8859_1)
+            BRec(recType, uri,
+              head.substring(9, 12).toIntOption.getOrElse(0),
+              headerMap(head).getOrElse("Content-Type", ""),
+              java.util.Arrays.copyOfRange(payload, he + 4, payload.length))
+          }
+        case _ => BRec(recType, uri, 0, "", Array.emptyByteArray)
+      })
+      pos = payloadEnd.toInt + 4
+    }
+    BParsed(recs.result(), torn = false)
+  }
+
+  /** Byte-domain encoder: same two-record layout as [[encodeArchiveAs]]
+    * but Content-Length counts PAYLOAD BYTES — the on-the-wire meaning —
+    * so a UTF-8 or binary body archives correctly (the char encoder's
+    * char-count lengths only coincide with byte counts on ASCII). */
+  def encodeArchiveBytes(docId: Long, source: String, body: Array[Byte],
+                         contentType: String): Array[Byte] = {
+    val uri = s"http://$source/doc/$docId"
+    val reqHttp =
+      s"GET /doc/$docId HTTP/1.1\r\nHost: $source\r\n\r\n".getBytes(ISO_8859_1)
+    val respHttp =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: $contentType\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes(ISO_8859_1) ++ body
+    def record(recType: String, payload: Array[Byte]): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: $recType\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes(ISO_8859_1) ++
+        payload ++ CrlfCrlf
+    record("request", reqHttp) ++ record("response", respHttp)
   }
 
   final case class WarcStatsRow(doc_id: Long, source: String,

@@ -111,7 +111,15 @@ object WarcFiles {
     * row per (path, content). Used by the batch reader below AND the
     * streaming leg ([[graft.streaming.StreamWarc]]), so stream == batch
     * by construction. Works unchanged on a streaming frame (narrow
-    * map, no aggregation). */
+    * map, no aggregation).
+    *
+    * Decodes through the BYTE-domain walk ([[Warc.parseBytes]], r16):
+    * real crawl payloads are UTF-8/binary and the previous whole-file
+    * US_ASCII String decode corrupted every non-ASCII payload byte
+    * before the parser saw it. `body_chars` counts payload BYTES — on
+    * the ASCII fixtures of [[writeArchiveDir]] (char encoder,
+    * char-count lengths) byte and char counts coincide, so the q252
+    * oracle arithmetic is unchanged. */
   private[graft] def auditColumns(bin: DataFrame): DataFrame = {
     val spark = bin.sparkSession
     import spark.implicits._
@@ -124,7 +132,7 @@ object WarcFiles {
         decoded match {
           case None => FileAuditRow(name, "warc_corrupt", 0, 0, 0L)
           case Some(b) =>
-            val p = Warc.parse(new String(b, US_ASCII))
+            val p = Warc.parseBytes(b)
             val responses = p.records.filter(_.recType == "response")
             FileAuditRow(name,
               if (p.torn) "warc_torn" else "warc_ok",

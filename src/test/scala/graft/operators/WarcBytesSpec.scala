@@ -1,0 +1,124 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+import java.util.zip.GZIPOutputStream
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+import graft.sources.WarcFiles
+
+/** The byte-domain WARC walk: bit-exact UTF-8/binary payload round
+  * trips through REAL files (plain and .warc.gz), agreement with the
+  * char-domain walk on its ASCII certificate domain, and the same
+  * never-throw tear taxonomy. */
+class WarcBytesSpec extends SparkSpec {
+
+  // deterministic seeded property runs — the BpeFuzzSpec convention
+  private def forAllSeeded[A](gen: Gen[A], n: Int)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default, Seed(28500L + i)))
+    }
+
+  private def md5(b: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(b)
+      .map(x => f"$x%02x").mkString
+
+  private def gzip(b: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val g = new GZIPOutputStream(bos)
+    g.write(b); g.close()
+    bos.toByteArray
+  }
+
+  // UTF-8 text with 2-, 3- and 4-byte sequences plus a raw binary tail
+  // covering every byte value — nothing here survives an ASCII decode
+  private val utf8Body: Array[Byte] =
+    "héllo wörld — 中文テキスト 🎉 end".getBytes(UTF_8) ++
+      (0 until 256).map(_.toByte).toArray
+
+  test("UTF-8/binary payloads round-trip md5-exact through real files, " +
+    ".warc.gz included") {
+    val dir = Files.createTempDirectory("warc_bytes").toString
+    val archive =
+      Warc.encodeArchiveBytes(7L, "srcX", utf8Body,
+        "application/octet-stream") ++
+        Warc.encodeArchiveBytes(8L, "srcX",
+          "plain ascii body".getBytes(ISO_8859_1), "text/plain")
+    Files.write(Paths.get(dir, "part-0.warc"), archive)
+    Files.write(Paths.get(dir, "part-1.warc.gz"), gzip(archive))
+    for (name <- Seq("part-0.warc", "part-1.warc.gz")) {
+      val raw = Files.readAllBytes(Paths.get(dir, name))
+      val bytes =
+        if (name.endsWith(".gz"))
+          new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(raw)).readAllBytes()
+        else raw
+      val p = Warc.parseBytes(bytes)
+      assert(!p.torn, s"$name parsed torn")
+      val bodies = p.records.filter(_.recType == "response").map(_.body)
+      assert(bodies.length === 2)
+      assert(md5(bodies.head) === md5(utf8Body),
+        s"$name corrupted the UTF-8/binary payload")
+      assert(md5(bodies(1)) ===
+        md5("plain ascii body".getBytes(ISO_8859_1)))
+    }
+    // and through the Spark source end to end: the audit must see both
+    // files clean with BYTE-exact body volumes (char-domain decode of
+    // this payload would mangle every non-ASCII byte)
+    val audit = WarcFiles.readAudit(spark, dir).collect()
+      .map(r => r.getAs[String]("file") ->
+        (r.getAs[String]("status"), r.getAs[Long]("body_chars"))).toMap
+    val expected = utf8Body.length.toLong + "plain ascii body".length
+    assert(audit("part-0.warc") === (("warc_ok", expected)))
+    assert(audit("part-1.warc.gz") === (("warc_ok", expected)))
+  }
+
+  test("byte and char walks agree record-for-record on ASCII archives, " +
+    "including tears") {
+    val gen = for {
+      docs <- Gen.listOfN(3, Gen.asciiPrintableStr.map(_.take(80)))
+      cutPct <- Gen.chooseNum(0, 100)
+    } yield (docs.zipWithIndex, cutPct)
+    forAllSeeded(gen, 60) { case (docs, cutPct) =>
+      val full = docs.map { case (t, i) =>
+        Warc.encodeArchive(i.toLong, s"s$i", t)
+      }.mkString
+      val s = full.substring(0, full.length * cutPct / 100)
+      val c = Warc.parse(s)
+      val b = Warc.parseBytes(s.getBytes(ISO_8859_1))
+      assert(b.torn === c.torn)
+      assert(b.records.length === c.records.length)
+      b.records.zip(c.records).foreach { case (br, cr) =>
+        assert(br.recType === cr.recType)
+        assert(br.uri === cr.uri)
+        assert(br.httpStatus === cr.httpStatus)
+        assert(br.contentType === cr.contentType)
+        assert(new String(br.body, ISO_8859_1) === cr.body)
+      }
+    }
+  }
+
+  test("byte-domain tear taxonomy: complete records ahead of a tear are " +
+    "kept; adversarial lengths stop the walk without throwing") {
+    val clean = Warc.encodeArchiveBytes(1L, "s", utf8Body, "x/y")
+    val torn = clean ++ Warc.encodeArchiveBytes(2L, "s", utf8Body, "x/y")
+      .take(clean.length / 2)
+    val p = Warc.parseBytes(torn)
+    assert(p.torn)
+    assert(p.records.count(_.recType == "response") === 1)
+    assert(md5(p.records.filter(_.recType == "response").head.body) ===
+      md5(utf8Body))
+    // header claims more bytes than the archive holds
+    val lying = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 999999999999\r\n\r\n").getBytes(ISO_8859_1)
+    val lp = Warc.parseBytes(clean ++ lying)
+    assert(lp.torn && lp.records.length === 2) // request + response kept
+    assert(Warc.parseBytes(Array.emptyByteArray) ===
+      Warc.BParsed(Nil, torn = false))
+  }
+}
