@@ -263,6 +263,46 @@ private[graft] trait Queries11Formats extends Queries10Information {
       .select(col("id").as("doc_id"), col("component"))
   }
 
+  // ---------------------------------------------------------------------
+  // q257 — WARC corpus EXTRACTION in the byte domain (r16): the serving
+  // side q252's audit ledger doesn't provide — per-response-record rows
+  // with bit-exact payload bytes (WarcFiles.readRecords), certified on
+  // genuinely NON-ASCII payloads. Every document's text is prefixed
+  // with 2-, 3- and 4-byte UTF-8 sequences (é → ☃ 🎉), archived as
+  // UTF-8 BYTES (encodeArchiveBytes — Content-Length counts bytes, the
+  // on-the-wire meaning), written through real .warc/.warc.gz files,
+  // and read back through binaryFile + the byte walk. Hash-exact: Spark
+  // md5(body bytes) must equal DuckDB md5(chr(...)||text) — DuckDB
+  // hashes the UTF-8 encoding of its string, so the certificate fails
+  // on any single corrupted payload byte (exactly what the previous
+  // whole-file US_ASCII decode did to every non-ASCII byte).
+  // ---------------------------------------------------------------------
+  private val warcUtf8FixtureDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def q257WarcCorpus(spark: SparkSession, dir: String): DataFrame = {
+    // é U+00E9 (2-byte), → U+2192 and ☃ U+2603 (3-byte), 🎉 U+1F389
+    // (4-byte, surrogate pair in the JVM, chr(127881) in DuckDB)
+    val prefix = "é→☃🎉 "
+    val out = warcUtf8FixtureDir.computeIfAbsent(dir, _ => {
+      val d = scopedTempDir("graft_warc_utf8")
+      graft.sources.WarcFiles.writeUtf8ArchiveDir(
+        Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+          concat(lit(prefix), col("text")).as("text")), d)
+      d
+    })
+    graft.sources.WarcFiles.readRecords(spark, out)
+      .select(
+        substring_index(col("uri"), "/", -1).cast("long").as("doc_id"),
+        md5(col("body")).as("body_md5"))
+  }
+
+  private[graft] val q257Sql =
+    """SELECT doc_id,
+      |  md5(chr(233)||chr(8594)||chr(9731)||chr(127881)||' '||text)
+      |    AS body_md5
+      |FROM documents""".stripMargin
+
   private[graft] val q256Sql =
     """WITH RECURSIVE
       |t AS (SELECT doc_id, list_filter(string_split(text, ' '),

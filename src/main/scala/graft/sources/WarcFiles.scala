@@ -89,11 +89,53 @@ object WarcFiles {
     }
   }
 
+  /** UTF-8 test-fixture writer (driver-side, bounded): the byte-domain
+    * counterpart of [[writeArchiveDir]] — each document's `text` is
+    * archived as its UTF-8 BYTES via [[Warc.encodeArchiveBytes]]
+    * (Content-Length counts bytes, the on-the-wire meaning), bucketed
+    * by `doc_id % files`, odd buckets gzipped. No damage knob: the tear
+    * taxonomy is certified by [[writeArchiveDir]]/q252; this fixture
+    * certifies non-ASCII payload fidelity (q257). */
+  def writeUtf8ArchiveDir(docs: DataFrame, dir: String,
+                          files: Int = 8): Unit = {
+    require(files >= 1, s"files must be >= 1, got $files")
+    val rows = docs
+      .select(col("doc_id").cast("long"), col("source"), col("text"))
+      .collect()
+    require(rows.length <= 100000,
+      s"writeUtf8ArchiveDir is a test-fixture writer (driver-side " +
+        s"collect); refusing ${rows.length} > 100000 docs")
+    val byFile = rows.groupBy(r => ((r.getLong(0) % files) + files) % files)
+    byFile.toSeq.sortBy(_._1).foreach { case (f, docsF) =>
+      val bos = new ByteArrayOutputStream()
+      docsF.sortBy(_.getLong(0)).foreach { r =>
+        bos.write(Warc.encodeArchiveBytes(r.getLong(0), r.getString(1),
+          r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          "text/plain; charset=utf-8"))
+      }
+      val gz = f % 2 == 1
+      val out =
+        if (!gz) bos.toByteArray
+        else {
+          val zos = new ByteArrayOutputStream()
+          val g = new GZIPOutputStream(zos)
+          g.write(bos.toByteArray); g.close()
+          zos.toByteArray
+        }
+      val name = s"part-$f" + (if (gz) ".warc.gz" else ".warc")
+      Files.write(Paths.get(dir, name), out)
+    }
+  }
+
   // --------------------------------------------------------------- read
 
   final case class FileAuditRow(file: String, status: String,
                                 n_records: Int, n_responses: Int,
                                 body_chars: Long)
+
+  final case class WarcRecordRow(file: String, uri: String,
+                                 http_status: Int, content_type: String,
+                                 body: Array[Byte])
 
   /** Gunzip fully, or None when the container itself is undecodable —
     * the `warc_corrupt` class. */
@@ -148,6 +190,39 @@ object WarcFiles {
     * exchange is whatever consumes the file-grain result. */
   def readAudit(spark: SparkSession, dir: String): DataFrame =
     auditColumns(
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(dir))
+
+  /** The per-record EXTRACTION map over binaryFile rows — one row per
+    * complete RESPONSE record with its bit-exact payload bytes. This is
+    * the serving path a training pipeline actually consumes (the audit
+    * above is its ops ledger): complete records ahead of a tear are
+    * emitted (count-don't-crash — the file-grain audit carries the tear
+    * flag), undecodable files emit nothing. Narrow partition-local
+    * flatMap; payload bytes never shuffle. */
+  private[graft] def recordColumns(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (path, bytes) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        val decoded =
+          if (name.endsWith(".gz")) gunzip(bytes) else Some(bytes)
+        decoded.iterator.flatMap { b =>
+          Warc.parseBytes(b).records.iterator
+            .filter(_.recType == "response")
+            .map(r => WarcRecordRow(name, r.uri, r.httpStatus,
+              r.contentType, r.body))
+        }
+      }).toDF()
+  }
+
+  /** Read a WARC directory into per-response-record rows — the corpus
+    * extraction entry ([[readAudit]]'s serving-side sibling). */
+  def readRecords(spark: SparkSession, dir: String): DataFrame =
+    recordColumns(
       spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.warc*")
         .load(dir))

@@ -103,6 +103,25 @@ class WarcBytesSpec extends SparkSpec {
     }
   }
 
+  test("readRecords serves complete records ahead of a tear and nothing " +
+    "from an undecodable file") {
+    val dir = Files.createTempDirectory("warc_records").toString
+    val clean = Warc.encodeArchiveBytes(1L, "s", utf8Body, "x/y")
+    val torn = clean ++
+      Warc.encodeArchiveBytes(2L, "s", utf8Body, "x/y").take(10)
+    Files.write(Paths.get(dir, "part-0.warc"), torn)
+    val corrupt = gzip(clean)
+    corrupt(0) = 0; corrupt(1) = 0 // zeroed gzip magic
+    Files.write(Paths.get(dir, "part-1.warc.gz"), corrupt)
+    val rows = WarcFiles.readRecords(spark, dir).collect()
+    assert(rows.length === 1, "torn file must serve its complete record; " +
+      "corrupt file must serve nothing")
+    val r = rows.head
+    assert(r.getAs[String]("file") === "part-0.warc")
+    assert(r.getAs[String]("uri") === "http://s/doc/1")
+    assert(md5(r.getAs[Array[Byte]]("body")) === md5(utf8Body))
+  }
+
   test("byte-domain tear taxonomy: complete records ahead of a tear are " +
     "kept; adversarial lengths stop the walk without throwing") {
     val clean = Warc.encodeArchiveBytes(1L, "s", utf8Body, "x/y")
