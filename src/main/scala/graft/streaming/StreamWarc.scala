@@ -48,4 +48,20 @@ object StreamWarc {
         .schema(binaryFileSchema)
         .option("pathGlobFilter", "*.warc*")
         .load(dir))
+
+  /** Per-response-record EXTRACTION rows as an APPEND stream — the
+    * serving leg ([[audit]] is the ops ledger): each landed file's
+    * complete response records with bit-exact payload bytes, through
+    * the SAME decode map as the batch reader
+    * ([[WarcFiles.recordColumns]] — stream == batch by construction).
+    * Same shape guarantees as audit: stateless narrow flatMap,
+    * exactly-once per file via the source log, a torn file serves its
+    * complete records, an undecodable file serves nothing (its audit
+    * row is the observable). */
+  def records(spark: SparkSession, dir: String): DataFrame =
+    WarcFiles.recordColumns(
+      spark.readStream.format("binaryFile")
+        .schema(binaryFileSchema)
+        .option("pathGlobFilter", "*.warc*")
+        .load(dir))
 }

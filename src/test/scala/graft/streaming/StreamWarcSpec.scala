@@ -65,4 +65,43 @@ class StreamWarcSpec extends SparkSpec {
       assert(byStatus("warc_ok") === 12)
     } finally query.stop()
   }
+
+  test("record-extraction stream == batch: UTF-8 payloads served " +
+    "bit-exact across arrival waves; corrupt files serve nothing") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val dir = Files.createTempDirectory("stream_warc_rec").toString
+    def utf8Docs(ids: Range) = {
+      import spark.implicits._
+      ids.map(i => (i.toLong, s"src${i % 2}", s"é→☃🎉 body $i"))
+        .toDF("doc_id", "source", "text")
+    }
+    WarcFiles.writeUtf8ArchiveDir(utf8Docs(0 until 6), dir, files = 3)
+    val query = StreamWarc.records(spark, dir)
+      .select(col("file"), col("uri"), md5(col("body")).as("h"))
+      .writeStream.format("memory").queryName("sw_records")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      assert(spark.sql("SELECT * FROM sw_records").count() === 6)
+      // wave 2: three more UTF-8 files plus one corrupt gzip
+      val gen2 = Files.createTempDirectory("stream_warc_rec2").toString
+      WarcFiles.writeUtf8ArchiveDir(utf8Docs(100 until 106), gen2, files = 3)
+      java.nio.file.Files.list(java.nio.file.Paths.get(gen2)).forEach { p =>
+        java.nio.file.Files.move(p,
+          java.nio.file.Paths.get(dir, "gen2-" + p.getFileName.toString))
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "junk.warc.gz"),
+        Array[Byte](0, 0, 13, 37))
+      query.processAllAvailable()
+      val streamed = spark.sql("SELECT uri, h FROM sw_records").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val batch = WarcFiles.readRecords(spark, dir)
+        .select(col("uri"), md5(col("body")).as("h")).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(streamed.size === 12, s"expected 12 records, got ${streamed.size}")
+      assert(streamed === batch,
+        "streamed record payloads diverged from the batch reader")
+    } finally query.stop()
+  }
 }
