@@ -199,24 +199,28 @@ private[graft] trait Queries5Tokenizer extends Queries4Mixtures {
     // per-modality decode-drop and near-dup rates (r12): the q118 decode
     // ledger and the q119/q121 banded pair machinery folded per source —
     // a release data card that says, per source, how much media failed
-    // decode and how much of what decoded is perceptually duplicated
+    // decode and how much of what decoded is perceptually duplicated.
+    // The dup side reads the LABELED pairs artifact (r16): the banded
+    // pair build is the same one q253's artifact materializes, so the
+    // card serves it instead of rebuilding it (q119/q121 keep the
+    // families live); the decode census stays a live narrow map.
     val docsAll = Tables.documents(spark, dir)
-    def modality(fps: DataFrame, hashCol: String, pfx: String): DataFrame = {
+    val mmPairs = mmPairsArtifactDf(spark, dir)
+    def modality(fps: DataFrame, pfx: String): DataFrame = {
       val dec = fps.join(srcOf, "doc_id").groupBy(col("source"))
         .agg(count(lit(1)).as(s"__${pfx}_n"))
-      val dupDocs = Dedup.hammingPairs63(fps, "doc_id", hashCol, maxHamming = 2)
-        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      val dupDocs = mmPairs.filter(col("modality") === pfx)
+        .select(explode(array(col("src"), col("dst"))).as("doc_id"))
         .distinct()
       val dupN = dupDocs.join(srcOf, "doc_id").groupBy(col("source"))
         .agg(count(lit(1)).as(s"__${pfx}_dup"))
       dec.join(dupN, Seq("source"), "left")
     }
     val img = modality(
-      MediaCodec.dHashes(MediaCodec.attachThumbnails(docsAll)).toDF(),
-      "dhash", "img")
+      MediaCodec.dHashes(MediaCodec.attachThumbnails(docsAll)).toDF(), "img")
     val aud = modality(
       MediaCodec.audioFingerprints(MediaCodec.attachAudio(docsAll)).toDF(),
-      "fingerprint", "aud")
+      "aud")
     dup.join(nov, "source").join(len, "source")
       .join(pii, "source").join(lang, "source")
       .join(img, Seq("source"), "left").join(aud, Seq("source"), "left")
@@ -828,25 +832,27 @@ private[graft] trait Queries5Tokenizer extends Queries4Mixtures {
     * shared by q124 (in-memory closure) and q253 (persisted-artifact
     * serving path), so the artifact can never drift from the live
     * computation it materializes. */
-  private[graft] def multimodalEdges(docs: DataFrame): DataFrame = {
-    val text = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.5, maxShingleDfFrac = 0.1)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val image = Dedup.hammingPairs63(
-        MediaCodec.dHashes(MediaCodec.attachThumbnails(docs)).toDF(),
-        "doc_id", "dhash", maxHamming = 2)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val audio = Dedup.hammingPairs63(
-        MediaCodec.audioFingerprints(MediaCodec.attachAudio(docs)).toDF(),
-        "doc_id", "fingerprint", maxHamming = 2)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val video = Dedup.videoFrameDupPairs(
-        MediaCodec.videoFrameHashes(MediaCodec.attachVideo(docs)).toDF(),
-        "doc_id", "frame_idx", "vhash", maxHamming = 2, minFrames = 2)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    text.unionByName(image).unionByName(audio)
-      .unionByName(video).distinct()
+  private[graft] def multimodalEdgesLabeled(docs: DataFrame): DataFrame = {
+    def tag(pairs: DataFrame, m: String): DataFrame =
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"),
+        lit(m).as("modality"))
+    val text = tag(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5, maxShingleDfFrac = 0.1), "text")
+    val image = tag(Dedup.hammingPairs63(
+      MediaCodec.dHashes(MediaCodec.attachThumbnails(docs)).toDF(),
+      "doc_id", "dhash", maxHamming = 2), "img")
+    val audio = tag(Dedup.hammingPairs63(
+      MediaCodec.audioFingerprints(MediaCodec.attachAudio(docs)).toDF(),
+      "doc_id", "fingerprint", maxHamming = 2), "aud")
+    val video = tag(Dedup.videoFrameDupPairs(
+      MediaCodec.videoFrameHashes(MediaCodec.attachVideo(docs)).toDF(),
+      "doc_id", "frame_idx", "vhash", maxHamming = 2, minFrames = 2),
+      "vid")
+    text.unionByName(image).unionByName(audio).unionByName(video)
   }
+
+  private[graft] def multimodalEdges(docs: DataFrame): DataFrame =
+    multimodalEdgesLabeled(docs).select(col("src"), col("dst")).distinct()
 
   private[graft] def q124MultimodalDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -870,19 +876,27 @@ private[graft] trait Queries5Tokenizer extends Queries4Mixtures {
   private val mmPairsArtifact =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private[graft] def q253PairsArtifact(spark: SparkSession, dir: String): DataFrame = {
+  /** The multimodal pair graph served from parquet, LABELED by edge
+    * family (r16) — one artifact serves both the closure (q253, which
+    * drops the label and distincts) and per-modality diagnostics
+    * (q107's img/aud dup rates). q119/q121/q124 keep the families'
+    * live certification. */
+  private[graft] def mmPairsArtifactDf(spark: SparkSession, dir: String): DataFrame = {
     val path = mmPairsArtifact.computeIfAbsent(dir, _ => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_mm_pairs").toString + "/pairs"
-      multimodalEdges(Tables.documents(spark, dir))
+      val out = scopedTempDir("graft_mm_pairs") + "/pairs"
+      multimodalEdgesLabeled(Tables.documents(spark, dir))
         .write.mode("overwrite").parquet(out)
       out
     })
+    spark.read.parquet(path)
+  }
+
+  private[graft] def q253PairsArtifact(spark: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(
         Tables.documents(spark, dir).select(col("doc_id").as("id")),
-        spark.read.parquet(path))
+        mmPairsArtifactDf(spark, dir)
+          .select(col("src"), col("dst")).distinct())
       .select(col("id").as("doc_id"), col("component"))
-  }
 
   private[graft] val q124Sql =
     s"""WITH RECURSIVE $q21PairCtes,
