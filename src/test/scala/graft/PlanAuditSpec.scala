@@ -13,6 +13,42 @@ class PlanAuditSpec extends SparkSpec {
   // in the sharded PlanSweepSpec suites below — they grow linearly with
   // the registry and sharding lets ScalaTest run the shards concurrently
 
+  test("r16 artifact routing holds: closure/pair consumers scan the " +
+    "memoized artifacts instead of rebuilding the pair pipeline") {
+    // the r16 serving-path change (VERDICT #5): a silent revert to the
+    // live rebuild would put q65/q111/q176 back at 4-6 s each and
+    // re-dominate the bench top. Pin: each routed consumer's physical
+    // plan scans its artifact directory (the scopedTempDir prefix is
+    // the marker), and the pure label consumers contain no Generate
+    // (the shingle explode) at all.
+    val artifactOf = Seq(
+      "q52_transitive_dedup_keep" -> "graft_q48_labels",
+      "q96_cluster_sizes" -> "graft_q48_labels",
+      "q101_cluster_split" -> "graft_q48_labels",
+      "q176_negatives" -> "graft_q48_labels",
+      "q65_training_manifest" -> "graft_q48_labels",
+      "q111_curation_funnel" -> "graft_q48_labels",
+      "q93_source_dup_rate" -> "graft_q48_pairs",
+      // q253 scans the mm artifact too, but its closure fixpoint runs
+      // at construction and the final plan joins the checkpointed
+      // labels — the parquet scan is not in the served plan, so q107
+      // (a direct reader) carries the graft_mm_pairs marker
+      "q107_data_card" -> "graft_mm_pairs")
+    artifactOf.foreach { case (name, marker) =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains(marker),
+        s"$name no longer scans its $marker artifact")
+    }
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    for (name <- Seq("q52_transitive_dedup_keep", "q96_cluster_sizes",
+      "q101_cluster_split"))
+      assert(SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.optimizedPlan
+        .collect { case g: Generate => g }.isEmpty,
+        s"$name rebuilds the shingle pipeline (Generate in plan)")
+  }
+
   test("q53's rank window partitions on (group, bucket), never the bare group") {
     // the r4→r5 regression this pins: a row_number() over the bare group
     // column puts every row of a group into ONE task's sort — the
