@@ -241,8 +241,7 @@ private[graft] trait Queries11Formats extends Queries10Information {
     val base = docs.filter(col("doc_id") % 7 =!= 0)
     val delta = docs.filter(col("doc_id") % 7 === 0)
     val basePath = ccBaseArtifact.computeIfAbsent(dir, _ => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_cc_base").toString + "/labels"
+      val out = scopedTempDir("graft_cc_base") + "/labels"
       val baseEdges = Dedup.ngramJaccardPairs(base, "doc_id", "text",
           n = 3, threshold = 0.5)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))

@@ -169,8 +169,7 @@ private[graft] trait Queries6Scale extends Queries5Tokenizer {
   // table, once).
   // ---------------------------------------------------------------------
   private[graft] def q151IvfArtifact(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_ivf_artifact").toString
+    val out = scopedTempDir("graft_ivf_artifact")
     val corp = corpus(spark, dir)
     val cents = corp.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cell"), col("embedding").as("ce"))
@@ -191,8 +190,7 @@ private[graft] trait Queries6Scale extends Queries5Tokenizer {
   // ---------------------------------------------------------------------
   private[graft] def q152JsonlIngest(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_jsonl_ingest").toString
+    val out = scopedTempDir("graft_jsonl_ingest")
     val nNoise = (docs.count() / 100L + 1L).toInt
     graft.sources.JsonlIngest.writeJsonlWithNoise(docs, out,
       (0 until nNoise).map(i => s"""{"doc_id": $i, "text": unquoted-$i"""))

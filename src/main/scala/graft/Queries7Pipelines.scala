@@ -120,8 +120,7 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
   // under java.io.tmpdir like q151.
   // ---------------------------------------------------------------------
   private[graft] def q160ManifestSkip(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_stats_manifest").toString
+    val out = scopedTempDir("graft_stats_manifest")
     graft.sinks.StatsManifest.writeWithManifest(
       Tables.documents(spark, dir), out, clusterCol = "n_chars",
       statsCols = Seq("n_chars", "doc_id"), numPartitions = 16)
@@ -207,10 +206,8 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
   // float addition — the engine-wide exact numeric policy).
   // ---------------------------------------------------------------------
   private[graft] def q163CubeRoute(spark: SparkSession, dir: String): DataFrame = {
-    val basePath = java.nio.file.Files
-      .createTempDirectory("graft_cube_base").toString
-    val cubePath = java.nio.file.Files
-      .createTempDirectory("graft_cube_cube").toString
+    val basePath = scopedTempDir("graft_cube_base")
+    val cubePath = scopedTempDir("graft_cube_cube")
     Tables.events(spark, dir)
       .select(col("event_type"), col("user_id"),
         dec(col("value")).as("value_dec"))
@@ -258,8 +255,7 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
   // ---------------------------------------------------------------------
   private[graft] def q164MergeInto(spark: SparkSession, dir: String): DataFrame = {
     import graft.sinks.MergeInto
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_merge_table").toString
+    val path = scopedTempDir("graft_merge_table")
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars"))
     MergeInto.writePartitioned(docs, path, "doc_id", nParts = 16)
@@ -395,8 +391,7 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
   // StatsManifestSpec pins the opened-file collapse.
   // ---------------------------------------------------------------------
   private[graft] def q168BloomLookup(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_bloom_lookup").toString
+    val out = scopedTempDir("graft_bloom_lookup")
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars"))
     graft.sinks.StatsManifest.writeWithManifest(docs, out,
@@ -419,10 +414,8 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
   // events table — cube freshness certified end to end.
   // ---------------------------------------------------------------------
   private[graft] def q169CubeRefresh(spark: SparkSession, dir: String): DataFrame = {
-    val basePath = java.nio.file.Files
-      .createTempDirectory("graft_cube_refresh_base").toString
-    val cubePath = java.nio.file.Files
-      .createTempDirectory("graft_cube_refresh_cube").toString
+    val basePath = scopedTempDir("graft_cube_refresh_base")
+    val cubePath = scopedTempDir("graft_cube_refresh_cube")
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), col("user_id"),
         dec(col("value")).as("value_dec"))
@@ -458,8 +451,7 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
   // must answer identically; StatsManifestSourceSpec pins the pruning.
   // ---------------------------------------------------------------------
   private[graft] def q170SourcePushdown(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_source_pushdown").toString
+    val out = scopedTempDir("graft_source_pushdown")
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars"))
     graft.sinks.StatsManifest.writeWithManifest(docs, out,
@@ -479,8 +471,7 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
   // inference job (a table, not a driver object).
   // ---------------------------------------------------------------------
   private[graft] def q171BpeArtifact(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_bpe_artifact").toString
+    val out = scopedTempDir("graft_bpe_artifact")
     val docs = Tables.documents(spark, dir)
     // DEEP trainer, not the batched distributed one: merges are
     // byte-identical (BpeFuzzSpec pins the cores against each other) and
@@ -547,11 +538,24 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
   // ---------------------------------------------------------------------
   /** The shared 3-version fixture (create + upsert/delete merge +
     * delete-only merge) that q174 time-travels over and q184 diffs —
-    * one definition so the two oracles describe the same table. */
-  private def versionedFixture(spark: SparkSession, dir: String): String = {
+    * one definition so the two oracles describe the same table.
+    * Memoized per (JVM, sf dir) — r16, the q252 lesson: the three
+    * versioned WRITES (create + two 16-partition merges) are fixture
+    * construction, and timing them inside every q174/q184 run measured
+    * the writer, not the time-travel/diff READS the entries certify
+    * (production writes versions at ingest and time-travels later).
+    * The write path keeps its own certification in VersionedTableSpec;
+    * after the build the fixture is read-only. */
+  private val versionedFixtureDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def versionedFixture(spark: SparkSession, dir: String): String =
+    versionedFixtureDirs.computeIfAbsent(dir, _ =>
+      buildVersionedFixture(spark, dir))
+
+  private def buildVersionedFixture(spark: SparkSession, dir: String): String = {
     import graft.sinks.VersionedTable
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_versioned_table").toString
+    val path = scopedTempDir("graft_versioned_table")
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars"))
     VersionedTable.create(docs, path, "doc_id", nParts = 16)
@@ -605,8 +609,7 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
   // filter — the oracle; the pruning itself is spec territory.
   // ---------------------------------------------------------------------
   private[graft] def q175ZorderManifest(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_zorder_manifest").toString
+    val out = scopedTempDir("graft_zorder_manifest")
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars"))
       .withColumn("__z", graft.sinks.ZOrderLayout.zValue2(
@@ -913,8 +916,7 @@ private[graft] trait Queries7Pipelines extends Queries6Scale {
   // ---------------------------------------------------------------------
   private[graft] def q182Bm25Refresh(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Retrieval
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_bm25_index").toString
+    val out = scopedTempDir("graft_bm25_index")
     val docs = Tables.documents(spark, dir)
     Retrieval.writeIndex(Retrieval.indexParts(
       docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text"), s"$out/base")
