@@ -569,6 +569,53 @@ object Dedup {
         coalesce(col("__sup"), col("component")).as("component"))
   }
 
+  /** [[incrementalComponents]]' DELTA view: only the rows that change —
+    * the new batch's ids with their final labels (`is_new = true`) plus
+    * the base rows whose component was contracted to a smaller label
+    * (`is_new = false`) — computed WITHOUT materializing the full
+    * labeling. Every join here keeps the corpus side shuffle-free: the
+    * batch/edge/contraction sides are delta-sized (AQE broadcasts
+    * them), so the base labeling is only ever SCANNED. This is the
+    * per-micro-batch shape a continuously maintained artifact needs
+    * ([[graft.streaming.StreamCluster]]): writing deltas is pointless
+    * if computing them costs a corpus-sized shuffle or a corpus×corpus
+    * diff join per batch. Same label algebra and disjoint-admission
+    * contract as [[incrementalComponents]]; applying the delta
+    * newest-wins over the base reconstructs its exact output
+    * (StreamClusterSpec's closure certificate pins it batch over
+    * batch). */
+  def incrementalComponentsDelta(baseLabels: DataFrame, deltaIds: DataFrame,
+                                 newEdges: DataFrame): DataFrame = {
+    val labels = baseLabels.select(col("id"), col("component"))
+      .unionByName(deltaIds.select(col("id"), col("id").as("component")))
+    // label-mapped edges: edge endpoints are delta-bounded, so both
+    // joins broadcast the edge side and stream the labeling
+    val el = newEdges.select(col("src"), col("dst"))
+      .join(labels.select(col("id").as("src"), col("component").as("__ls")),
+        Seq("src"))
+      .join(labels.select(col("id").as("dst"), col("component").as("__ld")),
+        Seq("dst"))
+      .select(col("__ls").as("src"), col("__ld").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .localCheckpoint() // delta-sized; feeds touched + the fixpoint
+    val touched = el.select(col("src").as("id"))
+      .union(el.select(col("dst").as("id"))).distinct()
+    val superOf = connectedComponents(touched, el)
+      .select(col("id").as("__old"), col("component").as("__sup"))
+      .localCheckpoint() // delta-sized; feeds both delta branches
+    val changedBase = baseLabels
+      .join(superOf.filter(col("__sup") =!= col("__old"))
+        .withColumnRenamed("__old", "component"), Seq("component"))
+      .select(col("id"), col("__sup").as("component"),
+        lit(false).as("is_new"))
+    val newRows = deltaIds
+      .join(superOf.withColumnRenamed("__old", "id"), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("__sup"), col("id")).as("component"),
+        lit(true).as("is_new"))
+    newRows.unionByName(changedBase)
+  }
+
   /** 64-bit SimHash over distinct whitespace tokens: bit j of the
     * fingerprint is set when more token hashes have bit j set than clear.
     * The 64 hash bits per token come from two dialect-portable 32-bit

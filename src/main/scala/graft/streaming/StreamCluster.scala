@@ -32,12 +32,16 @@ import graft.operators.Dedup
   *     probe scan prunes to exactly those directories instead of
   *     reading the whole corpus index every micro-batch).
   *   - `path/labels/gen=<batchId>` — the labeling DELTA: only rows
-  *     whose component CHANGED plus the new batch's rows, each stamped
-  *     with its `gen` column. Serve-side folds newest-wins (labels are
-  *     min-ids, monotonically nonincreasing per id, so newest-wins is
-  *     exact). A full corpus-sized snapshot per micro-batch was the
-  *     r15 scale-killer; the delta is bounded by the batch's touched
-  *     components.
+  *     whose component CHANGED plus the new batch's rows (flagged
+  *     `is_new`), each stamped with its `gen` column. Serve-side folds
+  *     newest-wins (labels are min-ids, monotonically nonincreasing per
+  *     id, so newest-wins is exact) as base ⟕ folded-deltas — the
+  *     corpus side is scanned, never shuffled ([[foldLabels]]); the
+  *     delta itself comes from the contraction map
+  *     ([[Dedup.incrementalComponentsDelta]]), never from diffing two
+  *     corpus-sized labelings. A full corpus-sized snapshot per
+  *     micro-batch was the r15 scale-killer; the delta is bounded by
+  *     the batch's touched components.
   *   - `path/{shingles,labels}/base=<id>` — COMPACTION output: every
   *     `compactEvery` batches the committed generations at or below
   *     `id` fold into one base (shingles: row union, re-bucketed;
@@ -99,9 +103,19 @@ object StreamCluster {
             val batchIds = batch.select(col(idCol).cast("long").as("id"))
             val within = Dedup.jaccardPairsWithinIndex(bIdx, threshold)
               .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-            val labels = prevLabels match {
+            // the labeling DELTA: the new batch's final labels
+            // (is_new = true) plus base rows whose component changed
+            // (is_new = false) — computed by the contraction map
+            // directly ([[Dedup.incrementalComponentsDelta]]), never by
+            // diffing two corpus-sized labelings. Labels are min-ids —
+            // they only ever decrease — so newest-wins folding
+            // reconstructs the exact full labeling from the delta
+            // chain, and the is_new flag lets the fold recover "id not
+            // in base" without an anti join against the corpus.
+            val delta = prevLabels match {
               case None =>
                 Dedup.connectedComponents(batchIds, within)
+                  .withColumn("is_new", lit(true))
               case Some(prev) =>
                 // the batch's own bucket set bounds the corpus probe: a
                 // shingle hash joins only within its bucket, so corpus
@@ -125,22 +139,8 @@ object StreamCluster {
                     .select(col("batch_doc").as("src"),
                       col("corpus_doc").as("dst"))
                 }
-                Dedup.incrementalComponents(prev, batchIds,
+                Dedup.incrementalComponentsDelta(prev, batchIds,
                   cross.unionByName(within))
-            }
-            // the labeling DELTA: new ids (no previous row) plus ids
-            // whose component changed. Labels are min-ids — they only
-            // ever decrease — so newest-wins folding reconstructs the
-            // exact full labeling from the delta chain.
-            val delta = prevLabels match {
-              case None => labels
-              case Some(prev) =>
-                labels
-                  .join(prev.select(col("id"),
-                    col("component").as("__prev")), Seq("id"), "left")
-                  .filter(col("__prev").isNull ||
-                    col("__prev") =!= col("component"))
-                  .select(col("id"), col("component"))
             }
             // SHINGLES land first, labels second: serve reads key on
             // the LABELS generations, so until the labels write commits
@@ -196,19 +196,48 @@ object StreamCluster {
   /** Newest-wins fold of the committed labeling state strictly below
     * `beforeGen`: the base snapshot (if any) plus the delta chain above
     * it. Each row carries the `gen` that wrote it; an id's newest row
-    * is its current label (min-ids only ever decrease). */
+    * is its current label (min-ids only ever decrease).
+    *
+    * Fold SHAPE (the per-batch maintainer read and every serve): the
+    * deltas fold newest-wins among THEMSELVES (a delta-sized shuffle,
+    * bounded by compactEvery generations), then the base is LEFT-JOINED
+    * against that small side — AQE broadcasts it, so the corpus-sized
+    * base is only ever scanned, never shuffled. Ids absent from the
+    * base are exactly the delta rows whose generation chain contains an
+    * `is_new = true` arrival (the base predates every folded delta, so
+    * arrival-after-base ⇔ not-in-base) — recovered by a flag aggregate
+    * instead of an anti join against the corpus. A corpus-sized
+    * groupBy here would put a full shuffle in every micro-batch, which
+    * is the scale-killer the delta layout exists to avoid. */
   private def foldLabels(spark: SparkSession, path: String,
                          beforeGen: Long): Option[DataFrame] = {
     val root = s"$path/labels"
     val base = newestBase(spark, root, beforeGen)
     val baseId = base.map(_._1).getOrElse(Long.MinValue)
-    val dirs = base.map(_._2).toSeq ++
-      committed(spark, root, "gen=", beforeGen)
-        .filter(_._1 > baseId).map(_._2)
-    if (dirs.isEmpty) None
-    else Some(readUnion(spark, dirs)
-      .groupBy(col("id"))
-      .agg(max_by(col("component"), col("gen")).as("component")))
+    val deltaDirs = committed(spark, root, "gen=", beforeGen)
+      .filter(_._1 > baseId).map(_._2)
+    val deltas =
+      if (deltaDirs.isEmpty) None
+      else Some(readUnion(spark, deltaDirs)
+        .groupBy(col("id"))
+        .agg(max_by(col("component"), col("gen")).as("component"),
+          max(col("is_new")).as("__arrived")))
+    (base.map(_._2), deltas) match {
+      case (None, None) => None
+      case (None, Some(d)) =>
+        Some(d.select(col("id"), col("component")))
+      case (Some(b), None) =>
+        Some(spark.read.parquet(b).select(col("id"), col("component")))
+      case (Some(b), Some(d)) =>
+        val baseDf = spark.read.parquet(b)
+        Some(baseDf
+          .join(d.select(col("id"), col("component").as("__upd")),
+            Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("__upd"), col("component")).as("component"))
+          .unionByName(d.filter(col("__arrived"))
+            .select(col("id"), col("component"))))
+    }
   }
 
   /** The shingle-index leaf directories a batch touching `buckets` must
@@ -276,10 +305,14 @@ object StreamCluster {
       (readUnion(spark, dirs), Seq("hb"))
     }
     foldHalf(spark, s"$path/labels", upTo) { dirs =>
+      // the occasional corpus-sized shuffle belongs HERE (one fold per
+      // compactEvery batches), not in the per-batch/serve fold; the
+      // snapshot is a base, so every row is settled (is_new = false)
       (readUnion(spark, dirs)
         .groupBy(col("id"))
         .agg(max_by(col("component"), col("gen")).as("component"))
-        .withColumn("gen", lit(upTo)), Seq.empty)
+        .withColumn("gen", lit(upTo))
+        .withColumn("is_new", lit(false)), Seq.empty)
     }
   }
 
