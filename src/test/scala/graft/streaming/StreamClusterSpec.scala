@@ -171,6 +171,17 @@ class StreamClusterSpec extends SparkSpec {
       assert(one.forall(_.contains("hb=2")))
       assert(one.nonEmpty && one.size < all.size,
         s"bucket prune did not reduce the scan: ${one.size} of ${all.size}")
+      // the serve fold's SHAPE: base ⟕ folded-deltas as a BROADCAST
+      // join (the corpus side is scanned, never shuffled) — a revert to
+      // the corpus-sized groupBy fold has no join at all, and a
+      // sort-merge join here means the base got exchanged
+      val served = StreamCluster.readLabels(spark, path)
+      served.collect() // finalize the adaptive plan
+      val plan = served.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"serve fold lost its broadcast base-join shape:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"serve fold shuffles the base snapshot:\n$plan")
     } finally query.stop()
   }
 
