@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkTuning
+
+/** Measured evidence for the [[StreamCluster]] maintenance shapes: feed
+  * N trickle batches through `maintain` and print ONE JSON line with
+  * the per-batch wall distribution (early vs late — a maintenance cost
+  * that grows with the corpus shows up as late/early drift), the final
+  * artifact directory counts (compaction must bound them), and the
+  * closure size. Deterministic corpus: every 7th doc joins an existing
+  * near-dup family (exercising cross-batch edges and label deltas),
+  * the rest are singletons.
+  *
+  * Run: `sbt "runMain graft.streaming.StreamClusterThroughput
+  * [nBatches] [docsPerBatch]"` (defaults 48 x 25).
+  */
+object StreamClusterThroughput {
+
+  def main(args: Array[String]): Unit = {
+    val nBatches = args.headOption.map(_.toInt).getOrElse(48)
+    val perBatch = args.drop(1).headOption.map(_.toInt).getOrElse(25)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config(SparkTuning.ExcludedRulesKey, SparkTuning.ExcludedRules)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val path = java.nio.file.Files
+      .createTempDirectory("sc_throughput").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("sc_throughput_ck").toString
+    val mem = MemoryStream[(Long, String)]
+    val query = StreamCluster.maintain(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", path, ckpt,
+      nBuckets = 16, compactEvery = 8)
+    val families = Array(
+      "alpha beta gamma delta epsilon zeta eta",
+      "one two three four five six seven eight",
+      "red orange yellow green blue indigo violet")
+    def text(id: Long): String =
+      if (id % 7 == 0) families((id / 7 % families.length).toInt)
+      else s"unique u${id}a u${id}b u${id}c u${id}d u${id}e u${id}f"
+    val walls = new Array[Double](nBatches)
+    try {
+      var id = 0L
+      (0 until nBatches).foreach { b =>
+        val docs = (0 until perBatch).map { _ =>
+          id += 1; (id, text(id))
+        }
+        mem.addData(docs)
+        val t0 = System.nanoTime()
+        query.processAllAvailable()
+        walls(b) = (System.nanoTime() - t0) / 1e9
+      }
+      def dirCount(half: String): Int =
+        new java.io.File(s"$path/$half").listFiles()
+          .count(f => f.isDirectory &&
+            (f.getName.startsWith("gen=") || f.getName.startsWith("base=")))
+      val labels = StreamCluster.readLabels(spark, path)
+      val nDocs = labels.count()
+      val nComponents = labels.select("component").distinct().count()
+      val sorted = walls.sorted
+      def avg(xs: Array[Double]) = xs.sum / xs.length
+      val early = avg(walls.slice(4, 12)) // skip codegen/JIT warmup
+      val late = avg(walls.takeRight(8))
+      println(f"""{"metric":"stream_cluster_maintenance","batches":$nBatches,"docs":$nDocs,"components":$nComponents,"p50_batch_secs":${sorted(nBatches / 2)}%.3f,"max_batch_secs":${sorted.last}%.3f,"early8_avg_secs":$early%.3f,"late8_avg_secs":$late%.3f,"late_over_early":${late / early}%.2f,"shingle_dirs":${dirCount("shingles")},"label_dirs":${dirCount("labels")}}""")
+    } finally {
+      query.stop()
+      spark.stop()
+    }
+  }
+}
