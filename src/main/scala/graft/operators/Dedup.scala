@@ -598,6 +598,13 @@ object Dedup {
       .select(col("__ls").as("src"), col("__ld").as("dst"))
       .filter(col("src") =!= col("dst"))
       .localCheckpoint() // delta-sized; feeds touched + the fixpoint
+    // edge-free fast path — the COMMON trickle-batch case in a
+    // mostly-unique corpus: no label-crossing edge means no contraction
+    // and no changed base row, so the delta is exactly the new ids as
+    // singletons and the fixpoint's job chain never runs
+    if (el.isEmpty)
+      return deltaIds.select(col("id"), col("id").as("component"),
+        lit(true).as("is_new"))
     val touched = el.select(col("src").as("id"))
       .union(el.select(col("dst").as("id"))).distinct()
     val superOf = connectedComponents(touched, el)
