@@ -147,9 +147,11 @@ object Warc {
       recs += (recType match {
         case "response" =>
           val he = payload.indexOf("\r\n\r\n")
+          // he bounds the HTTP head; a status line cut short (he < 12)
+          // degrades the record — the same guard as [[parseBytes]], so
+          // the two walks stay record-for-record equal on ASCII input
           val (status, cType, body) =
-            if (he < 0 || !payload.startsWith("HTTP/1.1 ") ||
-              payload.length < 12) (0, "", "")
+            if (he < 12 || !payload.startsWith("HTTP/1.1 ")) (0, "", "")
             else (payload.substring(9, 12).toIntOption.getOrElse(0),
               // headerMap's drop(1) skips the HTTP status line here,
               // exactly as it skips the WARC/1.0 line above
@@ -236,8 +238,11 @@ object Warc {
       recs += (recType match {
         case "response" =>
           val he = indexOfCrlfCrlf(payload, 0)
-          if (he < 0 || !startsWithAt(payload, HttpMagic, 0) ||
-            payload.length < 12)
+          // the status code is parsed from `head` = payload[0, he), so
+          // the degraded-record guard must bound he itself: a status
+          // line cut short ("HTTP/1.1 \r\n\r\nbody" has he = 9 < 12)
+          // degrades to status 0 instead of throwing on the substring
+          if (he < 12 || !startsWithAt(payload, HttpMagic, 0))
             BRec(recType, uri, 0, "", Array.emptyByteArray)
           else {
             val head = new String(payload, 0, he, ISO_8859_1)

@@ -140,4 +140,26 @@ class WarcBytesSpec extends SparkSpec {
     assert(Warc.parseBytes(Array.emptyByteArray) ===
       Warc.BParsed(Nil, torn = false))
   }
+
+  test("a truncated HTTP status line degrades the record in BOTH walks, " +
+    "never throws") {
+    // payload 'HTTP/1.1 \r\n\r\nbody': the HTTP head ends at offset 9,
+    // before the 12 chars a status code needs — the adversarial shape
+    // that used to throw StringIndexOutOfBounds in the byte walk
+    for (payload <- Seq("HTTP/1.1 \r\n\r\nbody", "HTTP/1.1 2\r\n\r\nx",
+      "HTTP/1.1 20\r\n\r\n")) {
+      val rec = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: http://s/doc/9\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n$payload\r\n\r\n")
+      val c = Warc.parse(rec)
+      val b = Warc.parseBytes(rec.getBytes(ISO_8859_1))
+      for (r <- Seq(c.records.head.httpStatus, b.records.head.httpStatus))
+        assert(r === 0, s"payload ${payload.take(12)}… must degrade")
+      assert(!c.torn && !b.torn, "degraded record, not a tear")
+      assert(c.records.head.body === "")
+      assert(b.records.head.body.isEmpty)
+      assert(c.records.head.contentType === "" &&
+        b.records.head.contentType === "")
+    }
+  }
 }
