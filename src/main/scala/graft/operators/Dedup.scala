@@ -576,10 +576,12 @@ object Dedup {
     * labeling. Every join here keeps the corpus side shuffle-free: the
     * batch/edge/contraction sides are delta-sized (AQE broadcasts
     * them), so the base labeling is only ever SCANNED. This is the
-    * per-micro-batch shape a continuously maintained artifact needs
-    * ([[graft.streaming.StreamCluster]]): writing deltas is pointless
-    * if computing them costs a corpus-sized shuffle or a corpus×corpus
-    * diff join per batch. Same label algebra and disjoint-admission
+    * generic (labeling-as-DataFrame) shape; the continuously maintained
+    * artifact re-expresses the same algebra with BUCKET-PRUNED artifact
+    * reads so not even a scan of the corpus labeling happens per batch
+    * ([[graft.streaming.StreamCluster.incrementalDeltaPruned]] — r17;
+    * writing deltas is pointless if computing them costs a corpus-sized
+    * read per batch). Same label algebra and disjoint-admission
     * contract as [[incrementalComponents]]; applying the delta
     * newest-wins over the base reconstructs its exact output
     * (StreamClusterSpec's closure certificate pins it batch over

@@ -18,41 +18,56 @@ import graft.operators.Dedup
   *      and self-joins the batch index for batch↔batch edges — the
   *      corpus is never re-tokenized and never self-joined;
   *   3. extends the previous labeling through the label-contracted
-  *      reduced graph ([[Dedup.incrementalComponents]] — only touched
-  *      components shuffle);
+  *      reduced graph with DELTA-BOUNDED artifact lookups (below) —
+  *      only touched components shuffle, and only the label buckets
+  *      the batch's edges can reach are read;
   *   4. writes the batch's shingle generation and the labeling DELTA.
   *
-  * Artifact layout (r16 — the [[StreamIndex]] base+delta discipline,
-  * applied to both halves):
+  * Artifact layout (r17 — every corpus-sized half is hash-bucketed so
+  * per-batch reads prune to the batch's own buckets):
   *
-  *   - `path/shingles/gen=<batchId>/hb=<h mod nBuckets>/…` — one
-  *     generation per batch, HASH-BUCKETED by shingle hash so the
-  *     per-batch corpus probe reads only the buckets the batch's own
-  *     shingles can join (a trickle batch touches few buckets; the
-  *     probe scan prunes to exactly those directories instead of
-  *     reading the whole corpus index every micro-batch).
+  *   - `path/shingles/gen=<batchId>/hb=<h mod nb>/…` — one generation
+  *     per batch, bucketed by shingle hash: the per-batch corpus probe
+  *     reads only the buckets the batch's own shingles can join.
   *   - `path/labels/gen=<batchId>` — the labeling DELTA: only rows
   *     whose component CHANGED plus the new batch's rows (flagged
-  *     `is_new`), each stamped with its `gen` column. Serve-side folds
-  *     newest-wins (labels are min-ids, monotonically nonincreasing per
-  *     id, so newest-wins is exact) as base ⟕ folded-deltas — the
-  *     corpus side is scanned, never shuffled ([[foldLabels]]); the
-  *     delta itself comes from the contraction map
-  *     ([[Dedup.incrementalComponentsDelta]]), never from diffing two
-  *     corpus-sized labelings. A full corpus-sized snapshot per
-  *     micro-batch was the r15 scale-killer; the delta is bounded by
-  *     the batch's touched components.
-  *   - `path/{shingles,labels}/base=<id>` — COMPACTION output: every
-  *     `compactEvery` batches the committed generations at or below
-  *     `id` fold into one base (shingles: row union, re-bucketed;
-  *     labels: newest-wins snapshot). Generations otherwise accumulate
-  *     one directory per micro-batch forever — 4 320/day at a 20 s
-  *     cadence, the small-files class that kills 100 TB scans. Readers
-  *     use the max-base-id WATERMARK: anything at or below the newest
-  *     base id is already folded into it, so crash leftovers between
-  *     the compactor's rename and its delete pass are INERT (skipped by
-  *     every read, swept by the next compaction) — the exact
-  *     [[StreamIndex.compactDeltas]] crash discipline.
+  *     `is_new`), each stamped with its `gen` column. Deltas are
+  *     delta-sized; they are never bucketed.
+  *   - `path/labels/base=<id>/hb=<xxhash64(id) mod nb>/…` — compaction
+  *     snapshot keyed by DOC ID: the per-batch edge-endpoint label
+  *     lookup ([[lookupLabelsById]]) reads only the endpoint ids'
+  *     buckets. r16 scanned this base in full twice per edge-carrying
+  *     batch — at 100 B docs that is a ~TB-scale read per 20 s trigger;
+  *     the bucket prune makes it proportional to the batch.
+  *   - `path/labels_byc/base=<id>/cb=<xxhash64(component) mod nb>/…` —
+  *     the SAME snapshot keyed by COMPONENT (a secondary index, written
+  *     at the same compaction): the changed-component member lookup
+  *     ([[lookupChangedByComponent]]) reads only the changed
+  *     components' buckets. Labels rows are two longs, so the second
+  *     copy is negligible next to the shingle index. The byc copy is
+  *     renamed into place FIRST — a crash between the two renames
+  *     leaves byc AHEAD, which the member lookup tolerates (its delta
+  *     watermark keys on the byc id; the labels half never references
+  *     byc content).
+  *   - `nBuckets` is persisted in `path/_meta/nbuckets` on first
+  *     maintain and ADOPTED by every later maintain (the modulus is a
+  *     property of the artifact's layout, not of the call): restarting
+  *     with a different value would compute prune buckets under a new
+  *     modulus against directories written under the old one and
+  *     silently skip joinable corpus — with the meta file the caller's
+  *     value is ignored in favor of the artifact's.
+  *
+  * Compaction (every `compactEvery` batches) folds committed
+  * generations into the bases with a GRACE PERIOD: folded sources are
+  * not deleted by the compaction that folds them — every read already
+  * skips them via the max-base-id watermark, so they are inert — and
+  * the NEXT compaction's stale sweep removes them. A serve reader that
+  * resolved the previous layout before a compaction can therefore
+  * finish its scan; the artifact assumes a SINGLE WRITER (one maintain
+  * stream), as every checkpointed Structured Streaming sink does.
+  * Readers use the max-base-id watermark: anything at or below the
+  * newest base id is already folded into it, so crash leftovers are
+  * invisible to every read and swept by the next compaction.
   *
   * The checkpoint makes batch ids stable across restarts, so a
   * replayed batch overwrites its OWN generation directories with
@@ -80,15 +95,18 @@ object StreamCluster {
                n: Int = 3, threshold: Double = 0.5,
                nBuckets: Int = 16, compactEvery: Int = 8): StreamingQuery = {
     require(nBuckets > 0, "nBuckets must be positive")
+    // the artifact's layout modulus wins over the caller's (see object
+    // doc); resolved once, captured by the batch closure
+    val nb = effectiveNBuckets(docs.sparkSession, path, nBuckets)
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
-        // the batch work localCheckpoints several frames (bIdx here,
-        // sh inside Dedup.shingleIndex, labels/el inside
-        // incrementalComponents); in a long-running stream they would
-        // otherwise linger in storage memory until driver GC lets
+        // the batch work localCheckpoints several frames (bIdx, edges,
+        // labels, superOf, plus sh inside Dedup.shingleIndex and sym
+        // inside connectedComponents); in a long-running stream they
+        // would otherwise linger in storage memory until driver GC lets
         // ContextCleaner reap them — the r14 block-manager-pressure
         // class. Snapshot the persistent-RDD ids now and release
         // exactly the ones this batch creates after its writes commit.
@@ -99,38 +117,28 @@ object StreamCluster {
             val spark = batch.sparkSession
             val bIdx = Dedup.shingleIndex(batch, idCol, textCol, n)
               .localCheckpoint() // probed by two edge joins + written
-            val prevLabels = foldLabels(spark, path, batchId)
             val batchIds = batch.select(col(idCol).cast("long").as("id"))
             val within = Dedup.jaccardPairsWithinIndex(bIdx, threshold)
               .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-            // the labeling DELTA: the new batch's final labels
-            // (is_new = true) plus base rows whose component changed
-            // (is_new = false) — computed by the contraction map
-            // directly ([[Dedup.incrementalComponentsDelta]]), never by
-            // diffing two corpus-sized labelings. Labels are min-ids —
-            // they only ever decrease — so newest-wins folding
-            // reconstructs the exact full labeling from the delta
-            // chain, and the is_new flag lets the fold recover "id not
-            // in base" without an anti join against the corpus.
-            val delta = prevLabels match {
-              case None =>
+            val delta =
+              if (!hasHistory(spark, path, batchId))
                 Dedup.connectedComponents(batchIds, within)
                   .withColumn("is_new", lit(true))
-              case Some(prev) =>
+              else {
                 // the batch's own bucket set bounds the corpus probe: a
                 // shingle hash joins only within its bucket, so corpus
                 // directories for buckets the batch never touches are
                 // pruned from the scan entirely (driver-side collect of
-                // at most nBuckets ints)
+                // at most nb ints)
                 val buckets = bIdx
-                  .select(pmod(col("h"), lit(nBuckets.toLong)).cast("int")
+                  .select(pmod(col("h"), lit(nb.toLong)).cast("int")
                     .as("hb"))
                   .distinct().collect().map(_.getInt(0)).toSet
                 // a batch whose buckets are all absent from the corpus
                 // (or an all-short-doc batch with no shingles) has no
                 // possible corpus edge — nothing to probe
                 val cross = readPrunedShingles(spark, path, batchId,
-                  buckets, nBuckets) match {
+                  buckets, nb) match {
                   case None =>
                     spark.range(0).select(col("id").as("src"),
                       col("id").as("dst"))
@@ -139,9 +147,9 @@ object StreamCluster {
                     .select(col("batch_doc").as("src"),
                       col("corpus_doc").as("dst"))
                 }
-                Dedup.incrementalComponentsDelta(prev, batchIds,
-                  cross.unionByName(within))
-            }
+                incrementalDeltaPruned(spark, path, batchId, nb,
+                  batchIds, cross.unionByName(within))
+              }
             // SHINGLES land first, labels second: serve reads key on
             // the LABELS generations, so until the labels write commits
             // the artifact still serves the previous consistent
@@ -153,7 +161,7 @@ object StreamCluster {
             // operators) — no generation is ever half-new.
             bIdx
               .withColumn("hb",
-                pmod(col("h"), lit(nBuckets.toLong)).cast("int"))
+                pmod(col("h"), lit(nb.toLong)).cast("int"))
               .write.mode("overwrite").partitionBy("hb")
               .parquet(s"$path/shingles/gen=$batchId")
             delta.withColumn("gen", lit(batchId))
@@ -170,7 +178,7 @@ object StreamCluster {
               val baseId = newestBase(spark, s"$path/shingles", batchId)
                 .map(_._1).getOrElse(Long.MinValue)
               if (gens.count(_ > baseId) >= compactEvery)
-                compact(spark, path, gens.max)
+                compact(spark, path, gens.max, nb)
             }
           }
         } finally {
@@ -182,6 +190,85 @@ object StreamCluster {
         ()
       }
       .start()
+  }
+
+  // --------------------------------------------------- incremental delta
+
+  /** The labeling delta for one batch, with every artifact read
+    * DELTA-BOUNDED: the algebra of [[Dedup.incrementalComponentsDelta]]
+    * (contract and certificate identical — labels are min-ids, the
+    * contraction preserves connectivity, the delta is newRows ∪
+    * changed members), but the corpus labeling is never scanned.
+    * Edge-endpoint labels come from the hb-bucket-pruned base
+    * ([[lookupLabelsById]]); changed-component members come from the
+    * cb-bucket-pruned byc copy ([[lookupChangedByComponent]]). One
+    * census aggregate decides the edge-free fast path AND collects the
+    * endpoint bucket set — the probes r16 ran as separate jobs. */
+  private[streaming] def incrementalDeltaPruned(
+      spark: SparkSession, path: String, batchId: Long, nb: Int,
+      batchIds: DataFrame, edgesRaw: DataFrame): DataFrame = {
+    val edges = edgesRaw.select(col("src"), col("dst"))
+      .localCheckpoint() // delta-sized; feeds census, el, endpoints
+    // ONE job: edge count (fast-path decision) + the corpus-endpoint
+    // id-bucket set (bounds the base lookup) — collect_set of pmod
+    // values holds at most nb ints, and when(…) without otherwise
+    // yields null for batch-own endpoints, which collect_set skips
+    val census = edges
+      .select(explode(array(col("src"), col("dst"))).as("id"))
+      .join(batchIds.withColumn("__b", lit(1)), Seq("id"), "left")
+      .agg(count(lit(1)).as("n2"),
+        collect_set(when(col("__b").isNull,
+          pmod(xxhash64(col("id")), lit(nb.toLong)).cast("int")))
+          .as("bs"))
+      .head()
+    // edge-free fast path — the COMMON trickle-batch case in a
+    // mostly-unique corpus: no edge means no contraction and no changed
+    // member, so the delta is exactly the new ids as singletons
+    if (census.getLong(0) == 0L)
+      return batchIds.select(col("id"), col("id").as("component"),
+        lit(true).as("is_new"))
+    val epBuckets = census.getSeq[Int](1).toSet
+    val corpusEndpoints = edges
+      .select(explode(array(col("src"), col("dst"))).as("id"))
+      .join(batchIds, Seq("id"), "left_anti").distinct()
+    val epLabels = lookupLabelsById(spark, path, batchId, nb,
+      epBuckets, corpusEndpoints)
+    // the working labeling is DELTA-BOUNDED — endpoint labels plus the
+    // batch's self-labels — where r16 unioned the whole corpus labeling
+    val labels = epLabels
+      .unionByName(batchIds.select(col("id"), col("id").as("component")))
+      .localCheckpoint() // feeds both el endpoint joins
+    val el = edges
+      .join(labels.select(col("id").as("src"), col("component").as("__ls")),
+        Seq("src"))
+      .join(labels.select(col("id").as("dst"), col("component").as("__ld")),
+        Seq("dst"))
+      .select(col("__ls").as("src"), col("__ld").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .localCheckpoint() // feeds touched + the fixpoint's joins
+    // no isEmpty probe on el (r16 ran one): batch self-labels are the
+    // distinct new ids and corpus labels are min-ids of OLD ids, so
+    // every edge is label-crossing — el is empty iff edges was, which
+    // the census already decided
+    val touched = el.select(col("src").as("id"))
+      .union(el.select(col("dst").as("id"))).distinct()
+    val superOf = Dedup.connectedComponents(touched, el)
+      .select(col("id").as("__old"), col("component").as("__sup"))
+      .localCheckpoint() // delta-sized; feeds both delta branches
+    val chg = superOf.filter(col("__sup") =!= col("__old"))
+    // the changed-component bucket set doubles as the emptiness probe:
+    // empty ⇒ no existing member is relabeled, skip the byc read
+    val cbBuckets = chg
+      .select(pmod(xxhash64(col("__old")), lit(nb.toLong)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val newRows = batchIds
+      .join(superOf.withColumnRenamed("__old", "id"), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("__sup"), col("id")).as("component"),
+        lit(true).as("is_new"))
+    if (cbBuckets.isEmpty) newRows
+    else newRows.unionByName(
+      lookupChangedByComponent(spark, path, batchId, cbBuckets, chg))
   }
 
   // ------------------------------------------------------------- reads
@@ -198,13 +285,13 @@ object StreamCluster {
     * it. Each row carries the `gen` that wrote it; an id's newest row
     * is its current label (min-ids only ever decrease).
     *
-    * Fold SHAPE (the per-batch maintainer read and every serve): the
-    * deltas fold newest-wins among THEMSELVES (a delta-sized shuffle,
-    * bounded by compactEvery generations), then the base is LEFT-JOINED
-    * against that small side — AQE broadcasts it, so the corpus-sized
-    * base is only ever scanned, never shuffled. Ids absent from the
-    * base are exactly the delta rows whose generation chain contains an
-    * `is_new = true` arrival (the base predates every folded delta, so
+    * Fold SHAPE (every serve): the deltas fold newest-wins among
+    * THEMSELVES (a delta-sized shuffle, bounded by compactEvery
+    * generations), then the base is LEFT-JOINED against that small
+    * side — AQE broadcasts it, so the corpus-sized base is only ever
+    * scanned, never shuffled. Ids absent from the base are exactly the
+    * delta rows whose generation chain contains an `is_new = true`
+    * arrival (the base predates every folded delta, so
     * arrival-after-base ⇔ not-in-base) — recovered by a flag aggregate
     * instead of an anti join against the corpus. A corpus-sized
     * groupBy here would put a full shuffle in every micro-batch, which
@@ -240,6 +327,91 @@ object StreamCluster {
     }
   }
 
+  /** CURRENT labels of the given (delta-bounded) endpoint ids:
+    * newest-wins over the hb-bucket-PRUNED base and the delta chain
+    * above it. The base read touches only the `hb=` leaf directories in
+    * `idBuckets` — the r16 full-base scan was the last O(corpus) read
+    * per micro-batch. The deltas are delta-sized (never bucketed) and
+    * read whole; both sides join the small `ids` frame (broadcast)
+    * BEFORE the newest-wins aggregate, so the fold shuffles at most
+    * |ids| × chain-length rows. */
+  private def lookupLabelsById(spark: SparkSession, path: String,
+                               beforeGen: Long, nb: Int,
+                               idBuckets: Set[Int],
+                               ids: DataFrame): DataFrame = {
+    val root = s"$path/labels"
+    val base = newestBase(spark, root, beforeGen)
+    val baseId = base.map(_._1).getOrElse(Long.MinValue)
+    val deltaDirs = committed(spark, root, "gen=", beforeGen)
+      .filter(_._1 > baseId).map(_._2)
+    val parts =
+      base.map(_._2).flatMap(prunedBaseRead(spark, _, "hb=", idBuckets))
+        .toSeq ++
+        (if (deltaDirs.isEmpty) Seq.empty
+         else Seq(readUnion(spark, deltaDirs)))
+    if (parts.isEmpty)
+      ids.select(col("id"), col("id").as("component")).limit(0)
+    else parts
+      .map(_.select(col("id"), col("component"), col("gen")))
+      .reduce(_.unionByName(_))
+      .join(ids, Seq("id"))
+      .groupBy(col("id"))
+      .agg(max_by(col("component"), col("gen")).as("component"))
+  }
+
+  /** Rows of the CURRENT labeling (strictly below `beforeGen`) whose
+    * component is among the changed ones, relabeled to their
+    * super-component (`is_new = false` — arrival detection rides the
+    * chain's earlier `is_new = true` rows, exactly as in
+    * [[Dedup.incrementalComponentsDelta]]). The corpus-sized portion is
+    * served by the COMPONENT-keyed byc snapshot pruned to the changed
+    * components' `cb=` buckets; rows newer than the byc watermark come
+    * from the delta chain (small), and ids the deltas updated take
+    * their delta row instead of a stale base row (left-anti against the
+    * delta fold — a broadcast-sized side). Legacy artifacts compacted
+    * before the byc copy existed fall back to the labels base,
+    * unpruned — correct, just not bounded. */
+  private def lookupChangedByComponent(spark: SparkSession, path: String,
+                                       beforeGen: Long,
+                                       cbBuckets: Set[Int],
+                                       chg: DataFrame): DataFrame = {
+    val labelsRoot = s"$path/labels"
+    val (baseDf, coveredUpTo) =
+      newestBase(spark, s"$path/labels_byc", beforeGen) match {
+        case Some((id, dir)) =>
+          (prunedBaseRead(spark, dir, "cb=", cbBuckets), id)
+        case None =>
+          val lb = newestBase(spark, labelsRoot, beforeGen)
+          (lb.map(b => spark.read.parquet(b._2)),
+            lb.map(_._1).getOrElse(Long.MinValue))
+      }
+    val deltaDirs = committed(spark, labelsRoot, "gen=", beforeGen)
+      .filter(_._1 > coveredUpTo).map(_._2)
+    val deltaFold =
+      if (deltaDirs.isEmpty) None
+      else Some(readUnion(spark, deltaDirs)
+        .groupBy(col("id"))
+        .agg(max_by(col("component"), col("gen")).as("component"))
+        .localCheckpoint()) // feeds the member filter AND the anti join
+    val chgMap = chg.select(col("__old").as("component"), col("__sup"))
+    val fromDelta = deltaFold.map(_.join(chgMap, Seq("component"))
+      .select(col("id"), col("__sup").as("component"),
+        lit(false).as("is_new")))
+    val fromBase = baseDf.map { b =>
+      val members = b.select(col("id"), col("component"))
+        .join(chgMap, Seq("component"))
+      (deltaFold match {
+        case None => members
+        case Some(d) =>
+          members.join(d.select(col("id")), Seq("id"), "left_anti")
+      }).select(col("id"), col("__sup").as("component"),
+        lit(false).as("is_new"))
+    }
+    (fromBase.toSeq ++ fromDelta.toSeq).reduceOption(_.unionByName(_))
+      .getOrElse(chg.select(col("__old").as("id"),
+        col("__sup").as("component"), lit(false).as("is_new")).limit(0))
+  }
+
   /** The shingle-index leaf directories a batch touching `buckets` must
     * probe: for every committed generation (and the base) strictly
     * below `beforeGen`, only its `hb=<b>` subdirectories with `b` in
@@ -255,16 +427,45 @@ object StreamCluster {
     val roots = base.map(_._2).toSeq ++
       committed(spark, root, "gen=", beforeGen)
         .filter(_._1 > baseId).map(_._2)
-    val fs = new Path(root).getFileSystem(
+    roots.flatMap(prunedBucketLeaves(spark, _, "hb=", buckets))
+  }
+
+  /** The `<prefix><k>` leaf directories of one generation/base root
+    * with `k` in the bucket set — the listing both prunes share.
+    * Exposed package-private so the spec can measure label-base
+    * pruning the same way it measures the shingle prune. */
+  private[streaming] def prunedBucketLeaves(spark: SparkSession,
+                                            dir: String, prefix: String,
+                                            buckets: Set[Int]): Seq[String] = {
+    val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    roots.flatMap { r =>
-      fs.listStatus(new Path(r))
-        .filter { s =>
-          s.isDirectory && s.getPath.getName.startsWith("hb=") &&
-            scala.util.Try(s.getPath.getName.stripPrefix("hb=").toInt)
-              .toOption.exists(buckets.contains)
-        }
-        .map(_.getPath.toString)
+    fs.listStatus(new Path(dir))
+      .filter { s =>
+        s.isDirectory && s.getPath.getName.startsWith(prefix) &&
+          scala.util.Try(s.getPath.getName.stripPrefix(prefix).toInt)
+            .toOption.exists(buckets.contains)
+      }
+      .map(_.getPath.toString).toSeq
+  }
+
+  /** Bucket-pruned read of one base directory: only the `<prefix><k>`
+    * leaves with `k` in the bucket set. A base with NO bucket leaves at
+    * all is a legacy (pre-r17, unpartitioned) layout — read whole,
+    * correct but unbounded. None when the base has bucket leaves but
+    * none match (no possible row). */
+  private def prunedBaseRead(spark: SparkSession, baseDir: String,
+                             prefix: String,
+                             buckets: Set[Int]): Option[DataFrame] = {
+    val fs = new Path(baseDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val hasBucketLayout = fs.listStatus(new Path(baseDir))
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+    if (!hasBucketLayout) Some(spark.read.parquet(baseDir))
+    else {
+      val leaves = prunedBucketLeaves(spark, baseDir, prefix, buckets)
+      if (leaves.isEmpty) None
+      else Some(spark.read.option("basePath", baseDir)
+        .parquet(leaves: _*))
     }
   }
 
@@ -291,29 +492,97 @@ object StreamCluster {
 
   /** Fold every committed generation with id ≤ `upTo` (plus any earlier
     * base) into `base=<upTo>` for both artifact halves — shingles as a
-    * re-bucketed row union, labels as the newest-wins snapshot (stamped
-    * `gen = upTo`, so later folds order it correctly). Staged under a
-    * dot-prefixed temp dir and RENAMED into place before the swallowed
-    * directories delete: a crash leaves either the old layout plus an
-    * ignorable temp dir, or the new base plus stale sources that every
-    * read already skips (max-base-id watermark) and the next compaction
-    * sweeps. `upTo` must stay strictly below the running batch id —
+    * re-bucketed row union, labels as the newest-wins snapshot written
+    * TWICE (id-keyed `labels/base=`, component-keyed `labels_byc/base=`).
+    * Staged under a dot-prefixed temp dir and RENAMED into place; the
+    * folded sources are NOT deleted here — the grace period (object
+    * doc) leaves them one compaction cycle for in-flight readers of the
+    * previous layout, and the next fold's stale sweep removes them.
+    * `upTo` must stay strictly below the running batch id —
     * [[maintain]] only folds generations of committed batches. */
   private[streaming] def compact(spark: SparkSession, path: String,
-                                 upTo: Long): Unit = {
+                                 upTo: Long, nb: Int): Unit = {
     foldHalf(spark, s"$path/shingles", upTo) { dirs =>
       (readUnion(spark, dirs), Seq("hb"))
     }
-    foldHalf(spark, s"$path/labels", upTo) { dirs =>
-      // the occasional corpus-sized shuffle belongs HERE (one fold per
-      // compactEvery batches), not in the per-batch/serve fold; the
-      // snapshot is a base, so every row is settled (is_new = false)
-      (readUnion(spark, dirs)
+    compactLabels(spark, path, upTo, nb)
+  }
+
+  /** The labels-half fold: ONE newest-wins snapshot shuffle (the
+    * occasional corpus-sized shuffle belongs here, once per
+    * compactEvery batches, never in the per-batch path), written first
+    * as the component-keyed byc copy, then re-read and re-bucketed by
+    * id for the labels base — a scan instead of a second shuffle. byc
+    * renames FIRST: a crash between the renames leaves byc ahead of
+    * the labels base, which [[lookupChangedByComponent]] tolerates; a
+    * labels base ahead of byc could strand member lookups, so that
+    * order never happens. Both targets are replace-renamed because a
+    * replayed batch re-runs the same `upTo` fold after a crash. */
+  private def compactLabels(spark: SparkSession, path: String,
+                            upTo: Long, nb: Int): Unit = {
+    val root = s"$path/labels"
+    val bycRoot = s"$path/labels_byc"
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // hygiene: crashed staging dirs are invisible to reads; sweep them
+    for (r <- Seq(root, bycRoot); p = new Path(r) if fs.exists(p))
+      fs.listStatus(p)
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(".compact-"))
+        .foreach(s => fs.delete(s.getPath, true))
+    val base = newestBase(spark, root, upTo + 1)
+    val baseId = base.map(_._1).getOrElse(Long.MinValue)
+    // stale sweep = the grace period ending: sources folded by the
+    // PREVIOUS compaction (≤ its base id) had their cycle; delete them
+    (committed(spark, root, "gen=", upTo + 1)
+      .filter(_._1 <= baseId).map(_._2) ++
+      committed(spark, root, "base=", upTo + 1)
+        .filter(_._1 < baseId).map(_._2))
+      .foreach(d => fs.delete(new Path(d), true))
+    val bycNewest = newestBase(spark, bycRoot, Long.MaxValue)
+      .map(_._1).getOrElse(Long.MinValue)
+    committed(spark, bycRoot, "base=", Long.MaxValue)
+      .filter(_._1 < bycNewest)
+      .foreach(d => fs.delete(new Path(d._2), true))
+    val gens = committed(spark, root, "gen=", upTo + 1)
+      .filter(g => g._1 > baseId && g._1 <= upTo)
+    if (gens.nonEmpty) {
+      val snapshot = (base.map(_._2).toSeq ++ gens.map(_._2))
+        .map(d => spark.read.parquet(d)
+          .select(col("id"), col("component"), col("gen")))
+        .reduce(_.unionByName(_))
         .groupBy(col("id"))
         .agg(max_by(col("component"), col("gen")).as("component"))
         .withColumn("gen", lit(upTo))
-        .withColumn("is_new", lit(false)), Seq.empty)
+        .withColumn("is_new", lit(false))
+      stagedBaseWrite(fs, bycRoot, upTo,
+        snapshot.withColumn("cb",
+          pmod(xxhash64(col("component")), lit(nb.toLong)).cast("int")),
+        Seq("cb"))
+      stagedBaseWrite(fs, root, upTo,
+        spark.read.parquet(s"$bycRoot/base=$upTo").drop("cb")
+          .withColumn("hb",
+            pmod(xxhash64(col("id")), lit(nb.toLong)).cast("int")),
+        Seq("hb"))
     }
+  }
+
+  /** Stage-write `df` and replace-rename it into `root/base=<upTo>`.
+    * The replace handles a crashed prior attempt at the SAME `upTo`
+    * (batch replay re-runs the fold); a half-written target cannot be
+    * observed because reads require _SUCCESS and the rename is the
+    * commit point. */
+  private def stagedBaseWrite(fs: org.apache.hadoop.fs.FileSystem,
+                              root: String, upTo: Long, df: DataFrame,
+                              partitionCols: Seq[String]): Unit = {
+    val tmp = new Path(root, s".compact-$upTo")
+    val writer = df.write.mode("overwrite")
+    (if (partitionCols.isEmpty) writer
+     else writer.partitionBy(partitionCols: _*)).parquet(tmp.toString)
+    val target = new Path(root, s"base=$upTo")
+    if (fs.exists(target)) fs.delete(target, true)
+    require(fs.rename(tmp, target),
+      s"rename of the compacted base into $root failed")
   }
 
   /** Union of several generation/base directories read ONE ROOT AT A
@@ -321,7 +590,8 @@ object StreamCluster {
     * mixed `base=`/`gen=` parent names (conflicting-directory-structures),
     * while a per-root read infers each root's own `hb=` partitions
     * correctly and the union is by name. Root counts are bounded by
-    * `compactEvery`, so the per-root plan fan-in stays O(1). */
+    * `compactEvery` (plus one grace cycle), so the per-root plan
+    * fan-in stays O(1). */
   private def readUnion(spark: SparkSession, dirs: Seq[String]): DataFrame =
     dirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
 
@@ -335,8 +605,9 @@ object StreamCluster {
       .foreach(s => fs.delete(s.getPath, true))
     val base = newestBase(spark, root, upTo + 1)
     val baseId = base.map(_._1).getOrElse(Long.MinValue)
-    // stale = already folded into the newest base (crash leftovers of a
-    // delete pass); finish their delete instead of double-counting them
+    // stale sweep = the previous fold's grace period ending: everything
+    // at or below the newest base id is already folded into it and
+    // every read skips it — delete now, one cycle after the fold
     val stale = committed(spark, root, "gen=", upTo + 1)
       .filter(_._1 <= baseId).map(_._2) ++
       committed(spark, root, "base=", upTo + 1)
@@ -346,14 +617,8 @@ object StreamCluster {
       .filter(g => g._1 > baseId && g._1 <= upTo)
     if (gens.nonEmpty) {
       val (df, partitionCols) = fold(base.map(_._2).toSeq ++ gens.map(_._2))
-      val tmp = new Path(root, s".compact-$upTo")
-      val writer = df.write.mode("overwrite")
-      (if (partitionCols.isEmpty) writer
-       else writer.partitionBy(partitionCols: _*)).parquet(tmp.toString)
-      require(fs.rename(tmp, new Path(root, s"base=$upTo")),
-        s"rename of the compacted base into $root failed")
-      (base.map(_._2).toSeq ++ gens.map(_._2))
-        .foreach(d => fs.delete(new Path(d), true))
+      stagedBaseWrite(fs, root, upTo, df, partitionCols)
+      // grace period: folded sources survive this cycle (object doc)
     }
   }
 
@@ -388,4 +653,36 @@ object StreamCluster {
   private def newestBase(spark: SparkSession, root: String,
                          beforeGen: Long): Option[(Long, String)] =
     committed(spark, root, "base=", beforeGen).lastOption
+
+  private def hasHistory(spark: SparkSession, path: String,
+                         beforeGen: Long): Boolean = {
+    val root = s"$path/labels"
+    committed(spark, root, "gen=", beforeGen).nonEmpty ||
+      committed(spark, root, "base=", beforeGen).nonEmpty
+  }
+
+  // -------------------------------------------------------------- meta
+
+  /** Resolve the artifact's bucket modulus: adopt `path/_meta/nbuckets`
+    * when it exists (the layout every persisted `hb=`/`cb=` directory
+    * was written under — a different caller value would silently skip
+    * joinable corpus buckets), else persist the requested value as the
+    * artifact's layout. Single-writer, like the stream itself; the
+    * no-overwrite create makes a racing second writer fail loudly. */
+  private[streaming] def effectiveNBuckets(spark: SparkSession, path: String,
+                                           requested: Int): Int = {
+    val metaPath = new Path(s"$path/_meta/nbuckets")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(metaPath)) {
+      val in = fs.open(metaPath)
+      val s = try scala.io.Source.fromInputStream(in).mkString.trim
+      finally in.close()
+      s.toInt
+    } else {
+      val out = fs.create(metaPath, false)
+      try out.write(requested.toString.getBytes("UTF-8"))
+      finally out.close()
+      requested
+    }
+  }
 }

@@ -22,6 +22,12 @@ object StreamClusterThroughput {
   def main(args: Array[String]): Unit = {
     val nBatches = args.headOption.map(_.toInt).getOrElse(48)
     val perBatch = args.drop(1).headOption.map(_.toInt).getOrElse(25)
+    // the drift metric averages batches 4-11 vs the last 8: fewer than
+    // 16 batches makes one window empty/undersized and prints NaN or a
+    // meaningless late_over_early — refuse instead of misleading
+    require(nBatches >= 16,
+      s"nBatches must be >= 16 for the early/late drift windows " +
+        s"(got $nBatches)")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)

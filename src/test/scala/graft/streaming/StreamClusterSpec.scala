@@ -157,11 +157,37 @@ class StreamClusterSpec extends SparkSpec {
           .count(f => f.isDirectory &&
             (f.getName.startsWith("gen=") || f.getName.startsWith("base=")))
       // compactEvery=2 folds pairs of generations into one base as the
-      // feed advances: 8 batches must not leave 8 directories
-      assert(dirCount("shingles") <= 4,
+      // feed advances; folded sources survive ONE grace cycle (r17), so
+      // the steady-state bound is previous-base + its folded gens +
+      // new base + fresh gens ≈ 2·compactEvery + 3, not 8-and-growing
+      assert(dirCount("shingles") <= 7,
         s"shingle generations unbounded: ${dirCount("shingles")} dirs")
-      assert(dirCount("labels") <= 4,
+      assert(dirCount("labels") <= 7,
         s"label generations unbounded: ${dirCount("labels")} dirs")
+      // the labels base is hb-bucketed (r17): the per-batch endpoint
+      // lookup reads only the endpoint ids' buckets — measure the prune
+      // exactly as for shingles
+      val labelBases = new java.io.File(s"$path/labels").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("base="))
+        .map(_.getName.stripPrefix("base=").toLong)
+      assert(labelBases.nonEmpty, "no labels base after 8 batches")
+      val newestLabelBase = s"$path/labels/base=${labelBases.max}"
+      val allLeaves = StreamCluster.prunedBucketLeaves(spark,
+        newestLabelBase, "hb=", Set(0, 1, 2, 3))
+      val oneLeaf = StreamCluster.prunedBucketLeaves(spark,
+        newestLabelBase, "hb=", allLeaves.map(l =>
+          l.substring(l.lastIndexOf("hb=") + 3).toInt).toSet.take(1))
+      assert(allLeaves.nonEmpty, "labels base is not hb-bucketed")
+      assert(oneLeaf.size < allLeaves.size || allLeaves.size == 1,
+        s"label-base bucket prune did not reduce the scan: " +
+          s"${oneLeaf.size} of ${allLeaves.size}")
+      // the component-keyed secondary copy exists and is cb-bucketed
+      val bycBases = new java.io.File(s"$path/labels_byc").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("base="))
+      assert(bycBases.nonEmpty, "no component-keyed byc base")
+      assert(bycBases.maxBy(_.getName.stripPrefix("base=").toLong)
+        .listFiles().exists(_.getName.startsWith("cb=")),
+        "byc base is not cb-bucketed")
       // the probe prune: a batch touching one bucket reads only that
       // bucket's directories, a strict subset of the full corpus index
       val all = StreamCluster.prunedShingleDirs(spark, path,
@@ -273,5 +299,135 @@ class StreamClusterSpec extends SparkSpec {
       assert(got(20L) === got(30L) && got(20L) === 10L,
         s"bridge did not merge the components: $got")
     } finally query.stop()
+  }
+
+  test("compaction grace period: folded sources survive the fold that " +
+    "folded them (reads skip via the watermark) and the NEXT compaction " +
+    "sweeps them; a stale pre-base layout never corrupts the labeling") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val path = Files.createTempDirectory("stream_cluster_grace").toString
+    val ckpt = Files.createTempDirectory("stream_cluster_grace_ck").toString
+    val mem = MemoryStream[(Long, String)]
+    val query = StreamCluster.maintain(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", path, ckpt,
+      nBuckets = 4, compactEvery = 2)
+    def genIds(half: String): Set[Long] =
+      Option(new java.io.File(s"$path/$half").listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("gen="))
+        .map(_.getName.stripPrefix("gen=").toLong).toSet
+    try {
+      var fed = Seq.empty[(Long, String)]
+      def feed(docs: (Long, String)*): Unit = {
+        fed = fed ++ docs; mem.addData(docs)
+        query.processAllAvailable()
+        assert(labels(path) === fullClosure(fed))
+      }
+      feed(1L -> bodyA); feed(2L -> bodyA) // batches 0, 1
+      feed(3L -> bodyB) // batch 2 folds {0,1} into base=1
+      // grace: the folded sources are still on disk after the fold…
+      assert(genIds("labels").intersect(Set(0L, 1L)) === Set(0L, 1L),
+        "grace period violated: folded label gens deleted immediately")
+      assert(genIds("shingles").intersect(Set(0L, 1L)) === Set(0L, 1L),
+        "grace period violated: folded shingle gens deleted immediately")
+      feed(4L -> bodyC) // batch 3
+      feed(5L -> bodyA) // batch 4 folds {2,3} into base=3 + sweeps ≤1
+      assert(genIds("labels").intersect(Set(0L, 1L)) === Set.empty[Long],
+        "stale sweep missed the previous cycle's folded label gens")
+      assert(genIds("shingles").intersect(Set(0L, 1L)) === Set.empty[Long],
+        "stale sweep missed the previous cycle's folded shingle gens")
+      // …and the labeling stayed the closure throughout (asserted per
+      // feed) including while stale dirs coexisted with the base
+      feed(6L -> bodyB)
+    } finally query.stop()
+  }
+
+  test("crash between the byc and labels-base renames (byc AHEAD) is " +
+    "tolerated: lookups stay exact and the next compaction reconverges") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val path = Files.createTempDirectory("stream_cluster_byccrash").toString
+    val ckpt = Files.createTempDirectory("stream_cluster_bycc_ck").toString
+    val mem = MemoryStream[(Long, String)]
+    val query = StreamCluster.maintain(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", path, ckpt,
+      threshold = 0.3, nBuckets = 4, compactEvery = 2)
+    def rmr(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).forEach(rmr(_))
+      Files.deleteIfExists(p); ()
+    }
+    try {
+      var fed = Seq.empty[(Long, String)]
+      def feed(docs: (Long, String)*): Unit = {
+        fed = fed ++ docs; mem.addData(docs)
+        query.processAllAvailable()
+      }
+      feed(1L -> bodyA, 2L -> bodyA, 3L -> bodyB) // batch 0
+      feed(4L -> bodyB) // batch 1
+      feed(5L -> bodyC) // batch 2 compacts {0,1} into base=1 (labels+byc)
+      val lb = new java.io.File(s"$path/labels").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("base="))
+      assert(lb.nonEmpty, "fixture: expected a compacted labels base")
+      // simulate the crash window: byc/base landed, labels/base did not
+      // (the write order guarantees this is the ONLY possible skew) —
+      // the folded gens are still present thanks to the grace period,
+      // so the id-keyed lookups fall back to them
+      lb.foreach(d => rmr(d.toPath))
+      assert(labels(path) === fullClosure(fed, threshold = 0.3),
+        "serve read wrong in the byc-ahead crash window")
+      // a BRIDGE doc merges components 1 (bodyA) and 3 (bodyB) inside
+      // the crash window: endpoint labels resolve by id against the
+      // surviving gens, and component 3's members relabel through the
+      // byc copy + the gen=2 delta — BOTH pruned lookups exercised
+      feed(6L -> s"$bodyA $bodyB")
+      val got = labels(path)
+      assert(got === fullClosure(fed, threshold = 0.3),
+        "maintainer lookups wrong in the byc-ahead crash window")
+      assert(got(3L) === 1L && got(4L) === 1L,
+        s"changed-member relabel missed in the crash window: $got")
+      // and enough further batches to re-trigger compaction reconverge
+      feed(7L -> bodyC); feed(8L -> bodyA)
+      assert(labels(path) === fullClosure(fed, threshold = 0.3))
+      assert(new java.io.File(s"$path/labels").listFiles()
+        .exists(f => f.isDirectory && f.getName.startsWith("base=")),
+        "compaction did not rebuild the labels base after the crash")
+    } finally query.stop()
+  }
+
+  test("nBuckets is persisted on first maintain and ADOPTED on restart: " +
+    "a different caller value cannot skew the bucket prune") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val path = Files.createTempDirectory("stream_cluster_meta").toString
+    val ckpt = Files.createTempDirectory("stream_cluster_meta_ck").toString
+    val mem = MemoryStream[(Long, String)]
+    val b1 = Seq(1L -> bodyA, 2L -> bodyA, 3L -> bodyB)
+    val q1 = StreamCluster.maintain(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", path, ckpt,
+      nBuckets = 4, compactEvery = 2)
+    try {
+      mem.addData(b1); q1.processAllAvailable()
+    } finally q1.stop()
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(path, "_meta", "nbuckets"))).trim === "4")
+    // restart with a DIFFERENT nBuckets: the artifact's modulus must win
+    // (a caller-side 8 against hb= dirs written mod 4 would silently
+    // skip joinable buckets); the closure equality is the observable
+    assert(StreamCluster.effectiveNBuckets(spark, path, 8) === 4)
+    val q2 = StreamCluster.maintain(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", path, ckpt,
+      nBuckets = 8, compactEvery = 2)
+    try {
+      val b2 = Seq(4L -> bodyA, 5L -> bodyB, 6L -> bodyC)
+      mem.addData(b2); q2.processAllAvailable()
+      assert(labels(path) === fullClosure(b1 ++ b2))
+      assert(labels(path)(4L) === 1L && labels(path)(5L) === 3L)
+      assert(new String(Files.readAllBytes(
+        java.nio.file.Paths.get(path, "_meta", "nbuckets"))).trim === "4",
+        "restart overwrote the artifact's layout modulus")
+    } finally q2.stop()
   }
 }
