@@ -69,14 +69,14 @@ object Bench {
     // aborts: on a genuinely busy box the bench still runs, flagged.
     val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "4.0").toDouble
     val loadWaitSecs = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_SECS", "180").toInt
-    def gateLoad(section: String): Double = {
+    def gateLoad(section: String, gate: Double = loadGate): Double = {
       var waited = 0
       var l = loadAvg()
-      while (l > loadGate && waited < loadWaitSecs) {
+      while (l > gate && waited < loadWaitSecs) {
         Thread.sleep(10000); waited += 10; l = loadAvg()
       }
       emit(s"""{"detail":"load_gate","section":"$section","load1m":${
-        BigDecimal(l).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"waited_secs":$waited,"gated":${l <= loadGate}}""")
+        BigDecimal(l).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"waited_secs":$waited,"gated":${l <= gate}}""")
       l
     }
 
@@ -155,9 +155,13 @@ object Bench {
     // detail line can push earlier detail lines out of the window).
     val ranked = results.filter(_._2 >= 0).sortBy(-_._2)
     val slow5 = (ranked.take(5) ++ ranked.filter(_._2 > 0.9)).distinct
-    val iso =
-      if (slow5.isEmpty || sys.env.getOrElse("SPARK_GRAFT_ISOLATED_RERUN", "1") == "0")
-        Seq.empty[(String, Double)]
+    val isolatedOn =
+      sys.env.getOrElse("SPARK_GRAFT_ISOLATED_RERUN", "1") != "0"
+    /** GC-quiesced, load-gated min-of-2 re-time of the named queries on
+      * an otherwise idle scheduler — the attribution lane for any
+      * loaded number that looks wrong. */
+    def isolatedRerun(names: Seq[String], section: String): Seq[(String, Double)] =
+      if (names.isEmpty) Seq.empty
       else {
         // checkpoint blocks are now released per-query in the loaded
         // pass (releaseCheckpoints above — the r14 6–14x inflation fix);
@@ -166,17 +170,21 @@ object Bench {
         releaseCheckpoints()
         spark.catalog.clearCache()
         System.gc(); Thread.sleep(500); System.gc(); Thread.sleep(200)
-        gateLoad("isolated")
+        gateLoad(section)
         val byName = ordered.toMap
-        slow5.map { case (name, _) =>
+        names.map { name =>
           val good = (0 until 2).flatMap { _ =>
             val t0 = System.nanoTime()
             try { force(byName(name)(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
             catch { case _: Throwable => None }
           }
+          releaseCheckpoints()
           name -> (if (good.isEmpty) -1.0 else good.min)
         }
       }
+    val iso =
+      if (isolatedOn) isolatedRerun(slow5.map(_._1), "isolated")
+      else Seq.empty[(String, Double)]
     // scaling probe: re-time against a smaller SF and report the per-query
     // hi/lo time ratio — the sf0.1-only numbers cannot distinguish an
     // O(n log n) plan from a quadratic one, the ratio across 10x data can.
@@ -192,6 +200,7 @@ object Bench {
     // read like seconds (a "18.1" 10x-data ratio masqueraded as an
     // 18-second query in the r6/r7 artifacts). Scaling detail prints
     // first and is sacrificed to the window when the tail overflows.
+    var isoAll = iso
     if (scalingDir != "0" && new java.io.File(scalingDir).isDirectory) {
       // NO dedicated warm pass for the secondary SF (round 9): the
       // primary passes already compiled every query's codegen and JIT —
@@ -211,18 +220,35 @@ object Bench {
       // probe — the isolated re-time of the same query was 1.44 s
       // (ratio ~5.7, and ~2.1 on an idle box). A loaded primary pass
       // must not be able to masquerade as a superlinear PLAN.
-      val isoMap = iso.toMap
-      val ratios = results.map { case (name, hi) =>
-        val hiEff = isoMap.get(name).filter(_ > 0)
-          .map(math.min(_, hi)).getOrElse(hi)
-        val l = loMap.getOrElse(name, -1.0)
-        name -> (if (l > 0 && hiEff > 0) hiEff / l else -1.0)
+      def ratiosWith(isoMap: Map[String, Double]): Seq[(String, Double)] =
+        results.map { case (name, hi) =>
+          val hiEff = isoMap.get(name).filter(_ > 0)
+            .map(math.min(_, hi)).getOrElse(hi)
+          val l = loMap.getOrElse(name, -1.0)
+          name -> (if (l > 0 && hiEff > 0) hiEff / l else -1.0)
+        }
+      // ratio-outlier rerun (r17, VERDICT #2): the 0.9 s isolated floor
+      // left sub-0.9 s loaded times uncorrectable — a 0.5 s load blip
+      // over a 0.1 s probe published as a "5x" scaling ratio with no
+      // isolated number to fall back on (r16's q254/q55/q4/q104/q54).
+      // Any query whose PRELIMINARY ratio exceeds the outlier threshold
+      // and has no isolated re-time yet gets one, regardless of its
+      // loaded time, BEFORE the ratio map of record is emitted.
+      val outlierAt =
+        sys.env.getOrElse("SPARK_GRAFT_RATIO_OUTLIER", "2.5").toDouble
+      val prelim = ratiosWith(iso.toMap)
+      val outliers = prelim.collect {
+        case (name, r) if r > outlierAt && !iso.toMap.contains(name) => name
       }
+      val isoExtra =
+        if (isolatedOn) isolatedRerun(outliers, "ratio_outliers")
+        else Seq.empty[(String, Double)]
+      isoAll = iso ++ isoExtra
       emit(s"""{"detail":"scaling","dir":"$scalingDir","queries":${toJson(lo)}}""")
-      emit(s"""{"detail":"ratio_vs_primary","queries":${toJson(ratios)}}""")
+      emit(s"""{"detail":"ratio_vs_primary","queries":${toJson(ratiosWith(isoAll.toMap))}}""")
     }
-    if (iso.nonEmpty)
-      emit(s"""{"detail":"isolated_rerun","queries":${toJson(iso)}}""")
+    if (isoAll.nonEmpty)
+      emit(s"""{"detail":"isolated_rerun","queries":${toJson(isoAll)}}""")
 
     // ingest→aggregate→sink throughput of the reference pipeline
     // (BASELINE.md:34-36's rows/s line): dnstap frames from the events
@@ -245,17 +271,37 @@ object Bench {
           sys.env.getOrElse("SPARK_GRAFT_PIPELINE_FRAMES", "4000000").toLong
         // 3 trials (r16): with 2, same-day best-of runs still spread 13%
         // (262,838 vs 297,427 rows/s) — the headline total reproduces
-        // within 6% but this line needed one more sample; ~15 s each
+        // within 6% but this line needed one more sample; ~15 s each.
+        // SPREAD DEFENSE (r17, VERDICT #3): the r16 driver run accepted
+        // a best-of-3 whose trials spread 30% (two ~207k trials under
+        // load1m 3.1–3.9, "gated" under the 4.0 threshold) — 15% below
+        // the same code's idle best. Two changes: pipeline trials gate
+        // STRICTER (these are 15 s trials; default 2.5, override with
+        // SPARK_GRAFT_PIPELINE_LOAD_GATE), and the best is accepted
+        // only once the TOP TWO trials agree within 15% — otherwise
+        // extra gated trials run, up to SPARK_GRAFT_PIPELINE_MAX_TRIALS
+        // (default 6), so an uncorroborated best never becomes the
+        // number of record without the journal showing the chase.
         val trials =
           sys.env.getOrElse("SPARK_GRAFT_PIPELINE_TRIALS", "3").toInt
-        val runs = (1 to trials).map { i =>
-          val l = gateLoad(s"pipeline_trial_$i")
+        val maxTrials = math.max(trials,
+          sys.env.getOrElse("SPARK_GRAFT_PIPELINE_MAX_TRIALS", "6").toInt)
+        val pipeGate =
+          sys.env.getOrElse("SPARK_GRAFT_PIPELINE_LOAD_GATE", "2.5").toDouble
+        var runs = Vector.empty[PipelineThroughput.Result]
+        def top2Agree: Boolean = {
+          val top = runs.map(_.rowsPerSec).sorted.reverse.take(2)
+          top.size >= 2 && (top(0) - top(1)) / top(0) <= 0.15
+        }
+        while (runs.size < trials || (!top2Agree && runs.size < maxTrials)) {
+          val i = runs.size + 1
+          val l = gateLoad(s"pipeline_trial_$i", pipeGate)
           val r = PipelineThroughput.run(spark, sfDir, frames)
           emit(f"""{"detail":"pipeline_trial","trial":$i,"rows_per_sec":${r.rowsPerSec}%.0f,"secs":${BigDecimal(r.secs).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"batches":${r.batches},"load1m":${BigDecimal(l).setScale(2, BigDecimal.RoundingMode.HALF_UP)}}""")
-          r
+          runs = runs :+ r
         }
         val r = runs.maxBy(_.rowsPerSec)
-        emit(f"""{"detail":"pipeline","rows_per_sec":${r.rowsPerSec}%.0f,"frames":${r.frames},"secs":${BigDecimal(r.secs).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"query_agg_rows":${r.queryAggRows},"response_agg_rows":${r.responseAggRows},"batches":${r.batches},"trials":$trials}""")
+        emit(f"""{"detail":"pipeline","rows_per_sec":${r.rowsPerSec}%.0f,"frames":${r.frames},"secs":${BigDecimal(r.secs).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"query_agg_rows":${r.queryAggRows},"response_agg_rows":${r.responseAggRows},"batches":${r.batches},"trials":${runs.size},"top2_within_15pct":$top2Agree}""")
         Some(r)
       } catch {
         case e: Throwable =>
@@ -310,7 +356,7 @@ object Bench {
     // embeds only the worst 10 by isolated time (the full map is the
     // detail line above) so the last-line JSON stays well inside the
     // driver's ~2 KB tail-capture window
-    val isoHead = iso.filter(_._2 >= 0).sortBy(-_._2).take(10)
+    val isoHead = isoAll.filter(_._2 >= 0).sortBy(-_._2).take(10)
     val isoJson = if (isoHead.isEmpty) "" else s""","slowest_isolated":${toJson(isoHead)}"""
     val pipeJson = pipe.map(r =>
       f""","pipeline_rows_per_sec":${r.rowsPerSec}%.0f,"pipeline_frames":${r.frames},"pipeline_secs":${BigDecimal(r.secs).setScale(3, BigDecimal.RoundingMode.HALF_UP)}""").getOrElse("")
