@@ -35,7 +35,16 @@ import graft.operators.Warc
   *     complete records ahead of the tear are kept and certified;
   *   - `warc_corrupt`: the file could not be decoded at all (bad gzip
   *     header / garbage container) — zero records, but the FILE is
-  *     still a row; corrupt data must never silently vanish.
+  *     still a row; corrupt data must never silently vanish;
+  *   - `warc_oversize`: the file exceeds the binaryFile source's
+  *     content ceiling (`spark.sql.sources.binaryFile.maxLength`) — a
+  *     content read would THROW and fail the whole job on one
+  *     oversized crawl file, so both readers split on the `length`
+  *     column FIRST (it comes from the file LISTING; the filter pushes
+  *     down to the source and the oversized file's content is never
+  *     read). The reference guards its max input size the same way
+  *     (`/root/reference/src/dnstap/dnstap.go:205`, the 1 MiB frame
+  *     cap): bound, count, keep going.
   */
 object WarcFiles {
 
@@ -162,10 +171,18 @@ object WarcFiles {
     * the ASCII fixtures of [[writeArchiveDir]] (char encoder,
     * char-count lengths) byte and char counts coincide, so the q252
     * oracle arithmetic is unchanged. */
+  /** The binaryFile source's per-file content ceiling: a content read
+    * past it throws, so both readers split on `length` first. */
+  private def binaryFileMaxLength(spark: SparkSession): Long =
+    spark.conf.get("spark.sql.sources.binaryFile.maxLength",
+      Int.MaxValue.toString).toLong
+
   private[graft] def auditColumns(bin: DataFrame): DataFrame = {
     val spark = bin.sparkSession
     import spark.implicits._
-    bin.select(col("path"), col("content"))
+    val maxLen = binaryFileMaxLength(spark)
+    val decoded = bin.filter(col("length") <= maxLen)
+      .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.map { case (path, bytes) =>
         val name = path.substring(path.lastIndexOf('/') + 1)
@@ -182,6 +199,15 @@ object WarcFiles {
               responses.map(_.body.length.toLong).sum)
         }
       }).toDF()
+    // the oversize census never touches `content` — length is listing
+    // metadata, so the one file that would fail the job lands in the
+    // audit instead (object doc's warc_oversize class)
+    val oversize = bin.filter(col("length") > maxLen)
+      .select(substring_index(col("path"), "/", -1).as("file"),
+        lit("warc_oversize").as("status"),
+        lit(0).as("n_records"), lit(0).as("n_responses"),
+        lit(0L).as("body_chars"))
+    decoded.unionByName(oversize)
   }
 
   /** Read a directory of `.warc` / `.warc.gz` files and audit each:
@@ -204,7 +230,10 @@ object WarcFiles {
   private[graft] def recordColumns(bin: DataFrame): DataFrame = {
     val spark = bin.sparkSession
     import spark.implicits._
-    bin.select(col("path"), col("content"))
+    // oversized files serve nothing (their audit row is the observable)
+    // — without this length split one such file fails the whole job
+    bin.filter(col("length") <= binaryFileMaxLength(spark))
+      .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (path, bytes) =>
         val name = path.substring(path.lastIndexOf('/') + 1)

@@ -98,6 +98,34 @@ class WarcFilesSpec extends SparkSpec {
     assert(got.values.count(_.getAs[String]("status") === "warc_ok") === 8)
   }
 
+  test("a file past the binaryFile content ceiling is COUNTED as " +
+    "warc_oversize — the job stays green and other files serve") {
+    val dir = Files.createTempDirectory("warcfiles_oversize").toString
+    WarcFiles.writeArchiveDir(docsDf, dir, files = 2, tornEvery = 0)
+    val sizes = new java.io.File(dir).listFiles().map(f =>
+      f.getName -> f.length()).toMap
+    // a ceiling between the two file sizes: the larger file becomes the
+    // oversize row, the smaller one still decodes — without the length
+    // split the larger file's content read THROWS and fails the job
+    val ceiling = (sizes.values.min + sizes.values.max) / 2
+    val key = "spark.sql.sources.binaryFile.maxLength"
+    spark.conf.set(key, ceiling.toString)
+    try {
+      val got = audit(dir)
+      assert(got.keySet === Set("part-0.warc", "part-1.warc.gz"))
+      val (bigName, _) = sizes.maxBy(_._2)
+      val (smallName, _) = sizes.minBy(_._2)
+      assert(got(bigName).getAs[String]("status") === "warc_oversize")
+      assert(got(bigName).getAs[Int]("n_records") === 0)
+      assert(got(bigName).getAs[Long]("body_chars") === 0L)
+      assert(got(smallName).getAs[String]("status") === "warc_ok")
+      // the serving path skips the oversized file instead of throwing
+      val served = WarcFiles.readRecords(spark, dir).collect()
+      assert(served.nonEmpty)
+      assert(served.map(_.getAs[String]("file")).toSet === Set(smallName))
+    } finally spark.conf.unset(key)
+  }
+
   test("a stray non-warc file in the directory is not read (glob filter)") {
     val dir = Files.createTempDirectory("warcfiles_glob").toString
     WarcFiles.writeArchiveDir(docsDf, dir, files = 2, tornEvery = 0)
