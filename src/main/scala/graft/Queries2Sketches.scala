@@ -522,32 +522,35 @@ private[graft] trait Queries2Sketches extends Queries1Parity {
   private val q48LabelsDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** The q21 pair graph (doc_a, doc_b, jaccard) served from parquet. */
+  /** The q21 pair graph (doc_a, doc_b, jaccard) served from parquet —
+    * DISK-CACHED across JVMs (r17, VERDICT #7: the per-JVM temp memo
+    * forced every new JVM to rebuild; production computes pairs at
+    * ingest and serves them until the corpus changes). The in-JVM map
+    * only avoids re-fingerprinting per call. */
   private[graft] def textPairsArtifact(spark: SparkSession, dir: String): DataFrame = {
-    val path = q48PairsDirs.computeIfAbsent(dir, _ => {
-      val out = scopedTempDir("graft_q48_pairs") + "/pairs"
-      Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
-          n = 3, threshold = 0.5, maxShingleDfFrac = 0.1)
-        .write.mode("overwrite").parquet(out)
-      out
-    })
+    val path = q48PairsDirs.computeIfAbsent(dir, _ =>
+      diskCachedArtifact("q48_pairs", version = 1, dir, "documents") { out =>
+        Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
+            n = 3, threshold = 0.5, maxShingleDfFrac = 0.1)
+          .write.mode("overwrite").parquet(out)
+      })
     spark.read.parquet(path)
   }
 
   /** The q48 labeling (doc_id, component) served from parquet; the
     * closure itself is built from [[textPairsArtifact]], so the two
-    * artifacts can never disagree with each other. */
+    * artifacts can never disagree with each other. Disk-cached across
+    * JVMs like the pairs. */
   private[graft] def dedupClustersArtifact(spark: SparkSession, dir: String): DataFrame = {
-    val path = q48LabelsDirs.computeIfAbsent(dir, _ => {
-      val out = scopedTempDir("graft_q48_labels") + "/labels"
-      Dedup.connectedComponents(
-          Tables.documents(spark, dir).select(col("doc_id").as("id")),
-          textPairsArtifact(spark, dir)
-            .select(col("doc_a").as("src"), col("doc_b").as("dst")))
-        .select(col("id").as("doc_id"), col("component"))
-        .write.mode("overwrite").parquet(out)
-      out
-    })
+    val path = q48LabelsDirs.computeIfAbsent(dir, _ =>
+      diskCachedArtifact("q48_labels", version = 1, dir, "documents") { out =>
+        Dedup.connectedComponents(
+            Tables.documents(spark, dir).select(col("doc_id").as("id")),
+            textPairsArtifact(spark, dir)
+              .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+          .select(col("id").as("doc_id"), col("component"))
+          .write.mode("overwrite").parquet(out)
+      })
     spark.read.parquet(path)
   }
 

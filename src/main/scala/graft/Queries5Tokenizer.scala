@@ -882,12 +882,11 @@ private[graft] trait Queries5Tokenizer extends Queries4Mixtures {
     * (q107's img/aud dup rates). q119/q121/q124 keep the families'
     * live certification. */
   private[graft] def mmPairsArtifactDf(spark: SparkSession, dir: String): DataFrame = {
-    val path = mmPairsArtifact.computeIfAbsent(dir, _ => {
-      val out = scopedTempDir("graft_mm_pairs") + "/pairs"
-      multimodalEdgesLabeled(Tables.documents(spark, dir))
-        .write.mode("overwrite").parquet(out)
-      out
-    })
+    val path = mmPairsArtifact.computeIfAbsent(dir, _ =>
+      diskCachedArtifact("mm_pairs", version = 1, dir, "documents") { out =>
+        multimodalEdgesLabeled(Tables.documents(spark, dir))
+          .write.mode("overwrite").parquet(out)
+      })
     spark.read.parquet(path)
   }
 

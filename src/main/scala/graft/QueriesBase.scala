@@ -34,6 +34,79 @@ private[graft] trait QueriesBase {
     dir.toString
   }
 
+  /** Staleness fingerprint of a source table's on-disk files: sorted
+    * (name, length, mtime) of every file under the path (or the file
+    * itself), hashed. Changes whenever the data does; driver-side
+    * listing only, never a read of the data. */
+  private[graft] def sourceFingerprint(path: String): String = {
+    val f = new java.io.File(path)
+    val entries =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName)
+          .map(x => s"${x.getName}:${x.length}:${x.lastModified}")
+      else Seq(s"${f.getName}:${f.length}:${f.lastModified}")
+    val all = (f.getAbsolutePath +: entries).mkString("\n")
+    String.format("%08x",
+      Int.box(scala.util.hashing.MurmurHash3.stringHash(all)))
+  }
+
+  /** Disk-backed artifact cache (r17, VERDICT #7): build once, serve
+    * across JVMs — the q151/q182 index-as-artifact discipline applied
+    * to the memoized closure family, which a per-JVM temp dir forced
+    * every new JVM to rebuild. The cache key is (artifact version,
+    * staleness fingerprint of the source table's files): changed data
+    * produces a new key and the stale sibling keys are swept
+    * best-effort; CHANGED BUILDER LOGIC must bump `version`, the one
+    * thing the data fingerprint cannot see. Crash/race-safe: the build
+    * lands in a dot-staged dir and RENAMES into place — if a concurrent
+    * builder won the rename, its identical (deterministic build)
+    * artifact is served and the staging dir is dropped. Serving
+    * requires _SUCCESS, so a torn build is never read. Root overridden
+    * with SPARK_GRAFT_ARTIFACT_DIR (a shared filesystem path in a
+    * multi-node deployment). */
+  private[graft] def diskCachedArtifact(name: String, version: Int,
+                                        sourceDir: String,
+                                        sourceTable: String)
+                                       (build: String => Unit): String = {
+    val root = sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_artifacts")
+    val key = s"v$version-" +
+      sourceFingerprint(s"$sourceDir/$sourceTable.parquet")
+    val parent = new java.io.File(root, name)
+    val target = new java.io.File(parent, key)
+    if (new java.io.File(target, "_SUCCESS").exists()) target.toString
+    else {
+      parent.mkdirs()
+      // sweep stale keys (old data fingerprints / old versions); the
+      // build below replaces them
+      Option(parent.listFiles()).toSeq.flatten
+        .filter(d => d.isDirectory && d.getName != key)
+        .foreach(deleteRecursively)
+      // a TORN target (crashed build: dir present, no _SUCCESS) blocks
+      // the rename — remove it; re-check _SUCCESS first so a build that
+      // committed since the entry check is never deleted
+      if (target.exists() &&
+        !new java.io.File(target, "_SUCCESS").exists())
+        deleteRecursively(target)
+      val staging = new java.io.File(parent,
+        s".build-${java.util.UUID.randomUUID}")
+      build(staging.toString)
+      if (!staging.renameTo(target)) {
+        require(new java.io.File(target, "_SUCCESS").exists(),
+          s"artifact cache rename failed and no committed artifact " +
+            s"exists at $target")
+        deleteRecursively(staging)
+      }
+      target.toString
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
   /** DuckDB form of VectorFunctions.hyperplaneBucket over the same fixed
     * coefficients: integer-valued plane entries make every product exact,
     * and `t1 + t2 + ...` associates left like the Scala dot loop. */

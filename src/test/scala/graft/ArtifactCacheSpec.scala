@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The cross-JVM artifact cache: a key hit serves without rebuilding
+  * (what a SECOND JVM sees after the first one built), changed source
+  * data or a version bump rebuilds under a new key, and stale keys are
+  * swept. No SparkSession needed — the contract is pure layout. */
+class ArtifactCacheSpec extends AnyFunSuite {
+
+  private object base extends QueriesBase
+
+  // a fake source table: fingerprint input only, never read
+  private def newSource(): String = {
+    val dir = Files.createTempDirectory("artifact_src").toString
+    Files.write(Paths.get(dir, "documents.parquet"),
+      "rows".getBytes("UTF-8"))
+    dir
+  }
+
+  // each test uses a unique cache name so the shared default root
+  // (java.io.tmpdir/graft_artifacts) stays isolated per run; the dirs
+  // delete on JVM exit so spec runs don't accrete under the real root
+  private def uniqueName(): String = {
+    val name = s"spec-${java.util.UUID.randomUUID}"
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_artifacts", name)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { Files.deleteIfExists(p); () })
+      } catch { case _: Throwable => () }))
+    name
+  }
+
+  private def fakeBuild(builds: java.util.concurrent.atomic.AtomicInteger)
+                       (out: String): Unit = {
+    builds.incrementAndGet()
+    Files.createDirectories(Paths.get(out))
+    Files.write(Paths.get(out, "_SUCCESS"), Array.emptyByteArray)
+    Files.write(Paths.get(out, "part-0"), "data".getBytes("UTF-8"))
+  }
+
+  test("a key hit serves the existing artifact without rebuilding — the " +
+    "second-JVM path") {
+    val src = newSource()
+    val name = uniqueName()
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val p1 = base.diskCachedArtifact(name, 1, src, "documents")(fakeBuild(builds))
+    // a fresh call (fresh JVM has no memo — this IS its first call)
+    val p2 = base.diskCachedArtifact(name, 1, src, "documents")(fakeBuild(builds))
+    assert(p1 === p2)
+    assert(builds.get() === 1, "key hit must not rebuild")
+    assert(Files.exists(Paths.get(p1, "_SUCCESS")))
+  }
+
+  test("changed source data rebuilds under a new key and sweeps the " +
+    "stale one; a version bump does too") {
+    val src = newSource()
+    val name = uniqueName()
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val p1 = base.diskCachedArtifact(name, 1, src, "documents")(fakeBuild(builds))
+    // grow the source file (length is part of the fingerprint — mtime
+    // granularity alone can be too coarse inside one test)
+    Files.write(Paths.get(src, "documents.parquet"),
+      "rows plus more rows".getBytes("UTF-8"))
+    val p2 = base.diskCachedArtifact(name, 1, src, "documents")(fakeBuild(builds))
+    assert(p1 !== p2, "changed data must produce a new cache key")
+    assert(builds.get() === 2)
+    assert(!Files.exists(Paths.get(p1)), "stale key not swept")
+    val p3 = base.diskCachedArtifact(name, 2, src, "documents")(fakeBuild(builds))
+    assert(p3 !== p2, "a version bump must produce a new cache key")
+    assert(builds.get() === 3)
+  }
+
+  test("a torn build (no _SUCCESS) is never served") {
+    val src = newSource()
+    val name = uniqueName()
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    // first build TEARS: directory lands but _SUCCESS is missing
+    val p1 = base.diskCachedArtifact(name, 1, src, "documents") { out =>
+      builds.incrementAndGet()
+      Files.createDirectories(Paths.get(out))
+      Files.write(Paths.get(out, "part-0"), "torn".getBytes("UTF-8"))
+    }
+    assert(!Files.exists(Paths.get(p1, "_SUCCESS")))
+    // the next call must rebuild (and this one commits)
+    val p2 = base.diskCachedArtifact(name, 1, src, "documents")(fakeBuild(builds))
+    assert(builds.get() === 2, "torn artifact served as a cache hit")
+    assert(Files.exists(Paths.get(p2, "_SUCCESS")))
+  }
+}
