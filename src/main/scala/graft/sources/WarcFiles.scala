@@ -136,6 +136,51 @@ object WarcFiles {
     }
   }
 
+  /** Multi-format typed fixture writer (driver-side, bounded): each row
+    * (doc_id, source, body BYTES, content_type) archived via
+    * [[Warc.encodeArchiveBytes]] into `files` buckets by doc_id % files
+    * (ascending doc_id within a file), odd buckets gzipped. Damage is
+    * injected WITHOUT losing any real record, so record-level censuses
+    * stay clean arithmetic while the audit still sees every failure
+    * class: `tornFile`'s bucket gets a sacrificial PARTIAL record
+    * appended after its real records (the walk keeps everything real
+    * and flags the tear); `corruptFile`'s bucket must be odd (gzip) and
+    * gets its magic zeroed — that file serves nothing, its docs leave
+    * the record censuses, and the audit counts the file. */
+  def writeTypedArchiveDir(rows: Seq[(Long, String, Array[Byte], String)],
+                           dir: String, files: Int = 10,
+                           tornFile: Int = 0, corruptFile: Int = 5): Unit = {
+    require(files >= 1, s"files must be >= 1, got $files")
+    require(rows.length <= 100000,
+      s"writeTypedArchiveDir is a test-fixture writer (driver-side); " +
+        s"refusing ${rows.length} > 100000 docs")
+    require(corruptFile < 0 || corruptFile % 2 == 1,
+      s"corruptFile must be an odd (gzip) bucket, got $corruptFile")
+    val byFile = rows.groupBy(r => ((r._1 % files) + files) % files)
+    byFile.toSeq.sortBy(_._1).foreach { case (f, docsF) =>
+      val bos = new ByteArrayOutputStream()
+      docsF.sortBy(_._1).foreach { case (id, src, body, ct) =>
+        bos.write(Warc.encodeArchiveBytes(id, src, body, ct))
+      }
+      if (f == tornFile) // header never terminates: a mid-transfer tear
+        bos.write("WARC/1.0\r\nWARC-Type: response"
+          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      val gz = f % 2 == 1
+      val out =
+        if (!gz) bos.toByteArray
+        else {
+          val zos = new ByteArrayOutputStream()
+          val g = new GZIPOutputStream(zos)
+          g.write(bos.toByteArray); g.close()
+          val arr = zos.toByteArray
+          if (f == corruptFile) { arr(0) = 0; arr(1) = 0 }
+          arr
+        }
+      val name = s"part-$f" + (if (gz) ".warc.gz" else ".warc")
+      Files.write(Paths.get(dir, name), out)
+    }
+  }
+
   // --------------------------------------------------------------- read
 
   final case class FileAuditRow(file: String, status: String,
@@ -255,4 +300,46 @@ object WarcFiles {
       spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.warc*")
         .load(dir))
+
+  final case class DispatchRow(doc_id: Long, format: String, ok: Boolean,
+                               n_chars: Long)
+
+  /** Content-Type DISPATCH over served response records — the real
+    * Common Crawl front end: one narrow pass routes each record's
+    * payload bytes to its format's extractor (HTML and PDF text
+    * extraction, plain-text UTF-8 decode) and certifies the extracted
+    * character volume; unknown types are measured in raw BYTES and
+    * never decoded. ONE scan, no shuffle: at 100 TB the dispatch must
+    * not re-read the archive once per format, so this is a single
+    * mapPartitions over the record stream, not N filtered branches
+    * each rescanning binaryFile. The per-format extraction semantics
+    * stay certified by their own entries (q161 HTML, q187 PDF, q247
+    * plain WARC bodies); this operator composes them, and a failed
+    * extraction certifies zero chars (`ok = false`) — the
+    * count-don't-crash audit discipline. */
+  def dispatchRecords(recs: DataFrame): DataFrame = {
+    val spark = recs.sparkSession
+    import spark.implicits._
+    recs.select(
+        substring_index(col("uri"), "/", -1).cast("long").as("doc_id"),
+        col("content_type"), col("body"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, ct, body) =>
+        ct.takeWhile(_ != ';').trim match {
+          case "text/html" =>
+            val e = graft.operators.HtmlExtract.extract(
+              new String(body, java.nio.charset.StandardCharsets.UTF_8))
+            DispatchRow(id, ct, e.ok, if (e.ok) e.body.length.toLong else 0L)
+          case "application/pdf" =>
+            val p = graft.operators.PdfExtract.extract(body)
+            DispatchRow(id, ct, p.ok, if (p.ok) p.body.length.toLong else 0L)
+          case t if t.startsWith("text/") =>
+            DispatchRow(id, ct, ok = true,
+              new String(body,
+                java.nio.charset.StandardCharsets.UTF_8).length.toLong)
+          case _ =>
+            DispatchRow(id, ct, ok = true, body.length.toLong)
+        }
+      }).toDF()
+  }
 }

@@ -126,6 +126,33 @@ class WarcFilesSpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  test("content-type dispatch: parameterized types route to their base " +
+    "format, failed extractions certify zero chars, unknown types count " +
+    "raw bytes undecoded") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("warcfiles_dispatch").toString
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val torn = graft.operators.PdfExtract.encodePdf(3L, "pdf body text")
+    WarcFiles.writeTypedArchiveDir(Seq(
+      (0L, "s", graft.operators.HtmlExtract.encodePage(0L, "html body")
+        .getBytes(utf8), "text/html"),
+      (1L, "s", "héllo".getBytes(utf8), "text/plain; charset=utf-8"),
+      (2L, "s", Array[Byte](1, 2, 3, 4, 5), "application/x-mystery"),
+      // a half-cut PDF payload: extract must fail, record must count
+      (3L, "s", java.util.Arrays.copyOfRange(torn, 0, torn.length / 2),
+        "application/pdf")),
+      dir, files = 1, tornFile = -1, corruptFile = -1)
+    val got = WarcFiles.dispatchRecords(WarcFiles.readRecords(spark, dir))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("format"), r.getAs[Boolean]("ok"),
+          r.getAs[Long]("n_chars")))).toMap
+    assert(got(0L) === (("text/html", true, "html body".length.toLong)))
+    // 5 CHARS, not 6 bytes: the text/* leg decodes UTF-8
+    assert(got(1L) === (("text/plain; charset=utf-8", true, 5L)))
+    assert(got(2L) === (("application/x-mystery", true, 5L)))
+    assert(got(3L) === (("application/pdf", false, 0L)))
+  }
+
   test("a stray non-warc file in the directory is not read (glob filter)") {
     val dir = Files.createTempDirectory("warcfiles_glob").toString
     WarcFiles.writeArchiveDir(docsDf, dir, files = 2, tornEvery = 0)
