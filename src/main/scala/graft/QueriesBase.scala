@@ -57,7 +57,12 @@ private[graft] trait QueriesBase {
     * staleness fingerprint of the source table's files): changed data
     * produces a new key and the stale sibling keys are swept
     * best-effort; CHANGED BUILDER LOGIC must bump `version`, the one
-    * thing the data fingerprint cannot see. Crash/race-safe: the build
+    * thing the data fingerprint cannot see. Keys live under a
+    * PER-SOURCE-DIR parent (`name/src-<pathhash>/`), so the sweep only
+    * ever removes superseded keys of the SAME source dir — one run
+    * alternating between SF dirs (the bench primary pass at sf0.1, its
+    * scaling pass at sf0.01) must not delete the other dir's live
+    * artifact out from under a memoized path. Crash/race-safe: the build
     * lands in a dot-staged dir and RENAMES into place — if a concurrent
     * builder won the rename, its identical (deterministic build)
     * artifact is served and the staging dir is dropped. Serving
@@ -72,13 +77,16 @@ private[graft] trait QueriesBase {
       System.getProperty("java.io.tmpdir") + "/graft_artifacts")
     val key = s"v$version-" +
       sourceFingerprint(s"$sourceDir/$sourceTable.parquet")
-    val parent = new java.io.File(root, name)
+    val srcScope = "src-" + String.format("%08x",
+      Int.box(scala.util.hashing.MurmurHash3.stringHash(
+        new java.io.File(sourceDir).getAbsolutePath)))
+    val parent = new java.io.File(new java.io.File(root, name), srcScope)
     val target = new java.io.File(parent, key)
     if (new java.io.File(target, "_SUCCESS").exists()) target.toString
     else {
       parent.mkdirs()
-      // sweep stale keys (old data fingerprints / old versions); the
-      // build below replaces them
+      // sweep stale keys of THIS source dir only (old data fingerprints
+      // / old versions); the build below replaces them
       Option(parent.listFiles()).toSeq.flatten
         .filter(d => d.isDirectory && d.getName != key)
         .foreach(deleteRecursively)

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
@@ -54,6 +55,20 @@ object StreamClusterThroughput {
       if (id % 7 == 0) families((id / 7 % families.length).toInt)
       else s"unique u${id}a u${id}b u${id}c u${id}d u${id}e u${id}f"
     val walls = new Array[Double](nBatches)
+    // per-batch INPUT BYTES (every task's inputMetrics.bytesRead): the
+    // direct evidence for the hb=/cb= bucket prunes — an O(corpus) read
+    // per batch shows up as bytes growing linearly with the batch
+    // index, a delta-bounded batch as a flat line (r17, VERDICT #1's
+    // "measured scan-bytes drop" done bar). Collected on the listener
+    // bus; processAllAvailable + a bus drain order it per batch.
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) bytesRead.addAndGet(m.inputMetrics.bytesRead); ()
+      }
+    })
+    val batchBytes = new Array[Long](nBatches)
     try {
       var id = 0L
       (0 until nBatches).foreach { b =>
@@ -64,6 +79,16 @@ object StreamClusterThroughput {
         val t0 = System.nanoTime()
         query.processAllAvailable()
         walls(b) = (System.nanoTime() - t0) / 1e9
+        // listener events are async — drain the bus so every task of
+        // THIS batch lands in its own bucket before the delta is read
+        // (listenerBus is private[spark] to scalac but public in
+        // bytecode; a failed drain degrades to a settle sleep)
+        try {
+          val sc = spark.sparkContext
+          val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+          bus.getClass.getMethod("waitUntilEmpty").invoke(bus); ()
+        } catch { case _: Throwable => Thread.sleep(300) }
+        batchBytes(b) = bytesRead.getAndSet(0)
       }
       def dirCount(half: String): Int =
         new java.io.File(s"$path/$half").listFiles()
@@ -76,7 +101,10 @@ object StreamClusterThroughput {
       def avg(xs: Array[Double]) = xs.sum / xs.length
       val early = avg(walls.slice(4, 12)) // skip codegen/JIT warmup
       val late = avg(walls.takeRight(8))
-      println(f"""{"metric":"stream_cluster_maintenance","batches":$nBatches,"docs":$nDocs,"components":$nComponents,"p50_batch_secs":${sorted(nBatches / 2)}%.3f,"max_batch_secs":${sorted.last}%.3f,"early8_avg_secs":$early%.3f,"late8_avg_secs":$late%.3f,"late_over_early":${late / early}%.2f,"shingle_dirs":${dirCount("shingles")},"label_dirs":${dirCount("labels")}}""")
+      def avgL(xs: Array[Long]) = xs.sum.toDouble / xs.length
+      val earlyB = avgL(batchBytes.slice(4, 12))
+      val lateB = avgL(batchBytes.takeRight(8))
+      println(f"""{"metric":"stream_cluster_maintenance","batches":$nBatches,"docs":$nDocs,"components":$nComponents,"p50_batch_secs":${sorted(nBatches / 2)}%.3f,"max_batch_secs":${sorted.last}%.3f,"early8_avg_secs":$early%.3f,"late8_avg_secs":$late%.3f,"late_over_early":${late / early}%.2f,"early8_avg_mb_read":${earlyB / 1e6}%.2f,"late8_avg_mb_read":${lateB / 1e6}%.2f,"bytes_late_over_early":${lateB / earlyB}%.2f,"shingle_dirs":${dirCount("shingles")},"label_dirs":${dirCount("labels")}}""")
     } finally {
       query.stop()
       spark.stop()

@@ -75,6 +75,23 @@ class ArtifactCacheSpec extends AnyFunSuite {
     assert(builds.get() === 3)
   }
 
+  test("two source dirs coexist: a miss for one SF dir must not sweep " +
+    "the other's live artifact (bench primary at sf0.1 + scaling pass " +
+    "at sf0.01 share one JVM and one cache name)") {
+    val srcA = newSource()
+    val srcB = newSource()
+    val name = uniqueName()
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pA = base.diskCachedArtifact(name, 1, srcA, "documents")(fakeBuild(builds))
+    val pB = base.diskCachedArtifact(name, 1, srcB, "documents")(fakeBuild(builds))
+    assert(pA !== pB)
+    assert(Files.exists(Paths.get(pA, "_SUCCESS")),
+      "dir B's build swept dir A's live artifact")
+    // and A still serves as a hit — the memoized path stays valid
+    assert(base.diskCachedArtifact(name, 1, srcA, "documents")(fakeBuild(builds)) === pA)
+    assert(builds.get() === 2)
+  }
+
   test("a torn build (no _SUCCESS) is never served") {
     val src = newSource()
     val name = uniqueName()

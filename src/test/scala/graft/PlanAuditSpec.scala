@@ -18,22 +18,24 @@ class PlanAuditSpec extends SparkSpec {
     // the r16 serving-path change (VERDICT #5): a silent revert to the
     // live rebuild would put q65/q111/q176 back at 4-6 s each and
     // re-dominate the bench top. Pin: each routed consumer's physical
-    // plan scans its artifact directory (the scopedTempDir prefix is
-    // the marker), and the pure label consumers contain no Generate
-    // (the shingle explode) at all.
+    // plan scans its artifact directory (the disk cache's
+    // `<name>/src-<pathhash>/` layout is the marker — root-independent,
+    // so SPARK_GRAFT_ARTIFACT_DIR overrides don't break the pin), and
+    // the pure label consumers contain no Generate (the shingle
+    // explode) at all.
     val artifactOf = Seq(
-      "q52_transitive_dedup_keep" -> "graft_q48_labels",
-      "q96_cluster_sizes" -> "graft_q48_labels",
-      "q101_cluster_split" -> "graft_q48_labels",
-      "q176_negatives" -> "graft_q48_labels",
-      "q65_training_manifest" -> "graft_q48_labels",
-      "q111_curation_funnel" -> "graft_q48_labels",
-      "q93_source_dup_rate" -> "graft_q48_pairs",
+      "q52_transitive_dedup_keep" -> "q48_labels/src-",
+      "q96_cluster_sizes" -> "q48_labels/src-",
+      "q101_cluster_split" -> "q48_labels/src-",
+      "q176_negatives" -> "q48_labels/src-",
+      "q65_training_manifest" -> "q48_labels/src-",
+      "q111_curation_funnel" -> "q48_labels/src-",
+      "q93_source_dup_rate" -> "q48_pairs/src-",
       // q253 scans the mm artifact too, but its closure fixpoint runs
       // at construction and the final plan joins the checkpointed
       // labels — the parquet scan is not in the served plan, so q107
-      // (a direct reader) carries the graft_mm_pairs marker
-      "q107_data_card" -> "graft_mm_pairs")
+      // (a direct reader) carries the mm_pairs marker
+      "q107_data_card" -> "mm_pairs/src-")
     artifactOf.foreach { case (name, marker) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
