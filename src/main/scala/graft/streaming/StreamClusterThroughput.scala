@@ -16,13 +16,22 @@ import graft.SparkTuning
   * the rest are singletons.
   *
   * Run: `sbt "runMain graft.streaming.StreamClusterThroughput
-  * [nBatches] [docsPerBatch]"` (defaults 48 x 25).
+  * [nBatches] [docsPerBatch] [nBuckets]"` (defaults 48 x 25 x 16).
+  *
+  * The bucket prune is a CONSTANT-FACTOR cut, not an asymptotic one: a
+  * batch touching |B| of the nBuckets hash buckets reads |B|/nBuckets
+  * of every generation, so the evidence for it is the bytes DROP
+  * between `nBuckets = 1` (every read is the full corpus half) and a
+  * bucket count well above the batch's shingle spread — run both and
+  * compare `late8_avg_mb_read`. Production sizes nBuckets in the
+  * thousands so a trickle batch touches a few percent of the corpus.
   */
 object StreamClusterThroughput {
 
   def main(args: Array[String]): Unit = {
     val nBatches = args.headOption.map(_.toInt).getOrElse(48)
     val perBatch = args.drop(1).headOption.map(_.toInt).getOrElse(25)
+    val nBuckets = args.drop(2).headOption.map(_.toInt).getOrElse(16)
     // the drift metric averages batches 4-11 vs the last 8: fewer than
     // 16 batches makes one window empty/undersized and prints NaN or a
     // meaningless late_over_early — refuse instead of misleading
@@ -46,7 +55,7 @@ object StreamClusterThroughput {
     val mem = MemoryStream[(Long, String)]
     val query = StreamCluster.maintain(
       mem.toDF().toDF("doc_id", "text"), "doc_id", "text", path, ckpt,
-      nBuckets = 16, compactEvery = 8)
+      nBuckets = nBuckets, compactEvery = 8)
     val families = Array(
       "alpha beta gamma delta epsilon zeta eta",
       "one two three four five six seven eight",
@@ -104,7 +113,7 @@ object StreamClusterThroughput {
       def avgL(xs: Array[Long]) = xs.sum.toDouble / xs.length
       val earlyB = avgL(batchBytes.slice(4, 12))
       val lateB = avgL(batchBytes.takeRight(8))
-      println(f"""{"metric":"stream_cluster_maintenance","batches":$nBatches,"docs":$nDocs,"components":$nComponents,"p50_batch_secs":${sorted(nBatches / 2)}%.3f,"max_batch_secs":${sorted.last}%.3f,"early8_avg_secs":$early%.3f,"late8_avg_secs":$late%.3f,"late_over_early":${late / early}%.2f,"early8_avg_mb_read":${earlyB / 1e6}%.2f,"late8_avg_mb_read":${lateB / 1e6}%.2f,"bytes_late_over_early":${lateB / earlyB}%.2f,"shingle_dirs":${dirCount("shingles")},"label_dirs":${dirCount("labels")}}""")
+      println(f"""{"metric":"stream_cluster_maintenance","batches":$nBatches,"n_buckets":$nBuckets,"docs":$nDocs,"components":$nComponents,"p50_batch_secs":${sorted(nBatches / 2)}%.3f,"max_batch_secs":${sorted.last}%.3f,"early8_avg_secs":$early%.3f,"late8_avg_secs":$late%.3f,"late_over_early":${late / early}%.2f,"early8_avg_mb_read":${earlyB / 1e6}%.2f,"late8_avg_mb_read":${lateB / 1e6}%.2f,"bytes_late_over_early":${lateB / earlyB}%.2f,"shingle_dirs":${dirCount("shingles")},"label_dirs":${dirCount("labels")}}""")
     } finally {
       query.stop()
       spark.stop()
