@@ -321,9 +321,11 @@ private[graft] trait Queries11Formats extends Queries10Information {
   private val warcTypedFixtureDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private[graft] def q258CrawlDispatch(spark: SparkSession, dir: String): DataFrame = {
+  /** The typed multi-format crawl fixture, memoized per (JVM, sf dir) —
+    * shared by q258 (census) and q259 (the full corpus-build funnel). */
+  private[graft] def q258FixtureDir(spark: SparkSession, dir: String): String = {
     import spark.implicits._
-    val out = warcTypedFixtureDir.computeIfAbsent(dir, _ => {
+    warcTypedFixtureDir.computeIfAbsent(dir, _ => {
       val d = scopedTempDir("graft_warc_typed")
       val rows = Tables.documents(spark, dir)
         .select(col("doc_id").cast("long"), col("source"), col("text"))
@@ -346,6 +348,10 @@ private[graft] trait Queries11Formats extends Queries10Information {
       graft.sources.WarcFiles.writeTypedArchiveDir(rows, d)
       d
     })
+  }
+
+  private[graft] def q258CrawlDispatch(spark: SparkSession, dir: String): DataFrame = {
+    val out = q258FixtureDir(spark, dir)
     val census = graft.sources.WarcFiles
       .dispatchRecords(graft.sources.WarcFiles.readRecords(spark, out))
       .groupBy(col("format"))
@@ -377,6 +383,107 @@ private[graft] trait Queries11Formats extends Queries10Information {
       |SELECT 'status_warc_corrupt', CAST(count(*) AS BIGINT),
       |  CAST(0 AS BIGINT)
       |FROM fs WHERE f = 5""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q259 — the full crawl→training-corpus funnel (r17): WARC bytes →
+  // content-type dispatch (q258's fixture and routing) → text extraction
+  // (WarcFiles.dispatchText — HTML/PDF/plain served as TEXT, binary
+  // excluded) → the q100 quality gate → global exact dedup (md5, keep
+  // min doc_id) → token counts → 512-token chunk budget, manifested per
+  // source. The integration certificate the per-stage entries can't
+  // give: every stage's count is pinned through the REAL byte-domain
+  // ingest (torn file's records all serve, corrupt gzip's docs leave
+  // every stage). Plan shape: ONE dispatch/extraction pass checkpointed
+  // compact (the text never persists), one corpus shuffle (the dedup
+  // groupBy on the text hash, map-side partial), then tiny per-source
+  // aggregates joined broadcast — no window over the corpus, no join
+  // before the aggregates. The chunk
+  // count is ceil-division arithmetic on the surviving token sum
+  // (q255 certifies the assignment itself; a manifest needs the count).
+  // ---------------------------------------------------------------------
+  private[graft] def q259CorpusBuild(spark: SparkSession, dir: String): DataFrame = {
+    val out = q258FixtureDir(spark, dir)
+    // NOT checkpointed: pinning the record frame would materialize the
+    // archive (bodies + uris) in storage memory — the crawled census is
+    // a cheap second scan, and the expensive half (extraction) runs
+    // once via the compact flagged checkpoint below
+    val recs = graft.sources.WarcFiles.readRecords(spark, out)
+    val crawled = recs
+      .select(substring_index(substring_index(col("uri"), "/", 3), "/", -1)
+        .as("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_crawled"))
+    // ONE dispatch/extraction pass: the quality verdict rides as a
+    // nullable hash column and the frame checkpoints COMPACT (id,
+    // source, hash, token count — the text never persists), so the
+    // three downstream censuses re-read ~50 bytes/doc instead of
+    // re-extracting the corpus (the naive three-consumer plan ran the
+    // dispatch three times)
+    val txt = graft.sources.WarcFiles.dispatchText(recs)
+    val flagged = txt.filter(col("ok"))
+      .withColumn("__tk", graft.operators.TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), col("source"),
+        when(graft.operators.TextAnalysis.qualityGate(col("__tk"),
+          minTokens = 20, maxTokens = 2000), md5(col("text"))).as("__h"),
+        size(col("__tk")).cast("long").as("n"))
+      .localCheckpoint()
+    val stageBySrc = flagged.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_extracted"),
+        count(col("__h")).as("docs_quality"))
+    // the one corpus-sized exchange: min-doc-id per exact text hash
+    // (partial aggregation map-side; min over a struct orders by the
+    // leading doc_id, so the winner carries its own source and count)
+    val uniq = flagged.filter(col("__h").isNotNull)
+      .groupBy(col("__h"))
+      .agg(min(struct(col("doc_id"), col("source"), col("n"))).as("w"))
+      .select(col("w.source").as("source"), col("w.n").as("n"))
+    val uniqBySrc = uniq.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_unique"), sum(col("n")).as("__toks"))
+    crawled
+      .join(stageBySrc, Seq("source"), "left")
+      .join(uniqBySrc, Seq("source"), "left")
+      .select(col("source"), col("docs_crawled"),
+        coalesce(col("docs_extracted"), lit(0L)).as("docs_extracted"),
+        coalesce(col("docs_quality"), lit(0L)).as("docs_quality"),
+        coalesce(col("docs_unique"), lit(0L)).as("docs_unique"),
+        coalesce(col("__toks"), lit(0L)).as("tokens"),
+        ((coalesce(col("__toks"), lit(0L)) + lit(511L)) / lit(512L))
+          .cast("long").as("n_chunks"))
+  }
+
+  private[graft] val q259Sql =
+    """WITH served AS (SELECT doc_id, source, text FROM documents
+      |  WHERE doc_id % 10 <> 5),
+      |t AS (SELECT doc_id, source, text,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      |  FROM served WHERE doc_id % 4 < 3),
+      |m AS (SELECT doc_id, source, text, len(tk) AS n,
+      |    len(list_distinct(tk)) AS d,
+      |    list_aggregate(list_transform(list_distinct(tk),
+      |      u -> len(list_filter(tk, x -> x = u))), 'max') AS mx,
+      |    len(list_filter(tk,
+      |      x -> x IN ('the','and','of','to','in','a','is'))) AS stop
+      |  FROM t),
+      |q AS (SELECT doc_id, source, text, n FROM m
+      |  WHERE n >= 20 AND n <= 2000 AND (n - d) * 10 < n * 6
+      |    AND mx * 100 < n * 12 AND stop * 20 >= n),
+      |u AS (SELECT source, n FROM (SELECT source, n,
+      |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |  FROM q) WHERE rn = 1),
+      |ac AS (SELECT source, count(*) AS docs_crawled FROM served GROUP BY 1),
+      |ae AS (SELECT source, count(*) AS docs_extracted FROM t GROUP BY 1),
+      |aq AS (SELECT source, count(*) AS docs_quality FROM q GROUP BY 1),
+      |au AS (SELECT source, count(*) AS docs_unique, sum(n) AS toks
+      |  FROM u GROUP BY 1)
+      |SELECT ac.source, CAST(docs_crawled AS BIGINT) AS docs_crawled,
+      |  CAST(COALESCE(docs_extracted, 0) AS BIGINT) AS docs_extracted,
+      |  CAST(COALESCE(docs_quality, 0) AS BIGINT) AS docs_quality,
+      |  CAST(COALESCE(docs_unique, 0) AS BIGINT) AS docs_unique,
+      |  CAST(COALESCE(toks, 0) AS BIGINT) AS tokens,
+      |  CAST((COALESCE(toks, 0) + 511) // 512 AS BIGINT) AS n_chunks
+      |FROM ac LEFT JOIN ae ON ac.source = ae.source
+      |  LEFT JOIN aq ON ac.source = aq.source
+      |  LEFT JOIN au ON ac.source = au.source""".stripMargin
 
   private[graft] val q256Sql =
     """WITH RECURSIVE

@@ -342,4 +342,44 @@ object WarcFiles {
         }
       }).toDF()
   }
+
+  final case class TextRow(doc_id: Long, source: String, format: String,
+                           ok: Boolean, text: String)
+
+  /** The corpus-building sibling of [[dispatchRecords]]: same one-pass
+    * Content-Type routing, but SERVING the extracted text instead of
+    * certifying its volume — the front half of a crawl→training-corpus
+    * funnel. Text formats only (HTML and PDF extraction, `text/ *`
+    * UTF-8 decode); non-text records carry no trainable text and yield
+    * NO row here (their existence is [[dispatchRecords]]' census, their
+    * bytes the media lane's). A failed extraction keeps its row with
+    * `ok = false` and empty text, so the funnel's extraction-loss stage
+    * is countable. The `source` rides the WARC target URI
+    * (`http://<source>/doc/<id>`, Warc.scala:267). Still narrow: one
+    * mapPartitions, no shuffle, no per-format archive rescan. */
+  def dispatchText(recs: DataFrame): DataFrame = {
+    val spark = recs.sparkSession
+    import spark.implicits._
+    recs.select(
+        substring_index(col("uri"), "/", -1).cast("long").as("doc_id"),
+        substring_index(substring_index(col("uri"), "/", 3), "/", -1)
+          .as("source"),
+        col("content_type"), col("body"))
+      .as[(Long, String, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, src, ct, body) =>
+        ct.takeWhile(_ != ';').trim match {
+          case "text/html" =>
+            val e = graft.operators.HtmlExtract.extract(
+              new String(body, java.nio.charset.StandardCharsets.UTF_8))
+            Some(TextRow(id, src, ct, e.ok, if (e.ok) e.body else ""))
+          case "application/pdf" =>
+            val p = graft.operators.PdfExtract.extract(body)
+            Some(TextRow(id, src, ct, p.ok, if (p.ok) p.body else ""))
+          case t if t.startsWith("text/") =>
+            Some(TextRow(id, src, ct, ok = true,
+              new String(body, java.nio.charset.StandardCharsets.UTF_8)))
+          case _ => None
+        }
+      }).toDF()
+  }
 }

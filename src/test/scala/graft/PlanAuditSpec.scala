@@ -550,6 +550,27 @@ class PlanAuditSpec extends SparkSpec {
       "q253 lost the artifact parquet scan")
   }
 
+  test("q259's funnel runs the dispatch/extraction ONCE: the served " +
+    "plan re-reads the compact checkpoint, never the extractor") {
+    // the naive three-consumer shape re-ran dispatchText (a
+    // MapPartitions over the archive bytes) once per census branch —
+    // 3x the extraction work at 100 TB. The funnel checkpoints the
+    // flagged frame compact, so the served plan walks the archive only
+    // for the crawled census (ONE MapPartitions, the record walk — no
+    // extractor) and re-reads the checkpoint everywhere else; a second
+    // MapPartitions means an extraction branch leaked back in. Manifest
+    // joins must broadcast (no corpus-sized side).
+    val plan = SparkEntry.queries("q259_corpus_build")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val nWalks = plan.sliding("MapPartitions".length)
+      .count(_ == "MapPartitions")
+    assert(nWalks <= 1,
+      s"q259 re-runs the dispatch extraction in its served plan " +
+        s"($nWalks MapPartitions nodes)")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      "q259's manifest joins must broadcast")
+  }
+
   test("column pruning reaches the parquet scan") {
     // q1 projects 4 of lineitem's 16 columns; a scan still reading
     // l_comment means the projection never reached the source
@@ -700,7 +721,12 @@ object PlanSweepSpec {
     "q245_pmi_collocations" -> Set("__x", "__y"),
     "q246_bigram_entropy" -> Set("__g", "__x", "__y"),
     "q249_loo_entropy" -> Set("__g", "__t"),
-    "q251_kl_matrix" -> Set("__g"))
+    "q251_kl_matrix" -> Set("__g"),
+    // q259: `source` is the manifest's grouping label (|sources| rows'
+    // worth of distinct values); `__h` is the 32-char md5 dedup key —
+    // PER-DOC fixed width (the q241 fix shape: the checkpoint carries
+    // the hash, never the text it hashes)
+    "q259_corpus_build" -> Set("source", "__h"))
 }
 
 class PlanSweepSpec1 extends PlanSweepSpec(1, 40) {

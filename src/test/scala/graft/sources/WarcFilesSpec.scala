@@ -153,6 +153,34 @@ class WarcFilesSpec extends SparkSpec {
     assert(got(3L) === (("application/pdf", false, 0L)))
   }
 
+  test("dispatchText serves the EXACT extracted text for every text " +
+    "format, drops non-text records, and parses source from the URI") {
+    val dir = Files.createTempDirectory("warcfiles_dtext").toString
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val torn = graft.operators.PdfExtract.encodePdf(3L, "pdf body text")
+    WarcFiles.writeTypedArchiveDir(Seq(
+      (0L, "srcA", graft.operators.HtmlExtract.encodePage(0L, "html Ünicode body")
+        .getBytes(utf8), "text/html"),
+      (1L, "srcB", "héllo plain".getBytes(utf8), "text/plain; charset=utf-8"),
+      (2L, "srcA", Array[Byte](1, 2, 3, 4, 5), "application/x-mystery"),
+      (3L, "srcB", java.util.Arrays.copyOfRange(torn, 0, torn.length / 2),
+        "application/pdf"),
+      (4L, "srcA", graft.operators.PdfExtract.encodePdf(4L, "pdf Ünicode"),
+        "application/pdf")),
+      dir, files = 1, tornFile = -1, corruptFile = -1)
+    val got = WarcFiles.dispatchText(WarcFiles.readRecords(spark, dir))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("source"), r.getAs[Boolean]("ok"),
+          r.getAs[String]("text")))).toMap
+    // the binary record yields NO text row — it is dispatchRecords'
+    // census, not corpus text
+    assert(got.keySet === Set(0L, 1L, 3L, 4L))
+    assert(got(0L) === (("srcA", true, "html Ünicode body")))
+    assert(got(1L) === (("srcB", true, "héllo plain")))
+    assert(got(3L) === (("srcB", false, ""))) // torn PDF: counted, empty
+    assert(got(4L) === (("srcA", true, "pdf Ünicode")))
+  }
+
   test("a stray non-warc file in the directory is not read (glob filter)") {
     val dir = Files.createTempDirectory("warcfiles_glob").toString
     WarcFiles.writeArchiveDir(docsDf, dir, files = 2, tornEvery = 0)
