@@ -64,4 +64,15 @@ object StreamWarc {
         .schema(binaryFileSchema)
         .option("pathGlobFilter", "*.warc*")
         .load(dir))
+
+  /** Per-record extracted TEXT as an APPEND stream — the corpus-build
+    * front end ([[records]] serves bytes; this routes them through
+    * [[WarcFiles.dispatchText]]'s Content-Type dispatch, the SAME
+    * routing the batch funnel (q259) runs, so stream == batch by
+    * construction). Stateless narrow pass: dispatch + extraction are
+    * per-record, nothing shuffles, a landed file is one task. Non-text
+    * records yield no row (their audit/census rows are the
+    * observable); a failed extraction keeps its `ok = false` row. */
+  def textRecords(spark: SparkSession, dir: String): DataFrame =
+    WarcFiles.dispatchText(records(spark, dir))
 }

@@ -104,4 +104,62 @@ class StreamWarcSpec extends SparkSpec {
         "streamed record payloads diverged from the batch reader")
     } finally query.stop()
   }
+
+  test("text-dispatch stream == batch: the corpus-build front end " +
+    "routes and extracts identically across arrival waves, drops " +
+    "non-text records, keeps failed extractions countable") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("stream_warc_txt").toString
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    def typedRows(ids: Range) = ids.map { i =>
+      val text = s"Ünicode→ body $i"
+      val (body, ct) = (i % 4) match {
+        case 0 => (graft.operators.HtmlExtract.encodePage(i.toLong, text)
+          .getBytes(utf8), "text/html")
+        case 1 => (graft.operators.PdfExtract.encodePdf(i.toLong, text),
+          "application/pdf")
+        case 2 => (text.getBytes(utf8), "text/plain; charset=utf-8")
+        case _ => (Array[Byte](9, 8, 7), "application/octet-stream")
+      }
+      (i.toLong, s"src${i % 2}", body, ct)
+    }
+    WarcFiles.writeTypedArchiveDir(typedRows(0 until 8), dir, files = 2,
+      tornFile = -1, corruptFile = -1)
+    val query = StreamWarc.textRecords(spark, dir)
+      .writeStream.format("memory").queryName("sw_text")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      // 8 docs, 2 of them binary -> 6 text rows
+      assert(spark.sql("SELECT * FROM sw_text").count() === 6)
+      // wave 2, including a truncated PDF (extraction fails, row stays)
+      val tornPdf = graft.operators.PdfExtract.encodePdf(101L, "gone")
+      val gen2 = Files.createTempDirectory("stream_warc_txt2").toString
+      WarcFiles.writeTypedArchiveDir(
+        typedRows(104 until 108) :+
+          ((101L, "src1", java.util.Arrays.copyOfRange(
+            tornPdf, 0, tornPdf.length / 2), "application/pdf")),
+        gen2, files = 1, tornFile = -1, corruptFile = -1)
+      java.nio.file.Files.list(java.nio.file.Paths.get(gen2)).forEach { p =>
+        java.nio.file.Files.move(p,
+          java.nio.file.Paths.get(dir, "gen2-" + p.getFileName.toString))
+      }
+      query.processAllAvailable()
+      def keyed(rows: Array[Row]) = rows.map(r =>
+        r.getAs[Long]("doc_id") -> ((r.getAs[String]("source"),
+          r.getAs[Boolean]("ok"), r.getAs[String]("text")))).toMap
+      val streamed = keyed(spark.sql(
+        "SELECT doc_id, source, ok, text FROM sw_text").collect())
+      val batch = keyed(WarcFiles.dispatchText(
+          WarcFiles.readRecords(spark, dir))
+        .select(col("doc_id"), col("source"), col("ok"), col("text"))
+        .collect())
+      assert(streamed.size === 10, s"expected 10 text rows, got ${streamed.size}")
+      assert(streamed === batch,
+        "streamed text dispatch diverged from the batch funnel")
+      assert(streamed(101L) === (("src1", false, "")),
+        "failed extraction must keep its countable ok=false row")
+      assert(streamed(104L)._3 === "Ünicode→ body 104")
+    } finally query.stop()
+  }
 }
