@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
@@ -71,13 +71,21 @@ object StreamClusterThroughput {
     // "measured scan-bytes drop" done bar). Collected on the listener
     // bus; processAllAvailable + a bus drain order it per batch.
     val bytesRead = new java.util.concurrent.atomic.AtomicLong(0)
+    // job count per batch: the trickle-batch overhead is mostly Spark
+    // job scheduling (VERDICT r16 estimated ~40/batch) — count it so a
+    // job-count cut is measurable, not anecdotal
+    val jobsStarted = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
         if (m != null) bytesRead.addAndGet(m.inputMetrics.bytesRead); ()
       }
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobsStarted.incrementAndGet(); ()
+      }
     })
     val batchBytes = new Array[Long](nBatches)
+    val batchJobs = new Array[Long](nBatches)
     try {
       var id = 0L
       (0 until nBatches).foreach { b =>
@@ -98,6 +106,7 @@ object StreamClusterThroughput {
           bus.getClass.getMethod("waitUntilEmpty").invoke(bus); ()
         } catch { case _: Throwable => Thread.sleep(300) }
         batchBytes(b) = bytesRead.getAndSet(0)
+        batchJobs(b) = jobsStarted.getAndSet(0)
       }
       def dirCount(half: String): Int =
         new java.io.File(s"$path/$half").listFiles()
@@ -113,7 +122,8 @@ object StreamClusterThroughput {
       def avgL(xs: Array[Long]) = xs.sum.toDouble / xs.length
       val earlyB = avgL(batchBytes.slice(4, 12))
       val lateB = avgL(batchBytes.takeRight(8))
-      println(f"""{"metric":"stream_cluster_maintenance","batches":$nBatches,"n_buckets":$nBuckets,"docs":$nDocs,"components":$nComponents,"p50_batch_secs":${sorted(nBatches / 2)}%.3f,"max_batch_secs":${sorted.last}%.3f,"early8_avg_secs":$early%.3f,"late8_avg_secs":$late%.3f,"late_over_early":${late / early}%.2f,"early8_avg_mb_read":${earlyB / 1e6}%.2f,"late8_avg_mb_read":${lateB / 1e6}%.2f,"bytes_late_over_early":${lateB / earlyB}%.2f,"shingle_dirs":${dirCount("shingles")},"label_dirs":${dirCount("labels")}}""")
+      val jobsP50 = batchJobs.sorted.apply(nBatches / 2)
+      println(f"""{"metric":"stream_cluster_maintenance","batches":$nBatches,"n_buckets":$nBuckets,"docs":$nDocs,"components":$nComponents,"p50_batch_secs":${sorted(nBatches / 2)}%.3f,"max_batch_secs":${sorted.last}%.3f,"early8_avg_secs":$early%.3f,"late8_avg_secs":$late%.3f,"late_over_early":${late / early}%.2f,"p50_jobs_per_batch":$jobsP50,"early8_avg_mb_read":${earlyB / 1e6}%.2f,"late8_avg_mb_read":${lateB / 1e6}%.2f,"bytes_late_over_early":${lateB / earlyB}%.2f,"shingle_dirs":${dirCount("shingles")},"label_dirs":${dirCount("labels")}}""")
     } finally {
       query.stop()
       spark.stop()
