@@ -43,6 +43,12 @@ object StreamClusterThroughput {
       .config("spark.sql.shuffle.partitions", 8)
       .config(SparkTuning.ExcludedRulesKey, SparkTuning.ExcludedRules)
       .config("spark.ui.enabled", "false")
+      // AQE re-plans every shuffle stage as its own job — right for
+      // corpus-sized stages, pure scheduling overhead for a trickle
+      // batch's KB-sized frames; SPARK_GRAFT_SC_AQE=false measures the
+      // difference (jobs/batch + wall) on the same workload
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_SC_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
