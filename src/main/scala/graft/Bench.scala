@@ -236,9 +236,10 @@ object Bench {
       // loaded time, BEFORE the ratio map of record is emitted.
       val outlierAt =
         sys.env.getOrElse("SPARK_GRAFT_RATIO_OUTLIER", "2.5").toDouble
-      val prelim = ratiosWith(iso.toMap)
+      val isoMap = iso.toMap
+      val prelim = ratiosWith(isoMap)
       val outliers = prelim.collect {
-        case (name, r) if r > outlierAt && !iso.toMap.contains(name) => name
+        case (name, r) if r > outlierAt && !isoMap.contains(name) => name
       }
       val isoExtra =
         if (isolatedOn) isolatedRerun(outliers, "ratio_outliers")

@@ -185,17 +185,7 @@ object PipelineThroughput {
       // the temp dir holds the socket plus the full streaming checkpoint
       // (offsets/state for millions of frames) — repeated bench runs
       // would otherwise accumulate checkpoint trees in /tmp
-      deleteRecursively(dir)
-    }
-  }
-
-  private def deleteRecursively(root: java.nio.file.Path): Unit = {
-    import scala.util.Try
-    if (Files.exists(root)) {
-      val walk = Files.walk(root)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => { Try(Files.deleteIfExists(p)); () })
-      finally walk.close()
+      FsUtil.deleteRecursively(dir.toFile)
     }
   }
 

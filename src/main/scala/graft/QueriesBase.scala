@@ -86,16 +86,24 @@ private[graft] trait QueriesBase {
     else {
       parent.mkdirs()
       // sweep stale keys of THIS source dir only (old data fingerprints
-      // / old versions); the build below replaces them
+      // / old versions); the build below replaces them. Dot-prefixed
+      // entries are ANOTHER BUILDER'S in-flight staging dirs — deleting
+      // one mid-write tears a concurrent build (worst case: after its
+      // job commit wrote _SUCCESS but before its rename, committing a
+      // torn artifact). They are only swept once old enough that the
+      // writer is certainly dead (crash leftovers, not live builds).
+      val staleStagingMs = 60L * 60 * 1000
       Option(parent.listFiles()).toSeq.flatten
-        .filter(d => d.isDirectory && d.getName != key)
-        .foreach(deleteRecursively)
+        .filter(d => d.isDirectory && d.getName != key &&
+          (!d.getName.startsWith(".") ||
+            System.currentTimeMillis() - d.lastModified() > staleStagingMs))
+        .foreach(FsUtil.deleteRecursively)
       // a TORN target (crashed build: dir present, no _SUCCESS) blocks
       // the rename — remove it; re-check _SUCCESS first so a build that
       // committed since the entry check is never deleted
       if (target.exists() &&
         !new java.io.File(target, "_SUCCESS").exists())
-        deleteRecursively(target)
+        FsUtil.deleteRecursively(target)
       val staging = new java.io.File(parent,
         s".build-${java.util.UUID.randomUUID}")
       build(staging.toString)
@@ -103,16 +111,10 @@ private[graft] trait QueriesBase {
         require(new java.io.File(target, "_SUCCESS").exists(),
           s"artifact cache rename failed and no committed artifact " +
             s"exists at $target")
-        deleteRecursively(staging)
+        FsUtil.deleteRecursively(staging)
       }
       target.toString
     }
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
-    f.delete(); ()
   }
 
   /** DuckDB form of VectorFunctions.hyperplaneBucket over the same fixed
@@ -131,5 +133,16 @@ private[graft] trait QueriesBase {
       s"(CASE WHEN $dot > 0 THEN ${1L << i} ELSE 0 END)"
     }
     "CAST(" + bitExprs.mkString(" + ") + " AS BIGINT)"
+  }
+}
+
+/** Filesystem helpers shared by the registry's artifact cache and the
+  * standalone throughput mains (one recursive delete, not a copy per
+  * caller). */
+private[graft] object FsUtil {
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
+    f.delete(); ()
   }
 }

@@ -320,12 +320,20 @@ object WarcFiles {
   def dispatchRecords(recs: DataFrame): DataFrame = {
     val spark = recs.sparkSession
     import spark.implicits._
+    // doc_id rides the URI's last path segment; a real-crawl URI that
+    // does not end in a numeric id must land as doc_id = -1 — under
+    // ANSI mode a bare cast THROWS on 'index.html', failing the whole
+    // batch on one record (count-don't-crash)
     recs.select(
-        substring_index(col("uri"), "/", -1).cast("long").as("doc_id"),
+        coalesce(expr("try_cast(substring_index(uri, '/', -1) AS BIGINT)"),
+          lit(-1L)).as("doc_id"),
         col("content_type"), col("body"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions(_.map { case (id, ct, body) =>
-        ct.takeWhile(_ != ';').trim match {
+        // media-type matching is case-insensitive per RFC 2045 —
+        // 'Text/HTML' routes with 'text/html'
+        ct.takeWhile(_ != ';').trim
+          .toLowerCase(java.util.Locale.ROOT) match {
           case "text/html" =>
             val e = graft.operators.HtmlExtract.extract(
               new String(body, java.nio.charset.StandardCharsets.UTF_8))
@@ -361,13 +369,15 @@ object WarcFiles {
     val spark = recs.sparkSession
     import spark.implicits._
     recs.select(
-        substring_index(col("uri"), "/", -1).cast("long").as("doc_id"),
+        coalesce(expr("try_cast(substring_index(uri, '/', -1) AS BIGINT)"),
+          lit(-1L)).as("doc_id"),
         substring_index(substring_index(col("uri"), "/", 3), "/", -1)
           .as("source"),
         col("content_type"), col("body"))
       .as[(Long, String, String, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, src, ct, body) =>
-        ct.takeWhile(_ != ';').trim match {
+        ct.takeWhile(_ != ';').trim
+          .toLowerCase(java.util.Locale.ROOT) match {
           case "text/html" =>
             val e = graft.operators.HtmlExtract.extract(
               new String(body, java.nio.charset.StandardCharsets.UTF_8))

@@ -674,15 +674,55 @@ object StreamCluster {
     val metaPath = new Path(s"$path/_meta/nbuckets")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(metaPath)) {
-      val in = fs.open(metaPath)
-      val s = try scala.io.Source.fromInputStream(in).mkString.trim
-      finally in.close()
-      s.toInt
+      // An unparseable or unreadable meta (0-byte, truncated digits, or
+      // a checksum mismatch from a torn local-fs write) can only be a
+      // crash leftover. If no bucketed directory was ever committed the
+      // layout is unambiguous — adopt the requested value and heal the
+      // meta; if history EXISTS its modulus is unknowable, so fail with
+      // the recovery story instead of a bare NumberFormatException (or
+      // ChecksumException) at every restart.
+      val parsed = try {
+        val in = fs.open(metaPath)
+        val s = try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+        s.toIntOption
+      } catch { case _: java.io.IOException => None }
+      parsed match {
+        case Some(nb) => nb
+        case None if !hasHistory(spark, path, Long.MaxValue) =>
+          fs.delete(metaPath, false)
+          writeNBucketsMeta(fs, metaPath, requested)
+          requested
+        case None => sys.error(
+          s"corrupt nbuckets meta at $metaPath with committed " +
+            "generations present: " +
+            "the artifact's bucket modulus is unrecoverable from meta; " +
+            "pass the original nBuckets and recreate the file by hand, " +
+            "or rebuild the artifact")
+      }
     } else {
-      val out = fs.create(metaPath, false)
-      try out.write(requested.toString.getBytes("UTF-8"))
-      finally out.close()
+      writeNBucketsMeta(fs, metaPath, requested)
       requested
+    }
+  }
+
+  /** Stage-and-rename the meta write: a crash mid-write must never leave
+    * a torn `nbuckets` (e.g. "1" of "16") that a restart would adopt as
+    * a WRONG modulus and silently mis-bucket every prune. */
+  private def writeNBucketsMeta(fs: org.apache.hadoop.fs.FileSystem,
+                                metaPath: Path, value: Int): Unit = {
+    val tmp = new Path(metaPath.getParent,
+      s".nbuckets.tmp-${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, false)
+    try out.write(value.toString.getBytes("UTF-8"))
+    finally out.close()
+    // no-overwrite rename: if a racing writer committed first, adopt
+    // its value only if it matches; the artifact is single-writer by
+    // contract, so a mismatch here is a configuration error
+    if (!fs.rename(tmp, metaPath)) {
+      fs.delete(tmp, false)
+      require(fs.exists(metaPath),
+        s"meta rename failed without a committed $metaPath")
     }
   }
 }

@@ -108,4 +108,29 @@ class ArtifactCacheSpec extends AnyFunSuite {
     assert(builds.get() === 2, "torn artifact served as a cache hit")
     assert(Files.exists(Paths.get(p2, "_SUCCESS")))
   }
+
+  test("the stale-key sweep spares a concurrent builder's FRESH staging " +
+    "dir (two JVMs cold-missing the same key) but reclaims hour-old " +
+    "crash leftovers") {
+    val src = newSource()
+    val name = uniqueName()
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    // seed the parent with two dot-staging dirs before any build: one
+    // fresh (another JVM mid-write) and one old (a crashed build)
+    val p1 = base.diskCachedArtifact(name, 1, src, "documents")(fakeBuild(builds))
+    val parent = Paths.get(p1).getParent
+    val fresh = parent.resolve(".build-concurrent-fresh")
+    val stale = parent.resolve(".build-crashed-old")
+    Files.createDirectories(fresh)
+    Files.write(fresh.resolve("part-0"), "inflight".getBytes("UTF-8"))
+    Files.createDirectories(stale)
+    val twoHoursAgo = System.currentTimeMillis() - 2L * 60 * 60 * 1000
+    assert(stale.toFile.setLastModified(twoHoursAgo))
+    // force a miss (new version key) so the sweep runs
+    base.diskCachedArtifact(name, 2, src, "documents")(fakeBuild(builds))
+    assert(Files.exists(fresh.resolve("part-0")),
+      "sweep deleted a concurrent builder's in-flight staging dir")
+    assert(!Files.exists(stale),
+      "hour-old crash leftover staging dir not reclaimed")
+  }
 }

@@ -181,6 +181,38 @@ class WarcFilesSpec extends SparkSpec {
     assert(got(4L) === (("srcA", true, "pdf Ünicode")))
   }
 
+  test("dispatch robustness: mixed-case Content-Type routes per RFC 2045 " +
+    "and a real-crawl URI without a numeric id lands doc_id = -1 — " +
+    "counted, never a null-decode crash") {
+    import spark.implicits._
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    // hand-made record frame: writeTypedArchiveDir always emits
+    // /doc/<id> URIs, but the serving path must survive what a REAL
+    // crawl serves — uppercase media types and arbitrary URI shapes
+    val recs = Seq(
+      ("http://example.com/index.html",
+        graft.operators.HtmlExtract.encodePage(7L, "upper html body")
+          .getBytes(utf8), "Text/HTML; Charset=UTF-8"),
+      ("http://example.com/a/trailing/", "plain body".getBytes(utf8),
+        "TEXT/PLAIN"),
+      ("http://src9/doc/42", "typed body".getBytes(utf8), "text/plain"))
+      .toDF("uri", "body", "content_type")
+    val census = WarcFiles.dispatchRecords(recs).collect()
+      .map(r => r.getAs[String]("format") ->
+        ((r.getAs[Long]("doc_id"), r.getAs[Boolean]("ok"),
+          r.getAs[Long]("n_chars")))).toMap
+    assert(census("Text/HTML; Charset=UTF-8") ===
+      ((-1L, true, "upper html body".length.toLong)),
+      "uppercase text/html fell through to the raw-bytes arm")
+    assert(census("TEXT/PLAIN") === ((-1L, true, "plain body".length.toLong)))
+    assert(census("text/plain") === ((42L, true, "typed body".length.toLong)))
+    val text = WarcFiles.dispatchText(recs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSet
+    assert(text === Set((-1L, "upper html body"), (-1L, "plain body"),
+      (42L, "typed body")),
+      "mixed-case text records must reach the training corpus")
+  }
+
   test("a stray non-warc file in the directory is not read (glob filter)") {
     val dir = Files.createTempDirectory("warcfiles_glob").toString
     WarcFiles.writeArchiveDir(docsDf, dir, files = 2, tornEvery = 0)

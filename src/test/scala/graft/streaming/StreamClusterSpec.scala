@@ -430,4 +430,29 @@ class StreamClusterSpec extends SparkSpec {
         "restart overwrote the artifact's layout modulus")
     } finally q2.stop()
   }
+
+  test("a torn/empty nbuckets meta heals to the requested value when no " +
+    "history exists, and fails with the recovery story when committed " +
+    "generations are present (never a bare NumberFormatException)") {
+    val path = Files.createTempDirectory("stream_cluster_meta_torn").toString
+    val metaDir = java.nio.file.Paths.get(path, "_meta")
+    Files.createDirectories(metaDir)
+    // a pre-staged-write crash could leave a 0-byte (or digit-truncated)
+    // meta; with no committed layout the value is unambiguous — heal it
+    Files.write(metaDir.resolve("nbuckets"), Array.emptyByteArray)
+    assert(StreamCluster.effectiveNBuckets(spark, path, 8) === 8)
+    assert(new String(Files.readAllBytes(
+      metaDir.resolve("nbuckets"))).trim === "8", "meta not healed")
+    // corrupt meta WITH a committed generation: the modulus every hb=
+    // dir was written under is unknowable — restart must fail loudly,
+    // not adopt a guess and silently mis-bucket the prune
+    Files.write(metaDir.resolve("nbuckets"), "1x".getBytes("UTF-8"))
+    val gen = java.nio.file.Paths.get(path, "labels", "gen=0")
+    Files.createDirectories(gen)
+    Files.write(gen.resolve("_SUCCESS"), Array.emptyByteArray)
+    val e = intercept[RuntimeException](
+      StreamCluster.effectiveNBuckets(spark, path, 8))
+    assert(e.getMessage.contains("nbuckets"))
+    assert(!e.isInstanceOf[NumberFormatException])
+  }
 }
