@@ -507,4 +507,97 @@ private[graft] trait Queries11Formats extends Queries10Information {
       |  UNION
       |  SELECT e.dst, r.l FROM r JOIN e ON e.src = r.v WHERE r.l < e.dst)
       |SELECT v AS doc_id, MIN(l) AS component FROM r GROUP BY v""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q260 — MEDIA dispatch through MediaCodec sniffing (r17, VERDICT #8's
+  // media arm): a multimodal crawl fixture (doc_id % 6 → HTML / PDF /
+  // plain text / PNG / WAV / MP4, declared with the matching media
+  // type) served through WarcFiles.dispatchMedia — image/audio/video
+  // records are sniffed by the magic-byte parser chain (the bytes, not
+  // the declared type, are what certify) and censused per (declared,
+  // sniffed, ok) with total bytes, total pixels (images + video dims)
+  // and total duration (audio + video). Media rows at doc_id % 37 == 0
+  // are truncated to 8 bytes — no parser accepts them, so they land as
+  // sniffed = '' / ok = 0 rows, never a crash. Hash-exact: every
+  // dimension/duration/byte count replays from the q102/q125 encoder
+  // arithmetic on (doc_id, strlen) residues; text-family records yield
+  // NO row here (they are q258/q259's lanes — one record, one lane).
+  // ---------------------------------------------------------------------
+  private val warcMediaFixtureDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def q260FixtureDir(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    warcMediaFixtureDir.computeIfAbsent(dir, _ => {
+      val d = scopedTempDir("graft_warc_media")
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      val rows = Tables.documents(spark, dir)
+        .select(col("doc_id").cast("long"), col("source"), col("text"))
+        .as[(Long, String, String)].collect().toSeq
+        .map { case (id, src, text) =>
+          val tb = text.getBytes(utf8)
+          def dmg(b: Array[Byte]): Array[Byte] =
+            if (id % 37 == 0) b.take(8) else b
+          val (body, ct) = (id % 6) match {
+            case 0 => (graft.operators.HtmlExtract.encodePage(id, text)
+              .getBytes(utf8), "text/html")
+            case 1 => (graft.operators.PdfExtract.encodePdf(id, text),
+              "application/pdf")
+            case 2 => (tb, "text/plain")
+            case 3 => (dmg(graft.operators.MediaCodec.encodePng(id, tb)),
+              "image/png")
+            case 4 => (dmg(graft.operators.MediaCodec.encodeWav(id, tb)),
+              "audio/wav")
+            case _ => (dmg(graft.operators.MediaCodec.encodeMp4(id, tb)),
+              "video/mp4")
+          }
+          (id, src, body, ct)
+        }
+      graft.sources.WarcFiles.writeTypedArchiveDir(rows, d, files = 4,
+        tornFile = -1, corruptFile = -1)
+      d
+    })
+  }
+
+  private[graft] def q260MediaDispatch(spark: SparkSession, dir: String): DataFrame = {
+    val out = q260FixtureDir(spark, dir)
+    graft.sources.WarcFiles
+      .dispatchMedia(graft.sources.WarcFiles.readRecords(spark, out))
+      .groupBy(col("declared"), col("sniffed"), col("ok"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("n_bytes"),
+        sum(coalesce(col("width").cast("long") * col("height"), lit(0L)))
+          .as("px_total"),
+        sum(coalesce(col("duration_ms"), lit(0L))).as("dur_ms_total"))
+  }
+
+  private[graft] val q260Sql =
+    """WITH m AS (SELECT doc_id, strlen(text) AS pl,
+      |    CASE doc_id % 6 WHEN 3 THEN 'image/png'
+      |      WHEN 4 THEN 'audio/wav' ELSE 'video/mp4' END AS declared,
+      |    doc_id % 37 = 0 AS corrupt
+      |  FROM documents WHERE doc_id % 6 >= 3)
+      |SELECT declared,
+      |  CASE WHEN corrupt THEN ''
+      |    WHEN doc_id % 6 = 3 THEN 'png'
+      |    WHEN doc_id % 6 = 4 THEN 'wav' ELSE 'mp4' END AS sniffed,
+      |  CAST(CASE WHEN corrupt THEN 0 ELSE 1 END AS INTEGER) AS ok,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN corrupt THEN 8
+      |    WHEN doc_id % 6 = 3 THEN 57 + pl
+      |    WHEN doc_id % 6 = 4 THEN 44 + pl + pl % 2
+      |    ELSE 148 + (1 + doc_id % 3) * 100 + pl END) AS BIGINT) AS n_bytes,
+      |  CAST(sum(CASE WHEN corrupt THEN 0
+      |    WHEN doc_id % 6 = 3
+      |      THEN (64 + doc_id % 1024) * (64 + (doc_id * 7) % 768)
+      |    WHEN doc_id % 6 = 5
+      |      THEN (160 + doc_id % 1280) * (120 + (doc_id * 7) % 720)
+      |    ELSE 0 END) AS BIGINT) AS px_total,
+      |  CAST(sum(CASE WHEN corrupt THEN 0
+      |    WHEN doc_id % 6 = 4 THEN (pl * 1000) //
+      |      ((8000 << CAST((doc_id // 3) % 3 AS INTEGER))
+      |        * (1 + doc_id % 2) * 2)
+      |    WHEN doc_id % 6 = 5 THEN pl
+      |    ELSE 0 END) AS BIGINT) AS dur_ms_total
+      |FROM m GROUP BY 1, 2, 3""".stripMargin
 }

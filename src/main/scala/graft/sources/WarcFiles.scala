@@ -392,4 +392,49 @@ object WarcFiles {
         }
       }).toDF()
   }
+
+  final case class MediaDispatchRow(doc_id: Long, declared: String,
+                                    sniffed: String, ok: Int,
+                                    width: Option[Int], height: Option[Int],
+                                    channels: Option[Int],
+                                    sample_rate: Option[Int],
+                                    duration_ms: Option[Long], n_bytes: Long)
+
+  /** The MEDIA lane of the content-type dispatch ([[dispatchRecords]]'
+    * census and [[dispatchText]]'s corpus serve text; this serves the
+    * image/audio/video records a multimodal crawl carries): records
+    * whose declared base type is `image/ *`, `audio/ *`, or `video/ *`
+    * are SNIFFED by [[graft.operators.MediaCodec.parseHeader]]'s
+    * magic-byte chain — crawls lie about media types, so the certified
+    * format is what the BYTES say, with the declared type kept beside
+    * it for the mismatch census. A payload no parser accepts keeps its
+    * row with `sniffed = ""` and `ok = 0` (count-don't-crash);
+    * non-media records yield no row here — they are the text lanes'
+    * business. Same narrow one-pass shape as the siblings: one
+    * mapPartitions, headers-only parsing (pixels/samples never
+    * decode), no shuffle. */
+  def dispatchMedia(recs: DataFrame): DataFrame = {
+    val spark = recs.sparkSession
+    import spark.implicits._
+    recs.select(
+        coalesce(expr("try_cast(substring_index(uri, '/', -1) AS BIGINT)"),
+          lit(-1L)).as("doc_id"),
+        col("content_type"), col("body"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, ct, body) =>
+        val base = ct.takeWhile(_ != ';').trim
+          .toLowerCase(java.util.Locale.ROOT)
+        if (!(base.startsWith("image/") || base.startsWith("audio/") ||
+          base.startsWith("video/"))) None
+        else graft.operators.MediaCodec.parseHeader(body) match {
+          case Some(m) =>
+            Some(MediaDispatchRow(id, ct, m.format, ok = 1, m.width,
+              m.height, m.channels, m.sampleRate, m.durationMs,
+              body.length.toLong))
+          case None =>
+            Some(MediaDispatchRow(id, ct, "", ok = 0, None, None, None,
+              None, None, body.length.toLong))
+        }
+      }).toDF()
+  }
 }

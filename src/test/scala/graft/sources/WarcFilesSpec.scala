@@ -213,6 +213,41 @@ class WarcFilesSpec extends SparkSpec {
       "mixed-case text records must reach the training corpus")
   }
 
+  test("dispatchMedia sniffs the BYTES (declared type kept for the " +
+    "mismatch census), counts unparseable media with ok = 0, and " +
+    "yields no row for non-media records") {
+    import spark.implicits._
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val payload = "media payload bytes".getBytes(utf8)
+    val png = graft.operators.MediaCodec.encodePng(10L, payload)
+    val wav = graft.operators.MediaCodec.encodeWav(11L, payload)
+    val recs = Seq(
+      // declared JPEG, actually PNG: the sniffed column must say png
+      ("http://s/doc/10", png, "image/jpeg"),
+      // mixed-case declared type still routes to the media lane
+      ("http://s/doc/11", wav, "Audio/WAV"),
+      // truncated media: counted, sniffed empty, never a crash
+      ("http://s/doc/12", png.take(8), "image/png"),
+      // non-media: not this lane's row
+      ("http://s/doc/13", "plain".getBytes(utf8), "text/plain"))
+      .toDF("uri", "body", "content_type")
+    val got = WarcFiles.dispatchMedia(recs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("declared"), r.getAs[String]("sniffed"),
+          r.getAs[Int]("ok"), r.getAs[Long]("n_bytes")))).toMap
+    assert(got.keySet === Set(10L, 11L, 12L))
+    assert(got(10L) === (("image/jpeg", "png", 1, png.length.toLong)),
+      "sniffing must certify the bytes, not the declared type")
+    assert(got(11L) === (("Audio/WAV", "wav", 1, wav.length.toLong)))
+    assert(got(12L) === (("image/png", "", 0, 8L)))
+    val w = WarcFiles.dispatchMedia(recs).collect()
+      .find(_.getAs[Long]("doc_id") == 11L).get
+    assert(w.getAs[Int]("channels") ===
+      graft.operators.MediaCodec.wavChannels(11L))
+    assert(w.getAs[Int]("sample_rate") ===
+      graft.operators.MediaCodec.wavSampleRate(11L))
+  }
+
   test("a stray non-warc file in the directory is not read (glob filter)") {
     val dir = Files.createTempDirectory("warcfiles_glob").toString
     WarcFiles.writeArchiveDir(docsDf, dir, files = 2, tornEvery = 0)
