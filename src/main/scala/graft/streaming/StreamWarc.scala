@@ -75,4 +75,14 @@ object StreamWarc {
     * observable); a failed extraction keeps its `ok = false` row. */
   def textRecords(spark: SparkSession, dir: String): DataFrame =
     WarcFiles.dispatchText(records(spark, dir))
+
+  /** Per-record sniffed MEDIA metadata as an APPEND stream — the
+    * multimodal sibling of [[textRecords]], routing landed files
+    * through [[WarcFiles.dispatchMedia]]'s magic-byte sniff (the SAME
+    * routing the batch census (q260) runs, so stream == batch by
+    * construction). Stateless narrow pass: sniffing is headers-only
+    * and per-record, nothing shuffles; non-media records yield no row,
+    * unparseable media keeps its countable `ok = 0` row. */
+  def mediaRecords(spark: SparkSession, dir: String): DataFrame =
+    WarcFiles.dispatchMedia(records(spark, dir))
 }

@@ -162,4 +162,58 @@ class StreamWarcSpec extends SparkSpec {
       assert(streamed(104L)._3 === "Ünicode→ body 104")
     } finally query.stop()
   }
+
+  test("mediaRecords: streamed media sniffing == the batch q260 dispatch " +
+    "across arrival waves; non-media yields no row, truncated media " +
+    "keeps its ok=0 row") {
+    val dir = Files.createTempDirectory("stream_warc_media").toString
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val payload = "stream media payload".getBytes(utf8)
+    def wave(ids: Seq[Long]): Seq[(Long, String, Array[Byte], String)] =
+      ids.map { i =>
+        val (body, ct) = (i % 4) match {
+          case 0 => (graft.operators.MediaCodec.encodePng(i, payload),
+            "image/png")
+          case 1 => (graft.operators.MediaCodec.encodeWav(i, payload),
+            "audio/wav")
+          case 2 => (graft.operators.MediaCodec
+            .encodeMp4(i, payload).take(8), "video/mp4") // truncated
+          case _ => (s"text $i".getBytes(utf8), "text/plain")
+        }
+        (i, s"src${i % 2}", body, ct)
+      }
+    WarcFiles.writeTypedArchiveDir(wave(0L until 8L), dir, files = 2,
+      tornFile = -1, corruptFile = -1)
+    val query = StreamWarc.mediaRecords(spark, dir)
+      .writeStream.format("memory").queryName("sw_media")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      // 8 docs: 2 text rows excluded -> 6 media rows
+      assert(spark.sql("SELECT * FROM sw_media").count() === 6)
+      val gen2 = Files.createTempDirectory("stream_warc_media2").toString
+      WarcFiles.writeTypedArchiveDir(wave(100L until 104L), gen2,
+        files = 1, tornFile = -1, corruptFile = -1)
+      java.nio.file.Files.list(java.nio.file.Paths.get(gen2)).forEach { p =>
+        java.nio.file.Files.move(p,
+          java.nio.file.Paths.get(dir, "gen2-" + p.getFileName.toString))
+      }
+      query.processAllAvailable()
+      def keyed(rows: Array[Row]) = rows.map(r =>
+        r.getAs[Long]("doc_id") -> ((r.getAs[String]("sniffed"),
+          r.getAs[Int]("ok"), r.getAs[Long]("n_bytes")))).toMap
+      val streamed = keyed(spark.sql(
+        "SELECT doc_id, sniffed, ok, n_bytes FROM sw_media").collect())
+      val batch = keyed(WarcFiles.dispatchMedia(
+          WarcFiles.readRecords(spark, dir))
+        .select("doc_id", "sniffed", "ok", "n_bytes")
+        .collect())
+      assert(streamed.size === 9, s"expected 9 media rows, got ${streamed.size}")
+      assert(streamed === batch,
+        "streamed media sniffing diverged from the batch dispatch")
+      assert(streamed(2L) === (("", 0, 8L)),
+        "truncated media must keep its countable ok=0 row")
+      assert(streamed(100L)._1 === "png")
+    } finally query.stop()
+  }
 }
