@@ -600,4 +600,86 @@ private[graft] trait Queries11Formats extends Queries10Information {
       |    WHEN doc_id % 6 = 5 THEN pl
       |    ELSE 0 END) AS BIGINT) AS dur_ms_total
       |FROM m GROUP BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q261 — multimodal training manifest (the capstone over q259/q260):
+  // ONE crawl archive served through BOTH dispatch lanes — text records
+  // extracted and token-counted, media records sniffed and measured —
+  // joined into the per-source manifest a multimodal training run
+  // actually consumes (text volume in tokens, media volume in assets /
+  // bytes / pixels / milliseconds, damage counted). Plan shape: each
+  // lane is one narrow archive pass feeding a tiny per-source
+  // aggregate; the two aggregates join broadcast-small (|sources|
+  // rows). Hash-exact: text tokens replay from the roundtrip-exact
+  // extractors, media measures from the q102/q125 encoder arithmetic.
+  // ---------------------------------------------------------------------
+  private[graft] def q261MultimodalManifest(spark: SparkSession, dir: String): DataFrame = {
+    val out = q260FixtureDir(spark, dir)
+    val recs = graft.sources.WarcFiles.readRecords(spark, out)
+    val text = graft.sources.WarcFiles.dispatchText(recs)
+      .filter(col("ok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_text"),
+        sum(size(graft.operators.TextAnalysis.tokens(col("text")))
+          .cast("long")).as("tokens"))
+    val media = graft.sources.WarcFiles.dispatchMedia(recs)
+      .groupBy(col("source"))
+      .agg(sum(col("ok").cast("long")).as("docs_media_ok"),
+        sum(lit(1L) - col("ok").cast("long")).as("docs_media_bad"),
+        sum(col("n_bytes")).as("media_bytes"),
+        sum(coalesce(col("width").cast("long") * col("height"), lit(0L)))
+          .as("px_total"),
+        sum(coalesce(col("duration_ms"), lit(0L))).as("dur_ms_total"))
+    text.join(media, Seq("source"), "full")
+      .select(col("source"),
+        coalesce(col("docs_text"), lit(0L)).as("docs_text"),
+        coalesce(col("tokens"), lit(0L)).as("tokens"),
+        coalesce(col("docs_media_ok"), lit(0L)).as("docs_media_ok"),
+        coalesce(col("docs_media_bad"), lit(0L)).as("docs_media_bad"),
+        coalesce(col("media_bytes"), lit(0L)).as("media_bytes"),
+        coalesce(col("px_total"), lit(0L)).as("px_total"),
+        coalesce(col("dur_ms_total"), lit(0L)).as("dur_ms_total"))
+  }
+
+  private[graft] val q261Sql =
+    """WITH t AS (SELECT source,
+      |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+      |  FROM documents WHERE doc_id % 6 < 3),
+      |tt AS (SELECT source, CAST(count(*) AS BIGINT) AS docs_text,
+      |    CAST(sum(n) AS BIGINT) AS tokens FROM t GROUP BY 1),
+      |m AS (SELECT source, doc_id, strlen(text) AS pl,
+      |    doc_id % 37 = 0 AS corrupt
+      |  FROM documents WHERE doc_id % 6 >= 3),
+      |mm AS (SELECT source,
+      |  CAST(sum(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS docs_media_ok,
+      |  CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS docs_media_bad,
+      |  CAST(sum(CASE WHEN corrupt THEN 8
+      |    WHEN doc_id % 6 = 3 THEN 57 + pl
+      |    WHEN doc_id % 6 = 4 THEN 44 + pl + pl % 2
+      |    ELSE 148 + (1 + doc_id % 3) * 100 + pl END) AS BIGINT)
+      |    AS media_bytes,
+      |  CAST(sum(CASE WHEN corrupt THEN 0
+      |    WHEN doc_id % 6 = 3
+      |      THEN (64 + doc_id % 1024) * (64 + (doc_id * 7) % 768)
+      |    WHEN doc_id % 6 = 5
+      |      THEN (160 + doc_id % 1280) * (120 + (doc_id * 7) % 720)
+      |    ELSE 0 END) AS BIGINT) AS px_total,
+      |  CAST(sum(CASE WHEN corrupt THEN 0
+      |    WHEN doc_id % 6 = 4 THEN (pl * 1000) //
+      |      ((8000 << CAST((doc_id // 3) % 3 AS INTEGER))
+      |        * (1 + doc_id % 2) * 2)
+      |    WHEN doc_id % 6 = 5 THEN pl
+      |    ELSE 0 END) AS BIGINT) AS dur_ms_total
+      |  FROM m GROUP BY 1)
+      |SELECT COALESCE(tt.source, mm.source) AS source,
+      |  COALESCE(docs_text, 0) AS docs_text,
+      |  COALESCE(tokens, 0) AS tokens,
+      |  COALESCE(docs_media_ok, 0) AS docs_media_ok,
+      |  COALESCE(docs_media_bad, 0) AS docs_media_bad,
+      |  COALESCE(media_bytes, 0) AS media_bytes,
+      |  COALESCE(px_total, 0) AS px_total,
+      |  COALESCE(dur_ms_total, 0) AS dur_ms_total
+      |FROM tt FULL JOIN mm ON tt.source = mm.source""".stripMargin
 }

@@ -393,7 +393,8 @@ object WarcFiles {
       }).toDF()
   }
 
-  final case class MediaDispatchRow(doc_id: Long, declared: String,
+  final case class MediaDispatchRow(doc_id: Long, source: String,
+                                    declared: String,
                                     sniffed: String, ok: Int,
                                     width: Option[Int], height: Option[Int],
                                     channels: Option[Int],
@@ -419,21 +420,23 @@ object WarcFiles {
     recs.select(
         coalesce(expr("try_cast(substring_index(uri, '/', -1) AS BIGINT)"),
           lit(-1L)).as("doc_id"),
+        substring_index(substring_index(col("uri"), "/", 3), "/", -1)
+          .as("source"),
         col("content_type"), col("body"))
-      .as[(Long, String, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, ct, body) =>
+      .as[(Long, String, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, src, ct, body) =>
         val base = ct.takeWhile(_ != ';').trim
           .toLowerCase(java.util.Locale.ROOT)
         if (!(base.startsWith("image/") || base.startsWith("audio/") ||
           base.startsWith("video/"))) None
         else graft.operators.MediaCodec.parseHeader(body) match {
           case Some(m) =>
-            Some(MediaDispatchRow(id, ct, m.format, ok = 1, m.width,
+            Some(MediaDispatchRow(id, src, ct, m.format, ok = 1, m.width,
               m.height, m.channels, m.sampleRate, m.durationMs,
               body.length.toLong))
           case None =>
-            Some(MediaDispatchRow(id, ct, "", ok = 0, None, None, None,
-              None, None, body.length.toLong))
+            Some(MediaDispatchRow(id, src, ct, "", ok = 0, None, None,
+              None, None, None, body.length.toLong))
         }
       }).toDF()
   }
