@@ -516,9 +516,12 @@ private[graft] trait Queries11Formats extends Queries10Information {
   // records are sniffed by the magic-byte parser chain (the bytes, not
   // the declared type, are what certify) and censused per (declared,
   // sniffed, ok) with total bytes, total pixels (images + video dims)
-  // and total duration (audio + video). Media rows at doc_id % 37 == 0
-  // are truncated to 8 bytes — no parser accepts them, so they land as
-  // sniffed = '' / ok = 0 rows, never a crash. Hash-exact: every
+  // and total duration (audio + video). Every 31st media record
+  // DECLARES a plausible-but-wrong type (crawls lie) — its census row
+  // pairs the lying declared type with the true sniffed format. Media
+  // rows at doc_id % 37 == 0 are truncated to 8 bytes — no parser
+  // accepts them, so they land as sniffed = '' / ok = 0 rows, never a
+  // crash. Hash-exact: every
   // dimension/duration/byte count replays from the q102/q125 encoder
   // arithmetic on (doc_id, strlen) residues; text-family records yield
   // NO row here (they are q258/q259's lanes — one record, one lane).
@@ -538,6 +541,11 @@ private[graft] trait Queries11Formats extends Queries10Information {
           val tb = text.getBytes(utf8)
           def dmg(b: Array[Byte]): Array[Byte] =
             if (id % 37 == 0) b.take(8) else b
+          // crawls LIE about media types: every 31st media record
+          // declares a plausible-but-wrong type — the sniff census must
+          // report the divergence, not trust the header
+          def lie(honest: String, wrong: String): String =
+            if (id % 31 == 0) wrong else honest
           val (body, ct) = (id % 6) match {
             case 0 => (graft.operators.HtmlExtract.encodePage(id, text)
               .getBytes(utf8), "text/html")
@@ -545,11 +553,11 @@ private[graft] trait Queries11Formats extends Queries10Information {
               "application/pdf")
             case 2 => (tb, "text/plain")
             case 3 => (dmg(graft.operators.MediaCodec.encodePng(id, tb)),
-              "image/png")
+              lie("image/png", "image/jpeg"))
             case 4 => (dmg(graft.operators.MediaCodec.encodeWav(id, tb)),
-              "audio/wav")
+              lie("audio/wav", "audio/mpeg"))
             case _ => (dmg(graft.operators.MediaCodec.encodeMp4(id, tb)),
-              "video/mp4")
+              lie("video/mp4", "video/webm"))
           }
           (id, src, body, ct)
         }
@@ -573,8 +581,13 @@ private[graft] trait Queries11Formats extends Queries10Information {
 
   private[graft] val q260Sql =
     """WITH m AS (SELECT doc_id, strlen(text) AS pl,
-      |    CASE doc_id % 6 WHEN 3 THEN 'image/png'
-      |      WHEN 4 THEN 'audio/wav' ELSE 'video/mp4' END AS declared,
+      |    CASE WHEN doc_id % 31 = 0 THEN
+      |      CASE doc_id % 6 WHEN 3 THEN 'image/jpeg'
+      |        WHEN 4 THEN 'audio/mpeg' ELSE 'video/webm' END
+      |    ELSE
+      |      CASE doc_id % 6 WHEN 3 THEN 'image/png'
+      |        WHEN 4 THEN 'audio/wav' ELSE 'video/mp4' END
+      |    END AS declared,
       |    doc_id % 37 = 0 AS corrupt
       |  FROM documents WHERE doc_id % 6 >= 3)
       |SELECT declared,
