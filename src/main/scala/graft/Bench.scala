@@ -285,8 +285,13 @@ object Bench {
         // number of record without the journal showing the chase.
         val trials =
           sys.env.getOrElse("SPARK_GRAFT_PIPELINE_TRIALS", "3").toInt
-        val maxTrials = math.max(trials,
-          sys.env.getOrElse("SPARK_GRAFT_PIPELINE_MAX_TRIALS", "6").toInt)
+        // an EXPLICIT single-trial request is a quick local check — the
+        // agreement chase must not turn it into six 15 s feeds; the
+        // spread defense applies from 2 trials up
+        val maxTrials =
+          if (trials <= 1) trials
+          else math.max(trials,
+            sys.env.getOrElse("SPARK_GRAFT_PIPELINE_MAX_TRIALS", "6").toInt)
         val pipeGate =
           sys.env.getOrElse("SPARK_GRAFT_PIPELINE_LOAD_GATE", "2.5").toDouble
         var runs = Vector.empty[PipelineThroughput.Result]

@@ -375,14 +375,14 @@ private[graft] trait Queries11Formats extends Queries10Information {
       |FROM documents WHERE doc_id % 10 <> 5 GROUP BY 1
       |UNION ALL
       |SELECT 'status_warc_ok', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
-      |FROM fs WHERE f <> 0 AND f <> 5
+      |FROM fs WHERE f <> 0 AND f <> 5 GROUP BY 1
       |UNION ALL
       |SELECT 'status_warc_torn', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
-      |FROM fs WHERE f = 0
+      |FROM fs WHERE f = 0 GROUP BY 1
       |UNION ALL
       |SELECT 'status_warc_corrupt', CAST(count(*) AS BIGINT),
       |  CAST(0 AS BIGINT)
-      |FROM fs WHERE f = 5""".stripMargin
+      |FROM fs WHERE f = 5 GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
   // q259 — the full crawl→training-corpus funnel (r17): WARC bytes →

@@ -521,6 +521,12 @@ private[graft] trait Queries2Sketches extends Queries1Parity {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q48LabelsDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // the labels artifact is BUILT FROM the pairs artifact, so its cache
+  // key must move whenever the pairs builder's does — otherwise a pairs
+  // version bump would serve fresh pairs beside stale labels and break
+  // the never-disagree invariant the docstrings promise
+  private val Q48PairsVersion = 1
+  private val Q48LabelsVersion = 100 * Q48PairsVersion + 1
 
   /** The q21 pair graph (doc_a, doc_b, jaccard) served from parquet —
     * DISK-CACHED across JVMs (r17, VERDICT #7: the per-JVM temp memo
@@ -529,7 +535,8 @@ private[graft] trait Queries2Sketches extends Queries1Parity {
     * only avoids re-fingerprinting per call. */
   private[graft] def textPairsArtifact(spark: SparkSession, dir: String): DataFrame = {
     val path = q48PairsDirs.computeIfAbsent(dir, _ =>
-      diskCachedArtifact("q48_pairs", version = 1, dir, "documents") { out =>
+      diskCachedArtifact("q48_pairs", version = Q48PairsVersion, dir,
+        "documents") { out =>
         Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
             n = 3, threshold = 0.5, maxShingleDfFrac = 0.1)
           .write.mode("overwrite").parquet(out)
@@ -543,7 +550,8 @@ private[graft] trait Queries2Sketches extends Queries1Parity {
     * JVMs like the pairs. */
   private[graft] def dedupClustersArtifact(spark: SparkSession, dir: String): DataFrame = {
     val path = q48LabelsDirs.computeIfAbsent(dir, _ =>
-      diskCachedArtifact("q48_labels", version = 1, dir, "documents") { out =>
+      diskCachedArtifact("q48_labels", version = Q48LabelsVersion, dir,
+        "documents") { out =>
         Dedup.connectedComponents(
             Tables.documents(spark, dir).select(col("doc_id").as("id")),
             textPairsArtifact(spark, dir)

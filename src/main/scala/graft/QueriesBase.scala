@@ -86,17 +86,29 @@ private[graft] trait QueriesBase {
     else {
       parent.mkdirs()
       // sweep stale keys of THIS source dir only (old data fingerprints
-      // / old versions); the build below replaces them. Dot-prefixed
-      // entries are ANOTHER BUILDER'S in-flight staging dirs — deleting
-      // one mid-write tears a concurrent build (worst case: after its
-      // job commit wrote _SUCCESS but before its rename, committing a
-      // torn artifact). They are only swept once old enough that the
-      // writer is certainly dead (crash leftovers, not live builds).
+      // / old versions); the build below replaces them. Two classes get
+      // grace, mirroring StreamCluster's compaction discipline:
+      //   - dot-prefixed entries are ANOTHER BUILDER'S in-flight staging
+      //     dirs — deleting one mid-write tears a concurrent build
+      //     (worst case: after its job commit wrote _SUCCESS but before
+      //     its rename, committing a torn artifact); swept only once
+      //     old enough that the writer is certainly dead;
+      //   - the NEWEST committed sibling key survives one supersession
+      //     cycle: a concurrently RUNNING JVM's memoized path most
+      //     likely points at it, and an immediate delete would fail its
+      //     in-flight reads — it goes when the cycle after next builds.
       val staleStagingMs = 60L * 60 * 1000
-      Option(parent.listFiles()).toSeq.flatten
-        .filter(d => d.isDirectory && d.getName != key &&
-          (!d.getName.startsWith(".") ||
-            System.currentTimeMillis() - d.lastModified() > staleStagingMs))
+      val siblings = Option(parent.listFiles()).toSeq.flatten
+        .filter(d => d.isDirectory && d.getName != key)
+      val newestCommitted = siblings
+        .filter(d => !d.getName.startsWith(".") &&
+          new java.io.File(d, "_SUCCESS").exists())
+        .sortBy(_.lastModified()).lastOption
+      siblings
+        .filter(d =>
+          if (d.getName.startsWith("."))
+            System.currentTimeMillis() - d.lastModified() > staleStagingMs
+          else !newestCommitted.map(_.getName).contains(d.getName))
         .foreach(FsUtil.deleteRecursively)
       // a TORN target (crashed build: dir present, no _SUCCESS) blocks
       // the rename — remove it; re-check _SUCCESS first so a build that
@@ -141,7 +153,10 @@ private[graft] trait QueriesBase {
   * caller). */
 private[graft] object FsUtil {
   def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory)
+    // never recurse THROUGH a symlink: File.isDirectory resolves links,
+    // so a planted/stale link inside a swept cache dir would otherwise
+    // have its TARGET's contents deleted — unlink the link itself only
+    if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
       Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
     f.delete(); ()
   }

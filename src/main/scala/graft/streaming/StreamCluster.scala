@@ -700,6 +700,16 @@ object StreamCluster {
             "pass the original nBuckets and recreate the file by hand, " +
             "or rebuild the artifact")
       }
+    } else if (hasHistory(spark, path, Long.MaxValue)) {
+      // committed generations but NO meta: a pre-meta (legacy) artifact
+      // whose layout modulus only its original caller knows. Silently
+      // persisting the requested value would bless a possibly-different
+      // modulus and mis-bucket every prune — exactly the bug the meta
+      // exists to prevent — so demand the one-time manual ack.
+      sys.error(
+        s"$path has committed generations but no $metaPath (a pre-meta " +
+          "artifact): create the file by hand with the nBuckets the " +
+          "artifact was originally maintained under, or rebuild")
     } else {
       writeNBucketsMeta(fs, metaPath, requested)
       requested
@@ -716,13 +726,22 @@ object StreamCluster {
     val out = fs.create(tmp, false)
     try out.write(value.toString.getBytes("UTF-8"))
     finally out.close()
-    // no-overwrite rename: if a racing writer committed first, adopt
-    // its value only if it matches; the artifact is single-writer by
-    // contract, so a mismatch here is a configuration error
+    // no-overwrite rename: if a racing writer committed first, ADOPT is
+    // only safe when its value matches ours — the artifact is
+    // single-writer by contract, so a mismatch is a configuration error
+    // that must fail loudly, not a prune that silently skips buckets
     if (!fs.rename(tmp, metaPath)) {
       fs.delete(tmp, false)
       require(fs.exists(metaPath),
         s"meta rename failed without a committed $metaPath")
+      val in = fs.open(metaPath)
+      val committed =
+        try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+      require(committed == value.toString,
+        s"a racing writer committed nbuckets=$committed at $metaPath " +
+          s"while this maintain requested $value — the artifact is " +
+          "single-writer; align the callers")
     }
   }
 }

@@ -56,8 +56,9 @@ class ArtifactCacheSpec extends AnyFunSuite {
     assert(Files.exists(Paths.get(p1, "_SUCCESS")))
   }
 
-  test("changed source data rebuilds under a new key and sweeps the " +
-    "stale one; a version bump does too") {
+  test("changed source data rebuilds under a new key; the superseded key " +
+    "survives ONE supersession cycle (a running JVM's memoized path) " +
+    "and is swept by the cycle after") {
     val src = newSource()
     val name = uniqueName()
     val builds = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -69,10 +70,16 @@ class ArtifactCacheSpec extends AnyFunSuite {
     val p2 = base.diskCachedArtifact(name, 1, src, "documents")(fakeBuild(builds))
     assert(p1 !== p2, "changed data must produce a new cache key")
     assert(builds.get() === 2)
-    assert(!Files.exists(Paths.get(p1)), "stale key not swept")
+    assert(Files.exists(Paths.get(p1, "_SUCCESS")),
+      "the newest superseded key must survive one cycle — another JVM " +
+        "may still be serving it")
     val p3 = base.diskCachedArtifact(name, 2, src, "documents")(fakeBuild(builds))
     assert(p3 !== p2, "a version bump must produce a new cache key")
     assert(builds.get() === 3)
+    assert(!Files.exists(Paths.get(p1)),
+      "the twice-superseded key must be swept")
+    assert(Files.exists(Paths.get(p2, "_SUCCESS")),
+      "the once-superseded key keeps its grace cycle")
   }
 
   test("two source dirs coexist: a miss for one SF dir must not sweep " +

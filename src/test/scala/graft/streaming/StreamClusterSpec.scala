@@ -454,5 +454,12 @@ class StreamClusterSpec extends SparkSpec {
       StreamCluster.effectiveNBuckets(spark, path, 8))
     assert(e.getMessage.contains("nbuckets"))
     assert(!e.isInstanceOf[NumberFormatException])
+    // MISSING meta with committed history (a pre-meta legacy artifact):
+    // silently persisting the caller's value would bless a possibly
+    // different modulus — restart must demand the manual ack instead
+    Files.delete(metaDir.resolve("nbuckets"))
+    val e2 = intercept[RuntimeException](
+      StreamCluster.effectiveNBuckets(spark, path, 8))
+    assert(e2.getMessage.contains("pre-meta"))
   }
 }
