@@ -73,6 +73,10 @@ class ArtifactCacheSpec extends AnyFunSuite {
     assert(Files.exists(Paths.get(p1, "_SUCCESS")),
       "the newest superseded key must survive one cycle — another JVM " +
         "may still be serving it")
+    // two fast builds can land in the same mtime millisecond; pin the
+    // ordering the sweep's newest-survivor pick depends on
+    assert(Paths.get(p1).toFile
+      .setLastModified(System.currentTimeMillis() - 10000))
     val p3 = base.diskCachedArtifact(name, 2, src, "documents")(fakeBuild(builds))
     assert(p3 !== p2, "a version bump must produce a new cache key")
     assert(builds.get() === 3)
