@@ -248,6 +248,41 @@ class WarcFilesSpec extends SparkSpec {
       graft.operators.MediaCodec.wavSampleRate(11L))
   }
 
+  test("dispatch fuzz (seeded): arbitrary bytes, content types, and URI " +
+    "shapes never crash any lane — every record is censused exactly " +
+    "once, media/text lanes partition by declared base type") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5eed17L)
+    val typePool = Seq("", ";", "text/html", "TEXT/plain; charset=X",
+      "application/pdf", "image/png", "Image/JPEG;x=y", "audio/wav",
+      "video/mp4", "IMAGE/", "video/mp4;;charset=", "applica tion/pdf",
+      "tëxt/plain", "text/", "image/png extra", "application/octet-stream")
+    val uriPool = Seq("http://s/doc/%d", "http://s/doc/%dx", "no-slash%d",
+      "http://example.com/a/b/%d/", "%d", "http://s/doc/-%d")
+    val recs = (0 until 200).map { i =>
+      val body = new Array[Byte](rnd.nextInt(300))
+      rnd.nextBytes(body)
+      (uriPool(rnd.nextInt(uriPool.length)).format(i),
+        body, typePool(rnd.nextInt(typePool.length)))
+    }
+    val df = recs.toDF("uri", "body", "content_type")
+    // census lane: one row per record, whatever the input garbage
+    val census = WarcFiles.dispatchRecords(df).collect()
+    assert(census.length === recs.length)
+    // media/text lanes: rows appear exactly for their declared base
+    // types and never throw on garbage payloads
+    def baseOf(ct: String) = ct.takeWhile(_ != ';').trim
+      .toLowerCase(java.util.Locale.ROOT)
+    val nMedia = recs.count(r => Seq("image/", "audio/", "video/")
+      .exists(baseOf(r._3).startsWith))
+    val nText = recs.count { r =>
+      val b = baseOf(r._3)
+      b == "text/html" || b == "application/pdf" || b.startsWith("text/")
+    }
+    assert(WarcFiles.dispatchMedia(df).collect().length === nMedia)
+    assert(WarcFiles.dispatchText(df).collect().length === nText)
+  }
+
   test("a stray non-warc file in the directory is not read (glob filter)") {
     val dir = Files.createTempDirectory("warcfiles_glob").toString
     WarcFiles.writeArchiveDir(docsDf, dir, files = 2, tornEvery = 0)
