@@ -264,9 +264,19 @@ object Bench {
     // load artifact become the number of record (280,577 vs 190,241
     // rows/s for identical code). Best-of — not min-of — because
     // contention only ever DEFLATES throughput.
+    // SPARK_GRAFT_PIPELINE_TRIALS <= 0 is an explicit skip (ADVICE r17:
+    // with 0 the old `if (trials <= 1) trials` made maxTrials 0, the
+    // trial loop never ran, and runs.maxBy threw on the empty Vector —
+    // swallowed into a misleading {"error":"UnsupportedOperationException"}
+    // journal line); a skip must journal AS a skip
+    val pipelineTrialsReq =
+      sys.env.getOrElse("SPARK_GRAFT_PIPELINE_TRIALS", "3").toInt
     val pipe: Option[PipelineThroughput.Result] =
       if (sys.env.getOrElse("SPARK_GRAFT_PIPELINE_BENCH", "1") == "0") None
-      else try {
+      else if (pipelineTrialsReq <= 0) {
+        emit(s"""{"detail":"pipeline","skipped":"SPARK_GRAFT_PIPELINE_TRIALS=$pipelineTrialsReq"}""")
+        None
+      } else try {
         PipelineThroughput.run(spark, sfDir, targetFrames = 1L)
         val frames =
           sys.env.getOrElse("SPARK_GRAFT_PIPELINE_FRAMES", "4000000").toLong
@@ -283,13 +293,12 @@ object Bench {
         // extra gated trials run, up to SPARK_GRAFT_PIPELINE_MAX_TRIALS
         // (default 6), so an uncorroborated best never becomes the
         // number of record without the journal showing the chase.
-        val trials =
-          sys.env.getOrElse("SPARK_GRAFT_PIPELINE_TRIALS", "3").toInt
+        val trials = pipelineTrialsReq
         // an EXPLICIT single-trial request is a quick local check — the
         // agreement chase must not turn it into six 15 s feeds; the
         // spread defense applies from 2 trials up
         val maxTrials =
-          if (trials <= 1) trials
+          if (trials <= 1) 1
           else math.max(trials,
             sys.env.getOrElse("SPARK_GRAFT_PIPELINE_MAX_TRIALS", "6").toInt)
         val pipeGate =

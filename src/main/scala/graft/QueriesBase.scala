@@ -107,7 +107,14 @@ private[graft] trait QueriesBase {
       siblings
         .filter(d =>
           if (d.getName.startsWith("."))
-            System.currentTimeMillis() - d.lastModified() > staleStagingMs
+            // age by the NEWEST mtime anywhere under the staging dir
+            // (ADVICE r17): a long-running concurrent build writes into
+            // SUBDIRECTORIES without refreshing the top-level mtime, so
+            // keying the grace on the top dir alone could tear a live
+            // build that simply outlasts the threshold — any part-file
+            // or _temporary entry written within the window keeps it
+            System.currentTimeMillis() -
+              FsUtil.newestMtimeRecursively(d) > staleStagingMs
           else !newestCommitted.map(_.getName).contains(d.getName))
         .foreach(FsUtil.deleteRecursively)
       // a TORN target (crashed build: dir present, no _SUCCESS) blocks
@@ -152,6 +159,18 @@ private[graft] trait QueriesBase {
   * standalone throughput mains (one recursive delete, not a copy per
   * caller). */
 private[graft] object FsUtil {
+  /** Newest lastModified found anywhere under `f` (including `f`
+    * itself) — the liveness signal of an in-flight staged build, whose
+    * writes land in subdirectories without touching the top dir's
+    * mtime. Never follows symlinks (same rule as the delete below). */
+  def newestMtimeRecursively(f: java.io.File): Long = {
+    val own = f.lastModified()
+    if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
+      (own +: Option(f.listFiles()).toSeq.flatten
+        .map(newestMtimeRecursively)).max
+    else own
+  }
+
   def deleteRecursively(f: java.io.File): Unit = {
     // never recurse THROUGH a symlink: File.isDirectory resolves links,
     // so a planted/stale link inside a swept cache dir would otherwise

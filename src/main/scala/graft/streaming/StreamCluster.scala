@@ -661,6 +661,21 @@ object StreamCluster {
       committed(spark, root, "base=", beforeGen).nonEmpty
   }
 
+  /** Any committed generation under ANY artifact half. The labels-only
+    * [[hasHistory]] is right for the maintainer (the labeling defines
+    * the artifact's state), but the META guard must see layout history
+    * a labels check cannot: a crash between the first batch's shingles
+    * write and its labels write leaves committed bucketed shingle
+    * generations with no labels generation — healing a torn meta to the
+    * caller's requested value there would silently mis-bucket pruned
+    * reads of that generation under a possibly-different modulus. */
+  private def hasLayoutHistory(spark: SparkSession, path: String): Boolean =
+    Seq(s"$path/labels", s"$path/shingles", s"$path/labels_byc")
+      .exists { root =>
+        committed(spark, root, "gen=", Long.MaxValue).nonEmpty ||
+          committed(spark, root, "base=", Long.MaxValue).nonEmpty
+      }
+
   // -------------------------------------------------------------- meta
 
   /** Resolve the artifact's bucket modulus: adopt `path/_meta/nbuckets`
@@ -689,7 +704,7 @@ object StreamCluster {
       } catch { case _: java.io.IOException => None }
       parsed match {
         case Some(nb) => nb
-        case None if !hasHistory(spark, path, Long.MaxValue) =>
+        case None if !hasLayoutHistory(spark, path) =>
           fs.delete(metaPath, false)
           writeNBucketsMeta(fs, metaPath, requested)
           requested
@@ -700,7 +715,7 @@ object StreamCluster {
             "pass the original nBuckets and recreate the file by hand, " +
             "or rebuild the artifact")
       }
-    } else if (hasHistory(spark, path, Long.MaxValue)) {
+    } else if (hasLayoutHistory(spark, path)) {
       // committed generations but NO meta: a pre-meta (legacy) artifact
       // whose layout modulus only its original caller knows. Silently
       // persisting the requested value would bless a possibly-different

@@ -144,4 +144,35 @@ class ArtifactCacheSpec extends AnyFunSuite {
     assert(!Files.exists(stale),
       "hour-old crash leftover staging dir not reclaimed")
   }
+
+  test("the staging grace keys on the NEWEST mtime found recursively " +
+    "(ADVICE r17): a long build whose writes land in a SUBDIRECTORY — a " +
+    "Spark job committing part files under _temporary — keeps its " +
+    "staging dir alive even when the top-level mtime is hours old") {
+    val src = newSource()
+    val name = uniqueName()
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val p1 = base.diskCachedArtifact(name, 1, src, "documents")(fakeBuild(builds))
+    val parent = Paths.get(p1).getParent
+    val longBuild = parent.resolve(".build-long-running")
+    val sub = longBuild.resolve("_temporary").resolve("0")
+    Files.createDirectories(sub)
+    Files.write(sub.resolve("part-0"), "fresh write".getBytes("UTF-8"))
+    // age the top dir (and the intermediate) WAY past the grace window;
+    // only the leaf part file is fresh — exactly what a long Spark write
+    // looks like from outside
+    val twoHoursAgo = System.currentTimeMillis() - 2L * 60 * 60 * 1000
+    assert(longBuild.toFile.setLastModified(twoHoursAgo))
+    assert(longBuild.resolve("_temporary").toFile.setLastModified(twoHoursAgo))
+    assert(sub.toFile.setLastModified(twoHoursAgo))
+    base.diskCachedArtifact(name, 2, src, "documents")(fakeBuild(builds))
+    assert(Files.exists(sub.resolve("part-0")),
+      "sweep tore a live build whose only fresh mtime was a leaf file")
+    // and once the LEAF ages out too, the dir is a genuine crash
+    // leftover and is reclaimed
+    assert(sub.resolve("part-0").toFile.setLastModified(twoHoursAgo))
+    base.diskCachedArtifact(name, 3, src, "documents")(fakeBuild(builds))
+    assert(!Files.exists(longBuild),
+      "fully-aged staging dir not reclaimed")
+  }
 }

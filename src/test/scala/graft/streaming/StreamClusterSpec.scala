@@ -462,4 +462,32 @@ class StreamClusterSpec extends SparkSpec {
       StreamCluster.effectiveNBuckets(spark, path, 8))
     assert(e2.getMessage.contains("pre-meta"))
   }
+
+  test("the meta guard sees SHINGLES-only history (ADVICE r17): a crash " +
+    "between the first batch's shingles write and its labels write must " +
+    "not let a torn meta heal to the caller's value — the committed " +
+    "bucketed shingle generation was written under the old modulus") {
+    val path = Files.createTempDirectory("stream_cluster_meta_shingles").toString
+    val metaDir = java.nio.file.Paths.get(path, "_meta")
+    Files.createDirectories(metaDir)
+    Files.write(metaDir.resolve("nbuckets"), Array.emptyByteArray) // torn
+    // committed shingles generation, NO labels generation — exactly the
+    // crash window between the two writes of the first batch
+    val gen = java.nio.file.Paths.get(path, "shingles", "gen=0")
+    Files.createDirectories(gen)
+    Files.write(gen.resolve("_SUCCESS"), Array.emptyByteArray)
+    val e = intercept[RuntimeException](
+      StreamCluster.effectiveNBuckets(spark, path, 8))
+    assert(e.getMessage.contains("nbuckets"),
+      "torn meta healed despite committed shingle history")
+    // same blindness check for the MISSING-meta legacy guard: byc-only
+    // history (labels_byc committed, labels swept) must also demand ack
+    val path2 = Files.createTempDirectory("stream_cluster_meta_byc").toString
+    val byc = java.nio.file.Paths.get(path2, "labels_byc", "base=3")
+    Files.createDirectories(byc)
+    Files.write(byc.resolve("_SUCCESS"), Array.emptyByteArray)
+    val e2 = intercept[RuntimeException](
+      StreamCluster.effectiveNBuckets(spark, path2, 8))
+    assert(e2.getMessage.contains("pre-meta"))
+  }
 }
