@@ -654,6 +654,100 @@ private[graft] trait Queries11Formats extends Queries10Information {
         coalesce(col("dur_ms_total"), lit(0L)).as("dur_ms_total"))
   }
 
+  // ---------------------------------------------------------------------
+  // q262 — CHARSET-certified text dispatch (r18, VERDICT #1): a crawl
+  // fixture whose text records declare the charsets a real crawl
+  // carries (doc_id % 7 → latin-1 / windows-1252 / UTF-8 / a LYING
+  // latin-1 declaration over UTF-8 bytes / a lying UTF-8 declaration
+  // over latin-1 bytes / an unknown name / HTML whose charset rides a
+  // <meta charset> tag with no transport param), each body prefixed
+  // with a deterministic non-ASCII marker so the decode actually
+  // matters. WarcFiles.dispatchRecords routes every record through
+  // TextCharsets: the census pins per (declared type, charset used,
+  // decode class) counts and certified char volumes. The failure
+  // classes are now COUNTED, not silently served: lane 4's malformed
+  // UTF-8 lands as `replaced`, lane 5's unknown name as `fallback`.
+  // Lane 3 documents the UNDETECTABLE lie — UTF-8 bytes declared
+  // latin-1 decode without error to mojibake (latin-1 maps every byte),
+  // so its census row is honest arithmetic over the wrong chars; no
+  // engine can catch that class from bytes alone. Hash-exact: every
+  // char count replays from strlen residues (the markers add +2/+3
+  // chars by lane), and the HTML lane rides the q254 roundtrip-exact
+  // extraction certificate.
+  // ---------------------------------------------------------------------
+  private val warcCharsetFixtureDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def q262FixtureDir(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    warcCharsetFixtureDir.computeIfAbsent(dir, _ => {
+      val d = scopedTempDir("graft_warc_charset")
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+      val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+      val rows = Tables.documents(spark, dir)
+        .select(col("doc_id").cast("long"), col("source"), col("text"))
+        .as[(Long, String, String)].collect().toSeq
+        .map { case (id, src, text) =>
+          val (body, ct) = (id % 7) match {
+            case 0 => (("é " + text).getBytes(latin1),
+              "text/plain; charset=iso-8859-1")
+            case 1 => (("€ " + text).getBytes(cp1252),
+              "text/plain; charset=windows-1252")
+            case 2 => (("é☃ " + text).getBytes(utf8),
+              "text/plain; charset=utf-8")
+            case 3 => // the lie latin-1 cannot reject: UTF-8 bytes
+              (("é " + text).getBytes(utf8),
+                "text/plain; charset=ISO-8859-1")
+            case 4 => // the lie UTF-8 DOES reject: 0xE9 is malformed
+              (("é " + text).getBytes(latin1),
+                "text/plain; charset=utf-8")
+            case 5 => (("é " + text).getBytes(utf8),
+              "text/plain; charset=x-unknown-cs")
+            case _ =>
+              val page = graft.operators.HtmlExtract
+                .encodePage(id, "é " + text)
+                .replaceFirst("<head>",
+                  "<head><meta charset=\"iso-8859-1\">")
+              (page.getBytes(latin1), "text/html")
+          }
+          (id, src, body, ct)
+        }
+      graft.sources.WarcFiles.writeTypedArchiveDir(rows, d, files = 4,
+        tornFile = -1, corruptFile = -1)
+      d
+    })
+  }
+
+  private[graft] def q262CharsetDispatch(spark: SparkSession, dir: String): DataFrame = {
+    val out = q262FixtureDir(spark, dir)
+    graft.sources.WarcFiles
+      .dispatchRecords(graft.sources.WarcFiles.readRecords(spark, out))
+      .groupBy(col("format"), col("charset"), col("decode"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("n_chars"))
+  }
+
+  private[graft] val q262Sql =
+    """WITH m AS (SELECT doc_id % 7 AS lane, strlen(text) AS pl
+      |  FROM documents)
+      |SELECT CASE lane WHEN 0 THEN 'text/plain; charset=iso-8859-1'
+      |    WHEN 1 THEN 'text/plain; charset=windows-1252'
+      |    WHEN 2 THEN 'text/plain; charset=utf-8'
+      |    WHEN 3 THEN 'text/plain; charset=ISO-8859-1'
+      |    WHEN 4 THEN 'text/plain; charset=utf-8'
+      |    WHEN 5 THEN 'text/plain; charset=x-unknown-cs'
+      |    ELSE 'text/html' END AS format,
+      |  CASE lane WHEN 1 THEN 'windows-1252'
+      |    WHEN 2 THEN 'utf-8' WHEN 4 THEN 'utf-8' WHEN 5 THEN 'utf-8'
+      |    ELSE 'iso-8859-1' END AS charset,
+      |  CASE lane WHEN 4 THEN 'replaced' WHEN 5 THEN 'fallback'
+      |    ELSE 'ok' END AS decode,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN lane = 2 OR lane = 3 THEN pl + 3
+      |    ELSE pl + 2 END) AS BIGINT) AS n_chars
+      |FROM m GROUP BY 1, 2, 3""".stripMargin
+
   private[graft] val q261Sql =
     """WITH t AS (SELECT source,
       |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n

@@ -302,7 +302,8 @@ object WarcFiles {
         .load(dir))
 
   final case class DispatchRow(doc_id: Long, format: String, ok: Boolean,
-                               n_chars: Long)
+                               n_chars: Long, charset: String,
+                               decode: String)
 
   /** Content-Type DISPATCH over served response records — the real
     * Common Crawl front end: one narrow pass routes each record's
@@ -332,27 +333,35 @@ object WarcFiles {
       .mapPartitions(_.map { case (id, ct, body) =>
         // media-type matching is case-insensitive per RFC 2045 —
         // 'Text/HTML' routes with 'text/html'
+        val declared = graft.codec.TextCharsets.charsetParam(ct)
         ct.takeWhile(_ != ';').trim
           .toLowerCase(java.util.Locale.ROOT) match {
           case "text/html" =>
-            val e = graft.operators.HtmlExtract.extract(
-              new String(body, java.nio.charset.StandardCharsets.UTF_8))
-            DispatchRow(id, ct, e.ok, if (e.ok) e.body.length.toLong else 0L)
+            // charset-certified decode (r18): transport param, else
+            // <meta charset> prescan, else UTF-8 — damage censused in
+            // the charset/decode columns, never silently served
+            val d = graft.codec.TextCharsets.decode(body, declared,
+              sniffHtml = true)
+            val e = graft.operators.HtmlExtract.extract(d.text)
+            DispatchRow(id, ct, e.ok,
+              if (e.ok) e.body.length.toLong else 0L, d.charset, d.decode)
           case "application/pdf" =>
             val p = graft.operators.PdfExtract.extract(body)
-            DispatchRow(id, ct, p.ok, if (p.ok) p.body.length.toLong else 0L)
+            DispatchRow(id, ct, p.ok,
+              if (p.ok) p.body.length.toLong else 0L, "", "")
           case t if t.startsWith("text/") =>
-            DispatchRow(id, ct, ok = true,
-              new String(body,
-                java.nio.charset.StandardCharsets.UTF_8).length.toLong)
+            val d = graft.codec.TextCharsets.decode(body, declared)
+            DispatchRow(id, ct, ok = true, d.text.length.toLong,
+              d.charset, d.decode)
           case _ =>
-            DispatchRow(id, ct, ok = true, body.length.toLong)
+            DispatchRow(id, ct, ok = true, body.length.toLong, "", "")
         }
       }).toDF()
   }
 
   final case class TextRow(doc_id: Long, source: String, format: String,
-                           ok: Boolean, text: String)
+                           ok: Boolean, text: String, charset: String,
+                           decode: String)
 
   /** The corpus-building sibling of [[dispatchRecords]]: same one-pass
     * Content-Type routing, but SERVING the extracted text instead of
@@ -362,7 +371,12 @@ object WarcFiles {
     * NO row here (their existence is [[dispatchRecords]]' census, their
     * bytes the media lane's). A failed extraction keeps its row with
     * `ok = false` and empty text, so the funnel's extraction-loss stage
-    * is countable. The `source` rides the WARC target URI
+    * is countable. Text decodes are CHARSET-CERTIFIED (r18,
+    * [[graft.codec.TextCharsets]]): the declared `charset=` parameter
+    * is honored, HTML without one is meta-sniffed, unknown names fall
+    * back to UTF-8 and malformed bytes replace — each class censused in
+    * the `charset`/`decode` columns instead of silently serving
+    * mojibake. The `source` rides the WARC target URI
     * (`http://<source>/doc/<id>`, Warc.scala:267). Still narrow: one
     * mapPartitions, no shuffle, no per-format archive rescan. */
   def dispatchText(recs: DataFrame): DataFrame = {
@@ -376,18 +390,23 @@ object WarcFiles {
         col("content_type"), col("body"))
       .as[(Long, String, String, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, src, ct, body) =>
+        val declared = graft.codec.TextCharsets.charsetParam(ct)
         ct.takeWhile(_ != ';').trim
           .toLowerCase(java.util.Locale.ROOT) match {
           case "text/html" =>
-            val e = graft.operators.HtmlExtract.extract(
-              new String(body, java.nio.charset.StandardCharsets.UTF_8))
-            Some(TextRow(id, src, ct, e.ok, if (e.ok) e.body else ""))
+            val d = graft.codec.TextCharsets.decode(body, declared,
+              sniffHtml = true)
+            val e = graft.operators.HtmlExtract.extract(d.text)
+            Some(TextRow(id, src, ct, e.ok, if (e.ok) e.body else "",
+              d.charset, d.decode))
           case "application/pdf" =>
             val p = graft.operators.PdfExtract.extract(body)
-            Some(TextRow(id, src, ct, p.ok, if (p.ok) p.body else ""))
+            Some(TextRow(id, src, ct, p.ok, if (p.ok) p.body else "",
+              "", ""))
           case t if t.startsWith("text/") =>
-            Some(TextRow(id, src, ct, ok = true,
-              new String(body, java.nio.charset.StandardCharsets.UTF_8)))
+            val d = graft.codec.TextCharsets.decode(body, declared)
+            Some(TextRow(id, src, ct, ok = true, d.text, d.charset,
+              d.decode))
           case _ => None
         }
       }).toDF()

@@ -256,7 +256,14 @@ class WarcFilesSpec extends SparkSpec {
     val typePool = Seq("", ";", "text/html", "TEXT/plain; charset=X",
       "application/pdf", "image/png", "Image/JPEG;x=y", "audio/wav",
       "video/mp4", "IMAGE/", "video/mp4;;charset=", "applica tion/pdf",
-      "tëxt/plain", "text/", "image/png extra", "application/octet-stream")
+      "tëxt/plain", "text/", "image/png extra", "application/octet-stream",
+      // charset garbage (r18): illegal names, empty values, non-ASCII
+      // names, quotes, duplicate params — resolve() must fall back or
+      // honor, never throw, on every one
+      "text/plain; charset=", "text/plain; charset=\"\"",
+      "text/plain; charset=仮名", "text/plain; CHARSET='utf-8'",
+      "text/plain; charset=x y z", "text/html; a=b; charset=latin1;",
+      "text/plain; charset=\"ISO-8859-1\"", "text/css; charset=!!!")
     val uriPool = Seq("http://s/doc/%d", "http://s/doc/%dx", "no-slash%d",
       "http://example.com/a/b/%d/", "%d", "http://s/doc/-%d")
     val recs = (0 until 200).map { i =>
@@ -280,7 +287,18 @@ class WarcFilesSpec extends SparkSpec {
       b == "text/html" || b == "application/pdf" || b.startsWith("text/")
     }
     assert(WarcFiles.dispatchMedia(df).collect().length === nMedia)
-    assert(WarcFiles.dispatchText(df).collect().length === nText)
+    val textRows = WarcFiles.dispatchText(df).collect()
+    assert(textRows.length === nText)
+    // charset certification (r18): every text-lane row lands in a legal
+    // decode class with a JVM-canonical charset name; the PDF lane is
+    // byte-domain (both columns empty)
+    val legal = Set("ok", "replaced", "fallback", "fallback_replaced")
+    textRows.foreach { r =>
+      val (fmt, cs, dec) = (r.getString(2), r.getString(5), r.getString(6))
+      if (baseOf(fmt) == "application/pdf") assert(cs == "" && dec == "")
+      else { assert(cs.nonEmpty, s"no charset for $fmt")
+        assert(legal(dec), s"illegal decode class '$dec' for $fmt") }
+    }
   }
 
   test("a stray non-warc file in the directory is not read (glob filter)") {
