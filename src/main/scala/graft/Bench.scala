@@ -55,6 +55,36 @@ object Bench {
     }
     emit(s"""{"detail":"run_start","sf":"$sfDir","epoch_ms":${System.currentTimeMillis()},"load1m":${BigDecimal(loadStart).setScale(1, BigDecimal.RoundingMode.HALF_UP)}}""")
 
+    // CALIBRATION workload (r18, VERDICT #7): a fixed CPU-bound Spark
+    // job — sum(xxhash64) over a range, pure codegen, no shuffle, no
+    // data dependence — timed at run START and END and journaled, so
+    // cross-day totals normalize against measured box speed instead of
+    // being argued about (the r17 pipeline-drift question was
+    // undecidable for exactly this lack). The row count is fixed across
+    // rounds: calibration lines are only comparable at equal rows.
+    // SPARK_GRAFT_CALIBRATION_ROWS overrides; 0 disables.
+    val calibrationRows =
+      sys.env.getOrElse("SPARK_GRAFT_CALIBRATION_ROWS", "10000000000").toLong
+    def calibrate(when: String): Unit = if (calibrationRows > 0) try {
+      // untimed 1% warm first: the START probe otherwise measures
+      // first-job codegen/JIT (3.2 s of a 3.65 s reading) and is not
+      // comparable with the warm END probe
+      // (bit_xor, not sum: a multi-B-row hash sum overflows BIGINT
+      // under ANSI)
+      spark.range(calibrationRows / 100)
+        .selectExpr("bit_xor(xxhash64(id))").head()
+      val t0 = System.nanoTime()
+      spark.range(calibrationRows).selectExpr("bit_xor(xxhash64(id))").head()
+      val secs = (System.nanoTime() - t0) / 1e9
+      emit(s"""{"detail":"calibration","when":"$when","rows":$calibrationRows,"secs":${
+        BigDecimal(secs).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"load1m":${
+        BigDecimal(loadAvg()).setScale(2, BigDecimal.RoundingMode.HALF_UP)}}""")
+    } catch {
+      case e: Throwable =>
+        emit(s"""{"detail":"calibration","when":"$when","error":"${e.getClass.getSimpleName}"}""")
+    }
+    calibrate("start")
+
     // LOAD GATE (r16, VERDICT #1): identical code measured 208.1 s and
     // 253.8 s on the same day because the lane had no defense against
     // box load (a concurrently exiting sbt/test JVM inflates totals by
@@ -316,8 +346,33 @@ object Bench {
           runs = runs :+ r
         }
         val r = runs.maxBy(_.rowsPerSec)
-        emit(f"""{"detail":"pipeline","rows_per_sec":${r.rowsPerSec}%.0f,"frames":${r.frames},"secs":${BigDecimal(r.secs).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"query_agg_rows":${r.queryAggRows},"response_agg_rows":${r.responseAggRows},"batches":${r.batches},"trials":${runs.size},"top2_within_15pct":$top2Agree}""")
-        Some(r)
+        if (top2Agree || runs.size <= 1) {
+          emit(f"""{"detail":"pipeline","rows_per_sec":${r.rowsPerSec}%.0f,"frames":${r.frames},"secs":${BigDecimal(r.secs).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"query_agg_rows":${r.queryAggRows},"response_agg_rows":${r.responseAggRows},"batches":${r.batches},"trials":${runs.size},"top2_within_15pct":$top2Agree}""")
+          Some(r)
+        } else {
+          // NUMBER-OF-RECORD convention (r18, VERDICT #1): a best whose
+          // top-2 trials never agreed within 15% is a non-reproducing
+          // point — r17 published 173,586 rows/s from exactly such a
+          // run while the same code had three same-day agreeing runs at
+          // 253-281k. When the chase exhausts maxTrials without
+          // agreement, the number of record is the newest AGREEING
+          // "detail":"pipeline" line already in the journal (never a
+          // carried one — a box that drifted must not echo an ancient
+          // number forever), or NOTHING: the chase's trials stay
+          // journaled for attribution either way.
+          emit(f"""{"detail":"pipeline_no_agreement","best_rows_per_sec":${r.rowsPerSec}%.0f,"trials":${runs.size},"spread":${
+            runs.map(_.rowsPerSec).sorted.reverse.take(2) match {
+              case Seq(a, b) => BigDecimal((a - b) / a).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+              case _ => BigDecimal(0)
+            }}}""")
+          val carried = BenchJournal.newestAgreeingPipeline(sidecar)
+          carried.foreach { c =>
+            emit(f"""{"detail":"pipeline","rows_per_sec":${c.rowsPerSec}%.0f,"frames":${c.frames},"secs":${BigDecimal(c.secs).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"trials":${runs.size},"top2_within_15pct":false,"carried_from_journal":true}""")
+          }
+          if (carried.isEmpty)
+            emit(s"""{"detail":"pipeline","error":"no_agreeing_run"}""")
+          carried
+        }
       } catch {
         case e: Throwable =>
           emit(s"""{"detail":"pipeline","error":"${e.getClass.getSimpleName}"}""")
@@ -349,6 +404,7 @@ object Bench {
         emit(s"""{"detail":"wordpiece_distributed","error":"${e.getClass.getSimpleName}"}""")
     }
 
+    calibrate("end")
     emit(s"""{"detail":"queries","sf":"$sfDir","queries":${toJson(results)}}""")
 
     val failed = results.collect { case (name, v) if v < 0 => name }
@@ -378,4 +434,36 @@ object Bench {
     emit(s"""{"metric":"total","value":$totalStr,"unit":"sec","action":"materialize","sf":"$sfDir","nqueries":${results.size},"errors":$errorsJson,"load1m":$load,"slowest":${toJson(slowest)}$pipeJson$isoJson}""")
     spark.stop()
   }
+}
+
+/** Sidecar-journal reads the bench main falls back on — split out so
+  * the fallback convention is spec-testable without running a bench. */
+private[graft] object BenchJournal {
+
+  /** Newest genuinely-MEASURED agreeing pipeline line in the journal:
+    * `"detail":"pipeline"` with `top2_within_15pct` true and not itself
+    * carried (a drifted box must not echo an ancient number forever) —
+    * the number of record when a chase exhausts its trials without
+    * top-2 agreement (r18, VERDICT #1). Field order matches the bench
+    * emit; agg-row/batch fields are not recovered (they only feed the
+    * already-journaled detail line). Never throws: an unreadable or
+    * absent journal is simply no fallback. */
+  def newestAgreeingPipeline(path: String): Option[PipelineThroughput.Result] =
+    if (path.isEmpty) None
+    else try {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) None
+      else {
+        val re = ("\"detail\":\"pipeline\",\"rows_per_sec\":([0-9.]+)," +
+          "\"frames\":([0-9]+),\"secs\":([0-9.]+)").r.unanchored
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(p).asScala.iterator
+          .filter(l => l.contains("\"top2_within_15pct\":true") &&
+            !l.contains("carried_from_journal"))
+          .flatMap(re.findFirstMatchIn(_))
+          .foldLeft(Option.empty[PipelineThroughput.Result])((_, m) =>
+            Some(PipelineThroughput.Result(m.group(2).toLong,
+              m.group(3).toDouble, m.group(1).toDouble, 0L, 0L, 0L)))
+      }
+    } catch { case _: Throwable => None }
 }
