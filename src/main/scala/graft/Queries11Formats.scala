@@ -655,6 +655,133 @@ private[graft] trait Queries11Formats extends Queries10Information {
   }
 
   // ---------------------------------------------------------------------
+  // q263 — NEAR-DUP composed into the crawl funnel (r18, VERDICT #3):
+  // q259 dedups exactly (md5) but not fuzzily; a production corpus
+  // build runs near-dup after the exact stage. Same fixture and stages
+  // as q259 (dispatch → extraction → quality gate → exact keep-min),
+  // then MinHash-LSH candidate pairs over the exact winners (q26's
+  // signatures/bands, threshold 0.5), exact-Jaccard verify, connected-
+  // component closure (q48's fixpoint), keep-min per component, and the
+  // per-source token/chunk manifest counting only the kept docs.
+  //
+  // Plan shape: STILL one extraction pass — the checkpoint additionally
+  // carries the token ARRAY for quality survivors (nulls elsewhere), so
+  // the near-dup stage shingles from the checkpoint instead of
+  // re-walking the archive (minHashLshPairsOfTokens); candidates come
+  // from band buckets (never an all-pairs join — PlanAuditSpec pins
+  // both); the closure's fixpoint runs over the winner set only.
+  // Hash-exact at both SFs: every stage nests an existing oracle (q259
+  // funnel CTEs + q26 minhash CTEs at 0.5 + q48's recursive closure).
+  // ---------------------------------------------------------------------
+  private[graft] def q263CorpusNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val out = q258FixtureDir(spark, dir)
+    val recs = graft.sources.WarcFiles.readRecords(spark, out)
+    val txt = graft.sources.WarcFiles.dispatchText(recs)
+    def gate(c: org.apache.spark.sql.Column) =
+      graft.operators.TextAnalysis.qualityGate(c,
+        minTokens = 20, maxTokens = 2000)
+    val flagged = txt.filter(col("ok"))
+      .withColumn("__tk0", graft.operators.TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), col("source"),
+        when(gate(col("__tk0")), md5(col("text"))).as("__h"),
+        size(col("__tk0")).cast("long").as("n"),
+        when(gate(col("__tk0")), col("__tk0")).as("__tk"))
+      .localCheckpoint()
+    // exact dedup keep-min — q259's one corpus shuffle
+    val uniq = flagged.filter(col("__h").isNotNull)
+      .groupBy(col("__h"))
+      .agg(min(struct(col("doc_id"), col("source"), col("n"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.source").as("source"),
+        col("w.n").as("n"))
+      .localCheckpoint() // feeds winner restrict + CC seed + manifest
+    val winnersTk = flagged
+      .join(uniq.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("__tk"))
+    val pairs = graft.operators.Dedup.minHashLshPairsOfTokens(
+      winnersTk, "doc_id", "__tk", n = 3, rowsPerBand = 3, threshold = 0.5)
+    val comp = graft.operators.Dedup.connectedComponents(
+      uniq.select(col("doc_id").as("id")),
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    uniq.join(comp.select(col("id").as("doc_id"), col("component")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_exact"),
+        sum(when(col("doc_id") === col("component"), 1L).otherwise(0L))
+          .as("docs_kept"),
+        sum(when(col("doc_id") === col("component"), col("n"))
+          .otherwise(0L)).as("tokens_kept"))
+      .select(col("source"), col("docs_exact"), col("docs_kept"),
+        col("tokens_kept"),
+        ((col("tokens_kept") + lit(511L)) / lit(512L)).cast("long")
+          .as("n_chunks"))
+  }
+
+  private[graft] val q263Sql = {
+    val p = graft.operators.Dedup.MinHashP
+    val minExprs = graft.operators.Dedup.MinHashCoeffs.zipWithIndex
+      .map { case ((a, b), i) => s"MIN((h*$a+$b)%$p) AS m$i" }
+      .mkString(", ")
+    val bandSelects =
+      (0 until graft.operators.Dedup.MinHashCoeffs.length / 3).map { bi =>
+        val cat = (0 until 3).map(j => s"CAST(m${bi * 3 + j} AS VARCHAR)")
+          .mkString(" || ',' || ")
+        s"SELECT doc, $bi AS band, $cat AS bv FROM sig"
+      }.mkString(" UNION ALL ")
+    s"""WITH RECURSIVE
+      |served AS (SELECT doc_id, source, text FROM documents
+      |  WHERE doc_id % 10 <> 5),
+      |t AS (SELECT doc_id, source, text,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      |  FROM served WHERE doc_id % 4 < 3),
+      |m AS (SELECT doc_id, source, text, tk, len(tk) AS n,
+      |    len(list_distinct(tk)) AS d,
+      |    list_aggregate(list_transform(list_distinct(tk),
+      |      u -> len(list_filter(tk, x -> x = u))), 'max') AS mx,
+      |    len(list_filter(tk,
+      |      x -> x IN ('the','and','of','to','in','a','is'))) AS stop
+      |  FROM t),
+      |q AS (SELECT doc_id, source, text, tk, n FROM m
+      |  WHERE n >= 20 AND n <= 2000 AND (n - d) * 10 < n * 6
+      |    AND mx * 100 < n * 12 AND stop * 20 >= n),
+      |u AS (SELECT doc_id, source, tk, n FROM (SELECT doc_id, source, tk, n,
+      |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |  FROM q) WHERE rn = 1),
+      |shp AS (SELECT DISTINCT doc_id AS doc, sg FROM (
+      |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+      |    THEN list_transform(generate_series(1, len(tk)-2),
+      |           i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])
+      |    ELSE [] END) AS sg FROM u)),
+      |hh AS (SELECT DISTINCT doc,
+      |    CAST(('0x' || substr(md5(sg),1,15)) AS BIGINT) AS h FROM shp),
+      |sig AS (SELECT doc, $minExprs
+      |  FROM (SELECT doc, h % $p AS h FROM hh) GROUP BY doc),
+      |bands AS ($bandSelects),
+      |cand AS (SELECT DISTINCT a.doc AS x, b.doc AS y FROM bands a
+      |  JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc < b.doc),
+      |sz AS (SELECT doc, count(*) AS s FROM hh GROUP BY doc),
+      |i AS (SELECT x, y, count(*) AS c FROM cand
+      |  JOIN hh sa ON sa.doc = x JOIN hh sb ON sb.doc = y AND sa.h = sb.h
+      |  GROUP BY x, y),
+      |pp AS (SELECT x AS src, y AS dst
+      |  FROM i JOIN sz za ON x = za.doc JOIN sz zb ON y = zb.doc
+      |  WHERE c*1.0/(za.s + zb.s - c) >= 0.5),
+      |e AS (SELECT src, dst FROM pp UNION ALL SELECT dst, src FROM pp),
+      |r(v, l) AS (
+      |  SELECT doc_id, doc_id FROM u
+      |  UNION
+      |  SELECT e.dst, r.l FROM r JOIN e ON e.src = r.v WHERE r.l < e.dst),
+      |cc AS (SELECT v AS doc_id, MIN(l) AS component FROM r GROUP BY v)
+      |SELECT u.source, CAST(count(*) AS BIGINT) AS docs_exact,
+      |  CAST(sum(CASE WHEN u.doc_id = cc.component THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS docs_kept,
+      |  CAST(sum(CASE WHEN u.doc_id = cc.component THEN u.n ELSE 0 END)
+      |    AS BIGINT) AS tokens_kept,
+      |  CAST((sum(CASE WHEN u.doc_id = cc.component THEN u.n ELSE 0 END)
+      |    + 511) // 512 AS BIGINT) AS n_chunks
+      |FROM u JOIN cc ON u.doc_id = cc.doc_id GROUP BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q262 — CHARSET-certified text dispatch (r18, VERDICT #1): a crawl
   // fixture whose text records declare the charsets a real crawl
   // carries (doc_id % 7 → latin-1 / windows-1252 / UTF-8 / a LYING

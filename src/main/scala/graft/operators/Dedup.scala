@@ -285,6 +285,32 @@ object Dedup {
       .select(col("doc"), baseHash60(col("sg")).as("h"))
       .distinct()
       .localCheckpoint()
+    minHashLshPairsOverIndex(sh, rowsPerBand, threshold)
+  }
+
+  /** [[minHashLshPairs]] over an ALREADY-TOKENIZED corpus (a token-array
+    * column instead of raw text): the crawl funnel's near-dup stage
+    * (q263) tokenizes once in its single extraction pass and must not
+    * re-tokenize here — same signatures, bands, and verify as the text
+    * entry (both route through the shared index tail). */
+  def minHashLshPairsOfTokens(df: DataFrame, idCol: String,
+                              tokensCol: String, n: Int = 3,
+                              rowsPerBand: Int = 3,
+                              threshold: Double = 0.3): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("doc"),
+        explode(TextAnalysis.shinglesOfTokens(col(tokensCol), n)).as("sg"))
+      .select(col("doc"), baseHash60(col("sg")).as("h"))
+      .distinct()
+      .localCheckpoint()
+    minHashLshPairsOverIndex(sh, rowsPerBand, threshold)
+  }
+
+  /** The shared LSH tail over a hashed shingle index (fixed-width
+    * (doc, h) rows): signatures → banded self-join candidates → exact
+    * Jaccard verify with the size-ratio prune. */
+  private def minHashLshPairsOverIndex(sh: DataFrame, rowsPerBand: Int,
+                                       threshold: Double): DataFrame = {
     val mins = MinHashCoeffs.zipWithIndex.map { case ((a, b), i) =>
       min((col("h") % lit(MinHashP) * lit(a) + lit(b)) % lit(MinHashP)).as(s"m$i")
     }

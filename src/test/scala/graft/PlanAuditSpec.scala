@@ -571,6 +571,28 @@ class PlanAuditSpec extends SparkSpec {
       "q259's manifest joins must broadcast")
   }
 
+  test("q263's near-dup funnel: single extraction pass, LSH candidates " +
+    "only — never an all-pairs join") {
+    // near-dup composes INTO the funnel (r18): the served plan must not
+    // re-walk the archive (the checkpoint carries survivor token
+    // arrays — at most the crawled-census record walk, like q259) and
+    // the candidate stage must come from band buckets, never a
+    // cartesian/nested-loop over the winners (the q24-class all-pairs
+    // shape that LSH exists to avoid). The verify join on shingle
+    // hashes may legitimately sort-merge at scale, so SMJ is not
+    // banned here.
+    val plan = SparkEntry.queries("q263_corpus_near_dup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val nWalks = plan.sliding("MapPartitions".length)
+      .count(_ == "MapPartitions")
+    assert(nWalks <= 1,
+      s"q263 re-runs the dispatch extraction in its served plan " +
+        s"($nWalks MapPartitions nodes)")
+    Seq("CartesianProduct", "BroadcastNestedLoopJoin").foreach(bad =>
+      assert(!plan.contains(bad),
+        s"q263's near-dup stage degenerated to $bad"))
+  }
+
   test("column pruning reaches the parquet scan") {
     // q1 projects 4 of lineitem's 16 columns; a scan still reading
     // l_comment means the projection never reached the source
