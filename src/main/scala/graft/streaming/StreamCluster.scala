@@ -63,8 +63,11 @@ import graft.operators.Dedup
   * skips them via the max-base-id watermark, so they are inert — and
   * the NEXT compaction's stale sweep removes them. A serve reader that
   * resolved the previous layout before a compaction can therefore
-  * finish its scan; the artifact assumes a SINGLE WRITER (one maintain
-  * stream), as every checkpointed Structured Streaming sink does.
+  * finish its scan; the artifact is SINGLE WRITER (one maintain
+  * stream), ENFORCED by a writer lease (r18): create-exclusive
+  * `_meta/lease` with a per-batch heartbeat mtime — a second maintain
+  * fails loudly at acquire, a crashed writer's lease is reclaimed once
+  * its heartbeat goes stale, and a clean stop releases immediately.
   * Readers use the max-base-id watermark: anything at or below the
   * newest base id is already folded into it, so crash leftovers are
   * invisible to every read and swept by the next compaction.
@@ -93,15 +96,28 @@ object StreamCluster {
   def maintain(docs: DataFrame, idCol: String, textCol: String,
                path: String, checkpoint: String,
                n: Int = 3, threshold: Double = 0.5,
-               nBuckets: Int = 16, compactEvery: Int = 8): StreamingQuery = {
+               nBuckets: Int = 16, compactEvery: Int = 8,
+               leaseStaleMs: Long = 10L * 60 * 1000): StreamingQuery = {
     require(nBuckets > 0, "nBuckets must be positive")
+    val spark0 = docs.sparkSession
+    // WRITER LEASE (r18, VERDICT #4): the artifact documents
+    // single-writer, but two concurrent maintains on one path would
+    // interleave generations UNDETECTED — now the second acquire fails
+    // loudly. Create-exclusive file + per-batch heartbeat mtime; a
+    // crashed writer's lease goes stale after `leaseStaleMs` and is
+    // reclaimed; a clean stop releases it immediately (listener below).
+    val leaseId = acquireLease(spark0, path, leaseStaleMs)
     // the artifact's layout modulus wins over the caller's (see object
     // doc); resolved once, captured by the batch closure
-    val nb = effectiveNBuckets(docs.sparkSession, path, nBuckets)
-    docs.writeStream
+    val nb = effectiveNBuckets(spark0, path, nBuckets)
+    val query = docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // heartbeat FIRST — and verify the lease is still ours: a
+        // reclaimer that (wrongly) stole a live lease must kill this
+        // writer rather than let two maintains interleave writes
+        heartbeatLease(batch.sparkSession, path, leaseId)
         batch.persist()
         // the batch work localCheckpoints several frames (bIdx, edges,
         // labels, superOf, plus sh inside Dedup.shingleIndex and sym
@@ -190,7 +206,103 @@ object StreamCluster {
         ()
       }
       .start()
+    liveLeases.put(leaseId, query)
+    // clean-stop release: without it a restart inside the staleness
+    // window would spuriously fail; the listener self-removes once its
+    // query terminates (crash paths never reach it — staleness covers
+    // those). Registered AFTER start (the id is only known then); a
+    // termination in that gap leaves the lease to the stale reclaim.
+    spark0.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == query.id) {
+            releaseLease(spark0, path, leaseId)
+            spark0.streams.removeListener(this)
+          }
+      })
+    query
   }
+
+  // -------------------------------------------------------------- lease
+
+  private def leasePath(path: String) = new Path(s"$path/_meta/lease")
+
+  /** In-JVM ledger of lease holders: an immediate restart after a clean
+    * `stop()` must reclaim deterministically — the async listener
+    * release may not have fired yet — without weakening the cross-JVM
+    * staleness contract (an unknown holder id is assumed live until its
+    * heartbeat goes stale). */
+  private val liveLeases =
+    new java.util.concurrent.ConcurrentHashMap[String, StreamingQuery]()
+
+  private def readLease(fs: org.apache.hadoop.fs.FileSystem,
+                        lp: Path): String =
+    try {
+      val in = fs.open(lp)
+      try scala.io.Source.fromInputStream(in).mkString.trim
+      finally in.close()
+    } catch { case _: java.io.IOException => "" }
+
+  /** Acquire the single-writer lease: fail loudly when a LIVE lease
+    * (heartbeat younger than `staleMs`, holder not known-terminated in
+    * this JVM) exists; reclaim a stale or terminated one. */
+  private[streaming] def acquireLease(spark: SparkSession, path: String,
+                                      staleMs: Long): String = {
+    val lp = leasePath(path)
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(lp)) {
+      val age = System.currentTimeMillis() -
+        fs.getFileStatus(lp).getModificationTime
+      val holder = readLease(fs, lp)
+      val holderTerminated =
+        Option(liveLeases.get(holder)).exists(!_.isActive)
+      if (age <= staleMs && !holderTerminated) sys.error(
+        s"another maintain stream holds the writer lease on $path " +
+          s"(heartbeat ${age / 1000} s ago, staleness ${staleMs / 1000} s): " +
+          "the artifact is single-writer — stop the other stream, or if " +
+          "it crashed, wait out the staleness window")
+      if (holderTerminated) liveLeases.remove(holder)
+      fs.delete(lp, false) // stale or cleanly stopped: reclaim
+    }
+    val id = java.util.UUID.randomUUID.toString
+    val out =
+      try fs.create(lp, false)
+      catch { case _: java.io.IOException => sys.error(
+        s"writer-lease race lost on $path: another maintain acquired " +
+          "between the liveness check and the create — single-writer") }
+    try out.write(id.getBytes("UTF-8")) finally out.close()
+    id
+  }
+
+  /** Per-batch heartbeat: verify the lease still carries OUR id (a
+    * mistaken reclaim must kill this writer, not interleave two), then
+    * refresh its mtime. */
+  private def heartbeatLease(spark: SparkSession, path: String,
+                             leaseId: String): Unit = {
+    val lp = leasePath(path)
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val holder = readLease(fs, lp)
+    if (holder != leaseId) sys.error(
+      s"writer lease on $path was taken over (holder '$holder'): this " +
+        "maintain lost single-writer ownership and must stop")
+    fs.setTimes(lp, System.currentTimeMillis(), -1)
+  }
+
+  /** Clean-stop release — only if the lease is still ours. */
+  private def releaseLease(spark: SparkSession, path: String,
+                           leaseId: String): Unit =
+    try {
+      liveLeases.remove(leaseId)
+      val lp = leasePath(path)
+      val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(lp) && readLease(fs, lp) == leaseId)
+        fs.delete(lp, false)
+    } catch { case _: java.io.IOException => () }
 
   // --------------------------------------------------- incremental delta
 
@@ -279,6 +391,43 @@ object StreamCluster {
     foldLabels(spark, path, Long.MaxValue)
       .getOrElse(throw new IllegalArgumentException(
         s"no committed labeling generations under $path"))
+
+  /** POINT-LOOKUP serve (r18, VERDICT #5): current labels of the given
+    * ids — the common serve shape ("which component is doc X in") —
+    * riding the same hb-bucket prune the maintainer uses, so the base
+    * read touches only the ids' own bucket directories instead of
+    * folding the whole labeling. `ids` must carry an `id` column
+    * (cast to long); it is a LOOKUP set — its bucket census runs as a
+    * driver-side collect of at most nBuckets ints. Ids absent from the
+    * artifact yield no row. Newest-wins equality with [[readLabels]]
+    * (and the pruned directory set) is spec-pinned. Requires the
+    * artifact's `_meta/nbuckets` (every r17+ artifact has one; for a
+    * pre-meta artifact create it by hand, the [[effectiveNBuckets]]
+    * recovery story). */
+  def lookupLabels(spark: SparkSession, path: String,
+                   ids: DataFrame): DataFrame = {
+    val metaPath = new Path(s"$path/_meta/nbuckets")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nb = (try {
+      if (!fs.exists(metaPath)) None
+      else {
+        val in = fs.open(metaPath)
+        val s = try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+        s.toIntOption
+      }
+    } catch { case _: java.io.IOException => None })
+      .getOrElse(throw new IllegalArgumentException(
+        s"no readable $metaPath: lookupLabels prunes by the artifact's " +
+          "bucket modulus — create the meta by hand for a pre-meta " +
+          "artifact, or use readLabels"))
+    val idsN = ids.select(col("id").cast("long").as("id"))
+    val buckets = idsN
+      .select(pmod(xxhash64(col("id")), lit(nb.toLong)).cast("int")
+        .as("hb"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    lookupLabelsById(spark, path, Long.MaxValue, nb, buckets, idsN)
+  }
 
   /** Newest-wins fold of the committed labeling state strictly below
     * `beforeGen`: the base snapshot (if any) plus the delta chain above

@@ -490,4 +490,108 @@ class StreamClusterSpec extends SparkSpec {
       StreamCluster.effectiveNBuckets(spark, path2, 8))
     assert(e2.getMessage.contains("pre-meta"))
   }
+
+  test("writer lease (r18): a second concurrent maintain on the same " +
+    "path fails loudly; a clean stop releases; a crashed (stale) lease " +
+    "is reclaimed; a live foreign lease blocks") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val path = Files.createTempDirectory("stream_cluster_lease").toString
+    val ckpt = Files.createTempDirectory("stream_cluster_lease_ck").toString
+    val mem = MemoryStream[(Long, String)]
+    val q1 = StreamCluster.maintain(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", path, ckpt)
+    try {
+      mem.addData(Seq(1L -> bodyA, 2L -> bodyB)); q1.processAllAvailable()
+      // second maintain while the first is LIVE: must throw at acquire
+      val ckpt2 = Files.createTempDirectory("stream_cluster_lease_ck2").toString
+      val e = intercept[RuntimeException](StreamCluster.maintain(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", path, ckpt2))
+      assert(e.getMessage.contains("single-writer"),
+        s"concurrent maintain did not fail as a lease conflict: $e")
+      assert(q1.isActive, "the lease conflict must not kill the holder")
+    } finally q1.stop()
+    // clean stop: an immediate restart reclaims (in-JVM ledger) and the
+    // artifact keeps extending correctly
+    val q2 = StreamCluster.maintain(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", path, ckpt)
+    try {
+      mem.addData(Seq(3L -> bodyA)); q2.processAllAvailable()
+      assert(labels(path) ===
+        fullClosure(Seq(1L -> bodyA, 2L -> bodyB, 3L -> bodyA)))
+    } finally q2.stop()
+    // crashed writer: a FOREIGN lease (unknown holder id — another JVM)
+    // with a stale heartbeat is reclaimed; a fresh one blocks
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    val lease = java.nio.file.Paths.get(path, "_meta", "lease")
+    Files.write(lease, "foreign-jvm-holder".getBytes("UTF-8"))
+    val freshErr = intercept[RuntimeException](StreamCluster.maintain(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", path,
+      Files.createTempDirectory("ck3").toString))
+    assert(freshErr.getMessage.contains("single-writer"))
+    assert(lease.toFile.setLastModified(
+      System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    val q3 = StreamCluster.maintain(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", path, ckpt)
+    try {
+      assert(new String(Files.readAllBytes(lease)).trim
+        != "foreign-jvm-holder", "stale lease not reclaimed")
+      mem.addData(Seq(4L -> bodyC)); q3.processAllAvailable()
+      assert(labels(path)(4L) === 4L)
+    } finally q3.stop()
+  }
+
+  test("lookupLabels (r18): point lookups equal readLabels newest-wins " +
+    "and touch ONLY the ids' own hb buckets — the complement's base " +
+    "directories can be unreadable garbage") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val path = Files.createTempDirectory("stream_cluster_lookup").toString
+    val ckpt = Files.createTempDirectory("stream_cluster_lookup_ck").toString
+    val mem = MemoryStream[(Long, String)]
+    val fed = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = StreamCluster.maintain(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", path, ckpt,
+      nBuckets = 4, compactEvery = 2)
+    try {
+      // several batches through a compaction so a bucketed BASE exists,
+      // plus deltas above it (the lookup folds base + chain)
+      Seq(Seq(1L -> bodyA, 2L -> bodyA, 3L -> bodyB),
+        Seq(4L -> bodyB, 5L -> bodyC),
+        Seq(6L -> bodyA),
+        Seq(7L -> bodyC, 8L -> bodyB)).foreach { b =>
+        fed ++= b; mem.addData(b); q.processAllAvailable()
+      }
+      val all = labels(path)
+      val ids = Seq(1L, 4L, 7L)
+      val got = StreamCluster.lookupLabels(spark, path, ids.toDF("id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === ids.map(i => i -> all(i)).toMap,
+        "lookupLabels disagrees with readLabels")
+      // an id the artifact never saw yields no row
+      assert(StreamCluster.lookupLabels(spark, path,
+        Seq(999L).toDF("id")).collect().isEmpty)
+      // PRUNE PIN: poison every labels/base hb bucket OUTSIDE the ids'
+      // own set — a lookup that reads them now fails on garbage parquet
+      import org.apache.spark.sql.functions.{pmod, xxhash64, lit}
+      val wanted = ids.toDF("id")
+        .select(pmod(xxhash64(col("id")), lit(4L)).cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      assert(wanted.size < 4, "test ids cover every bucket — weaken ids")
+      val labelsRoot = new java.io.File(path, "labels")
+      val bases = labelsRoot.listFiles.filter(_.getName.startsWith("base="))
+      assert(bases.nonEmpty, "no compacted base — raise the batch count")
+      for (base <- bases; hb <- base.listFiles
+             if hb.getName.startsWith("hb=") &&
+               !wanted.contains(hb.getName.stripPrefix("hb=").toInt);
+           f <- hb.listFiles if f.getName.endsWith(".parquet"))
+        Files.write(f.toPath, "not parquet".getBytes("UTF-8"))
+      val gotPruned = StreamCluster.lookupLabels(spark, path, ids.toDF("id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotPruned === ids.map(i => i -> all(i)).toMap,
+        "lookup read (or lost) buckets outside the ids' own set")
+    } finally q.stop()
+  }
 }
