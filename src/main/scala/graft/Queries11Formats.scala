@@ -510,21 +510,24 @@ private[graft] trait Queries11Formats extends Queries10Information {
 
   // ---------------------------------------------------------------------
   // q260 — MEDIA dispatch through MediaCodec sniffing (r17, VERDICT #8's
-  // media arm): a multimodal crawl fixture (doc_id % 6 → HTML / PDF /
-  // plain text / PNG / WAV / MP4, declared with the matching media
-  // type) served through WarcFiles.dispatchMedia — image/audio/video
-  // records are sniffed by the magic-byte parser chain (the bytes, not
-  // the declared type, are what certify) and censused per (declared,
-  // sniffed, ok) with total bytes, total pixels (images + video dims)
-  // and total duration (audio + video). Every 31st media record
-  // DECLARES a plausible-but-wrong type (crawls lie) — its census row
-  // pairs the lying declared type with the true sniffed format. Media
-  // rows at doc_id % 37 == 0 are truncated to 8 bytes — no parser
-  // accepts them, so they land as sniffed = '' / ok = 0 rows, never a
-  // crash. Hash-exact: every
-  // dimension/duration/byte count replays from the q102/q125 encoder
-  // arithmetic on (doc_id, strlen) residues; text-family records yield
-  // NO row here (they are q258/q259's lanes — one record, one lane).
+  // media arm; fixture WIDENED r18, VERDICT #6, to the FULL sniff
+  // chain): a multimodal crawl fixture (doc_id % 8 → HTML / PDF / PNG /
+  // JPEG / WAV / BMP / GIF / MP4 — every parser in the chain now has an
+  // end-to-end census lane) served through WarcFiles.dispatchMedia —
+  // image/audio/video records are sniffed by the magic-byte parser
+  // chain (the bytes, not the declared type, are what certify) and
+  // censused per (declared, sniffed, ok) with total bytes, total pixels
+  // (images + video dims) and total duration (audio + video). Every
+  // 31st media record DECLARES a plausible-but-wrong type (crawls lie)
+  // — one lying pairing PER FORMAT (png↔jpeg, wav→mpeg, bmp↔gif,
+  // mp4→webm), so each census row pairs the lie with the true sniffed
+  // format. Media rows at doc_id % 37 == 0 are truncated to 8 bytes —
+  // no parser accepts them (every minimum-header check exercised), so
+  // they land as sniffed = '' / ok = 0 rows, never a crash. Hash-exact:
+  // every dimension/duration/byte count replays from the q102/q117/q125
+  // encoder arithmetic on (doc_id, strlen) residues; text-family
+  // records yield NO row here (they are q258/q259's lanes — one record,
+  // one lane).
   // ---------------------------------------------------------------------
   private val warcMediaFixtureDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -546,17 +549,23 @@ private[graft] trait Queries11Formats extends Queries10Information {
           // report the divergence, not trust the header
           def lie(honest: String, wrong: String): String =
             if (id % 31 == 0) wrong else honest
-          val (body, ct) = (id % 6) match {
+          val mc = graft.operators.MediaCodec
+          val (body, ct) = (id % 8) match {
             case 0 => (graft.operators.HtmlExtract.encodePage(id, text)
               .getBytes(utf8), "text/html")
             case 1 => (graft.operators.PdfExtract.encodePdf(id, text),
               "application/pdf")
-            case 2 => (tb, "text/plain")
-            case 3 => (dmg(graft.operators.MediaCodec.encodePng(id, tb)),
+            case 2 => (dmg(mc.encodePng(id, tb)),
               lie("image/png", "image/jpeg"))
-            case 4 => (dmg(graft.operators.MediaCodec.encodeWav(id, tb)),
+            case 3 => (dmg(mc.encodeJpeg(id, tb)),
+              lie("image/jpeg", "image/png"))
+            case 4 => (dmg(mc.encodeWav(id, tb)),
               lie("audio/wav", "audio/mpeg"))
-            case _ => (dmg(graft.operators.MediaCodec.encodeMp4(id, tb)),
+            case 5 => (dmg(mc.encodeBmp(id, tb)),
+              lie("image/bmp", "image/gif"))
+            case 6 => (dmg(mc.encodeGif(id, tb)),
+              lie("image/gif", "image/bmp"))
+            case _ => (dmg(mc.encodeMp4(id, tb)),
               lie("video/mp4", "video/webm"))
           }
           (id, src, body, ct)
@@ -580,37 +589,45 @@ private[graft] trait Queries11Formats extends Queries10Information {
   }
 
   private[graft] val q260Sql =
-    """WITH m AS (SELECT doc_id, strlen(text) AS pl,
-      |    CASE WHEN doc_id % 31 = 0 THEN
-      |      CASE doc_id % 6 WHEN 3 THEN 'image/jpeg'
-      |        WHEN 4 THEN 'audio/mpeg' ELSE 'video/webm' END
-      |    ELSE
-      |      CASE doc_id % 6 WHEN 3 THEN 'image/png'
-      |        WHEN 4 THEN 'audio/wav' ELSE 'video/mp4' END
-      |    END AS declared,
-      |    doc_id % 37 = 0 AS corrupt
-      |  FROM documents WHERE doc_id % 6 >= 3)
-      |SELECT declared,
+    """WITH m AS (SELECT doc_id, strlen(text) AS pl, doc_id % 8 AS l,
+      |    doc_id % 31 = 0 AS lying, doc_id % 37 = 0 AS corrupt
+      |  FROM documents WHERE doc_id % 8 >= 2)
+      |SELECT CASE WHEN lying THEN
+      |    CASE l WHEN 2 THEN 'image/jpeg' WHEN 3 THEN 'image/png'
+      |      WHEN 4 THEN 'audio/mpeg' WHEN 5 THEN 'image/gif'
+      |      WHEN 6 THEN 'image/bmp' ELSE 'video/webm' END
+      |  ELSE
+      |    CASE l WHEN 2 THEN 'image/png' WHEN 3 THEN 'image/jpeg'
+      |      WHEN 4 THEN 'audio/wav' WHEN 5 THEN 'image/bmp'
+      |      WHEN 6 THEN 'image/gif' ELSE 'video/mp4' END
+      |  END AS declared,
       |  CASE WHEN corrupt THEN ''
-      |    WHEN doc_id % 6 = 3 THEN 'png'
-      |    WHEN doc_id % 6 = 4 THEN 'wav' ELSE 'mp4' END AS sniffed,
+      |    ELSE CASE l WHEN 2 THEN 'png' WHEN 3 THEN 'jpeg'
+      |      WHEN 4 THEN 'wav' WHEN 5 THEN 'bmp' WHEN 6 THEN 'gif'
+      |      ELSE 'mp4' END END AS sniffed,
       |  CAST(CASE WHEN corrupt THEN 0 ELSE 1 END AS INTEGER) AS ok,
       |  CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(sum(CASE WHEN corrupt THEN 8
-      |    WHEN doc_id % 6 = 3 THEN 57 + pl
-      |    WHEN doc_id % 6 = 4 THEN 44 + pl + pl % 2
+      |    WHEN l = 2 THEN 57 + pl
+      |    WHEN l = 3 THEN 45 + pl
+      |    WHEN l = 4 THEN 44 + pl + pl % 2
+      |    WHEN l = 5 THEN 54 + pl
+      |    WHEN l = 6 THEN 14 + pl
       |    ELSE 148 + (1 + doc_id % 3) * 100 + pl END) AS BIGINT) AS n_bytes,
       |  CAST(sum(CASE WHEN corrupt THEN 0
-      |    WHEN doc_id % 6 = 3
-      |      THEN (64 + doc_id % 1024) * (64 + (doc_id * 7) % 768)
-      |    WHEN doc_id % 6 = 5
+      |    WHEN l = 2 THEN (64 + doc_id % 1024) * (64 + (doc_id * 7) % 768)
+      |    WHEN l = 3
+      |      THEN (64 + (doc_id * 5) % 1024) * (64 + (doc_id * 3) % 1024)
+      |    WHEN l = 5 THEN (16 + doc_id % 512) * (16 + (doc_id * 3) % 512)
+      |    WHEN l = 6 THEN (1 + doc_id % 640) * (1 + (doc_id * 11) % 480)
+      |    WHEN l = 7
       |      THEN (160 + doc_id % 1280) * (120 + (doc_id * 7) % 720)
       |    ELSE 0 END) AS BIGINT) AS px_total,
       |  CAST(sum(CASE WHEN corrupt THEN 0
-      |    WHEN doc_id % 6 = 4 THEN (pl * 1000) //
+      |    WHEN l = 4 THEN (pl * 1000) //
       |      ((8000 << CAST((doc_id // 3) % 3 AS INTEGER))
       |        * (1 + doc_id % 2) * 2)
-      |    WHEN doc_id % 6 = 5 THEN pl
+      |    WHEN l = 7 THEN pl
       |    ELSE 0 END) AS BIGINT) AS dur_ms_total
       |FROM m GROUP BY 1, 2, 3""".stripMargin
 
@@ -878,33 +895,39 @@ private[graft] trait Queries11Formats extends Queries10Information {
   private[graft] val q261Sql =
     """WITH t AS (SELECT source,
       |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
-      |  FROM documents WHERE doc_id % 6 < 3),
+      |  FROM documents WHERE doc_id % 8 < 2),
       |tt AS (SELECT source, CAST(count(*) AS BIGINT) AS docs_text,
       |    CAST(sum(n) AS BIGINT) AS tokens FROM t GROUP BY 1),
-      |m AS (SELECT source, doc_id, strlen(text) AS pl,
+      |m AS (SELECT source, doc_id, strlen(text) AS pl, doc_id % 8 AS l,
       |    doc_id % 37 = 0 AS corrupt
-      |  FROM documents WHERE doc_id % 6 >= 3),
+      |  FROM documents WHERE doc_id % 8 >= 2),
       |mm AS (SELECT source,
       |  CAST(sum(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT)
       |    AS docs_media_ok,
       |  CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT)
       |    AS docs_media_bad,
       |  CAST(sum(CASE WHEN corrupt THEN 8
-      |    WHEN doc_id % 6 = 3 THEN 57 + pl
-      |    WHEN doc_id % 6 = 4 THEN 44 + pl + pl % 2
+      |    WHEN l = 2 THEN 57 + pl
+      |    WHEN l = 3 THEN 45 + pl
+      |    WHEN l = 4 THEN 44 + pl + pl % 2
+      |    WHEN l = 5 THEN 54 + pl
+      |    WHEN l = 6 THEN 14 + pl
       |    ELSE 148 + (1 + doc_id % 3) * 100 + pl END) AS BIGINT)
       |    AS media_bytes,
       |  CAST(sum(CASE WHEN corrupt THEN 0
-      |    WHEN doc_id % 6 = 3
-      |      THEN (64 + doc_id % 1024) * (64 + (doc_id * 7) % 768)
-      |    WHEN doc_id % 6 = 5
+      |    WHEN l = 2 THEN (64 + doc_id % 1024) * (64 + (doc_id * 7) % 768)
+      |    WHEN l = 3
+      |      THEN (64 + (doc_id * 5) % 1024) * (64 + (doc_id * 3) % 1024)
+      |    WHEN l = 5 THEN (16 + doc_id % 512) * (16 + (doc_id * 3) % 512)
+      |    WHEN l = 6 THEN (1 + doc_id % 640) * (1 + (doc_id * 11) % 480)
+      |    WHEN l = 7
       |      THEN (160 + doc_id % 1280) * (120 + (doc_id * 7) % 720)
       |    ELSE 0 END) AS BIGINT) AS px_total,
       |  CAST(sum(CASE WHEN corrupt THEN 0
-      |    WHEN doc_id % 6 = 4 THEN (pl * 1000) //
+      |    WHEN l = 4 THEN (pl * 1000) //
       |      ((8000 << CAST((doc_id // 3) % 3 AS INTEGER))
       |        * (1 + doc_id % 2) * 2)
-      |    WHEN doc_id % 6 = 5 THEN pl
+      |    WHEN l = 7 THEN pl
       |    ELSE 0 END) AS BIGINT) AS dur_ms_total
       |  FROM m GROUP BY 1)
       |SELECT COALESCE(tt.source, mm.source) AS source,
