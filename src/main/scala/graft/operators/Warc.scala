@@ -235,27 +235,118 @@ object Warc {
         return BParsed(recs.result(), torn = true)
       val payload = java.util.Arrays.copyOfRange(
         warc, payloadStart, payloadEnd.toInt)
-      recs += (recType match {
-        case "response" =>
-          val he = indexOfCrlfCrlf(payload, 0)
-          // the status code is parsed from `head` = payload[0, he), so
-          // the degraded-record guard must bound he itself: a status
-          // line cut short ("HTTP/1.1 \r\n\r\nbody" has he = 9 < 12)
-          // degrades to status 0 instead of throwing on the substring
-          if (he < 12 || !startsWithAt(payload, HttpMagic, 0))
-            BRec(recType, uri, 0, "", Array.emptyByteArray)
-          else {
-            val head = new String(payload, 0, he, ISO_8859_1)
-            BRec(recType, uri,
-              head.substring(9, 12).toIntOption.getOrElse(0),
-              headerMap(head).getOrElse("Content-Type", ""),
-              java.util.Arrays.copyOfRange(payload, he + 4, payload.length))
-          }
-        case _ => BRec(recType, uri, 0, "", Array.emptyByteArray)
-      })
+      recs += buildRec(recType, uri, payload)
       pos = payloadEnd.toInt + 4
     }
     BParsed(recs.result(), torn = false)
+  }
+
+  /** One record from its type + payload — shared by the whole-array
+    * walk above and the bounded-memory stream walk below, so the two
+    * can never drift. The status code is parsed from `head` =
+    * payload[0, he), so the degraded-record guard must bound he itself:
+    * a status line cut short ("HTTP/1.1 \r\n\r\nbody" has he = 9 < 12)
+    * degrades to status 0 instead of throwing on the substring. */
+  private def buildRec(recType: String, uri: String,
+                       payload: Array[Byte]): BRec = recType match {
+    case "response" =>
+      val he = indexOfCrlfCrlf(payload, 0)
+      if (he < 12 || !startsWithAt(payload, HttpMagic, 0))
+        BRec(recType, uri, 0, "", Array.emptyByteArray)
+      else {
+        val head = new String(payload, 0, he, ISO_8859_1)
+        BRec(recType, uri,
+          head.substring(9, 12).toIntOption.getOrElse(0),
+          headerMap(head).getOrElse("Content-Type", ""),
+          java.util.Arrays.copyOfRange(payload, he + 4, payload.length))
+      }
+    case _ => BRec(recType, uri, 0, "", Array.emptyByteArray)
+  }
+
+  /** BOUNDED-MEMORY record walk over an InputStream (r18, VERDICT #8):
+    * the same grammar, record construction, and never-throw tear
+    * taxonomy as [[parseBytes]], but the file never materializes — the
+    * buffer holds at most one record (header + payload + trailer) plus
+    * a read window, so a crawl file past the binaryFile content ceiling
+    * can still SERVE its records in record-hop windows instead of only
+    * auditing as `warc_oversize`. Two stream-specific bounds replace
+    * the whole-array length checks (an unbounded stream has no natural
+    * rejection point): a declared Content-Length above `maxRecordBytes`
+    * and a header block growing past it both tear — complete records
+    * ahead of either are kept, the parseBytes discipline. An
+    * IOException mid-read (a gzip stream corrupt past its header)
+    * also tears, keeping everything parsed before it. */
+  def parseStream(in: java.io.InputStream,
+                  maxRecordBytes: Int = 256 << 20): BParsed = {
+    val recs = List.newBuilder[BRec]
+    var buf = new Array[Byte](64 * 1024)
+    var len = 0
+    var eof = false
+    def readMore(): Boolean =
+      try {
+        if (len == buf.length)
+          buf = java.util.Arrays.copyOf(buf,
+            math.min(math.max(buf.length * 2L, 64L * 1024),
+              Int.MaxValue - 8).toInt)
+        val n = in.read(buf, len, buf.length - len)
+        if (n < 0) { eof = true; false } else { len += n; true }
+      } catch { case _: java.io.IOException => eof = true; false }
+    def ensure(need: Int): Boolean = {
+      if (need > maxRecordBytes) return false
+      while (len < need && !eof) {
+        if (need > buf.length)
+          buf = java.util.Arrays.copyOf(buf, need)
+        readMore()
+      }
+      len >= need
+    }
+    def crlfCrlfIn(from: Int): Int = {
+      var i = from
+      val last = len - 4
+      while (i <= last) {
+        if (buf(i) == '\r' && buf(i + 1) == '\n' && buf(i + 2) == '\r' &&
+          buf(i + 3) == '\n') return i
+        i += 1
+      }
+      -1
+    }
+    while (true) {
+      // pull at least one byte of the next record (or finish clean)
+      if (len == 0 && !eof) readMore()
+      if (len == 0 && eof) return BParsed(recs.result(), torn = false)
+      // header block: grow the window until its CRLFCRLF lands
+      var hdrEnd = crlfCrlfIn(0)
+      while (hdrEnd < 0 && !eof && len < maxRecordBytes) {
+        val before = len
+        readMore()
+        // re-scan from 3 bytes before the old end: a CRLFCRLF can
+        // straddle the read boundary, and everything earlier was
+        // already searched
+        hdrEnd = crlfCrlfIn(math.max(0, before - 3))
+      }
+      if (hdrEnd < 0 || !startsWithAt(buf, WarcMagic, 0))
+        return BParsed(recs.result(), torn = true)
+      val hdrs = headerMap(new String(buf, 0, hdrEnd, ISO_8859_1))
+      val clen = hdrs.get("Content-Length").flatMap(_.toLongOption)
+      val recType = hdrs.getOrElse("WARC-Type", "")
+      if (clen.isEmpty || clen.get < 0L ||
+        clen.get > maxRecordBytes.toLong || recType.isEmpty)
+        return BParsed(recs.result(), torn = true)
+      val payloadStart = hdrEnd + 4
+      val recEnd = payloadStart.toLong + clen.get + 4
+      if (recEnd > Int.MaxValue - 8 || !ensure(recEnd.toInt) ||
+        !startsWithAt(buf, CrlfCrlf, payloadStart + clen.get.toInt))
+        return BParsed(recs.result(), torn = true)
+      val payload = java.util.Arrays.copyOfRange(buf, payloadStart,
+        payloadStart + clen.get.toInt)
+      recs += buildRec(recType, hdrs.getOrElse("WARC-Target-URI", ""),
+        payload)
+      // hop: drop the consumed record, keep the unparsed tail
+      val consumed = recEnd.toInt
+      System.arraycopy(buf, consumed, buf, 0, len - consumed)
+      len -= consumed
+    }
+    BParsed(recs.result(), torn = false) // unreachable
   }
 
   /** Byte-domain encoder: same two-record layout as [[encodeArchiveAs]]

@@ -258,12 +258,79 @@ object WarcFiles {
   /** Read a directory of `.warc` / `.warc.gz` files and audit each:
     * one row per FILE with its status, kept-record counts and certified
     * response-body volume. Partition-local end to end — the only
-    * exchange is whatever consumes the file-grain result. */
-  def readAudit(spark: SparkSession, dir: String): DataFrame =
-    auditColumns(
-      spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.warc*")
-        .load(dir))
+    * exchange is whatever consumes the file-grain result.
+    *
+    * `serveOversize = true` (r18, VERDICT #8) routes files past the
+    * binaryFile content ceiling through the BOUNDED-MEMORY stream walk
+    * ([[Warc.parseStream]]) instead of the `warc_oversize` audit class:
+    * they get the same ok/torn/corrupt statuses and serve their records
+    * (see [[readRecords]]) — one task per file holding at most one
+    * record in memory, the right grain since gzip members are
+    * unsplittable anyway. Default off: `warc_oversize` stays the
+    * conservative census (and the q252/q258 oracle contract). */
+  def readAudit(spark: SparkSession, dir: String,
+                serveOversize: Boolean = false): DataFrame = {
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*")
+      .load(dir)
+    if (!serveOversize) auditColumns(bin)
+    else {
+      val maxLen = binaryFileMaxLength(spark)
+      auditColumns(bin.filter(col("length") <= maxLen))
+        .unionByName(streamedAuditColumns(
+          bin.filter(col("length") > maxLen).select(col("path"))))
+    }
+  }
+
+  /** Open one (possibly gzipped) archive as a decode stream, walk it
+    * bounded, close it. None = the container itself is undecodable
+    * (bad gzip header) — the `warc_corrupt` class; mid-stream IO/gzip
+    * failures TEAR inside the walk instead (records ahead are kept). */
+  private def streamParse(path: String): Option[Warc.BParsed] = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val raw = fs.open(hp)
+    try {
+      val in =
+        if (!path.endsWith(".gz")) raw
+        else try new GZIPInputStream(raw)
+        catch { case _: java.io.IOException => return None }
+      Some(Warc.parseStream(in))
+    } finally raw.close()
+  }
+
+  /** Audit rows for oversized files via the stream walk — path listing
+    * only reaches this lane, the content column is never requested from
+    * binaryFile (whose read would throw past the ceiling). */
+  private[graft] def streamedAuditColumns(paths: DataFrame): DataFrame = {
+    val spark = paths.sparkSession
+    import spark.implicits._
+    paths.as[String].mapPartitions(_.map { path =>
+      val name = path.substring(path.lastIndexOf('/') + 1)
+      streamParse(path) match {
+        case None => FileAuditRow(name, "warc_corrupt", 0, 0, 0L)
+        case Some(p) =>
+          val responses = p.records.filter(_.recType == "response")
+          FileAuditRow(name, if (p.torn) "warc_torn" else "warc_ok",
+            p.records.length, responses.length,
+            responses.map(_.body.length.toLong).sum)
+      }
+    }).toDF()
+  }
+
+  /** Record rows for oversized files via the stream walk — the serving
+    * sibling of [[streamedAuditColumns]]. */
+  private[graft] def streamedRecordColumns(paths: DataFrame): DataFrame = {
+    val spark = paths.sparkSession
+    import spark.implicits._
+    paths.as[String].mapPartitions(_.flatMap { path =>
+      val name = path.substring(path.lastIndexOf('/') + 1)
+      streamParse(path).iterator.flatMap(_.records.iterator
+        .filter(_.recType == "response")
+        .map(r => WarcRecordRow(name, r.uri, r.httpStatus,
+          r.contentType, r.body)))
+    }).toDF()
+  }
 
   /** The per-record EXTRACTION map over binaryFile rows — one row per
     * complete RESPONSE record with its bit-exact payload bytes. This is
@@ -294,12 +361,22 @@ object WarcFiles {
   }
 
   /** Read a WARC directory into per-response-record rows — the corpus
-    * extraction entry ([[readAudit]]'s serving-side sibling). */
-  def readRecords(spark: SparkSession, dir: String): DataFrame =
-    recordColumns(
-      spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.warc*")
-        .load(dir))
+    * extraction entry ([[readAudit]]'s serving-side sibling).
+    * `serveOversize = true` additionally serves files past the
+    * binaryFile ceiling through the bounded stream walk (see
+    * [[readAudit]]); default off, where their audit row is the
+    * observable. */
+  def readRecords(spark: SparkSession, dir: String,
+                  serveOversize: Boolean = false): DataFrame = {
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*")
+      .load(dir)
+    if (!serveOversize) recordColumns(bin)
+    else recordColumns(bin)
+      .unionByName(streamedRecordColumns(
+        bin.filter(col("length") > binaryFileMaxLength(spark))
+          .select(col("path"))))
+  }
 
   final case class DispatchRow(doc_id: Long, format: String, ok: Boolean,
                                n_chars: Long, charset: String,

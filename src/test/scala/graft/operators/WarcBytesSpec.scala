@@ -162,4 +162,45 @@ class WarcBytesSpec extends SparkSpec {
         b.records.head.contentType === "")
     }
   }
+
+  test("parseStream == parseBytes record-for-record on clean, torn, " +
+    "lying-length, degraded and empty inputs (r18: the bounded-memory " +
+    "walk serves oversized files through the SAME grammar)") {
+    def agree(bytes: Array[Byte]): Unit = {
+      val whole = Warc.parseBytes(bytes)
+      val streamed = Warc.parseStream(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(streamed.torn === whole.torn)
+      assert(streamed.records.length === whole.records.length)
+      streamed.records.zip(whole.records).foreach { case (s, w) =>
+        assert(s.recType === w.recType && s.uri === w.uri &&
+          s.httpStatus === w.httpStatus && s.contentType === w.contentType)
+        assert(md5(s.body) === md5(w.body))
+      }
+    }
+    val clean = Warc.encodeArchiveBytes(1L, "s", utf8Body, "x/y")
+    val second = Warc.encodeArchiveBytes(2L, "s", utf8Body, "x/y")
+    agree(clean ++ second)
+    agree(clean ++ second.take(10)) // torn mid-header
+    agree(clean ++ second.dropRight(7)) // torn mid-payload/trailer
+    agree(Array.emptyByteArray)
+    agree(("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: " +
+      "999999999\r\n\r\nshort").getBytes(ISO_8859_1)) // lying length
+    agree(("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n" +
+      "Content-Length: 14\r\n\r\nHTTP/1.1 \r\n\r\nz\r\n\r\n")
+      .getBytes(ISO_8859_1)) // degraded status line
+    // stream-specific bound: a record past maxRecordBytes tears, every
+    // complete record ahead of it is kept (small doc = 2 records, plus
+    // the huge doc's request record — its response is over-bound)
+    val small = Warc.encodeArchiveBytes(1L, "s",
+      "tiny".getBytes(ISO_8859_1), "x/y")
+    val huge = Warc.encodeArchiveBytes(2L, "s",
+      Array.fill(10000)('a'.toByte), "x/y")
+    val big = Warc.parseStream(
+      new java.io.ByteArrayInputStream(small ++ huge),
+      maxRecordBytes = 2048)
+    assert(big.torn && big.records.length === 3,
+      s"expected 3 kept records before the over-bound one, got " +
+        s"${big.records.length} (torn=${big.torn})")
+  }
 }

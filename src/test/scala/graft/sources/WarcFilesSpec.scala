@@ -126,6 +126,48 @@ class WarcFilesSpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  test("serveOversize (r18): files past the binaryFile ceiling serve " +
+    "their COMPLETE records and real statuses through the bounded " +
+    "stream walk — output equals the unconstrained read, plain and gz, " +
+    "torn and corrupt included") {
+    val dir = Files.createTempDirectory("warcfiles_chunked").toString
+    // the full damage taxonomy: torn plain files (tornEvery=2) + one
+    // corrupt gzip, so the streamed lane certifies every class
+    WarcFiles.writeArchiveDir(docsDf, dir, files = 4, tornEvery = 2)
+    val gzName = "part-1.warc.gz"
+    val corrupt = Paths.get(dir, "part-3.warc.gz")
+    val cBytes = Files.readAllBytes(corrupt)
+    cBytes(0) = 0; cBytes(1) = 0
+    Files.write(corrupt, cBytes)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    // ground truth at the default (unconstrained) ceiling
+    val auditFull = rows(WarcFiles.readAudit(spark, dir))
+    val recsFull = WarcFiles.readRecords(spark, dir).collect()
+      .map(r => (r.getAs[String]("file"), r.getAs[String]("uri"),
+        java.util.Arrays.hashCode(r.getAs[Array[Byte]]("body")))).toSet
+    assert(auditFull.exists(_.contains("warc_torn")) &&
+      auditFull.exists(_.contains("warc_corrupt")),
+      "fixture lost its damage classes")
+    // ceiling below EVERY file: all four route through the stream walk
+    val key = "spark.sql.sources.binaryFile.maxLength"
+    spark.conf.set(key, "8")
+    try {
+      assert(rows(WarcFiles.readAudit(spark, dir, serveOversize = true))
+        === auditFull, "streamed audit diverges from the full read")
+      assert(WarcFiles.readRecords(spark, dir, serveOversize = true)
+        .collect()
+        .map(r => (r.getAs[String]("file"), r.getAs[String]("uri"),
+          java.util.Arrays.hashCode(r.getAs[Array[Byte]]("body")))).toSet
+        === recsFull, "streamed records diverge from the full read")
+      // and the DEFAULT still audits them as warc_oversize (the
+      // conservative census the q252 oracle pins)
+      assert(rows(WarcFiles.readAudit(spark, dir))
+        .forall(_.contains("warc_oversize")))
+      assert(gzName.endsWith(".gz")) // fixture shape guard
+    } finally spark.conf.unset(key)
+  }
+
   test("content-type dispatch: parameterized types route to their base " +
     "format, failed extractions certify zero chars, unknown types count " +
     "raw bytes undecoded") {
