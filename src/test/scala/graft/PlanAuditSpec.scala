@@ -748,7 +748,14 @@ object PlanSweepSpec {
     // worth of distinct values); `__h` is the 32-char md5 dedup key —
     // PER-DOC fixed width (the q241 fix shape: the checkpoint carries
     // the hash, never the text it hashes)
-    "q259_corpus_build" -> Set("source", "__h"))
+    "q259_corpus_build" -> Set("source", "__h"),
+    // q263: same funnel checkpoint shape as q259 (source = grouping
+    // label, __h = fixed-width md5 key). Its __tk token ARRAY column
+    // (not StringType, so outside this sweep) is the near-dup stage's
+    // documented one-pass price: retained for QUALITY SURVIVORS only
+    // (nulls elsewhere), shingled once, never re-extracted — the
+    // alternative doubles the archive walk (SURVEY §4.ad)
+    "q263_corpus_near_dup" -> Set("source", "__h"))
 }
 
 class PlanSweepSpec1 extends PlanSweepSpec(1, 40) {
