@@ -207,6 +207,23 @@ object StreamCluster {
       }
       .start()
     liveLeases.put(leaseId, query)
+    // IDLE heartbeat: foreachBatch only fires when data arrives, so a
+    // live stream with a quiet source would let its lease go stale and
+    // be stolen — a daemon thread refreshes at staleMs/3 while the
+    // query is active. A takeover mid-race is still caught by the
+    // ownership check (the thread's failed heartbeat just ends it; the
+    // BATCH-side check is what kills a deposed writer).
+    val hb = new Thread(() => {
+      try {
+        while (query.isActive) {
+          Thread.sleep(math.max(500L, leaseStaleMs / 3))
+          if (query.isActive) heartbeatLease(spark0, path, leaseId)
+        }
+      } catch { case _: Throwable => () }
+    })
+    hb.setDaemon(true)
+    hb.setName(s"graft-stream-cluster-lease-$leaseId")
+    hb.start()
     // clean-stop release: without it a restart inside the staleness
     // window would spuriously fail; the listener self-removes once its
     // query terminates (crash paths never reach it — staleness covers

@@ -203,4 +203,35 @@ class WarcBytesSpec extends SparkSpec {
       s"expected 3 kept records before the over-bound one, got " +
         s"${big.records.length} (torn=${big.torn})")
   }
+
+  test("parseStream parity FUZZ (seeded): random archives cut at random " +
+    "offsets, and pure garbage, agree with parseBytes byte-for-byte") {
+    val gen = for {
+      nDocs <- Gen.choose(0, 4)
+      payloads <- Gen.listOfN(nDocs, Gen.choose(0, 400)
+        .flatMap(n => Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+          .map(_.toArray)))
+      cutFrac <- Gen.choose(0.0, 1.2) // > 1.0 = no cut
+      garbagePrefix <- Gen.oneOf(true, false)
+      garbage <- Gen.listOfN(8, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield {
+      val archive = payloads.zipWithIndex.map { case (p, i) =>
+        Warc.encodeArchiveBytes(i.toLong, "s", p, "x/y")
+      }.foldLeft(Array.emptyByteArray)(_ ++ _)
+      val cut = math.min(archive.length,
+        (archive.length * cutFrac).toInt)
+      val body = archive.take(cut)
+      if (garbagePrefix) garbage.toArray ++ body else body
+    }
+    forAllSeeded(gen, 120) { bytes =>
+      val whole = Warc.parseBytes(bytes)
+      val streamed = Warc.parseStream(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(streamed.torn === whole.torn)
+      assert(streamed.records.map(r => (r.recType, r.uri, r.httpStatus,
+        r.contentType, md5(r.body))) ===
+        whole.records.map(r => (r.recType, r.uri, r.httpStatus,
+          r.contentType, md5(r.body))))
+    }
+  }
 }

@@ -543,6 +543,32 @@ class StreamClusterSpec extends SparkSpec {
     } finally q3.stop()
   }
 
+  test("writer lease survives an IDLE stream: with no batches arriving " +
+    "for longer than the staleness window, the heartbeat thread keeps " +
+    "the lease fresh and a second maintain still fails") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val path = Files.createTempDirectory("stream_cluster_idle").toString
+    val ckpt = Files.createTempDirectory("stream_cluster_idle_ck").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamCluster.maintain(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", path, ckpt,
+      leaseStaleMs = 3000)
+    try {
+      mem.addData(Seq(1L -> bodyA)); q.processAllAvailable()
+      Thread.sleep(8000) // idle well past the 3 s staleness window
+      val e = intercept[RuntimeException](StreamCluster.maintain(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", path,
+        Files.createTempDirectory("idle_ck2").toString,
+        leaseStaleMs = 3000))
+      assert(e.getMessage.contains("single-writer"),
+        "an idle stream's lease went stale and was stolen")
+      assert(q.isActive)
+      mem.addData(Seq(2L -> bodyB)); q.processAllAvailable()
+      assert(labels(path) === fullClosure(Seq(1L -> bodyA, 2L -> bodyB)))
+    } finally q.stop()
+  }
+
   test("lookupLabels (r18): point lookups equal readLabels newest-wins " +
     "and touch ONLY the ids' own hb buckets — the complement's base " +
     "directories can be unreadable garbage") {
