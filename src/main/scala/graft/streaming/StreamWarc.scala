@@ -38,16 +38,38 @@ object StreamWarc {
     org.apache.spark.sql.types.StructField("content",
       org.apache.spark.sql.types.BinaryType)))
 
+  private def binSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.warc*")
+      .load(dir)
+
+  private def maxLen(spark: SparkSession): Long =
+    spark.conf.get("spark.sql.sources.binaryFile.maxLength",
+      Int.MaxValue.toString).toLong
+
   /** Per-file audit rows as an APPEND stream over a landing directory.
     * Stateless (a narrow map over the file source) — no watermark, no
     * state store; the bounded quantity is the source log, which grows
-    * with files listed, the documented file-source contract. */
-  def audit(spark: SparkSession, dir: String): DataFrame =
-    WarcFiles.auditColumns(
-      spark.readStream.format("binaryFile")
-        .schema(binaryFileSchema)
-        .option("pathGlobFilter", "*.warc*")
-        .load(dir))
+    * with files listed, the documented file-source contract.
+    * `serveOversize = true` (r18) routes past-ceiling landed files
+    * through the SAME bounded stream walk as the batch reader
+    * ([[WarcFiles.streamedAuditColumns]] — a narrow map over the path
+    * listing, still stateless), so stream == batch by construction on
+    * the oversized lane too. */
+  def audit(spark: SparkSession, dir: String,
+            serveOversize: Boolean = false): DataFrame = {
+    val bin = binSource(spark, dir)
+    if (!serveOversize) WarcFiles.auditColumns(bin)
+    else {
+      val ml = maxLen(spark)
+      WarcFiles.auditColumns(
+          bin.filter(org.apache.spark.sql.functions.col("length") <= ml))
+        .unionByName(WarcFiles.streamedAuditColumns(bin
+          .filter(org.apache.spark.sql.functions.col("length") > ml)
+          .select(org.apache.spark.sql.functions.col("path"))))
+    }
+  }
 
   /** Per-response-record EXTRACTION rows as an APPEND stream — the
     * serving leg ([[audit]] is the ops ledger): each landed file's
@@ -58,12 +80,16 @@ object StreamWarc {
     * exactly-once per file via the source log, a torn file serves its
     * complete records, an undecodable file serves nothing (its audit
     * row is the observable). */
-  def records(spark: SparkSession, dir: String): DataFrame =
-    WarcFiles.recordColumns(
-      spark.readStream.format("binaryFile")
-        .schema(binaryFileSchema)
-        .option("pathGlobFilter", "*.warc*")
-        .load(dir))
+  def records(spark: SparkSession, dir: String,
+              serveOversize: Boolean = false): DataFrame = {
+    val bin = binSource(spark, dir)
+    if (!serveOversize) WarcFiles.recordColumns(bin)
+    else WarcFiles.recordColumns(bin)
+      .unionByName(WarcFiles.streamedRecordColumns(bin
+        .filter(org.apache.spark.sql.functions.col("length") >
+          maxLen(spark))
+        .select(org.apache.spark.sql.functions.col("path"))))
+  }
 
   /** Per-record extracted TEXT as an APPEND stream — the corpus-build
     * front end ([[records]] serves bytes; this routes them through

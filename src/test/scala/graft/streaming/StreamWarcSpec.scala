@@ -216,4 +216,35 @@ class StreamWarcSpec extends SparkSpec {
       assert(streamed(100L)._1 === "png")
     } finally query.stop()
   }
+
+  test("serveOversize stream == batch (r18): landed files past the " +
+    "binaryFile ceiling serve their records and real statuses through " +
+    "the SAME bounded walk as the batch reader") {
+    val dir = Files.createTempDirectory("stream_warc_oversize").toString
+    WarcFiles.writeArchiveDir(docsDf(0 until 8), dir, files = 4,
+      tornEvery = 0)
+    // ground truth before the ceiling drops
+    val batchAudit = rows(WarcFiles.readAudit(spark, dir).collect())
+    val key = "spark.sql.sources.binaryFile.maxLength"
+    spark.conf.set(key, "8") // every file routes through the stream walk
+    val query = StreamWarc.audit(spark, dir, serveOversize = true)
+      .writeStream.format("memory").queryName("sw_oversize")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val streamed = rows(spark.sql("SELECT * FROM sw_oversize").collect())
+      assert(streamed === batchAudit,
+        "streamed oversized audit diverges from the unconstrained batch")
+      assert(streamed.values.forall(_._1 == "warc_ok"))
+      // the records twin serves every record too
+      val q2 = StreamWarc.records(spark, dir, serveOversize = true)
+        .writeStream.format("memory").queryName("sw_oversize_recs")
+        .outputMode("append").start()
+      try {
+        q2.processAllAvailable()
+        val n = spark.sql("SELECT * FROM sw_oversize_recs").count()
+        assert(n === 8L, s"expected 8 served response records, got $n")
+      } finally q2.stop()
+    } finally { query.stop(); spark.conf.unset(key) }
+  }
 }
