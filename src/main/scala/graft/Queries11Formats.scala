@@ -801,12 +801,13 @@ private[graft] trait Queries11Formats extends Queries10Information {
   // ---------------------------------------------------------------------
   // q262 — CHARSET-certified text dispatch (r18, VERDICT #1): a crawl
   // fixture whose text records declare the charsets a real crawl
-  // carries (doc_id % 7 → latin-1 / windows-1252 / UTF-8 / a LYING
+  // carries (doc_id % 10 → latin-1 / windows-1252 / UTF-8 / a LYING
   // latin-1 declaration over UTF-8 bytes / a lying UTF-8 declaration
   // over latin-1 bytes / an unknown name / HTML whose charset rides a
-  // <meta charset> tag with no transport param), each body prefixed
-  // with a deterministic non-ASCII marker so the decode actually
-  // matters. WarcFiles.dispatchRecords routes every record through
+  // <meta charset> tag with no transport param / three BOM lanes —
+  // UTF-8, UTF-16LE, and a UTF-16BE BOM that BEATS a lying transport
+  // declaration, the WHATWG precedence), each body prefixed with a
+  // deterministic non-ASCII marker so the decode actually matters. WarcFiles.dispatchRecords routes every record through
   // TextCharsets: the census pins per (declared type, charset used,
   // decode class) counts and certified char volumes. The failure
   // classes are now COUNTED, not silently served: lane 4's malformed
@@ -833,7 +834,9 @@ private[graft] trait Queries11Formats extends Queries10Information {
         .select(col("doc_id").cast("long"), col("source"), col("text"))
         .as[(Long, String, String)].collect().toSeq
         .map { case (id, src, text) =>
-          val (body, ct) = (id % 7) match {
+          val utf16le = java.nio.charset.StandardCharsets.UTF_16LE
+          val utf16be = java.nio.charset.StandardCharsets.UTF_16BE
+          val (body, ct) = (id % 10) match {
             case 0 => (("é " + text).getBytes(latin1),
               "text/plain; charset=iso-8859-1")
             case 1 => (("€ " + text).getBytes(cp1252),
@@ -848,12 +851,21 @@ private[graft] trait Queries11Formats extends Queries10Information {
                 "text/plain; charset=utf-8")
             case 5 => (("é " + text).getBytes(utf8),
               "text/plain; charset=x-unknown-cs")
-            case _ =>
+            case 6 =>
               val page = graft.operators.HtmlExtract
                 .encodePage(id, "é " + text)
                 .replaceFirst("<head>",
                   "<head><meta charset=\"iso-8859-1\">")
               (page.getBytes(latin1), "text/html")
+            // BOM lanes (WHATWG: BOM > transport > meta, stripped)
+            case 7 => (Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+              ("é " + text).getBytes(utf8), "text/plain")
+            case 8 => (Array(0xFF.toByte, 0xFE.toByte) ++
+              ("é " + text).getBytes(utf16le), "text/plain")
+            case _ => // BOM beats a LYING transport declaration
+              (Array(0xFE.toByte, 0xFF.toByte) ++
+                ("é " + text).getBytes(utf16be),
+                "text/plain; charset=iso-8859-1")
           }
           (id, src, body, ct)
         }
@@ -873,7 +885,7 @@ private[graft] trait Queries11Formats extends Queries10Information {
   }
 
   private[graft] val q262Sql =
-    """WITH m AS (SELECT doc_id % 7 AS lane, strlen(text) AS pl
+    """WITH m AS (SELECT doc_id % 10 AS lane, strlen(text) AS pl
       |  FROM documents)
       |SELECT CASE lane WHEN 0 THEN 'text/plain; charset=iso-8859-1'
       |    WHEN 1 THEN 'text/plain; charset=windows-1252'
@@ -881,9 +893,13 @@ private[graft] trait Queries11Formats extends Queries10Information {
       |    WHEN 3 THEN 'text/plain; charset=ISO-8859-1'
       |    WHEN 4 THEN 'text/plain; charset=utf-8'
       |    WHEN 5 THEN 'text/plain; charset=x-unknown-cs'
-      |    ELSE 'text/html' END AS format,
+      |    WHEN 6 THEN 'text/html'
+      |    WHEN 9 THEN 'text/plain; charset=iso-8859-1'
+      |    ELSE 'text/plain' END AS format,
       |  CASE lane WHEN 1 THEN 'windows-1252'
       |    WHEN 2 THEN 'utf-8' WHEN 4 THEN 'utf-8' WHEN 5 THEN 'utf-8'
+      |    WHEN 7 THEN 'utf-8' WHEN 8 THEN 'utf-16le'
+      |    WHEN 9 THEN 'utf-16be'
       |    ELSE 'iso-8859-1' END AS charset,
       |  CASE lane WHEN 4 THEN 'replaced' WHEN 5 THEN 'fallback'
       |    ELSE 'ok' END AS decode,

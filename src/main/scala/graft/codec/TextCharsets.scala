@@ -12,11 +12,13 @@ import java.nio.charset.{CharacterCodingException, Charset, CodingErrorAction, S
   * decode failure); this codec makes the charset decision explicit and
   * the damage COUNTABLE:
   *
+  *   - a byte-order mark wins over everything and is stripped (WHATWG
+  *     precedence: BOM > transport > meta — UTF-8 / UTF-16LE / UTF-16BE);
   *   - the Content-Type `charset=` parameter is honored (RFC 2045
   *     parameter syntax, case-insensitive, optional quotes);
   *   - HTML without a transport charset is sniffed for `<meta charset>`
   *     / `<meta http-equiv=content-type>` in the first 1024 bytes (the
-  *     WHATWG prescan window; transport ALWAYS wins when present);
+  *     WHATWG prescan window; transport wins over meta when present);
   *   - an unknown/unsupported declared name falls back to UTF-8 and is
   *     censused as its own class (`fallback`) — never thrown;
   *   - malformed byte sequences decode to U+FFFD AND flag the row
@@ -130,28 +132,54 @@ object TextCharsets {
         (lax.decode(java.nio.ByteBuffer.wrap(bytes)).toString, true)
     }
 
-  /** The dispatch-lane decode: honor `declared` (the Content-Type
-    * `charset=` parameter) when present, else sniff `<meta charset>`
-    * when `sniffHtml`, else UTF-8. Unknown names fall back to UTF-8 and
-    * census as `fallback`; malformed bytes census as `replaced`. */
+  /** Byte-order-mark sniff: (charset, BOM length). Per the WHATWG
+    * encoding standard a BOM outranks EVERYTHING — transport charset
+    * included — and is not content (the caller skips `bomLen` bytes).
+    * UTF-8 EF BB BF; UTF-16 FF FE (LE) / FE FF (BE). UTF-16 must be
+    * checked AFTER UTF-8's longer mark can't match (distinct prefixes,
+    * so order here is immaterial — kept explicit for the reader). */
+  def sniffBom(bytes: Array[Byte]): Option[(Charset, Int)] =
+    if (bytes == null || bytes.length < 2) None
+    else if (bytes.length >= 3 && (bytes(0) & 0xFF) == 0xEF &&
+      (bytes(1) & 0xFF) == 0xBB && (bytes(2) & 0xFF) == 0xBF)
+      Some((StandardCharsets.UTF_8, 3))
+    else if ((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xFE)
+      Some((StandardCharsets.UTF_16LE, 2))
+    else if ((bytes(0) & 0xFF) == 0xFE && (bytes(1) & 0xFF) == 0xFF)
+      Some((StandardCharsets.UTF_16BE, 2))
+    else None
+
+  /** The dispatch-lane decode, WHATWG precedence: a BOM wins over
+    * everything (and is stripped — it is a signal, not content), then
+    * `declared` (the Content-Type `charset=` parameter), then
+    * `<meta charset>` when `sniffHtml`, else UTF-8. Unknown names fall
+    * back to UTF-8 and census as `fallback`; malformed bytes census as
+    * `replaced`. */
   def decode(bytes: Array[Byte], declared: Option[String],
-             sniffHtml: Boolean = false): Decoded = {
-    val name = declared.orElse(
-      if (sniffHtml) sniffMetaCharset(bytes) else None)
-    val (cs, fellBack) = name match {
-      case None => (StandardCharsets.UTF_8, false)
-      case Some(n) => resolve(n) match {
-        case Some(c) => (c, false)
-        case None => (StandardCharsets.UTF_8, true)
-      }
+             sniffHtml: Boolean = false): Decoded =
+    sniffBom(bytes) match {
+      case Some((cs, bomLen)) =>
+        val (text, replaced) = decodeFlagged(
+          java.util.Arrays.copyOfRange(bytes, bomLen, bytes.length), cs)
+        Decoded(text, cs.name().toLowerCase(java.util.Locale.ROOT),
+          if (replaced) "replaced" else "ok")
+      case None =>
+        val name = declared.orElse(
+          if (sniffHtml) sniffMetaCharset(bytes) else None)
+        val (cs, fellBack) = name match {
+          case None => (StandardCharsets.UTF_8, false)
+          case Some(n) => resolve(n) match {
+            case Some(c) => (c, false)
+            case None => (StandardCharsets.UTF_8, true)
+          }
+        }
+        val (text, replaced) = decodeFlagged(bytes, cs)
+        val status = (fellBack, replaced) match {
+          case (false, false) => "ok"
+          case (false, true) => "replaced"
+          case (true, false) => "fallback"
+          case (true, true) => "fallback_replaced"
+        }
+        Decoded(text, cs.name().toLowerCase(java.util.Locale.ROOT), status)
     }
-    val (text, replaced) = decodeFlagged(bytes, cs)
-    val status = (fellBack, replaced) match {
-      case (false, false) => "ok"
-      case (false, true) => "replaced"
-      case (true, false) => "fallback"
-      case (true, true) => "fallback_replaced"
-    }
-    Decoded(text, cs.name().toLowerCase(java.util.Locale.ROOT), status)
-  }
 }

@@ -77,6 +77,34 @@ class TextCharsetsSpec extends AnyFunSuite {
     assert(eur.text === "€" && eur.decode === "ok")
   }
 
+  test("BOM precedence (WHATWG): a byte-order mark wins over transport " +
+    "AND meta, and is stripped from the content") {
+    import TextCharsets.decode
+    val u8bom = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte)
+    val utf8 = "é x".getBytes(StandardCharsets.UTF_8)
+    val bommed = decode(u8bom ++ utf8, None)
+    assert(bommed === TextCharsets.Decoded("é x", "utf-8", "ok"),
+      "UTF-8 BOM not honored/stripped")
+    // BOM beats a LYING transport declaration
+    val lied = decode(u8bom ++ utf8, Some("iso-8859-1"))
+    assert(lied.charset === "utf-8" && lied.text === "é x")
+    // UTF-16 both endiannesses
+    val le = decode(Array(0xFF.toByte, 0xFE.toByte) ++
+      "é x".getBytes(StandardCharsets.UTF_16LE), None)
+    assert(le === TextCharsets.Decoded("é x", "utf-16le", "ok"))
+    val be = decode(Array(0xFE.toByte, 0xFF.toByte) ++
+      "é x".getBytes(StandardCharsets.UTF_16BE), Some("utf-8"))
+    assert(be === TextCharsets.Decoded("é x", "utf-16be", "ok"))
+    // no false positive: a latin-1 'ÿþ' pair IS the UTF-16LE mark —
+    // that ambiguity is inherent to BOM sniffing (browsers share it);
+    // pin the behavior so a change is a conscious decision
+    assert(TextCharsets.sniffBom("ÿþ".getBytes(
+      StandardCharsets.ISO_8859_1)).map(_._1.name()) === Some("UTF-16LE"))
+    assert(TextCharsets.sniffBom("plain".getBytes(
+      StandardCharsets.US_ASCII)) === None)
+    assert(TextCharsets.sniffBom(Array[Byte](0xEF.toByte)) === None)
+  }
+
   test("decode precedence: transport param WINS over meta; meta is " +
     "sniffed only for HTML and only when no param is declared") {
     val html = "<html><head><meta charset=\"iso-8859-1\"></head>" +
