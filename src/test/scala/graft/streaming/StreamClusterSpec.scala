@@ -521,16 +521,28 @@ class StreamClusterSpec extends SparkSpec {
         fullClosure(Seq(1L -> bodyA, 2L -> bodyB, 3L -> bodyA)))
     } finally q2.stop()
     // crashed writer: a FOREIGN lease (unknown holder id — another JVM)
-    // with a stale heartbeat is reclaimed; a fresh one blocks
-    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
-      Thread.sleep(50)
+    // with a stale heartbeat is reclaimed; a fresh one blocks.
+    // QUIESCE q2's ASYNC release first — its listener's delete must not
+    // race the foreign plant (flaked once under the full parallel
+    // suite) — then plant on a clean slate (no stale Hadoop .crc
+    // sidecar either, so the engine reads exactly what we wrote).
     val lease = java.nio.file.Paths.get(path, "_meta", "lease")
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (Files.exists(lease) && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    Files.deleteIfExists(lease)
+    Files.deleteIfExists(java.nio.file.Paths.get(path, "_meta", ".lease.crc"))
     Files.write(lease, "foreign-jvm-holder".getBytes("UTF-8"))
-    val freshErr = intercept[RuntimeException](StreamCluster.maintain(
+    val attempt = scala.util.Try(StreamCluster.maintain(
       mem.toDF().toDF("doc_id", "text"), "doc_id", "text", path,
       Files.createTempDirectory("ck3").toString))
-    assert(freshErr.getMessage.contains("single-writer"))
+    attempt.foreach(_.stop()) // never leak a rogue query into later tests
+    assert(attempt.isFailure &&
+      attempt.failed.get.getMessage.contains("single-writer"),
+      s"fresh foreign lease did not block: $attempt; lease exists=" +
+        s"${Files.exists(lease)} content='${
+          if (Files.exists(lease))
+            new String(Files.readAllBytes(lease)).trim else ""}'")
     assert(lease.toFile.setLastModified(
       System.currentTimeMillis() - 2L * 60 * 60 * 1000))
     val q3 = StreamCluster.maintain(
