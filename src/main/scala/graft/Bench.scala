@@ -55,6 +55,14 @@ object Bench {
     }
     emit(s"""{"detail":"run_start","sf":"$sfDir","epoch_ms":${System.currentTimeMillis()},"load1m":${BigDecimal(loadStart).setScale(1, BigDecimal.RoundingMode.HALF_UP)}}""")
 
+    // error fields carry the exception MESSAGE, not just the class
+    // (r19, VERDICT #1): the r18 closing run's pipeline death journaled
+    // only "IllegalArgumentException", forcing the diagnosis to guess
+    // among three `require` sites — the message names the site.
+    def errFields(e: Throwable): String =
+      s""""error":"${e.getClass.getSimpleName}","message":"${
+        BenchJournal.jsonEscape(Option(e.getMessage).getOrElse(""))}""""
+
     // CALIBRATION workload (r18, VERDICT #7): a fixed CPU-bound Spark
     // job — sum(xxhash64) over a range, pure codegen, no shuffle, no
     // data dependence — timed at run START and END and journaled, so
@@ -65,7 +73,7 @@ object Bench {
     // SPARK_GRAFT_CALIBRATION_ROWS overrides; 0 disables.
     val calibrationRows =
       sys.env.getOrElse("SPARK_GRAFT_CALIBRATION_ROWS", "10000000000").toLong
-    def calibrate(when: String): Unit = if (calibrationRows > 0) try {
+    def calibrate(when: String): Option[Double] = if (calibrationRows > 0) try {
       // untimed 1% warm first: the START probe otherwise measures
       // first-job codegen/JIT (3.2 s of a 3.65 s reading) and is not
       // comparable with the warm END probe
@@ -79,11 +87,13 @@ object Bench {
       emit(s"""{"detail":"calibration","when":"$when","rows":$calibrationRows,"secs":${
         BigDecimal(secs).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"load1m":${
         BigDecimal(loadAvg()).setScale(2, BigDecimal.RoundingMode.HALF_UP)}}""")
+      Some(secs)
     } catch {
       case e: Throwable =>
-        emit(s"""{"detail":"calibration","when":"$when","error":"${e.getClass.getSimpleName}"}""")
-    }
-    calibrate("start")
+        emit(s"""{"detail":"calibration","when":"$when",${errFields(e)}}""")
+        None
+    } else None
+    val calStart = calibrate("start")
 
     // LOAD GATE (r16, VERDICT #1): identical code measured 208.1 s and
     // 253.8 s on the same day because the lane had no defense against
@@ -301,11 +311,12 @@ object Bench {
     // journal line); a skip must journal AS a skip
     val pipelineTrialsReq =
       sys.env.getOrElse("SPARK_GRAFT_PIPELINE_TRIALS", "3").toInt
-    val pipe: Option[PipelineThroughput.Result] =
-      if (sys.env.getOrElse("SPARK_GRAFT_PIPELINE_BENCH", "1") == "0") None
+    val (pipe, pipeCarried): (Option[PipelineThroughput.Result], Boolean) =
+      if (sys.env.getOrElse("SPARK_GRAFT_PIPELINE_BENCH", "1") == "0")
+        (None, false)
       else if (pipelineTrialsReq <= 0) {
         emit(s"""{"detail":"pipeline","skipped":"SPARK_GRAFT_PIPELINE_TRIALS=$pipelineTrialsReq"}""")
-        None
+        (None, false)
       } else try {
         PipelineThroughput.run(spark, sfDir, targetFrames = 1L)
         val frames =
@@ -333,6 +344,12 @@ object Bench {
             sys.env.getOrElse("SPARK_GRAFT_PIPELINE_MAX_TRIALS", "6").toInt)
         val pipeGate =
           sys.env.getOrElse("SPARK_GRAFT_PIPELINE_LOAD_GATE", "2.5").toDouble
+        // the journal band BEFORE this run's trials land: the yardstick
+        // a sub-band trial is judged against for anomaly attribution
+        // (r19, VERDICT #2 — the r18 closing run's 37.5k rows/s trial
+        // was a mystery its journal could not adjudicate)
+        val band = BenchJournal.newestAgreeingPipeline(sidecar)
+          .map(_.rowsPerSec)
         var runs = Vector.empty[PipelineThroughput.Result]
         def top2Agree: Boolean = {
           val top = runs.map(_.rowsPerSec).sorted.reverse.take(2)
@@ -343,12 +360,15 @@ object Bench {
           val l = gateLoad(s"pipeline_trial_$i", pipeGate)
           val r = PipelineThroughput.run(spark, sfDir, frames)
           emit(f"""{"detail":"pipeline_trial","trial":$i,"rows_per_sec":${r.rowsPerSec}%.0f,"secs":${BigDecimal(r.secs).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"batches":${r.batches},"load1m":${BigDecimal(l).setScale(2, BigDecimal.RoundingMode.HALF_UP)}}""")
+          // >2x below the newest agreeing band: journal the per-batch
+          // progress so feed/agg/sink stalls are distinguishable
+          BenchJournal.pipelineAnomalyLine(i, r, band).foreach(emit)
           runs = runs :+ r
         }
         val r = runs.maxBy(_.rowsPerSec)
         if (top2Agree || runs.size <= 1) {
           emit(f"""{"detail":"pipeline","rows_per_sec":${r.rowsPerSec}%.0f,"frames":${r.frames},"secs":${BigDecimal(r.secs).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"query_agg_rows":${r.queryAggRows},"response_agg_rows":${r.responseAggRows},"batches":${r.batches},"trials":${runs.size},"top2_within_15pct":$top2Agree}""")
-          Some(r)
+          (Some(r), false)
         } else {
           // NUMBER-OF-RECORD convention (r18, VERDICT #1): a best whose
           // top-2 trials never agreed within 15% is a non-reproducing
@@ -371,12 +391,24 @@ object Bench {
           }
           if (carried.isEmpty)
             emit(s"""{"detail":"pipeline","error":"no_agreeing_run"}""")
-          carried
+          (carried, carried.nonEmpty)
         }
       } catch {
         case e: Throwable =>
-          emit(s"""{"detail":"pipeline","error":"${e.getClass.getSimpleName}"}""")
-          None
+          // EXCEPTION CARRY (r19, VERDICT #1): the no-agreement path
+          // already falls back to the journal, but the r18 closing
+          // run's trial threw and this catch published NOTHING — the
+          // round's final artifact lost the one measured BASELINE
+          // contract line while three agreeing same-HEAD numbers sat in
+          // its own journal. Same convention here: journal the failure
+          // (message included), then carry the newest agreeing line,
+          // flagged with its provenance AND the error that forced it.
+          emit(s"""{"detail":"pipeline",${errFields(e)}}""")
+          val carried = BenchJournal.newestAgreeingPipeline(sidecar)
+          carried.foreach { c =>
+            emit(f"""{"detail":"pipeline","rows_per_sec":${c.rowsPerSec}%.0f,"frames":${c.frames},"secs":${BigDecimal(c.secs).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"top2_within_15pct":false,"carried_from_journal":true,"carry_reason":"${e.getClass.getSimpleName}"}""")
+          }
+          (carried, carried.nonEmpty)
       }
 
     // WordPiece distributed-trainer price (r15, VERDICT item 7): the
@@ -401,10 +433,10 @@ object Bench {
       releaseCheckpoints()
     } catch {
       case e: Throwable =>
-        emit(s"""{"detail":"wordpiece_distributed","error":"${e.getClass.getSimpleName}"}""")
+        emit(s"""{"detail":"wordpiece_distributed",${errFields(e)}}""")
     }
 
-    calibrate("end")
+    val calEnd = calibrate("end")
     emit(s"""{"detail":"queries","sf":"$sfDir","queries":${toJson(results)}}""")
 
     val failed = results.collect { case (name, v) if v < 0 => name }
@@ -429,9 +461,38 @@ object Bench {
     // driver's ~2 KB tail-capture window
     val isoHead = isoAll.filter(_._2 >= 0).sortBy(-_._2).take(10)
     val isoJson = if (isoHead.isEmpty) "" else s""","slowest_isolated":${toJson(isoHead)}"""
+    // provenance in the HEADLINE, not only the detail line (r18 ADVICE):
+    // tooling reading the last line alone must not mistake a journal-
+    // carried prior measurement for this run's own
     val pipeJson = pipe.map(r =>
-      f""","pipeline_rows_per_sec":${r.rowsPerSec}%.0f,"pipeline_frames":${r.frames},"pipeline_secs":${BigDecimal(r.secs).setScale(3, BigDecimal.RoundingMode.HALF_UP)}""").getOrElse("")
-    emit(s"""{"metric":"total","value":$totalStr,"unit":"sec","action":"materialize","sf":"$sfDir","nqueries":${results.size},"errors":$errorsJson,"load1m":$load,"slowest":${toJson(slowest)}$pipeJson$isoJson}""")
+      f""","pipeline_rows_per_sec":${r.rowsPerSec}%.0f,"pipeline_frames":${r.frames},"pipeline_secs":${BigDecimal(r.secs).setScale(3, BigDecimal.RoundingMode.HALF_UP)}${
+        if (pipeCarried) ""","pipeline_carried":true""" else ""}""").getOrElse("")
+    // BOX-NORMALIZED TOTAL (r19, VERDICT #6): the calibration probes are
+    // journaled but nothing read them — round-over-round totals still
+    // compared raw across a box whose speed drifts by days (r18's A/B
+    // proved 25%+ drift on identical binaries). total_normalized =
+    // total × reference/run calibration: a slower box (bigger run
+    // calibration secs) deflates its inflated total back into
+    // reference-box seconds. The reference is PINNED in the journal at
+    // first use ("calibration_reference", first line wins, keyed on the
+    // row count — probes at different row counts are not comparable);
+    // run calibration is the MIN of the start/end probes (contention
+    // only ever inflates a probe, so min is the box's best observed
+    // speed this run).
+    val normJson = Seq(calStart, calEnd).flatten.reduceOption(_ min _)
+      .map { runCal =>
+        val refCal = BenchJournal
+          .referenceCalibration(sidecar, calibrationRows)
+          .getOrElse {
+            emit(s"""{"detail":"calibration_reference","rows":$calibrationRows,"secs":${
+              BigDecimal(runCal).setScale(3, BigDecimal.RoundingMode.HALF_UP)}}""")
+            runCal
+          }
+        s""","calibration_secs":${
+          BigDecimal(runCal).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"total_normalized":${
+          BigDecimal(total * refCal / runCal).setScale(3, BigDecimal.RoundingMode.HALF_UP)}"""
+      }.getOrElse("")
+    emit(s"""{"metric":"total","value":$totalStr,"unit":"sec","action":"materialize","sf":"$sfDir","nqueries":${results.size},"errors":$errorsJson,"load1m":$load,"slowest":${toJson(slowest)}$pipeJson$isoJson$normJson}""")
     spark.stop()
   }
 }
@@ -448,6 +509,63 @@ private[graft] object BenchJournal {
     * emit; agg-row/batch fields are not recovered (they only feed the
     * already-journaled detail line). Never throws: an unreadable or
     * absent journal is simply no fallback. */
+  /** Minimal JSON string escape for journal lines: backslash, quote,
+    * and control characters — exception messages routinely carry quotes
+    * and newlines, and one unescaped message must not corrupt the
+    * line-oriented journal every fallback read depends on. */
+  def jsonEscape(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => b.append("\\\\")
+      case '"' => b.append("\\\"")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  /** The pinned reference calibration (r19, VERDICT #6): the FIRST
+    * `calibration_reference` journal line whose row count matches —
+    * first, not newest, so the yardstick never drifts with the box it
+    * exists to normalize. Never throws; no journal means no pin yet. */
+  def referenceCalibration(path: String, rows: Long): Option[Double] =
+    if (path.isEmpty) None
+    else try {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) None
+      else {
+        val re = ("\"detail\":\"calibration_reference\",\"rows\":" +
+          rows + ",\"secs\":([0-9.]+)").r.unanchored
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(p).asScala.iterator
+          .flatMap(re.findFirstMatchIn(_))
+          .map(_.group(1).toDouble)
+          .nextOption()
+      }
+    } catch { case _: Throwable => None }
+
+  /** The anomaly-attribution line (r19, VERDICT #2): when a pipeline
+    * trial lands more than 2x BELOW the newest agreeing journal band,
+    * one line of per-batch progress (rows, trigger wall, committed
+    * offset) is worth the whole diagnosis — a feed stall shows starved
+    * batches, an agg stall shows few slow ones, a sink stall shows the
+    * offset frozen. Capped at the last 64 batches so the line stays
+    * journal-sized. None = in-band, nothing to attribute. */
+  def pipelineAnomalyLine(trial: Int, r: PipelineThroughput.Result,
+                          bandRowsPerSec: Option[Double]): Option[String] =
+    bandRowsPerSec.filter(b => b > 0 && r.rowsPerSec < b / 2).map { b =>
+      val batches = r.batchProgress.takeRight(64).map(p =>
+        s"""{"batch":${p.batchId},"rows":${p.rows},"ms":${p.ms},"offset":${p.offset}}""")
+        .mkString("[", ",", "]")
+      f"""{"detail":"pipeline_anomaly","trial":$trial,"rows_per_sec":${
+        r.rowsPerSec}%.0f,"band_rows_per_sec":$b%.0f,"secs":${
+        BigDecimal(r.secs).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"n_batches":${
+        r.batchProgress.size},"batches":$batches}"""
+    }
+
   def newestAgreeingPipeline(path: String): Option[PipelineThroughput.Result] =
     if (path.isEmpty) None
     else try {

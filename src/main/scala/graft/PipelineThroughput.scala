@@ -39,9 +39,18 @@ import graft.streaming.DnstapPipeline
   */
 object PipelineThroughput {
 
+  /** One micro-batch's progress snapshot, captured from the polling
+    * loop (r19, VERDICT #2): when a trial lands far below the journal
+    * band, these are what make the anomaly ATTRIBUTABLE — a feed stall
+    * shows batches with few rows, an agg stall shows few long batches,
+    * a sink stall shows committed offsets frozen while wall advances. */
+  final case class BatchProg(batchId: Long, rows: Long, ms: Long,
+                             offset: Long)
+
   final case class Result(frames: Long, secs: Double, rowsPerSec: Double,
                           queryAggRows: Long, responseAggRows: Long,
-                          batches: Long)
+                          batches: Long,
+                          batchProgress: Seq[BatchProg] = Nil)
 
   private final class CountingSink extends BatchSink {
     val rows = new AtomicLong(0L)
@@ -89,8 +98,12 @@ object PipelineThroughput {
       .collect()
   }
 
+  /** `throttleNanosPerFrame` (test-only, default 0 = full speed)
+    * park-delays every emitted frame — the artificially-slow feed the
+    * anomaly-attribution spec drives without touching the real path. */
   def run(spark: SparkSession, sfDir: String, targetFrames: Long = 1000000L,
-          emitters: Int = 4, deadlineSecs: Int = 600): Result = {
+          emitters: Int = 4, deadlineSecs: Int = 600,
+          throttleNanosPerFrame: Long = 0L): Result = {
     import spark.implicits._
     val frames = frameSet(spark, sfDir)
     require(frames.nonEmpty, s"no events at $sfDir")
@@ -141,6 +154,9 @@ object PipelineThroughput {
               var i = w
               while (i < frames.length) {
                 FrameStreams.writeDataFrame(out, frames(i))
+                if (throttleNanosPerFrame > 0L)
+                  java.util.concurrent.locks.LockSupport
+                    .parkNanos(throttleNanosPerFrame)
                 i += emitters
               }
               r += 1
@@ -164,12 +180,21 @@ object PipelineThroughput {
       var tDone = 0L
       var committed = 0L
       val dataBatches = scala.collection.mutable.Set.empty[Long]
+      // per-batch snapshots for anomaly attribution (last poll of each
+      // batch id wins — the 20 ms poll sees every multi-ms batch)
+      val progByBatch = scala.collection.mutable.LinkedHashMap
+        .empty[Long, BatchProg]
       while (tDone == 0L && System.nanoTime() < deadline) {
         running.foreach(q => q.exception.foreach(e => throw e))
         val p = aggQuery.lastProgress
         if (p != null && p.sources.nonEmpty) {
           committed = math.max(committed, p.sources.head.endOffset.toLong)
           if (p.numInputRows > 0) dataBatches += p.batchId
+          val ms = Option(p.durationMs)
+            .flatMap(d => Option(d.get("triggerExecution")))
+            .map(_.longValue).getOrElse(-1L)
+          progByBatch.put(p.batchId,
+            BatchProg(p.batchId, p.numInputRows, ms, committed))
           if (committed >= total) tDone = System.nanoTime()
         }
         if (tDone == 0L) Thread.sleep(20)
@@ -179,7 +204,7 @@ object PipelineThroughput {
       workers.foreach(_.join(10000))
       val secs = (tDone - t0) / 1e9
       Result(total, secs, total / secs, qSink.rows.get(), rSink.rows.get(),
-        dataBatches.size.toLong)
+        dataBatches.size.toLong, progByBatch.values.toVector)
     } finally {
       running.foreach(_.stop())
       // the temp dir holds the socket plus the full streaming checkpoint

@@ -70,6 +70,11 @@ object TextCharsets {
     * case-insensitively. Heuristic by design: it finds the declarations
     * real pages carry; adversarial markup falls through to the UTF-8
     * default, never throws. */
+  /** ASCII whitespace per the WHATWG prescan — a meta attribute split
+    * across lines (`charset =\n "utf-8"`) is as valid as one space. */
+  private def isAsciiWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+
   def sniffMetaCharset(bytes: Array[Byte]): Option[String] = {
     if (bytes == null || bytes.length == 0) return None
     val n = math.min(bytes.length, SniffWindow)
@@ -85,10 +90,10 @@ object TextCharsets {
       val close = head.lastIndexOf('>', at)
       if (open >= 0 && close < open) {
         var i = at + "charset".length
-        while (i < head.length && (head.charAt(i) == ' ')) i += 1
+        while (i < head.length && isAsciiWs(head.charAt(i))) i += 1
         if (i < head.length && head.charAt(i) == '=') {
           i += 1
-          while (i < head.length && head.charAt(i) == ' ') i += 1
+          while (i < head.length && isAsciiWs(head.charAt(i))) i += 1
           val quoted = i < head.length &&
             (head.charAt(i) == '"' || head.charAt(i) == '\'')
           val quote = if (quoted) head.charAt(i) else ' '
@@ -97,8 +102,11 @@ object TextCharsets {
           while (i < head.length && {
             val c = head.charAt(i)
             if (quoted) c != quote
-            else c != ' ' && c != '>' && c != ';' && c != '/' && c != '"' &&
-              c != '\''
+            // unquoted values end on ANY ASCII whitespace (WHATWG), not
+            // just space — a newline-terminated value otherwise swallows
+            // the rest of the tag into the charset name
+            else !isAsciiWs(c) && c != '>' && c != ';' && c != '/' &&
+              c != '"' && c != '\''
           }) i += 1
           val v = head.substring(start, i).trim
           if (v.nonEmpty) return Some(v)

@@ -290,13 +290,19 @@ object WarcFiles {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
     val raw = fs.open(hp)
+    // close the OUTERMOST stream (r18 ADVICE): closing only `raw` left
+    // each oversized .gz file's GZIPInputStream holding a native
+    // Inflater until finalization — off-heap creep in long-lived
+    // executors serving many such files. GZIPInputStream.close() ends
+    // the Inflater and closes raw; on a constructor failure `in` is
+    // still raw and the finally closes that.
+    var in: java.io.InputStream = raw
     try {
-      val in =
-        if (!path.endsWith(".gz")) raw
-        else try new GZIPInputStream(raw)
+      if (path.endsWith(".gz"))
+        in = try new GZIPInputStream(raw)
         catch { case _: java.io.IOException => return None }
       Some(Warc.parseStream(in))
-    } finally raw.close()
+    } finally in.close()
   }
 
   /** Audit rows for oversized files via the stream walk — path listing

@@ -180,6 +180,16 @@ object StreamCluster {
                 pmod(col("h"), lit(nb.toLong)).cast("int"))
               .write.mode("overwrite").partitionBy("hb")
               .parquet(s"$path/shingles/gen=$batchId")
+            // COMMIT FENCE (r19, VERDICT #5): the batch-start ownership
+            // check cannot protect a batch that outlives the staleness
+            // window — it could be deposed mid-flight and still land its
+            // generation AFTER the takeover. Re-verify (and refresh)
+            // ownership immediately before the labels write, the
+            // serve-visible commit: a deposed writer throws HERE, its
+            // shingle generation stays inert (reads key on labels), and
+            // the artifact serves only the new writer's chain.
+            testBeforeLabelsCommit()
+            heartbeatLease(spark, path, leaseId)
             delta.withColumn("gen", lit(batchId))
               .write.mode("overwrite")
               .parquet(s"$path/labels/gen=$batchId")
@@ -247,6 +257,13 @@ object StreamCluster {
 
   // -------------------------------------------------------------- lease
 
+  /** Spec-injection point for the commit-fence pin: invoked driver-side
+    * inside foreachBatch immediately before the pre-commit ownership
+    * check, so a test can depose the writer at exactly the moment the
+    * fence exists for (mid-batch, after the work, before the
+    * serve-visible labels write). Production no-op. */
+  private[streaming] var testBeforeLabelsCommit: () => Unit = () => ()
+
   private def leasePath(path: String) = new Path(s"$path/_meta/lease")
 
   /** In-JVM ledger of lease holders: an immediate restart after a clean
@@ -293,6 +310,16 @@ object StreamCluster {
         s"writer-lease race lost on $path: another maintain acquired " +
           "between the liveness check and the create — single-writer") }
     try out.write(id.getBytes("UTF-8")) finally out.close()
+    // reclaim is check/delete/create, NOT atomic (r18 ADVICE): two
+    // acquirers that both observed the same stale lease can both reach
+    // the create — the second deletes the first's fresh lease and
+    // recreates. Re-reading narrows the race from the whole reclaim
+    // sequence to read-vs-delete, and the per-batch + pre-commit
+    // ownership checks fence whatever residue remains (a deposed writer
+    // can heartbeat-fail but never LAND a labels generation).
+    if (readLease(fs, lp) != id) sys.error(
+      s"writer-lease race lost on $path: another maintain reclaimed the " +
+        "same stale lease and overwrote this one — single-writer")
     id
   }
 

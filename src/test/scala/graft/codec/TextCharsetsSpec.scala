@@ -51,6 +51,25 @@ class TextCharsetsSpec extends AnyFunSuite {
     assert(TextCharsets.sniffMetaCharset(null) === None)
   }
 
+  test("sniffMetaCharset: WHATWG whitespace (r18 ADVICE) — tab/CR/LF/FF " +
+    "around '=' are as valid as spaces, and an unquoted value ends on " +
+    "ANY whitespace, not just space") {
+    def b(s: String) = s.getBytes(StandardCharsets.ISO_8859_1)
+    // meta attributes split across lines — real pages do this
+    assert(TextCharsets.sniffMetaCharset(
+      b("<meta charset\t=\n\"iso-8859-1\">")) === Some("iso-8859-1"))
+    assert(TextCharsets.sniffMetaCharset(
+      b("<meta charset =\r\n windows-1252>")) === Some("windows-1252"))
+    assert(TextCharsets.sniffMetaCharset(
+      b("<meta charset\f=\futf-8>")) === Some("utf-8"))
+    // unquoted value terminated by a newline before other attributes:
+    // the name must not swallow the rest of the tag
+    assert(TextCharsets.sniffMetaCharset(
+      b("<meta charset=iso-8859-1\nlang=en>")) === Some("iso-8859-1"))
+    assert(TextCharsets.sniffMetaCharset(
+      b("<meta charset=utf-8\tid=x>")) === Some("utf-8"))
+  }
+
   test("decode classes: ok / replaced / fallback / fallback_replaced, " +
     "with the canonical lowercased charset name reported") {
     val latin1Bytes = "é x".getBytes(StandardCharsets.ISO_8859_1)

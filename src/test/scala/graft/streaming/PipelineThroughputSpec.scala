@@ -18,5 +18,33 @@ class PipelineThroughputSpec extends SparkSpec {
     // and drop at Fl4; the quarter with NXDOMAIN must survive)
     assert(r.queryAggRows > 0)
     assert(r.responseAggRows > 0)
+    // per-batch progress rides the result (r19, VERDICT #2) and its
+    // committed offsets reach the full feed
+    assert(r.batchProgress.nonEmpty)
+    assert(r.batchProgress.map(_.offset).max == 4000L)
+  }
+
+  test("an artificially THROTTLED feed lands far below a healthy band " +
+    "and the anomaly line attributes it: per-batch rows/walls show the " +
+    "starvation (r19, VERDICT #2)") {
+    // an unthrottled same-box run is the band (big enough that startup
+    // doesn't drown the rate); the throttled run parks 4 ms per frame,
+    // capping the feed near 250 rows/s per emitter
+    val healthy = PipelineThroughput.run(spark, "/root/testdata/sf0.001",
+      targetFrames = 40000L, emitters = 2, deadlineSecs = 300)
+    val throttled = PipelineThroughput.run(spark, "/root/testdata/sf0.001",
+      targetFrames = 2000L, emitters = 2, deadlineSecs = 300,
+      throttleNanosPerFrame = 4000000L)
+    assert(throttled.rowsPerSec < healthy.rowsPerSec / 2,
+      s"throttle too weak: ${throttled.rowsPerSec} vs ${healthy.rowsPerSec}")
+    val line = graft.BenchJournal.pipelineAnomalyLine(1, throttled,
+      Some(healthy.rowsPerSec))
+    assert(line.nonEmpty, "sub-band trial must journal an anomaly line")
+    assert(line.get.contains("\"detail\":\"pipeline_anomaly\""))
+    assert(line.get.contains("\"batches\":[{"),
+      "anomaly line must carry per-batch progress for attribution")
+    // the healthy run, judged against its own band, is silent
+    assert(graft.BenchJournal.pipelineAnomalyLine(2, healthy,
+      Some(healthy.rowsPerSec)).isEmpty)
   }
 }

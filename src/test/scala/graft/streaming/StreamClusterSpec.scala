@@ -581,6 +581,62 @@ class StreamClusterSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("commit fence (r19): a writer deposed MID-BATCH — after batch " +
+    "start, before the labels write — throws at the fence, lands no " +
+    "labels generation, and the artifact serves the new writer's chain " +
+    "only") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val path = Files.createTempDirectory("stream_cluster_fence").toString
+    val ckpt = Files.createTempDirectory("stream_cluster_fence_ck").toString
+    val lease = java.nio.file.Paths.get(path, "_meta", "lease")
+    val mem = MemoryStream[(Long, String)]
+    val q1 = StreamCluster.maintain(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", path, ckpt)
+    try {
+      // the takeover fires exactly where the fence exists for: after
+      // the batch-start ownership check passed and the shingles landed,
+      // immediately before the serve-visible labels commit — as if the
+      // batch outlived the staleness window and a second maintain
+      // reclaimed (delete + create with its own id), then went stale
+      // itself so a later writer can acquire
+      StreamCluster.testBeforeLabelsCommit = () => {
+        Files.deleteIfExists(lease)
+        Files.deleteIfExists(
+          java.nio.file.Paths.get(path, "_meta", ".lease.crc"))
+        Files.write(lease, "mid-batch-takeover-holder".getBytes("UTF-8"))
+        assert(lease.toFile.setLastModified(
+          System.currentTimeMillis() - 20L * 60 * 1000))
+      }
+      mem.addData(Seq(1L -> bodyA, 2L -> bodyA))
+      val e = intercept[Exception](q1.processAllAvailable())
+      def mentions(t: Throwable): Boolean = t != null &&
+        (Option(t.getMessage).exists(_.contains("taken over")) ||
+          mentions(t.getCause))
+      assert(mentions(e),
+        s"deposed writer did not die at the commit fence: $e")
+      // the deposed batch's labels generation must NOT exist — its
+      // shingles may (they are inert: serve reads key on labels)
+      assert(!new java.io.File(path, "labels").exists,
+        "a deposed writer landed a serve-visible labels generation")
+    } finally {
+      StreamCluster.testBeforeLabelsCommit = () => ()
+      q1.stop()
+    }
+    // the takeover lease is stale: a fresh maintain acquires and its
+    // chain is the ONLY thing the artifact serves
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = StreamCluster.maintain(
+      mem2.toDF().toDF("doc_id", "text"), "doc_id", "text", path,
+      Files.createTempDirectory("stream_cluster_fence_ck2").toString)
+    try {
+      mem2.addData(Seq(10L -> bodyB, 11L -> bodyB))
+      q2.processAllAvailable()
+      assert(labels(path) === Map(10L -> 10L, 11L -> 10L),
+        "artifact must serve exactly the new writer's chain")
+    } finally q2.stop()
+  }
+
   test("lookupLabels (r18): point lookups equal readLabels newest-wins " +
     "and touch ONLY the ids' own hb buckets — the complement's base " +
     "directories can be unreadable garbage") {
