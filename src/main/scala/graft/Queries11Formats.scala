@@ -955,4 +955,160 @@ private[graft] trait Queries11Formats extends Queries10Information {
       |  COALESCE(px_total, 0) AS px_total,
       |  COALESCE(dur_ms_total, 0) AS dur_ms_total
       |FROM tt FULL JOIN mm ON tt.source = mm.source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q264 — HTTP body-encoding decode (r19, VERDICT #3): the WARC walks
+  // previously served the bytes after CRLFCRLF as the body, so a
+  // response carrying a chunked or gzip/deflate body — legal in WARC,
+  // common in non-normalized crawls — served chunk-framing noise or
+  // compressed bytes as "text", and the charset decode censused it as
+  // `replaced` rather than as what it is. Fixture: doc_id % 8 →
+  // identity / chunked / gzip / deflate / chunked+gzip (de-chunk THEN
+  // gunzip, wire order) / malformed chunked (non-hex size line) /
+  // lying gzip (raw bytes) / unsupported coding (br). The decode lives
+  // in the shared record builder, so ALL THREE walks (whole-array,
+  // bounded stream, char-domain excluded by its ASCII scope note) get
+  // it; each failure class censuses with an EMPTY body — compressed
+  // garbage never reaches a text decode. Hash-exact: good lanes must
+  // recover the original bytes bit-for-bit (md5(body) == md5(text),
+  // the q257 cross-engine certificate), bad lanes pin md5('') and 0
+  // bytes.
+  // ---------------------------------------------------------------------
+  private val warcEncodedFixtureDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def q264FixtureDir(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    warcEncodedFixtureDir.computeIfAbsent(dir, _ => {
+      val d = scopedTempDir("graft_warc_encoded")
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      val ct = "text/plain; charset=utf-8"
+      val rows = Tables.documents(spark, dir)
+        .select(col("doc_id").cast("long"), col("source"), col("text"))
+        .as[(Long, String, String)].collect().toSeq
+        .map { case (id, src, text) =>
+          val b = text.getBytes(utf8)
+          val (body, headers) = (id % 8) match {
+            case 0 => (b, Seq("Content-Type" -> ct,
+              "Content-Length" -> b.length.toString))
+            case 1 => (Warc.chunkEncode(b, 7),
+              Seq("Content-Type" -> ct, "Transfer-Encoding" -> "chunked"))
+            case 2 => (Warc.gzipEncode(b),
+              Seq("Content-Type" -> ct, "Content-Encoding" -> "gzip"))
+            case 3 => (Warc.deflateEncode(b),
+              Seq("Content-Type" -> ct, "Content-Encoding" -> "deflate"))
+            case 4 => (Warc.chunkEncode(Warc.gzipEncode(b), 11),
+              Seq("Content-Type" -> ct, "Transfer-Encoding" -> "chunked",
+                "Content-Encoding" -> "gzip"))
+            case 5 => // declared chunked, framing garbage: non-hex size
+              ("zz\r\n".getBytes(utf8) ++ b,
+                Seq("Content-Type" -> ct, "Transfer-Encoding" -> "chunked"))
+            case 6 => // declared gzip over raw bytes: magic check fails
+              (b, Seq("Content-Type" -> ct, "Content-Encoding" -> "gzip"))
+            case _ => // a coding this walk does not decode
+              (b, Seq("Content-Type" -> ct, "Content-Encoding" -> "br"))
+          }
+          (id, src, body, headers)
+        }
+      graft.sources.WarcFiles.writeHttpArchiveDir(rows, d)
+      d
+    })
+  }
+
+  private[graft] def q264EncodedBodies(spark: SparkSession, dir: String): DataFrame = {
+    val out = q264FixtureDir(spark, dir)
+    graft.sources.WarcFiles.readRecords(spark, out)
+      .select(
+        coalesce(expr("try_cast(substring_index(uri, '/', -1) AS BIGINT)"),
+          lit(-1L)).as("doc_id"),
+        col("encoding"),
+        md5(col("body")).as("body_md5"),
+        length(col("body")).cast("long").as("n_bytes"))
+  }
+
+  private[graft] val q264Sql =
+    """SELECT doc_id,
+      |  CASE doc_id % 8 WHEN 0 THEN '' WHEN 1 THEN 'chunked'
+      |    WHEN 2 THEN 'gzip' WHEN 3 THEN 'deflate'
+      |    WHEN 4 THEN 'chunked+gzip' WHEN 5 THEN 'bad_chunked'
+      |    WHEN 6 THEN 'bad_gzip' ELSE 'unsupported' END AS encoding,
+      |  CASE WHEN doc_id % 8 <= 4 THEN md5(text) ELSE md5('') END
+      |    AS body_md5,
+      |  CAST(CASE WHEN doc_id % 8 <= 4 THEN strlen(text) ELSE 0 END
+      |    AS BIGINT) AS n_bytes
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q265 — REVISIT records as free dedup edges (r19, VERDICT #4): a
+  // real crawl's refetch of an unchanged page stores a `revisit` marker
+  // (WARC-Refers-To-Target-URI, identical-payload-digest profile)
+  // instead of the body — the crawler ALREADY detected the duplicate,
+  // so re-discovering it by hashing at corpus scale is the dominant
+  // avoidable shuffle on refetch-heavy crawls. Fixture: every doc
+  // serves once; each doc_id % 3 == 0 also gets a revisit at a shifted
+  // URI referring back to it. The manifest consumes the edges directly:
+  // stored docs count/measure from their bodies, revisits resolve
+  // against the stored records by URI (a dangling edge would break the
+  // census — resolution IS the certificate) and credit the bytes the
+  // crawler saved; docs_unique comes from the resolved-target distinct,
+  // exactly what the exact-dedup stage would have hash-discovered had
+  // the bodies been stored. Plan shape: the revisit side is marker-
+  // small (no bodies), so its join against the record frame broadcasts
+  // at real scale — the corpus-sized hash shuffle is precisely what
+  // this entry REMOVES.
+  // ---------------------------------------------------------------------
+  private val warcRevisitFixtureDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def q265RevisitDedup(spark: SparkSession, dir: String): DataFrame = {
+    val out = warcRevisitFixtureDir.computeIfAbsent(dir, _ => {
+      val d = scopedTempDir("graft_warc_revisit")
+      graft.sources.WarcFiles.writeRevisitArchiveDir(
+        Tables.documents(spark, dir), d)
+      d
+    })
+    val docs = graft.sources.WarcFiles.readRecords(spark, out)
+      .select(
+        substring_index(substring_index(col("uri"), "/", 3), "/", -1)
+          .as("source"),
+        col("uri"), length(col("body")).cast("long").as("n_bytes"))
+    val revs = graft.sources.WarcFiles.readRevisits(spark, out)
+      .select(col("refers_to"))
+    val stored = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_stored"),
+        sum(col("n_bytes")).as("bytes_stored"))
+    // each edge must RESOLVE against a stored record — the join is the
+    // certificate that the crawler's dup markers point at real docs
+    val resolved = revs.join(docs, revs("refers_to") === docs("uri"))
+      .select(docs("source"), docs("uri").as("target"), docs("n_bytes"))
+    val dup = resolved.groupBy(col("source"))
+      .agg(count(lit(1)).as("revisit_edges"),
+        sum(col("n_bytes")).as("bytes_saved"))
+    val uniq = docs.select(col("source"), col("uri").as("target"))
+      .unionByName(resolved.select(col("source"), col("target")))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("target")).as("docs_unique"),
+        count(lit(1)).as("docs_fetched"))
+    stored.join(dup, Seq("source"), "left")
+      .join(uniq, Seq("source"), "left")
+      .select(col("source"), col("docs_stored"),
+        coalesce(col("revisit_edges"), lit(0L)).as("revisit_edges"),
+        col("docs_fetched"), col("docs_unique"), col("bytes_stored"),
+        coalesce(col("bytes_saved"), lit(0L)).as("bytes_saved"))
+  }
+
+  private[graft] val q265Sql =
+    """WITH d AS (SELECT doc_id, source, strlen(text) AS b FROM documents),
+      |s AS (SELECT source, count(*) AS docs_stored, sum(b) AS bytes_stored
+      |  FROM d GROUP BY 1),
+      |r AS (SELECT source, count(*) AS revisit_edges, sum(b) AS bytes_saved
+      |  FROM d WHERE doc_id % 3 = 0 GROUP BY 1)
+      |SELECT s.source, CAST(docs_stored AS BIGINT) AS docs_stored,
+      |  CAST(COALESCE(revisit_edges, 0) AS BIGINT) AS revisit_edges,
+      |  CAST(docs_stored + COALESCE(revisit_edges, 0) AS BIGINT)
+      |    AS docs_fetched,
+      |  CAST(docs_stored AS BIGINT) AS docs_unique,
+      |  CAST(bytes_stored AS BIGINT) AS bytes_stored,
+      |  CAST(COALESCE(bytes_saved, 0) AS BIGINT) AS bytes_saved
+      |FROM s LEFT JOIN r ON s.source = r.source""".stripMargin
 }

@@ -169,10 +169,18 @@ object Warc {
   // -------------------------------------------------------- byte domain
 
   /** One parsed record in the BYTE domain: the body is returned
-    * bit-exact as the payload bytes — a UTF-8 page or raw binary
-    * payload survives the walk unchanged. */
+    * bit-exact as the DECODED payload bytes — a UTF-8 page or raw
+    * binary payload survives the walk unchanged, and a chunked/gzip/
+    * deflate HTTP body (r19, VERDICT #3) is decoded with its own audit
+    * class in `encoding` ("" identity, else the applied decodings
+    * "chunked"/"gzip"/"deflate"/"chunked+gzip"/…; `bad_chunked`/
+    * `bad_gzip`/`bad_deflate`/`unsupported` serve an EMPTY body — the
+    * damage is censused, never handed to a text decode as garbage).
+    * `refersTo` carries `WARC-Refers-To-Target-URI` (revisit records'
+    * free dup edge, r19 VERDICT #4); empty elsewhere. */
   final case class BRec(recType: String, uri: String, httpStatus: Int,
-                        contentType: String, body: Array[Byte])
+                        contentType: String, encoding: String,
+                        refersTo: String, body: Array[Byte])
 
   final case class BParsed(records: List[BRec], torn: Boolean)
 
@@ -235,7 +243,8 @@ object Warc {
         return BParsed(recs.result(), torn = true)
       val payload = java.util.Arrays.copyOfRange(
         warc, payloadStart, payloadEnd.toInt)
-      recs += buildRec(recType, uri, payload)
+      recs += buildRec(recType, uri,
+        hdrs.getOrElse("WARC-Refers-To-Target-URI", ""), payload)
       pos = payloadEnd.toInt + 4
     }
     BParsed(recs.result(), torn = false)
@@ -246,21 +255,183 @@ object Warc {
     * can never drift. The status code is parsed from `head` =
     * payload[0, he), so the degraded-record guard must bound he itself:
     * a status line cut short ("HTTP/1.1 \r\n\r\nbody" has he = 9 < 12)
-    * degrades to status 0 instead of throwing on the substring. */
-  private def buildRec(recType: String, uri: String,
+    * degrades to status 0 instead of throwing on the substring.
+    * `refersTo` is the WARC-level Refers-To-Target-URI the callers
+    * parse from the record headers. */
+  private def buildRec(recType: String, uri: String, refersTo: String,
                        payload: Array[Byte]): BRec = recType match {
     case "response" =>
       val he = indexOfCrlfCrlf(payload, 0)
       if (he < 12 || !startsWithAt(payload, HttpMagic, 0))
-        BRec(recType, uri, 0, "", Array.emptyByteArray)
+        BRec(recType, uri, 0, "", "", refersTo, Array.emptyByteArray)
       else {
         val head = new String(payload, 0, he, ISO_8859_1)
+        val hm = headerMap(head)
+        val (body, encoding) = decodeHttpBody(
+          java.util.Arrays.copyOfRange(payload, he + 4, payload.length),
+          hm.get("Transfer-Encoding"), hm.get("Content-Encoding"))
         BRec(recType, uri,
           head.substring(9, 12).toIntOption.getOrElse(0),
-          headerMap(head).getOrElse("Content-Type", ""),
-          java.util.Arrays.copyOfRange(payload, he + 4, payload.length))
+          hm.getOrElse("Content-Type", ""), encoding, refersTo, body)
       }
-    case _ => BRec(recType, uri, 0, "", Array.emptyByteArray)
+    case _ => BRec(recType, uri, 0, "", "", refersTo, Array.emptyByteArray)
+  }
+
+  // ----------------------------------------------- HTTP body encodings
+
+  /** De-chunk / inflate an HTTP response body per its Transfer-Encoding
+    * and Content-Encoding headers (r19, VERDICT #3): legal in WARC and
+    * common in non-normalized crawls (Common Crawl strips chunking;
+    * most other crawlers don't). Returns the decoded body plus the
+    * audit class: "" for identity, the applied decodings joined with
+    * '+' in wire order (chunked outermost, so "chunked+gzip" means
+    * de-chunk then gunzip), or a failure class (`bad_chunked`,
+    * `bad_gzip`, `bad_deflate`, `unsupported`) with an EMPTY body —
+    * serving chunk-framing noise or compressed bytes as "text" is
+    * exactly the corruption the census exists to count, so a body this
+    * walk cannot decode is never served at all. Never throws. */
+  private[graft] def decodeHttpBody(raw: Array[Byte], te: Option[String],
+                                    ce: Option[String]): (Array[Byte], String) = {
+    val teV = te.map(_.trim.toLowerCase(java.util.Locale.ROOT))
+      .filter(v => v.nonEmpty && v != "identity")
+    val ceV = ce.map(_.trim.toLowerCase(java.util.Locale.ROOT))
+      .filter(v => v.nonEmpty && v != "identity")
+    var cur = raw
+    val applied = List.newBuilder[String]
+    teV match {
+      case None => ()
+      case Some("chunked") => dechunk(cur) match {
+        case Some(d) => cur = d; applied += "chunked"
+        case None => return (Array.emptyByteArray, "bad_chunked")
+      }
+      // multi-coding TE ("gzip, chunked") and everything else we don't
+      // frame-decode: the body's framing is unknown, census and drop
+      case Some(_) => return (Array.emptyByteArray, "unsupported")
+    }
+    ceV match {
+      case None => ()
+      case Some("gzip") | Some("x-gzip") => gunzipBytes(cur) match {
+        case Some(d) => cur = d; applied += "gzip"
+        case None => return (Array.emptyByteArray, "bad_gzip")
+      }
+      case Some("deflate") =>
+        // HTTP "deflate" is officially zlib (RFC 1950) but raw-deflate
+        // senders are legion — try wrapped, fall back to raw, the
+        // browser behavior
+        inflateBytes(cur, nowrap = false)
+          .orElse(inflateBytes(cur, nowrap = true)) match {
+          case Some(d) => cur = d; applied += "deflate"
+          case None => return (Array.emptyByteArray, "bad_deflate")
+        }
+      case Some(_) => return (Array.emptyByteArray, "unsupported")
+    }
+    (cur, applied.result().mkString("+"))
+  }
+
+  /** RFC 9112 chunked framing: hex size line (chunk extensions after
+    * ';' ignored) CRLF, data, CRLF, …, 0-size terminator (trailer
+    * section ignored). None on any malformation — a chunked body cut
+    * mid-chunk, a non-hex size line, a missing CRLF. */
+  private[graft] def dechunk(b: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var pos = 0
+    while (true) {
+      var le = pos
+      while (le + 1 < b.length && !(b(le) == '\r' && b(le + 1) == '\n'))
+        le += 1
+      if (le + 1 >= b.length) return None // size line never terminates
+      val line = new String(b, pos, le - pos, ISO_8859_1)
+      val sizeStr = line.indexOf(';') match {
+        case -1 => line.trim
+        case i => line.substring(0, i).trim
+      }
+      if (sizeStr.isEmpty || !sizeStr.forall(c => (c >= '0' && c <= '9') ||
+        (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F'))) return None
+      val size =
+        try java.lang.Long.parseLong(sizeStr, 16)
+        catch { case _: NumberFormatException => return None }
+      if (size < 0 || size > b.length.toLong) return None
+      pos = le + 2
+      if (size == 0) return Some(out.toByteArray) // trailers ignored
+      if (pos + size + 2 > b.length) return None // cut mid-chunk
+      out.write(b, pos, size.toInt)
+      pos += size.toInt
+      if (!(b(pos) == '\r' && b(pos + 1) == '\n')) return None
+      pos += 2
+    }
+    None // unreachable
+  }
+
+  /** Whole-buffer gunzip, None on any decode failure. */
+  private[graft] def gunzipBytes(b: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        Some(out.toByteArray)
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  /** Whole-buffer inflate (zlib wrapper when `nowrap = false`, raw
+    * deflate otherwise), None on malformed input. */
+  private[graft] def inflateBytes(b: Array[Byte],
+                                  nowrap: Boolean): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater(nowrap)
+    try {
+      inf.setInput(b)
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          return None // truncated or dictionary-dependent: malformed
+        out.write(buf, 0, n)
+      }
+      Some(out.toByteArray)
+    } catch { case _: java.util.zip.DataFormatException => None }
+    finally inf.end()
+  }
+
+  /** Fixture/spec encoder: RFC 9112 chunked framing at a fixed chunk
+    * size — the deterministic inverse of [[dechunk]]. */
+  def chunkEncode(body: Array[Byte], chunkSize: Int): Array[Byte] = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    val out = new java.io.ByteArrayOutputStream()
+    var pos = 0
+    while (pos < body.length) {
+      val n = math.min(chunkSize, body.length - pos)
+      out.write(s"${n.toHexString}\r\n".getBytes(ISO_8859_1))
+      out.write(body, pos, n)
+      out.write('\r'); out.write('\n')
+      pos += n
+    }
+    out.write("0\r\n\r\n".getBytes(ISO_8859_1))
+    out.toByteArray
+  }
+
+  /** Fixture/spec encoder: gzip (deterministic for fixed input). */
+  def gzipEncode(body: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(body); g.close()
+    bos.toByteArray
+  }
+
+  /** Fixture/spec encoder: zlib-wrapped deflate (the official HTTP
+    * "deflate" coding). */
+  def deflateEncode(body: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    try {
+      d.setInput(body); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
   }
 
   /** BOUNDED-MEMORY record walk over an InputStream (r18, VERDICT #8):
@@ -340,7 +511,7 @@ object Warc {
       val payload = java.util.Arrays.copyOfRange(buf, payloadStart,
         payloadStart + clen.get.toInt)
       recs += buildRec(recType, hdrs.getOrElse("WARC-Target-URI", ""),
-        payload)
+        hdrs.getOrElse("WARC-Refers-To-Target-URI", ""), payload)
       // hop: drop the consumed record, keep the unparsed tail
       val consumed = recEnd.toInt
       System.arraycopy(buf, consumed, buf, 0, len - consumed)
@@ -367,6 +538,39 @@ object Warc {
         payload ++ CrlfCrlf
     record("request", reqHttp) ++ record("response", respHttp)
   }
+
+  /** Byte-domain encoder with CALLER-SUPPLIED HTTP response headers —
+    * the encoded-body fixture entry (r19): `headers` land verbatim
+    * after the status line (include Content-Type and, for identity
+    * bodies, Content-Length; chunked lanes omit it, the wire
+    * convention). The WARC-level Content-Length counts the PAYLOAD
+    * bytes (head + encoded body), what the record hop uses. */
+  def encodeArchiveBytesHttp(docId: Long, source: String,
+                             body: Array[Byte],
+                             headers: Seq[(String, String)]): Array[Byte] = {
+    val uri = s"http://$source/doc/$docId"
+    val reqHttp =
+      s"GET /doc/$docId HTTP/1.1\r\nHost: $source\r\n\r\n".getBytes(ISO_8859_1)
+    val respHttp =
+      ("HTTP/1.1 200 OK\r\n" +
+        headers.map { case (k, v) => s"$k: $v\r\n" }.mkString +
+        "\r\n").getBytes(ISO_8859_1) ++ body
+    def record(recType: String, payload: Array[Byte]): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: $recType\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes(ISO_8859_1) ++
+        payload ++ CrlfCrlf
+    record("request", reqHttp) ++ record("response", respHttp)
+  }
+
+  /** A `revisit` record (r19, VERDICT #4): the crawler refetched `uri`,
+    * found the payload identical to the record at `refersToUri`, and
+    * stored this marker INSTEAD of the body — a free exact-dup edge the
+    * dedup funnel consumes without hashing anything. */
+  def encodeRevisitBytes(uri: String, refersToUri: String): Array[Byte] =
+    (s"WARC/1.0\r\nWARC-Type: revisit\r\nWARC-Target-URI: $uri\r\n" +
+      s"WARC-Refers-To-Target-URI: $refersToUri\r\n" +
+      "WARC-Profile: identical-payload-digest\r\n" +
+      "Content-Length: 0\r\n\r\n").getBytes(ISO_8859_1) ++ CrlfCrlf
 
   final case class WarcStatsRow(doc_id: Long, source: String,
                                 warc_ok: Boolean, n_records: Int,

@@ -204,6 +204,140 @@ class WarcBytesSpec extends SparkSpec {
         s"${big.records.length} (torn=${big.torn})")
   }
 
+  test("HTTP body encodings (r19): chunked / gzip / deflate / " +
+    "chunked+gzip bodies decode bit-exact through the walk with their " +
+    "audit class; every bad/unsupported coding censuses with an EMPTY " +
+    "body — compressed garbage never serves as text") {
+    def one(body: Array[Byte], headers: Seq[(String, String)]): Warc.BRec =
+      Warc.parseBytes(Warc.encodeArchiveBytesHttp(1L, "s", body, headers))
+        .records.filter(_.recType == "response").head
+    val ct = "Content-Type" -> "text/plain"
+    // good lanes: decoded body == original, class names the decodings
+    val cases = Seq(
+      (Warc.chunkEncode(utf8Body, 7),
+        Seq(ct, "Transfer-Encoding" -> "chunked"), "chunked"),
+      (Warc.gzipEncode(utf8Body),
+        Seq(ct, "Content-Encoding" -> "gzip"), "gzip"),
+      (Warc.gzipEncode(utf8Body),
+        Seq(ct, "Content-Encoding" -> "x-gzip"), "gzip"),
+      (Warc.deflateEncode(utf8Body),
+        Seq(ct, "Content-Encoding" -> "deflate"), "deflate"),
+      (Warc.chunkEncode(Warc.gzipEncode(utf8Body), 11),
+        Seq(ct, "Transfer-Encoding" -> "chunked",
+          "Content-Encoding" -> "gzip"), "chunked+gzip"))
+    cases.foreach { case (enc, headers, cls) =>
+      val r = one(enc, headers)
+      assert(r.encoding === cls)
+      assert(md5(r.body) === md5(utf8Body), s"$cls body corrupted")
+    }
+    // raw deflate (no zlib wrapper) — the browser-fallback case
+    val rawDef = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(utf8Body); d.finish()
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    val rd = one(rawDef, Seq(ct, "Content-Encoding" -> "deflate"))
+    assert(rd.encoding === "deflate" && md5(rd.body) === md5(utf8Body))
+    // identity: no headers → empty class, body untouched
+    val id = one(utf8Body, Seq(ct,
+      "Content-Length" -> utf8Body.length.toString))
+    assert(id.encoding === "" && md5(id.body) === md5(utf8Body))
+    // failure classes: declared-but-not coding → censused, body EMPTY
+    val bad = Seq(
+      (("zz\r\n".getBytes(ISO_8859_1) ++ utf8Body),
+        Seq(ct, "Transfer-Encoding" -> "chunked"), "bad_chunked"),
+      (utf8Body, Seq(ct, "Content-Encoding" -> "gzip"), "bad_gzip"),
+      (Array[Byte](0x78, -2, 1, 2, 3),
+        Seq(ct, "Content-Encoding" -> "deflate"), "bad_deflate"),
+      (utf8Body, Seq(ct, "Content-Encoding" -> "br"), "unsupported"),
+      (utf8Body, Seq(ct, "Transfer-Encoding" -> "gzip, chunked"),
+        "unsupported"))
+    bad.foreach { case (enc, headers, cls) =>
+      val r = one(enc, headers)
+      assert(r.encoding === cls, s"expected $cls got ${r.encoding}")
+      assert(r.body.isEmpty, s"$cls served bytes it could not certify")
+    }
+    // Transfer-Encoding: identity is a no-op, not unsupported
+    val ident = one(utf8Body, Seq(ct, "Transfer-Encoding" -> "identity"))
+    assert(ident.encoding === "" && md5(ident.body) === md5(utf8Body))
+  }
+
+  test("chunked-body FUZZ (seeded, r19): a chunked body cut at ANY " +
+    "offset — mid-size-line, mid-chunk, mid-trailer — never throws; a " +
+    "complete framing round-trips exact, an incomplete one censuses " +
+    "bad_chunked with an empty body") {
+    val gen = for {
+      n <- Gen.choose(0, 300)
+      body <- Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+        .map(_.toArray)
+      chunkSize <- Gen.choose(1, 40)
+      cutFrac <- Gen.choose(0.0, 1.2) // > 1.0 = no cut
+    } yield (body, chunkSize, cutFrac)
+    forAllSeeded(gen, 150) { case (body, chunkSize, cutFrac) =>
+      val enc = Warc.chunkEncode(body, chunkSize)
+      val cut = math.min(enc.length, (enc.length * cutFrac).toInt)
+      val fed = enc.take(cut)
+      val r = Warc.parseBytes(Warc.encodeArchiveBytesHttp(1L, "s", fed,
+        Seq("Content-Type" -> "x/y", "Transfer-Encoding" -> "chunked")))
+        .records.filter(_.recType == "response").head
+      // the framing is complete once the 0-size line landed — the
+      // final trailer-section CRLF is ignored by the decoder (RFC 9112
+      // trailers are optional), so the last 2 bytes are inert
+      if (cut >= enc.length - 2) {
+        assert(r.encoding === "chunked")
+        assert(md5(r.body) === md5(body), "complete framing corrupted")
+      } else {
+        // any earlier cut loses the 0-size terminator: the prefix is
+        // complete chunks + a truncated size line or short data, every
+        // shape of which the decoder rejects
+        assert(r.encoding === "bad_chunked",
+          s"cut=$cut of ${enc.length} decoded as '${r.encoding}'")
+        assert(r.body.isEmpty)
+      }
+    }
+  }
+
+  test("revisit records (r19): WARC-Refers-To-Target-URI parses into " +
+    "refersTo in BOTH byte walks; response records carry it empty") {
+    val archive = Warc.encodeArchiveBytes(5L, "s", utf8Body, "x/y") ++
+      Warc.encodeRevisitBytes("http://s/doc/1000000000005",
+        "http://s/doc/5")
+    for (p <- Seq(Warc.parseBytes(archive),
+      Warc.parseStream(new java.io.ByteArrayInputStream(archive)))) {
+      assert(!p.torn)
+      val rev = p.records.filter(_.recType == "revisit")
+      assert(rev.length === 1)
+      assert(rev.head.uri === "http://s/doc/1000000000005")
+      assert(rev.head.refersTo === "http://s/doc/5")
+      assert(rev.head.body.isEmpty)
+      assert(p.records.filter(_.recType == "response")
+        .forall(_.refersTo === ""))
+    }
+  }
+
+  test("parseStream == parseBytes on ENCODED-body archives (the decode " +
+    "lives in the shared record builder — the walks cannot drift)") {
+    val archive =
+      Warc.encodeArchiveBytesHttp(1L, "s", Warc.chunkEncode(utf8Body, 13),
+        Seq("Content-Type" -> "x/y", "Transfer-Encoding" -> "chunked")) ++
+        Warc.encodeArchiveBytesHttp(2L, "s", Warc.gzipEncode(utf8Body),
+          Seq("Content-Type" -> "x/y", "Content-Encoding" -> "gzip")) ++
+        Warc.encodeArchiveBytesHttp(3L, "s", utf8Body,
+          Seq("Content-Type" -> "x/y", "Content-Encoding" -> "br"))
+    val whole = Warc.parseBytes(archive)
+    val streamed = Warc.parseStream(
+      new java.io.ByteArrayInputStream(archive))
+    assert(streamed.records.map(r => (r.recType, r.uri, r.encoding,
+      md5(r.body))) ===
+      whole.records.map(r => (r.recType, r.uri, r.encoding, md5(r.body))))
+    assert(whole.records.filter(_.recType == "response")
+      .map(_.encoding) === List("chunked", "gzip", "unsupported"))
+  }
+
   test("parseStream parity FUZZ (seeded): random archives cut at random " +
     "offsets, and pure garbage, agree with parseBytes byte-for-byte") {
     val gen = for {

@@ -343,6 +343,76 @@ class WarcFilesSpec extends SparkSpec {
     }
   }
 
+  test("charset fuzz (seeded, r19: >= 200 cases): random charset-" +
+    "parameter garbage — truncated names, quoted junk, multi-param " +
+    "Content-Types, BOM prefixes over declared charsets, 0/1-byte " +
+    "bodies — never throws, every row lands in exactly ONE census " +
+    "class, and a BOM always wins over the declaration") {
+    import spark.implicits._
+    import graft.codec.TextCharsets
+    val rnd = new scala.util.Random(0xc5a25eL)
+    val namePool = Seq(
+      "utf-8", "UTF-8", "iso-8859-1", "windows-1252", "us-ascii",
+      // truncated / junk / illegal-syntax names
+      "utf-", "iso-8859", "windows-12", "", " ", "!!!", "utf 8",
+      "\"utf-8", "utf-8\"", "'latin1'", "x-never-heard-of-it",
+      "仮名", "UTF-8  ", "a" * 120, "charset", "=", ";;;")
+    val ctShapes = Seq[String => String](
+      n => s"text/plain; charset=$n",
+      n => s"text/plain; charset=\"$n\"",
+      n => s"text/plain; a=b; charset=$n; c=d",
+      n => s"text/plain; charset=$n; charset=utf-16le", // dup param
+      n => s"TEXT/PLAIN;charset=$n",
+      n => s"text/plain; charset", // no value at all
+      _ => "text/plain", _ => "text/html")
+    val boms = Seq(
+      Array.emptyByteArray,
+      Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte), // UTF-8
+      Array(0xFF.toByte, 0xFE.toByte), // UTF-16LE
+      Array(0xFE.toByte, 0xFF.toByte)) // UTF-16BE
+    val bomNames = Map(1 -> "utf-8", 2 -> "utf-16le", 3 -> "utf-16be")
+    val cases = (0 until 240).map { i =>
+      val name = namePool(rnd.nextInt(namePool.length))
+      val ct = ctShapes(rnd.nextInt(ctShapes.length))(name)
+      val bomIdx = rnd.nextInt(boms.length)
+      val n = rnd.nextInt(3) match {
+        case 0 => 0
+        case 1 => 1 // the 1-byte body: can cut ANY multi-byte sequence
+        case _ => rnd.nextInt(64)
+      }
+      val tail = new Array[Byte](n); rnd.nextBytes(tail)
+      (i.toLong, ct, boms(bomIdx) ++ tail, bomIdx)
+    }
+    val legal = Set("ok", "replaced", "fallback", "fallback_replaced")
+    // direct decode: never throws, one legal class, canonical charset,
+    // BOM precedence over whatever the parameter declared
+    cases.foreach { case (_, ct, body, bomIdx) =>
+      val d = TextCharsets.decode(body, TextCharsets.charsetParam(ct),
+        sniffHtml = rnd.nextBoolean())
+      assert(legal(d.decode), s"illegal class '${d.decode}' for ct=$ct")
+      assert(TextCharsets.resolve(d.charset).nonEmpty,
+        s"non-canonical charset '${d.charset}' for ct=$ct")
+      if (bomIdx > 0) {
+        assert(d.charset === bomNames(bomIdx),
+          s"BOM lost to declaration in ct=$ct")
+        // a BOM row can be 'replaced' (random tail bytes) but it can
+        // never be a fallback — the BOM charset always resolves
+        assert(d.decode === "ok" || d.decode === "replaced")
+      }
+    }
+    // and through the dispatch: one census row per record, text lanes
+    // all in legal classes
+    val df = cases.map { case (id, ct, body, _) =>
+      (s"http://s/doc/$id", body, ct)
+    }.toDF("uri", "body", "content_type")
+    val census = WarcFiles.dispatchRecords(df).collect()
+    assert(census.length === cases.length)
+    census.foreach { r =>
+      val dec = r.getAs[String]("decode")
+      assert(dec == "" || legal(dec), s"census class '$dec'")
+    }
+  }
+
   test("a stray non-warc file in the directory is not read (glob filter)") {
     val dir = Files.createTempDirectory("warcfiles_glob").toString
     WarcFiles.writeArchiveDir(docsDf, dir, files = 2, tornEvery = 0)
