@@ -1067,19 +1067,28 @@ private[graft] trait Queries11Formats extends Queries10Information {
         Tables.documents(spark, dir), d)
       d
     })
+    // checkpoint the COMPACT frames (source, uri, byte count — the
+    // bodies never persist): the manifest consumes docs three times and
+    // revisits twice, and without the pin each consumer re-walks the
+    // archive (measured: 6 binaryFile scans for a ~50-byte/row frame)
     val docs = graft.sources.WarcFiles.readRecords(spark, out)
       .select(
         substring_index(substring_index(col("uri"), "/", 3), "/", -1)
           .as("source"),
         col("uri"), length(col("body")).cast("long").as("n_bytes"))
+      .localCheckpoint()
     val revs = graft.sources.WarcFiles.readRevisits(spark, out)
       .select(col("refers_to"))
+      .localCheckpoint()
     val stored = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("docs_stored"),
         sum(col("n_bytes")).as("bytes_stored"))
     // each edge must RESOLVE against a stored record — the join is the
-    // certificate that the crawler's dup markers point at real docs
-    val resolved = revs.join(docs, revs("refers_to") === docs("uri"))
+    // certificate that the crawler's dup markers point at real docs.
+    // The marker side is body-free and far smaller than the record
+    // frame at any real crawl scale: broadcast it (the checkpoint's
+    // LogicalRDD stats would otherwise default it to a shuffle join)
+    val resolved = broadcast(revs).join(docs, revs("refers_to") === docs("uri"))
       .select(docs("source"), docs("uri").as("target"), docs("n_bytes"))
     val dup = resolved.groupBy(col("source"))
       .agg(count(lit(1)).as("revisit_edges"),

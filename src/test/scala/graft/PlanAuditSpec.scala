@@ -593,6 +593,34 @@ class PlanAuditSpec extends SparkSpec {
         s"q263's near-dup stage degenerated to $bad"))
   }
 
+  test("q264's encoded-body census is one narrow archive pass — no " +
+    "exchange below the projection, no join") {
+    // the decode (de-chunk/inflate) lives inside the record walk's
+    // mapPartitions; a join or exchange here would mean the census
+    // re-shuffles archive bytes it only ever needs to scan
+    val plan = SparkEntry.queries("q264_encoded_bodies")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    Seq("Join", "Exchange").foreach(bad =>
+      assert(!plan.contains(bad), s"q264 plans a $bad over a narrow census"))
+  }
+
+  test("q265's revisit resolution BROADCASTS the marker side and the " +
+    "served plan never re-walks the archive") {
+    // the compact frames are checkpointed at construction (the q259
+    // discipline — without it the manifest's five consumers re-ran the
+    // record walk, measured 6 binaryFile scans); the body-free marker
+    // side broadcasts onto the record frame — re-hashing the corpus is
+    // exactly the shuffle this entry removes
+    val plan = SparkEntry.queries("q265_revisit_dedup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan binaryFile"),
+      "q265's served plan re-walks the archive past the checkpoints")
+    assert(plan.contains("BroadcastHashJoin"),
+      "q265's revisit resolution lost its broadcast")
+    Seq("CartesianProduct", "BroadcastNestedLoopJoin").foreach(bad =>
+      assert(!plan.contains(bad), s"q265 degenerated to $bad"))
+  }
+
   test("column pruning reaches the parquet scan") {
     // q1 projects 4 of lineitem's 16 columns; a scan still reading
     // l_comment means the projection never reached the source
