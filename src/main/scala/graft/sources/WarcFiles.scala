@@ -471,11 +471,18 @@ object WarcFiles {
     * discovered, which the dedup funnel consumes WITHOUT hashing (the
     * dominant avoidable shuffle on refetch-heavy crawls). Same narrow
     * one-file-one-task shape as [[readRecords]]. */
-  def readRevisits(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val bin = spark.read.format("binaryFile")
+  def readRevisits(spark: SparkSession, dir: String): DataFrame =
+    revisitColumns(spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.warc*")
-      .load(dir)
+      .load(dir))
+
+  /** The shared per-file revisit map over binaryFile rows — used by the
+    * batch reader above AND the streaming leg
+    * ([[graft.streaming.StreamWarc.revisits]]), so stream == batch by
+    * construction. */
+  private[graft] def revisitColumns(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
     bin.filter(col("length") <= binaryFileMaxLength(spark))
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]

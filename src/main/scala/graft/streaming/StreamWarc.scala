@@ -102,6 +102,16 @@ object StreamWarc {
   def textRecords(spark: SparkSession, dir: String): DataFrame =
     WarcFiles.dispatchText(records(spark, dir))
 
+  /** Per-REVISIT-record dup edges as an APPEND stream (r19) — the
+    * landing-directory feed for the revisit dedup lane (q265): each
+    * landed file's revisit markers as (file, uri, refers_to) rows,
+    * through the SAME shared map as the batch reader
+    * ([[WarcFiles.revisitColumns]] — stream == batch by construction).
+    * Stateless narrow flatMap; a crawler's free dup edges reach the
+    * funnel the moment their file lands, no hashing anywhere. */
+  def revisits(spark: SparkSession, dir: String): DataFrame =
+    WarcFiles.revisitColumns(binSource(spark, dir))
+
   /** Per-record sniffed MEDIA metadata as an APPEND stream — the
     * multimodal sibling of [[textRecords]], routing landed files
     * through [[WarcFiles.dispatchMedia]]'s magic-byte sniff (the SAME

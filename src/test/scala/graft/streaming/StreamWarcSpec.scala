@@ -105,6 +105,42 @@ class StreamWarcSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("revisit stream == batch (r19): landed revisit markers serve " +
+    "their dup edges across arrival waves through the shared map") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("stream_warc_rev").toString
+    WarcFiles.writeRevisitArchiveDir(docsDf(0 until 9), dir, files = 3,
+      revisitEvery = 3)
+    val query = StreamWarc.revisits(spark, dir)
+      .writeStream.format("memory").queryName("sw_revisits")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val wave1 = spark.sql("SELECT uri, refers_to FROM sw_revisits")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(wave1.size === 3, s"ids 0/3/6 revisit, got ${wave1.size}")
+      assert(wave1.values.toSet ===
+        Set(0L, 3L, 6L).map(i => s"http://src${i % 2}/doc/$i"))
+      // wave 2: more landed files with their own revisits
+      val gen2 = Files.createTempDirectory("stream_warc_rev2").toString
+      WarcFiles.writeRevisitArchiveDir(docsDf(100 until 106), gen2,
+        files = 3, revisitEvery = 3)
+      java.nio.file.Files.list(java.nio.file.Paths.get(gen2)).forEach { p =>
+        java.nio.file.Files.move(p,
+          java.nio.file.Paths.get(dir, "gen2-" + p.getFileName.toString))
+      }
+      query.processAllAvailable()
+      val streamed = spark.sql("SELECT uri, refers_to FROM sw_revisits")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val batch = WarcFiles.readRevisits(spark, dir)
+        .select(col("uri"), col("refers_to")).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(streamed === batch,
+        "streamed revisit edges diverged from the batch reader")
+      assert(streamed.size === 5) // 0,3,6 + 102,105... ids%3==0
+    } finally query.stop()
+  }
+
   test("text-dispatch stream == batch: the corpus-build front end " +
     "routes and extracts identically across arrival waves, drops " +
     "non-text records, keeps failed extractions countable") {
