@@ -93,7 +93,41 @@ object Bench {
         emit(s"""{"detail":"calibration","when":"$when",${errFields(e)}}""")
         None
     } else None
+    // DISK calibration sibling (r19): the CPU probe above missed a real
+    // drift class — the r19 opening run's totals ran +24% over the r18
+    // clean band at IDENTICAL cpu-calibration readings while
+    // shuffle-heavy queries inflated diffusely and a dd probe read
+    // 111 MB/s sequential: the box's disk had slowed, not its cores.
+    // One fixed fdatasync'd write (256 MiB into the Spark local dir's
+    // tmpdir), journaled as MB/s at start and end, makes that
+    // attribution one journal read instead of a mid-round
+    // investigation. NOT folded into total_normalized (the pinned
+    // reference stays CPU-defined); SPARK_GRAFT_CALIBRATION_DISK_MB
+    // overrides, 0 disables.
+    val calibrationDiskMb =
+      sys.env.getOrElse("SPARK_GRAFT_CALIBRATION_DISK_MB", "256").toInt
+    def calibrateDisk(when: String): Unit = if (calibrationDiskMb > 0) try {
+      val f = java.io.File.createTempFile("graft_cal_disk", ".bin")
+      try {
+        val buf = new Array[Byte](1 << 20)
+        java.util.Arrays.fill(buf, 0x5a.toByte)
+        val t0 = System.nanoTime()
+        val out = new java.io.FileOutputStream(f)
+        try {
+          var i = 0
+          while (i < calibrationDiskMb) { out.write(buf); i += 1 }
+          out.getFD.sync()
+        } finally out.close()
+        val secs = (System.nanoTime() - t0) / 1e9
+        emit(s"""{"detail":"calibration_disk","when":"$when","mb":$calibrationDiskMb,"mb_per_sec":${
+          BigDecimal(calibrationDiskMb / secs).setScale(1, BigDecimal.RoundingMode.HALF_UP)}}""")
+      } finally { f.delete(); () }
+    } catch {
+      case e: Throwable =>
+        emit(s"""{"detail":"calibration_disk","when":"$when",${errFields(e)}}""")
+    }
     val calStart = calibrate("start")
+    calibrateDisk("start")
 
     // LOAD GATE (r16, VERDICT #1): identical code measured 208.1 s and
     // 253.8 s on the same day because the lane had no defense against
@@ -437,6 +471,7 @@ object Bench {
     }
 
     val calEnd = calibrate("end")
+    calibrateDisk("end")
     emit(s"""{"detail":"queries","sf":"$sfDir","queries":${toJson(results)}}""")
 
     val failed = results.collect { case (name, v) if v < 0 => name }

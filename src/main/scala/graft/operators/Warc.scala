@@ -116,7 +116,12 @@ object Warc {
   /** Content-Length-hopping record walk. Never throws. EMPTY input is a
     * valid zero-record archive (`torn = false`): a tear means a record
     * was interrupted, and an empty string contains no record to
-    * interrupt — only input that starts or ends mid-record is torn. */
+    * interrupt — only input that starts or ends mid-record is torn.
+    * Scope note (r19): this CHAR-domain walk serves the ASCII,
+    * identity-encoded certificate domain (q247/q248/q254); HTTP
+    * Transfer-/Content-Encoding decode lives in the BYTE domain's
+    * shared record builder ([[decodeHttpBody]]) — the real-file path —
+    * and is deliberately absent here. */
   def parse(warc: String): Parsed = {
     val recs = List.newBuilder[Rec]
     var pos = 0
