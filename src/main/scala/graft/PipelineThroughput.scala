@@ -199,8 +199,17 @@ object PipelineThroughput {
         }
         if (tDone == 0L) Thread.sleep(20)
       }
-      require(tDone != 0L,
-        s"pipeline committed $committed of $total frames within ${deadlineSecs}s")
+      // a deadline stall never constructs a Result, so the per-batch
+      // progress would be lost exactly when it matters — carry its tail
+      // in the exception message, which the bench journals (r19)
+      if (tDone == 0L) {
+        val tail = progByBatch.values.toSeq.takeRight(5)
+          .map(p => s"batch ${p.batchId}: rows=${p.rows} ms=${p.ms} " +
+            s"offset=${p.offset}").mkString("; ")
+        throw new IllegalStateException(
+          s"pipeline committed $committed of $total frames within " +
+            s"${deadlineSecs}s; last progress: $tail")
+      }
       workers.foreach(_.join(10000))
       val secs = (tDone - t0) / 1e9
       Result(total, secs, total / secs, qSink.rows.get(), rSink.rows.get(),

@@ -1067,18 +1067,22 @@ private[graft] trait Queries11Formats extends Queries10Information {
         Tables.documents(spark, dir), d)
       d
     })
-    // checkpoint the COMPACT frames (source, uri, byte count — the
-    // bodies never persist): the manifest consumes docs three times and
-    // revisits twice, and without the pin each consumer re-walks the
-    // archive (measured: 6 binaryFile scans for a ~50-byte/row frame)
+    // checkpoint the COMPACT frames (source label, 64-bit uri hash,
+    // byte count — the bodies and uri STRINGS never persist: the
+    // per-row string in a checkpoint is the r14 q241 corpus-
+    // materialization class, so the join key is xxhash64(uri), exactly
+    // as equality-joinable and 8 bytes wide): the manifest consumes
+    // docs three times and revisits twice, and without the pin each
+    // consumer re-walks the archive (measured: 6 binaryFile scans)
     val docs = graft.sources.WarcFiles.readRecords(spark, out)
       .select(
         substring_index(substring_index(col("uri"), "/", 3), "/", -1)
           .as("source"),
-        col("uri"), length(col("body")).cast("long").as("n_bytes"))
+        xxhash64(col("uri")).as("uh"),
+        length(col("body")).cast("long").as("n_bytes"))
       .localCheckpoint()
     val revs = graft.sources.WarcFiles.readRevisits(spark, out)
-      .select(col("refers_to"))
+      .select(xxhash64(col("refers_to")).as("rh"))
       .localCheckpoint()
     val stored = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("docs_stored"),
@@ -1088,12 +1092,12 @@ private[graft] trait Queries11Formats extends Queries10Information {
     // The marker side is body-free and far smaller than the record
     // frame at any real crawl scale: broadcast it (the checkpoint's
     // LogicalRDD stats would otherwise default it to a shuffle join)
-    val resolved = broadcast(revs).join(docs, revs("refers_to") === docs("uri"))
-      .select(docs("source"), docs("uri").as("target"), docs("n_bytes"))
+    val resolved = broadcast(revs).join(docs, revs("rh") === docs("uh"))
+      .select(docs("source"), docs("uh").as("target"), docs("n_bytes"))
     val dup = resolved.groupBy(col("source"))
       .agg(count(lit(1)).as("revisit_edges"),
         sum(col("n_bytes")).as("bytes_saved"))
-    val uniq = docs.select(col("source"), col("uri").as("target"))
+    val uniq = docs.select(col("source"), col("uh").as("target"))
       .unionByName(resolved.select(col("source"), col("target")))
       .groupBy(col("source"))
       .agg(countDistinct(col("target")).as("docs_unique"),

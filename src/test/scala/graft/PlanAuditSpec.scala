@@ -783,7 +783,12 @@ object PlanSweepSpec {
     // documented one-pass price: retained for QUALITY SURVIVORS only
     // (nulls elsewhere), shingled once, never re-extracted — the
     // alternative doubles the archive walk (SURVEY §4.ad)
-    "q263_corpus_near_dup" -> Set("source", "__h"))
+    "q263_corpus_near_dup" -> Set("source", "__h"),
+    // q265: `source` is the manifest's grouping label (|sources|
+    // distinct values); the uri join key is xxhash64'd to 8 bytes
+    // BEFORE the checkpoint (the q241 fix shape — per-row uri strings
+    // never persist)
+    "q265_revisit_dedup" -> Set("source"))
 }
 
 class PlanSweepSpec1 extends PlanSweepSpec(1, 40) {
