@@ -511,11 +511,13 @@ private[graft] trait Queries4Mixtures extends Queries3Curation {
   // ---------------------------------------------------------------------
   private[graft] def q95Novelty(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // identity-only shingle hash (r19, the ngramJaccardPairs swap):
+    // the oracle groups by shingle TEXT
     val sh = docs
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__tk"))
       .select(col("doc_id"),
-        explode(TextAnalysis.shinglesOfTokens(col("__tk"), 3)).as("sg"))
-      .select(col("doc_id"), xxhash64(col("sg")).as("h"))
+        TextAnalysis.tokenHashes(TextAnalysis.tokens(col("text"))).as("__th"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.windowHashesOfTokenHashes(col("__th"), 3)).as("h"))
       .distinct()
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("__df"))
     sh.join(dfreq, "h")

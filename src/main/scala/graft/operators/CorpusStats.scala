@@ -220,12 +220,12 @@ object CorpusStats {
     * cost is sources², never |docs|². */
   def sourceOverlap(df: DataFrame, textCol: String, srcCol: String,
                     n: Int = 5): DataFrame = {
+    // identity-only shingle hash (r19, the ngramJaccardPairs swap)
     val sh = df
       .select(col(srcCol).as("__src"),
-        TextAnalysis.tokens(col(textCol)).as("__tk"))
+        TextAnalysis.tokenHashes(TextAnalysis.tokens(col(textCol))).as("__th"))
       .select(col("__src"),
-        explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("__sg"))
-      .select(col("__src"), xxhash64(col("__sg")).as("__h"))
+        explode(TextAnalysis.windowHashesOfTokenHashes(col("__th"), n)).as("__h"))
       .distinct()
     // sorted source set per shingle → (a, b) pairs with a < b by position
     val pairs = flatten(transform(col("__ss"), (x, i) =>

@@ -82,11 +82,15 @@ object Dedup {
     // shuffle stage exists to reuse). Only fixed-width (doc, h) rows are
     // stored, never shingle text; construction runs the one job (same
     // eager-localCheckpoint trade as connectedComponents).
+    // identity-only shingle hash (r19, guide §1.2): the oracle joins on
+    // shingle TEXT, so one xxhash64 over the n token hashes replaces
+    // hashing each built shingle string — no per-window string
+    // allocation, each token's bytes hashed once, not n times
     val sh0 = df
-      .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol).as("doc"),
+        TextAnalysis.tokenHashes(TextAnalysis.tokens(col(textCol))).as("__th"))
       .select(col("doc"),
-        explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("sg"))
-      .select(col("doc"), xxhash64(col("sg")).as("h"))
+        explode(TextAnalysis.windowHashesOfTokenHashes(col("__th"), n)).as("h"))
       .distinct()
       .localCheckpoint()
     // df cap: the shared viralHashes aggregation + anti-join (see its
@@ -165,12 +169,13 @@ object Dedup {
                               maxShingleDfFrac: Double = 0.0,
                               bloomFpp: Double = 0.0,
                               maxBloomItems: Long = 1L << 26): DataFrame = {
+    // identity-only shingle hash — same swap as ngramJaccardPairs (r19)
     def shingles(df: DataFrame, side: String): DataFrame = df
       .select(col(idCol).as("doc"),
-        TextAnalysis.tokens(col(textCol)).as("__tk"))
+        TextAnalysis.tokenHashes(TextAnalysis.tokens(col(textCol))).as("__th"))
       .select(col("doc"),
-        explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("sg"))
-      .select(lit(side).as("side"), col("doc"), xxhash64(col("sg")).as("h"))
+        explode(TextAnalysis.windowHashesOfTokenHashes(col("__th"), n)).as("h"))
+      .select(lit(side).as("side"), col("doc"), col("h"))
       .distinct()
     // The index feeds FOUR plan consumers (the df cap, sizes, and both
     // candidate-join inputs); Spark duplicates the subtree per consumer —
@@ -485,12 +490,14 @@ object Dedup {
     // both read it, and without the cut the tokenize/explode/distinct
     // pipeline executes per consumer (the ngramJaccardPairs sh0
     // rationale); only fixed-width (doc, h) rows are stored
+    // identity-only shingle hash — same swap as ngramJaccardPairs (r19);
+    // producers and consumers of the persisted index share this one
+    // code path, so the artifact stays internally consistent
     val sh = df
       .select(col(idCol).as("doc"),
-        TextAnalysis.tokens(col(textCol)).as("__tk"))
+        TextAnalysis.tokenHashes(TextAnalysis.tokens(col(textCol))).as("__th"))
       .select(col("doc"),
-        explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("sg"))
-      .select(col("doc"), xxhash64(col("sg")).as("h"))
+        explode(TextAnalysis.windowHashesOfTokenHashes(col("__th"), n)).as("h"))
       .distinct()
       .localCheckpoint()
     sh.join(sh.groupBy(col("doc")).agg(count(lit(1)).as("sz")), "doc")
@@ -838,13 +845,18 @@ object Dedup {
     */
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
                            k: Int = 8): DataFrame = {
+    // identity-only window hash (the oracle groups by window TEXT):
+    // combine per-token xxhash64s instead of building each k-token
+    // window string and md5-hex-conv'ing it — no per-window string
+    // allocation, each token hashed once, not k times (r19, guide §1.2)
     val base = df
       .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__tk"))
       .select(col("doc_id"), col("__tk"),
-        TextAnalysis.shinglesOfTokens(col("__tk"), k).as("__w"))
+        TextAnalysis.tokenHashes(col("__tk")).as("__th"))
+      .select(col("doc_id"), col("__tk"),
+        TextAnalysis.windowHashesOfTokenHashes(col("__th"), k).as("__w"))
     val wins = base
-      .select(col("doc_id"), posexplode(col("__w")).as(Seq("pos", "wt")))
-      .select(col("doc_id"), col("pos"), baseHash60(col("wt")).as("wh"))
+      .select(col("doc_id"), posexplode(col("__w")).as(Seq("pos", "wh")))
     // duplicated-hash detection: aggregation + semi-join, never a window
     // over the hash (see duplicateSpanCoverage's scale note)
     val dupHashes = wins.groupBy(col("wh")).agg(count(lit(1)).as("__occ"))
@@ -921,13 +933,18 @@ object Dedup {
                             k: Int = 8): DataFrame = {
     // project the token array before the generator (see shinglesOfTokens
     // scaladoc: inlining it re-evaluates the split per element)
+    // identity-only window hash — same swap as removeDuplicateSpans
+    // (r19): the oracle groups by window TEXT, so the md5 chain over a
+    // built window string is replaced by one xxhash64 over k token
+    // hashes (each token hashed once)
     val base = df
       .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__tk"))
       .select(col("doc_id"), size(col("__tk")).cast("long").as("n_tokens"),
-        TextAnalysis.shinglesOfTokens(col("__tk"), k).as("__w"))
+        TextAnalysis.tokenHashes(col("__tk")).as("__th"))
+      .select(col("doc_id"), col("n_tokens"),
+        TextAnalysis.windowHashesOfTokenHashes(col("__th"), k).as("__w"))
     val wins = base
-      .select(col("doc_id"), posexplode(col("__w")).as(Seq("pos", "wt")))
-      .select(col("doc_id"), col("pos"), baseHash60(col("wt")).as("wh"))
+      .select(col("doc_id"), posexplode(col("__w")).as(Seq("pos", "wh")))
     // duplicated-hash detection is a hash AGGREGATION, not a window: a
     // window over wh would route every occurrence of one hash into a
     // single task (a corpus-wide boilerplate 8-gram = one straggler

@@ -214,14 +214,30 @@ object GraphStats {
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
       .localCheckpoint()
-    for (i <- 1 to iters) {
+    // early fixpoint exit (r19 optimization): peeling only ever REMOVES
+    // edges, so an unchanged edge count means an unchanged edge set,
+    // unchanged degrees, and an identical keep set — every remaining
+    // round is a no-op and the answer after `iters` rounds equals the
+    // answer at the fixpoint. Rounds past convergence previously still
+    // paid their full degree-count + two semi-joins (the registered
+    // setting runs 12 rounds; the sf graphs peel out far earlier). Each
+    // round now checkpoints eagerly so the convergence count() is a
+    // cheap scan of materialized blocks, not a plan re-execution.
+    var nEdges = es.count()
+    var converged = nEdges == 0
+    var i = 1
+    while (i <= iters && !converged) {
       val deg = es.select(col("a").as("v")).union(es.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select(col("v"))
       es = es
         .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
-      if (i % 3 == 0 || i == iters) es = es.localCheckpoint()
+        .localCheckpoint()
+      val n = es.count()
+      converged = n == nEdges
+      nEdges = n
+      i += 1
     }
     es.select(col("a").as("v")).union(es.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("core_deg"))

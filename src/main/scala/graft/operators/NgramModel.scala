@@ -35,12 +35,14 @@ object NgramModel {
   def ngramCommonness(candidates: DataFrame, reference: DataFrame,
                       idCol: String, textCol: String,
                       n: Int = 3): DataFrame = {
+    // identity-only n-gram hash (the oracle joins on n-gram TEXT): one
+    // xxhash64 over the n token hashes replaces the md5-hex-conv chain
+    // over a built n-gram string (r19 — guide §1.2 per-task work)
     def grams(df: DataFrame): DataFrame = df
       .select(col(idCol).as("doc_id"),
-        TextAnalysis.tokens(col(textCol)).as("__tk"))
+        TextAnalysis.tokenHashes(TextAnalysis.tokens(col(textCol))).as("__th"))
       .select(col("doc_id"),
-        explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("__g"))
-      .select(col("doc_id"), Dedup.baseHash60(col("__g")).as("gh"))
+        explode(TextAnalysis.windowHashesOfTokenHashes(col("__th"), n)).as("gh"))
     val model = grams(reference).groupBy(col("gh"))
       .agg(count(lit(1)).as("__mc"))
     val scored = grams(candidates)
@@ -85,13 +87,29 @@ object NgramModel {
                            textCol: String,
                            scale: Long = 1000000L): DataFrame = {
     require(scale >= 1L, s"scale must be positive, got $scale")
+    // r19 optimization: identity-only hashes (the oracle counts raw
+    // strings — guide §1.2). Bigram identity = one xxhash64 over the
+    // two token hashes, start identity = the token's own hash: no
+    // bigram STRING is ever built and each token's bytes are hashed
+    // once, vs the previous two md5-hex-conv chains plus a
+    // substring_index per occurrence. The frame is also checkpointed:
+    // it feeds three consumers (both count aggregations and the scoring
+    // join), and un-checkpointed the tokenize+hash subtree planned and
+    // ran once per consumer.
     val bigrams = docs
       .select(col(idCol).as("doc_id"),
-        TextAnalysis.tokens(col(textCol)).as("__tk"))
+        TextAnalysis.tokenHashes(TextAnalysis.tokens(col(textCol))).as("__th"))
       .select(col("doc_id"),
-        explode(TextAnalysis.shinglesOfTokens(col("__tk"), 2)).as("__bg"))
-      .select(col("doc_id"), Dedup.baseHash60(col("__bg")).as("bh"),
-        Dedup.baseHash60(expr("substring_index(__bg, ' ', 1)")).as("w1h"))
+        explode(when(size(col("__th")) >= 2,
+          transform(sequence(lit(1), size(col("__th")) - 1),
+            i => struct(
+              xxhash64(element_at(col("__th"), i),
+                element_at(col("__th"), i + 1)).as("bh"),
+              element_at(col("__th"), i).as("w1h"))))
+          .otherwise(array().cast("array<struct<bh:bigint,w1h:bigint>>")))
+          .as("__p"))
+      .select(col("doc_id"), col("__p.bh").as("bh"), col("__p.w1h").as("w1h"))
+      .localCheckpoint()
     val bgCnt = bigrams.groupBy(col("bh")).agg(count(lit(1)).as("__cbg"))
     val w1Cnt = bigrams.groupBy(col("w1h")).agg(count(lit(1)).as("__cw1"))
     val scored = bigrams

@@ -68,10 +68,12 @@ object Scrub {
   def decontaminate(train: DataFrame, eval: DataFrame,
                     idCol: String, textCol: String, n: Int = 5,
                     maxEvalShingles: Long = 1L << 22): DataFrame = {
+    // identity-only shingle hash (r19, the ngramJaccardPairs swap)
     def shingleSet(df: DataFrame, cols: Column*): DataFrame = df
       .withColumn("__tk", TextAnalysis.tokens(col(textCol)))
-      .select(cols :+ explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("__s"): _*)
-      .select(cols :+ xxhash64(col("__s")).as("sg"): _*)
+      .withColumn("__th", TextAnalysis.tokenHashes(col("__tk")))
+      .select(cols :+ explode(
+        TextAnalysis.windowHashesOfTokenHashes(col("__th"), n)).as("sg"): _*)
       .distinct()
     val trainSh = shingleSet(train, col(idCol))
     val evalSh =
@@ -144,11 +146,12 @@ object Scrub {
                          maxDistBp: Long = 3000L,
                          maxEvalDocs: Long = 1L << 20,
                          maxShingleDfFrac: Double = 0.0): DataFrame = {
+    // identity-only shingle hash (r19, the ngramJaccardPairs swap)
     def shingleHashes(df: DataFrame, as: String): DataFrame = df
       .withColumn("__tk", TextAnalysis.tokens(col(textCol)))
+      .withColumn("__th", TextAnalysis.tokenHashes(col("__tk")))
       .select(col(idCol).as(as),
-        explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("__sg"))
-      .select(col(as), xxhash64(col("__sg")).as("__h"))
+        explode(TextAnalysis.windowHashesOfTokenHashes(col("__th"), n)).as("__h"))
       .distinct()
     val trainSh0 = shingleHashes(train, "__tid")
     val trainSh =
@@ -281,11 +284,18 @@ object Scrub {
       s"sourceOverlapMatrix saw $nGroups groups (> $maxGroups): the " +
         "intersection join fans out by |groups|^2 per shingle — bucket " +
         "the group column or raise maxGroups deliberately")
+    // identity-only shingle hash (r19): the hash only keys the
+    // intersection join — both engines count distinct common shingles
+    // through their own collision-free-on-data identity (the oracle its
+    // md5-60, this side one xxhash64 over the n token hashes), so the
+    // md5-hex-conv chain over built shingle strings is replaced by the
+    // fixed-width combine (guide §1.2; no per-window string allocation)
     val sh = docs
       .withColumn("__tk", TextAnalysis.tokens(col(textCol)))
       .select(col(groupCol).as("__g"),
-        explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("__s"))
-      .select(col("__g"), Dedup.baseHash60(col("__s")).as("__h"))
+        TextAnalysis.tokenHashes(col("__tk")).as("__th"))
+      .select(col("__g"),
+        explode(TextAnalysis.windowHashesOfTokenHashes(col("__th"), n)).as("__h"))
       .distinct()
       .localCheckpoint() // sizes AND both sides of the intersection join
     val sizes = groups.join(

@@ -54,11 +54,14 @@ object SetSimJoin {
     // lesson, measured in round 5 — and re-measured here in round 13:
     // a narrow array_distinct(transform(..xxhash64..)) build benched
     // 2.3× SLOWER than this explode+distinct form at sf0.1).
+    // identity-only shingle hash (r19, the ngramJaccardPairs swap): the
+    // oracle joins on shingle TEXT and the verify intersects full hash
+    // sets, so window identity = one xxhash64 over n token hashes
     val sh = df
-      .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol).as("doc"),
+        TextAnalysis.tokenHashes(TextAnalysis.tokens(col(textCol))).as("__th"))
       .select(col("doc"),
-        explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("sg"))
-      .select(col("doc"), xxhash64(col("sg")).as("h"))
+        explode(TextAnalysis.windowHashesOfTokenHashes(col("__th"), n)).as("h"))
       .distinct()
       .localCheckpoint()
     // global df per hash — ONE map-side-combined aggregation (a viral
@@ -124,11 +127,12 @@ object SetSimJoin {
                        n: Int = 3, threshold: Double = 0.8): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
+    // identity-only shingle hash — the ppjoinPairs swap (r19)
     val sh = df
-      .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol).as("doc"),
+        TextAnalysis.tokenHashes(TextAnalysis.tokens(col(textCol))).as("__th"))
       .select(col("doc"),
-        explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("sg"))
-      .select(col("doc"), xxhash64(col("sg")).as("h"))
+        explode(TextAnalysis.windowHashesOfTokenHashes(col("__th"), n)).as("h"))
       .distinct()
       .localCheckpoint()
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -175,11 +179,12 @@ object SetSimJoin {
                   threshold: Double = 0.5): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
+    // identity-only shingle hash — the ppjoinPairs swap (r19)
     def shOf(df: DataFrame) = df
-      .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol).as("doc"),
+        TextAnalysis.tokenHashes(TextAnalysis.tokens(col(textCol))).as("__th"))
       .select(col("doc"),
-        explode(TextAnalysis.shinglesOfTokens(col("__tk"), n)).as("sg"))
-      .select(col("doc"), xxhash64(col("sg")).as("h"))
+        explode(TextAnalysis.windowHashesOfTokenHashes(col("__th"), n)).as("h"))
       .distinct()
       .localCheckpoint()
     val shC = shOf(corpus)

@@ -31,6 +31,31 @@ object TextAnalysis {
   def shingles(text: Column, n: Int = 3): Column =
     shinglesOfTokens(tokens(text), n)
 
+  /** Per-token 64-bit hashes — project into a real column before
+    * feeding [[windowHashesOfTokenHashes]] (the [[shinglesOfTokens]]
+    * materialization discipline: inlined, CollapseProject would
+    * re-evaluate the whole transform per consumer reference). */
+  def tokenHashes(tk: Column): Column = transform(tk, t => xxhash64(t))
+
+  /** 64-bit IDENTITY hashes of the sliding n-token windows, from an
+    * already-materialized token-hash array column ([[tokenHashes]]):
+    * each window hash combines its n per-token hashes with one
+    * fixed-width xxhash64 call — collision-equivalent to hashing the
+    * window text (tokens carry no spaces, so text concatenation is
+    * injective; xxhash64 chains per-value, so long-tuple collisions are
+    * the same negligible class as string-hash collisions), but with no
+    * per-window string allocation and each token's bytes hashed once
+    * instead of once per covering window (r19 optimization, guide §1.2
+    * "per-task work": the window-STRING build dominated the shingle
+    * stage CPU). ONLY for consumers that need window identity and whose
+    * oracle compares window TEXT — never where a dialect-portable hash
+    * value (md5) is itself replayed by the oracle (MinHash/SimHash). */
+  def windowHashesOfTokenHashes(th: Column, n: Int): Column =
+    when(size(th) >= n,
+      transform(sequence(lit(1), size(th) - (n - 1)),
+        i => xxhash64((0 until n).map(k => element_at(th, i + lit(k))): _*)))
+      .otherwise(array().cast("array<bigint>"))
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
