@@ -42,10 +42,22 @@ object HeavyHitters {
     * (depth, bucket) structs — shared by the batch grid builder and
     * the streaming windowed grids ([[graft.streaming.StreamSketch]])
     * so the hash layout cannot drift between them. */
-  def cellStructs(item: Column, depth: Int, width: Int): Column =
+  def cellStructs(itemHash: Column, depth: Int, width: Int): Column =
+    // takes the PRE-HASHED item (callers project xxhash64(item) into a
+    // real column first — the shinglesOfTokens materialization
+    // discipline): the item's bytes are hashed once per occurrence and
+    // each depth hashes two longs, instead of re-hashing the item
+    // string per grid row (r19, guide §1.2 — the sketch and candidate
+    // scans are the operator's two full passes and this was their
+    // per-occurrence CPU). Plain array/struct expressions, no
+    // higher-order function: the whole cell build stays inside
+    // WholeStageCodegen. CMS correctness is hash-agnostic (any
+    // pairwise-independent-ish family never underestimates, which is
+    // all the exact verify rests on), and batch + streaming share this
+    // one function so the layout cannot drift between them.
     array((0 until depth).map(i => struct(
       lit(i).as("depth"),
-      pmod(xxhash64(lit(i), item), lit(width.toLong)).as("bucket")
+      pmod(xxhash64(lit(i), itemHash), lit(width.toLong)).as("bucket")
     )): _*)
 
   def cmsCells(items: DataFrame, itemCol: String, depth: Int, width: Int,
@@ -53,8 +65,10 @@ object HeavyHitters {
     require(depth >= 1 && width >= 1 && depth.toLong * width <= MaxSketchCells,
       s"sketch grid d=$depth w=$width exceeds MaxSketchCells=$MaxSketchCells")
     val cells = items.select(
-      groupCols.map(col) :+
-        explode(cellStructs(col(itemCol), depth, width)).as("__c"): _*)
+        groupCols.map(col) :+ xxhash64(col(itemCol)).as("__ih"): _*)
+      .select(
+        groupCols.map(col) :+
+          explode(cellStructs(col("__ih"), depth, width)).as("__c"): _*)
     cells.groupBy((groupCols.map(col) :+ col("__c.depth").as("depth") :+
         col("__c.bucket").as("bucket")): _*)
       .agg(count(lit(1)).as("n"))
@@ -74,9 +88,13 @@ object HeavyHitters {
     val dense: Array[Long] = Array.tabulate(depth * width)(i =>
       grid.getOrElse(i.toLong, 0L))
     val m = typedLit(dense.toSeq)
-    array_min(transform(sequence(lit(0), lit(depth - 1)), i =>
-      element_at(m, (i * width +
-        pmod(xxhash64(i, item), lit(width.toLong)) + 1).cast("int"))))
+    // same hash-once keying as cellStructs (the caller passes the
+    // pre-hashed item column); the probe is an UNROLLED least() of d
+    // element_at's — plain codegen'd expressions, where the previous
+    // transform-over-sequence lambda fell out of whole-stage codegen
+    least((0 until depth).map(i =>
+      element_at(m, (lit(i * width) +
+        pmod(xxhash64(lit(i), item), lit(width.toLong)) + 1).cast("int"))): _*)
   }
 
   /** Exact heavy hitters of a token stream: every token whose total
@@ -94,8 +112,9 @@ object HeavyHitters {
     // total stream length = one full depth row of the grid (exact)
     val total = cells.collect { case (k, n) if k < width => n }.sum
     val t = math.ceil(total * minFrac).toLong
-    val est = estimate(col(itemCol), cells, depth, width)
-    val cand = items.select(col(itemCol)).filter(est >= t).distinct()
+    val est = estimate(col("__ih"), cells, depth, width)
+    val cand = items.select(col(itemCol), xxhash64(col(itemCol)).as("__ih"))
+      .filter(est >= t).select(col(itemCol)).distinct()
     items.join(broadcast(cand), Seq(itemCol), "left_semi")
       .groupBy(col(itemCol)).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= t)
@@ -120,8 +139,9 @@ object HeavyHitters {
         r.getLong(2))).toMap
     val total = merged.collect { case (k, n) if k < width => n }.sum
     val t = math.ceil(total * minFrac).toLong
-    val est = estimate(col(itemCol), merged, depth, width)
-    val cand = items.select(col(itemCol)).filter(est >= t).distinct()
+    val est = estimate(col("__ih"), merged, depth, width)
+    val cand = items.select(col(itemCol), xxhash64(col(itemCol)).as("__ih"))
+      .filter(est >= t).select(col(itemCol)).distinct()
     val exact = items.join(broadcast(cand), Seq(itemCol), "left_semi")
       .groupBy(col(itemCol), col(srcCol)).agg(count(lit(1)).as("cnt"))
     // globally heavy = sum over sources reaches T; keep the breakdown

@@ -89,8 +89,21 @@ object Retrieval {
   def writeIndex(parts: IndexParts, path: String): Unit = {
     parts.postings.repartitionByRange(col("tok")).sortWithinPartitions("tok")
       .write.mode("overwrite").parquet(s"$path/postings")
-    parts.doclen.write.mode("overwrite").parquet(s"$path/doclen")
-    parts.stats.write.mode("overwrite").parquet(s"$path/stats")
+    // doclen/stats are DERIVED from the just-written postings (dl is Σtf
+    // by construction — indexParts, mergeParts and readIndex all keep the
+    // parts consistent, and a doc with zero tokens has no dl row on
+    // either path): writing parts.doclen/parts.stats directly re-ran the
+    // whole tokenize+explode lineage once per artifact (three corpus
+    // passes per part, r19 measured), while this reads back the tiny
+    // written file (guide §1.2). Also removes the read-your-sources
+    // hazard the StreamIndex compaction had to order around.
+    val spark = parts.postings.sparkSession
+    val dl = spark.read.parquet(s"$path/postings")
+      .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    dl.write.mode("overwrite").parquet(s"$path/doclen")
+    spark.read.parquet(s"$path/doclen")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_len"))
+      .write.mode("overwrite").parquet(s"$path/stats")
   }
 
   def readIndex(spark: SparkSession, path: String): IndexParts = IndexParts(

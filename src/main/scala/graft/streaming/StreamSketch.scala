@@ -35,8 +35,11 @@ object StreamSketch {
       s"sketch grid d=$depth w=$width exceeds MaxSketchCells")
     stream
       .withWatermark(tsCol, watermark)
+      // pre-hash the item into a real column (the cellStructs contract,
+      // r19): batch and stream share the hash-once cell layout
+      .select(col(tsCol), xxhash64(col(itemCol)).as("__ih"))
       .select(col(tsCol), explode(
-        HeavyHitters.cellStructs(col(itemCol), depth, width)).as("__c"))
+        HeavyHitters.cellStructs(col("__ih"), depth, width)).as("__c"))
       .groupBy(window(col(tsCol), windowDur),
         col("__c.depth").as("depth"), col("__c.bucket").as("bucket"))
       .agg(count(lit(1)).as("n"))
