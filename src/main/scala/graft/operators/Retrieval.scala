@@ -62,7 +62,15 @@ object Retrieval {
   def indexParts(docs: DataFrame, idCol: String, textCol: String): IndexParts = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // doc length is one narrow row-local expression — size(tokens) —
+    // not an explode + re-group of the whole token stream (r19, guide
+    // §2.4: the groupBy(doc_id) rebuilt per-doc counts the projection
+    // already knows). The dl > 0 filter preserves the exact prior
+    // semantics: a zero-token doc contributed no dl row (and must not
+    // inflate n_docs, which enters every BM25 idf).
+    val dl = docs.select(col(idCol).as("doc_id"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
+      .filter(col("dl") > 0)
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_len"))
     val postings = toks.groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
