@@ -471,15 +471,23 @@ private[graft] trait Queries9Experiments extends Queries8Analytics {
           .as("monetary_cents"))
       .withColumn("__all", lit("all")) // NOT "__g": equalFreqBins' internal name
       .localCheckpoint() // three bin passes + the census share one build
-    def binned(d: DataFrame, v: String, out: String, bw: Long) =
-      Sampling.equalFreqBins(d, "__all", v, "o_custkey", nBins = 4,
+    // r19 restructure (guide §2.6 "overlap independent jobs", applied
+    // inside one DAG): the three quartile passes each depend only on
+    // `per` — chaining them (binned(binned(binned(per,..)..)..)) made
+    // every pass's exchanges wait on the previous pass's output, while
+    // three independent passes joined back on the customer key let the
+    // scheduler run their stages concurrently. Each bin is the same
+    // (value, custkey) rank over the same frame, so the result is
+    // unchanged (oracle re-verified both SFs).
+    def binOf(v: String, out: String, bw: Long) =
+      Sampling.equalFreqBins(per, "__all", v, "o_custkey", nBins = 4,
         bandWidth = bw)
-        .withColumnRenamed("bin", out)
-    val b = binned(binned(binned(per,
-      "r_day", "r_bin", 30L),
-      "n_orders", "f_bin", 1L),
-      "monetary_cents", "m_bin", 10000000L)
-    b.groupBy(col("r_bin"), col("f_bin"), col("m_bin"))
+        .select(col("o_custkey"), col("bin").as(out))
+    binOf("r_day", "r_bin", 30L)
+      .join(binOf("n_orders", "f_bin", 1L), "o_custkey")
+      .join(binOf("monetary_cents", "m_bin", 10000000L), "o_custkey")
+      .join(per.select(col("o_custkey"), col("monetary_cents")), "o_custkey")
+      .groupBy(col("r_bin"), col("f_bin"), col("m_bin"))
       .agg(count(lit(1)).as("n_customers"),
         sum(col("monetary_cents")).as("sum_monetary_cents"))
   }
