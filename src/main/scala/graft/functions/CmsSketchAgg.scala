@@ -33,10 +33,17 @@ object CmsSketch {
 
   val MaxCells: Int = 1 << 20
 
-  /** The (depth i, token) cell, == `pmod(xxhash64(lit(i), s), width)`. */
-  def cell(i: Int, s: UTF8String, width: Int): Int = {
-    val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
-      s.numBytes, XXH64.hashInt(i, 42L))
+  /** The item's one-time 64-bit hash, == `xxhash64(s)` (seed 42). The
+    * r19 hash-once layout: the item's bytes are hashed once per
+    * occurrence and each depth combines two LONGS, mirroring the
+    * DataFrame path's pre-hashed `__ih` column exactly. */
+  def itemHash(s: UTF8String): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+
+  /** The (depth i, itemHash) cell,
+    * == `pmod(xxhash64(lit(i), itemHash), width)`. */
+  def cellOfHash(i: Int, th: Long, width: Int): Int = {
+    val h = XXH64.hashLong(th, XXH64.hashInt(i, 42L))
     val m = (h % width).toInt
     if (m < 0) m + width else m
   }
@@ -84,9 +91,10 @@ object CmsSketch {
         parsed
       }
     var best = Long.MaxValue
+    val th = itemHash(item)
     var i = 0
     while (i < d) {
-      val c = cells(i * w + cell(i, item, w))
+      val c = cells(i * w + cellOfHash(i, th, w))
       if (c < best) best = c
       i += 1
     }
@@ -111,10 +119,10 @@ case class CmsSketchAgg(child: Expression, depth: Int, width: Int,
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v.asInstanceOf[UTF8String]
+      val th = CmsSketch.itemHash(v.asInstanceOf[UTF8String])
       var i = 0
       while (i < depth) {
-        buf(i * width + CmsSketch.cell(i, s, width)) += 1L
+        buf(i * width + CmsSketch.cellOfHash(i, th, width)) += 1L
         i += 1
       }
     }
